@@ -1,13 +1,645 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextClean, TextMetrics, VectorFunctions}
+import graft.ledger.Ledger
+import graft.operators.{Dedup, Similarity}
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2
+  * plus the training-data-pipeline operators (dedup / similarity / text
+  * analysis). Each query has a DuckDB oracle in `oracleSql` unless marked
+  * rows-only (cross-engine hash functions don't exist for minhash/simhash
+  * signatures).
+  *
+  * Determinism discipline (FIXTURES.md): every float aggregate is rounded
+  * (2-4 dp) in BOTH engines; every ranking has an integer tie-break; no
+  * rand()/uuid()/now() anywhere.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark only reads as a
+    // raw long; queries treat `ts` as nanos-since-epoch (floor-divided to
+    // seconds where needed, matching DuckDB's epoch_ns(ts) // 1e9).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Floor seconds from the nanos-long `ts` column. DIV = integer
+    * division — double division would lose ns precision at 1e18. */
+  private val tsSec: Column = expr("ts DIV 1000000000")
+
+  /** Flagship on sf0.001 (driver smoke-checks rows>0): ledger-style batch
+    * selection — users whose LATEST event is purchase/signup (the
+    * reference's select-by-last-step, J1+P2), enriched with per-user
+    * activity stats (A1) — the shape of SURVEY §3.1's entry point A. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val events = t(spark, dir, "events")
+    val last = Ledger.selectByLastStep(events,
+      Seq("purchase", "signup"), keyCol = "user_id",
+      stepCol = "event_type", orderCol = "event_id")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"))
+    val stats = events.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      round(sum(col("value")) + 1e-9, 2).as("total_value"))
+    last.join(stats, "user_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Aggregations / projections (SURVEY A1-A3, P1) ----
+    "q01_pricing_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")) + 1e-9, 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")) + 1e-9, 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            + 1e-9, 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")) + 1e-9, 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- Multi-way dimension join (SURVEY J2/J4/P5) — dims broadcast ----
+    "q02_join_dims" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      orders
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("order_count"),
+          round(sum(col("o_totalprice")) + 1e-9, 2).as("total_revenue"))
+    }),
+
+    // ---- Greatest-per-group / latest ledger state (SURVEY J1/W1) ----
+    "q03_latest_event" -> ((s, dir) => {
+      Ledger.latestState(t(s, dir, "events"), Seq("user_id"), "event_id",
+          "event_id")
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+
+    // ---- Running total window (SURVEY A2/W4 frame) ----
+    "q04_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w) + 1e-9, 2).as("running_value"))
+    }),
+
+    // ---- Top-2 per group by frequency (SURVEY A4/O6) ----
+    "q05_top2_per_user" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      counts.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 2)
+        .select("user_id", "event_type", "cnt", "rnk")
+    }),
+
+    // ---- As-of join: latest row per key at-or-before cutoff (J5/W1) ----
+    "q06_asof_latest_order" -> ((s, dir) => {
+      Ledger.asOfLatest(t(s, dir, "orders"), Seq("o_custkey"),
+          "o_orderdate", lit("1998-01-01").cast("timestamp"), "o_orderkey")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    }),
+
+    // ---- Anti join (SURVEY J6/U1) ----
+    "q07_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- Semi join (SURVEY J7) ----
+    "q08_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- Union + distinct (SURVEY U2/U3) ----
+    "q09_union_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    }),
+
+    // ---- Deterministic sample (SURVEY O4, seedable — FIXTURES.md) ----
+    "q10_det_sample" -> ((s, dir) => {
+      Ledger.deterministicSample(t(s, dir, "events"), "event_id", 97)
+        .select("event_id", "user_id", "event_type")
+    }),
+
+    // ---- Byte-capped greedy admission (SURVEY A2/R5) ----
+    "q11_byte_cap" -> ((s, dir) => {
+      Ledger.byteCapAdmit(t(s, dir, "documents"), Seq(col("doc_id")),
+          "n_chars", cap = 100000L, keepCumAs = Some("cum_chars"))
+        .select("doc_id", "n_chars", "cum_chars")
+    }),
+
+    // ---- Scalar projections (SURVEY P1/F1) ----
+    "q12_octet_len" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), octet_length(col("text")).as("octets"),
+          length(col("text")).as("chars"))
+    }),
+
+    // ---- Whitespace normalization (SURVEY F2/F3) ----
+    "q13_normalize_ws" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextClean.normalizeWhitespace(col("text")).as("clean_text"))
+    }),
+
+    // ---- Token counts (SURVEY F8 + token-count estimate) ----
+    "q14_word_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextMetrics.wordCount(col("text")).as("words"),
+          TextMetrics.whitespaceTokenCount(col("text")).as("ws_tokens"),
+          TextMetrics.tokenCountEstimate(col("text")).as("est_tokens"))
+    }),
+
+    // ---- Flesch readability (SURVEY F7-F10) ----
+    "q15_readability" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextMetrics.fleschReadingEase(col("text")).as("flesch"))
+    }),
+
+    // ---- Reading duration w/ per-lang speeds (SURVEY F11) ----
+    "q16_reading_duration" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), col("lang"),
+        TextMetrics.readingDurationSeconds(col("text"),
+          TextMetrics.readingSpeedFor(col("lang"))).as("duration_sec"))
+    }),
+
+    // ---- Text-quality scoring (training-data pipeline) ----
+    "q17_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextMetrics.stopwordRatio(col("text")).as("stop_ratio"),
+          TextMetrics.punctRatio(col("text")).as("punct_ratio"),
+          TextMetrics.meanWordLength(col("text")).as("mean_word_len"),
+          TextMetrics.qualityScore(col("text")).as("quality"))
+    }),
+
+    // ---- Language-ID heuristic (SURVEY F12 analogue) ----
+    "q18_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("declared_lang"),
+          TextMetrics.langIdHeuristic(col("text")).as("detected_lang"))
+    }),
+
+    // ---- Document fingerprinting (rolling-hash analogue, md5) ----
+    "q19_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextMetrics.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- Exact dedup by content hash ----
+    "q20_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ---- n-gram Jaccard near-dup pairs (exact set similarity) ----
+    "q21_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.2)
+    }),
+
+    // ---- MinHash+LSH near-dup (rows-only: no cross-engine xxhash64) ----
+    "q22_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4)
+    }),
+
+    // ---- SimHash near-dup (rows-only) ----
+    "q23_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16)
+    }),
+
+    // ---- Brute-force ANN top-k (exact baseline) ----
+    "q24_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
+    // ---- IVF ANN top-k (scale path; rows-only) ----
+    "q25_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+        stride = 20, nProbe = 3)
+    }),
+
+    // ---- Embedding column stats (vector math as columns) ----
+    "q26_embedding_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(VectorFunctions.norm(col("embedding"))) + 1e-9, 4)
+            .as("avg_norm"))
+    }),
+
+    // ---- Event-time hourly aggregation (SURVEY T2 analogue) ----
+    "q27_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy((expr("ts DIV 1000000000 DIV 3600") * 3600)
+            .as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")) + 1e-9, 2).as("total_value"))
+    }),
+
+    // ---- JSON field extraction (SURVEY F30) ----
+    "q28_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+    }),
+
+    // ---- Sessionization (gap > 30 min ⇒ new session) ----
+    "q29_sessionize" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val withGap = t(s, dir, "events")
+        .withColumn("sec", tsSec)
+        .withColumn("prev_sec", lag(col("sec"), 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_sec").isNull ||
+            col("sec") - col("prev_sec") > 1800, 1).otherwise(0))
+        .withColumn("session_seq", sum(col("new_session"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      withGap.groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+    }),
+
+    // ---- Rollup (grouping sets — free Spark extension, SURVEY §2.4) ----
+    "q30_rollup" -> ((s, dir) => {
+      // rollup through SQL text: Spark 4.1's DetectAmbiguousSelfJoin
+      // false-positives on the Dataset rollup API (Expand duplicates the
+      // grouping attrs); SQL-resolved plans carry no dataset-id metadata.
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_regionkey", "n_name")
+      val r = t(s, dir, "region").select("r_regionkey", "r_name")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"))
+        .createOrReplaceTempView("q30_rollup_input")
+      s.sql("""SELECT r_name, n_name, count(*) AS n_customers
+        FROM q30_rollup_input GROUP BY ROLLUP (r_name, n_name)""")
+    }),
+
+    // ---- Select-by-last-step: the reference's core batch selection ----
+    "q31_select_by_last_step" -> ((s, dir) => {
+      Ledger.selectByLastStep(t(s, dir, "events"),
+          Seq("purchase", "signup"), keyCol = "user_id",
+          stepCol = "event_type", orderCol = "event_id")
+        .select("user_id", "event_id", "event_type")
+    }),
+
+    // ---- Per-group argmax (SURVEY O5) ----
+    "q32_argmax_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("event_type", "event_id", "value")
+    }),
+
+    // ---- Tumbling 15-min window agg (streaming semantics, batch) ----
+    "q33_window_15min" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy((expr("ts DIV 1000000000 DIV 900") * 900)
+            .as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")) + 1e-9, 2).as("total_value"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+         round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+         round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_join_dims" ->
+      """SELECT n_name, count(*) AS order_count,
+         round(sum(o_totalprice) + 1e-9, 2) AS total_revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+
+    "q03_latest_event" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY event_id DESC, event_id DESC
+           ) AS rn FROM events) WHERE rn = 1""",
+
+    "q04_running_total" ->
+      """SELECT user_id, event_id,
+         round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 2)
+           AS running_value
+         FROM events""",
+
+    "q05_top2_per_user" ->
+      """SELECT user_id, event_type, cnt, rnk FROM (
+           SELECT user_id, event_type, cnt, row_number() OVER (
+             PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rnk
+           FROM (SELECT user_id, event_type, count(*) AS cnt
+                 FROM events GROUP BY user_id, event_type))
+         WHERE rnk <= 2""",
+
+    "q06_asof_latest_order" ->
+      """SELECT o_custkey AS c_custkey, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders WHERE o_orderdate <= TIMESTAMP '1998-01-01')
+         WHERE rn = 1""",
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q08_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (
+           SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+
+    "q09_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION ALL
+           SELECT s_nationkey AS nationkey FROM supplier)""",
+
+    "q10_det_sample" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id % 97 = 0""",
+
+    "q11_byte_cap" ->
+      """WITH c AS (
+           SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars,
+             row_number() OVER (ORDER BY doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, n_chars, cum_chars FROM c
+         WHERE cum_chars <= 100000
+           AND rn < coalesce(
+             (SELECT min(rn) FROM c WHERE cum_chars > 100000),
+             9223372036854775807)""",
+
+    "q12_octet_len" ->
+      """SELECT doc_id, strlen(text) AS octets, length(text) AS chars
+         FROM documents""",
+
+    "q13_normalize_ws" ->
+      """SELECT doc_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean_text
+         FROM documents""",
+
+    "q14_word_count" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '\w+')) AS words,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+         len(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS est_tokens
+         FROM documents""",
+
+    "q15_readability" ->
+      """SELECT doc_id,
+         round(least(greatest(
+           206.835
+           - 1.015 * (CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE)
+             / CAST(greatest(len(regexp_extract_all(text,
+                 '[^.!?]+[.!?]*')), 1) AS DOUBLE))
+           - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                 '[aeiouy]+')) AS DOUBLE)
+             / greatest(CAST(len(regexp_extract_all(text, '\w+'))
+                 AS DOUBLE), 1.0)),
+           0.0), 100.0) + 1e-9, 2) AS flesch
+         FROM documents""",
+
+    "q16_reading_duration" ->
+      """SELECT doc_id, lang,
+         round(CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE)
+           / (CASE lang WHEN 'en' THEN 228.0 WHEN 'fr' THEN 195.0
+              WHEN 'es' THEN 218.0 WHEN 'de' THEN 179.0 WHEN 'it' THEN 188.0
+              WHEN 'pt' THEN 181.0 WHEN 'zh' THEN 158.0 WHEN 'ja' THEN 193.0
+              ELSE 200.0 END) * 60.0 + 1e-9, 2) AS duration_sec
+         FROM documents""",
+
+    "q17_quality_score" ->
+      """WITH q AS (
+           SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+             round(CAST(len(list_filter(toks, x -> x IN
+               ('the','a','an','of','and','to','in','is','it','that')))
+               AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)
+               + 1e-9, 4) AS stop_ratio,
+             round(CAST(len(regexp_extract_all(text, '[[:punct:]]'))
+               AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
+               + 1e-9, 4) AS punct_ratio,
+             round(CAST(list_sum(list_transform(toks, x -> length(x)))
+               AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)
+               + 1e-9, 4) AS mean_word_len,
+             length(text) AS n_len
+           FROM q)
+         SELECT doc_id, stop_ratio, punct_ratio, mean_word_len,
+           round(((CASE WHEN n_len BETWEEN 50 AND 100000 THEN 1.0
+                   ELSE 0.0 END)
+             + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN stop_ratio BETWEEN 0.001 AND 0.6 THEN 1.0
+                ELSE 0.0 END)
+             + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0
+                ELSE 0.0 END)) / 4.0 + 1e-9, 4) AS quality
+         FROM r""",
+
+    "q18_lang_id" ->
+      """WITH s AS (
+           SELECT doc_id, lang AS declared_lang,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, declared_lang,
+             len(list_filter(toks, x -> x IN
+               ('the','and','of','is','that'))) AS s_en,
+             len(list_filter(toks, x -> x IN
+               ('le','la','et','les','des'))) AS s_fr,
+             len(list_filter(toks, x -> x IN
+               ('el','de','que','los','las'))) AS s_es,
+             len(list_filter(toks, x -> x IN
+               ('der','die','und','das','ist'))) AS s_de
+           FROM s)
+         SELECT doc_id, declared_lang,
+           CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+             WHEN s_fr >= greatest(s_es, s_en, s_de) THEN 'fr'
+             WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+             WHEN s_en >= s_de THEN 'en'
+             ELSE 'de' END AS detected_lang
+         FROM c""",
+
+    "q19_fingerprint" ->
+      """SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents""",
+
+    "q20_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           AS fp,
+         min(doc_id) AS representative_id, count(*) AS dup_count
+         FROM documents GROUP BY 1""",
+
+    "q21_jaccard_pairs" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+             FROM w)),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+           WHERE a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE) /
+               CAST(sa.sz + sb.sz - inter AS DOUBLE) + 1e-9, 4) AS jaccard
+           FROM inter
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b)
+         WHERE jaccard >= 0.2""",
+
+    "q24_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+         s AS (
+           SELECT q_id, c_id,
+             round(
+               list_sum(list_transform(list_zip(q_vec, c_vec),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q_vec,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c_vec,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               + 1e-9, 4) AS score
+           FROM q, c WHERE c_id != q_id)
+         SELECT q_id, c_id, score, rank FROM (
+           SELECT q_id, c_id, score, row_number() OVER (
+             PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
+           FROM s)
+         WHERE rank <= 5""",
+
+    "q26_embedding_stats" ->
+      """SELECT label, count(*) AS n,
+         round(avg(sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) + 1e-9, 4) AS avg_norm
+         FROM embeddings GROUP BY label""",
+
+    "q27_events_hourly" ->
+      """SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS hour_epoch,
+         event_type, count(*) AS n, round(sum(value) + 1e-9, 2) AS total_value
+         FROM events GROUP BY 1, 2""",
+
+    "q28_json_extract" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+         FROM events""",
+
+    "q29_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id,
+             epoch_ns(ts) // 1000000000 AS sec,
+             lag(epoch_ns(ts) // 1000000000) OVER (
+               PARTITION BY user_id ORDER BY event_id) AS prev_sec
+           FROM events),
+         f AS (
+           SELECT user_id, event_id,
+             CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+               THEN 1 ELSE 0 END AS new_session
+           FROM g),
+         sess AS (
+           SELECT user_id, event_id,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+           FROM f)
+         SELECT user_id, session_seq, count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+         FROM sess GROUP BY user_id, session_seq""",
+
+    "q30_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+
+    "q31_select_by_last_step" ->
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type, row_number() OVER (
+             PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 AND event_type IN ('purchase', 'signup')""",
+
+    "q32_argmax_value" ->
+      """SELECT event_type, event_id, value FROM (
+           SELECT event_type, event_id, value, row_number() OVER (
+             PARTITION BY event_type
+             ORDER BY value DESC, event_id ASC) AS rn
+           FROM events)
+         WHERE rn = 1""",
+
+    "q33_window_15min" ->
+      """SELECT (epoch_ns(ts) // 1000000000 // 900) * 900 AS win_start,
+         event_type, count(*) AS n, round(sum(value) + 1e-9, 2) AS total_value
+         FROM events GROUP BY 1, 2"""
+  )
 }

@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analytics metrics as pure Column expressions (codegen'd — no UDFs
+  * in the hot path). Mirrors the reference's computed-metadata module
+  * (reference: modules/computed_metadata.py) plus the quality/token/lang-id
+  * operators a training-data pipeline needs.
+  *
+  * Every function here is a scalar over one row — embarrassingly parallel,
+  * no shuffle, survives any scale-up.
+  */
+object TextMetrics {
+
+  /** round with a +1e-9 nudge: Spark rounds doubles via BigDecimal
+    * decimal-string (HALF_UP on the true double), DuckDB via an FP
+    * multiply that can cross the .5 boundary — on near-boundary values
+    * (e.g. 85.16499999999999) the two disagree. The epsilon pushes both
+    * engines off the boundary the same way; oracle SQL adds the same
+    * +1e-9. */
+  def roundE(c: Column, scale: Int): Column = round(c + lit(1e-9), scale)
+
+  /** Word count via \w+ tokens (reference F8: computed_metadata.py:68-79;
+    * WORDS_REGEX regular_expression.py:80-82). */
+  def wordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+"), lit(0)))
+
+  /** Whitespace token count (simple tokenizer; split drops no empty
+    * trailing strings in Spark, so trim first). */
+  def whitespaceTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Sentence count via sentence-boundary regex (reference F7:
+    * computed_metadata.py:82-97; SENTENCE_REGEX \b[^.!?]+[.!?]*). Floors
+    * at 1 so ratio metrics stay defined for fragment-only docs. */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0))),
+      lit(1))
+
+  /** Syllable estimate = vowel-group count (the reference uses Pyphen
+    * hyphenation, computed_metadata.py:115-135 — a dictionary approach we
+    * deliberately replace with the standard vowel-cluster heuristic; same
+    * downstream Flesch formula). */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+
+  /** Flesch reading-ease, clamped to [0,100] (reference F10:
+    * computed_metadata.py:156-180; per-language constants
+    * constants.py:130-161 — English constants used when lang unknown). */
+  def fleschReadingEase(text: Column, base: Double = 206.835,
+      sentenceWeight: Double = 1.015, syllableWeight: Double = 84.6): Column = {
+    val words = wordCount(text).cast("double")
+    val sentences = sentenceCount(text).cast("double")
+    val syllables = syllableCount(text).cast("double")
+    val raw = lit(base) -
+      lit(sentenceWeight) * (words / sentences) -
+      lit(syllableWeight) * (syllables / greatest(words, lit(1.0)))
+    roundE(least(greatest(raw, lit(0.0)), lit(100.0)), 2)
+  }
+
+  /** Reading duration in seconds = words / lang-speed * 60 (reference F11:
+    * computed_metadata.py:183-198; per-lang speeds constants.py:117-128). */
+  def readingDurationSeconds(text: Column, wordsPerMinute: Column): Column =
+    roundE(wordCount(text).cast("double") / wordsPerMinute * 60.0, 2)
+
+  /** Per-language reading speeds (reference: constants.py:117-128). */
+  val readingSpeeds: Map[String, Double] = Map(
+    "en" -> 228.0, "fr" -> 195.0, "es" -> 218.0, "de" -> 179.0,
+    "it" -> 188.0, "pt" -> 181.0, "zh" -> 158.0, "ja" -> 193.0)
+  val defaultReadingSpeed = 200.0
+
+  def readingSpeedFor(lang: Column): Column = {
+    val m = map(readingSpeeds.toSeq
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    coalesce(element_at(m, lang), lit(defaultReadingSpeed))
+  }
+
+  // --- Quality scoring (training-data pipeline ops; BASELINE.json north
+  // star) — length / punctuation / stopword ratios, composable into a
+  // single score column. ---
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Fraction of whitespace tokens that are stopwords. */
+  def stopwordRatio(text: Column,
+      stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = split(trim(text), "\\s+")
+    val stops = filter(toks, t => t.isin(stopwords.map(x => x: Any): _*))
+    roundE(size(stops).cast("double") /
+      greatest(size(toks), lit(1)).cast("double"), 4)
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    roundE(size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
+      .cast("double") / greatest(length(text), lit(1)).cast("double"), 4)
+
+  /** Mean whitespace-token length. */
+  def meanWordLength(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    roundE(aggregate(toks, lit(0).cast("long"),
+      (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double"), 4)
+  }
+
+  /** Composite quality heuristic in [0,1]: long-enough, low punctuation
+    * noise, some-but-not-all stopwords. Gopher/C4-style rule shape. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 100000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text).between(0.001, 0.6), 1.0)
+      .otherwise(0.0)
+    val wordLenOk = when(meanWordLength(text).between(2.0, 12.0), 1.0)
+      .otherwise(0.0)
+    roundE((lenOk + punctOk + stopOk + wordLenOk) / 4.0, 4)
+  }
+
+  /** n-gram-profile language-ID heuristic: score text against tiny
+    * per-language marker-word profiles; returns best-scoring language or
+    * "und". (The reference uses the lingua library, F12:
+    * computed_metadata.py:202-237 — a model dependency we replace with a
+    * deterministic heuristic; the routing semantics downstream are what
+    * matter.) Pure column expression: one pass, no shuffle. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "that"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "de", "que", "los", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  def langIdHeuristic(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
+          .as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** BPE-ish token-count estimate: words + punctuation marks + one token
+    * per 4 chars of long words (crude but deterministic; token counting for
+    * budget accounting at corpus scale). */
+  def tokenCountEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w{1,4}|[^\\w\\s]"), lit(0)))
+
+  /** Document fingerprint = md5 of whitespace-normalized lowercase text.
+    * Cross-engine stable (md5 is identical in Spark and DuckDB), used for
+    * exact dedup at any scale (hash-groupBy distributes evenly). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

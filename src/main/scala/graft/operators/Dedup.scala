@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextMetrics
+
+/** Deduplication operators for corpus-scale training-data pipelines
+  * (BASELINE.json north star; the reference itself only dedups by unique
+  * URL — S16, nodes_helpers/collect.py:11-34 — these generalize that to
+  * content-level exact and near-dup).
+  *
+  * Scale design: every variant is a hash-partitioned shuffle on a derived
+  * key (fingerprint / band bucket), never an O(N^2) cross join. Pair
+  * generation happens only WITHIN buckets, and bucket skew is bounded by
+  * the band hashing. All hashes are Spark built-ins (xxhash64/md5) —
+  * codegen'd, no UDFs.
+  */
+object Dedup {
+
+  /** Exact dedup via content fingerprint: one row per distinct normalized
+    * text, keeping the smallest id as representative. Single shuffle. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", TextMetrics.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("representative_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** Distinct word n-gram shingles per document, exploded:
+    * (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val grams = transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(
+          filter(grams, g => length(g) > 0))).as("shingle"))
+      .where(size(split(col("shingle"), " ")) === n)
+      .distinct()
+  }
+
+  /** n-gram Jaccard near-dup pairs above `threshold`. Exact (no hashing
+    * approximation): self-join on shingle → per-pair intersection count →
+    * Jaccard from set sizes. Only docs sharing >=1 shingle ever pair up,
+    * so the shuffle is bounded by shingle co-occurrence, not N^2. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double") + 1e-9, 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded permutations
+    * h_i(x) = (a_i * xxhash64(x) + b_i) mod p, the min over the doc's
+    * shingles. Deterministic (fixed seeds), one groupBy shuffle. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    // 31-bit hash space: a,b,base < 2^31 keeps a*base+b < 2^62 — no long
+    // overflow under ANSI mode (Spark 4 default).
+    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    val base = pmod(xxhash64(col("shingle")), lit(p))
+    val hashCols = (0 until numHashes).map { i =>
+      val a = (1103515245L + 12345L * i) % p
+      val b = (2654435761L + 40503L * i) % p
+      min(pmod(lit(a) * base + lit(b), lit(p))).as(s"h$i")
+    }
+    sh.groupBy("id").agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup candidate pairs: band the signature
+    * (`bands` x `rowsPerBand` = numHashes), bucket-join on (band,
+    * band-hash), emit candidate pairs with their estimated Jaccard
+    * (fraction of matching minhashes). Classic Broder/LSH construction —
+    * at 100 TB this is THE scalable near-dup path: cost is one groupBy for
+    * signatures + one join on band buckets. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(shingles(df, idCol, textCol, shingleN),
+      numHashes).cache()
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"h$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val banded = sig.select(col("id"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .distinct()
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // verify: estimated jaccard = matching minhash fraction
+    val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigA, col("id_a") === col("a_id"))
+      .join(sigB, col("id_b") === col("b_id"))
+      .withColumn("est_jaccard",
+        round(matches.cast("double") / numHashes + 1e-9, 4))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash per document: hash each word occurrence to 64 bits,
+    * sum +1/-1 per bit position, take the sign bit-vector. Computed with
+    * pure aggregates (64 conditional sums) — one shuffle. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val agg0 = tokens.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg0.select(col("id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs via 4x16-bit band blocking: docs agreeing on
+    * any 16-bit band are candidates (guarantees recall for hamming
+    * distance <= 3); verify with exact popcount of the XOR. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sh = simhash(df, idCol, textCol).cache()
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
+    }
+    val banded = sh.select(col("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.simhash").as("sh_a"),
+        col("b.id").as("id_b"), col("b.simhash").as("sh_b"))
+      .distinct()
+    cand.withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs above `threshold`, LSH-bucketed by
+    * random-hyperplane sign bits so the pair join is bucket-local (the
+    * brute-force variant lives in Similarity.bruteForceTopK). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sig", Similarity.hyperplaneSignature(col("vec"), planes))
+    val cand = withSig.as("a").join(withSig.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+    cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(graft.functions.VectorFunctions
+          .cosine(col("a.vec"), col("b.vec")) + 1e-9, 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

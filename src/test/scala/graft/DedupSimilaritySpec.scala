@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSuite {
+
+  private def docs = {
+    val s = initSpark()
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+      (4L, "completely different content about spark engines here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    val m = d.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m(1L) === 2L) // representative 1 covers docs 1+2
+    assert(d.count() === 3)
+  }
+
+  test("shingles emits distinct n-grams, none for too-short docs") {
+    val s = initSpark()
+    import s.implicits._
+    val d = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(d, "doc_id", "text", 3)
+    val got = sh.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("jaccardPairs finds exact and near duplicates") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val m = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 2L)) === 1.0) // identical
+    assert(m.contains((1L, 3L)) && m((1L, 3L)) < 1.0)
+    assert(!m.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH surfaces the exact-dup pair with est_jaccard 1") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4)
+    val m = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 2L)) === 1.0)
+  }
+
+  test("simhash of identical docs is identical; pairs have hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val m = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(m((1L, 2L)) === 0)
+  }
+
+  private def vecs = {
+    val s = initSpark()
+    import s.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.0f, 1.0f), 2),
+      (4L, Array(-1.0f, 0.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("bruteForceTopK ranks the closest vector first") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
+      k = 2)
+    val rows = top.orderBy("rank").collect()
+    assert(rows(0).getLong(1) === 1L) // nearest to (1,0,0) is (0.9,0.1,0)
+    assert(rows(0).getInt(3) === 1)
+  }
+
+  test("cosine/dot/norm column functions") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("dot"),
+      VectorFunctions.norm(col("a")).as("na"),
+      VectorFunctions.cosine(col("a"), col("a")).as("self")).head()
+    assert(r.getDouble(0) === 24.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("l2Normalize produces unit vectors") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq(Tuple1(Array(3.0f, 4.0f))).toDF("a")
+    val n = df.select(VectorFunctions.norm(
+      VectorFunctions.l2Normalize(col("a"))).as("n")).head().getDouble(0)
+    assert(math.abs(n - 1.0) < 1e-6)
+  }
+
+  test("ivfTopK returns k ranked probes per query") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = initSpark().read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 3), k = 4,
+      stride = 50, nProbe = 2)
+    val byQ = got.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    assert(byQ.values.forall(_.length === 4))
+  }
+
+  test("embeddingNearDupPairs detects a duplicated embedding") {
+    val s = initSpark()
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(0.6f, 0.8f, 0.0f)),
+      (1L, Array(0.6f, 0.8f, 0.0f)),
+      (2L, Array(-0.6f, -0.8f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.99)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+/** Smoke-level: every declared query runs on sf0.001 and its oracle SQL
+  * (when present) exists; deep per-operator checks live in the other
+  * suites, cross-engine equality in the driver's DuckDB gate. */
+class SparkEntrySpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(initSpark()).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and is non-degenerate") {
+      val df = fn(initSpark(), dir)
+      val n = df.count()
+      // anti-join is legitimately empty on this data; everything else
+      // must produce rows
+      if (name != "q07_anti_join") assert(n > 0, s"$name returned 0 rows")
+      assert(df.columns.nonEmpty)
+    }
+  }
+}

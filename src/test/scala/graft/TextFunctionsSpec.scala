@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.{TextClean, TextMetrics}
+
+class TextFunctionsSpec extends SparkSuite {
+
+  private def one(colExpr: org.apache.spark.sql.Column, text: String): Any = {
+    val s = initSpark()
+    import s.implicits._
+    Seq(Tuple1(text)).toDF("text").select(colExpr.as("r")).head().get(0)
+  }
+
+  test("wordCount counts \\w+ tokens") {
+    assert(one(TextMetrics.wordCount(col("text")),
+      "Hello, world! it's 42") === 5) // Hello world it s 42
+  }
+
+  test("sentenceCount splits on .!? and floors at 1") {
+    assert(one(TextMetrics.sentenceCount(col("text")),
+      "One. Two! Three?") === 3)
+    assert(one(TextMetrics.sentenceCount(col("text")), "fragment") === 1)
+  }
+
+  test("fleschReadingEase clamps to [0,100]") {
+    val v = one(TextMetrics.fleschReadingEase(col("text")),
+      "The cat sat on the mat.").asInstanceOf[java.lang.Double]
+    assert(v >= 0.0 && v <= 100.0)
+  }
+
+  test("langIdHeuristic spots obvious languages") {
+    assert(one(TextMetrics.langIdHeuristic(col("text")),
+      "the dog and the cat of the house") === "en")
+    assert(one(TextMetrics.langIdHeuristic(col("text")),
+      "le chien et la maison des amis") === "fr")
+    assert(one(TextMetrics.langIdHeuristic(col("text")),
+      "xyzzy plugh") === "und")
+  }
+
+  test("normalizeWhitespace collapses runs and trims") {
+    assert(one(TextClean.normalizeWhitespace(col("text")),
+      "  a \t b\n\nc  ") === "a b c")
+  }
+
+  test("normalizeWhitespace is idempotent (property)") {
+    val s = initSpark()
+    import s.implicits._
+    // one batched pass over 200 generated strings (driving Spark per
+    // sample would be slow); idempotence: normalize(normalize(x)) ==
+    // normalize(x)
+    val samples = Gen.listOfN(200, Gen.asciiStr)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L)).get
+    val df = samples.map(Tuple1(_)).toDF("text")
+    val bad = df.select(
+        TextClean.normalizeWhitespace(col("text")).as("once"))
+      .select(col("once"),
+        TextClean.normalizeWhitespace(col("once")).as("twice"))
+      .where(col("once") =!= col("twice"))
+    assert(bad.count() === 0)
+  }
+
+  test("stripHtml removes tags and unescapes entities") {
+    assert(one(TextClean.stripHtml(col("text")),
+      "<p>Hello <b>bold</b> &amp; <script>x=1;</script>world</p>")
+      === "Hello bold & world")
+  }
+
+  test("dehyphenate joins words wrapped across lines") {
+    assert(one(TextClean.dehyphenate(col("text")),
+      "exam-\nple and hy- \n phen") === "example and hyphen")
+  }
+
+  test("cleanDoi strips resolver prefixes") {
+    assert(one(TextClean.cleanDoi(col("text")),
+      "https://doi.org/10.1000/xyz") === "10.1000/xyz")
+    assert(one(TextClean.cleanDoi(col("text")),
+      "10.1000/abc") === "10.1000/abc")
+  }
+
+  test("stripHalVersion removes trailing vN") {
+    assert(one(TextClean.stripHalVersion(col("text")),
+      "hal-012345v3") === "hal-012345")
+  }
+
+  test("invertAbstractIndex reconstructs text from inverted index") {
+    val s = initSpark()
+    import s.implicits._
+    // reference open_alex.py:62-67: {word: [positions]} -> ordered text
+    val df = Seq(Tuple1(Map("world" -> Seq(1), "hello" -> Seq(0),
+      "again" -> Seq(2)))).toDF("inv")
+    val got = df.select(
+      TextClean.invertAbstractIndex(col("inv")).as("r")).head.getString(0)
+    assert(got === "hello world again")
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val a = one(TextMetrics.fingerprint(col("text")), "Hello   World")
+    val b = one(TextMetrics.fingerprint(col("text")), "hello world ")
+    assert(a === b)
+  }
+
+  test("firstSentences takes the leading n sentences") {
+    assert(one(TextClean.firstSentences(col("text"), 2),
+      "A one. B two. C three. D") === "A one. B two.")
+  }
+}
