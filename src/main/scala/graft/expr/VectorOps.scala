@@ -1,0 +1,98 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector math over ArrayType(FloatType) columns.
+  *
+  * Spark's higher-order functions (zip_with/aggregate) evaluate their
+  * lambda per element through the interpreter — at 100 TB with per-slice
+  * vectors in every hot path (ANN scoring, centroid assignment, MMR) that
+  * interpretation overhead dominates. These expressions loop over the
+  * primitive float arrays in generated Java, accumulating in double, in
+  * ascending index order (the same sequential order as the DuckDB
+  * oracle's list_sum(list_transform(...)) — keeps cross-engine doubles
+  * bit-identical).
+  */
+object VectorOps {
+
+  def cosineF32(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimF32(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  def dotF32(a: Column, b: Column): Column =
+    ColumnBridge.column(DotF32(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  // runtime kernels (also called from generated code)
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def normSq(a: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val v = a.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    acc
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val denom = math.sqrt(normSq(a)) * math.sqrt(normSq(b))
+    if (denom == 0.0) 0.0 else dot(a, b) / denom
+  }
+}
+
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"requires two array<float> inputs, got $other")
+    }
+}
+
+case class CosineSimF32(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expr.VectorOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSimF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+case class DotF32(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expr.VectorOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotF32 =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,128 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.VectorCodec
+import graft.ledger.Ledger
+import graft.ml.{Chunker, SdgClassifier, StubEmbedder}
+import graft.schema.Warehouse.Step
+import graft.sinks.{CollectionRouter, Merge}
+
+/** Composed pipeline stages as pure DataFrame transforms — the Spark
+  * re-expression of the reference's Argo-fanned node workflow (SURVEY
+  * §3.1-§3.3): every process boundary (batch CSV artifacts, pod fan-out,
+  * per-row DB round trips) collapses into one declarative plan per stage;
+  * the ledger append is the only stateful output.
+  *
+  * Each stage takes and returns DataFrames so the whole flow is testable
+  * in-memory; Verify/production wire the same functions to parquet
+  * tables.
+  */
+object Pipeline {
+
+  /** Stage "generate_to_vectorize + document_vectorizer" (SURVEY §3.1,
+    * reference DocumentVectorizer): select scraped docs (latest state ==
+    * document_scraped), admit up to pickQtyMax docs / byteCap bytes of
+    * content, chunk + embed each document, emit (slices, newStates).
+    *
+    * Scale: selection is one window over the ledger; admission bounds the
+    * working set BEFORE the expensive chunk+embed; chunk+embed is
+    * row-local (UDF + posexplode) — executors stream documents through
+    * with no shuffle after the initial repartition.
+    */
+  def vectorize(documents: DataFrame, ledger: DataFrame,
+      pickQtyMax: Int = 1000, byteCap: Long = 10000000000L,
+      maxWordsPerSlice: Int = 128, embedDim: Int = 64,
+      modelName: String = "stub-64"): (DataFrame, DataFrame) = {
+    val selected = Ledger
+      .selectByLastStep(ledger, Seq(Step.DocumentScraped))
+      .select(col("document_id"), col("operation_order"))
+    val candidates = documents.join(selected,
+        documents("id") === selected("document_id"))
+      .withColumn("content_bytes", octet_length(col("full_content")))
+    val admitted = Ledger.byteCapAdmit(
+      candidates,
+      Seq(col("operation_order").desc, col("document_id")),
+      "content_bytes", byteCap, limitRows = pickQtyMax)
+    val slices = admitted
+      .select(col("id").as("document_id"),
+        posexplode(Chunker.slices(col("full_content"), maxWordsPerSlice))
+          .as(Seq("order_sequence", "body")))
+      .withColumn("embedding_vec",
+        StubEmbedder.embedding(col("body"), embedDim))
+      .withColumn("embedding",
+        VectorCodec.floatVectorToBytes(col("embedding_vec")))
+      .withColumn("id",
+        concat(col("document_id"), lit("#"), col("order_sequence")))
+      .withColumn("embedding_model_name", lit(modelName))
+    val newStates = Ledger.withNextOperationOrder(
+      slices.select("document_id").distinct()
+        .withColumn("title", lit(Step.DocumentVectorized)),
+      ledger)
+    (slices, newStates)
+  }
+
+  /** Stage "document_classifier" (SURVEY §3, reference
+    * DocumentClassifier): classify each vectorized document's slices,
+    * split into sdg / non-sdg doc states (J6 anti-join semantics for the
+    * non-sdg side). */
+  def classify(slices: DataFrame, ledger: DataFrame, biModel: DataFrame,
+      nModel: DataFrame): (DataFrame, DataFrame) = {
+    val vectorized = Ledger
+      .selectByLastStep(ledger, Seq(Step.DocumentVectorized))
+      .select(col("document_id"))
+    val inScope = slices.join(vectorized, Seq("document_id"), "left_semi")
+      .withColumn("embedding_vec",
+        VectorCodec.bytesToFloatVector(col("embedding")))
+    val bi = SdgClassifier.classifyBinary(inScope, biModel, "embedding_vec")
+    val n = SdgClassifier.classifyNWay(
+      bi.where(col("is_sdg")), nModel, "embedding_vec", "id")
+    val sliceSdgs = n.select(col("id").as("slice_id"), col("document_id"),
+      col("sdg_number"), col("n_score"), col("n_model_id"))
+    val docFlag = SdgClassifier.documentIsSdg(bi)
+    val newStates = Ledger.withNextOperationOrder(
+      docFlag.select(col("document_id"),
+        when(col("document_is_sdg"), lit(Step.DocumentClassifiedSdg))
+          .otherwise(lit(Step.DocumentClassifiedNonSdg)).as("title")),
+      ledger)
+    (sliceSdgs, newStates)
+  }
+
+  /** Stage "qdrant_syncronizer" (SURVEY §3.3): route slices of synced-
+    * eligible documents to per-(lang, model) collections with doc-level
+    * top-2 SDG payload; rows that route nowhere go to the error channel
+    * (reference None-collection bucket). */
+  def sync(slices: DataFrame, documents: DataFrame, ledger: DataFrame,
+      sliceSdgs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val eligible = Ledger.selectByLastStep(ledger,
+        Seq(Step.DocumentWithKeywords, Step.DocumentClassifiedNonSdg,
+          Step.DocumentClassifiedSdg))
+      .select(col("document_id"))
+    val top2 = SdgClassifier.topKSdgsPerDocument(sliceSdgs, 2)
+    val enriched = slices
+      .join(eligible, Seq("document_id"), "left_semi")
+      .join(broadcast(documents.select(col("id").as("document_id"),
+        col("url"), col("title"), col("lang"))), Seq("document_id"))
+      .join(top2, Seq("document_id"), "left")
+    val (routable, errors) = CollectionRouter.route(
+      enriched, "lang", "embedding_model_name")
+    val newStates = Ledger.withNextOperationOrder(
+      routable.select("document_id").distinct()
+        .withColumn("title", lit(Step.DocumentInQdrant)),
+      ledger)
+    (routable, errors, newStates)
+  }
+
+  /** Append states and return the updated ledger (pure; disk persistence
+    * is Merge.insertIfAbsent on the ledger table). */
+  def appendStates(ledger: DataFrame, newStates: DataFrame): DataFrame =
+    ledger.unionByName(
+      newStates.select(
+        concat(col("document_id"), lit("@"), col("operation_order"))
+          .as("id"),
+        col("document_id"), col("title"),
+        lit(null).cast("timestamp").as("created_at"),
+        col("operation_order")),
+      allowMissingColumns = false)
+}

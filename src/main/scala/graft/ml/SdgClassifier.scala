@@ -1,0 +1,117 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SDG classification re-expressed as coefficients-as-data (reference
+  * M3/M4: modules/sdgs_classifiers.py — joblib sklearn linear models over
+  * slice embeddings; here the model IS a DataFrame of weights, and
+  * scoring is a broadcast join + matmul, which is how a linear model
+  * should run at 100 TB: no Python workers, no model files on executors,
+  * pure codegen'd arithmetic).
+  *
+  * Model table shape: (model_id, sdg_number, weights: array<float>,
+  * bias: double, threshold: double). Binary classifier = single row with
+  * sdg_number null; 17-way = 17 rows per model.
+  */
+object SdgClassifier {
+
+  import graft.expr.VectorOps.dotF32
+
+  private def sigmoid(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Binary SDG gate (reference M3: sdgs_classifiers.py:31-45): slice is
+    * SDG-relevant iff sigmoid(w·x + b) >= threshold. `model` must be a
+    * single-row frame (already as-of-resolved per corpus/lang, J5).
+    * Output: slices + is_sdg + bi_score. */
+  def classifyBinary(slices: DataFrame, model: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val m = model.select(col("model_id").as("bi_model_id"),
+      col("weights").as("bi_w"), col("bias").as("bi_b"),
+      col("threshold").as("bi_t"))
+    slices.crossJoin(broadcast(m))
+      .withColumn("bi_score",
+        sigmoid(dotF32(col(vecCol), col("bi_w")) + col("bi_b")))
+      .withColumn("is_sdg", col("bi_score") >= col("bi_t"))
+      .drop("bi_w", "bi_b", "bi_t")
+  }
+
+  /** 17-way SDG scoring (reference M4: sdgs_classifiers.py:48-122):
+    * per-slice probability for each sdg_number; keep the argmax if it
+    * clears the threshold — unless `forcedSdgs` (from corpus allow-list
+    * or details.external_sdg, reference M5 document_classifier.py:79-148)
+    * restricts the candidate set, in which case argmax over the forced
+    * set with no threshold. Output: one row per slice with sdg_number
+    * (null = non-sdg), n_score, model provenance. */
+  def classifyNWay(slices: DataFrame, model: DataFrame,
+      vecCol: String = "embedding", sliceId: String = "id",
+      forcedCol: Option[String] = None): DataFrame = {
+    val m = model.select(col("model_id").as("n_model_id"),
+      col("sdg_number"), col("weights").as("n_w"), col("bias").as("n_b"),
+      col("threshold").as("n_t"))
+    val scored = slices.crossJoin(broadcast(m))
+      .withColumn("n_score",
+        sigmoid(dotF32(col(vecCol), col("n_w")) + col("n_b")))
+    val forced = forcedCol.map(c => col(c)).getOrElse(
+      lit(null).cast("array<int>"))
+    val candidate = scored.withColumn("__forced", forced)
+      .where(col("__forced").isNull || size(col("__forced")) === 0 ||
+        array_contains(col("__forced"), col("sdg_number")))
+    // argmax per slice with threshold semantics: forced set -> no
+    // threshold (reference sdgs_classifiers.py:74-82 forced shortcut)
+    val w = Window.partitionBy(col(sliceId))
+      .orderBy(col("n_score").desc, col("sdg_number").asc)
+    candidate.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .withColumn("sdg_number",
+        when((col("__forced").isNotNull && size(col("__forced")) > 0) ||
+          col("n_score") >= col("n_t"), col("sdg_number"))
+          .otherwise(lit(null)))
+      .drop("__rn", "__forced", "n_w", "n_b", "n_t")
+  }
+
+  /** Doc-level SDG flag: a document is SDG iff ANY slice is (reference
+    * A8: sdgs_classifiers.py:16-28, doc-level union
+    * document_classifier.py:129-155). */
+  def documentIsSdg(slicesClassified: DataFrame,
+      docId: String = "document_id"): DataFrame =
+    slicesClassified.groupBy(docId)
+      .agg(max(when(col("is_sdg"), 1).otherwise(0)).cast("boolean")
+        .as("document_is_sdg"))
+
+  /** Per-document top-k SDGs by slice frequency (reference A4/O6:
+    * qdrant_syncronizer.py:164-171 Counter.most_common(2)). */
+  def topKSdgsPerDocument(sliceSdgs: DataFrame, k: Int,
+      docId: String = "document_id"): DataFrame = {
+    val counts = sliceSdgs.where(col("sdg_number").isNotNull)
+      .groupBy(col(docId), col("sdg_number"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(docId))
+      .orderBy(col("cnt").desc, col("sdg_number").asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .groupBy(docId)
+      .agg(sort_array(collect_list(struct(col("rnk"), col("sdg_number"))))
+        .as("ranked"))
+      .select(col(docId),
+        transform(col("ranked"), r => r.getField("sdg_number"))
+          .as("document_sdgs"))
+  }
+
+  /** Deterministic stub model table for tests/pipelines without trained
+    * weights: weight vectors derived from the stub embedder so scores are
+    * reproducible. */
+  def stubModelTable(spark: org.apache.spark.sql.SparkSession,
+      modelId: String, dim: Int, nSdgs: Int = 17,
+      threshold: Double = 0.6): DataFrame = {
+    // threshold must exceed sigmoid(0)=0.5: a zero-bias linear model gives
+    // exactly 0.5 on orthogonal embeddings, which must NOT classify
+    import spark.implicits._
+    (1 to nSdgs).map { sdg =>
+      (modelId, sdg, StubEmbedder.embed(s"sdg topic $sdg", dim),
+        0.0, threshold)
+    }.toDF("model_id", "sdg_number", "weights", "bias", "threshold")
+  }
+}

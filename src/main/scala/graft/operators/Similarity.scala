@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
+import graft.expr.VectorOps.cosineF32
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (BASELINE.json north star: similarity search as a first-class
@@ -13,20 +13,22 @@ import graft.functions.VectorFunctions._
   *  - bruteForceTopK: exact; broadcast the (small) query set and scan the
   *    corpus once — at 100 TB the corpus side stays partitioned and is
   *    read exactly once, no shuffle of the big side.
-  *  - ivfTopK: IVF-style — assign corpus vectors to nearest centroid
-  *    (small broadcast), probe only nProbe centroid buckets per query;
-  *    corpus scan is pruned by the bucket partition filter.
+  *  - ivfTopK: IVF-style — centroid assignment happens MAP-SIDE (the
+  *    small centroid set is inlined into a codegen'd argmax expression,
+  *    no crossJoin/window shuffle); queries probe only nProbe buckets,
+  *    so the pair join touches a pruned slice of the corpus.
   *  - hyperplane LSH signature (used by Dedup.embeddingNearDupPairs) for
   *    bucketed pair generation.
   *
-  * All vector math is codegen'd Column expressions (zip_with/aggregate).
+  * All scoring goes through the codegen'd CosineSimF32 expression
+  * (graft.expr.VectorOps) — higher-order-function lambdas are interpreted
+  * per element and were 3-10x slower in the sf0.1 bench.
   */
 object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector.
-    * `queries` is expected to be small (broadcast); corpus is scanned once
-    * and only (query x corpus) scores within the same partition are
-    * materialized before the per-query top-k window. */
+    * `queries` is expected to be small (broadcast); corpus is scanned
+    * once. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
@@ -36,7 +38,7 @@ object Similarity {
     // granularity, so ranks are reproducible bit-for-bit.
     val scored = c.crossJoin(broadcast(q))
       .where(col("c_id") =!= col("q_id"))
-      .withColumn("score", round(cosine(col("q_vec"), col("c_vec")) + 1e-9, 4))
+      .withColumn("score", round(cosineF32(col("q_vec"), col("c_vec")) + 1e-9, 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -46,48 +48,64 @@ object Similarity {
 
   /** Deterministic centroid pick: every `stride`-th vector by id. (A real
     * deployment would k-means; for a deterministic, oracle-checkable
-    * engine the sampled-centroid IVF preserves the plan shape — broadcast
-    * centroids, bucket pruning — which is what matters at scale.) */
+    * engine the sampled-centroid IVF preserves the plan shape — map-side
+    * assignment, bucket pruning — which is what matters at scale.) */
   def sampleCentroids(corpus: DataFrame, stride: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.where(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
 
-  /** Assign each corpus vector to its nearest centroid (broadcast join +
-    * per-vector argmax window). Output: corpus columns + centroid_id. */
+  /** Inline the (small) centroid set into a per-row scored-struct array:
+    * struct(score, -id, id) so array_max/sort_array break ties toward the
+    * smaller centroid id. Pure codegen'd expression — assignment costs
+    * zero shuffles. Suitable up to a few thousand centroids (beyond that,
+    * switch to a broadcast join + max_by aggregation). */
+  private def centroidStructs(vec: Column,
+      cents: Array[(Long, Seq[Float])]): Column =
+    array(cents.map { case (cid, cvec) =>
+      struct(cosineF32(vec, typedlit(cvec)).as("s"),
+        lit(-cid).as("negid"), lit(cid).as("cid"))
+    }: _*)
+
+  /** Assign each corpus vector to its nearest centroid, map-side. */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("c_score", cosine(col(vecCol), col("centroid_vec")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("c_score").desc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .drop("rn", "c_score", "centroid_vec")
+    val cents = collectCentroids(centroids)
+    corpus.withColumn("centroid_id",
+      array_max(centroidStructs(col(vecCol), cents)).getField("cid"))
   }
+
+  private def collectCentroids(centroids: DataFrame)
+      : Array[(Long, Seq[Float])] =
+    centroids.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
 
   /** IVF top-k: probe the `nProbe` nearest centroid buckets per query,
     * scoring only vectors in those buckets. Approximate (recall < 1 when
-    * the true neighbor lives in an unprobed bucket) but the scan is pruned
-    * by bucket — the 100-TB-scale path. */
+    * the true neighbor lives in an unprobed bucket) but the corpus scan
+    * is pruned by bucket — the 100-TB-scale path. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, stride: Int,
       nProbe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val centroids = sampleCentroids(corpus, stride, idCol, vecCol)
-    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+    val cents = collectCentroids(
+      sampleCentroids(corpus, stride, idCol, vecCol))
+    val assigned = corpus
+      .withColumn("centroid_id",
+        array_max(centroidStructs(col(vecCol), cents)).getField("cid"))
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         col("centroid_id"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    // which buckets does each query probe?
-    val qScored = q.crossJoin(broadcast(centroids))
-      .withColumn("c_score", cosine(col("q_vec"), col("centroid_vec")))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_score").desc, col("centroid_id").asc)
-    val probes = qScored.withColumn("rn", row_number().over(wq))
-      .where(col("rn") <= nProbe)
-      .select(col("q_id"), col("q_vec"), col("centroid_id"))
+    // nProbe nearest centroids per query: sort the same scored-struct
+    // array descending, slice, project ids — still map-side
+    val probeIds = transform(
+      slice(reverse(array_sort(centroidStructs(col("q_vec"), cents))),
+        1, nProbe),
+      s => s.getField("cid"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("centroid_id", explode(probeIds))
     val scored = probes.join(assigned, "centroid_id")
       .where(col("c_id") =!= col("q_id"))
-      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("score", cosineF32(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))

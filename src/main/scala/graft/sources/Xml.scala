@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** XML extraction as Column expressions, mirroring the reference's
+  * regex-based extractor semantics (reference F29:
+  * modules/xml_extractor.py:15-101 — tag content with DOTALL, attribute
+  * filters, self-closing tags) and the feed collectors built on it
+  * (S6 atom_collector.py:41-81, S7 rss_collector.py:15-50,
+  * S8 sitemap_collector.py:29-84).
+  *
+  * Deliberately regex-based, not a full XML parser: the reference defines
+  * its extraction semantics by regex, feeds are fetched as raw strings,
+  * and regexp_extract_all stays inside codegen — each document is
+  * processed row-local with no shuffle, so feed parsing scales linearly.
+  */
+object Xml {
+
+  /** All occurrences of `<tag ...>content</tag>`, content captured with
+    * DOTALL (reference simple_xml_tag_format_regex). */
+  def tagContents(xml: Column, tag: String): Column =
+    regexp_extract_all(xml,
+      lit(s"(?s)<$tag(?:\\s[^>]*)?>(.*?)</$tag>"), lit(1))
+
+  /** First occurrence of a tag's content, or empty string. */
+  def tagContent(xml: Column, tag: String): Column =
+    regexp_extract(xml, s"(?s)<$tag(?:\\s[^>]*)?>(.*?)</$tag>", 1)
+
+  /** Value of `attr` on every `<tag ...>` (incl. self-closing)
+    * (reference SIMPLE_XML_ATTRIBUTE_REGEX). */
+  def tagAttributeValues(xml: Column, tag: String, attr: String): Column =
+    regexp_extract_all(xml,
+      lit(s"""<$tag\\s[^>]*?$attr="([^"]*)"[^>]*/?>"""), lit(1))
+
+  /** Value of `attr` on `<tag>` elements that also carry
+    * `filterAttr="filterValue"` — attribute order-insensitive
+    * (reference xml_extractor attribute-filter mode). */
+  def tagAttributeValuesFiltered(xml: Column, tag: String, attr: String,
+      filterAttr: String, filterValue: String): Column = {
+    val tags = regexp_extract_all(xml, lit(s"<$tag\\s[^>]*/?>"), lit(0))
+    val matching = filter(tags,
+      t => t.rlike(s"""$filterAttr="${filterValue}""""))
+    val extracted = transform(matching,
+      t => regexp_extract(t, s"""$attr="([^"]*)"""", 1))
+    filter(extracted, v => length(v) > 0)
+  }
+
+  /** Atom entry links: `<entry>…<link rel="alternate" href=…>`
+    * (reference S6: atom_collector.py:50-81). */
+  def atomEntryLinks(xml: Column): Column = {
+    val entries = regexp_extract_all(xml,
+      lit("(?s)<entry(?:\\s[^>]*)?>(.*?)</entry>"), lit(1))
+    val links = transform(entries, e => regexp_extract(e,
+      """<link\s[^>]*?href="([^"]*)"[^>]*/?>""", 1))
+    filter(links, l => length(l) > 0)
+  }
+
+  /** RSS item links: `<item>…<link>url</link>` (reference S7:
+    * rss_collector.py:24-50 — a stateful line scan; same semantics). */
+  def rssItemLinks(xml: Column): Column = {
+    val items = regexp_extract_all(xml,
+      lit("(?s)<item(?:\\s[^>]*)?>(.*?)</item>"), lit(1))
+    val links = transform(items,
+      i => regexp_extract(i, "(?s)<link>\\s*(.*?)\\s*</link>", 1))
+    filter(links, l => length(l) > 0)
+  }
+
+  /** Sitemap `<loc>` urls (child sitemaps or page urls — reference S8). */
+  def sitemapLocs(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?s)<loc>\\s*(.*?)\\s*</loc>"), lit(1)),
+      l => trim(l))
+
+  /** Is this a sitemap index (fan-out needed)? (reference
+    * sitemap_collector.py:29-44 sitemapindex detection). */
+  def isSitemapIndex(xml: Column): Column =
+    xml.rlike("<sitemapindex[\\s>]")
+
+  /** OAI-PMH deleted-record predicate (reference P13/S13:
+    * world_bank_okr.py:80-91 — header status="deleted"). */
+  def oaiRecordIsDeleted(recordXml: Column): Column =
+    recordXml.rlike("""<header[^>]*\sstatus="deleted"""")
+
+  /** OAI-PMH `<record>` blocks from a ListRecords response. */
+  def oaiRecords(xml: Column): Column =
+    regexp_extract_all(xml,
+      lit("(?s)<record(?:\\s[^>]*)?>(.*?)</record>"), lit(1))
+
+  /** Dublin-Core field from an OAI record (dc:title, dc:identifier...). */
+  def dcField(recordXml: Column, field: String): Column =
+    tagContents(recordXml, s"dc:$field")
+}

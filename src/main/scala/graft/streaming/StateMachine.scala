@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.schema.Warehouse.Step
+
+/** Structured-Streaming re-expression of the process-state ledger
+  * (SURVEY §2.10 T1): the reference's append-only `process_state` table
+  * IS an event stream; each document is a keyed state machine over the
+  * 10 workflow steps. Batch mode derives "current state" with a window
+  * (Ledger.latestState); this streaming variant maintains it
+  * incrementally with flatMapGroupsWithState — the idiomatic extension
+  * SURVEY §7 step 7 calls for.
+  *
+  * At scale: state is partitioned by document_id (RocksDB-backed state
+  * store on a real cluster), each micro-batch touches only arriving
+  * keys, and emitted transitions are append-only — no reprocessing of
+  * the full ledger per trigger (which is what the reference's hourly
+  * full SELECT does).
+  */
+object StateMachine {
+
+  case class LedgerEvent(document_id: String, title: String,
+      operation_order: Long)
+
+  case class DocState(document_id: String, current_step: String,
+      operation_order: Long)
+
+  /** Legal forward transitions (reference T1 transition writers:
+    * document_collector.py:167-182, document_vectorizer.py:100-118,
+    * document_classifier.py:172-192, keywords_extractor.py:111-120,
+    * qdrant_syncronizer.py:120-223). Terminal/error steps accept from
+    * anywhere. */
+  val forwardTransitions: Map[String, Set[String]] = Map(
+    Step.UrlRetrieved -> Set(Step.DocumentScraped, Step.DocumentIsInvalid,
+      Step.DocumentIsIrretrievable, Step.KeptForTrace),
+    Step.DocumentScraped -> Set(Step.DocumentVectorized,
+      Step.DocumentIsInvalid),
+    Step.DocumentVectorized -> Set(Step.DocumentClassifiedSdg,
+      Step.DocumentClassifiedNonSdg),
+    Step.DocumentClassifiedSdg -> Set(Step.DocumentWithKeywords),
+    Step.DocumentClassifiedNonSdg -> Set(Step.DocumentInQdrant),
+    Step.DocumentWithKeywords -> Set(Step.DocumentInQdrant),
+    // re-ingest loop: stale qdrant docs go back to url_retrieved
+    // (reference UPDATE_MODE, retrieve_data_from_database.py:143-153)
+    Step.DocumentInQdrant -> Set(Step.UrlRetrieved)
+  )
+
+  def isLegal(from: Option[String], to: String): Boolean = from match {
+    case None => to == Step.UrlRetrieved
+    case Some(f) => forwardTransitions.getOrElse(f, Set.empty).contains(to) ||
+      Set(Step.DocumentIsInvalid, Step.DocumentIsIrretrievable,
+        Step.KeptForTrace).contains(to)
+  }
+
+  /** Per-document state update: fold arriving ledger events (ordered by
+    * operation_order) into the current state, emitting one DocState per
+    * applied transition. Out-of-order events within a batch are sorted;
+    * events older than the held state are ignored (at-least-once
+    * upstream, T5). */
+  def updateDocState(docId: String, events: Iterator[LedgerEvent],
+      state: GroupState[DocState]): Iterator[DocState] = {
+    var current = state.getOption
+    val out = Seq.newBuilder[DocState]
+    events.toSeq.sortBy(_.operation_order).foreach { e =>
+      if (current.forall(_.operation_order < e.operation_order)) {
+        val next = DocState(docId, e.title, e.operation_order)
+        current = Some(next)
+        out += next
+      }
+    }
+    current.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Wire a streaming Dataset of ledger events into the state machine. */
+  def currentStates(events: Dataset[LedgerEvent])(
+      implicit spark: SparkSession): Dataset[DocState] = {
+    import spark.implicits._
+    events.groupByKey(_.document_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(updateDocState)
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Chunker, Keywords, ModelRegistry, SdgClassifier, StubEmbedder}
+
+class MlSpec extends SparkSuite {
+
+  // ---- Chunker (M1) invariants, SURVEY §7.5.3 ----
+
+  test("chunker: no slice exceeds the word cap") {
+    val text = ("Sentence one here. " * 20) + ("Another longer sentence " +
+      "with several words in it. ") * 10
+    val slices = Chunker.chunkText(text, maxWords = 12)
+    assert(slices.nonEmpty)
+    slices.foreach { s =>
+      assert(s.split("\\s+").count(_.nonEmpty) <= 13) // cap + ellipsis token
+    }
+  }
+
+  test("chunker: sentences are kept whole and in order") {
+    val slices = Chunker.chunkText(
+      "Alpha one. Beta two. Gamma three. Delta four.", maxWords = 5)
+    assert(slices === Seq("Alpha one. Beta two.", "Gamma three. Delta four."))
+  }
+
+  test("chunker: over-long sentence truncated with ellipsis") {
+    val long = (1 to 50).map(i => s"w$i").mkString(" ") + "."
+    val slices = Chunker.chunkText(long, maxWords = 10)
+    assert(slices.length === 1)
+    assert(slices.head.endsWith("…"))
+    assert(slices.head.split("\\s+").length === 10)
+  }
+
+  test("chunker: empty/null-ish input -> no slices") {
+    assert(Chunker.chunkText("", 10).isEmpty)
+    assert(Chunker.chunkText("   ", 10).isEmpty)
+    assert(Chunker.chunkText(null, 10).isEmpty)
+  }
+
+  test("chunker: coverage — every input word appears in some slice") {
+    val text = "One two three. Four five six. Seven eight."
+    val joined = Chunker.chunkText(text, maxWords = 4).mkString(" ")
+    "One two three Four five six Seven eight".split(" ").foreach { w =>
+      assert(joined.contains(w), s"missing word $w")
+    }
+  }
+
+  // ---- Stub embedder (M2 stand-in) ----
+
+  test("stub embedder: deterministic, unit-norm float32") {
+    val a = StubEmbedder.embed("hello spark world", 64)
+    val b = StubEmbedder.embed("hello spark world", 64)
+    assert(a.toSeq === b.toSeq)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
+  test("stub embedder: similar token bags score closer than disjoint") {
+    def cos(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+    val base = StubEmbedder.embed("spark catalyst engine query plan", 64)
+    val near = StubEmbedder.embed("spark catalyst engine query optimizer", 64)
+    val far = StubEmbedder.embed("banana apple orange grape melon", 64)
+    assert(cos(base, near) > cos(base, far))
+  }
+
+  test("model registry resolves stub backends per name") {
+    val fn = ModelRegistry.embedderFor("stub-32")
+    assert(fn("abc").length === 32)
+    intercept[IllegalArgumentException] {
+      ModelRegistry.embedderFor("granite-unavailable")
+    }
+  }
+
+  // ---- SDG classifiers (M3/M4/M5) ----
+
+  private def sliceDf = {
+    val s = initSpark()
+    import s.implicits._
+    Seq(
+      ("s1", "d1", StubEmbedder.embed("sdg topic 3", 64)),
+      ("s2", "d1", StubEmbedder.embed("sdg topic 7", 64)),
+      ("s3", "d2", StubEmbedder.embed("unrelated text entirely", 64))
+    ).toDF("id", "document_id", "embedding")
+  }
+
+  private def biModel = {
+    val s = initSpark()
+    import s.implicits._
+    // weights aligned with "sdg topic 3" -> that slice scores high
+    Seq(("bi-1", StubEmbedder.embed("sdg topic 3", 64), 0.0, 0.55))
+      .toDF("model_id", "weights", "bias", "threshold")
+  }
+
+  test("binary classifier thresholds per-slice scores (M3)") {
+    val out = SdgClassifier.classifyBinary(sliceDf, biModel)
+    val m = out.collect().map(r =>
+      r.getString(0) -> r.getBoolean(out.columns.indexOf("is_sdg"))).toMap
+    assert(m("s1") === true)   // exact weight match -> sigmoid(1) ~ 0.73
+    assert(m("s3") === false)
+  }
+
+  test("n-way classifier: argmax + threshold, forced set override (M4/M5)") {
+    val s = initSpark()
+    val nModel = SdgClassifier.stubModelTable(s, "n-1", 64)
+    val out = SdgClassifier.classifyNWay(sliceDf, nModel)
+    val m = out.collect().map(r => r.getString(0) ->
+      Option(r.get(out.columns.indexOf("sdg_number")))).toMap
+    assert(m("s1") === Some(3)) // embeds exactly as "sdg topic 3"
+    assert(m("s2") === Some(7))
+    assert(m("s3") === None)    // below threshold everywhere
+    // forced: restrict s1 to {5}, no threshold
+    import s.implicits._
+    val forced = sliceDf.withColumn("external_sdg",
+      typedlit(Seq(5)))
+    val out2 = SdgClassifier.classifyNWay(forced, nModel,
+      forcedCol = Some("external_sdg"))
+    val m2 = out2.collect().map(r => r.getString(0) ->
+      Option(r.get(out2.columns.indexOf("sdg_number")))).toMap
+    assert(m2.values.forall(_ === Some(5)))
+  }
+
+  test("doc-level any-slice aggregation + top-k sdgs (A8/A4)") {
+    val s = initSpark()
+    import s.implicits._
+    val sliceSdgs = Seq(
+      ("d1", Some(3)), ("d1", Some(3)), ("d1", Some(7)), ("d1", Some(1)),
+      ("d2", None: Option[Int])
+    ).toDF("document_id", "sdg_number")
+    val top2 = SdgClassifier.topKSdgsPerDocument(sliceSdgs, 2)
+    val m = top2.collect().map(r =>
+      r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(m("d1") === Seq(3, 1)) // 3 twice; tie 7/1 -> smaller sdg wins
+    assert(!m.contains("d2"))
+  }
+
+  // ---- Keywords (M6) ----
+
+  test("keyword candidates exclude stopwords") {
+    val c = Keywords.candidates("the spark engine of the future", 2)
+    assert(c.contains("spark"))
+    assert(c.contains("spark engine"))
+    assert(!c.exists(_.split(" ").contains("the")))
+  }
+
+  test("MMR extraction is deterministic and score-filtered") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq(Tuple1(
+      "spark engine spark engine distributed query processing framework"))
+      .toDF("text")
+    val out1 = df.select(Keywords.extract(col("text"), 64, topN = 5)
+      .as("kws")).head().getSeq[org.apache.spark.sql.Row](0)
+    val out2 = df.select(Keywords.extract(col("text"), 64, topN = 5)
+      .as("kws")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(out1.map(_.getString(0)) === out2.map(_.getString(0)))
+    assert(out1.nonEmpty && out1.length <= 5)
+  }
+}
