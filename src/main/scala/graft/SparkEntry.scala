@@ -336,6 +336,75 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")) + 1e-9, 2).as("total_value"))
+    }),
+
+    // ---- Global order + limit (SURVEY O1/O3) ----
+    "q34_order_limit" -> ((s, dir) => {
+      t(s, dir, "events")
+        .orderBy(col("event_id").desc)
+        .limit(100)
+        .select("event_id", "user_id", "event_type")
+    }),
+
+    // ---- Distinct counts (SURVEY A5) ----
+    "q35_distinct_count" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- Intersect (SURVEY §2.7 set ops) ----
+    "q36_intersect" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier")
+          .select(col("s_nationkey").as("nationkey")))
+    }),
+
+    // ---- Staleness window + conjunction predicate (SURVEY P3/P4) ----
+    "q37_stale_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .where(tsSec < 1704412800L && col("event_type") === "purchase")
+        .select("event_id", "user_id")
+    }),
+
+    // ---- Chunk + embed + byte-codec (SURVEY M1/M2/F33/W3; rows-only:
+    // the chunker/embedder are engine-defined, no SQL equivalent) ----
+    "q38_chunk_embed" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.ml.Chunker.slices(col("text"), 32))
+            .as(Seq("order_sequence", "body")))
+        .withColumn("embedding",
+          graft.expr.VectorCodec.floatVectorToBytes(
+            graft.ml.StubEmbedder.embedding(col("body"), 64)))
+        .select(col("doc_id"), col("order_sequence"),
+          octet_length(col("embedding")).as("embedding_bytes"))
+    }),
+
+    // ---- Keyword extraction w/ MMR (SURVEY M6; rows-only) ----
+    "q39_keywords" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.ml.Keywords.extract(col("text"), 64, topN = 5))
+            .as("kw"))
+        .select(col("doc_id"), col("kw.keyword"),
+          round(col("kw.score") + 1e-9, 4).as("score"))
+    }),
+
+    // ---- SDG classification matmul (SURVEY M3/M4; rows-only) ----
+    "q40_sdg_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding"))
+      val bi = graft.ml.SdgClassifier.classifyBinary(emb,
+        graft.ml.SdgClassifier.stubModelTable(s, "bi-1", 64, nSdgs = 1)
+          .drop("sdg_number"))
+      val n = graft.ml.SdgClassifier.classifyNWay(emb,
+        graft.ml.SdgClassifier.stubModelTable(s, "n-1", 64))
+      bi.select(col("id"), col("is_sdg"),
+          round(col("bi_score") + 1e-9, 4).as("bi_score"))
+        .join(n.select(col("id"), col("sdg_number")), "id")
     })
   )
 
@@ -640,6 +709,24 @@ object SparkEntry {
     "q33_window_15min" ->
       """SELECT (epoch_ns(ts) // 1000000000 // 900) * 900 AS win_start,
          event_type, count(*) AS n, round(sum(value) + 1e-9, 2) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "q34_order_limit" ->
+      """SELECT event_id, user_id, event_type FROM events
+         ORDER BY event_id DESC LIMIT 100""",
+
+    "q35_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         count(*) AS n FROM events GROUP BY event_type""",
+
+    "q36_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT
+         SELECT s_nationkey AS nationkey FROM supplier""",
+
+    "q37_stale_window" ->
+      """SELECT event_id, user_id FROM events
+         WHERE epoch_ns(ts) // 1000000000 < 1704412800
+           AND event_type = 'purchase'"""
   )
 }

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PDF text refinement (reference S15/F13-F15:
+  * modules/pdf_extractor.py:81-183,186-253): the reference pipes PDFs
+  * through a Tika sidecar then repairs the extracted per-page text —
+  * repeated header/footer removal ("RefineDoc"), dehyphenation, ligature
+  * replacement, non-printable stripping. The Tika call itself is a
+  * network fetch (stubbed here, like every fetch stage — this container
+  * has no egress); the refinement operators below are the real,
+  * column-native implementations.
+  */
+object PdfText {
+
+  /** Remove headers/footers that repeat across pages: a leading/trailing
+    * line is boilerplate when it appears verbatim on at least
+    * `minRepeat` of the pages (reference RefineDoc semantics:
+    * pdf_extractor.py:17-78). Input: array<string> of page texts.
+    * Pure array expressions — per-document, no shuffle. */
+  def removeRepeatedHeadersFooters(pages: Column,
+      minRepeatFraction: Double = 0.5): Column = {
+    val firstLines = transform(pages,
+      p => element_at(split(p, "\n"), 1))
+    val lastLines = transform(pages,
+      p => element_at(split(p, "\n"), -1))
+    def repeated(lines: Column): Column =
+      filter(array_distinct(lines), l =>
+        size(filter(lines, x => x === l))
+          .cast("double") >= size(pages) * minRepeatFraction &&
+        size(pages) > 1)
+    val headers = repeated(firstLines)
+    val footers = repeated(lastLines)
+    transform(pages, p => {
+      val lines = split(p, "\n")
+      val noHeader = when(array_contains(headers,
+          element_at(lines, 1)), slice(lines, lit(2), size(lines) - 1))
+        .otherwise(lines)
+      val noFooter = when(size(noHeader) > 0 && array_contains(footers,
+          element_at(noHeader, -1)),
+          slice(noHeader, lit(1), size(noHeader) - 1))
+        .otherwise(noHeader)
+      concat_ws("\n", noFooter)
+    })
+  }
+
+  /** Strip ISO control characters except newline/tab (reference F15:
+    * pdf_extractor.py:117-143). */
+  def stripNonPrintable(c: Column): Column =
+    regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+
+  /** Full page-refinement chain: headers/footers -> join pages ->
+    * ligatures -> dehyphenate -> control chars -> whitespace. */
+  def refinePages(pages: Column): Column = {
+    val cleaned = removeRepeatedHeadersFooters(pages)
+    val joined = concat_ws("\n", cleaned)
+    TextClean.normalizeWhitespace(
+      stripNonPrintable(
+        TextClean.dehyphenate(
+          TextClean.replaceLigatures(joined))))
+  }
+
+  /** Size-admission guard (reference R11: HEAD content-length check
+    * before GET, pdf_extractor.py:186-203): predicate over a declared
+    * byte-size column so oversized files never reach the fetch stage. */
+  def admitBySize(sizeBytes: Column, maxBytes: Long = 2000000L): Column =
+    sizeBytes.isNotNull && sizeBytes <= maxBytes
+}

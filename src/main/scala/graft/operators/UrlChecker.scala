@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL status classification + sanitation (reference P12:
+  * modules/url_checker.py:24-49; F20: collectors/helpers/
+  * feed_helpers.py:9-50) and the misc scalar parsers (F26/F27) — all
+  * pure column expressions. */
+object UrlChecker {
+
+  /** HTTP status -> lifecycle action (reference url_checker status
+    * classes: 2xx valid, 3xx needs-update, 4xx delete, else unknown). */
+  def statusClass(code: Column): Column =
+    when(code.between(200, 299), "VALID")
+      .when(code.between(300, 399), "TO_UPDATE")
+      .when(code.between(400, 499), "TO_DELETE")
+      .otherwise("UNKNOWN")
+
+  /** Truncate a url at the first illegal character and force https
+    * (reference feed_helpers url repair). */
+  def sanitizeUrl(url: Column): Column = {
+    val truncated = regexp_extract(url, """^([^\s<>"{}|\\^`]+)""", 1)
+    regexp_replace(truncated, "^http://", "https://")
+  }
+
+  /** Domain-membership predicate: url host equals `domain` or is a
+    * subdomain of it (reference P11: feed_helpers.py:17-37). */
+  def isOnDomain(url: Column, domain: String): Column = {
+    val host = parse_url(url, lit("HOST"))
+    host === domain || host.endsWith("." + domain)
+  }
+
+  /** ISO and compact date strings -> epoch seconds (reference F26:
+    * ISO day constants.py:201; %Y%m%d pubdate conversation.py:83-97). */
+  def isoDateToEpoch(date: Column): Column =
+    unix_timestamp(to_timestamp(date, "yyyy-MM-dd"))
+
+  def compactDateToEpoch(date: Column): Column =
+    unix_timestamp(to_timestamp(date, "yyyyMMdd"))
+
+  def isoInstantToEpoch(ts: Column): Column =
+    unix_timestamp(to_timestamp(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+  /** Duration strings like "2 hours 30 minutes" / "1h 5m" / "45 minutes"
+    * -> seconds (reference F27: unccelearn.py:65-87). */
+  def durationToSeconds(dur: Column): Column = {
+    val norm = lower(dur)
+    // regexp_extract yields "" on no match; ANSI mode (Spark 4 default)
+    // rejects cast('' as long), so blank -> null explicitly
+    def num(c: Column): Column =
+      when(c === "", lit(null)).otherwise(c).cast("long")
+    val hours = coalesce(num(regexp_extract(norm, """(\d+)\s*h""", 1)),
+      lit(0L))
+    val minutes = coalesce(num(regexp_extract(norm, """(\d+)\s*m""", 1)),
+      lit(0L))
+    val bare = num(regexp_extract(norm, """^\s*(\d+)\s*$""", 1))
+    when(bare.isNotNull, bare * 60) // bare number = minutes
+      .otherwise(hours * 3600 + minutes * 60)
+  }
+}

@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PdfText
+import graft.jobs.SqlRunner
+import graft.operators.{ErrorChannel, UrlChecker}
+import graft.sources.RestCursor
+import graft.sources.RestCursor.{HttpError, Pushdown, Transport}
+
+class AdaptersSpec extends SparkSuite {
+
+  // ---- REST cursor scan (S9/S10/R1) with replay transport ----
+
+  test("cursor scan walks pages until the cursor runs out") {
+    val s = initSpark()
+    val served = scala.collection.mutable.ArrayBuffer.empty[String]
+    val transport = new Transport {
+      def get(url: String): String = {
+        served += url
+        if (url.contains("cursor=*")) """{"next":"c2","items":[1,2]}"""
+        else if (url.contains("cursor=c2")) """{"next":null,"items":[3]}"""
+        else fail(s"unexpected url $url")
+      }
+    }
+    val next = (body: String) =>
+      if (body.contains("\"next\":\"c2\"")) Some("c2") else None
+    val pages = RestCursor.cursorScan(s, transport,
+      "https://api.example.org/works",
+      Pushdown(filters = Map("is_oa" -> "true"), select = Seq("id", "title"),
+        perPage = 200),
+      next)
+    assert(pages.count() === 2)
+    // pushdown reached the query string (R1)
+    assert(served.head.contains("per-page=200"))
+    assert(served.head.contains("filter=is_oa:true"))
+    assert(served.head.contains("select=id,title"))
+  }
+
+  test("retry transport: backs off on 429/5xx, gives up past budget") {
+    var calls = 0
+    val flaky = new Transport {
+      def get(url: String): String = {
+        calls += 1
+        if (calls < 3) throw HttpError(503, "unavailable") else "ok"
+      }
+    }
+    val t = RestCursor.withRetry(flaky, maxAttempts = 10, sleep = _ => ())
+    assert(t.get("https://x") === "ok")
+    assert(calls === 3)
+    calls = 0
+    val always404 = new Transport {
+      def get(url: String): String = { calls += 1; throw HttpError(404, "no") }
+    }
+    intercept[HttpError] {
+      RestCursor.withRetry(always404, sleep = _ => ()).get("https://x")
+    }
+    assert(calls === 1) // 404 is not retryable
+  }
+
+  test("batched lookup join: one fetch per batch, misses -> null (S12/J8)") {
+    val s = initSpark()
+    import s.implicits._
+    // batch size observed through the payload (closure vars don't
+    // round-trip through task serialization)
+    val out = RestCursor.batchedLookupJoin(
+      (1 to 10).map(i => s"id$i").toDS().repartition(1),
+      batchSize = 4,
+      batch => batch.filter(_ != "id7")
+        .map(k => k -> s"payload-$k-batch${batch.size}").toMap)
+    val rows = out.collect().map(r => r.getString(0) ->
+      Option(r.getString(1))).toMap
+    assert(rows("id1") === Some("payload-id1-batch4"))
+    assert(rows("id7") === None) // unmatched -> error channel
+    // ceil(10/4) batches: sizes 4,4,2
+    assert(rows("id10") === Some("payload-id10-batch2"))
+  }
+
+  // ---- URL checker (P12/F20/F26/F27) ----
+
+  private def one(c: org.apache.spark.sql.Column, v: String): Any = {
+    val s = initSpark()
+    import s.implicits._
+    Seq(Tuple1(v)).toDF("x").select(c.as("r")).head().get(0)
+  }
+
+  test("status class mapping") {
+    val s = initSpark()
+    import s.implicits._
+    val got = Seq(200, 204, 301, 404, 500).toDF("c")
+      .select(UrlChecker.statusClass(col("c"))).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("VALID", "VALID", "TO_UPDATE", "TO_DELETE",
+      "UNKNOWN"))
+  }
+
+  test("url sanitation truncates illegal chars and upgrades scheme") {
+    assert(one(UrlChecker.sanitizeUrl(col("x")),
+      "http://ex.org/a b") === "https://ex.org/a")
+  }
+
+  test("domain predicate matches host and subdomains") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq("https://ex.org/p", "https://sub.ex.org/p",
+      "https://notex.org/p").toDF("x")
+    val got = df.select(UrlChecker.isOnDomain(col("x"), "ex.org"))
+      .collect().map(_.getBoolean(0))
+    assert(got.toSeq === Seq(true, true, false))
+  }
+
+  test("date and duration parsing (F26/F27)") {
+    assert(one(UrlChecker.isoDateToEpoch(col("x")), "2024-01-01") ===
+      1704067200L)
+    assert(one(UrlChecker.compactDateToEpoch(col("x")), "20240101") ===
+      1704067200L)
+    assert(one(UrlChecker.durationToSeconds(col("x")),
+      "2 hours 30 minutes") === 9000L)
+    assert(one(UrlChecker.durationToSeconds(col("x")), "1h 5m") === 3900L)
+    assert(one(UrlChecker.durationToSeconds(col("x")), "45") === 2700L)
+  }
+
+  // ---- SQL runner (S20/S21/F32) ----
+
+  test("param validation fails fast on unbound or unused params") {
+    SqlRunner.validateParams("SELECT * FROM t WHERE a = :x",
+      Map("x" -> 1))
+    intercept[IllegalArgumentException] {
+      SqlRunner.validateParams("SELECT :a, :b", Map("a" -> 1))
+    }
+    intercept[IllegalArgumentException] {
+      SqlRunner.validateParams("SELECT 1", Map("ghost" -> 1))
+    }
+  }
+
+  test("identifier sanitation rejects injection attempts (S20)") {
+    SqlRunner.validateIdentifier("schema.my_view")
+    intercept[IllegalArgumentException] {
+      SqlRunner.validateIdentifier("v; DROP TABLE x")
+    }
+  }
+
+  test("named-param SQL executes with bound values (S21)") {
+    val s = initSpark()
+    import s.implicits._
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+      .createOrReplaceTempView("sqlrunner_t")
+    val out = SqlRunner.runSql(s,
+      "SELECT v FROM sqlrunner_t WHERE id >= :minId ORDER BY id",
+      Map("minId" -> 2))
+    assert(out.collect().map(_.getString(0)).toSeq === Seq("b", "c"))
+  }
+
+  test("materialized-view refresh re-runs registered query (S20)") {
+    val s = initSpark()
+    import s.implicits._
+    val reg = new SqlRunner.ViewRegistry
+    val base = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    Seq(1, 2, 3).toDF("n").createOrReplaceTempView("mv_src")
+    reg.register("mv_sum", "SELECT sum(n) AS total FROM mv_src")
+    reg.refresh(s, "mv_sum", base)
+    assert(s.read.parquet(s"$base/mv_sum").head().getLong(0) === 6L)
+    Seq(10, 20).toDF("n").createOrReplaceTempView("mv_src")
+    reg.refresh(s, "mv_sum", base)
+    assert(s.read.parquet(s"$base/mv_sum").head().getLong(0) === 30L)
+  }
+
+  // ---- PDF refinement (S15/F13-F15) ----
+
+  test("repeated headers/footers removed across pages (RefineDoc)") {
+    val s = initSpark()
+    import s.implicits._
+    val pages = Seq(
+      "Journal of X\npage one content\n17",
+      "Journal of X\npage two content\n18",
+      "Journal of X\npage three content\n19")
+    // footers differ (page numbers) -> kept; header repeats -> removed
+    val got = Seq(Tuple1(pages)).toDF("pages")
+      .select(PdfText.removeRepeatedHeadersFooters(col("pages")).as("r"))
+      .head().getSeq[String](0)
+    assert(got === Seq("page one content\n17", "page two content\n18",
+      "page three content\n19"))
+  }
+
+  test("full refine chain: ligatures + dehyphenation + controls") {
+    val s = initSpark()
+    import s.implicits._
+    val pages = Seq("Head\nThe ﬁrst exam-\nple text\nHead2",
+      "Head\nmore ﬂow here\nHead2")
+    val got = Seq(Tuple1(pages)).toDF("pages")
+      .select(PdfText.refinePages(col("pages")).as("r")).head().getString(0)
+    assert(got.contains("first example text"))
+    assert(got.contains("flow"))
+    assert(!got.contains(""))
+  }
+
+  test("pdf size admission guard (R11)") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq(Some(100L), Some(3000000L), None).toDF("sz")
+    val got = df.select(PdfText.admitBySize(col("sz")))
+      .collect().map(_.getBoolean(0))
+    assert(got.toSeq === Seq(true, false, false))
+  }
+
+  // ---- Error channel (P7/P8/§1 wrappers) ----
+
+  test("mandatory-field validation routes 422 errors in-band (P7)") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq(("d1", "desc", "content"), ("d2", "  ", "content"),
+      ("d3", "desc", null)).toDF("id", "description", "full_content")
+    val validated = ErrorChannel.validateMandatory(df,
+      Seq("description", "full_content"))
+    val (clean, errored) = ErrorChannel.split(validated)
+    assert(clean.select("id").collect().map(_.getString(0)).toSeq ===
+      Seq("d1"))
+    val errs = errored.collect().map(r => r.getAs[String]("id") ->
+      r.getAs[Int]("http_error_code")).toMap
+    assert(errs === Map("d2" -> 422, "d3" -> 422))
+  }
+
+  test("license allow-list gate (P8)") {
+    val s = initSpark()
+    import s.implicits._
+    val df = ErrorChannel.withErrorChannel(
+      Seq(("d1", "CC-BY"), ("d2", "proprietary")).toDF("id", "license"))
+    val (clean, errored) = ErrorChannel.split(
+      ErrorChannel.gateLicense(df, "license"))
+    assert(clean.select("id").collect().map(_.getString(0)).toSeq ===
+      Seq("d1"))
+    assert(errored.select("http_error_code").head().getInt(0) === 403)
+  }
+
+  test("publisher deny-list gate (P9)") {
+    val s = initSpark()
+    import s.implicits._
+    val df = ErrorChannel.withErrorChannel(Seq(
+      ("d1", Seq("P100", "P200")), ("d2", Seq("P666"))
+    ).toDF("id", "lineage"))
+    val (clean, errored) = ErrorChannel.split(
+      ErrorChannel.gatePublisher(df, "lineage", Seq("P666", "P667")))
+    assert(clean.select("id").collect().map(_.getString(0)).toSeq ===
+      Seq("d1"))
+    assert(errored.select("id").collect().map(_.getString(0)).toSeq ===
+      Seq("d2"))
+  }
+}
