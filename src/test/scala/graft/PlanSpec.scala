@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Plan-shape assertions: the scale contract. Correctness says WHAT a
+  * query returns; these tests pin HOW Spark executes it — pushdown
+  * reaching the parquet scan, column pruning, broadcast strategy on dim
+  * joins, shuffle counts. A regression here is a 100-TB incident that no
+  * row-level test would catch. */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val df = SparkEntry.queries("q01_pricing_agg")(initSpark(), dir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("LessThanOrEqual(l_shipdate"),
+      "filter not pushed to scan:\n" + plan.take(2000))
+  }
+
+  test("q12 prunes unread columns at the scan (ReadSchema)") {
+    val df = SparkEntry.queries("q12_octet_len")(initSpark(), dir)
+    val plan = planOf(df)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("q02 dimension joins broadcast (no shuffled join on dims)") {
+    val df = SparkEntry.queries("q02_join_dims")(initSpark(), dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "dim join fell back to sort-merge:\n" + plan.take(2000))
+  }
+
+  test("latestState costs exactly one shuffle") {
+    val df = SparkEntry.queries("q03_latest_event")(initSpark(), dir)
+    val plan = planOf(df)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1,
+      s"expected 1 shuffle, saw $exchanges:\n" + plan.take(2000))
+  }
+
+  test("ann brute force keeps the corpus side shuffle-free pre-ranking") {
+    val df = SparkEntry.queries("q24_ann_topk")(initSpark(), dir)
+    val plan = planOf(df)
+    // scoring join must be broadcast (query side), not a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("whole-stage codegen covers the custom vector expressions") {
+    // must come from a real scan: a LocalTableScan constant-folds the
+    // projection before any codegen stage exists
+    val emb = initSpark().read.parquet(s"$dir/embeddings.parquet")
+    val df = emb.select(graft.expr.VectorOps
+      .cosineF32(col("embedding"), col("embedding")).as("c"))
+    val plan = df.queryExecution.executedPlan.toString()
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [cosinesimf32"), plan)
+    // and the generated code actually executes (no fallback)
+    assert(df.where(col("c") > 0.99).count() > 0)
+  }
+
+  test("salted aggregation matches plain aggregation") {
+    val s = initSpark()
+    import s.implicits._
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", 1.0))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedAggregate(df, Seq("k"), 8,
+      partialAggs = Seq(sum("v").as("ps")),
+      finalAggs = Seq(sum("ps").as("s")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(plain === salted)
+  }
+
+  test("salted join matches plain join") {
+    val s = initSpark()
+    import s.implicits._
+    val large = (1 to 500).map(i => (s"k${i % 5}", i)).toDF("k", "v")
+    val small = (0 until 5).map(i => (s"k$i", s"dim$i")).toDF("k", "d")
+    val plain = large.join(small, "k").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val salted = Skew.saltedJoin(large, small, "k", 4).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(plain === salted)
+  }
+
+  test("key skew profile surfaces the hot key") {
+    val s = initSpark()
+    import s.implicits._
+    val df = (1 to 100).map(i => if (i <= 60) "hot" else s"k$i").toDF("k")
+    val top = Skew.keySkewProfile(df, "k", 1).head()
+    assert(top.getString(0) === "hot")
+    assert(top.getDouble(2) === 0.6)
+  }
+}
