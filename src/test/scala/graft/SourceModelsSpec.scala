@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SourceModels
+
+/** Golden-fixture extraction parity for the schema-on-read source models
+  * (reference fixtures; SURVEY §5.3 plugin-test analogue). */
+class SourceModelsSpec extends SparkSuite {
+
+  private def fixture(name: String): String =
+    new String(Files.readAllBytes(Paths.get(
+      getClass.getResource(s"/fixtures/$name").toURI)), "UTF-8")
+
+  private def asDf(content: String) = {
+    val s = initSpark()
+    import s.implicits._
+    Seq(Tuple1(content)).toDF("body")
+  }
+
+  test("openalex: parse page, invert abstract, extract document fields") {
+    val works = asDf(fixture("open_alex_response.json"))
+      .select(explode(SourceModels.parseOpenAlexWorks(col("body")))
+        .as("work"))
+    val docs = works.select(SourceModels.openAlexToDocument(col("work"))
+      .as("d")).select("d.*")
+    val first = docs.head()
+    assert(first.getAs[String]("title")
+      .startsWith("Template switching during DNA replication"))
+    assert(first.getAs[String]("lang") === "en")
+    assert(first.getAs[Boolean]("is_oa") === true)
+    // abstract inversion reconstructs running text from the index (F21)
+    val desc = first.getAs[String]("description")
+    assert(desc.startsWith("Copy number variants"))
+    assert(first.getAs[Long]("publication_epoch") > 0)
+  }
+
+  test("openalex: topic hierarchy flattens to 4 depths with parents (F34)") {
+    val rows = asDf(fixture("open_alex_response.json"))
+      .select(explode(SourceModels.parseOpenAlexWorks(col("body")))
+        .as("work"))
+      .select(explode(SourceModels.openAlexTopicRows(col("work")))
+        .as("t")).select("t.*")
+      .where(col("external_id").isNotNull)
+    val depths = rows.select("external_depth_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(depths === Set("domain", "field", "subfield", "topic"))
+    // every non-domain row points at its parent
+    assert(rows.where(col("depth") > 0 &&
+      col("directly_contained_in").isNull).count() === 0)
+  }
+
+  test("hal: first title, first-sentence description, T-split date (F23/F26)") {
+    val docs = asDf(fixture("hal_test.json"))
+      .select(explode(SourceModels.parseHalDocs(col("body"))).as("doc"))
+      .select(SourceModels.halToDocument(col("doc")).as("d")).select("d.*")
+    assert(docs.count() === 2)
+    val first = docs.head()
+    assert(first.getAs[String]("title").nonEmpty)
+    val desc = first.getAs[String]("description")
+    assert(desc.endsWith(".") &&
+      desc.length < first.getAs[String]("full_content").length)
+  }
+
+  test("hal: version strip applies to uri (F19)") {
+    val s = initSpark()
+    import s.implicits._
+    val doc = Seq(Tuple1("""{"response":{"numFound":1,"docs":[
+      {"docid":"1","title_s":["T"],"abstract_s":["A. B."],
+       "uri_s":"https://hal.science/hal-01057493v2",
+       "language_s":["fr"],"authFullName_s":["X"],
+       "producedDate_tdate":"2014-01-01T00:00:00Z"}]}}""")).toDF("body")
+    val url = doc.select(explode(SourceModels.parseHalDocs(col("body")))
+      .as("d"))
+      .select(SourceModels.halToDocument(col("d")).getField("url"))
+      .head().getString(0)
+    assert(url === "https://hal.science/hal-01057493")
+  }
+
+  test("ted: transcript concat drops stage-direction cues (F24)") {
+    val page = asDf(fixture("ted_page.json"))
+      .select(SourceModels.parseTed(col("body")).as("page"))
+    val doc = page.select(SourceModels.tedToDocument(col("page")).as("d"))
+      .select("d.*").head()
+    assert(doc.getAs[String]("title")
+      === "You owe it to yourself to experience a total solar eclipse")
+    assert(doc.getAs[Int]("duration_sec") === 727)
+    val transcript = doc.getAs[String]("full_content")
+    assert(transcript.nonEmpty)
+    assert(!transcript.contains("(Music)"))
+    assert(!transcript.contains("(Applause)"))
+    assert(!transcript.contains("(Laughter)"))
+  }
+
+  test("wiki sections flatten recursively with blacklist (F25)") {
+    val s = initSpark()
+    import s.implicits._
+    val json = """{"title":"","text":"intro text","sections":[
+      {"title":"History","text":"history text","sections":[
+        {"title":"Early","text":"early text","sections":[]}]},
+      {"title":"References","text":"ref junk","sections":[
+        {"title":"Deep","text":"hidden junk","sections":[]}]}]}"""
+    val got = Seq(Tuple1(json)).toDF("j")
+      .select(SourceModels.flattenWikiSections()(col("j")).as("t"))
+      .head().getString(0)
+    assert(got === "intro text\nhistory text\nearly text")
+  }
+
+  test("unparseable payload -> null struct (error-channel input, F30)") {
+    val got = asDf("{broken json")
+      .select(SourceModels.parseOpenAlexWorks(col("body")).as("works"))
+      .head()
+    assert(got.isNullAt(0))
+  }
+}
