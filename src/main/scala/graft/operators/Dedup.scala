@@ -69,56 +69,82 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature: for each of `numHashes` seeded permutations
-    * h_i(x) = (a_i * xxhash64(x) + b_i) mod p, the min over the doc's
-    * shingles. Deterministic (fixed seeds), one groupBy shuffle. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    // 31-bit hash space: a,b,base < 2^31 keeps a*base+b < 2^62 — no long
-    // overflow under ANSI mode (Spark 4 default).
-    val p = 2147483647L // 2^31 - 1, Mersenne prime
-    val base = pmod(xxhash64(col("shingle")), lit(p))
-    val hashCols = (0 until numHashes).map { i =>
-      val a = (1103515245L + 12345L * i) % p
-      val b = (2654435761L + 40503L * i) % p
-      min(pmod(lit(a) * base + lit(b), lit(p))).as(s"h$i")
+  /** Row-local MinHash signature: one JVM pass per document (tokenize ->
+    * shingle -> numHashes seeded permutations h_i(x) = (a_i*h(x)+b_i)
+    * mod p, min over shingles). No token-level explode/shuffle — the
+    * original groupBy formulation shuffled every (doc, shingle) row and
+    * dominated the sf0.1 bench. Deterministic (fixed seeds). */
+  private def minhashUdf(shingleN: Int, numHashes: Int) =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      val p = 2147483647L // 2^31 - 1
+      val as = Array.tabulate(numHashes)(i => (1103515245L + 12345L * i) % p)
+      val bs = Array.tabulate(numHashes)(i => (2654435761L + 40503L * i) % p)
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      if (text != null) {
+        val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        if (words.length >= shingleN) {
+          val seen = new java.util.HashSet[String]()
+          var i = 0
+          while (i <= words.length - shingleN) {
+            val sh = words.slice(i, i + shingleN).mkString(" ")
+            if (seen.add(sh)) {
+              val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x12345678)
+              val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x9abcdef0)
+              val base = math.floorMod((h1.toLong << 32) |
+                (h2.toLong & 0xffffffffL), p)
+              var k = 0
+              while (k < numHashes) {
+                val hv = (as(k) * base + bs(k)) % p
+                if (hv < mins(k)) mins(k) = hv
+                k += 1
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      mins.toSeq
     }
-    sh.groupBy("id").agg(hashCols.head, hashCols.tail: _*)
-  }
+
+  /** Per-document MinHash signatures: (id, sig: array<long>). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      minhashUdf(shingleN, numHashes)(col(textCol)).as("sig"))
 
   /** MinHash + LSH near-dup candidate pairs: band the signature
     * (`bands` x `rowsPerBand` = numHashes), bucket-join on (band,
     * band-hash), emit candidate pairs with their estimated Jaccard
     * (fraction of matching minhashes). Classic Broder/LSH construction —
-    * at 100 TB this is THE scalable near-dup path: cost is one groupBy for
-    * signatures + one join on band buckets. */
+    * at 100 TB this is THE scalable near-dup path: signatures are
+    * map-side, the only shuffles are the band bucket-join and pair
+    * distinct. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(shingles(df, idCol, textCol, shingleN),
-      numHashes).cache()
+    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+      .cache()
     val bandCols = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"h$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
+          .as("bucket"))
     }
     val banded = sig.select(col("id"),
-      explode(array(bandCols: _*)).as("bb"))
+        explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-      .distinct()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // verify: estimated jaccard = matching minhash fraction
-    val sigA = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
-    val sigB = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
-    val matches = (0 until numHashes)
-      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand.join(sigA, col("id_a") === col("a_id"))
-      .join(sigB, col("id_b") === col("b_id"))
+    val matches = size(filter(
+      zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
+    cand.join(sig.select(col("id").as("id_a"), col("sig").as("a_sig")),
+        "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("b_sig")),
+        "id_b")
       .withColumn("est_jaccard",
         round(matches.cast("double") / numHashes + 1e-9, 4))
       .select("id_a", "id_b", "est_jaccard")
