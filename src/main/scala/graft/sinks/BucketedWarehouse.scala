@@ -1,0 +1,34 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed warehouse tables (SURVEY R15; BASELINE north star
+  * "bucketing for co-located joins"): the ledger and slice tables are
+  * both keyed by document_id in every pipeline stage — bucketing them
+  * identically lets Spark plan those joins WITHOUT an exchange on
+  * either side, which at 100 TB removes the dominant shuffle of every
+  * stage (slices ⋈ docs, ledger ⋈ docs, sdgs ⋈ slices).
+  *
+  * Spark bucketing requires the session catalog (saveAsTable) — tables
+  * live under spark.sql.warehouse.dir; `bucketed join` plan shape is
+  * pinned by PlanSpec.
+  */
+object BucketedWarehouse {
+
+  /** Write `df` as a bucketed, sorted table. Same (bucket count, key)
+    * across tables = co-located joins. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 64, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two identically-bucketed tables on their bucket key — planned
+    * shuffle-free (SortMergeJoin over pre-bucketed scans). */
+  def colocatedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

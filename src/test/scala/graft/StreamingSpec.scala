@@ -53,6 +53,37 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("windowed aggregation: watermark closes windows in append mode") {
+    val s = initSpark()
+    import s.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](s)
+    val df = input.toDS().toDF("ts", "event_type", "value")
+    val agg = graft.streaming.WindowedAggregates.tumbling(
+      df, "ts", "event_type", "value", "10 minutes", "5 minutes")
+    val query = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 00:$min%02d:00")
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0),
+        (ts(7), "view", 5.0))
+      query.processAllAvailable()
+      // nothing emitted yet: watermark hasn't passed the window end
+      assert(s.sql("SELECT * FROM win_agg").count() === 0)
+      // an event 25 min later pushes the watermark past 00:00-00:10
+      input.addData((ts(35), "click", 9.0))
+      query.processAllAvailable()
+      input.addData((ts(59), "click", 0.0))
+      query.processAllAvailable()
+      val rows = s.sql(
+        """SELECT event_type, n, total FROM win_agg
+           WHERE win_start = TIMESTAMP '2024-01-01 00:00:00'""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally query.stop()
+  }
+
   test("out-of-order events within a batch apply in operation order") {
     val s = initSpark()
     import s.implicits._
