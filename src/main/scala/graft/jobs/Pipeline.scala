@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expr.VectorCodec
 import graft.ledger.Ledger
-import graft.ml.{Chunker, SdgClassifier, StubEmbedder}
+import graft.ml.{Chunker, Keywords, SdgClassifier, StubEmbedder}
 import graft.schema.Warehouse.Step
 import graft.sinks.{CollectionRouter, Merge}
 
@@ -89,15 +89,52 @@ object Pipeline {
     (sliceSdgs, newStates)
   }
 
+  /** Stage "keywords_extractor" (reference
+    * nodes_workflow/KeywordsExtractor/keywords_extractor.py): extract
+    * MMR-diverse keywords for classified-sdg documents, upsert the
+    * keyword dimension insert-if-absent (J9 semantics —
+    * Merge.insertIfAbsentDf), link doc->keyword, advance to
+    * document_with_keywords. Returns (keywordDim, docKeywordLinks,
+    * newStates). */
+  def keywords(documents: DataFrame, ledger: DataFrame,
+      existingKeywords: DataFrame, embedDim: Int = 64)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val eligible = Ledger
+      .selectByLastStep(ledger, Seq(Step.DocumentClassifiedSdg))
+      .select(col("document_id"))
+    val extracted = documents
+      .join(eligible, documents("id") === eligible("document_id"))
+      .select(col("id").as("document_id"),
+        explode(Keywords.extract(col("full_content"), embedDim, topN = 5))
+          .as("kw"))
+      .select(col("document_id"), col("kw.keyword").as("keyword"))
+    // J9: insert-if-absent into the keyword dim, then surrogate join
+    val newKeywords = Merge.insertIfAbsentDf(existingKeywords,
+      extracted.select("keyword").distinct()
+        .withColumn("id", concat(lit("kw-"), col("keyword"))),
+      "keyword", "keyword")
+    val dim = existingKeywords.unionByName(newKeywords)
+    val links = extracted.join(dim, "keyword")
+      .select(col("document_id"), col("id").as("keyword_id"))
+      .distinct()
+    val newStates = Ledger.withNextOperationOrder(
+      links.select("document_id").distinct()
+        .withColumn("title", lit(Step.DocumentWithKeywords)),
+      ledger)
+    (dim, links, newStates)
+  }
+
   /** Stage "qdrant_syncronizer" (SURVEY §3.3): route slices of synced-
     * eligible documents to per-(lang, model) collections with doc-level
     * top-2 SDG payload; rows that route nowhere go to the error channel
-    * (reference None-collection bucket). */
+    * (reference None-collection bucket). Eligibility matches
+    * generate_to_syncronize_batch.py:66-75: sdg docs arrive only AFTER
+    * the keywords stage. */
   def sync(slices: DataFrame, documents: DataFrame, ledger: DataFrame,
       sliceSdgs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val eligible = Ledger.selectByLastStep(ledger,
         Seq(Step.DocumentWithKeywords, Step.DocumentClassifiedNonSdg,
-          Step.DocumentClassifiedSdg))
+          Step.DocumentIsInvalid))
       .select(col("document_id"))
     val top2 = SdgClassifier.topKSdgsPerDocument(sliceSdgs, 2)
     val enriched = slices
@@ -112,6 +149,28 @@ object Pipeline {
         .withColumn("title", lit(Step.DocumentInQdrant)),
       ledger)
     (routable, errors, newStates)
+  }
+
+  /** Model-selection-as-data (reference J4/J5/M7:
+    * retrieve_data_from_database.py:299-370): documents ⋈ corpus-model
+    * association ⋈ model dim, language-consistent (P6: model lang equals
+    * doc lang, or multilingual), latest association by used_since at or
+    * before `asOf` (J5 as-of, partitioned per document). Output:
+    * (document_id, model_name) — the column that keys the executor-side
+    * ModelRegistry (R7). */
+  def resolveEmbeddingModel(documents: DataFrame, corpusModels: DataFrame,
+      models: DataFrame, asOf: org.apache.spark.sql.Column): DataFrame = {
+    val joined = documents
+      .select(col("id").as("document_id"), col("corpus_id"), col("lang"))
+      .join(broadcast(corpusModels), "corpus_id")
+      .join(broadcast(models.select(col("id").as("model_id"),
+        col("title").as("model_name"), col("lang").as("model_lang"))),
+        "model_id")
+      .where(col("model_lang") === col("lang") ||
+        col("model_lang") === "mul")
+    Ledger.asOfLatest(joined, Seq("document_id"), "used_since", asOf,
+        "model_id")
+      .select("document_id", "model_id", "model_name")
   }
 
   /** Append states and return the updated ledger (pure; disk persistence

@@ -87,19 +87,60 @@ class PipelineSpec extends SparkSuite {
     assert(Set(Step.DocumentClassifiedSdg, Step.DocumentClassifiedNonSdg)
       .contains(m2("d1")))
 
+    // keywords stage: only classified-SDG docs get keywords (reference
+    // flow: sdg -> keywords -> sync; non-sdg -> sync directly)
+    val sdgDocs = m2.filter(_._2 == Step.DocumentClassifiedSdg).keys.toSet
+    val emptyKw = s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("keyword",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType))))
+    val (kwDim, kwLinks, kStates) = Pipeline.keywords(documents, ledger2,
+      emptyKw)
+    val kwDocs = kwLinks.select("document_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kwDocs === sdgDocs)
+    assert(kwDim.count() > 0)
+    val ledger3 = Pipeline.appendStates(ledger2, kStates)
+
     val (routable, errors, qStates) = Pipeline.sync(slices, documents,
-      ledger2, sliceSdgs)
+      ledger3, sliceSdgs)
     // d1 (en) and d2 (fr) route; nothing from d3 (never vectorized)
     val routedDocs = routable.select("document_id").distinct()
       .collect().map(_.getString(0)).toSet
     assert(routedDocs === Set("d1", "d2"))
     assert(errors.count() === 0)
-    val ledger3 = Pipeline.appendStates(ledger2, qStates)
-    val m3 = Ledger.latestState(ledger3, Seq("document_id"),
+    val ledger4 = Pipeline.appendStates(ledger3, qStates)
+    val m4 = Ledger.latestState(ledger4, Seq("document_id"),
       "operation_order", "operation_order")
       .collect().map(r => r.getString(1) -> r.getString(2)).toMap
-    assert(m3("d1") === Step.DocumentInQdrant)
-    assert(m3("d2") === Step.DocumentInQdrant)
-    assert(m3("d3") === Step.UrlRetrieved)
+    assert(m4("d1") === Step.DocumentInQdrant)
+    assert(m4("d2") === Step.DocumentInQdrant)
+    assert(m4("d3") === Step.UrlRetrieved)
+  }
+
+  test("model resolution: as-of latest, language-consistent (J4/J5/M7)") {
+    val s = initSpark()
+    import s.implicits._
+    val docs = Seq(
+      ("d1", "c1", "en"), ("d2", "c1", "fr"), ("d3", "c2", "de"))
+      .toDF("id", "corpus_id", "lang")
+    val corpusModels = Seq(
+      ("c1", "m-old", "2020-01-01"), ("c1", "m-new", "2022-01-01"),
+      ("c1", "m-future", "2030-01-01"), ("c2", "m-mul", "2021-01-01"))
+      .toDF("corpus_id", "model_id", "used_since")
+      .withColumn("used_since", col("used_since").cast("timestamp"))
+    val models = Seq(
+      ("m-old", "stub-old-en", "en"), ("m-new", "stub-new-en", "en"),
+      ("m-future", "stub-future-en", "en"), ("m-mul", "stub-mul", "mul"))
+      .toDF("id", "title", "lang")
+    val resolved = Pipeline.resolveEmbeddingModel(docs, corpusModels,
+      models, lit("2024-01-01").cast("timestamp"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // d1(en): latest non-future en model; d2(fr): no fr model in c1 ->
+    // unresolved; d3(de): multilingual model matches any lang
+    assert(resolved === Map("d1" -> "stub-new-en", "d3" -> "stub-mul"))
   }
 }
