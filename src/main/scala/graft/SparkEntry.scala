@@ -392,6 +392,35 @@ object SparkEntry {
           round(col("kw.score") + 1e-9, 4).as("score"))
     }),
 
+    // ---- Cube grouping sets (free Spark/DuckDB extension) ----
+    "q41_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          (col("user_id") % 10).as("user_bucket"), col("value"))
+        .createOrReplaceTempView("q41_cube_input")
+      // SQL text for the same DetectAmbiguousSelfJoin reason as q30
+      s.sql("""SELECT event_type, user_bucket, count(*) AS n,
+        round(sum(value) + 1e-9, 2) AS total
+        FROM q41_cube_input GROUP BY CUBE (event_type, user_bucket)""")
+    }),
+
+    // ---- lead/lag window (free extension beyond the reference) ----
+    "q42_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - coalesce(lag(col("value"), 1).over(w),
+            lit(0.0)) + 1e-9, 2).as("delta"))
+    }),
+
+    // ---- Deterministic UUID generation (SURVEY F28) ----
+    "q43_uuid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Ids.uuidDeterministic(col("doc_id"), col("lang"))
+            .as("doc_uuid"))
+    }),
+
     // ---- SDG classification matmul (SURVEY M3/M4; rows-only) ----
     "q40_sdg_classify" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -727,6 +756,29 @@ object SparkEntry {
     "q37_stale_window" ->
       """SELECT event_id, user_id FROM events
          WHERE epoch_ns(ts) // 1000000000 < 1704412800
-           AND event_type = 'purchase'"""
+           AND event_type = 'purchase'""",
+
+    "q41_cube" ->
+      """SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
+         round(sum(value) + 1e-9, 2) AS total
+         FROM events GROUP BY CUBE (event_type, user_id % 10)""",
+
+    "q42_lag_delta" ->
+      """SELECT user_id, event_id,
+         round(value - coalesce(lag(value, 1) OVER (
+           PARTITION BY user_id ORDER BY event_id), 0.0) + 1e-9, 2)
+           AS delta
+         FROM events""",
+
+    "q43_uuid" ->
+      """SELECT doc_id,
+         concat_ws('-',
+           substring(md5(concat_ws('', doc_id, lang)), 1, 8),
+           substring(md5(concat_ws('', doc_id, lang)), 9, 4),
+           substring(md5(concat_ws('', doc_id, lang)), 13, 4),
+           substring(md5(concat_ws('', doc_id, lang)), 17, 4),
+           substring(md5(concat_ws('', doc_id, lang)), 21, 12))
+           AS doc_uuid
+         FROM documents"""
   )
 }
