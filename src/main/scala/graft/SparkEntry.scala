@@ -421,6 +421,23 @@ object SparkEntry {
             .as("doc_uuid"))
     }),
 
+    // ---- Embedding-cosine near-dup via hyperplane LSH buckets
+    // (training-data dedup; rows-only) ----
+    "q44_embedding_neardup" -> ((s, dir) => {
+      graft.operators.Dedup.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.95, planes = 8)
+    }),
+
+    // ---- approx_count_distinct (A5 scale variant: HLL sketch beats
+    // exact distinct at 100 TB; rows-only — HLL is engine-specific) ----
+    "q45_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("value"), 0.02).as("approx_values"))
+    }),
+
     // ---- SDG classification matmul (SURVEY M3/M4; rows-only) ----
     "q40_sdg_classify" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
