@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expr.{BytesToFloatVector, CosineSimF32, DotF32, FloatVectorToBytes}
+
+/** SparkSessionExtensions registration for the engine's custom Catalyst
+  * expressions, making them first-class SQL functions:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   ...
+  * spark.sql("SELECT cosine_f32(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * This is the (c)-tier integration path from the build guidelines —
+  * expressions participate in SQL text, the function registry, and
+  * whole-stage codegen exactly like built-ins.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "",
+      "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_f32"),
+      info("cosine_f32",
+        "cosine_f32(a, b) - cosine similarity of two float vectors"),
+      (args: Seq[Expression]) => CosineSimF32(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("dot_f32"),
+      info("dot_f32", "dot_f32(a, b) - dot product of two float vectors"),
+      (args: Seq[Expression]) => DotF32(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("vec_to_bytes"),
+      info("vec_to_bytes",
+        "vec_to_bytes(v) - float vector to float32-LE bytes"),
+      (args: Seq[Expression]) => FloatVectorToBytes(args.head)))
+    ext.injectFunction((FunctionIdentifier("bytes_to_vec"),
+      info("bytes_to_vec",
+        "bytes_to_vec(b) - float32-LE bytes to float vector"),
+      (args: Seq[Expression]) => BytesToFloatVector(args.head)))
+  }
+}
+
+/** Recommended session defaults for this engine (local + cluster): AQE
+  * with skew handling, right-sized shuffle parallelism, partition-size
+  * caps that keep 100-TB scans within executor memory, and the graft SQL
+  * functions registered. */
+object GraftSession {
+  def builder(master: String = "local[*]",
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

@@ -101,6 +101,36 @@ class TextFunctionsSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("nfcNormalize composes combining marks and replaces nbsp (F5)") {
+    // "e" + combining acute -> precomposed é
+    assert(one(TextClean.nfcNormalize(col("text")),
+      "café a b") === "café a b")
+  }
+
+  test("stripPunctKeepContractions preserves apostrophes/decimals (F6)") {
+    assert(one(TextClean.stripPunctKeepContractions(col("text")),
+      "don't stop, 3.14 wins!") === "don't stop 3.14 wins ")
+  }
+
+  test("ligature replacement (F14)") {
+    assert(one(TextClean.replaceLigatures(col("text")),
+      "ﬁne ﬂow œuvre") === "fine flow oeuvre")
+  }
+
+  test("repairSpacing inserts missing spaces after punctuation (F16)") {
+    assert(one(TextClean.repairSpacing(col("text")),
+      "End.Start nextWord") === "End. Start next Word")
+  }
+
+  test("ccLicenseToUrl canonicalizes license codes (F17)") {
+    assert(one(TextClean.ccLicenseToUrl(col("text")), "CC BY-SA")
+      === "https://creativecommons.org/licenses/by-sa/4.0/")
+    assert(one(TextClean.ccLicenseToUrl(col("text")), "CC0")
+      === "https://creativecommons.org/publicdomain/zero/1.0/")
+    assert(one(TextClean.ccLicenseToUrl(col("text")), "proprietary")
+      === "proprietary")
+  }
+
   test("firstSentences takes the leading n sentences") {
     assert(one(TextClean.firstSentences(col("text"), 2),
       "A one. B two. C three. D") === "A one. B two.")
