@@ -45,6 +45,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
+/** Same function set for an ALREADY-RUNNING session (extensions only
+  * apply at builder time; getOrCreate on an existing session ignores
+  * them — this path covers notebooks/shells attaching late). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_f32",
+      (args: Seq[Expression]) => CosineSimF32(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_f32",
+      (args: Seq[Expression]) => DotF32(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_to_bytes",
+      (args: Seq[Expression]) => FloatVectorToBytes(args.head), "built-in")
+    reg.createOrReplaceTempFunction("bytes_to_vec",
+      (args: Seq[Expression]) => BytesToFloatVector(args.head), "built-in")
+  }
+}
+
 /** Recommended session defaults for this engine (local + cluster): AQE
   * with skew handling, right-sized shuffle parallelism, partition-size
   * caps that keep 100-TB scans within executor memory, and the graft SQL
