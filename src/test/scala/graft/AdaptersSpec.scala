@@ -76,6 +76,39 @@ class AdaptersSpec extends SparkSuite {
     assert(rows("id10") === Some("payload-id10-batch2"))
   }
 
+  // ---- Wikipedia category BFS (S11) ----
+
+  test("wiki category scan: depth-budgeted BFS with cmcontinue pages") {
+    val s = initSpark()
+    import graft.sources.WikiCategoryScan
+    // fixture API: root has 2 pages (one via continuation) + subcat;
+    // subcat has 1 page + a deeper subcat that must NOT be visited at
+    // maxDepth=1; a cycle back to root must not loop
+    val transport = new Transport {
+      def get(url: String): String = url match {
+        case u if u.contains("cmtitle=Category:Root") &&
+            !u.contains("cmcontinue") =>
+          """{"query":{"categorymembers":[
+            {"ns":0,"title":"Page A"},
+            {"ns":14,"title":"Category:Sub"}]},
+            "continue":{"cmcontinue":"tok1"}}"""
+        case u if u.contains("cmtitle=Category:Root") &&
+            u.contains("cmcontinue=tok1") =>
+          """{"query":{"categorymembers":[{"ns":0,"title":"Page B"}]}}"""
+        case u if u.contains("cmtitle=Category:Sub") =>
+          """{"query":{"categorymembers":[
+            {"ns":0,"title":"Page C"},
+            {"ns":14,"title":"Category:Deep"},
+            {"ns":14,"title":"Category:Root"}]}}"""
+        case u => fail(s"unexpected fetch: $u")
+      }
+    }
+    val got = WikiCategoryScan.scan(s, transport, "https://wiki/api.php",
+      "Category:Root", maxDepth = 1, WikiCategoryScan.mediaWikiParser)
+      .collect().map(r => (r.getString(0), r.getInt(2))).toSet
+    assert(got === Set(("Page A", 0), ("Page B", 0), ("Page C", 1)))
+  }
+
   // ---- URL checker (P12/F20/F26/F27) ----
 
   private def one(c: org.apache.spark.sql.Column, v: String): Any = {

@@ -84,6 +84,34 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("file-source micro-batch drain with AvailableNow trigger (T2)") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+      .toString
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 00:$min%02d:00")
+    Seq((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(12), "view", 3.0))
+      .toDF("ts", "event_type", "value")
+      .write.parquet(s"$dir/in")
+    val stream = s.readStream
+      .schema("ts timestamp, event_type string, value double")
+      .parquet(s"$dir/in")
+    val agg = graft.streaming.WindowedAggregates.tumbling(
+      stream, "ts", "event_type", "value", "10 minutes", "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("file_drain")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) // AvailableNow stops when drained
+    val rows = s.sql("SELECT event_type, n FROM file_drain")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // watermark 0s: the final batch closes windows up to max event time;
+    // the 00:00 click window closes, the 00:10 view window stays open
+    assert(rows === Set(("click", 2L)))
+  }
+
   test("out-of-order events within a batch apply in operation order") {
     val s = initSpark()
     import s.implicits._
