@@ -42,22 +42,41 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs above `threshold`. Exact (no hashing
-    * approximation): self-join on shingle → per-pair intersection count →
-    * Jaccard from set sizes. Only docs sharing >=1 shingle ever pair up,
-    * so the shuffle is bounded by shingle co-occurrence, not N^2. */
+    * approximation): per-shingle doc-id lists → pair explosion →
+    * per-pair intersection count → Jaccard from set sizes. Only docs
+    * sharing >=1 shingle ever pair up, so work is bounded by shingle
+    * co-occurrence, not N^2. Skew note: a shingle shared by d documents
+    * contributes d^2/2 pairs in ANY exact formulation — at corpus scale,
+    * cap df (drop stop-shingles, documented semantics change) or use
+    * minhashLshPairs, which is the designed 100-TB path. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // join on the 64-bit shingle hash, not the string: ~3x smaller
-    // shuffle payload and cheaper key compares; collision odds at 2^64
-    // are ~1e-8 for corpus-scale shingle counts
+    // 64-bit shingle hashes instead of strings: smaller shuffle payload,
+    // cheaper compares; collision odds at 2^64 are ~1e-8 for
+    // corpus-scale shingle counts
+    // no cache: the shingle projection is map-side-cheap to recompute
+    // for its two consumers, and cached per-query RDDs leak across a
+    // long-lived session (and would never fit at corpus scale anyway)
     val sh = shingles(df, idCol, textCol, n)
       .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-      .cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
-      .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    // pair generation via per-shingle id lists + map-side combination
+    // explode — one shuffle on shingle, pairs never re-shuffle the
+    // shingle rows (the equivalent self-join was 3-5x slower cold at
+    // sf0.1 due to the doubled shuffle + broadcast planning)
+    val byShingle = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    // re-spread before the pair explosion: AQE coalesces the (small)
+    // per-shingle aggregate into few partitions, which would serialize
+    // the (large) exploded pair stream through one task
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = byShingle.repartition(parts).select(explode(flatten(
+      transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sz", "sz_a"), "id_a")
@@ -124,7 +143,6 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
-      .cache()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
@@ -187,7 +205,7 @@ object Dedup {
     * distance <= 3); verify with exact popcount of the XOR. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val sh = simhash(df, idCol, textCol).cache()
+    val sh = simhash(df, idCol, textCol)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
