@@ -231,10 +231,11 @@ object SparkEntry {
         shingleN = 3, numHashes = 16, bands = 4)
     }),
 
-    // ---- SimHash near-dup (rows-only) ----
+    // ---- SimHash near-dup (rows-only): 8x8-bit banding gives COMPLETE
+    // recall at hamming<=7 (pigeonhole) — radius matches the guarantee ----
     "q23_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 16)
+        maxHamming = 7)
     }),
 
     // ---- Brute-force ANN top-k (exact baseline) ----
@@ -530,8 +531,9 @@ object SparkEntry {
     "q11_byte_cap" ->
       """WITH c AS (
            SELECT doc_id, n_chars,
-             sum(n_chars) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars,
+             CAST(sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_chars,
              row_number() OVER (ORDER BY doc_id) AS rn
            FROM documents)
          SELECT doc_id, n_chars, cum_chars FROM c
@@ -721,10 +723,10 @@ object SparkEntry {
            FROM g),
          sess AS (
            SELECT user_id, event_id,
-             sum(new_session) OVER (
+             CAST(sum(new_session) OVER (
                PARTITION BY user_id ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_seq
+               AS BIGINT) AS session_seq
            FROM f)
          SELECT user_id, session_seq, count(*) AS n_events,
            min(event_id) AS first_event, max(event_id) AS last_event

@@ -109,13 +109,23 @@ object Ledger {
 
   /** Next operation_order values for a ledger append: existing per-document
     * max + row_number within the new batch (reference relies on a PG
-    * sequence, migration 821173cf9c5d:310-315; SURVEY §7.5.5). */
+    * sequence, migration 821173cf9c5d:310-315; SURVEY §7.5.5).
+    *
+    * When a batch carries multiple new states for one key, their relative
+    * order is taken from `orderWithin` (e.g. a batch sequence column); by
+    * default every non-key column of `newStates`, in schema order — fully
+    * deterministic across runs and partitionings (ordering by the
+    * partition key alone would leave ties nondeterministic). */
   def withNextOperationOrder(newStates: DataFrame, ledger: DataFrame,
       keyCol: String = "document_id",
-      orderCol: String = "operation_order"): DataFrame = {
+      orderCol: String = "operation_order",
+      orderWithin: Seq[String] = Seq.empty): DataFrame = {
     val maxes = ledger.groupBy(keyCol)
       .agg(max(col(orderCol)).as("__prev_max"))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(keyCol))
+    val orderCols =
+      (if (orderWithin.nonEmpty) orderWithin
+       else newStates.columns.filterNot(_ == keyCol).toSeq).map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
     newStates.join(maxes, Seq(keyCol), "left")
       .withColumn(orderCol,
         coalesce(col("__prev_max"), lit(0L)) + row_number().over(w))

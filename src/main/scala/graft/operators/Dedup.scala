@@ -92,13 +92,20 @@ object Dedup {
     * shingle -> numHashes seeded permutations h_i(x) = (a_i*h(x)+b_i)
     * mod p, min over shingles). No token-level explode/shuffle — the
     * original groupBy formulation shuffled every (doc, shingle) row and
-    * dominated the sf0.1 bench. Deterministic (fixed seeds). */
+    * dominated the sf0.1 bench. Deterministic (fixed seeds).
+    *
+    * Docs with NO shingles (null/empty text, fewer than shingleN words)
+    * return an EMPTY signature, not a sentinel-filled one — a shared
+    * sentinel would make every short doc pair with every other short doc
+    * at est_jaccard=1.0. Callers filter empty signatures out, mirroring
+    * jaccardPairs' `size(words) >= n` guard. */
   private def minhashUdf(shingleN: Int, numHashes: Int) =
     org.apache.spark.sql.functions.udf { (text: String) =>
       val p = 2147483647L // 2^31 - 1
       val as = Array.tabulate(numHashes)(i => (1103515245L + 12345L * i) % p)
       val bs = Array.tabulate(numHashes)(i => (2654435761L + 40503L * i) % p)
       val mins = Array.fill(numHashes)(Long.MaxValue)
+      var any = false
       if (text != null) {
         val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
         if (words.length >= shingleN) {
@@ -107,6 +114,7 @@ object Dedup {
           while (i <= words.length - shingleN) {
             val sh = words.slice(i, i + shingleN).mkString(" ")
             if (seen.add(sh)) {
+              any = true
               val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x12345678)
               val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x9abcdef0)
               val base = math.floorMod((h1.toLong << 32) |
@@ -122,7 +130,7 @@ object Dedup {
           }
         }
       }
-      mins.toSeq
+      if (any) mins.toSeq else Seq.empty[Long]
     }
 
   /** Per-document MinHash signatures: (id, sig: array<long>). */
@@ -142,7 +150,9 @@ object Dedup {
       shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // drop shingle-less docs (empty signature) — see minhashUdf scaladoc
     val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+      .where(size(col("sig")) === numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
@@ -200,15 +210,27 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("simhash"))
 
-  /** SimHash near-dup pairs via 4x16-bit band blocking: docs agreeing on
-    * any 16-bit band are candidates (guarantees recall for hamming
-    * distance <= 3); verify with exact popcount of the XOR. */
+  /** SimHash near-dup pairs via band blocking: split the 64-bit signature
+    * into equal-width bands; docs agreeing on any band are candidates
+    * (pigeonhole: hamming <= bands-1 implies at least one identical
+    * band, so recall is COMPLETE up to that radius); verify with exact
+    * popcount of the XOR. maxHamming <= 3 uses 4x16-bit bands,
+    * maxHamming 4..7 uses 8x8-bit. Radii above 7 would need 4-bit-or-
+    * narrower bands whose bucket collision rate makes blocking
+    * degenerate toward all-pairs — rejected rather than silently
+    * under-recalling. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7,
+      s"simhash banding guarantees recall only to hamming 7 (8x8-bit " +
+        s"bands); got maxHamming=$maxHamming")
+    val nBands = if (maxHamming <= 3) 4 else 8
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
     val sh = simhash(df, idCol, textCol)
-    val bandCols = (0 until 4).map { b =>
+    val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
+        shiftright(col("simhash"), b * width).bitwiseAND(mask).as("bucket"))
     }
     val banded = sh.select(col("id"), col("simhash"),
         explode(array(bandCols: _*)).as("bb"))

@@ -59,28 +59,46 @@ object Merge {
   }
 
   /** Disk form of delete-then-insert, keyed overwrite. The table is
-    * partitioned by `bucketExpr(key)` (default: 64 buckets) so only the
+    * partitioned by `pmod(xxhash64(key), numBuckets)` so only the
     * partitions containing replaced keys rewrite — at 100 TB a full-table
-    * rewrite per micro-batch is not viable, dynamic partition overwrite
-    * is. */
+    * rewrite per micro-batch is not viable, partition-scoped rewrite is.
+    *
+    * Touched partitions are first written to a STAGING dir (so the job
+    * never reads and overwrites the same path in one commit — a
+    * mid-commit failure with in-place dynamic overwrite can lose the
+    * retained rows of touched partitions), then swapped in
+    * partition-directory-at-a-time. No session conf is mutated. */
   def replaceByKey(spark: SparkSession, tableDir: String,
       replacement: DataFrame, key: String, numBuckets: Int = 64): Unit = {
     val withBucket = replacement
       .withColumn("__bucket", pmod(xxhash64(col(key)), lit(numBuckets)))
-    val exists = new java.io.File(tableDir).exists()
-    if (!exists) {
+    if (!new java.io.File(tableDir).exists()) {
       withBucket.write.partitionBy("__bucket").parquet(tableDir)
-    } else {
-      val old = spark.read.parquet(tableDir)
-      val touched = withBucket.select("__bucket").distinct()
-        .collect().map(_.getLong(0)).toSet
-      val keep = old
-        .where(col("__bucket").isin(touched.toSeq.map(x => x: Any): _*))
-        .join(replacement.select(key).distinct(), Seq(key), "left_anti")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      keep.unionByName(withBucket)
-        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
-        .parquet(tableDir)
+      return
     }
+    val staging = tableDir + ".staging"
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(staging))
+    val old = spark.read.parquet(tableDir)
+    val touched = withBucket.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val keep = old
+      .where(col("__bucket").isin(touched.toSeq.map(x => x: Any): _*))
+      .join(replacement.select(key).distinct(), Seq(key), "left_anti")
+    keep.unionByName(withBucket)
+      .write.partitionBy("__bucket").parquet(staging)
+    // swap staged partition dirs into place (per-directory rename; each
+    // touched bucket's swap is atomic on a posix fs / HDFS rename)
+    touched.foreach { b =>
+      val src = new java.io.File(s"$staging/__bucket=$b")
+      val dst = new java.io.File(s"$tableDir/__bucket=$b")
+      if (src.exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(dst)
+        if (!src.renameTo(dst))
+          throw new java.io.IOException(s"swap failed for bucket $b")
+      }
+    }
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(staging))
   }
 }

@@ -31,10 +31,12 @@ for name in sorted(os.listdir(outdir)):
         fail += 1
         continue
     def canon(df):
+        # mimic the driver's dtype-sensitive hash: stringify EVERY value
+        # (int64 332 -> '332', float64 332.0 -> '332.0' — a dtype drift
+        # between engines must surface here, not in the round report)
         df = df.reindex(sorted(df.columns), axis=1)
         for c in df.columns:
-            if df[c].dtype == object:
-                df[c] = df[c].astype(str)
+            df[c] = df[c].astype(str)
         return df.sort_values(by=list(df.columns)).reset_index(drop=True)
     a, b = canon(spark_df), canon(duck_df)
     if list(a.columns) != list(b.columns):
