@@ -320,13 +320,18 @@ object SparkEntry {
         .select("user_id", "event_id", "event_type")
     }),
 
-    // ---- Per-group argmax (SURVEY O5) ----
+    // ---- Per-group argmax (SURVEY O5) as a partial-aggregating
+    // max(struct): no global sort shuffle (the window formulation
+    // single-threads each event_type partition — with 5 types that
+    // caps parallelism at 5 regardless of cluster size). Tie-break:
+    // highest value, then LOWEST event_id (negate inside the struct). ----
     "q32_argmax_value" -> ((s, dir) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value").desc, col("event_id").asc)
       t(s, dir, "events")
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .agg(max(struct(col("value"), (-col("event_id")).as("neg_id")))
+          .as("m"))
+        .select(col("event_type"), (-col("m.neg_id")).as("event_id"),
+          col("m.value"))
     }),
 
     // ---- Tumbling 15-min window agg (streaming semantics, batch) ----

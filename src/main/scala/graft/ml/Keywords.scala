@@ -54,25 +54,55 @@ object Keywords {
 
   /** MMR re-ranking: greedily pick argmax of
     * (1-diversity)*relevance - diversity*maxSimToSelected
-    * (reference diversity = 0.7, top_n candidates). */
+    * (reference diversity = 0.7, top_n candidates).
+    *
+    * Incremental formulation: a per-candidate running max-sim array is
+    * updated with only the NEWLY selected vector each round — O(topN*|C|)
+    * cosines instead of the naive O(topN^2*|C|) — and flat primitive
+    * arrays instead of boxed maps (this loop runs once per document
+    * across the whole corpus). Deterministic tie-break on the keyword. */
   def mmr(docVec: Array[Float], cands: Seq[(String, Array[Float])],
       topN: Int, diversity: Double): Seq[ScoredKeyword] = {
-    val relevance = cands.map { case (kw, v) => kw -> cosine(docVec, v) }.toMap
-    val selected = mutable.ArrayBuffer.empty[(String, Array[Float])]
-    val remaining = mutable.ArrayBuffer(cands: _*)
-    while (selected.length < math.min(topN, cands.length)
-        && remaining.nonEmpty) {
-      val best = remaining.maxBy { case (kw, v) =>
-        val maxSim = if (selected.isEmpty) 0.0
-          else selected.map(s => cosine(s._2, v)).max
-        ((1 - diversity) * relevance(kw) - diversity * maxSim,
-          kw) // deterministic tie-break on the keyword itself
+    val m = cands.length
+    val kws = new Array[String](m)
+    val vecs = new Array[Array[Float]](m)
+    var i = 0
+    cands.foreach { case (kw, v) => kws(i) = kw; vecs(i) = v; i += 1 }
+    val relevance = Array.tabulate(m)(j => cosine(docVec, vecs(j)))
+    val maxSim = new Array[Double](m)
+    val taken = new Array[Boolean](m)
+    val picks = mutable.ArrayBuffer.empty[Int]
+    val want = math.min(topN, m)
+    var round = 0
+    while (round < want) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < m) {
+        if (!taken(j)) {
+          val s = (1 - diversity) * relevance(j) -
+            (if (round == 0) 0.0 else diversity * maxSim(j))
+          if (s > bestScore ||
+              (s == bestScore && (best < 0 || kws(j) > kws(best)))) {
+            bestScore = s; best = j
+          }
+        }
+        j += 1
       }
-      selected += best
-      remaining -= best
+      taken(best) = true
+      picks += best
+      // fold the new pick into every survivor's running max-sim
+      j = 0
+      while (j < m) {
+        if (!taken(j)) {
+          val c = cosine(vecs(best), vecs(j))
+          if (c > maxSim(j)) maxSim(j) = c
+        }
+        j += 1
+      }
+      round += 1
     }
-    selected.map { case (kw, _) =>
-      ScoredKeyword(kw, relevance(kw)) }.toSeq
+    picks.map(j => ScoredKeyword(kws(j), relevance(j))).toSeq
   }
 
   /** Full extractor UDF: text -> array<struct<keyword,score>> with

@@ -28,18 +28,49 @@ object Dedup {
         count(lit(1)).as("dup_count"))
 
   /** Distinct word n-gram shingles per document, exploded:
-    * (id, shingle). Per-doc dedup happens in array_distinct BEFORE the
-    * explode — the exploded rows are already unique, no extra shuffle. */
+    * (id, shingle). Row-local single-pass UDF: the declarative
+    * `transform(sequence(...), i => slice(split(text), ...))`
+    * formulation re-evaluates the split-expression tree PER ARRAY
+    * ELEMENT (higher-order lambdas get no codegen and no CSE), turning
+    * an O(words) pass into O(words^2) regex work — 13x slower at
+    * sf0.1. */
   def shingles(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val words = split(lower(trim(col(textCol))), "\\s+")
-    val grams = transform(
-      sequence(lit(0), size(words) - n),
-      i => concat_ws(" ", slice(words, i + 1, lit(n))))
-    df.where(size(words) >= n)
-      .select(col(idCol).as("id"),
-        explode(array_distinct(grams)).as("shingle"))
-  }
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(shingleStringsUdf(n)(col(textCol))).as("shingle"))
+
+  private def shingleWords(text: String, n: Int): Array[String] =
+    if (text == null) Array.empty
+    else {
+      val w = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (w.length < n) Array.empty
+      else Array.tabulate(w.length - n + 1)(i =>
+        w.slice(i, i + n).mkString(" "))
+    }
+
+  private def shingleStringsUdf(n: Int) =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      shingleWords(text, n).distinct
+    }
+
+  /** Distinct 64-bit shingle hashes per doc (order-insensitive set).
+    * Hash identity is engine-internal: set sizes and intersections —
+    * the quantities Jaccard needs — are preserved up to 2^-64-odds
+    * collisions. */
+  private def shingleHashesUdf(n: Int) =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      val grams = shingleWords(text, n)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      grams.foreach { sh =>
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x51ab5)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x7e11a)
+        seen.add((h1.toLong << 32) | (h2.toLong & 0xffffffffL))
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator; var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
 
   /** n-gram Jaccard near-dup pairs above `threshold`. Exact (no hashing
     * approximation): per-shingle doc-id lists → pair explosion →
@@ -51,37 +82,44 @@ object Dedup {
     * minhashLshPairs, which is the designed 100-TB path. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // 64-bit shingle hashes instead of strings: smaller shuffle payload,
-    // cheaper compares; collision odds at 2^64 are ~1e-8 for
-    // corpus-scale shingle counts
-    // no cache: the shingle projection is map-side-cheap to recompute
-    // for its two consumers, and cached per-query RDDs leak across a
-    // long-lived session (and would never fit at corpus scale anyway)
-    val sh = shingles(df, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // pair generation via per-shingle id lists + map-side combination
-    // explode — one shuffle on shingle, pairs never re-shuffle the
-    // shingle rows (the equivalent self-join was 3-5x slower cold at
-    // sf0.1 due to the doubled shuffle + broadcast planning)
-    val byShingle = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+    // Row-local shingle set (distinct 64-bit hashes — smaller shuffle
+    // payload than strings, collision odds ~1e-8 at corpus scale) with
+    // the set SIZE attached to every exploded row: carrying sz through
+    // the pipeline eliminates the separate per-doc size aggregation and
+    // the two size joins of the naive formulation (6 exchanges -> 2).
+    val sh = df.select(col(idCol).as("id"),
+        shingleHashesUdf(n)(col(textCol)).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("id"), size(col("shs")).as("sz"),
+        explode(col("shs")).as("h"))
+    // pair generation via per-shingle member lists + map-side
+    // combination explode — one shuffle on shingle hash, pairs never
+    // re-shuffle the shingle rows (an equivalent self-join doubles the
+    // shuffle and was 3-5x slower cold at sf0.1)
+    val byShingle = sh.groupBy("h")
+      .agg(sort_array(collect_list(struct(col("id"), col("sz"))))
+        .as("ms"))
+      .where(size(col("ms")) > 1)
     // re-spread before the pair explosion: AQE coalesces the (small)
     // per-shingle aggregate into few partitions, which would serialize
     // the (large) exploded pair stream through one task
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val pairs = byShingle.repartition(parts).select(explode(flatten(
-      transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-    val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))),
+          b => struct(a.getField("id").as("id_a"),
+            a.getField("sz").as("sz_a"),
+            b.getField("id").as("id_b"),
+            b.getField("sz").as("sz_b")))))).as("p"))
+      .select(col("p.*"))
+      // size-compatibility prune: J <= min(sz)/max(sz), so a pair can
+      // only clear `threshold` if the smaller set is at least t x the
+      // larger — drops hopeless pairs BEFORE the count shuffle
+      .where(least(col("sz_a"), col("sz_b")) >=
+        greatest(col("sz_a"), col("sz_b")) * threshold)
+    val inter = pairs.groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double") + 1e-9, 4))
       .where(col("jaccard") >= threshold)
