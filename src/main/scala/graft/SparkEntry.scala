@@ -457,6 +457,137 @@ object SparkEntry {
       bi.select(col("id"), col("is_sdg"),
           round(col("bi_score") + 1e-9, 4).as("bi_score"))
         .join(n.select(col("id"), col("sdg_number")), "id")
+    }),
+
+    // ---- DOI / HAL-version URL cleaning (SURVEY F18/F19) ----
+    "q46_url_clean" -> ((s, dir) => {
+      val doiRaw = concat(lit("https://doi.org/10.5281/zenodo."),
+        col("doc_id"))
+      val halRaw = concat(lit("https://hal.science/hal-"),
+        col("doc_id"), lit("v3"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(doiRaw, "^https?://doi\\.org/", "").as("doi"),
+          regexp_replace(halRaw, "v\\d+$", "").as("hal_url"))
+    }),
+
+    // ---- First-segment description (SURVEY F23 split+element_at) ----
+    "q47_first_segment" -> ((s, dir) => {
+      val seg = element_at(split(col("text"), " table "), 1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), seg.as("seg"), length(seg).as("seg_len"))
+    }),
+
+    // ---- HTTP status -> action class (SURVEY P12 url_checker) ----
+    "q48_status_class" -> ((s, dir) => {
+      val status = lit(100) + pmod(col("event_id"), lit(500))
+      t(s, dir, "events")
+        .select(col("event_id"), status.as("status"),
+          when(status.between(200, 299), "VALID")
+            .when(status.between(300, 399), "TO_UPDATE")
+            .when(status.between(400, 499), "TO_DELETE")
+            .otherwise("UNKNOWN").as("status_class"))
+    }),
+
+    // ---- URL host extraction + domain predicate (SURVEY F20/P11) ----
+    "q49_url_host" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.org/doc/"), col("doc_id")))
+        .withColumn("host", expr("parse_url(url, 'HOST')"))
+        .where(col("host").endsWith(".example.org"))
+        .select(col("doc_id"), col("host"))
+    }),
+
+    // ---- Date-format round trip to epoch seconds (SURVEY F26) ----
+    "q50_date_roundtrip" -> ((s, dir) => {
+      val pub = date_format(col("o_orderdate"), "yyyyMMdd")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), pub.as("pubdate"),
+          unix_timestamp(to_timestamp(pub, "yyyyMMdd")).as("pub_epoch"))
+    }),
+
+    // ---- Exact interpolated percentiles (agg extension; the scale
+    // path is approx_percentile — rows-only q45 covers sketches) ----
+    "q51_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)") + 1e-9, 4)
+            .as("p50"),
+          round(expr("percentile(l_quantity, 0.9)") + 1e-9, 4).as("p90"))
+    }),
+
+    // ---- Pivot (free Spark extension; oracle via FILTER aggs) ----
+    "q52_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(round(sum(col("value")) + 1e-9, 2))
+      p.select(col("user_bucket") +: types.map(tp =>
+        coalesce(col(tp), lit(0.0)).as(tp)): _*)
+    }),
+
+    // ---- ntile / percent_rank / cume_dist windows (W extension) ----
+    "q53_window_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w) + 1e-9, 6).as("pct_rank"),
+          round(cume_dist().over(w) + 1e-9, 6).as("cume"))
+    }),
+
+    // ---- bool_or / bool_and existence aggregation (SURVEY A8) ----
+    "q54_bool_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("bool_or(event_type = 'purchase')").as("has_purchase"),
+          expr("bool_and(value >= 0)").as("all_nonneg"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- Batched-lookup join with in-band error channel (SURVEY J8:
+    // requested ids vs responses; unmatched -> error rows) ----
+    "q55_lookup_errors" -> ((s, dir) => {
+      val requested = t(s, dir, "customer")
+        .where(col("c_custkey") <= 200).select("c_custkey")
+      val responses = t(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      requested.join(responses,
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          when(col("o_custkey").isNull, "not_returned")
+            .otherwise("ok").as("error_info"))
+    }),
+
+    // ---- Explicit GROUPING SETS (extension beyond rollup/cube) ----
+    "q56_grouping_sets" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_regionkey", "n_name")
+      val r = t(s, dir, "region").select("r_regionkey", "r_name")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"))
+        .createOrReplaceTempView("q56_gs_input")
+      s.sql("""SELECT r_name, n_name, count(*) AS n_customers
+        FROM q56_gs_input
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())""")
+    }),
+
+    // ---- L2 normalization of embeddings (SURVEY F36) ----
+    "q57_l2_normalize" -> ((s, dir) => {
+      val norm = VectorFunctions.norm(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), round(norm + 1e-9, 4).as("norm"),
+          round(element_at(col("embedding"), 1).cast("double") / norm
+            + 1e-9, 4).as("u1"),
+          round(element_at(col("embedding"), 2).cast("double") / norm
+            + 1e-9, 4).as("u2"))
     })
   )
 
@@ -803,6 +934,109 @@ object SparkEntry {
            substring(md5(concat_ws('', doc_id, lang)), 17, 4),
            substring(md5(concat_ws('', doc_id, lang)), 21, 12))
            AS doc_uuid
-         FROM documents"""
+         FROM documents""",
+
+    "q46_url_clean" ->
+      """SELECT doc_id,
+         regexp_replace('https://doi.org/10.5281/zenodo.' || doc_id,
+           '^https?://doi\.org/', '') AS doi,
+         regexp_replace('https://hal.science/hal-' || doc_id || 'v3',
+           'v\d+$', '') AS hal_url
+         FROM documents""",
+
+    "q47_first_segment" ->
+      """SELECT doc_id, split_part(text, ' table ', 1) AS seg,
+         length(split_part(text, ' table ', 1)) AS seg_len
+         FROM documents""",
+
+    "q48_status_class" ->
+      """SELECT event_id, 100 + event_id % 500 AS status,
+         CASE WHEN 100 + event_id % 500 BETWEEN 200 AND 299 THEN 'VALID'
+              WHEN 100 + event_id % 500 BETWEEN 300 AND 399 THEN 'TO_UPDATE'
+              WHEN 100 + event_id % 500 BETWEEN 400 AND 499 THEN 'TO_DELETE'
+              ELSE 'UNKNOWN' END AS status_class
+         FROM events""",
+
+    "q49_url_host" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'https://' || source || '.example.org/doc/' || doc_id AS url
+           FROM documents)
+         SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host
+         FROM u
+         WHERE regexp_extract(url, '^[a-z]+://([^/]+)/', 1)
+           LIKE '%.example.org'""",
+
+    "q50_date_roundtrip" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS pubdate,
+         CAST(epoch(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d'))
+           AS BIGINT) AS pub_epoch
+         FROM orders""",
+
+    "q51_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS p50,
+         round(quantile_cont(l_quantity, 0.9) + 1e-9, 4) AS p90
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q52_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+         coalesce(round(sum(value) FILTER (event_type = 'click')
+           + 1e-9, 2), 0.0) AS click,
+         coalesce(round(sum(value) FILTER (event_type = 'error')
+           + 1e-9, 2), 0.0) AS error,
+         coalesce(round(sum(value) FILTER (event_type = 'purchase')
+           + 1e-9, 2), 0.0) AS purchase,
+         coalesce(round(sum(value) FILTER (event_type = 'signup')
+           + 1e-9, 2), 0.0) AS signup,
+         coalesce(round(sum(value) FILTER (event_type = 'view')
+           + 1e-9, 2), 0.0) AS view
+         FROM events GROUP BY 1""",
+
+    "q53_window_ranks" ->
+      """SELECT event_id, event_type,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
+         round(cume_dist() OVER w + 1e-9, 6) AS cume
+         FROM events
+         WINDOW w AS (PARTITION BY event_type
+           ORDER BY value ASC, event_id ASC)""",
+
+    "q54_bool_agg" ->
+      """SELECT user_id,
+         bool_or(event_type = 'purchase') AS has_purchase,
+         bool_and(value >= 0) AS all_nonneg,
+         count(*) AS n
+         FROM events GROUP BY user_id""",
+
+    "q55_lookup_errors" ->
+      """WITH requested AS (
+           SELECT c_custkey FROM customer WHERE c_custkey <= 200),
+         responses AS (
+           SELECT o_custkey, count(*) AS n_orders
+           FROM orders GROUP BY o_custkey)
+         SELECT c_custkey, coalesce(n_orders, 0) AS n_orders,
+           CASE WHEN o_custkey IS NULL THEN 'not_returned'
+             ELSE 'ok' END AS error_info
+         FROM requested LEFT JOIN responses ON c_custkey = o_custkey""",
+
+    "q56_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY GROUPING SETS ((r_name), (n_name), ())""",
+
+    "q57_l2_normalize" ->
+      """WITH n AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           FROM embeddings)
+         SELECT vec_id, round(nrm + 1e-9, 4) AS norm,
+           round(CAST(embedding[1] AS DOUBLE) / nrm + 1e-9, 4) AS u1,
+           round(CAST(embedding[2] AS DOUBLE) / nrm + 1e-9, 4) AS u2
+         FROM n"""
   )
 }
