@@ -579,6 +579,23 @@ object SparkEntry {
         GROUP BY GROUPING SETS ((r_name), (n_name), ())""")
     }),
 
+    // ---- Bounded top-k aggregate (custom TypedImperativeAggregate):
+    // same result as q05's window, but partial top-k per partition —
+    // each map task ships <=k rows per group instead of sorting every
+    // row through the shuffle (the 100-TB path for top-k-per-group) ----
+    "q58_topk_agg" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      counts.groupBy("user_id")
+        .agg(graft.expr.TopK.topKBy(
+          struct(col("cnt"), col("event_type")), 2,
+          descending = Seq(true, false)).as("top"))
+        .select(col("user_id"),
+          posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("user_id"), col("t.event_type"), col("t.cnt"),
+          (col("pos") + 1).cast("int").as("rnk"))
+    }),
+
     // ---- L2 normalization of embeddings (SURVEY F36) ----
     "q57_l2_normalize" -> ((s, dir) => {
       val norm = VectorFunctions.norm(col("embedding"))
@@ -1027,6 +1044,15 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY GROUPING SETS ((r_name), (n_name), ())""",
+
+    "q58_topk_agg" ->
+      """SELECT user_id, event_type, cnt, rnk FROM (
+           SELECT user_id, event_type, cnt, row_number() OVER (
+             PARTITION BY user_id ORDER BY cnt DESC, event_type ASC)
+             AS rnk
+           FROM (SELECT user_id, event_type, count(*) AS cnt
+                 FROM events GROUP BY user_id, event_type))
+         WHERE rnk <= 2""",
 
     "q57_l2_normalize" ->
       """WITH n AS (
