@@ -428,11 +428,16 @@ object SparkEntry {
     }),
 
     // ---- Embedding-cosine near-dup via hyperplane LSH buckets
-    // (training-data dedup; rows-only) ----
+    // (training-data dedup; rows-only). Runs on stub-embedded documents
+    // — the random `embeddings` table has no pair above cosine 0.52, so
+    // it can't demonstrate the operator; document texts share vocabulary
+    // and yield real near-dup structure. ----
     "q44_embedding_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ml.StubEmbedder.embedding(col("text"), 64).as("emb"))
       graft.operators.Dedup.embeddingNearDupPairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.95, planes = 8)
+        docs, "doc_id", "emb", threshold = 0.8, planes = 8)
     }),
 
     // ---- approx_count_distinct (A5 scale variant: HLL sketch beats
