@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
-import graft.expr.{BytesToFloatVector, CosineSimF32, DotF32, FloatVectorToBytes}
+import graft.expr.{BytesToFloatVector, CosineSimF32, DotF32, FloatVectorToBytes, TopKStructs}
 
 /** SparkSessionExtensions registration for the engine's custom Catalyst
   * expressions, making them first-class SQL functions:
@@ -42,6 +43,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bytes_to_vec",
         "bytes_to_vec(b) - float32-LE bytes to float vector"),
       (args: Seq[Expression]) => BytesToFloatVector(args.head)))
+    ext.injectFunction((FunctionIdentifier("top_k_by"),
+      info("top_k_by",
+        "top_k_by(struct, k[, 'desc,asc,...']) - bounded top-k rows per " +
+          "group, per-field directions (default all desc)"),
+      GraftExtensions.buildTopK))
+  }
+}
+
+object GraftExtensions {
+  /** SQL builder: k must be an int literal; optional third arg is a
+    * comma-separated direction literal ('desc'/'asc' per struct field). */
+  private[graft] val buildTopK: Seq[Expression] => Expression = { args =>
+    val k = args(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"top_k_by: k must be an integer literal, got $other")
+    }
+    val dirs = args.lift(2) match {
+      case Some(Literal(s, StringType)) =>
+        s.toString.split(",").map(_.trim.equalsIgnoreCase("desc")).toSeq
+      case Some(other) => throw new IllegalArgumentException(
+        s"top_k_by: directions must be a string literal, got $other")
+      case None => Seq.fill(64)(true) // default: all fields descending
+    }
+    TopKStructs(args.head, k, dirs)
   }
 }
 
@@ -59,6 +85,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => FloatVectorToBytes(args.head), "built-in")
     reg.createOrReplaceTempFunction("bytes_to_vec",
       (args: Seq[Expression]) => BytesToFloatVector(args.head), "built-in")
+    reg.createOrReplaceTempFunction("top_k_by",
+      GraftExtensions.buildTopK, "built-in")
   }
 }
 

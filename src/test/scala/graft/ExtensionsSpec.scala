@@ -21,6 +21,22 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.getSeq[Float](2).toSeq === Seq(3.0f, 4.0f))
   }
 
+  test("top_k_by usable from SQL with direction literal") {
+    val s = initSpark()
+    GraftFunctions.register(s)
+    import s.implicits._
+    Seq((1, 3L, "b"), (1, 3L, "a"), (1, 9L, "c"), (2, 1L, "z"))
+      .toDF("g", "cnt", "name").createOrReplaceTempView("ext_topk")
+    val got = s.sql(
+      """SELECT g, top_k_by(struct(cnt, name), 2, 'desc,asc') AS top
+         FROM ext_topk GROUP BY g""")
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getString(1)))).toMap
+    assert(got(1) === Seq((9L, "c"), (3L, "a")))
+    assert(got(2) === Seq((1L, "z")))
+  }
+
   test("builder-time extensions produce a session with the functions") {
     // verify the GraftExtensions wiring compiles against a builder even
     // though the shared harness session precludes creating it here
