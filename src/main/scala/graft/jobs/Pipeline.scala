@@ -173,6 +173,61 @@ object Pipeline {
       .select("document_id", "model_id", "model_name")
   }
 
+  /** Stage "URLCollectors" (reference S16 +
+    * nodes_helpers/collect.py:11-34): union the per-source url feeds,
+    * keep https, dedup within the batch, insert-if-absent against the
+    * existing document table, and append `url_retrieved` states for the
+    * genuinely-new urls. The reference's per-row IntegrityError rollback
+    * becomes one left-anti join. Returns (newDocuments, newStates). */
+  def urlCollect(sourceUrls: Seq[DataFrame], existingDocs: DataFrame,
+      ledger: DataFrame): (DataFrame, DataFrame) = {
+    val unioned = sourceUrls.map(_.select(col("url")))
+      .reduce(_.unionByName(_))
+      .where(col("url").startsWith("https://"))
+    val incoming = unioned
+      .withColumn("id", concat(lit("doc-"), md5(col("url"))))
+    val fresh = Merge.insertIfAbsentDf(
+      existingDocs.select("id", "url"), incoming, "url", "url")
+    val newStates = Ledger.withNextOperationOrder(
+      fresh.select(col("id").as("document_id"))
+        .withColumn("title", lit(Step.UrlRetrieved)),
+      ledger)
+    (fresh, newStates)
+  }
+
+  /** Stage "url_sanitary_crawler" (reference
+    * nodes_workflow/UrlSanitaryCrawler/url_sanitary_crawler.py:50-90 +
+    * retrieve_random_documents_ids... :264-296): deterministically
+    * sample synced documents, probe their urls (pluggable `statusOf`
+    * column — production wires an HTTP HEAD in mapPartitions, tests a
+    * stub), map status to action class (P12), and append
+    * kept_for_trace / document_is_irretrievable states for the dead
+    * ones. Returns (probeReport, newStates). */
+  def sanitaryCrawl(documents: DataFrame, ledger: DataFrame,
+      statusOf: org.apache.spark.sql.Column, sampleModulus: Int = 97,
+      sampleCol: String = "trace"): (DataFrame, DataFrame) = {
+    val synced = Ledger
+      .selectByLastStep(ledger, Seq(Step.DocumentInQdrant))
+      .select(col("document_id"))
+    val sampled = Ledger.deterministicSample(
+      documents.join(synced, documents("id") === synced("document_id")),
+      sampleCol, sampleModulus)
+    val probed = sampled
+      .withColumn("status", statusOf)
+      .withColumn("status_class",
+        graft.operators.UrlChecker.statusClass(col("status")))
+    val report = probed.select(col("document_id"), col("url"),
+      col("status"), col("status_class"))
+    val newStates = Ledger.withNextOperationOrder(
+      probed.where(col("status_class").isin("TO_DELETE", "UNKNOWN"))
+        .select(col("document_id"),
+          when(col("status_class") === "TO_DELETE",
+            lit(Step.KeptForTrace))
+            .otherwise(lit(Step.DocumentIsIrretrievable)).as("title")),
+      ledger)
+    (report, newStates)
+  }
+
   /** Append states and return the updated ledger (pure; disk persistence
     * is Merge.insertIfAbsent on the ledger table). */
   def appendStates(ledger: DataFrame, newStates: DataFrame): DataFrame =

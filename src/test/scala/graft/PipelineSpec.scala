@@ -143,4 +143,47 @@ class PipelineSpec extends SparkSuite {
     // unresolved; d3(de): multilingual model matches any lang
     assert(resolved === Map("d1" -> "stub-new-en", "d3" -> "stub-mul"))
   }
+
+  test("urlCollect dedups, inserts-if-absent, appends url_retrieved (S16)") {
+    val s = initSpark()
+    import s.implicits._
+    val feedA = Seq("https://x/1", "https://x/new", "http://insecure")
+      .toDF("url")
+    val feedB = Seq("https://x/new", "https://y/other").toDF("url")
+    val existing = Seq(("doc-e1", "https://x/1")).toDF("id", "url")
+    val (fresh, states) = Pipeline.urlCollect(Seq(feedA, feedB),
+      existing, ledger0)
+    val urls = fresh.select("url").collect().map(_.getString(0)).toSet
+    // https-only, batch-deduped, minus already-known
+    assert(urls === Set("https://x/new", "https://y/other"))
+    val titles = states.select("title").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(titles === Seq(Step.UrlRetrieved))
+    assert(states.count() === 2)
+  }
+
+  test("sanitaryCrawl samples synced docs, marks dead urls (P12/T4)") {
+    val s = initSpark()
+    import s.implicits._
+    val docs = Seq(
+      ("d1", "https://x/1", 0L), ("d2", "https://x/2", 0L),
+      ("d3", "https://x/3", 1L)) // d3 not in sample residue
+      .toDF("id", "url", "trace")
+    val ledger = Seq(
+      ("d1@1", "d1", Step.DocumentInQdrant, 1L),
+      ("d2@1", "d2", Step.DocumentInQdrant, 2L),
+      ("d3@1", "d3", Step.DocumentInQdrant, 3L))
+      .toDF("id", "document_id", "title", "operation_order")
+      .withColumn("created_at", lit(null).cast("timestamp"))
+    // stub prober: d1 alive, d2 dead
+    val status = when(col("url") === "https://x/1", 200).otherwise(404)
+    val (report, states) = Pipeline.sanitaryCrawl(docs, ledger, status,
+      sampleModulus = 2)
+    val classes = report.collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(classes === Map("d1" -> "VALID", "d2" -> "TO_DELETE"))
+    val st = states.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(st === Map("d2" -> Step.KeptForTrace))
+  }
 }
