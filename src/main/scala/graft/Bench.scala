@@ -17,15 +17,19 @@ object Bench {
     // the measured run starts. Measures engine throughput, not compiler
     // cold-start (plan-compile cost is amortized over a real deployment's
     // job lifetime).
+    // fixed name order: deterministic execution sequence run-to-run
+    // (Map iteration order varies with hashing and would otherwise move
+    // JIT/GC noise between queries across rounds)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    ordered.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -228,6 +228,45 @@ object Pipeline {
     (report, newStates)
   }
 
+  /** Stage "wikipedia_updater" (reference
+    * nodes_workflow/WikipediaUpdater/wikipedia_updater.py:57-109):
+    * compare stored wiki documents with their online version. `probe`
+    * carries the comparison inputs per document_id (production fills it
+    * from the wiki API in mapPartitions; tests stub it):
+    * is_redirection, online_size (nullable), http_error_code (nullable).
+    * Rules, matching the reference loop exactly:
+    *  - http error        -> error-retrieval row only, no state change
+    *  - redirection       -> document_is_invalid state + error row (307)
+    *  - size drift > 5%   -> url_retrieved state (re-queue for scrape)
+    * Returns (newStates, errorRetrievals). */
+  def wikipediaUpdate(documents: DataFrame, ledger: DataFrame,
+      probe: DataFrame): (DataFrame, DataFrame) = {
+    val joined = documents
+      .select(col("id").as("document_id"),
+        octet_length(col("full_content")).as("stored_size"))
+      .join(probe, Seq("document_id"))
+    val httpErrors = joined.where(col("http_error_code").isNotNull)
+      .select(col("document_id"), col("http_error_code"),
+        lit("HTTPError in wikipedia_updater").as("error_info"))
+    val ok = joined.where(col("http_error_code").isNull)
+    val redirects = ok.where(col("is_redirection"))
+    val redirectErrors = redirects.select(col("document_id"),
+      lit(307).as("http_error_code"),
+      lit("Wikipedia updater determine this document is a redirection, " +
+        "not a content page").as("error_info"))
+    val drifted = ok.where(!col("is_redirection") &&
+      col("online_size").isNotNull &&
+      abs(col("online_size") - col("stored_size")).cast("double") /
+        greatest(col("stored_size"), lit(1)) > 0.05)
+    val newStates = Ledger.withNextOperationOrder(
+      redirects.select(col("document_id"),
+          lit(Step.DocumentIsInvalid).as("title"))
+        .unionByName(drifted.select(col("document_id"),
+          lit(Step.UrlRetrieved).as("title"))),
+      ledger)
+    (newStates, httpErrors.unionByName(redirectErrors))
+  }
+
   /** Append states and return the updated ledger (pure; disk persistence
     * is Merge.insertIfAbsent on the ledger table). */
   def appendStates(ledger: DataFrame, newStates: DataFrame): DataFrame =

@@ -186,4 +186,30 @@ class PipelineSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(st === Map("d2" -> Step.KeptForTrace))
   }
+
+  test("wikipediaUpdate: redirection invalid, drift re-queued, error logged") {
+    val s = initSpark()
+    import s.implicits._
+    val docs = Seq(
+      ("d1", "x" * 100), // will drift: online 120 > 5%
+      ("d2", "y" * 100), // redirection
+      ("d3", "z" * 100), // http error
+      ("d4", "w" * 100)) // online 102: within 5%, untouched
+      .toDF("id", "full_content")
+    val probe = Seq(
+      ("d1", false, Some(120L), None: Option[Int]),
+      ("d2", true, None: Option[Long], None: Option[Int]),
+      ("d3", false, None: Option[Long], Some(503)),
+      ("d4", false, Some(102L), None: Option[Int]))
+      .toDF("document_id", "is_redirection", "online_size",
+        "http_error_code")
+    val (states, errors) = Pipeline.wikipediaUpdate(docs, ledger0, probe)
+    val st = states.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(st === Map("d2" -> Step.DocumentIsInvalid,
+      "d1" -> Step.UrlRetrieved))
+    val err = errors.collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(err === Map("d3" -> 503, "d2" -> 307))
+  }
 }
