@@ -75,4 +75,69 @@ object Multimodal {
       dim: Int = 32): DataFrame =
     extractFeatures(
       media.repartition(partitions, col("asset_id")), dim)
+
+  /** STUB resize kernel: deterministic payload transform standing in for
+    * an image decoder+scaler (production: libvips/ImageIO behind the
+    * same bytes->bytes signature). Emits a payload whose length encodes
+    * the target dims so tests can assert the transform ran. */
+  def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte]((w * h) % 4096 + 16)
+    if (payload != null) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload(i % math.max(payload.length, 1))
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Image resize over the media table: binary -> binary mapPartitions
+    * with metadata rewrite (width/height become the target dims). Only
+    * image rows are transformed; others pass through untouched. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select("asset_id", "media_type", "payload", "width", "height",
+        "duration_ms")
+      .mapPartitions { rows =>
+        // decoder/scaler init would happen HERE, once per partition
+        rows.map { r =>
+          if (r.getString(1) == "image") {
+            Row(r.getString(0), r.getString(1),
+              stubResize(r.getAs[Array[Byte]]("payload"), w, h),
+              w, h, r.get(5))
+          } else r
+        }
+      }(enc)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("asset_id", StringType, nullable = false),
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)
+  ))
+
+  /** Video frame sampling: one output row per sampled timestamp
+    * (generator/UDTF shape — `flatMap` over rows). Frame payloads are
+    * deterministic stubs (production: a seeking decoder per partition);
+    * the row-explosion, cap, and timestamp arithmetic are real. At
+    * 100 TB the explosion factor is duration/everyMs — cap it so one
+    * pathological asset can't blow a task. */
+  def sampleFrames(media: DataFrame, everyMs: Long,
+      maxFramesPerAsset: Int = 64): DataFrame = {
+    require(everyMs > 0)
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.where(col("media_type") === "video")
+      .select("asset_id", "payload", "duration_ms")
+      .flatMap { r =>
+        val dur = if (r.isNullAt(2)) 0L else r.getLong(2)
+        val n = math.min(dur / everyMs + 1, maxFramesPerAsset.toLong).toInt
+        val payload = r.getAs[Array[Byte]]("payload")
+        (0 until n).map { i =>
+          Row(r.getString(0), i, i * everyMs,
+            stubResize(payload, i + 1, 16))
+        }
+      }(enc)
+  }
 }

@@ -35,4 +35,32 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getSeq[Float](3)).toMap
     assert(a === b)
   }
+
+  test("resizeImages rewrites image payload + dims, passes others through") {
+    val out = Multimodal.resizeImages(media, 64, 64)
+    assert(out.schema === Multimodal.mediaSchema)
+    val byId = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("a1").getInt(3) === 64 && byId("a1").getInt(4) === 64)
+    assert(byId("a1").getAs[Array[Byte]](2).length === (64 * 64) % 4096 + 16)
+    // audio row untouched
+    assert(byId("a2").getAs[Array[Byte]](2).toSeq === Seq[Byte](9, 9, 9, 9))
+    assert(byId("a2").isNullAt(3))
+  }
+
+  test("sampleFrames explodes videos at the stride, capped") {
+    val s = initSpark()
+    val rows = java.util.Arrays.asList(
+      Row("v1", "video", Array[Byte](5, 6), null, null, 2500L),
+      Row("v2", "video", Array[Byte](7), null, null, 1000000L), // cap
+      Row("a1", "image", Array[Byte](1), 1, 1, null))
+    val m = s.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.sampleFrames(m, everyMs = 1000,
+      maxFramesPerAsset = 8)
+    assert(out.schema === Multimodal.frameSchema)
+    val byAsset = out.collect().groupBy(_.getString(0))
+    assert(!byAsset.contains("a1")) // only videos
+    assert(byAsset("v1").map(_.getLong(2)).sorted.toSeq ===
+      Seq(0L, 1000L, 2000L)) // 2500ms at 1000ms stride
+    assert(byAsset("v2").length === 8) // capped
+  }
 }
