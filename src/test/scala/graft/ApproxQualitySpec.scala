@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Statistical cross-validation of the approximate (rows-only) operators
+  * against their exact counterparts on the driver's sf0.001 testdata —
+  * the internal quality gate for queries the DuckDB oracle can't check
+  * (q22 minhash, q25 ivf): approximation error and recall are pinned,
+  * deterministically, not just row counts. */
+class ApproxQualitySpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash LSH recovers every exact-jaccard pair, small est error") {
+    val s = initSpark()
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.2)
+      .withColumnRenamed("jaccard", "exact_j")
+    val est = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4)
+    val nExact = exact.count()
+    val joint = exact.join(est, Seq("id_a", "id_b"))
+    val (n, meanErr, maxErr) = {
+      val r = joint.agg(count(lit(1)),
+        avg(abs(col("exact_j") - col("est_jaccard"))),
+        max(abs(col("exact_j") - col("est_jaccard")))).head()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    // 4 bands x 4 rows: recall for J>=0.2 is not guaranteed 1.0 in
+    // general, but on this corpus every exact pair IS recovered —
+    // pin it so a banding regression surfaces
+    assert(n === nExact, s"LSH recovered $n of $nExact exact pairs")
+    assert(meanErr <= 0.10, s"mean |est-exact| = $meanErr")
+    assert(maxErr <= 0.20, s"max |est-exact| = $maxErr")
+  }
+
+  test("IVF top-k recall vs brute force on uniform vectors") {
+    val s = initSpark()
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("q_id"), col("c_id"))
+    val ivf = Similarity.ivfTopK(emb, q, k = 5, stride = 20, nProbe = 3)
+      .select(col("q_id").as("q2"), col("c_id").as("c2"))
+    val hits = bf.join(ivf,
+      col("q_id") === col("q2") && col("c_id") === col("c2")).count()
+    val total = bf.count()
+    // uniform random vectors are IVF's worst case (no cluster
+    // structure); measured deterministic recall is 0.39 — pin a floor
+    // so a centroid-assignment regression surfaces
+    assert(hits >= (total * 0.30).toLong,
+      s"ivf recall@5 = $hits/$total below 30% floor")
+    // and probing every bucket must recover brute force exactly
+    val all = Similarity.ivfTopK(emb, q, k = 5, stride = 20, nProbe = 25)
+      .select(col("q_id").as("q2"), col("c_id").as("c2"))
+    val allHits = bf.join(all,
+      col("q_id") === col("q2") && col("c_id") === col("c2")).count()
+    assert(allHits === total,
+      s"full-probe IVF diverged from brute force: $allHits/$total")
+  }
+}
