@@ -28,4 +28,21 @@ object WindowedAggregates {
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"), col(keyCol),
         col("n"), col("total"))
+
+  /** Streaming exact dedup by content fingerprint (the streaming form of
+    * Dedup.exact / the reference's unique-url admission S16): keep the
+    * first-seen row per fingerprint. The watermark BOUNDS the dedup
+    * state — `dropDuplicatesWithinWatermark` evicts fingerprints once
+    * the event-time watermark passes, so state is O(arrival rate x
+    * watermark), not O(corpus) — the only formulation that survives an
+    * unbounded 100-TB ingest stream. Upstream-of-watermark duplicates
+    * are impossible by the watermark contract; re-deliveries older than
+    * the delay are handled by the idempotent sink (T5). */
+  def dedupByFingerprint(docs: DataFrame, tsCol: String,
+      fingerprint: Column, watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("__fp", fingerprint)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 }

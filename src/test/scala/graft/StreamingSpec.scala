@@ -130,4 +130,33 @@ class StreamingSpec extends SparkSuite {
       assert(steps === Seq(Step.UrlRetrieved, Step.DocumentScraped))
     } finally query.stop()
   }
+
+  test("streaming dedup keeps first-seen per fingerprint, bounded state") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: org.apache.spark.sql.SparkSession = s
+    val input = MemoryStream[(java.sql.Timestamp, String, String)](s)
+    val docs = input.toDS()
+      .toDF("ts", "doc_id", "text")
+    val deduped = graft.streaming.WindowedAggregates.dedupByFingerprint(
+      docs, "ts",
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")),
+      watermarkDelay = "10 seconds")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(sec: Int) = java.sql.Timestamp.valueOf(s"2024-01-01 00:00:$sec")
+      input.addData(
+        (ts(1), "d1", "same text"),
+        (ts(2), "d2", "same text"), // dup within batch
+        (ts(3), "d3", "other text"))
+      q.processAllAvailable()
+      input.addData((ts(4), "d4", "same text")) // dup across batches
+      q.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM dedup_out")
+        .collect().map(_.getString(0)).toSet
+      assert(ids === Set("d1", "d3"))
+    } finally q.stop()
+  }
 }
