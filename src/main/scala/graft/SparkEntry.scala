@@ -410,13 +410,14 @@ object SparkEntry {
         FROM q41_cube_input GROUP BY CUBE (event_type, user_bucket)""")
     }),
 
-    // ---- lead/lag window (free extension beyond the reference) ----
+    // ---- lead/lag window (free extension beyond the reference);
+    // `+ 0.0` collapses -0.0 like q57 (deltas can round to zero) ----
     "q42_lag_delta" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
-          round(col("value") - coalesce(lag(col("value"), 1).over(w),
-            lit(0.0)) + 1e-9, 2).as("delta"))
+          (round(col("value") - coalesce(lag(col("value"), 1).over(w),
+            lit(0.0)) + 1e-9, 2) + 0.0).as("delta"))
     }),
 
     // ---- Deterministic UUID generation (SURVEY F28) ----
@@ -601,15 +602,18 @@ object SparkEntry {
           (col("pos") + 1).cast("int").as("rnk"))
     }),
 
-    // ---- L2 normalization of embeddings (SURVEY F36) ----
+    // ---- L2 normalization of embeddings (SURVEY F36). `+ 0.0` after
+    // the round collapses IEEE -0.0 to +0.0 — the engines disagree on
+    // the sign of a rounded-to-zero negative, and the driver's hash
+    // compares stringified values ('-0.0' != '0.0') ----
     "q57_l2_normalize" -> ((s, dir) => {
       val norm = VectorFunctions.norm(col("embedding"))
       t(s, dir, "embeddings")
         .select(col("vec_id"), round(norm + 1e-9, 4).as("norm"),
-          round(element_at(col("embedding"), 1).cast("double") / norm
-            + 1e-9, 4).as("u1"),
-          round(element_at(col("embedding"), 2).cast("double") / norm
-            + 1e-9, 4).as("u2"))
+          (round(element_at(col("embedding"), 1).cast("double") / norm
+            + 1e-9, 4) + 0.0).as("u1"),
+          (round(element_at(col("embedding"), 2).cast("double") / norm
+            + 1e-9, 4) + 0.0).as("u2"))
     })
   )
 
@@ -943,7 +947,7 @@ object SparkEntry {
     "q42_lag_delta" ->
       """SELECT user_id, event_id,
          round(value - coalesce(lag(value, 1) OVER (
-           PARTITION BY user_id ORDER BY event_id), 0.0) + 1e-9, 2)
+           PARTITION BY user_id ORDER BY event_id), 0.0) + 1e-9, 2) + 0.0
            AS delta
          FROM events""",
 
@@ -1066,8 +1070,8 @@ object SparkEntry {
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
            FROM embeddings)
          SELECT vec_id, round(nrm + 1e-9, 4) AS norm,
-           round(CAST(embedding[1] AS DOUBLE) / nrm + 1e-9, 4) AS u1,
-           round(CAST(embedding[2] AS DOUBLE) / nrm + 1e-9, 4) AS u2
+           round(CAST(embedding[1] AS DOUBLE) / nrm + 1e-9, 4) + 0.0 AS u1,
+           round(CAST(embedding[2] AS DOUBLE) / nrm + 1e-9, 4) + 0.0 AS u2
          FROM n"""
   )
 }
