@@ -602,6 +602,19 @@ object SparkEntry {
           (col("pos") + 1).cast("int").as("rnk"))
     }),
 
+    // ---- RANGE window frame: per-event trailing 30-min activity
+    // (value-based frame — W-series extension; rows frames are W4) ----
+    "q59_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-1800L, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("sec", tsSec)
+        .select(col("user_id"), col("event_id"), col("sec"),
+          count(lit(1)).over(w).as("n_trailing_30m"),
+          round(sum(col("value")).over(w) + 1e-9, 2)
+            .as("val_trailing_30m"))
+    }),
+
     // ---- L2 normalization of embeddings (SURVEY F36). `+ 0.0` after
     // the round collapses IEEE -0.0 to +0.0 — the engines disagree on
     // the sign of a rounded-to-zero negative, and the driver's hash
@@ -1062,6 +1075,15 @@ object SparkEntry {
            FROM (SELECT user_id, event_type, count(*) AS cnt
                  FROM events GROUP BY user_id, event_type))
          WHERE rnk <= 2""",
+
+    "q59_range_frame" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec,
+         count(*) OVER w AS n_trailing_30m,
+         round(sum(value) OVER w + 1e-9, 2) AS val_trailing_30m
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY epoch_ns(ts) // 1000000000
+           RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)""",
 
     "q57_l2_normalize" ->
       """WITH n AS (
