@@ -103,9 +103,16 @@ object TextClean {
   def firstSentence(c: Column): Column =
     concat(element_at(split(c, "\\."), 1), lit("."))
 
-  /** First-n-sentences description (reference: pressbooks.py:75-85). */
-  def firstSentences(c: Column, n: Int): Column =
-    concat(concat_ws(".", slice(split(c, "\\."), 1, n)), lit("."))
+  /** First-n-sentences description (reference: pressbooks.py:75-85 —
+    * spaCy sentence boundaries there, the F7 sentence-regex spec here;
+    * like the reference, returns the WHOLE text when it has fewer than
+    * n sentences). */
+  def firstSentences(c: Column, n: Int): Column = {
+    val sents = regexp_extract_all(c, lit("[^.!?]+[.!?]*"), lit(0))
+    when(size(sents) < n, c)
+      .otherwise(array_join(transform(slice(sents, 1, n),
+        s => trim(s)), " "))
+  }
 
   /** Remove leading boilerplate words like "abstract"/"background"
     * (reference F22: open_alex.py:144-175). */

@@ -256,4 +256,141 @@ object SourceModels {
       try { walk(mapper.readTree(json)); out.mkString("\n") }
       catch { case _: Exception => "" }
     }
+
+  // ---------- Pressbooks (reference source_models/pressbooks.py +
+  // plugins/rest_requesters/pressbooks.py) ----------
+
+  val pressbooksPage: StructType = StructType(Seq(
+    StructField("content", StructType(Seq(
+      StructField("raw", StringType),
+      StructField("rendered", StringType),
+      StructField("protected", BooleanType))))
+  ))
+
+  val pressbooksMetadata: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("datePublished", StringType),
+    StructField("license", StructType(Seq(
+      StructField("url", StringType),
+      StructField("name", StringType)))),
+    StructField("author", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("slug", StringType)))))
+  ))
+
+  def parsePressbooks(body: Column): Column = from_json(body, pressbooksPage)
+  def parsePressbooksMetadata(body: Column): Column =
+    from_json(body, pressbooksMetadata)
+
+  /** Pressbooks extraction: HTML-stripped rendered content, description
+    * = first three sentences (reference
+    * pressbooks.py:_extract_three_first_sentences — spaCy there, the
+    * F23 sentence-split spec here), license URL from metadata. */
+  def pressbooksToDocument(page: Column, meta: Column): Column = {
+    val content = TextClean.normalizeWhitespace(
+      TextClean.stripHtml(page.getField("content").getField("rendered")))
+    struct(
+      meta.getField("name").as("title"),
+      content.as("full_content"),
+      TextClean.firstSentences(content, 3).as("description"),
+      meta.getField("license").getField("url").as("license_url"),
+      transform(coalesce(meta.getField("author"),
+          array().cast(ArrayType(StructType(Seq(
+            StructField("name", StringType),
+            StructField("slug", StringType)))))),
+        a => a.getField("name")).as("authors"),
+      meta.getField("datePublished").as("date_published"))
+  }
+
+  // ---------- OAPen (reference source_models/oapen.py — DSpace 6 item
+  // with key/value metadata list and bundle bitstreams) ----------
+
+  val oapenItem: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("handle", StringType),
+    StructField("bitstreams", ArrayType(StructType(Seq(
+      StructField("bundleName", StringType),
+      StructField("retrieveLink", StringType),
+      StructField("code", StringType),
+      StructField("mimeType", StringType),
+      StructField("sizeBytes", LongType))))),
+    StructField("metadata", ArrayType(StructType(Seq(
+      StructField("key", StringType),
+      StructField("value", StringType),
+      StructField("language", StringType)))))
+  ))
+
+  def parseOapen(body: Column): Column = from_json(body, oapenItem)
+
+  /** All values of one metadata key (the reference folds the key/value
+    * list into a dict, oapen.py:_format_metadata). */
+  def oapenMetadataValues(item: Column, key: String): Column =
+    transform(
+      filter(item.getField("metadata"), m => m.getField("key") === key),
+      m => m.getField("value"))
+
+  /** Content link preference: TEXT bundle wins over ORIGINAL (reference
+    * oapen.py:157-180 — is_txt switches the retrieval path). */
+  def oapenContentLink(item: Column): Column = {
+    val txt = filter(item.getField("bitstreams"),
+      b => lower(b.getField("bundleName")) === "text")
+    val orig = filter(item.getField("bitstreams"),
+      b => lower(b.getField("bundleName")) === "original")
+    coalesce(element_at(txt, 1).getField("retrieveLink"),
+      element_at(orig, 1).getField("retrieveLink"))
+  }
+
+  /** License canonicalization from the ORIGINAL bundle's code:
+    * CC-BY-4.0 -> https://creativecommons.org/licenses/by-4.0/4.0/
+    * shape (reference oapen.py:162-174). */
+  def oapenLicenseUrl(item: Column): Column = {
+    val orig = filter(item.getField("bitstreams"),
+      b => lower(b.getField("bundleName")) === "original")
+    val code = regexp_replace(
+      lower(element_at(orig, 1).getField("code")), "^cc-", "")
+    concat(lit("https://creativecommons.org/licenses/"), code, lit("/4.0/"))
+  }
+
+  def oapenToDocument(item: Column): Column = struct(
+    item.getField("name").as("title"),
+    concat(lit("https://library.oapen.org/handle/"),
+      item.getField("handle")).as("url"),
+    element_at(oapenMetadataValues(item, "dc.description.abstract"), 1)
+      .as("description"),
+    element_at(oapenMetadataValues(item, "dc.language"), 1).as("lang"),
+    oapenContentLink(item).as("content_link"),
+    oapenLicenseUrl(item).as("license_url"))
+
+  // ---------- FAO Open Knowledge (reference
+  // source_models/fao_open_knowledge.py — DSpace 7 item, metadata as a
+  // map of key -> [{value}] ) ----------
+
+  val faoItem: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("uuid", StringType),
+    StructField("name", StringType),
+    StructField("handle", StringType),
+    StructField("inArchive", BooleanType),
+    StructField("withdrawn", BooleanType),
+    StructField("lastModified", StringType),
+    StructField("metadata", MapType(StringType, ArrayType(StructType(Seq(
+      StructField("value", StringType))))))
+  ))
+
+  def parseFao(body: Column): Column = from_json(body, faoItem)
+
+  /** First value of a DSpace-7 metadata key. */
+  def faoMetadataFirst(item: Column, key: String): Column =
+    element_at(element_at(item.getField("metadata"), key), 1)
+      .getField("value")
+
+  def faoToDocument(item: Column): Column = struct(
+    item.getField("name").as("title"),
+    concat(lit("https://openknowledge.fao.org/handle/"),
+      item.getField("handle")).as("url"),
+    faoMetadataFirst(item, "dc.description.abstract").as("description"),
+    faoMetadataFirst(item, "dc.language.iso").as("lang"),
+    faoMetadataFirst(item, "dc.rights.uri").as("license_url"),
+    (item.getField("inArchive") && !item.getField("withdrawn"))
+      .as("is_available"))
 }

@@ -114,4 +114,74 @@ class SourceModelsSpec extends SparkSuite {
       .head()
     assert(got.isNullAt(0))
   }
+
+  test("pressbooks: html-stripped content, 3-sentence description (S14/F23)") {
+    val s = initSpark()
+    import s.implicits._
+    val page = """{"content":{"raw":"r","protected":false,
+      "rendered":"<p>One sentence. Two here! Three now? Four extra.</p>"}}"""
+      .replaceAll("\n\\s*", "")
+    val meta = """{"name":"My Book","datePublished":"2021-03-01",
+      "license":{"url":"https://creativecommons.org/licenses/by/4.0/",
+      "name":"CC BY"},"author":[{"name":"A. Writer","slug":"aw"}]}"""
+      .replaceAll("\n\\s*", "")
+    val doc = Seq((page, meta)).toDF("p", "m")
+      .select(SourceModels.pressbooksToDocument(
+        SourceModels.parsePressbooks(col("p")),
+        SourceModels.parsePressbooksMetadata(col("m"))).as("d"))
+      .select("d.*").head()
+    assert(doc.getAs[String]("title") === "My Book")
+    assert(doc.getAs[String]("full_content") ===
+      "One sentence. Two here! Three now? Four extra.")
+    assert(doc.getAs[String]("description") ===
+      "One sentence. Two here! Three now?")
+    assert(doc.getAs[String]("license_url").endsWith("by/4.0/"))
+    assert(doc.getSeq[String](4) === Seq("A. Writer"))
+  }
+
+  test("oapen: TEXT bundle preferred, license from ORIGINAL code (S14)") {
+    val s = initSpark()
+    import s.implicits._
+    val json = """{"name":"Open Book","handle":"20.500.12657/1234",
+      "bitstreams":[
+        {"bundleName":"ORIGINAL","retrieveLink":"/rest/bitstreams/9/retrieve",
+         "code":"CC-BY-NC-4.0","mimeType":"application/pdf","sizeBytes":100},
+        {"bundleName":"TEXT","retrieveLink":"/rest/bitstreams/7/retrieve",
+         "code":null,"mimeType":"text/plain","sizeBytes":50}],
+      "metadata":[
+        {"key":"dc.description.abstract","value":"An abstract.","language":"en"},
+        {"key":"dc.language","value":"English","language":null}]}"""
+      .replaceAll("\n\\s*", "")
+    val doc = Seq(Tuple1(json)).toDF("b")
+      .select(SourceModels.oapenToDocument(
+        SourceModels.parseOapen(col("b"))).as("d"))
+      .select("d.*").head()
+    assert(doc.getAs[String]("title") === "Open Book")
+    assert(doc.getAs[String]("url").endsWith("/handle/20.500.12657/1234"))
+    assert(doc.getAs[String]("description") === "An abstract.")
+    assert(doc.getAs[String]("content_link") === "/rest/bitstreams/7/retrieve")
+    assert(doc.getAs[String]("license_url") ===
+      "https://creativecommons.org/licenses/by-nc-4.0/4.0/")
+  }
+
+  test("fao: dspace7 metadata map extraction, availability flag (S14)") {
+    val s = initSpark()
+    import s.implicits._
+    val json = """{"id":"x","uuid":"u","name":"FAO Report",
+      "handle":"h/99","inArchive":true,"withdrawn":false,
+      "lastModified":"2023-01-01",
+      "metadata":{
+        "dc.description.abstract":[{"value":"Food systems."}],
+        "dc.language.iso":[{"value":"en"}],
+        "dc.rights.uri":[{"value":"https://creativecommons.org/licenses/by/3.0/igo/"}]}}"""
+      .replaceAll("\n\\s*", "")
+    val doc = Seq(Tuple1(json)).toDF("b")
+      .select(SourceModels.faoToDocument(
+        SourceModels.parseFao(col("b"))).as("d"))
+      .select("d.*").head()
+    assert(doc.getAs[String]("title") === "FAO Report")
+    assert(doc.getAs[String]("description") === "Food systems.")
+    assert(doc.getAs[String]("lang") === "en")
+    assert(doc.getAs[Boolean]("is_available"))
+  }
 }
