@@ -393,4 +393,72 @@ object SourceModels {
     faoMetadataFirst(item, "dc.rights.uri").as("license_url"),
     (item.getField("inArchive") && !item.getField("withdrawn"))
       .as("is_available"))
+
+  // ---------- UVED (reference source_models/uved.py — category tree
+  // with parent links, duration, keyword dewey codes) ----------
+
+  val uvedMember: StructType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("url", StringType),
+    StructField("date", StringType),
+    StructField("duration", IntegerType),
+    StructField("description", StringType),
+    StructField("contexte", StringType),
+    StructField("slug", StringType),
+    StructField("type", StructType(Seq(
+      StructField("title", StringType),
+      StructField("uid", IntegerType)))),
+    StructField("categories", ArrayType(StructType(Seq(
+      StructField("title", StringType),
+      StructField("uid", IntegerType))))),
+    StructField("keywords", ArrayType(StructType(Seq(
+      StructField("title", StringType),
+      StructField("dewey", StringType)))))
+  ))
+
+  def parseUved(body: Column): Column = from_json(body, uvedMember)
+
+  def uvedToDocument(item: Column): Column = struct(
+    item.getField("title").as("title"),
+    item.getField("url").as("url"),
+    TextClean.normalizeWhitespace(concat_ws(" ",
+      item.getField("description"),
+      coalesce(item.getField("contexte"), lit("")))).as("description"),
+    item.getField("duration").as("duration_sec"),
+    transform(coalesce(item.getField("categories"),
+        array().cast(ArrayType(StructType(Seq(
+          StructField("title", StringType),
+          StructField("uid", IntegerType)))))),
+      c => c.getField("title")).as("categories"),
+    item.getField("type").getField("title").as("resource_type"))
+
+  // ---------- UNESDOC (reference source_models/unesdoc.py — ark-id
+  // records with list-valued year/language fields) ----------
+
+  val unesdocRoot: StructType = StructType(Seq(
+    StructField("total_count", IntegerType),
+    StructField("results", ArrayType(StructType(Seq(
+      StructField("url", StringType),
+      StructField("year", ArrayType(StringType)),
+      StructField("language", ArrayType(StringType)),
+      StructField("title", StringType),
+      StructField("type", ArrayType(StringType)),
+      StructField("description", StringType),
+      StructField("subject", ArrayType(StringType)),
+      StructField("creator", StringType),
+      StructField("rights", StringType)))))
+  ))
+
+  def parseUnesdoc(body: Column): Column = from_json(body, unesdocRoot)
+
+  /** One document struct per result row (explode upstream). */
+  def unesdocToDocument(result: Column): Column = struct(
+    result.getField("title").as("title"),
+    result.getField("url").as("url"),
+    result.getField("description").as("description"),
+    element_at(result.getField("language"), 1).as("lang"),
+    element_at(result.getField("year"), 1).as("year"),
+    result.getField("creator").as("creator"),
+    result.getField("rights").as("license"),
+    result.getField("subject").as("subjects"))
 }

@@ -184,4 +184,48 @@ class SourceModelsSpec extends SparkSuite {
     assert(doc.getAs[String]("lang") === "en")
     assert(doc.getAs[Boolean]("is_available"))
   }
+
+  test("uved: category titles, merged description+contexte (S14)") {
+    val s = initSpark()
+    import s.implicits._
+    val json = """{"title":"Course","url":"https://uved.example/c1",
+      "date":"2020-01-01","duration":360,
+      "description":"About energy.","contexte":"For students.",
+      "slug":"course","type":{"title":"video","uid":1},
+      "categories":[{"title":"Climate","uid":2},{"title":"Energy","uid":3}],
+      "keywords":[{"title":"solar","dewey":"333.79"}]}"""
+      .replaceAll("\n\\s*", "")
+    val doc = Seq(Tuple1(json)).toDF("b")
+      .select(SourceModels.uvedToDocument(
+        SourceModels.parseUved(col("b"))).as("d"))
+      .select("d.*").head()
+    assert(doc.getAs[String]("title") === "Course")
+    assert(doc.getAs[String]("description") ===
+      "About energy. For students.")
+    assert(doc.getAs[Int]("duration_sec") === 360)
+    assert(doc.getSeq[String](4) === Seq("Climate", "Energy"))
+    assert(doc.getAs[String]("resource_type") === "video")
+  }
+
+  test("unesdoc: per-result explode, first-listed lang/year (S14)") {
+    val s = initSpark()
+    import s.implicits._
+    val json = """{"total_count":2,"results":[
+      {"url":"https://unesdoc.example/ark:/1","year":["2019"],
+       "language":["eng","fre"],"title":"Report A","type":["book"],
+       "description":"About oceans.","subject":["oceans"],
+       "creator":"UNESCO","rights":"CC BY-SA 3.0 IGO"},
+      {"url":"https://unesdoc.example/ark:/2","year":["2021"],
+       "language":["fre"],"title":"Report B","type":["book"],
+       "description":null,"subject":[],"creator":"UNESCO",
+       "rights":"CC BY-SA 3.0 IGO"}]}""".replaceAll("\n\\s*", "")
+    val docs = Seq(Tuple1(json)).toDF("b")
+      .select(explode(SourceModels.parseUnesdoc(col("b"))
+        .getField("results")).as("r"))
+      .select(SourceModels.unesdocToDocument(col("r")).as("d"))
+      .select("d.*").collect()
+    assert(docs.length === 2)
+    assert(docs(0).getAs[String]("lang") === "eng")
+    assert(docs(1).getAs[String]("year") === "2021")
+  }
 }
