@@ -126,6 +126,54 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** jaccardPairs with a document-frequency cap on shingles: shingles
+    * shared by more than `maxDocFreq` documents are EXCLUDED from both
+    * pair generation and the per-doc set sizes (consistent semantics —
+    * the score is exact Jaccard over the capped shingle space).
+    *
+    * Why: in any exact formulation a shingle shared by d docs emits
+    * ~d^2/2 pairs; corpus-scale stop-shingles ("of the and") make that
+    * quadratic blowup unbounded. Capping df bounds per-shingle work at
+    * maxDocFreq^2/2 while near-dup recall is barely touched (a shingle
+    * in thousands of docs carries no duplicate signal). This is the
+    * 100-TB form of the exact path; minhashLshPairs remains the
+    * approximate one. */
+  def jaccardPairsCapped(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        shingleHashesUdf(n)(col(textCol)).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("id"), explode(col("shs")).as("h"))
+    // df per shingle, keep only sub-cap shingles; sizes AFTER the cap
+    // so the Jaccard denominator matches the capped universe
+    val kept = sh.withColumn("df_count",
+        count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("df_count") <= maxDocFreq)
+    val sized = kept.withColumn("sz",
+      count(lit(1)).over(Window.partitionBy(col("id"))))
+    val byShingle = sized.groupBy("h")
+      .agg(sort_array(collect_list(struct(col("id"), col("sz"))))
+        .as("ms"))
+      .where(size(col("ms")) > 1)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = byShingle.repartition(parts).select(explode(flatten(
+      transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))),
+          b => struct(a.getField("id").as("id_a"),
+            a.getField("sz").as("sz_a"),
+            b.getField("id").as("id_b"),
+            b.getField("sz").as("sz_b")))))).as("p"))
+      .select(col("p.*"))
+      .where(least(col("sz_a"), col("sz_b")) >=
+        greatest(col("sz_a"), col("sz_b")) * threshold)
+    pairs.groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double") + 1e-9, 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Row-local MinHash signature: one JVM pass per document (tokenize ->
     * shingle -> numHashes seeded permutations h_i(x) = (a_i*h(x)+b_i)
     * mod p, min over shingles). No token-level explode/shuffle — the

@@ -43,6 +43,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!m.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("jaccardPairsCapped: uncapped matches jaccardPairs; cap drops " +
+      "stop-shingle pairs") {
+    val s = initSpark()
+    import s.implicits._
+    val docs = Seq(
+      ("d1", "alpha beta gamma delta epsilon"),
+      ("d2", "alpha beta gamma delta zeta"),
+      ("d3", "one two alpha beta gamma"),
+      ("d4", "totally different words here now"))
+      .toDF("doc_id", "text")
+    val plain = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val uncapped = Dedup.jaccardPairsCapped(docs, "doc_id", "text", 3,
+        0.1, maxDocFreq = 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped === plain)
+    // 'alpha beta gamma' appears in 3 docs; cap at 2 removes the only
+    // shingle linking d3 to d1/d2
+    val capped = Dedup.jaccardPairsCapped(docs, "doc_id", "text", 3,
+        0.1, maxDocFreq = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped.contains(("d1", "d2")))
+    assert(!capped.exists(p => p._1 == "d3" || p._2 == "d3"))
+  }
+
   test("minhash LSH surfaces the exact-dup pair with est_jaccard 1") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 3, numHashes = 16, bands = 4)
