@@ -115,20 +115,32 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: sign bit of the dot product against
-    * `planes` deterministic pseudo-random hyperplanes, packed into a long.
-    * Hyperplane components are derived from xxhash64(seed, dim) — fixed
-    * and reproducible, no stored model. */
-  def hyperplaneSignature(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      // pseudo-random +-1 component per (plane, dimension): sign of
-      // xxhash64(p, i). aggregate over zip of (value, index).
-      val dotp = aggregate(
-        zip_with(vec, transform(vec, (_, i) => i),
-          (v, i) => v.cast("double") *
-            when(xxhash64(lit(p), i) % 2 === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    * `planes` deterministic pseudo-random +-1 hyperplanes, packed into a
+    * long. Components derive from a seeded murmur of (plane, dim) —
+    * fixed and reproducible, no stored model. Single JVM pass per row:
+    * the higher-order-function formulation (zip_with + aggregate per
+    * plane) paid interpreted per-element overhead x planes x join sides
+    * (see ARCHITECTURE "HOF lambda trap"). */
+  private def hyperplaneUdf(planes: Int) =
+    org.apache.spark.sql.functions.udf { (vec: Seq[Float]) =>
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var dotp = 0.0
+        var i = 0
+        val n = vec.length
+        while (i < n) {
+          val h = scala.util.hashing.MurmurHash3
+            .productHash((p, i), 0x9e3779b9)
+          dotp += vec(i).toDouble * (if ((h & 1) == 0) 1.0 else -1.0)
+          i += 1
+        }
+        if (dotp >= 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+
+  def hyperplaneSignature(vec: Column, planes: Int): Column =
+    hyperplaneUdf(planes)(vec)
 }

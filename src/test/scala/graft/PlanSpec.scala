@@ -72,6 +72,16 @@ class PlanSpec extends SparkSuite {
     assert(df.where(col("c") > 0.99).count() > 0)
   }
 
+  test("jaccardPairs costs exactly 3 exchanges (shingle agg, re-spread, " +
+      "pair agg)") {
+    val s = initSpark()
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(graft.operators.Dedup.jaccardPairs(
+      docs, "doc_id", "text", 3, 0.2))
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n === 3, s"expected 3 exchanges, got $n:\n$plan")
+  }
+
   test("step-partitioned ledger scans prune partitions (R15)") {
     val s = initSpark()
     import s.implicits._
