@@ -602,6 +602,17 @@ object SparkEntry {
           (col("pos") + 1).cast("int").as("rnk"))
     }),
 
+    // ---- Deterministic string aggregation (listagg analogue): sorted
+    // distinct values joined per group — order pinned in both engines ----
+    "q60_string_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(array_join(array_sort(collect_set(
+          pmod(col("user_id"), lit(10)).cast("string"))), ",")
+          .as("user_buckets"),
+          count(lit(1)).as("n"))
+    }),
+
     // ---- RANGE window frame: per-event trailing 30-min activity
     // (value-based frame — W-series extension; rows frames are W4) ----
     "q59_range_frame" -> ((s, dir) => {
@@ -1075,6 +1086,13 @@ object SparkEntry {
            FROM (SELECT user_id, event_type, count(*) AS cnt
                  FROM events GROUP BY user_id, event_type))
          WHERE rnk <= 2""",
+
+    "q60_string_agg" ->
+      """SELECT event_type,
+         array_to_string(list_sort(list_distinct(
+           list(CAST(user_id % 10 AS VARCHAR)))), ',') AS user_buckets,
+         count(*) AS n
+         FROM events GROUP BY event_type""",
 
     "q59_range_frame" ->
       """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec,
