@@ -602,6 +602,24 @@ object SparkEntry {
           (col("pos") + 1).cast("int").as("rnk"))
     }),
 
+    // ---- The reference's §3.1 batch selection END-TO-END as one
+    // oracled query: latest-state filter (J1/P2) -> order+limit
+    // (O1/O3) -> byte-capped greedy admission (A2) — the composed
+    // generate_to_vectorize selection, on the events ledger ----
+    "q61_batch_selection" -> ((s, dir) => {
+      val selected = Ledger.selectByLastStep(t(s, dir, "events"),
+          Seq("purchase"), keyCol = "user_id", stepCol = "event_type",
+          orderCol = "event_id")
+        .select(col("user_id"), col("event_id"),
+          // floor, not cast: DuckDB CAST(double AS BIGINT) rounds
+          // while Spark truncates — floor is identical in both
+          floor(col("value") * 100).cast("long").as("weight"))
+      Ledger.byteCapAdmit(selected,
+        Seq(col("event_id").desc), "weight", cap = 50000L,
+        limitRows = 500, keepCumAs = Some("cum_weight"))
+        .select("user_id", "event_id", "weight", "cum_weight")
+    }),
+
     // ---- Deterministic string aggregation (listagg analogue): sorted
     // distinct values joined per group — order pinned in both engines ----
     "q60_string_agg" -> ((s, dir) => {
@@ -1086,6 +1104,30 @@ object SparkEntry {
            FROM (SELECT user_id, event_type, count(*) AS cnt
                  FROM events GROUP BY user_id, event_type))
          WHERE rnk <= 2""",
+
+    "q61_batch_selection" ->
+      """WITH last AS (
+           SELECT user_id, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS weight
+           FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             FROM events)
+           WHERE rn = 1 AND event_type = 'purchase'),
+         bounded AS (
+           SELECT * FROM last ORDER BY event_id DESC LIMIT 500),
+         c AS (
+           SELECT user_id, event_id, weight,
+             CAST(sum(weight) OVER (ORDER BY event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_weight,
+             row_number() OVER (ORDER BY event_id DESC) AS rn
+           FROM bounded)
+         SELECT user_id, event_id, weight, cum_weight FROM c
+         WHERE cum_weight <= 50000
+           AND rn < coalesce(
+             (SELECT min(rn) FROM c WHERE cum_weight > 50000),
+             9223372036854775807)""",
 
     "q60_string_agg" ->
       """SELECT event_type,
