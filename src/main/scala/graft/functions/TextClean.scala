@@ -57,6 +57,19 @@ object TextClean {
 
   /** Dehyphenate words wrapped across lines (reference F13:
     * pdf_extractor.py:146-183; WORD_CUT_BY_BACKLINES_REGEX). */
+  /** URL removal (reference ANTI_URL_REGEX, regular_expression.py:12 —
+    * http/https/ftp/file/www with optional surrounding parens). */
+  def removeUrls(c: Column): Column =
+    regexp_replace(c,
+      """\(?((www)|((https?|ftp|file)://))""" +
+        """[-A-Za-z0-9+&@#/%?=~_|!:,.;]*[-A-Za-z0-9+&@#/%=~_|]\)?""", "")
+
+  /** Soft line break -> space: a newline NOT preceded by
+    * sentence-ending punctuation joins wrapped lines (reference
+    * SOFT_LINE_BREAK_REGEX, regular_expression.py:32). */
+  def softLineBreaksToSpace(c: Column): Column =
+    regexp_replace(c, """(?<![.:?!])\s*\n\s*""", " ")
+
   def dehyphenate(c: Column): Column =
     regexp_replace(c, "(\\w)-\\s*\\n\\s*(\\w)", "$1$2")
 

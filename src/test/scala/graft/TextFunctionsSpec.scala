@@ -131,6 +131,36 @@ class TextFunctionsSpec extends SparkSuite {
       === "proprietary")
   }
 
+  test("removeUrls drops urls like the reference ANTI_URL_REGEX") {
+    // cases ported from the reference's own
+    // tests/test_regular_expressions.py (TestAntiUrlRegex)
+    assert(one(TextClean.removeUrls(col("text")),
+      "Visit https://example.com for more info.")
+      .asInstanceOf[String].contains("https://") === false)
+    assert(one(TextClean.removeUrls(col("text")),
+      "see (https://example.com) here") === "see  here")
+    assert(one(TextClean.removeUrls(col("text")),
+      "go to www.example.com now") === "go to  now")
+    assert(one(TextClean.removeUrls(col("text")),
+      "get ftp://files.example.com/file.txt today") === "get  today")
+    assert(one(TextClean.removeUrls(col("text")),
+      "just some text") === "just some text")
+  }
+
+  test("softLineBreaksToSpace joins wrapped lines, keeps paragraph ends") {
+    // cases ported from the reference's TestSoftLineBreakRegex
+    assert(one(TextClean.softLineBreaksToSpace(col("text")),
+      "word\nnext") === "word next")
+    assert(one(TextClean.softLineBreaksToSpace(col("text")),
+      "end.\nnext") === "end.\nnext")
+    assert(one(TextClean.softLineBreaksToSpace(col("text")),
+      "end?\nnext") === "end?\nnext")
+    assert(one(TextClean.softLineBreaksToSpace(col("text")),
+      "end!\nnext") === "end!\nnext")
+    assert(one(TextClean.softLineBreaksToSpace(col("text")),
+      "end:\nnext") === "end:\nnext")
+  }
+
   test("firstSentences takes the leading n sentences") {
     assert(one(TextClean.firstSentences(col("text"), 2),
       "A one. B two. C three. D") === "A one. B two.")
