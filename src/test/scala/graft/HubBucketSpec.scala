@@ -58,4 +58,28 @@ class HubBucketSpec extends SparkSuite {
       s.sql("DROP TABLE IF EXISTS bw_slices")
     }
   }
+
+  test("range-clustered layout: files cover disjoint narrow key ranges") {
+    val s = initSpark()
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_range").toString + "/events"
+    val df = (1 to 10000).map(i => ((i * 37) % 10000, s"p$i"))
+      .toDF("k", "payload")
+    BucketedWarehouse.writeRangeClustered(df, dir, "k", partitions = 8)
+    // per-file min/max must not overlap (each file owns a narrow range)
+    val spans = s.read.parquet(dir)
+      .select(col("k"), input_file_name().as("f"))
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(spans.length >= 4)
+    spans.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping file ranges: $hi1 vs $lo2")
+    case _ => ()
+    }
+    // and a point predicate prunes to a fraction of the input split-wise
+    val one = s.read.parquet(dir).where(col("k") === 42)
+    assert(one.count() === 1)
+  }
 }
