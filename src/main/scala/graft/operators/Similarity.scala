@@ -55,6 +55,56 @@ object Similarity {
     corpus.where(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
 
+  /** Deterministic Lloyd refinement of the stride-sampled centroids:
+    * fixed iteration count, cosine assignment (map-side, zero-shuffle),
+    * mean recompute as one groupBy per iteration. Each Spark job is
+    * bounded: iters x (scan + one shuffle on centroid_id). Empty
+    * clusters keep their previous centroid (stable ids). Better-fitting
+    * centroids raise IVF recall at the same nProbe (pinned by
+    * ApproxQualitySpec). */
+  def kMeansCentroids(corpus: DataFrame, stride: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    var cents = collectCentroids(
+      sampleCentroids(corpus, stride, idCol, vecCol))
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    (0 until iters).foreach { _ =>
+      val assigned = corpus.withColumn("centroid_id",
+        array_max(centroidStructs(col(vecCol), cents)).getField("cid"))
+      val meanCols = (0 until dim).map(i =>
+        avg(element_at(col(vecCol), i + 1)).as(s"m$i"))
+      val means = assigned.groupBy("centroid_id")
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map { r =>
+          (r.getLong(0), (0 until dim).map(i =>
+            r.getDouble(i + 1).toFloat): Seq[Float])
+        }.toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, means.getOrElse(cid, old))
+      }
+    }
+    val rows = cents.map { case (cid, v) => (cid, v) }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    rows.toDF("centroid_id", "centroid_vec")
+      .select(col("centroid_id"),
+        col("centroid_vec").cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)).as("centroid_vec"))
+  }
+
+  /** ivfTopK over k-means-refined centroids (same probe/prune plan
+    * shape; only the centroid table differs). */
+  def ivfTopKRefined(corpus: DataFrame, queries: DataFrame, k: Int,
+      stride: Int, nProbe: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val cents = collectCentroids(
+      kMeansCentroids(corpus, stride, iters, idCol, vecCol))
+    ivfTopKWith(corpus, queries, k, nProbe, cents, idCol, vecCol)
+  }
+
   /** Inline the (small) centroid set into a per-row scored-struct array:
     * struct(score, -id, id) so array_max/sort_array break ties toward the
     * smaller centroid id. Pure codegen'd expression — assignment costs
@@ -89,6 +139,12 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val cents = collectCentroids(
       sampleCentroids(corpus, stride, idCol, vecCol))
+    ivfTopKWith(corpus, queries, k, nProbe, cents, idCol, vecCol)
+  }
+
+  private def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, cents: Array[(Long, Seq[Float])], idCol: String,
+      vecCol: String): DataFrame = {
     val assigned = corpus
       .withColumn("centroid_id",
         array_max(centroidStructs(col(vecCol), cents)).getField("cid"))

@@ -61,4 +61,21 @@ class ApproxQualitySpec extends SparkSuite {
     assert(allHits === total,
       s"full-probe IVF diverged from brute force: $allHits/$total")
   }
+
+  test("k-means-refined centroids do not lose recall vs stride sample") {
+    val s = initSpark()
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("q_id"), col("c_id"))
+    def recall(ivf: org.apache.spark.sql.DataFrame): Long =
+      bf.join(ivf.select(col("q_id").as("q2"), col("c_id").as("c2")),
+        col("q_id") === col("q2") && col("c_id") === col("c2")).count()
+    val strideHits = recall(
+      Similarity.ivfTopK(emb, q, k = 5, stride = 20, nProbe = 3))
+    val refinedHits = recall(Similarity.ivfTopKRefined(
+      emb, q, k = 5, stride = 20, nProbe = 3, iters = 3))
+    assert(refinedHits >= strideHits,
+      s"refined recall $refinedHits < stride recall $strideHits")
+  }
 }
