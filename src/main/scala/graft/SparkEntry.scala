@@ -602,6 +602,19 @@ object SparkEntry {
           (col("pos") + 1).cast("int").as("rnk"))
     }),
 
+    // ---- Salted replicate join (SURVEY R-skew): hot-key mitigation
+    // whose RESULT is oracle-checked equal to the plain join — the
+    // salt must never change semantics ----
+    "q62_salted_join" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      graft.operators.Skew.saltedJoin(
+          t(s, dir, "customer"), nation, "c_nationkey", saltBuckets = 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")) + 1e-9, 2).as("total_acctbal"))
+    }),
+
     // ---- The reference's §3.1 batch selection END-TO-END as one
     // oracled query: latest-state filter (J1/P2) -> order+limit
     // (O1/O3) -> byte-capped greedy admission (A2) — the composed
@@ -1104,6 +1117,12 @@ object SparkEntry {
            FROM (SELECT user_id, event_type, count(*) AS cnt
                  FROM events GROUP BY user_id, event_type))
          WHERE rnk <= 2""",
+
+    "q62_salted_join" ->
+      """SELECT n_name, count(*) AS n_customers,
+         round(sum(c_acctbal) + 1e-9, 2) AS total_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
 
     "q61_batch_selection" ->
       """WITH last AS (
