@@ -38,10 +38,12 @@ object Keywords {
     "the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for",
     "on", "with", "as", "by", "at", "be", "this", "are", "or", "from")
 
+  private val NonWord = java.util.regex.Pattern.compile("\\W+")
+
   /** Candidate 1-2grams with stopword-boundary filtering (the reference
     * strips spaCy stopwords before ngram generation). */
   def candidates(text: String, maxNgram: Int = 2): Seq[String] = {
-    val words = text.toLowerCase.split("\\W+")
+    val words = NonWord.split(text.toLowerCase)
       .filter(w => w.nonEmpty && !defaultStopwords.contains(w))
     val out = mutable.LinkedHashSet.empty[String]
     (1 to maxNgram).foreach { n =>

@@ -24,12 +24,17 @@ import org.apache.spark.sql.functions.udf
   */
 object StubEmbedder {
 
+  // precompiled: String.split(regex) recompiles the pattern per call,
+  // and embed() runs once per KEYWORD CANDIDATE in the MMR path
+  // (~100x per document across the corpus)
+  private val NonWord = java.util.regex.Pattern.compile("\\W+")
+
   /** Feature-hashed bag-of-words: each token adds ±1/k to 2 of `dim`
     * buckets chosen by its murmur hash; result L2-normalized to float32. */
   def embed(text: String, dim: Int, seed: Int = 42): Array[Float] = {
     val acc = new Array[Double](dim)
     if (text != null) {
-      val tokens = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val tokens = NonWord.split(text.toLowerCase).filter(_.nonEmpty)
       tokens.foreach { tok =>
         val h1 = MurmurHash3.stringHash(tok, seed)
         val h2 = MurmurHash3.stringHash(tok, seed + 1)
