@@ -29,6 +29,21 @@ object CollectionRouter {
       .otherwise(lit(null)) // error bucket, reference qdrant_handler None
   }
 
+  /** Reference-exact routing against a known collection catalog
+    * (qdrant_handler.py:44-59): the MULTILINGUAL collection wins if it
+    * exists, else the mono-lingual one, else the error bucket — the
+    * existence check against `existingCollections` is the reference's
+    * get_collections() lookup, broadcast as a literal list here. */
+  def collectionForCatalog(lang: Column, modelName: Column,
+      existingCollections: Seq[String]): Column = {
+    val mul = concat(lit("collection_welearn_mul_"), modelName)
+    val mono = concat(lit("collection_welearn_"), lang, lit("_"),
+      modelName)
+    when(mul.isin(existingCollections.map(x => x: Any): _*), mul)
+      .when(mono.isin(existingCollections.map(x => x: Any): _*), mono)
+      .otherwise(lit(null))
+  }
+
   /** Split a routed frame into (routable, errorBucket). */
   def route(df: DataFrame, langCol: String, modelCol: String)
       : (DataFrame, DataFrame) = {

@@ -77,4 +77,25 @@ class SinksSpec extends SparkSuite {
     assert(m("d4") === "collection_welearn_mul_granite_mul_107m")
     assert(errors.collect().map(_.getString(0)).toSeq === Seq("d3"))
   }
+
+  test("catalog routing: multilingual wins, else mono, else error (S19)") {
+    val s = initSpark()
+    import s.implicits._
+    val catalog = Seq(
+      "collection_welearn_mul_granite",
+      "collection_welearn_en_minilm")
+    val df = Seq(
+      ("d1", "fr", "granite"), // mul collection exists -> mul
+      ("d2", "en", "minilm"),  // only mono exists -> mono
+      ("d3", "fr", "minilm"))  // neither exists for fr -> error
+      .toDF("document_id", "lang", "model")
+    val routed = df.withColumn("collection",
+      CollectionRouter.collectionForCatalog(col("lang"), col("model"),
+        catalog))
+    val m = routed.collect()
+      .map(r => r.getString(0) -> Option(r.getString(3))).toMap
+    assert(m("d1") === Some("collection_welearn_mul_granite"))
+    assert(m("d2") === Some("collection_welearn_en_minilm"))
+    assert(m("d3") === None)
+  }
 }
