@@ -157,4 +157,27 @@ class MlSpec extends SparkSuite {
     assert(out1.map(_.getString(0)) === out2.map(_.getString(0)))
     assert(out1.nonEmpty && out1.length <= 5)
   }
+
+  test("chunker: >1M-char input pre-splits, full word coverage kept") {
+    // reference embedding_model_helpers.py:87-92 — spaCy caps input at
+    // 1M chars, so longer docs are pre-split before sentence detection
+    val sentence = "Twelve short words fill this one test sentence here now okay done. "
+    val reps = graft.ml.Chunker.PreSplitChars / sentence.length + 1000
+    val big = sentence * reps // ~1.07M chars
+    assert(big.length > graft.ml.Chunker.PreSplitChars)
+    val slices = graft.ml.Chunker.chunkText(big, maxWords = 64)
+    assert(slices.nonEmpty)
+    // coverage: no text dropped. A hard character cut CAN split one
+    // word per boundary into two (the reference slices
+    // full_content[i*split_size:(i+1)*split_size] the same way,
+    // embedding_model_helpers.py:92-97), so allow +1 word per boundary
+    val boundaries = big.length / graft.ml.Chunker.PreSplitChars
+    val inWords = big.split("\\s+").count(_.nonEmpty)
+    val outWords = slices.map(_.split("\\s+").count(_.nonEmpty)).sum
+    assert(outWords >= inWords && outWords <= inWords + boundaries,
+      s"pre-split coverage broken: in=$inWords out=$outWords " +
+        s"boundaries=$boundaries")
+    // cap invariant holds everywhere
+    assert(slices.forall(_.split("\\s+").count(_.nonEmpty) <= 64))
+  }
 }
