@@ -107,6 +107,21 @@ object Ledger {
       residue: Int = 0): DataFrame =
     df.where(pmod(col(keyCol), lit(modulus)) === residue)
 
+  /** Incremental latest-state maintenance: fold a batch of NEW ledger
+    * events into an existing compacted snapshot (one row per key)
+    * without touching ledger history. Equivalent to
+    * `latestState(history ∪ delta)` but the window input is
+    * |keys| + |delta| instead of |history| — at 100 TB the ledger
+    * grows forever while the snapshot stays at corpus cardinality, so
+    * per-batch maintenance cost stops depending on history length.
+    * Pair with a periodic compaction job that persists the snapshot
+    * (the reference's PG "current state" is exactly this snapshot,
+    * derived there by the J1 subquery on every read). */
+  def mergeLatestState(snapshot: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], orderCol: String,
+      tieBreak: String): DataFrame =
+    latestState(snapshot.unionByName(delta), keyCols, orderCol, tieBreak)
+
   /** Next operation_order values for a ledger append: existing per-document
     * max + row_number within the new batch (reference relies on a PG
     * sequence, migration 821173cf9c5d:310-315; SURVEY §7.5.5).

@@ -107,4 +107,29 @@ class LedgerSpec extends SparkSuite {
     assert(sample.count() === 10)
     assert(sample.collect().forall(_.getInt(0) % 10 === 0))
   }
+
+  test("mergeLatestState(snapshot, delta) == latestState(full history)") {
+    val s = initSpark()
+    import s.implicits._
+    val history = Seq(
+      ("d1", "url_retrieved", 1L), ("d1", "document_scraped", 2L),
+      ("d2", "url_retrieved", 3L))
+      .toDF("document_id", "title", "operation_order")
+    val delta = Seq(
+      ("d1", "document_vectorized", 4L), // advances d1
+      ("d2", "url_retrieved", 1L),       // stale replay, must lose
+      ("d3", "url_retrieved", 5L))       // new key
+      .toDF("document_id", "title", "operation_order")
+    val snapshot = Ledger.latestState(history, Seq("document_id"),
+      "operation_order", "operation_order")
+    val incremental = Ledger.mergeLatestState(snapshot, delta,
+        Seq("document_id"), "operation_order", "operation_order")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val full = Ledger.latestState(history.unionByName(delta),
+        Seq("document_id"), "operation_order", "operation_order")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(incremental === full)
+    assert(incremental === Set(("d1", "document_vectorized"),
+      ("d2", "url_retrieved"), ("d3", "url_retrieved")))
+  }
 }
