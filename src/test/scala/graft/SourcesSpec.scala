@@ -121,4 +121,32 @@ class SourcesSpec extends SparkSuite {
     assert(urls.length === 7)
     assert(urls.forall(_.startsWith("https://example.com/")))
   }
+
+  test("conversation page scrape: headline/og:description/articleBody " +
+      "from the reference's real fixture") {
+    val s = initSpark()
+    import s.implicits._
+    val html = fixture("page_conversation.html")
+    val doc = Seq(Tuple1(html)).toDF("html")
+      .select(graft.sources.HtmlArticle.conversationDocument(col("html"))
+        .as("d"))
+      .select("d.*").head()
+    val title = doc.getAs[String]("title")
+    val desc = doc.getAs[String]("description")
+    val content = doc.getAs[String]("full_content")
+    assert(title != null && title.nonEmpty && !title.contains("<"))
+    assert(desc != null &&
+      desc.startsWith("Plus il fait chaud"))
+    assert(content != null && content.length > 1000 &&
+      !content.contains("<div"))
+  }
+
+  test("elementByAttr respects nested same-name tags (balanced scan)") {
+    val html = """<div itemprop="articleBody">outer <div>inner</div>
+      tail</div><div>after</div>"""
+    val got = graft.sources.HtmlArticle.elementByAttr(
+      html, "div", "itemprop", "articleBody")
+    assert(got.contains("outer") && got.contains("inner") &&
+      got.contains("tail") && !got.contains("after"))
+  }
 }
