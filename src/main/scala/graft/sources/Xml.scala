@@ -90,4 +90,70 @@ object Xml {
   /** Dublin-Core field from an OAI record (dc:title, dc:identifier...). */
   def dcField(recordXml: Column, field: String): Column =
     tagContents(recordXml, s"dc:$field")
+
+  /** Contents of `<tag ...>` elements that carry
+    * `filterAttr="filterValue"` (the reference xml_extractor's
+    * attribute-filter mode over CONTENT, used for
+    * `dcterms:identifier scheme="URI"`). */
+  def tagContentsFiltered(xml: Column, tag: String, filterAttr: String,
+      filterValue: String): Column = {
+    val els = regexp_extract_all(xml,
+      lit(s"(?s)<$tag\\s[^>]*>.*?</$tag>"), lit(0))
+    val matching = filter(els,
+      e => e.rlike(s"""$filterAttr="$filterValue""""))
+    transform(matching,
+      e => regexp_extract(e, s"(?s)<$tag[^>]*>(.*?)</$tag>", 1))
+  }
+}
+
+/** OpenEdition Books METS metadata (reference S14:
+  * collectors/oe_books_collector.py:30-133): per-book METS XML carries
+  * one dmdSec per book/chapter/bibliography; a book is collectable when
+  * it is openAccess AND carries an authorized CC license — then its
+  * CHAPTER urls are emitted (the book url itself when there are no
+  * chapters, or when the license fails so the url is kept for trace;
+  * closed-access books emit nothing). */
+object Mets {
+
+  /** The reference's AUTHORIZED_LICENSES url list (constants.py:169-185),
+    * lowercase. */
+  val authorizedLicenseUrls: Seq[String] = for {
+    scheme <- Seq("http", "https")
+    path <- Seq("licenses/by/3.0/", "licenses/by/4.0/",
+      "licenses/by-sa/4.0/", "licenses/by-sa/3.0/",
+      "licenses/by-sa/3.0/igo/", "licenses/by/3.0/igo/",
+      "publicdomain/zero/1.0/", "publicdomain/mark/1.0/")
+  } yield s"$scheme://creativecommons.org/$path"
+
+  /** Per-dmdSec structs: (dmd_type, rights, access_rights, url). */
+  def dmdStructs(xml: Column): Column =
+    transform(Xml.tagContents(xml, "mets:dmdSec"), s => struct(
+      lower(trim(element_at(
+        Xml.tagContents(s, "dcterms:type"), 1))).as("dmd_type"),
+      lower(trim(element_at(
+        Xml.tagContents(s, "dcterms:rights"), 1))).as("rights"),
+      lower(trim(element_at(
+        Xml.tagContents(s, "dcterms:accessRights"), 1)))
+        .as("access_rights"),
+      trim(element_at(Xml.tagContentsFiltered(s, "dcterms:identifier",
+        "scheme", "URI"), 1)).as("url")))
+
+  /** Collectable urls for one METS document, reference decision table
+    * (oe_books_collector.py:92-133). */
+  def openEditionUrls(xml: Column): Column = {
+    val dmds = dmdStructs(xml)
+    val book = element_at(
+      filter(dmds, d => d.getField("dmd_type") === "book"), 1)
+    val chapters = transform(
+      filter(dmds, d => d.getField("dmd_type") === "chapter"),
+      d => d.getField("url"))
+    val openAccess = element_at(
+      split(book.getField("access_rights"), "/"), -1) === "openaccess"
+    val licensed = book.getField("rights")
+      .isin(authorizedLicenseUrls.map(x => x: Any): _*)
+    when(book.isNull || !openAccess,
+        array().cast("array<string>"))
+      .when(licensed && size(chapters) > 0, chapters)
+      .otherwise(array(book.getField("url")))
+  }
 }

@@ -141,6 +141,23 @@ class SourcesSpec extends SparkSuite {
       !content.contains("<div"))
   }
 
+  test("openedition mets: openaccess+licensed book emits chapter urls " +
+      "(reference fixture)") {
+    val s = initSpark()
+    import s.implicits._
+    val xml = fixture("oe_mets_test.xml")
+    val urls = Seq(Tuple1(xml)).toDF("xml")
+      .select(explode(graft.sources.Mets.openEditionUrls(col("xml")))
+        .as("url"))
+      .collect().map(_.getString(0))
+    // fixture: 1 book (openAccess, CC-BY-4.0) + 7 chapters + 1
+    // bibliography -> the 7 chapter urls, nothing else
+    assert(urls.length === 7)
+    assert(urls.forall(_.startsWith(
+      "https://books.openedition.org/ariadnaediciones/")))
+    assert(!urls.contains("https://books.openedition.org/ariadnaediciones/8043"))
+  }
+
   test("elementByAttr respects nested same-name tags (balanced scan)") {
     val html = """<div itemprop="articleBody">outer <div>inner</div>
       tail</div><div>after</div>"""
