@@ -254,10 +254,12 @@ object Pipeline {
       lit(307).as("http_error_code"),
       lit("Wikipedia updater determine this document is a redirection, " +
         "not a content page").as("error_info"))
+    // signed growth, not abs: the reference's `diffsize > 0.05*fromsize`
+    // (wikipedia_updater.py:122) never re-queues a SHRUNK page
     val drifted = ok.where(!col("is_redirection") &&
       col("online_size").isNotNull &&
-      abs(col("online_size") - col("stored_size")).cast("double") /
-        greatest(col("stored_size"), lit(1)) > 0.05)
+      (col("online_size") - col("stored_size")).cast("double") >
+        lit(0.05) * col("stored_size"))
     val newStates = Ledger.withNextOperationOrder(
       redirects.select(col("document_id"),
           lit(Step.DocumentIsInvalid).as("title"))

@@ -191,16 +191,18 @@ class PipelineSpec extends SparkSuite {
     val s = initSpark()
     import s.implicits._
     val docs = Seq(
-      ("d1", "x" * 100), // will drift: online 120 > 5%
+      ("d1", "x" * 100), // grows to 120: > 5% -> re-queued
       ("d2", "y" * 100), // redirection
       ("d3", "z" * 100), // http error
-      ("d4", "w" * 100)) // online 102: within 5%, untouched
+      ("d4", "w" * 100), // online 102: within 5%, untouched
+      ("d5", "v" * 100)) // SHRINKS to 50: reference never re-queues
       .toDF("id", "full_content")
     val probe = Seq(
       ("d1", false, Some(120L), None: Option[Int]),
       ("d2", true, None: Option[Long], None: Option[Int]),
       ("d3", false, None: Option[Long], Some(503)),
-      ("d4", false, Some(102L), None: Option[Int]))
+      ("d4", false, Some(102L), None: Option[Int]),
+      ("d5", false, Some(50L), None: Option[Int]))
       .toDF("document_id", "is_redirection", "online_size",
         "http_error_code")
     val (states, errors) = Pipeline.wikipediaUpdate(docs, ledger0, probe)
