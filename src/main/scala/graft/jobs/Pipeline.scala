@@ -196,16 +196,19 @@ object Pipeline {
   }
 
   /** Stage "url_sanitary_crawler" (reference
-    * nodes_workflow/UrlSanitaryCrawler/url_sanitary_crawler.py:50-90 +
+    * nodes_workflow/URLSanitaryCrawler/url_sanitary_crawler.py:61-103 +
     * retrieve_random_documents_ids... :264-296): deterministically
     * sample synced documents, probe their urls (pluggable `statusOf`
     * column — production wires an HTTP HEAD in mapPartitions, tests a
-    * stub), map status to action class (P12), and append
-    * kept_for_trace / document_is_irretrievable states for the dead
-    * ones. Returns (probeReport, newStates). */
+    * stub), map status to action class (P12), and — reference-exact —
+    * append `url_retrieved` for TO_UPDATE (3xx: re-queue the document)
+    * and `document_is_irretrievable` for TO_DELETE (4xx), each with an
+    * error-retrieval row carrying the status code; VALID/UNKNOWN write
+    * nothing. Returns (probeReport, newStates, errorRetrievals). */
   def sanitaryCrawl(documents: DataFrame, ledger: DataFrame,
       statusOf: org.apache.spark.sql.Column, sampleModulus: Int = 97,
-      sampleCol: String = "trace"): (DataFrame, DataFrame) = {
+      sampleCol: String = "trace")
+      : (DataFrame, DataFrame, DataFrame) = {
     val synced = Ledger
       .selectByLastStep(ledger, Seq(Step.DocumentInQdrant))
       .select(col("document_id"))
@@ -218,14 +221,20 @@ object Pipeline {
         graft.operators.UrlChecker.statusClass(col("status")))
     val report = probed.select(col("document_id"), col("url"),
       col("status"), col("status_class"))
+    val flagged = probed
+      .where(col("status_class").isin("TO_UPDATE", "TO_DELETE"))
     val newStates = Ledger.withNextOperationOrder(
-      probed.where(col("status_class").isin("TO_DELETE", "UNKNOWN"))
-        .select(col("document_id"),
-          when(col("status_class") === "TO_DELETE",
-            lit(Step.KeptForTrace))
-            .otherwise(lit(Step.DocumentIsIrretrievable)).as("title")),
+      flagged.select(col("document_id"),
+        when(col("status_class") === "TO_UPDATE", lit(Step.UrlRetrieved))
+          .otherwise(lit(Step.DocumentIsIrretrievable)).as("title")),
       ledger)
-    (report, newStates)
+    val errors = flagged.select(col("document_id"),
+      col("status").as("http_error_code"),
+      when(col("status_class") === "TO_UPDATE",
+        concat(col("url"), lit(" gonna be updated soon")))
+        .otherwise(concat(col("url"), lit(" gonna be deleted soon")))
+        .as("error_info"))
+    (report, newStates, errors)
   }
 
   /** Stage "wikipedia_updater" (reference

@@ -162,29 +162,39 @@ class PipelineSpec extends SparkSuite {
     assert(states.count() === 2)
   }
 
-  test("sanitaryCrawl samples synced docs, marks dead urls (P12/T4)") {
+  test("sanitaryCrawl: 3xx re-queues, 4xx irretrievable, errors logged " +
+      "(P12/T4)") {
     val s = initSpark()
     import s.implicits._
     val docs = Seq(
       ("d1", "https://x/1", 0L), ("d2", "https://x/2", 0L),
+      ("d4", "https://x/4", 0L),
       ("d3", "https://x/3", 1L)) // d3 not in sample residue
       .toDF("id", "url", "trace")
     val ledger = Seq(
       ("d1@1", "d1", Step.DocumentInQdrant, 1L),
       ("d2@1", "d2", Step.DocumentInQdrant, 2L),
-      ("d3@1", "d3", Step.DocumentInQdrant, 3L))
+      ("d4@1", "d4", Step.DocumentInQdrant, 3L),
+      ("d3@1", "d3", Step.DocumentInQdrant, 4L))
       .toDF("id", "document_id", "title", "operation_order")
       .withColumn("created_at", lit(null).cast("timestamp"))
-    // stub prober: d1 alive, d2 dead
-    val status = when(col("url") === "https://x/1", 200).otherwise(404)
-    val (report, states) = Pipeline.sanitaryCrawl(docs, ledger, status,
-      sampleModulus = 2)
+    // stub prober: d1 alive, d2 dead, d4 redirected
+    val status = when(col("url") === "https://x/1", 200)
+      .when(col("url") === "https://x/4", 301).otherwise(404)
+    val (report, states, errors) = Pipeline.sanitaryCrawl(docs, ledger,
+      status, sampleModulus = 2)
     val classes = report.collect()
       .map(r => r.getString(0) -> r.getString(3)).toMap
-    assert(classes === Map("d1" -> "VALID", "d2" -> "TO_DELETE"))
+    assert(classes === Map("d1" -> "VALID", "d2" -> "TO_DELETE",
+      "d4" -> "TO_UPDATE"))
     val st = states.collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(st === Map("d2" -> Step.KeptForTrace))
+    // reference: 3xx -> url_retrieved re-queue; 4xx -> irretrievable
+    assert(st === Map("d2" -> Step.DocumentIsIrretrievable,
+      "d4" -> Step.UrlRetrieved))
+    val err = errors.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(err === Set(("d2", 404), ("d4", 301)))
   }
 
   test("wikipediaUpdate: redirection invalid, drift re-queued, error logged") {
