@@ -68,7 +68,8 @@ object Pipeline {
     * split into sdg / non-sdg doc states (J6 anti-join semantics for the
     * non-sdg side). */
   def classify(slices: DataFrame, ledger: DataFrame, biModel: DataFrame,
-      nModel: DataFrame): (DataFrame, DataFrame) = {
+      nModel: DataFrame, forcedCol: Option[String] = None)
+      : (DataFrame, DataFrame) = {
     val vectorized = Ledger
       .selectByLastStep(ledger, Seq(Step.DocumentVectorized))
       .select(col("document_id"))
@@ -76,8 +77,15 @@ object Pipeline {
       .withColumn("embedding_vec",
         VectorCodec.bytesToFloatVector(col("embedding")))
     val bi = SdgClassifier.classifyBinary(inScope, biModel, "embedding_vec")
+    // forced docs (M5) bypass the binary gate like the reference's
+    // forced-corpus/external-sdg branch
+    val nInput = forcedCol match {
+      case Some(f) => bi.where(col("is_sdg") ||
+        (col(f).isNotNull && size(col(f)) > 0))
+      case None => bi.where(col("is_sdg"))
+    }
     val n = SdgClassifier.classifyNWay(
-      bi.where(col("is_sdg")), nModel, "embedding_vec", "id")
+      nInput, nModel, "embedding_vec", "id", forcedCol)
     val sliceSdgs = n.select(col("id").as("slice_id"), col("document_id"),
       col("sdg_number"), col("n_score"), col("n_model_id"))
     val docFlag = SdgClassifier.documentIsSdg(bi)

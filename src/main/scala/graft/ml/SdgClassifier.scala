@@ -72,6 +72,24 @@ object SdgClassifier {
       .drop("__rn", "__forced", "n_w", "n_b", "n_t")
   }
 
+  /** Reference M5 forced-classification set (document_classifier.py:
+    * 79-148): `details.external_sdg` restricts candidates to the
+    * externally-declared SDGs; membership in a forced corpus
+    * (FORCED_CORPUS_CLASSIFIED, constants.py:359 — ["uved"]) forces
+    * classification over ALL 17; otherwise null (normal thresholded
+    * path). */
+  def forcedSdgColumn(corpus: Column, details: Column,
+      forcedCorpora: Seq[String] = Seq("uved")): Column = {
+    val external = from_json(
+      get_json_object(coalesce(details, lit("{}")), "$.external_sdg"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType))
+    when(external.isNotNull && size(external) > 0, external)
+      .when(corpus.isin(forcedCorpora.map(x => x: Any): _*),
+        sequence(lit(1), lit(17)))
+      .otherwise(lit(null).cast("array<int>"))
+  }
+
   /** Doc-level SDG flag: a document is SDG iff ANY slice is (reference
     * A8: sdgs_classifiers.py:16-28, doc-level union
     * document_classifier.py:129-155). */

@@ -158,6 +158,24 @@ class MlSpec extends SparkSuite {
     assert(out1.nonEmpty && out1.length <= 5)
   }
 
+  test("forcedSdgColumn: external_sdg wins, forced corpus forces all 17") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.ml.SdgClassifier
+    val df = Seq(
+      ("uved", """{"external_sdg":[3,7]}"""), // external beats corpus
+      ("uved", "{}"),                         // forced corpus -> 1..17
+      ("hal", "{}"),                          // neither -> null
+      ("hal", null: String))                  // null details -> null
+      .toDF("corpus", "details")
+    val got = df.select(SdgClassifier.forcedSdgColumn(
+        col("corpus"), col("details")).as("f"))
+      .collect().map(r => Option(r.getSeq[Int](0)))
+    assert(got(0) === Some(Seq(3, 7)))
+    assert(got(1) === Some((1 to 17).toSeq))
+    assert(got(2) === None && got(3) === None)
+  }
+
   test("chunker: >1M-char input pre-splits, full word coverage kept") {
     // reference embedding_model_helpers.py:87-92 — spaCy caps input at
     // 1M chars, so longer docs are pre-split before sentence detection
