@@ -51,6 +51,52 @@ class TopKSpec extends SparkSuite {
     assert(got(2) === Seq(4.0))
   }
 
+  test("randomized datasets: aggregate == window for arbitrary " +
+      "k/directions (property)") {
+    val s = initSpark()
+    import s.implicits._
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      rows <- Gen.listOfN(120, for {
+        g <- Gen.choose(0, 4)
+        v <- Gen.choose(-50L, 50L)
+        n <- Gen.oneOf("a", "b", "c", "d", "e")
+      } yield (g, v, n))
+      k <- Gen.choose(1, 4)
+      d1 <- Gen.oneOf(true, false)
+      d2 <- Gen.oneOf(true, false)
+      parts <- Gen.choose(1, 9)
+    } yield (rows, k, d1, d2, parts)
+    val prop = forAll(gen) { case (rows, k, d1, d2, parts) =>
+      val df = rows.toDF("g", "v", "n").repartition(parts)
+      val got = df.groupBy("g")
+        .agg(TopK.topKBy(struct(col("v"), col("n")), k,
+          Seq(d1, d2)).as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("g"), col("t.v"), col("t.n"), col("pos"))
+        .collect().map(r =>
+          (r.getInt(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g"))
+        .orderBy(if (d1) col("v").desc else col("v").asc,
+          if (d2) col("n").desc else col("n").asc)
+      val want = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k)
+        .select(col("g"), col("v"), col("n"), (col("rn") - 1).as("pos"))
+        .collect().map(r =>
+          (r.getInt(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+      // rows may collide exactly (same g,v,n); compare SETS of
+      // (group, value, name, rank) — identical whenever ordering is
+      // total, and duplicate full rows make rank assignment among the
+      // duplicates irrelevant to the set
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("partial aggregation plan ships bounded per-group state") {
     val s = initSpark()
     import s.implicits._
