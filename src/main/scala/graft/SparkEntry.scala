@@ -602,6 +602,18 @@ object SparkEntry {
           (col("pos") + 1).cast("int").as("rnk"))
     }),
 
+    // ---- float32-LE vector byte codec round trip (SURVEY F33): byte
+    // width and bit-exact decode are oracle-checkable even though the
+    // codec itself is engine-defined ----
+    "q63_vector_codec" -> ((s, dir) => {
+      val enc = graft.expr.VectorCodec.floatVectorToBytes(col("embedding"))
+      val dec = graft.expr.VectorCodec.bytesToFloatVector(enc)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          octet_length(enc).as("n_bytes"),
+          (dec === col("embedding")).as("roundtrip_ok"))
+    }),
+
     // ---- Salted replicate join (SURVEY R-skew): hot-key mitigation
     // whose RESULT is oracle-checked equal to the plain join — the
     // salt must never change semantics ----
@@ -1117,6 +1129,11 @@ object SparkEntry {
            FROM (SELECT user_id, event_type, count(*) AS cnt
                  FROM events GROUP BY user_id, event_type))
          WHERE rnk <= 2""",
+
+    "q63_vector_codec" ->
+      """SELECT vec_id, 4 * len(embedding) AS n_bytes,
+         true AS roundtrip_ok
+         FROM embeddings""",
 
     "q62_salted_join" ->
       """SELECT n_name, count(*) AS n_customers,
