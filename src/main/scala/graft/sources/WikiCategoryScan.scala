@@ -29,17 +29,25 @@ object WikiCategoryScan {
   type Parser = String => MemberPage
 
   def memberUrl(apiBase: String, category: String,
-      continueToken: Option[String]): String = {
+      continueToken: Option[String], sinceIso: Option[String] = None)
+      : String = {
     val cont = continueToken.map(t => s"&cmcontinue=$t").getOrElse("")
+    // lookback window (reference wikipedia_collector.py:44-64: cmstart =
+    // now - 10 days, timestamp-sorted ascending — incremental discovery
+    // of recently-added members only)
+    val since = sinceIso
+      .map(t => s"&cmsort=timestamp&cmdir=newer&cmstart=$t")
+      .getOrElse("")
     s"$apiBase?action=query&list=categorymembers&cmtitle=$category" +
-      s"&cmlimit=500&format=json$cont"
+      s"&cmlimit=500&format=json$cont$since"
   }
 
   /** BFS with depth budget. Returns (page_title, found_via_category,
     * depth) rows. */
   def scan(spark: SparkSession, transport: Transport, apiBase: String,
       rootCategory: String, maxDepth: Int, parse: Parser,
-      maxPagesPerCategory: Int = 100): DataFrame = {
+      maxPagesPerCategory: Int = 100,
+      sinceIso: Option[String] = None): DataFrame = {
     import spark.implicits._
     val seenPages = mutable.LinkedHashSet.empty[(String, String, Int)]
     val seenCategories = mutable.Set(rootCategory)
@@ -51,7 +59,8 @@ object WikiCategoryScan {
       var pagesFetched = 0
       var done = false
       while (!done && pagesFetched < maxPagesPerCategory) {
-        val body = transport.get(memberUrl(apiBase, category, cont))
+        val body = transport.get(
+          memberUrl(apiBase, category, cont, sinceIso))
         val page = parse(body)
         pagesFetched += 1
         page.pages.foreach(p => seenPages += ((p, category, depth)))
