@@ -68,6 +68,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!capped.exists(p => p._1 == "d3" || p._2 == "d3"))
   }
 
+  test("minhash LSH: shingle-less docs never pair (round-1 advice " +
+      "regression — a shared sentinel made every short doc a false " +
+      "1.0-similarity pair)") {
+    val s = initSpark()
+    import s.implicits._
+    val docs = Seq(
+      ("s1", "one two"),        // < shingleN words -> no signature
+      ("s2", "three"),          // < shingleN words
+      ("s3", null: String),     // null text
+      ("s4", ""),               // empty text
+      ("d1", "alpha beta gamma delta epsilon"),
+      ("d2", "alpha beta gamma delta zeta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val shortIds = Set("s1", "s2", "s3", "s4")
+    assert(pairs.forall { case (a, b) =>
+      !shortIds(a) && !shortIds(b) }, s"short docs paired: $pairs")
+    assert(pairs.contains(("d1", "d2")))
+  }
+
   test("minhash LSH surfaces the exact-dup pair with est_jaccard 1") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 3, numHashes = 16, bands = 4)
