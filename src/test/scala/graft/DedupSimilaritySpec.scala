@@ -79,7 +79,7 @@ class DedupSimilaritySpec extends SparkSuite {
       ("s3", null: String),     // null text
       ("s4", ""),               // empty text
       ("d1", "alpha beta gamma delta epsilon"),
-      ("d2", "alpha beta gamma delta zeta"))
+      ("d2", "alpha beta gamma delta epsilon")) // exact dup: must pair
       .toDF("doc_id", "text")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4)
