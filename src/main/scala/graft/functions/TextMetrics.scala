@@ -151,6 +151,44 @@ object TextMetrics {
   /** Document fingerprint = md5 of whitespace-normalized lowercase text.
     * Cross-engine stable (md5 is identical in Spark and DuckDB), used for
     * exact dedup at any scale (hash-groupBy distributes evenly). */
+  /** Fraction of lines that are exact duplicates of an earlier line
+    * (Gopher-style repetition filter — boilerplate/nav-menu pages score
+    * high). Single-pass UDF per row (line sets are tiny; see the HOF
+    * lambda trap in ARCHITECTURE). */
+  val duplicateLineFraction: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null) 0.0
+      else {
+        val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+        if (lines.length == 0) 0.0
+        else {
+          val seen = new java.util.HashSet[String]()
+          var dups = 0
+          lines.foreach(l => if (!seen.add(l)) dups += 1)
+          math.rint(dups.toDouble / lines.length * 10000) / 10000
+        }
+      }
+    }
+
+  /** Shannon entropy of the character distribution in bits — extremely
+    * low entropy flags degenerate/repeated-character text, a standard
+    * training-data quality signal. */
+  val charEntropy: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null || text.isEmpty) 0.0
+      else {
+        val counts = new java.util.HashMap[Char, Int]()
+        text.foreach(c => counts.merge(c, 1, Integer.sum))
+        val n = text.length.toDouble
+        var h = 0.0
+        counts.values.forEach { c =>
+          val p = c / n
+          h -= p * math.log(p) / math.log(2)
+        }
+        math.rint(h * 10000) / 10000
+      }
+    }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 }

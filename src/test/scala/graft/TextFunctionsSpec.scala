@@ -131,6 +131,17 @@ class TextFunctionsSpec extends SparkSuite {
       === "proprietary")
   }
 
+  test("duplicateLineFraction and charEntropy quality signals") {
+    assert(one(TextMetrics.duplicateLineFraction(col("text")),
+      "a\nb\na\nb\nc") === 0.4) // 2 of 5 lines repeat
+    assert(one(TextMetrics.duplicateLineFraction(col("text")),
+      "x\ny\nz") === 0.0)
+    assert(one(TextMetrics.charEntropy(col("text")), "aaaa") === 0.0)
+    val h = one(TextMetrics.charEntropy(col("text")), "abcd")
+      .asInstanceOf[Double]
+    assert(h === 2.0) // 4 equiprobable chars = 2 bits
+  }
+
   test("removeUrls drops urls like the reference ANTI_URL_REGEX") {
     // cases ported from the reference's own
     // tests/test_regular_expressions.py (TestAntiUrlRegex)
