@@ -27,6 +27,19 @@ object Dedup {
       .agg(min(col(idCol)).as("representative_id"),
         count(lit(1)).as("dup_count"))
 
+  /** The consuming form of exact dedup: the corpus with one surviving
+    * row per distinct normalized text (smallest id wins — same
+    * representative rule as `exact`). What a training-data pipeline
+    * actually materializes after q20's group census. */
+  def dedupKeepFirst(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    df.withColumn("__fp", TextMetrics.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   /** Distinct word n-gram shingles per document, exploded:
     * (id, shingle). Row-local single-pass UDF: the declarative
     * `transform(sequence(...), i => slice(split(text), ...))`

@@ -25,6 +25,18 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(d.count() === 3)
   }
 
+  test("dedupKeepFirst keeps the smallest-id row per distinct text") {
+    val s = initSpark()
+    import s.implicits._
+    val docs = Seq(
+      ("d3", "same TEXT here"), ("d1", "same text  here"), // ws/case dups
+      ("d2", "unique content"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupKeepFirst(docs, "doc_id", "text")
+      .collect().map(_.getString(0)).sorted
+    assert(kept === Array("d1", "d2"))
+  }
+
   test("shingles emits distinct n-grams, none for too-short docs") {
     val s = initSpark()
     import s.implicits._
