@@ -16,19 +16,43 @@ import graft.functions.TextMetrics
   * FIXTURES.md details keys). */
 object Enrich {
 
+  /** Splice one string-valued key into a JSON document, leaving every
+    * other key's TYPE intact (numbers stay numbers, arrays stay arrays —
+    * a Map[String,String] round-trip would re-quote them as strings).
+    * Jackson tree edit: set/replace the single key, serialize back.
+    * Floats parse as BigDecimal so "1.10" round-trips as 1.10. */
+  private val spliceKey = udf { (details: String, key: String,
+      value: String) =>
+    val mapper = Enrich.mapper
+    val root = mapper.readTree(
+      if (details == null || details.trim.isEmpty) "{}" else details)
+    root match {
+      case obj: com.fasterxml.jackson.databind.node.ObjectNode =>
+        obj.put(key, value); mapper.writeValueAsString(obj)
+      case _ => // non-object details: replace with a fresh object
+        val o = mapper.createObjectNode(); o.put(key, value)
+        mapper.writeValueAsString(o)
+    }
+  }
+
+  @transient private lazy val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .USE_BIG_DECIMAL_FOR_FLOATS)
+    m.configure(com.fasterxml.jackson.databind.cfg.JsonNodeFeature
+      .STRIP_TRAILING_BIGDECIMAL_ZEROES, false)
+    m
+  }
+
   /** Set `key` inside the `details` JSON-string column to `value`
-    * (stringified) when missing — or always, when strict. */
+    * (stringified) when missing — or always, when strict. Unrelated
+    * keys are never rewritten (ADVICE r2: the old MapType(String,String)
+    * round-trip re-encoded e.g. external_sdg [1,2] as "[1,2]"). */
   def withDetailsKey(df: DataFrame, detailsCol: String, key: String,
       value: Column, strict: Boolean = false): DataFrame = {
     val details = coalesce(col(detailsCol), lit("{}"))
     val present = get_json_object(details, s"$$.$key").isNotNull
-    val parsed = from_json(details, org.apache.spark.sql.types.MapType(
-      org.apache.spark.sql.types.StringType,
-      org.apache.spark.sql.types.StringType))
-    // drop any existing entry first: map_concat rejects duplicate keys
-    val updated = to_json(map_concat(
-      map_filter(parsed, (k, _) => k =!= key),
-      map(lit(key), value.cast("string"))))
+    val updated = spliceKey(details, lit(key), value.cast("string"))
     df.withColumn(detailsCol,
       if (strict) updated
       else when(present, details).otherwise(updated))

@@ -82,10 +82,10 @@ object Multimodal {
     * the target dims so tests can assert the transform ran. */
   def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte]((w * h) % 4096 + 16)
-    if (payload != null) {
+    if (payload != null && payload.length > 0) {
       var i = 0
       while (i < out.length) {
-        out(i) = payload(i % math.max(payload.length, 1))
+        out(i) = payload(i % payload.length)
         i += 1
       }
     }

@@ -38,10 +38,14 @@ object ProductQuantizer {
   def train(corpus: DataFrame, vecCol: String, m: Int, k: Int,
       sampleStride: Int, iters: Int = 5, idCol: String = "vec_id",
       maxSample: Int = 10000): PqModel = {
+    // orderBy before limit: a bare limit takes rows from whichever
+    // partitions finish first, so codebooks would vary run-to-run. The
+    // stride filter keeps the sort input small (ADVICE r2).
     val sample = corpus
       .where(pmod(col(idCol), lit(sampleStride)) === 0)
-      .select(col(vecCol)).limit(maxSample)
-      .collect().map(_.getSeq[Float](0).toArray)
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(maxSample)
+      .collect().map(_.getSeq[Float](1).toArray)
     require(sample.nonEmpty, "empty training sample")
     val d = sample.head.length
     require(d % m == 0, s"m=$m must divide dim=$d")

@@ -55,18 +55,25 @@ object Similarity {
     corpus.where(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
 
-  /** Deterministic Lloyd refinement of the stride-sampled centroids:
-    * fixed iteration count, cosine assignment (map-side, zero-shuffle),
-    * mean recompute as one groupBy per iteration. Each Spark job is
-    * bounded: iters x (scan + one shuffle on centroid_id). Empty
-    * clusters keep their previous centroid (stable ids). Better-fitting
-    * centroids raise IVF recall at the same nProbe (pinned by
-    * ApproxQualitySpec). */
+  /** Lloyd refinement of the stride-sampled centroids: fixed iteration
+    * count, cosine assignment (map-side, zero-shuffle), mean recompute
+    * as one groupBy per iteration. Each Spark job is bounded: iters x
+    * (scan + one shuffle on centroid_id). Empty clusters keep their
+    * previous centroid (stable ids). The structure (sample, assignment,
+    * iteration count) is deterministic, but avg() accumulates floats in
+    * shuffle-partition order, so refined centroids are reproducible only
+    * to float tolerance, not bitwise (ADVICE r2) — queries that need
+    * hash-stable output should use the unrefined sampleCentroids tier.
+    * Better-fitting centroids raise IVF recall at the same nProbe
+    * (pinned by ApproxQualitySpec). */
   def kMeansCentroids(corpus: DataFrame, stride: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     var cents = collectCentroids(
       sampleCentroids(corpus, stride, idCol, vecCol))
+    require(cents.nonEmpty,
+      s"kMeansCentroids: no centroids sampled — corpus is empty or no " +
+        s"$idCol is divisible by stride=$stride")
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
     (0 until iters).foreach { _ =>
       val assigned = corpus.withColumn("centroid_id",

@@ -115,15 +115,18 @@ object Xml {
   * closed-access books emit nothing). */
 object Mets {
 
-  /** The reference's AUTHORIZED_LICENSES url list (constants.py:169-185),
-    * lowercase. */
-  val authorizedLicenseUrls: Seq[String] = for {
-    scheme <- Seq("http", "https")
-    path <- Seq("licenses/by/3.0/", "licenses/by/4.0/",
+  /** The reference's AUTHORIZED_LICENSES url list, enumerated literally
+    * (constants.py:168-184): 15 entries — by/3.0/igo/ exists https-only,
+    * so it is NOT a scheme x path cross product (ADVICE r2). */
+  val authorizedLicenseUrls: Seq[String] = {
+    val httpPaths = Seq("licenses/by/3.0/", "licenses/by/4.0/",
       "licenses/by-sa/4.0/", "licenses/by-sa/3.0/",
-      "licenses/by-sa/3.0/igo/", "licenses/by/3.0/igo/",
+      "licenses/by-sa/3.0/igo/",
       "publicdomain/zero/1.0/", "publicdomain/mark/1.0/")
-  } yield s"$scheme://creativecommons.org/$path"
+    val httpsPaths = httpPaths :+ "licenses/by/3.0/igo/"
+    httpPaths.map(p => s"http://creativecommons.org/$p") ++
+      httpsPaths.map(p => s"https://creativecommons.org/$p")
+  }
 
   /** Per-dmdSec structs: (dmd_type, rights, access_rights, url). */
   def dmdStructs(xml: Column): Column =
