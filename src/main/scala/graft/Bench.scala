@@ -10,6 +10,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // 63 queries x several codegen stages each blow through the
+      // default 100-entry Janino class cache, so the warm-up pass's
+      // compiled classes are evicted before the measured pass reaches
+      // them (q21 re-paid ~6s of compilation in round 2's bench)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up pass at the smallest scale factor: identical plans compile
