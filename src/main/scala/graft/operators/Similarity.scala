@@ -13,10 +13,10 @@ import graft.expr.VectorOps.cosineF32
   *  - bruteForceTopK: exact; broadcast the (small) query set and scan the
   *    corpus once — at 100 TB the corpus side stays partitioned and is
   *    read exactly once, no shuffle of the big side.
-  *  - ivfTopK: IVF-style — centroid assignment happens MAP-SIDE (the
-  *    small centroid set is inlined into a codegen'd argmax expression,
-  *    no crossJoin/window shuffle); queries probe only nProbe buckets,
-  *    so the pair join touches a pruned slice of the corpus.
+  *  - ivfTopK: IVF-style — centroid assignment happens MAP-SIDE (one
+  *    tight-loop pass per row against the closure-captured centroid
+  *    matrix, no crossJoin/window shuffle); queries probe only nProbe
+  *    buckets, so the pair join touches a pruned slice of the corpus.
   *  - hyperplane LSH signature (used by Dedup.embeddingNearDupPairs) for
   *    bucketed pair generation.
   *
@@ -77,7 +77,7 @@ object Similarity {
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
     (0 until iters).foreach { _ =>
       val assigned = corpus.withColumn("centroid_id",
-        array_max(centroidStructs(col(vecCol), cents)).getField("cid"))
+        nearestUdf(cents)(col(vecCol)))
       val meanCols = (0 until dim).map(i =>
         avg(element_at(col(vecCol), i + 1)).as(s"m$i"))
       val means = assigned.groupBy("centroid_id")
@@ -112,24 +112,75 @@ object Similarity {
     ivfTopKWith(corpus, queries, k, nProbe, cents, idCol, vecCol)
   }
 
-  /** Inline the (small) centroid set into a per-row scored-struct array:
-    * struct(score, -id, id) so array_max/sort_array break ties toward the
-    * smaller centroid id. Pure codegen'd expression — assignment costs
-    * zero shuffles. Suitable up to a few thousand centroids (beyond that,
-    * switch to a broadcast join + max_by aggregation). */
-  private def centroidStructs(vec: Column,
-      cents: Array[(Long, Seq[Float])]): Column =
-    array(cents.map { case (cid, cvec) =>
-      struct(cosineF32(vec, typedlit(cvec)).as("s"),
-        lit(-cid).as("negid"), lit(cid).as("cid"))
-    }: _*)
+  /** One-JVM-pass centroid scoring against a closure-captured matrix.
+    * The earlier formulation inlined the centroid set as an
+    * array(struct(cosine, -id, id)) expression — its codegen arity grew
+    * with the centroid count (compile cost, and per-row giant-method
+    * eval), while this loop is a tiny closure whose cost is the raw
+    * flops. Same numerics as CosineSimF32 (double accumulation in index
+    * order; zero-norm => score 0) and the same tie-break (equal score =>
+    * smaller centroid id). Centroid sets up to ~1e4 x dim ride the task
+    * closure; beyond that, switch to a broadcast join + max_by. */
+  private class CentroidScorer(cents: Array[(Long, Seq[Float])])
+      extends Serializable {
+    private val ids: Array[Long] = cents.map(_._1)
+    private val mat: Array[Array[Float]] = cents.map(_._2.toArray)
+    private val norms: Array[Double] = mat.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { val v = c(i).toDouble; acc += v * v; i += 1 }
+      math.sqrt(acc)
+    }
+
+    private def scoreAll(vec: Seq[Float]): Array[Double] = {
+      val v = vec.toArray
+      var nv = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i).toDouble; nv += x * x; i += 1 }
+      val vnorm = math.sqrt(nv)
+      Array.tabulate(ids.length) { c =>
+        val cv = mat(c)
+        val n = math.min(v.length, cv.length)
+        var dot = 0.0; var j = 0
+        while (j < n) { dot += v(j).toDouble * cv(j).toDouble; j += 1 }
+        val denom = vnorm * norms(c)
+        if (denom == 0.0) 0.0 else dot / denom
+      }
+    }
+
+    def nearest(vec: Seq[Float]): Long = {
+      val s = scoreAll(vec)
+      var best = 0; var c = 1
+      while (c < s.length) {
+        if (s(c) > s(best) ||
+          (s(c) == s(best) && ids(c) < ids(best))) best = c
+        c += 1
+      }
+      ids(best)
+    }
+
+    /** Top-`nProbe` centroid ids, score desc then id asc. */
+    def probes(vec: Seq[Float], nProbe: Int): Array[Long] = {
+      val s = scoreAll(vec)
+      val order = Array.range(0, s.length).sortBy(c => (-s(c), ids(c)))
+      order.take(nProbe).map(ids(_))
+    }
+  }
+
+  private def nearestUdf(cents: Array[(Long, Seq[Float])]) = {
+    val scorer = new CentroidScorer(cents)
+    udf { (vec: Seq[Float]) => scorer.nearest(vec) }
+  }
+
+  private def probesUdf(cents: Array[(Long, Seq[Float])], nProbe: Int) = {
+    val scorer = new CentroidScorer(cents)
+    udf { (vec: Seq[Float]) => scorer.probes(vec, nProbe) }
+  }
 
   /** Assign each corpus vector to its nearest centroid, map-side. */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = collectCentroids(centroids)
-    corpus.withColumn("centroid_id",
-      array_max(centroidStructs(col(vecCol), cents)).getField("cid"))
+    corpus.withColumn("centroid_id", nearestUdf(cents)(col(vecCol)))
   }
 
   private def collectCentroids(centroids: DataFrame)
@@ -153,19 +204,14 @@ object Similarity {
       nProbe: Int, cents: Array[(Long, Seq[Float])], idCol: String,
       vecCol: String): DataFrame = {
     val assigned = corpus
-      .withColumn("centroid_id",
-        array_max(centroidStructs(col(vecCol), cents)).getField("cid"))
+      .withColumn("centroid_id", nearestUdf(cents)(col(vecCol)))
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         col("centroid_id"))
-    // nProbe nearest centroids per query: sort the same scored-struct
-    // array descending, slice, project ids — still map-side
-    val probeIds = transform(
-      slice(reverse(array_sort(centroidStructs(col("q_vec"), cents))),
-        1, nProbe),
-      s => s.getField("cid"))
+    // nProbe nearest centroids per query — still map-side
     val probes = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("centroid_id", explode(probeIds))
+      .withColumn("centroid_id",
+        explode(probesUdf(cents, nProbe)(col("q_vec"))))
     val scored = probes.join(assigned, "centroid_id")
       .where(col("c_id") =!= col("q_id"))
       .withColumn("score", cosineF32(col("q_vec"), col("c_vec")))
@@ -184,25 +230,45 @@ object Similarity {
     * the higher-order-function formulation (zip_with + aggregate per
     * plane) paid interpreted per-element overhead x planes x join sides
     * (see ARCHITECTURE "HOF lambda trap"). */
-  private def hyperplaneUdf(planes: Int) =
-    org.apache.spark.sql.functions.udf { (vec: Seq[Float]) =>
+  private class HyperplaneSigner(planes: Int) extends Serializable {
+    // sign matrix built lazily from the first row's dim (and regrown if
+    // dims vary): the murmur-per-(plane,dim) derivation runs once per
+    // task instead of once per row x element
+    @transient private var signs: Array[Array[Double]] = _
+
+    private def signsFor(n: Int): Array[Array[Double]] = {
+      if (signs == null || signs(0).length < n)
+        signs = Array.tabulate(planes)(p => Array.tabulate(n) { i =>
+          val h = scala.util.hashing.MurmurHash3
+            .productHash((p, i), 0x9e3779b9)
+          if ((h & 1) == 0) 1.0 else -1.0
+        })
+      signs
+    }
+
+    def sign(vec: Seq[Float]): Long = {
+      val v = vec.toArray
+      val s = signsFor(v.length)
       var sig = 0L
       var p = 0
       while (p < planes) {
+        val sp = s(p)
         var dotp = 0.0
         var i = 0
-        val n = vec.length
-        while (i < n) {
-          val h = scala.util.hashing.MurmurHash3
-            .productHash((p, i), 0x9e3779b9)
-          dotp += vec(i).toDouble * (if ((h & 1) == 0) 1.0 else -1.0)
-          i += 1
-        }
+        while (i < v.length) { dotp += v(i).toDouble * sp(i); i += 1 }
         if (dotp >= 0) sig |= (1L << p)
         p += 1
       }
       sig
     }
+  }
+
+  private def hyperplaneUdf(planes: Int) = {
+    val signer = new HyperplaneSigner(planes)
+    org.apache.spark.sql.functions.udf { (vec: Seq[Float]) =>
+      signer.sign(vec)
+    }
+  }
 
   def hyperplaneSignature(vec: Column, planes: Int): Column =
     hyperplaneUdf(planes)(vec)
