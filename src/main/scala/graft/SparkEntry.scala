@@ -28,6 +28,16 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Fan a thin scan out to all cores before a CPU-heavy per-row stage
+    * (chunking, embedding, MMR, shingling). The testdata parquet is one
+    * row group per table, so the scan itself is a single task; without
+    * this the per-doc UDF work runs single-threaded. Same discipline as
+    * the reference's Argo pod fan-out (SURVEY R6, repartition(15)) — the
+    * shuffled payload is the raw text, tiny next to the compute it
+    * unlocks. Round-robin keeps sizes even regardless of key skew. */
+  private def fan(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sessionState.conf.numShufflePartitions)
+
   /** Floor seconds from the nanos-long `ts` column. DIV = integer
     * division — double division would lose ns precision at 1e18. */
   private val tsSec: Column = expr("ts DIV 1000000000")
@@ -227,14 +237,14 @@ object SparkEntry {
 
     // ---- MinHash+LSH near-dup (rows-only: no cross-engine xxhash64) ----
     "q22_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashLshPairs(fan(s, t(s, dir, "documents")), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4)
     }),
 
     // ---- SimHash near-dup (rows-only): 8x8-bit banding gives COMPLETE
     // recall at hamming<=7 (pigeonhole) — radius matches the guarantee ----
     "q23_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashPairs(fan(s, t(s, dir, "documents")), "doc_id", "text",
         maxHamming = 7)
     }),
 
@@ -377,7 +387,7 @@ object SparkEntry {
     // ---- Chunk + embed + byte-codec (SURVEY M1/M2/F33/W3; rows-only:
     // the chunker/embedder are engine-defined, no SQL equivalent) ----
     "q38_chunk_embed" -> ((s, dir) => {
-      t(s, dir, "documents")
+      fan(s, t(s, dir, "documents"))
         .select(col("doc_id"),
           posexplode(graft.ml.Chunker.slices(col("text"), 32))
             .as(Seq("order_sequence", "body")))
@@ -390,7 +400,7 @@ object SparkEntry {
 
     // ---- Keyword extraction w/ MMR (SURVEY M6; rows-only) ----
     "q39_keywords" -> ((s, dir) => {
-      t(s, dir, "documents")
+      fan(s, t(s, dir, "documents"))
         .select(col("doc_id"),
           explode(graft.ml.Keywords.extract(col("text"), 64, topN = 5))
             .as("kw"))
@@ -434,7 +444,7 @@ object SparkEntry {
     // it can't demonstrate the operator; document texts share vocabulary
     // and yield real near-dup structure. ----
     "q44_embedding_neardup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = fan(s, t(s, dir, "documents"))
         .select(col("doc_id"),
           graft.ml.StubEmbedder.embedding(col("text"), 64).as("emb"))
       graft.operators.Dedup.embeddingNearDupPairs(

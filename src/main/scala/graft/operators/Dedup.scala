@@ -85,6 +85,47 @@ object Dedup {
       out
     }
 
+  /** One-pass pair emitter over a per-shingle member list, with the
+    * size-compatibility prune (J <= min(sz)/max(sz)) applied inline.
+    * The declarative nested-transform/slice formulation was interpreted
+    * per element (HOF lambdas get no codegen) and copied an array slice
+    * per outer element — O(d^2) boxed copies per shingle group. Java-UDF
+    * form keeps the member id type generic (works for long or string
+    * ids). Members arrive sorted (sort_array upstream), so emitted pairs
+    * keep id_a < id_b. */
+  private def pairEmitUdf(idType: org.apache.spark.sql.types.DataType,
+      threshold: Double) = {
+    import org.apache.spark.sql.types._
+    val out = ArrayType(StructType(Seq(
+      StructField("id_a", idType), StructField("sz_a", IntegerType),
+      StructField("id_b", idType), StructField("sz_b", IntegerType))))
+    org.apache.spark.sql.functions.udf(
+      new org.apache.spark.sql.api.java.UDF1[scala.collection.Seq[
+        org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row]] {
+        override def call(ms: scala.collection.Seq[
+            org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] = {
+          val m = ms.length
+          val buf = new scala.collection.mutable.ArrayBuffer[
+            org.apache.spark.sql.Row]()
+          var i = 0
+          while (i < m) {
+            val a = ms(i); val szA = a.getInt(1)
+            var j = i + 1
+            while (j < m) {
+              val b = ms(j); val szB = b.getInt(1)
+              val lo = math.min(szA, szB); val hi = math.max(szA, szB)
+              if (lo >= hi * threshold)
+                buf += org.apache.spark.sql.Row(
+                  a.get(0), szA, b.get(0), szB)
+              j += 1
+            }
+            i += 1
+          }
+          buf.toArray
+        }
+      }, out)
+  }
+
   /** n-gram Jaccard near-dup pairs above `threshold`. Exact (no hashing
     * approximation): per-shingle doc-id lists → pair explosion →
     * per-pair intersection count → Jaccard from set sizes. Only docs
@@ -117,19 +158,10 @@ object Dedup {
     // per-shingle aggregate into few partitions, which would serialize
     // the (large) exploded pair stream through one task
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val pairs = byShingle.repartition(parts).select(explode(flatten(
-      transform(col("ms"), (a, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))),
-          b => struct(a.getField("id").as("id_a"),
-            a.getField("sz").as("sz_a"),
-            b.getField("id").as("id_b"),
-            b.getField("sz").as("sz_b")))))).as("p"))
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    val pairs = byShingle.repartition(parts)
+      .select(explode(pairEmitUdf(idType, threshold)(col("ms"))).as("p"))
       .select(col("p.*"))
-      // size-compatibility prune: J <= min(sz)/max(sz), so a pair can
-      // only clear `threshold` if the smaller set is at least t x the
-      // larger — drops hopeless pairs BEFORE the count shuffle
-      .where(least(col("sz_a"), col("sz_b")) >=
-        greatest(col("sz_a"), col("sz_b")) * threshold)
     val inter = pairs.groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
     inter
@@ -163,22 +195,16 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("h"))))
       .where(col("df_count") <= maxDocFreq)
     val sized = kept.withColumn("sz",
-      count(lit(1)).over(Window.partitionBy(col("id"))))
+      count(lit(1)).over(Window.partitionBy(col("id"))).cast("int"))
     val byShingle = sized.groupBy("h")
       .agg(sort_array(collect_list(struct(col("id"), col("sz"))))
         .as("ms"))
       .where(size(col("ms")) > 1)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val pairs = byShingle.repartition(parts).select(explode(flatten(
-      transform(col("ms"), (a, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))),
-          b => struct(a.getField("id").as("id_a"),
-            a.getField("sz").as("sz_a"),
-            b.getField("id").as("id_b"),
-            b.getField("sz").as("sz_b")))))).as("p"))
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    val pairs = byShingle.repartition(parts)
+      .select(explode(pairEmitUdf(idType, threshold)(col("ms"))).as("p"))
       .select(col("p.*"))
-      .where(least(col("sz_a"), col("sz_b")) >=
-        greatest(col("sz_a"), col("sz_b")) * threshold)
     pairs.groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") /
