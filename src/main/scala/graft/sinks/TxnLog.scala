@@ -1,0 +1,288 @@
+package graft.sinks
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal transaction-log table format ("graft log") giving the
+  * reference's delete-then-insert sinks (SURVEY S18/R9) snapshot
+  * isolation and atomic commits — the semantics Delta Lake's _delta_log
+  * provides, built from first principles on plain parquet + JSON:
+  *
+  *  - A table is a directory: `data/` holds immutable parquet files,
+  *    `_graft_log/` holds numbered commit files `v<20-digit>.json`.
+  *  - Each commit lists `add` entries (path, rows, min/max of the merge
+  *    key) and `remove` paths. A snapshot at version V = replay of all
+  *    commits <= V. Readers NEVER list `data/` — the log is the source
+  *    of truth, so a reader pinned to V is isolated from concurrent
+  *    writers (files are immutable, removes are logical).
+  *  - Commit atomicity: write to a temp file, then hard-link-claim the
+  *    next version number (createLink fails atomically when the version
+  *    exists). If the claim fails, another writer won — re-read the log
+  *    and retry (optimistic concurrency). A crash before the claim
+  *    leaves only unreferenced temp/data files; the table is never
+  *    half-committed.
+  *  - `replaceByKey` prunes by the per-file [min,max] key-range stats in
+  *    the log: files whose range cannot contain a replaced key are kept
+  *    verbatim (no read, no rewrite). At 100 TB this file-skipping is
+  *    the difference between a merge touching gigabytes and one touching
+  *    the whole table; with keys clustered by write batch (typical for
+  *    per-document pipelines) most files prune away.
+  *
+  * Stats keys are compared on the STRING form of the merge key — range
+  * pruning therefore needs a prefix-comparable rendering; numeric keys
+  * are zero-padded to 20 chars so lexicographic order matches numeric
+  * order. Correctness never depends on pruning (a kept file by
+  * definition holds no replaced key).
+  */
+object TxnLog {
+
+  case class AddFile(path: String, rows: Long, minKey: String,
+      maxKey: String)
+  case class Commit(version: Long, add: Seq[AddFile], remove: Seq[String])
+
+  private def logDir(tableDir: String) = new File(tableDir, "_graft_log")
+  private def dataDir(tableDir: String) = new File(tableDir, "data")
+
+  private def versionFile(tableDir: String, v: Long): File =
+    new File(logDir(tableDir), f"v$v%020d.json")
+
+  /** Render a key value so lexicographic compare matches the key's
+    * native order (numbers zero-padded; negatives get a '-' prefix block
+    * that sorts before all non-negatives). Only integral and string keys
+    * have an order-preserving rendering — for any other type the file
+    * range degrades to "always overlaps" (WideMin/WideMax) so pruning
+    * stays conservative and correctness never depends on it. */
+  private[graft] val WideMin = ""
+  private[graft] val WideMax = "￿"
+
+  private[graft] def statKey(v: Any): String = v match {
+    case null => WideMin
+    case n: Long => if (n < 0) f"-${n + Long.MaxValue + 1}%019d"
+      else f"0$n%019d"
+    case n: Int => statKey(n.toLong)
+    case n: Short => statKey(n.toLong)
+    case n: Byte => statKey(n.toLong)
+    case s: String => s
+    case _ => WideMin // paired with WideMax by the caller: never prunes
+  }
+
+  private def statable(v: Any): Boolean = v match {
+    case null => false
+    case _: Long | _: Int | _: Short | _: Byte | _: String => true
+    case _ => false
+  }
+
+  // -- log serialization (hand-rolled JSON lines: no schema evolution
+  // -- needed for 4 fields, and no extra deps) --
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def renderCommit(c: Commit): String = {
+    val adds = c.add.map(a =>
+      s"""{"add":{"path":"${esc(a.path)}","rows":${a.rows},""" +
+        s""""min":"${esc(a.minKey)}","max":"${esc(a.maxKey)}"}}""")
+    val removes = c.remove.map(r => s"""{"remove":"${esc(r)}"}""")
+    (adds ++ removes).mkString("\n")
+  }
+
+  private val AddRe =
+    """\{"add":\{"path":"(.*?)","rows":(\d+),"min":"(.*?)","max":"(.*?)"\}\}""".r
+  private val RemoveRe = """\{"remove":"(.*?)"\}""".r
+
+  private def parseCommit(version: Long, text: String): Commit = {
+    val adds = mutable.ArrayBuffer.empty[AddFile]
+    val removes = mutable.ArrayBuffer.empty[String]
+    text.split("\n").filter(_.nonEmpty).foreach {
+      case AddRe(p, n, mn, mx) => adds += AddFile(p, n.toLong, mn, mx)
+      case RemoveRe(p) => removes += p
+      case other => throw new IllegalStateException(
+        s"corrupt log line in v$version: $other")
+    }
+    Commit(version, adds.toSeq, removes.toSeq)
+  }
+
+  /** All committed versions, ascending. */
+  def versions(tableDir: String): Seq[Long] = {
+    val ld = logDir(tableDir)
+    if (!ld.exists()) Seq.empty
+    else ld.listFiles((_, name) => name.matches("v\\d{20}\\.json"))
+      .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted.toSeq
+  }
+
+  def latestVersion(tableDir: String): Option[Long] =
+    versions(tableDir).lastOption
+
+  /** Active files at `asOf` (defaults to latest): replay the log. */
+  def snapshot(tableDir: String, asOf: Option[Long] = None): Seq[AddFile] = {
+    val vs = versions(tableDir)
+    val upTo = asOf.map(v => vs.filter(_ <= v)).getOrElse(vs)
+    val active = mutable.LinkedHashMap.empty[String, AddFile]
+    upTo.foreach { v =>
+      val text = new String(Files.readAllBytes(
+        versionFile(tableDir, v).toPath), StandardCharsets.UTF_8)
+      val c = parseCommit(v, text)
+      c.remove.foreach(active.remove)
+      c.add.foreach(a => active(a.path) = a)
+    }
+    active.values.toSeq
+  }
+
+  /** Read the table (optionally as of an old version — time travel).
+    * An empty snapshot needs a schema-less empty frame: caller supplies
+    * nothing; we return None so the caller distinguishes "no table". */
+  def read(spark: SparkSession, tableDir: String,
+      asOf: Option[Long] = None): Option[DataFrame] = {
+    val files = snapshot(tableDir, asOf)
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(
+      files.map(f => s"$tableDir/data/${f.path}"): _*))
+  }
+
+  /** Atomically commit; returns the committed version. Retries on
+    * version collision (another writer committed first). `validate` is
+    * re-run against the fresh log state on every attempt so conflicting
+    * concurrent merges can abort instead of clobbering. */
+  def commit(tableDir: String, add: Seq[AddFile], remove: Seq[String],
+      validate: Seq[AddFile] => Unit = _ => ()): Long = {
+    logDir(tableDir).mkdirs()
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > 50) throw new IllegalStateException(
+        "txn commit: 50 consecutive version collisions")
+      validate(snapshot(tableDir))
+      val next = latestVersion(tableDir).getOrElse(-1L) + 1
+      val tmp = Files.createTempFile(logDir(tableDir).toPath,
+        ".commit", ".tmp")
+      Files.write(tmp,
+        renderCommit(Commit(next, add, remove))
+          .getBytes(StandardCharsets.UTF_8))
+      val target = versionFile(tableDir, next).toPath
+      try {
+        // hard-link claim: createLink fails atomically (EEXIST) when the
+        // target version exists. A rename/ATOMIC_MOVE would NOT — POSIX
+        // rename() silently replaces the target, which would let two
+        // racing writers clobber each other's commit.
+        Files.createLink(target, tmp)
+        Files.deleteIfExists(tmp)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // lost the race; retry
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Write `df` as new immutable data files; returns their AddFile
+    * entries (with key-range stats) without committing them. */
+  private def writeDataFiles(spark: SparkSession, tableDir: String,
+      df: DataFrame, key: String): Seq[AddFile] = {
+    val batchId = java.util.UUID.randomUUID().toString.take(8)
+    val out = new File(dataDir(tableDir), s"batch-$batchId")
+    df.write.parquet(out.getAbsolutePath)
+    val parts = out.listFiles((_, n) => n.endsWith(".parquet")).toSeq
+    parts.map { p =>
+      val rel = s"batch-$batchId/${p.getName}"
+      val stats = spark.read.parquet(p.getAbsolutePath)
+        .agg(count(lit(1)), min(col(key)), max(col(key))).head()
+      if (statable(stats.get(1)) && statable(stats.get(2)))
+        AddFile(rel, stats.getLong(0),
+          statKey(stats.get(1)), statKey(stats.get(2)))
+      else AddFile(rel, stats.getLong(0), WideMin, WideMax)
+    }
+  }
+
+  /** Append `df` to the table (creates it if absent). */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+      key: String): Long = {
+    val adds = writeDataFiles(spark, tableDir, df, key)
+    commit(tableDir, adds, Seq.empty)
+  }
+
+  /** S18 delete-then-insert with snapshot isolation: replace every row
+    * whose `key` appears in `replacement`. Files whose [min,max] key
+    * range cannot contain a replaced key are kept without being read.
+    * Readers at older versions are untouched (removes are logical). */
+  def replaceByKey(spark: SparkSession, tableDir: String,
+      replacement: DataFrame, key: String): Long = {
+    if (latestVersion(tableDir).isEmpty)
+      return append(spark, tableDir, replacement, key)
+
+    val repKeys = replacement.select(key).distinct()
+    val keyStats = repKeys.agg(min(col(key)), max(col(key))).head()
+    val (repMin, repMax) =
+      if (statable(keyStats.get(0)) && statable(keyStats.get(1)))
+        (statKey(keyStats.get(0)), statKey(keyStats.get(1)))
+      else (WideMin, WideMax)
+
+    val current = snapshot(tableDir)
+    // prune: a file overlaps only if its range intersects the
+    // replacement's [min,max] envelope; wide (stat-less) ranges on
+    // either side always overlap — conservative, never skips a file
+    // that could hold a replaced key
+    def wide(lo: String, hi: String) = lo == WideMin && hi == WideMax
+    val touched = current.filter(f =>
+      wide(f.minKey, f.maxKey) || wide(repMin, repMax) ||
+        (f.maxKey >= repMin && f.minKey <= repMax))
+    val survivors =
+      if (touched.isEmpty) None
+      else {
+        val touchedDf = spark.read.parquet(
+          touched.map(f => s"$tableDir/data/${f.path}"): _*)
+        val kept = touchedDf.join(repKeys, Seq(key), "left_anti")
+        Some(kept)
+      }
+    val newAdds =
+      survivors.map(s => writeDataFiles(spark, tableDir, s, key))
+        .getOrElse(Seq.empty) ++
+        writeDataFiles(spark, tableDir, replacement, key)
+    val removed = touched.map(_.path)
+    // conflict rule: abort if a concurrent commit removed one of the
+    // files this merge read (its survivors were computed from a stale
+    // snapshot)
+    commit(tableDir, newAdds, removed, validate = fresh => {
+      val freshPaths = fresh.map(_.path).toSet
+      val missing = removed.filterNot(freshPaths.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"txn conflict: files ${missing.mkString(",")} were replaced " +
+          "by a concurrent commit")
+    })
+  }
+
+  /** Physically delete data files no longer referenced by ANY log
+    * version at or after `retainVersions` back from latest. With the
+    * default 0, everything unreferenced by the LATEST snapshot goes —
+    * callers that want time travel keep more. Returns deleted count. */
+  def vacuum(tableDir: String, retainVersions: Int = 0): Int = {
+    val vs = versions(tableDir)
+    if (vs.isEmpty) return 0
+    val keepFrom = vs.drop(math.max(0, vs.length - 1 - retainVersions)).head
+    val referenced = vs.filter(_ >= keepFrom)
+      .flatMap(v => snapshot(tableDir, Some(v)).map(_.path)).toSet
+    val dd = dataDir(tableDir)
+    if (!dd.exists()) return 0
+    var deleted = 0
+    dd.listFiles().foreach { batch =>
+      if (batch.isDirectory) {
+        batch.listFiles().foreach { f =>
+          val rel = s"${batch.getName}/${f.getName}"
+          if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) {
+            if (f.delete()) deleted += 1
+          }
+        }
+        if (batch.listFiles().forall(f => !f.getName.endsWith(".parquet")))
+          org.apache.commons.io.FileUtils.deleteQuietly(batch)
+      }
+    }
+    deleted
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{Merge, TxnLog}
+
+/** Transaction-log table format: snapshot isolation + atomic commits for
+  * the reference's delete-then-insert sinks (SURVEY S18/R9). */
+class TxnLogSpec extends SparkSuite {
+
+  private def tmpTable(): String = {
+    val d = Files.createTempDirectory("txnlog").toFile
+    d.deleteOnExit()
+    new File(d, "t").getAbsolutePath
+  }
+
+  test("append then read round-trips; versions advance") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    val v0 = TxnLog.append(s, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
+    val v1 = TxnLog.append(s, dir, Seq((3L, "c")).toDF("id", "v"), "id")
+    assert(v0 === 0L && v1 === 1L)
+    val rows = TxnLog.read(s, dir).get.orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(TxnLog.read(s, "/nonexistent/table").isEmpty)
+  }
+
+  test("replaceByKey matches the pure replaceByKeyDf semantics") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    val repl = Seq((2L, "B1"), (2L, "B2"), (5L, "E")).toDF("id", "v")
+    TxnLog.append(s, dir, base, "id")
+    TxnLog.replaceByKey(s, dir, repl, "id")
+    val got = TxnLog.read(s, dir).get.orderBy("id", "v")
+      .as[(Long, String)].collect().toSeq
+    val oracle = Merge.replaceByKeyDf(base, repl, "id")
+      .orderBy("id", "v").as[(Long, String)].collect().toSeq
+    assert(got === oracle)
+    assert(got === Seq((1L, "a"), (2L, "B1"), (2L, "B2"), (3L, "c"),
+      (4L, "d"), (5L, "E")))
+  }
+
+  test("key-range stats prune disjoint files: untouched files survive " +
+      "byte-identical (never read, never rewritten)") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    // two appends with disjoint id ranges -> separate files with
+    // separate [min,max] stats
+    TxnLog.append(s, dir,
+      (1L to 100L).map(i => (i, s"low$i")).toDF("id", "v")
+        .coalesce(1), "id")
+    TxnLog.append(s, dir,
+      (1000L to 1100L).map(i => (i, s"high$i")).toDF("id", "v")
+        .coalesce(1), "id")
+    val before = TxnLog.snapshot(dir).map(_.path).toSet
+    // replacement hits only the low range
+    TxnLog.replaceByKey(s, dir,
+      Seq((50L, "LOW50")).toDF("id", "v"), "id")
+    val after = TxnLog.snapshot(dir).map(_.path).toSet
+    val lowFiles = before.filterNot(after.contains)
+    val keptFiles = before.intersect(after)
+    assert(lowFiles.nonEmpty, "low-range file must be rewritten")
+    assert(keptFiles.nonEmpty, "high-range file must be kept verbatim")
+    // and the data is right
+    val d = TxnLog.read(s, dir).get
+    assert(d.where(col("id") === 50L).select("v").head().getString(0)
+      === "LOW50")
+    assert(d.count() === 201L)
+  }
+
+  test("time travel: old versions keep reading the pre-merge state") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    val v0 = TxnLog.append(s, dir, Seq((1L, "old")).toDF("id", "v"), "id")
+    TxnLog.replaceByKey(s, dir, Seq((1L, "new")).toDF("id", "v"), "id")
+    assert(TxnLog.read(s, dir, asOf = Some(v0)).get
+      .select("v").head().getString(0) === "old")
+    assert(TxnLog.read(s, dir).get
+      .select("v").head().getString(0) === "new")
+  }
+
+  test("a stray temp file (crash before rename) does not corrupt the " +
+      "table; a corrupt committed line does fail loudly") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    TxnLog.append(s, dir, Seq((1L, "a")).toDF("id", "v"), "id")
+    // crash simulation: temp commit file left behind
+    Files.write(new File(dir, "_graft_log/.commit-orphan.tmp").toPath,
+      "{\"add\":{}}".getBytes)
+    assert(TxnLog.read(s, dir).get.count() === 1L)
+    // corruption of a COMMITTED version must not be silently skipped
+    Files.write(new File(dir, f"_graft_log/v${1L}%020d.json").toPath,
+      "garbage".getBytes)
+    intercept[IllegalStateException] { TxnLog.snapshot(dir) }
+  }
+
+  test("conflict: merge aborts when a concurrent commit replaced a file " +
+      "it read") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    TxnLog.append(s, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
+    val stale = TxnLog.snapshot(dir)
+    // concurrent writer replaces key 1 (removes the original file)
+    TxnLog.replaceByKey(s, dir, Seq((1L, "A2")).toDF("id", "v"), "id")
+    // our merge computed survivors from the stale snapshot: committing a
+    // remove of a no-longer-active file must abort
+    val adds = Seq.empty[TxnLog.AddFile]
+    intercept[IllegalStateException] {
+      TxnLog.commit(dir, adds, stale.map(_.path), validate = fresh => {
+        val freshPaths = fresh.map(_.path).toSet
+        val missing = stale.map(_.path).filterNot(freshPaths.contains)
+        if (missing.nonEmpty)
+          throw new IllegalStateException("txn conflict")
+      })
+    }
+  }
+
+  test("concurrent appends all land (optimistic version retry)") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    TxnLog.append(s, dir, Seq((0L, "seed")).toDF("id", "v"), "id")
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        TxnLog.append(s, dir,
+          Seq((i.toLong * 10, s"t$i")).toDF("id", "v"), "id")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(TxnLog.read(s, dir).get.count() === 5L)
+    assert(TxnLog.versions(dir).size === 5)
+  }
+
+  test("vacuum deletes files unreferenced by the latest snapshot and " +
+      "keeps the active ones") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    TxnLog.append(s, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), "id")
+    TxnLog.replaceByKey(s, dir, Seq((1L, "A")).toDF("id", "v"), "id")
+    val deleted = TxnLog.vacuum(dir)
+    assert(deleted >= 1, "the pre-merge file must be physically deleted")
+    val rows = TxnLog.read(s, dir).get.orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows === Seq((1L, "A"), (2L, "b")))
+  }
+
+  test("statKey is order-preserving for longs incl. negatives") {
+    val vals = Seq(Long.MinValue, -1000L, -1L, 0L, 1L, 42L, Long.MaxValue)
+    val mapped = vals.map(v => TxnLog.statKey(v))
+    assert(mapped === mapped.sorted)
+  }
+}
