@@ -45,6 +45,18 @@ object TextClean {
     normalizeWhitespace(unescaped)
   }
 
+  /** Tag strip with EMPTY replacement — BeautifulSoup `.text` semantics
+    * (inline markup like `σ<sup>S</sup>/RpoS` concatenates tightly to
+    * `σS/RpoS`, no injected spaces). Entities still unescape. */
+  def stripHtmlTight(c: Column): Column = {
+    val noTags = regexp_replace(
+      regexp_replace(c, "(?is)<(script|style)[^>]*>.*?</\\1>", ""),
+      "(?s)<[^>]+>", "")
+    htmlEntities.foldLeft(noTags) { case (col0, (e, r)) =>
+      regexp_replace(col0, java.util.regex.Pattern.quote(e), r)
+    }
+  }
+
   /** Unicode NFC normalize + nbsp replace (reference F5:
     * scraping_utils.py:186-195). UDF — java.text.Normalizer has no
     * expression equivalent. */
@@ -89,6 +101,20 @@ object TextClean {
     regexp_replace(
       regexp_replace(c, "([.!?;:])([A-Z\\u00c0-\\u00dd])", "$1 $2"),
       "([a-z])([A-Z])", "$1 $2")
+
+  /** Reference-exact add_space_after_closing_sign
+    * (scraping_utils.py:133-144): a space after `.»")]}` unless followed
+    * by whitespace or further punctuation. */
+  def spaceAfterClosingSign(c: Column): Column =
+    regexp_replace(c,
+      "([.»\")\\]}])(?=[^\\s.,;:!?)»\\]}])", "$1 ")
+
+  /** Reference-exact add_space_before_capital_letter
+    * (scraping_utils.py:146-156): lowercase (incl. French accents)
+    * directly followed by an uppercase gets a space between. */
+  def spaceBeforeCapital(c: Column): Column =
+    regexp_replace(c,
+      "([a-zàâäéèêëîïôöùûüÿç])([A-ZÀÂÄÉÈÊËÎÏÔÖÙÛÜÇ])", "$1 $2")
 
   /** DOI clean: strip resolver prefix (reference F18:
     * scraping_utils.py:173-183). */

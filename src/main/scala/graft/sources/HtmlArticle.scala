@@ -93,4 +93,40 @@ object HtmlArticle {
     TextClean.normalizeWhitespace(TextClean.stripHtml(
       elementContent(html, "div", "itemprop", "articleBody")))
       .as("full_content"))
+
+  /** IRD le Mag' scraper (reference plugins/scrapers/ird_le_mag.py):
+    * the article text lives in a drupal-settings JSON script tag under
+    * speakeasy.content; title/description come from og: meta tags and
+    * get the reference's correct_text_syntax repair chain
+    * (ird_le_mag.py:137-147 — clean_text, clean_return_to_line, space
+    * after closing sign, space before capital); the author is the
+    * `<li class="info-item name">` text minus its "Auteur :" prefix
+    * (:101-112); publication date parses the `<time class="datetime">`
+    * datetime attr as UTC epoch seconds (:114-125). */
+  def irdLeMagDocument(html: Column): Column = {
+    def correctSyntax(c: Column): Column =
+      TextClean.spaceBeforeCapital(TextClean.spaceAfterClosingSign(
+        trim(TextClean.stripBacklines(
+          TextClean.normalizeWhitespace(TextClean.stripHtml(c))))))
+    val settingsJson = regexp_extract(html,
+      "(?s)<script type=\"application/json\" " +
+        "data-drupal-selector=\"drupal-settings-json\">(.*?)</script>", 1)
+    val content = get_json_object(trim(settingsJson),
+      "$.speakeasy.content")
+    val authorRaw = TextClean.normalizeWhitespace(TextClean.stripHtml(
+      elementContent(html, "li", "class", "info-item name")))
+    val author = trim(regexp_replace(authorRaw, "^Auteur :", ""))
+    val timeTag = regexp_extract(html,
+      "(?is)<time\\b[^>]*class=\"datetime\"[^>]*>", 0)
+    val pubDate = unix_timestamp(
+      to_timestamp(regexp_extract(timeTag, "datetime=\"([^\"]*)\"", 1),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    struct(
+      trim(TextClean.stripBacklines(metaContent(html, "og:title")))
+        .as("title"),
+      correctSyntax(metaContent(html, "og:description")).as("description"),
+      correctSyntax(content).as("full_content"),
+      author.as("author"),
+      pubDate.as("publication_date"))
+  }
 }

@@ -160,3 +160,94 @@ object Mets {
       .otherwise(array(book.getField("url")))
   }
 }
+
+/** PLOS JATS article extraction (reference plugins/scrapers/plos.py:
+  * the scraper fetches `<url>/file?…&type=manuscript` and parses the
+  * JATS XML). Column-level re-expression of
+  * extract_data_from_plos_xml (:240-277) and _get_* helpers:
+  *
+  *  - full_content = `<body>` text with every nested `<title>` element
+  *    dropped (BeautifulSoup decompose, :247-250), tags stripped, urls
+  *    removed (ANTI_URL_REGEX, :251), backlines cleaned;
+  *  - title = article-meta > article-title (:256-259);
+  *  - description = every `<p>` of the abstract joined by spaces
+  *    (:264-266);
+  *  - doi = article-id[pub-id-type=doi], resolver prefix stripped
+  *    (:123-126);
+  *  - license = `<license xlink:href>`; authorized iff in the CC
+  *    allow-list (:134-148, P8) — unauthorized pages become error rows
+  *    upstream, not silently kept;
+  *  - article_type = subj-group[subj-group-type=heading] subject text
+  *    (:151-166); categories = subjects of attributed subj-groups
+  *    (:205-216). */
+object Plos {
+
+  import graft.functions.TextClean
+
+  private def cleanLines(c: Column): Column =
+    trim(TextClean.stripBacklines(c))
+
+  /** `<body>` content with nested `<title>` elements removed. */
+  def bodyWithoutTitles(xml: Column): Column =
+    regexp_replace(Xml.tagContent(xml, "body"),
+      "(?s)<title(?:\\s[^>]*)?>.*?</title>", "")
+
+  def fullContent(xml: Column): Column =
+    cleanLines(TextClean.normalizeWhitespace(TextClean.removeUrls(
+      TextClean.stripHtml(bodyWithoutTitles(xml)))))
+
+  private def articleMeta(xml: Column): Column =
+    Xml.tagContent(xml, "article-meta")
+
+  def title(xml: Column): Column =
+    cleanLines(TextClean.normalizeWhitespace(TextClean.stripHtmlTight(
+      Xml.tagContent(articleMeta(xml), "article-title"))))
+
+  /** Abstract paragraphs joined by single spaces. */
+  def description(xml: Column): Column = {
+    val abs = Xml.tagContent(articleMeta(xml), "abstract")
+    cleanLines(TextClean.normalizeWhitespace(TextClean.stripHtmlTight(
+      array_join(Xml.tagContents(abs, "p"), " "))))
+  }
+
+  def doi(xml: Column): Column =
+    TextClean.cleanDoi(trim(get(Xml.tagContentsFiltered(
+      articleMeta(xml), "article-id", "pub-id-type", "doi"), lit(0))))
+
+  def licenseUrl(xml: Column): Column =
+    get(Xml.tagAttributeValues(
+      articleMeta(xml), "license", "xlink:href"), lit(0))
+
+  /** P8 allow-list predicate on the article's license. */
+  def licenseAuthorized(xml: Column): Column =
+    coalesce(licenseUrl(xml)
+      .isin(Mets.authorizedLicenseUrls.map(x => x: Any): _*), lit(false))
+
+  def articleType(xml: Column): Column = {
+    val heading = get(Xml.tagContentsFiltered(articleMeta(xml),
+      "subj-group", "subj-group-type", "heading"), lit(0))
+    cleanLines(TextClean.normalizeWhitespace(
+      Xml.tagContent(heading, "subject")))
+  }
+
+  /** Distinct subject texts of subj-groups that carry a
+    * subj-group-type attribute. */
+  def categories(xml: Column): Column = {
+    val groups = regexp_extract_all(articleMeta(xml),
+      lit("(?s)<subj-group\\s[^>]*subj-group-type=\"[^\"]*\"[^>]*>(.*?)" +
+        "</subj-group>"), lit(1))
+    array_distinct(flatten(transform(groups,
+      g => transform(Xml.tagContents(g, "subject"), s => trim(s)))))
+  }
+
+  /** The scraped document struct, one call per page. */
+  def plosDocument(xml: Column): Column = struct(
+    title(xml).as("title"),
+    description(xml).as("description"),
+    fullContent(xml).as("full_content"),
+    doi(xml).as("external_id"),
+    licenseUrl(xml).as("license_url"),
+    licenseAuthorized(xml).as("license_authorized"),
+    articleType(xml).as("article_type"),
+    categories(xml).as("categories"))
+}
