@@ -129,4 +129,54 @@ object HtmlArticle {
       author.as("author"),
       pubDate.as("publication_date"))
   }
+
+  /** First meta tag whose name/property matches `name`
+    * CASE-INSENSITIVELY (Dublin Core pages mix `DC.title`/`dc.title`;
+    * the reference lowercases before matching,
+    * notre_environnement.py:85-97). */
+  def metaContentIgnoreCase(html: String, name: String): String = {
+    if (html == null) return null
+    val want = name.toLowerCase
+    val metas = Pattern.compile("(?is)<meta\\b[^>]*>").matcher(html)
+    while (metas.find()) {
+      val attrs = attrsOf(metas.group())
+      val key = attrs.get("name").orElse(attrs.get("property"))
+      if (key.exists(_.toLowerCase == want))
+        return attrs.getOrElse("content", null)
+    }
+    null
+  }
+
+  private val metaIcUdf = udf { (html: String, name: String) =>
+    metaContentIgnoreCase(html, name) }
+
+  /** notre-environnement.gouv.fr scraper (reference
+    * plugins/scrapers/notre_environnement.py): metadata comes from
+    * Dublin Core meta tags (description / dc.title / dc.date /
+    * dc.data.modified, matched case-insensitively, :75-97); the title's
+    * `~` separators become spaces (:98); dates parse as %Y-%m-%d UTC
+    * epoch. The reference extracts full_content with trafilatura — a
+    * generic article extractor we stand in for with the main/article
+    * element's cleaned text (documented divergence; the DC metadata
+    * semantics are reference-exact). */
+  def notreEnvironnementDocument(html: Column): Column = {
+    val mainText = udf { (h: String) =>
+      if (h == null) null
+      else PeerJ.findElement(h, "main", null, null, 0)
+        .orElse(PeerJ.findElement(h, "article", null, null, 0))
+        .orElse(PeerJ.findElement(h, "body", null, null, 0))
+        .map(_.inner).orNull
+    }
+    def dcDate(name: String): Column =
+      unix_timestamp(to_timestamp(
+        metaIcUdf(html, lit(name)), "yyyy-MM-dd"))
+    struct(
+      regexp_replace(metaIcUdf(html, lit("dc.title")), "~", " ")
+        .as("title"),
+      metaIcUdf(html, lit("description")).as("description"),
+      trim(TextClean.stripBacklines(TextClean.normalizeWhitespace(
+        TextClean.stripHtml(mainText(html))))).as("full_content"),
+      dcDate("dc.date").as("publication_date"),
+      dcDate("dc.data.modified").as("update_date"))
+  }
 }

@@ -82,6 +82,92 @@ class ScrapersSpec extends SparkSuite {
     assert(cats.contains("Research Article"))
   }
 
+  test("PeerJ: title/doi/license/authors/date match the fixture; " +
+      "figures become table sentences; supplemental sections vanish") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq(fixture("page_peerj1.html")).toDF("html")
+      .select(graft.sources.PeerJ.peerjDocument(col("html")).as("doc"))
+      .select("doc.*")
+    val r = df.head()
+    assert(r.getAs[String]("title") ===
+      "An integrative taxonomic revision of slug-eating snakes " +
+        "(Squamata: Pareidae: Pareineae) reveals unprecedented " +
+        "diversity in Indochina")
+    assert(r.getAs[String]("external_id") === "10.7717/peerj.12713")
+    assert(r.getAs[String]("license_url") ===
+      "https://creativecommons.org/licenses/by/4.0/")
+    assert(r.getAs[Boolean]("license_authorized"))
+    assert(r.getAs[String]("journal") === "PeerJ")
+    assert(r.getAs[String]("issn") === "2167-8359")
+    assert(r.getAs[String]("publisher") === "PeerJ Inc.")
+    // citation_date 2022-01-10 UTC midnight
+    assert(r.getAs[Long]("publication_date") === 1641772800L)
+    val authors = r.getAs[scala.collection.Seq[
+      org.apache.spark.sql.Row]]("authors")
+    assert(authors.size === 10)
+    assert(authors.head.getAs[String]("name") === "Nikolay A. Poyarkov")
+    assert(authors.head.getAs[String]("misc")
+      .startsWith("Laboratory of Tropical Ecology"))
+    val tags = r.getAs[scala.collection.Seq[String]]("tags")
+    assert(tags.contains("Molecular phylogeny") && tags.size === 10)
+    val content = r.getAs[String]("full_content")
+    assert(content != null && content.length > 10000)
+    val desc = r.getAs[String]("description")
+    assert(desc.startsWith("Slug-eating snakes of the subfamily Pareinae"))
+  }
+
+  test("notre-environnement: DC metadata matches the reference test's " +
+      "values; ~ separators become spaces") {
+    val s = initSpark()
+    import s.implicits._
+    // synthetic page mirroring the reference's own mocked DC values
+    // (test_notre_environnement.py:23-33)
+    val page =
+      """<html><head>
+        |<meta name="DC.title" content="Title~ipsum">
+        |<meta name="description" content="lorem ipsum">
+        |<meta name="DC.date" content="2026-01-01">
+        |<meta name="DC.data.modified" content="2026-01-15">
+        |</head><body><main><p>full content lorem ipsum ipsum</p>
+        |</main></body></html>""".stripMargin
+    val r = Seq(page).toDF("html")
+      .select(HtmlArticle.notreEnvironnementDocument(col("html"))
+        .as("doc"))
+      .select("doc.*").head()
+    assert(r.getAs[String]("title") === "Title ipsum")
+    assert(r.getAs[String]("description") === "lorem ipsum")
+    assert(r.getAs[String]("full_content") ===
+      "full content lorem ipsum ipsum")
+    assert(r.getAs[Long]("publication_date") ===
+      java.time.LocalDate.of(2026, 1, 1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond)
+    assert(r.getAs[Long]("update_date") ===
+      java.time.LocalDate.of(2026, 1, 15)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond)
+  }
+
+  test("UNCC:eLearn: course panel matches the reference test's golden " +
+      "values; duration ranges take the midpoint") {
+    val s = initSpark()
+    import s.implicits._
+    val r = Seq(fixture("unccelearn_course.html")).toDF("html")
+      .select(graft.sources.Unccelearn.courseDetails(col("html"))
+        .as("d"))
+      .select("d.*").head()
+    // reference test_unccelearn.py:103-106
+    assert(r.getAs[String]("theme") === "climate change")
+    assert(r.getAs[Int]("duration") === 4 * 3600)
+    assert(r.getAs[Boolean]("certifying"))
+    assert(r.getAs[String]("course_type") === "self-paced courses")
+    // duration arithmetic (unccelearn.py:65-87)
+    import graft.sources.Unccelearn.courseDurationSeconds
+    assert(courseDurationSeconds("3 hours") === Some(10800))
+    assert(courseDurationSeconds("3,5 hours") === Some(12600))
+    assert(courseDurationSeconds("3-4 hours") === Some(12600))
+    assert(courseDurationSeconds("n/a") === None)
+  }
+
   test("PLOS: unauthorized or missing license is flagged, not kept") {
     val s = initSpark()
     import s.implicits._
