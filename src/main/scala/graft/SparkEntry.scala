@@ -691,6 +691,50 @@ object SparkEntry {
             + 1e-9, 4) + 0.0).as("u1"),
           (round(element_at(col("embedding"), 2).cast("double") / norm
             + 1e-9, 4) + 0.0).as("u2"))
+    }),
+
+    // ---- Statistical aggregates (corr / stddev / variance / regr —
+    // free from Catalyst, exposed for analytics parity) ----
+    "q64_stats_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          (round(corr(col("l_quantity"), col("l_extendedprice")) + 1e-9, 4)
+            + 0.0).as("qty_price_corr"),
+          round(stddev_samp(col("l_quantity")) + 1e-9, 4).as("qty_stddev"),
+          round(var_samp(col("l_quantity")) + 1e-9, 4).as("qty_var"),
+          (round(regr_slope(col("l_extendedprice"), col("l_quantity"))
+            + 1e-9, 4) + 0.0).as("price_per_qty_slope"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- Calendar rollup (F26 date handling at aggregation grain) ----
+    "q65_monthly_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")) + 1e-9, 2).as("monthly_revenue"))
+    }),
+
+    // ---- first_value / last_value over a full frame (W-series:
+    // per-user first and latest reading in one windowed pass) ----
+    "q66_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"))
+    }),
+
+    // ---- ntile decile binning (O-series: equal-count partitioning for
+    // stratified sampling / training-data splits) ----
+    "q67_ntile_decile" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), ntile(10).over(w).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"))
     })
   )
 
@@ -1200,6 +1244,39 @@ object SparkEntry {
          SELECT vec_id, round(nrm + 1e-9, 4) AS norm,
            round(CAST(embedding[1] AS DOUBLE) / nrm + 1e-9, 4) + 0.0 AS u1,
            round(CAST(embedding[2] AS DOUBLE) / nrm + 1e-9, 4) + 0.0 AS u2
-         FROM n"""
+         FROM n""",
+
+    "q64_stats_agg" ->
+      """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice) + 1e-9, 4) + 0.0
+           AS qty_price_corr,
+         round(stddev_samp(l_quantity) + 1e-9, 4) AS qty_stddev,
+         round(var_samp(l_quantity) + 1e-9, 4) AS qty_var,
+         round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) + 0.0
+           AS price_per_qty_slope,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q65_monthly_orders" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         count(*) AS n_orders,
+         round(sum(o_totalprice) + 1e-9, 2) AS monthly_revenue
+         FROM orders GROUP BY 1""",
+
+    "q66_first_last" ->
+      """SELECT user_id, event_id,
+         first_value(event_type) OVER w AS first_type,
+         last_value(event_type) OVER w AS last_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+
+    "q67_ntile_decile" ->
+      """SELECT decile, count(*) AS n FROM (
+           SELECT o_orderkey,
+             ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+               AS decile
+           FROM orders)
+         GROUP BY decile"""
   )
 }
