@@ -80,4 +80,46 @@ class PipelineDiskSpec extends SparkSuite {
       .select("document_id").collect().map(_.getString(0)).sorted
     assert(current === Array("d1", "d2"))
   }
+
+  test("vectorize stage over the TxnLog sink: idempotent, snapshot-" +
+      "isolated, old versions readable after the retry") {
+    val s = initSpark()
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_txn").toString
+    val docsDir = s"$base/documents"
+    val slicesTable = s"$base/slices_txn"
+
+    Seq(
+      ("d1", "https://x/1", "One", "en", "Words to chunk and embed. " * 8),
+      ("d2", "https://x/2", "Two", "fr", "Plus de texte ici pour les tranches. " * 8))
+      .toDF("id", "url", "title", "lang", "full_content")
+      .write.parquet(docsDir)
+    val ledger = Seq(
+      ("d1@2", "d1", Step.DocumentScraped, 2L),
+      ("d2@2", "d2", Step.DocumentScraped, 4L))
+      .toDF("id", "document_id", "title", "operation_order")
+      .withColumn("created_at", lit(null).cast("timestamp"))
+      .select("id", "document_id", "title", "created_at",
+        "operation_order")
+
+    def writeSlices(): Long = {
+      val docs = s.read.parquet(docsDir)
+      val (slices, _) = Pipeline.vectorize(docs, ledger,
+        maxWordsPerSlice = 16)
+      graft.sinks.TxnLog.replaceByKey(s, slicesTable,
+        slices.select("id", "document_id", "order_sequence", "body",
+          "embedding"),
+        "document_id")
+    }
+
+    val v0 = writeSlices()
+    val n1 = graft.sinks.TxnLog.read(s, slicesTable).get.count()
+    val v1 = writeSlices() // crash-retry: keyed replace converges
+    val n2 = graft.sinks.TxnLog.read(s, slicesTable).get.count()
+    assert(n1 === n2, "retry duplicated slices")
+    assert(v1 > v0)
+    // the pre-retry snapshot stays readable (time travel)
+    assert(graft.sinks.TxnLog.read(s, slicesTable, asOf = Some(v0)).get
+      .count() === n1)
+  }
 }
