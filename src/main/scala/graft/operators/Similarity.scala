@@ -101,6 +101,40 @@ object Similarity {
             org.apache.spark.sql.types.FloatType)).as("centroid_vec"))
   }
 
+  /** IVF-PQ top-k: bucket pruning (IVF) over PQ-coded vectors with ADC
+    * scoring — the memory-bounded 100-TB composite: the corpus index
+    * carries centroid_id + m code bytes per row (32x smaller than
+    * float32 at m=16, dim=64/128), queries probe nProbe buckets and
+    * score candidates against the broadcast codebooks without ever
+    * touching full-precision corpus vectors. FAISS's IVFPQ layout,
+    * re-expressed as a pruned join + codegen-friendly scoring. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      stride: Int, nProbe: Int,
+      pq: ProductQuantizer.PqModel, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(
+      sampleCentroids(corpus, stride, idCol, vecCol))
+    val coded = corpus
+      .withColumn("centroid_id", nearestUdf(cents)(col(vecCol)))
+      .select(col(idCol).as("c_id"),
+        ProductQuantizer.encode(pq)(col(vecCol)).as("codes"),
+        col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("centroid_id",
+        explode(probesUdf(cents, nProbe)(col("q_vec"))))
+    val scored = probes.join(coded, "centroid_id")
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("score", round(
+        ProductQuantizer.adcScore(pq)(col("codes"), col("q_vec"))
+          + 1e-9, 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "c_id", "score", "rank")
+  }
+
   /** ivfTopK over k-means-refined centroids (same probe/prune plan
     * shape; only the centroid table differs). */
   def ivfTopKRefined(corpus: DataFrame, queries: DataFrame, k: Int,

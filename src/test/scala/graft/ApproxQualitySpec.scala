@@ -84,6 +84,28 @@ class ApproxQualitySpec extends SparkSuite {
     assert(hits >= 40, s"pq recall@5 = $hits/100 under 40% floor")
   }
 
+  test("IVF-PQ composite: bucket pruning over coded vectors holds a " +
+      "recall floor near plain PQ") {
+    val s = initSpark()
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    val model = graft.operators.ProductQuantizer.train(
+      emb, "embedding", m = 16, k = 64, sampleStride = 2)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("q_id"), col("c_id"))
+    val ivfpq = Similarity.ivfPqTopK(emb, q, k = 5, stride = 10,
+      nProbe = 8, model)
+    assert(ivfpq.groupBy("q_id").count().collect()
+      .forall(_.getLong(1) === 5L), "every query returns k rows")
+    val hits = bf.join(
+      ivfpq.select(col("q_id").as("q2"), col("c_id").as("c2")),
+      col("q_id") === col("q2") && col("c_id") === col("c2")).count()
+    // uniform vectors are the worst case for both tiers; plain PQ
+    // measured 50% here — the IVF cut on top loses some candidates.
+    // Measured deterministic: pin a 30% floor.
+    assert(hits >= 30, s"ivf-pq recall@5 = $hits/100 under 30% floor")
+  }
+
   test("k-means-refined centroids do not lose recall vs stride sample") {
     val s = initSpark()
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
