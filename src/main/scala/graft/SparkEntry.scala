@@ -235,6 +235,14 @@ object SparkEntry {
         n = 3, threshold = 0.2)
     }),
 
+    // ---- Prefix-filtered exact jaccard (PPJoin-style — the
+    // high-threshold 100-TB path; output provably equals jaccardPairs,
+    // DedupSimilaritySpec pins it) ----
+    "q68_jaccard_prefix" -> ((s, dir) => {
+      Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6)
+    }),
+
     // ---- MinHash+LSH near-dup (rows-only: no cross-engine xxhash64) ----
     "q22_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashLshPairs(fan(s, t(s, dir, "documents")), "doc_id", "text",
@@ -954,6 +962,32 @@ object SparkEntry {
            JOIN sz sa ON sa.doc_id = id_a
            JOIN sz sb ON sb.doc_id = id_b)
          WHERE jaccard >= 0.2""",
+
+    "q68_jaccard_prefix" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+             FROM w)),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+           WHERE a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE) /
+               CAST(sa.sz + sb.sz - inter AS DOUBLE) + 1e-9, 4) AS jaccard
+           FROM inter
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b)
+         WHERE jaccard >= 0.6""",
 
     "q24_ann_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec

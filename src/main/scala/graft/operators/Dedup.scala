@@ -171,6 +171,84 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Sorted distinct shingle hashes per doc (ascending — the global
+    * order prefix filtering requires). */
+  private def sortedShingleUdf(n: Int) =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      val grams = shingleWords(text, n)
+      val set = new java.util.TreeSet[java.lang.Long]()
+      grams.foreach { sh =>
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x51ab5)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x7e11a)
+        set.add((h1.toLong << 32) | (h2.toLong & 0xffffffffL))
+      }
+      val out = new Array[Long](set.size)
+      val it = set.iterator; var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+
+  private val intersectSortedUdf =
+    org.apache.spark.sql.functions.udf {
+      (a: scala.collection.Seq[Long], b: scala.collection.Seq[Long]) =>
+        var i = 0; var j = 0; var c = 0
+        while (i < a.length && j < b.length) {
+          val x = a(i); val y = b(j)
+          if (x == y) { c += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+        c
+    }
+
+  /** Exact jaccard pairs via PREFIX FILTERING (SSJoin/PPJoin): under a
+    * common global order of shingles, any pair with J >= t shares an
+    * element within each side's first `sz - ceil(t*sz) + 1` shingles
+    * (if the smallest common element e sat beyond A's prefix, every
+    * prefix element of A would be absent from B, so the intersection
+    * could not reach t*|A|). Only prefixes are exploded and bucket-
+    * joined — at t=0.8 that is ~20% of the shingle rows and a far
+    * smaller candidate set than full co-occurrence — then candidates
+    * verify with ONE row-local merge-scan of the two sorted hash
+    * arrays instead of a count shuffle over every shared shingle.
+    * Same output as jaccardPairs (pinned by spec); the economical
+    * formulation for high thresholds. At low thresholds the prefix is
+    * nearly the whole set — use jaccardPairs there. */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+        sortedShingleUdf(n)(col(textCol)).as("shs"))
+      .where(size(col("shs")) > 0)
+      .withColumn("sz", size(col("shs")))
+    val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1)
+      .cast("int")
+    val pref = sets.select(col("id"), col("sz"),
+      explode(slice(col("shs"), lit(1), greatest(prefixLen, lit(1))))
+        .as("h"))
+    val byShingle = pref.groupBy("h")
+      .agg(sort_array(collect_list(struct(col("id"), col("sz"))))
+        .as("ms"))
+      .where(size(col("ms")) > 1)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    val cand = byShingle.repartition(parts)
+      .select(explode(pairEmitUdf(idType, threshold)(col("ms"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    val verified = cand
+      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", intersectSortedUdf(col("shs_a"), col("shs_b")))
+    verified
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double")
+        + 1e-9, 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** jaccardPairs with a document-frequency cap on shingles: shingles
     * shared by more than `maxDocFreq` documents are EXCLUDED from both
     * pair generation and the per-doc set sizes (consistent semantics —

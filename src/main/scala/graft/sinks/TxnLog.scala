@@ -120,12 +120,22 @@ object TxnLog {
   def latestVersion(tableDir: String): Option[Long] =
     versions(tableDir).lastOption
 
-  /** Active files at `asOf` (defaults to latest): replay the log. */
+  /** Active files at `asOf` (defaults to latest): replay the log from
+    * the newest checkpoint at-or-before the target (bounded replay no
+    * matter how many commits the table has accumulated). */
   def snapshot(tableDir: String, asOf: Option[Long] = None): Seq[AddFile] = {
     val vs = versions(tableDir)
     val upTo = asOf.map(v => vs.filter(_ <= v)).getOrElse(vs)
     val active = mutable.LinkedHashMap.empty[String, AddFile]
-    upTo.foreach { v =>
+    val ckpt = upTo.lastOption.flatMap { hi =>
+      checkpointVersions(tableDir).filter(_ <= hi).lastOption
+    }
+    ckpt.foreach { cv =>
+      val text = new String(Files.readAllBytes(new File(logDir(tableDir),
+        f"v$cv%020d.checkpoint.json").toPath), StandardCharsets.UTF_8)
+      parseCommit(cv, text).add.foreach(a => active(a.path) = a)
+    }
+    upTo.filter(v => ckpt.forall(_ < v)).foreach { v =>
       val text = new String(Files.readAllBytes(
         versionFile(tableDir, v).toPath), StandardCharsets.UTF_8)
       val c = parseCommit(v, text)
@@ -256,6 +266,37 @@ object TxnLog {
         s"txn conflict: files ${missing.mkString(",")} were replaced " +
           "by a concurrent commit")
     })
+  }
+
+  /** Write a checkpoint of version `v`'s full active-file list (or the
+    * latest version when omitted). `snapshot` replays from the newest
+    * checkpoint at-or-before its target instead of from v0 — without
+    * this, snapshot cost grows linearly with table lifetime (a
+    * micro-batch pipeline commits thousands of versions). The
+    * checkpoint is just a commit-shaped file alongside the log
+    * (`v<N>.checkpoint.json`); writing it is idempotent and racing
+    * writers converge on identical bytes. */
+  def checkpoint(tableDir: String, asOf: Option[Long] = None): Long = {
+    val v = asOf.orElse(latestVersion(tableDir)).getOrElse(
+      throw new IllegalStateException("checkpoint of an empty table"))
+    val files = snapshot(tableDir, Some(v))
+    val target = new File(logDir(tableDir), f"v$v%020d.checkpoint.json")
+    val tmp = Files.createTempFile(logDir(tableDir).toPath,
+      ".ckpt", ".tmp")
+    Files.write(tmp, renderCommit(Commit(v, files, Seq.empty))
+      .getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(target.toPath, tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    Files.deleteIfExists(tmp)
+    v
+  }
+
+  private def checkpointVersions(tableDir: String): Seq[Long] = {
+    val ld = logDir(tableDir)
+    if (!ld.exists()) Seq.empty
+    else ld.listFiles((_, name) => name.matches("v\\d{20}\\.checkpoint\\.json"))
+      .map(_.getName.stripPrefix("v").stripSuffix(".checkpoint.json").toLong)
+      .sorted.toSeq
   }
 
   /** Physically delete data files no longer referenced by ANY log

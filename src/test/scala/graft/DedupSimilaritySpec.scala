@@ -55,6 +55,19 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!m.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("jaccardPairsPrefix equals jaccardPairs on real docs at several " +
+      "thresholds (prefix filtering loses no qualifying pair)") {
+    val s = initSpark()
+    val real = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(0.3, 0.6, 0.8).foreach { t =>
+      val full = Dedup.jaccardPairs(real, "doc_id", "text", 3, t)
+        .orderBy("id_a", "id_b").collect().toSeq
+      val pref = Dedup.jaccardPairsPrefix(real, "doc_id", "text", 3, t)
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(pref === full, s"prefix-filtered pairs diverge at t=$t")
+    }
+  }
+
   test("jaccardPairsCapped: uncapped matches jaccardPairs; cap drops " +
       "stop-shingle pairs") {
     val s = initSpark()

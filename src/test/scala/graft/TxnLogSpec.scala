@@ -159,6 +159,33 @@ class TxnLogSpec extends SparkSuite {
     assert(rows === Seq((1L, "A"), (2L, "b")))
   }
 
+  test("checkpoint bounds replay: snapshots equal the full-replay " +
+      "result, pre-checkpoint time travel still works") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    (0 until 6).foreach { i =>
+      TxnLog.replaceByKey(s, dir,
+        Seq((i.toLong % 3, s"v$i")).toDF("id", "v"), "id")
+    }
+    val fullReplay = TxnLog.snapshot(dir).map(f => f.path -> f.rows).toMap
+    val cv = TxnLog.checkpoint(dir)
+    assert(cv === 5L)
+    // post-checkpoint snapshot identical to the pure-replay result
+    assert(TxnLog.snapshot(dir).map(f => f.path -> f.rows).toMap
+      === fullReplay)
+    // further commits replay on top of the checkpoint
+    TxnLog.replaceByKey(s, dir, Seq((0L, "final")).toDF("id", "v"), "id")
+    val rows = TxnLog.read(s, dir).get.orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows === Seq((0L, "final"), (1L, "v4"), (2L, "v5")))
+    // time travel BEFORE the checkpoint ignores it
+    assert(TxnLog.read(s, dir, asOf = Some(0L)).get
+      .as[(Long, String)].collect().toSeq === Seq((0L, "v0")))
+    // checkpointing twice is idempotent
+    assert(TxnLog.checkpoint(dir, Some(5L)) === 5L)
+  }
+
   test("statKey is order-preserving for longs incl. negatives") {
     val vals = Seq(Long.MinValue, -1000L, -1L, 0L, 1L, 42L, Long.MaxValue)
     val mapped = vals.map(v => TxnLog.statKey(v))
