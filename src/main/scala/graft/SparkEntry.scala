@@ -239,7 +239,7 @@ object SparkEntry {
     // high-threshold 100-TB path; output provably equals jaccardPairs,
     // DedupSimilaritySpec pins it) ----
     "q68_jaccard_prefix" -> ((s, dir) => {
-      Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.jaccardPairsPrefix(fan(s, t(s, dir, "documents")), "doc_id", "text",
         n = 3, threshold = 0.6)
     }),
 

@@ -28,6 +28,26 @@ object VectorOps {
     ColumnBridge.column(DotF32(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 
+  /** Intersection size of two ASCENDING-sorted long arrays (merge
+    * scan). Codegen'd: the ScalaUDF form paid a per-call ArrayData ->
+    * boxed-Seq conversion that dominated jaccard verification (~45us
+    * per 100-element pair vs sub-us here). */
+  def intersectSortedLongs(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersect(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  def intersectSorted(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   // runtime kernels (also called from generated code)
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -81,6 +101,30 @@ case class CosineSimF32(left: Expression, right: Expression)
       (a, b) => s"graft.expr.VectorOps.cosine($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineSimF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"requires two array<bigint> inputs, got $other")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.intersectSorted(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expr.VectorOps.intersectSorted($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedLongIntersect =
     copy(left = newLeft, right = newRight)
 }
 

@@ -188,18 +188,9 @@ object Dedup {
       out
     }
 
-  private val intersectSortedUdf =
-    org.apache.spark.sql.functions.udf {
-      (a: scala.collection.Seq[Long], b: scala.collection.Seq[Long]) =>
-        var i = 0; var j = 0; var c = 0
-        while (i < a.length && j < b.length) {
-          val x = a(i); val y = b(j)
-          if (x == y) { c += 1; i += 1; j += 1 }
-          else if (x < y) i += 1
-          else j += 1
-        }
-        c
-    }
+  // codegen'd merge-scan (graft.expr.SortedLongIntersect): the ScalaUDF
+  // form paid a per-call boxed-Seq conversion that dominated the verify
+  // stage at sf0.1
 
   /** Exact jaccard pairs via PREFIX FILTERING (SSJoin/PPJoin): under a
     * common global order of shingles, any pair with J >= t shares an
@@ -240,7 +231,8 @@ object Dedup {
         col("sz").as("sz_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b"),
         col("sz").as("sz_b")), "id_b")
-      .withColumn("inter", intersectSortedUdf(col("shs_a"), col("shs_b")))
+      .withColumn("inter", graft.expr.VectorOps.intersectSortedLongs(
+        col("shs_a"), col("shs_b")))
     verified
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double")
