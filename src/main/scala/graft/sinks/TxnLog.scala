@@ -268,6 +268,39 @@ object TxnLog {
     })
   }
 
+  /** Compact small files (the chronic failure mode of micro-batch
+    * merge tables: every commit adds files, and a 100 TB table drowns
+    * in KB-sized parquet). Files under `smallThresholdRows` are
+    * rewritten RANGE-CLUSTERED on the merge key (repartitionByRange +
+    * sortWithinPartitions), so each output file covers a near-disjoint
+    * key range — which directly sharpens replaceByKey's [min,max]
+    * pruning. One transactional commit (remove smalls, add merged);
+    * aborts via the conflict validator if a concurrent merge touched a
+    * compacted file. Returns the committed version (or the current one
+    * when there is nothing to do). */
+  def optimize(spark: SparkSession, tableDir: String, key: String,
+      smallThresholdRows: Long, targetRowsPerFile: Long = 500000): Long = {
+    val current = snapshot(tableDir)
+    val small = current.filter(_.rows < smallThresholdRows)
+    if (small.size < 2)
+      return latestVersion(tableDir).getOrElse(-1L)
+    val df = spark.read.parquet(
+      small.map(f => s"$tableDir/data/${f.path}"): _*)
+    val totalRows = small.map(_.rows).sum
+    val nOut = math.max(1,
+      math.ceil(totalRows.toDouble / targetRowsPerFile).toInt)
+    val clustered = df.repartitionByRange(nOut, col(key))
+      .sortWithinPartitions(col(key))
+    val adds = writeDataFiles(spark, tableDir, clustered, key)
+    val removed = small.map(_.path)
+    commit(tableDir, adds, removed, validate = fresh => {
+      val freshPaths = fresh.map(_.path).toSet
+      val missing = removed.filterNot(freshPaths.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"optimize conflict: ${missing.mkString(",")} changed underneath")
+    })
+  }
+
   /** Write a checkpoint of version `v`'s full active-file list (or the
     * latest version when omitted). `snapshot` replays from the newest
     * checkpoint at-or-before its target instead of from v0 — without

@@ -186,6 +186,39 @@ class TxnLogSpec extends SparkSuite {
     assert(TxnLog.checkpoint(dir, Some(5L)) === 5L)
   }
 
+  test("optimize compacts small files range-clustered: data unchanged, " +
+      "fewer files, merges prune better afterwards") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    // 6 tiny appends with interleaved keys -> 6+ files, each spanning
+    // the whole key range (worst case for pruning)
+    (0 until 6).foreach { i =>
+      TxnLog.append(s, dir,
+        Seq((i.toLong, s"a$i"), (100L + i, s"b$i"), (200L + i, s"c$i"))
+          .toDF("id", "v").coalesce(1), "id")
+    }
+    val before = TxnLog.snapshot(dir)
+    assert(before.size >= 6)
+    // pre-optimize: a key-50 merge overlaps EVERY file
+    assert(before.forall(f =>
+      f.minKey <= TxnLog.statKey(50L) && f.maxKey >= TxnLog.statKey(50L)))
+
+    val v = TxnLog.optimize(s, dir, "id", smallThresholdRows = 100,
+      targetRowsPerFile = 6)
+    val after = TxnLog.snapshot(dir)
+    assert(after.size < before.size)
+    val rows = TxnLog.read(s, dir).get.orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows.size === 18 && rows.map(_._1) === rows.map(_._1).sorted)
+    // post-optimize: clustered ranges — at least one file excludes 50
+    assert(after.exists(f =>
+      f.minKey > TxnLog.statKey(50L) || f.maxKey < TxnLog.statKey(50L)),
+      s"expected disjoint ranges, got ${after.map(f => (f.minKey, f.maxKey))}")
+    // idempotent no-op when nothing is small
+    assert(TxnLog.optimize(s, dir, "id", smallThresholdRows = 1) === v)
+  }
+
   test("statKey is order-preserving for longs incl. negatives") {
     val vals = Seq(Long.MinValue, -1000L, -1L, 0L, 1L, 42L, Long.MaxValue)
     val mapped = vals.map(v => TxnLog.statKey(v))
