@@ -140,4 +140,21 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Frame-level near-dup pairs across video assets: sample frames,
+    * featurize each frame payload, hyperplane-LSH bucketed cosine
+    * pairing (Dedup.embeddingNearDupPairs). The cross-video dedup a
+    * training-data pipeline needs — repeated intros / stock footage
+    * collapse to pairs without any N^2 frame comparison; decode kernel
+    * stubbed, plumbing (generator -> featurize -> LSH join) real. */
+  def frameNearDupPairs(media: DataFrame, everyMs: Long, dim: Int,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val featUdf = udf { (payload: Array[Byte]) => stubDecode(payload, dim) }
+    val frames = sampleFrames(media, everyMs).select(
+      concat(col("asset_id"), lit("#"), col("frame_index"))
+        .as("frame_id"),
+      featUdf(col("frame")).as("feature"))
+    Dedup.embeddingNearDupPairs(frames, "frame_id", "feature",
+      threshold, planes)
+  }
 }

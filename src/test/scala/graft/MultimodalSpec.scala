@@ -63,4 +63,26 @@ class MultimodalSpec extends SparkSuite {
       Seq(0L, 1000L, 2000L)) // 2500ms at 1000ms stride
     assert(byAsset("v2").length === 8) // capped
   }
+
+  test("frameNearDupPairs: identical payloads pair across assets, " +
+      "distinct footage stays apart") {
+    val s = initSpark()
+    val shared = Array.tabulate(64)(i => (i * 7 % 127).toByte)
+    val other = Array.tabulate(64)(i => (i * 13 % 31 + 64).toByte)
+    val rows = java.util.Arrays.asList(
+      Row("v1", "video", shared, null, null, 1000L),
+      Row("v2", "video", shared.clone(), null, null, 1000L), // same bytes
+      Row("v3", "video", other, null, null, 1000L))
+    val m = s.createDataFrame(rows, Multimodal.mediaSchema)
+    val pairs = Multimodal.frameNearDupPairs(m, everyMs = 1000,
+        dim = 16, threshold = 0.999)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // frame k of v1 and frame k of v2 resize identically -> cos 1.0
+    assert(pairs.contains(("v1#0", "v2#0")))
+    assert(pairs.contains(("v1#1", "v2#1")))
+    // v3's distinct footage never pairs with v1/v2
+    assert(!pairs.exists(p =>
+      (p._1.startsWith("v3") && !p._2.startsWith("v3")) ||
+        (p._2.startsWith("v3") && !p._1.startsWith("v3"))))
+  }
 }
