@@ -82,6 +82,24 @@ class PlanSpec extends SparkSuite {
     assert(n === 3, s"expected 3 exchanges, got $n:\n$plan")
   }
 
+  test("jaccardPairsPrefix verifies candidates through broadcast joins " +
+      "and a codegen'd intersect (no SMJ, no ScalaUDF in the verify)") {
+    val s = initSpark()
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(graft.operators.Dedup.jaccardPairsPrefix(
+      docs, "doc_id", "text", 3, 0.6))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"verify joins should broadcast the (small) set side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join expected in the verify path:\n$plan")
+    // the merge-scan intersect is the codegen'd SortedLongIntersect
+    // expression, not a ScalaUDF (which pays boxed-Seq conversion)
+    assert(plan.contains("intersectsorted") ||
+      plan.contains("SortedLongIntersect") ||
+      plan.toLowerCase.contains("intersect"),
+      s"codegen'd intersect expression missing:\n$plan")
+  }
+
   test("step-partitioned ledger scans prune partitions (R15)") {
     val s = initSpark()
     import s.implicits._
