@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
-import graft.expr.{BytesToFloatVector, CosineSimF32, DotF32, FloatVectorToBytes, TopKStructs}
+import graft.expr.{BytesToFloatVector, CosineSimF32, DotF32, FloatVectorToBytes, SortedLongIntersect, TopKStructs}
 
 /** SparkSessionExtensions registration for the engine's custom Catalyst
   * expressions, making them first-class SQL functions:
@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bytes_to_vec",
         "bytes_to_vec(b) - float32-LE bytes to float vector"),
       (args: Seq[Expression]) => BytesToFloatVector(args.head)))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect"),
+      info("sorted_intersect",
+        "sorted_intersect(a, b) - intersection size of two ascending " +
+          "bigint arrays (merge scan)"),
+      (args: Seq[Expression]) => SortedLongIntersect(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("top_k_by"),
       info("top_k_by",
         "top_k_by(struct, k[, 'desc,asc,...']) - bounded top-k rows per " +
@@ -85,6 +90,9 @@ object GraftFunctions {
       (args: Seq[Expression]) => FloatVectorToBytes(args.head), "built-in")
     reg.createOrReplaceTempFunction("bytes_to_vec",
       (args: Seq[Expression]) => BytesToFloatVector(args.head), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect",
+      (args: Seq[Expression]) => SortedLongIntersect(args(0), args(1)),
+      "built-in")
     reg.createOrReplaceTempFunction("top_k_by",
       GraftExtensions.buildTopK, "built-in")
   }

@@ -19,6 +19,10 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.getDouble(0) === 24.0)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
     assert(r.getSeq[Float](2).toSeq === Seq(3.0f, 4.0f))
+    val inter = s.sql(
+      "SELECT sorted_intersect(array(1L,3L,5L,9L), array(3L,4L,5L)) AS i")
+      .head().getInt(0)
+    assert(inter === 2)
   }
 
   test("top_k_by usable from SQL with direction literal") {
