@@ -701,6 +701,13 @@ object SparkEntry {
             + 1e-9, 4) + 0.0).as("u2"))
     }),
 
+    // ---- Materialized exact dedup (the consuming form of q20's
+    // census: one surviving row per distinct normalized text) ----
+    "q69_dedup_keep_first" -> ((s, dir) => {
+      Dedup.dedupKeepFirst(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), octet_length(col("text")).as("octets"))
+    }),
+
     // ---- Statistical aggregates (corr / stddev / variance / regr —
     // free from Catalyst, exposed for analytics parity) ----
     "q64_stats_agg" -> ((s, dir) => {
@@ -1279,6 +1286,15 @@ object SparkEntry {
            round(CAST(embedding[1] AS DOUBLE) / nrm + 1e-9, 4) + 0.0 AS u1,
            round(CAST(embedding[2] AS DOUBLE) / nrm + 1e-9, 4) + 0.0 AS u2
          FROM n""",
+
+    "q69_dedup_keep_first" ->
+      """SELECT doc_id, strlen(text) AS octets FROM (
+           SELECT doc_id, text, row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)),
+               '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1""",
 
     "q64_stats_agg" ->
       """SELECT l_returnflag,
