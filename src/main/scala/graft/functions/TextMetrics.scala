@@ -142,6 +142,40 @@ object TextMetrics {
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** Reference F12 cross-check (computed_metadata.py:202-237 —
+    * identify_document_language): detect the language of content AND
+    * description independently, flag disagreement, and keep a
+    * confidence per side. The reference's lingua confidences become the
+    * marker-hit ratio of the winning language (same struct shape;
+    * detector quality is the documented divergence, the dataflow —
+    * skip-if-lang-present, per-side detection, are_different flag — is
+    * reference-exact). */
+  def langConsistency(content: Column, description: Column): Column = {
+    def side(text: Column): Column = {
+      val toks = split(lower(trim(text)), "\\s+")
+      val scores = langMarkers.toSeq.sortBy(_._1).map {
+        case (lang, markers) =>
+          struct(
+            size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
+              .as("score"),
+            lit(lang).as("lang"))
+      }
+      val best = array_max(array(scores: _*))
+      struct(
+        when(best.getField("score") > 0, best.getField("lang"))
+          .otherwise("und").as("language"),
+        round(best.getField("score").cast("double") /
+          greatest(size(toks), lit(1)) + 1e-9, 4).as("confidence"))
+    }
+    val c = side(content)
+    val d = side(description)
+    struct(
+      (c.getField("language") =!= d.getField("language"))
+        .as("are_different"),
+      d.as("description"),
+      c.as("content"))
+  }
+
   /** BPE-ish token-count estimate: words + punctuation marks + one token
     * per 4 chars of long words (crude but deterministic; token counting for
     * budget accounting at corpus scale). */

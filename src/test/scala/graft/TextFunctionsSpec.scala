@@ -39,6 +39,25 @@ class TextFunctionsSpec extends SparkSuite {
       "xyzzy plugh") === "und")
   }
 
+  test("langConsistency: per-side detection, are_different flag, " +
+      "confidence ratios (F12 cross-check shape)") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq(
+      ("the cat and the dog is here", "le chat et la porte"), // en vs fr
+      ("the cat and the dog", "the dog and the cat"))          // en vs en
+      .toDF("content", "description")
+      .select(TextMetrics.langConsistency(col("content"),
+        col("description")).as("lc"))
+      .select("lc.*")
+    val rows = df.collect()
+    assert(rows(0).getBoolean(0)) // different languages flagged
+    assert(rows(0).getStruct(2).getString(0) === "en") // content side
+    assert(rows(0).getStruct(1).getString(0) === "fr") // description side
+    assert(rows(0).getStruct(2).getDouble(1) > 0.0)
+    assert(!rows(1).getBoolean(0))
+  }
+
   test("normalizeWhitespace collapses runs and trims") {
     assert(one(TextClean.normalizeWhitespace(col("text")),
       "  a \t b\n\nc  ") === "a b c")
