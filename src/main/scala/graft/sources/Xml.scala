@@ -251,3 +251,92 @@ object Plos {
     articleType(xml).as("article_type"),
     categories(xml).as("categories"))
 }
+
+/** OpenEdition Books chapter/book scraper metadata (reference
+  * plugins/scrapers/oe_books.py — the content side; the METS url
+  * decision table lives in [[Mets]]): urn DOI/ISBN split (:274-286),
+  * "Last, First" author normalization (:288-297), license (:299-304),
+  * per-language abstract with description fallback (:306-319),
+  * open-access predicate (:323-334), and the chapter body =
+  * div#anchor-fulltext text with span/a elements decomposed
+  * (:211-225). */
+object OeBooks {
+
+  import org.apache.spark.sql.functions.udf
+
+  /** (doi, isbn) from `dcterms:identifier scheme="URN"` entries. */
+  def doiAndIsbn(xml: Column): Column = {
+    val urns = Xml.tagContentsFiltered(xml, "dcterms:identifier",
+      "scheme", "URN")
+    struct(
+      get(transform(
+        filter(urns, u => u.startsWith("urn:doi:")),
+        u => regexp_replace(u, "^urn:doi:", "")), lit(0)).as("doi"),
+      get(transform(
+        filter(urns, u => u.startsWith("urn:isbn:")),
+        u => regexp_replace(u, "^urn:isbn:", "")), lit(0)).as("isbn"))
+  }
+
+  /** "Lastname, Firstname" creators -> "Firstname Lastname" structs. */
+  def authors(xml: Column): Column =
+    transform(Xml.tagContents(xml, "dcterms:creator"), c => struct(
+      concat(
+        trim(element_at(split(c, ","), 2)), lit(" "),
+        trim(element_at(split(c, ","), 1))).as("name"),
+      lit("").as("misc")))
+
+  def currentLicense(xml: Column): Column =
+    get(Xml.tagContents(xml, "dcterms:rights"), lit(0))
+
+  /** Abstract in `lang`, falling back to dcterms:description. */
+  def description(xml: Column, lang: Column): Column = {
+    val tags = regexp_extract_all(xml,
+      lit("(?s)<dcterms:abstract\\s[^>]*>(.*?)</dcterms:abstract>"),
+      lit(0))
+    val inLang = filter(tags, t =>
+      t.rlike("""xml:lang="""") && t.contains(
+        concat(lit("xml:lang=\""), lang, lit("\""))))
+    val abs = get(transform(inLang, t =>
+      regexp_extract(t, "(?s)<dcterms:abstract[^>]*>(.*?)</dcterms:abstract>",
+        1)), lit(0))
+    coalesce(abs, get(
+      Xml.tagContents(xml, "dcterms:description"), lit(0)))
+  }
+
+  /** Every dcterms:accessRights must end with /openaccess. */
+  def isOpenAccess(xml: Column): Column = {
+    val rights = Xml.tagContents(xml, "dcterms:accessRights")
+    size(rights) > 0 && forall(rights, r =>
+      element_at(split(lower(trim(r)), "/"), -1) === "openaccess")
+  }
+
+  private val chapterUdf = udf { (html: String) =>
+    if (html == null) null
+    else {
+      var dom = html
+      // decompose span and a elements (reference :211-218) — innermost
+      // first, so nested same-name tags remove wholly like
+      // BeautifulSoup decompose
+      Seq("span", "a").foreach { t =>
+        val innermost = s"(?is)<$t\\b[^>]*>(?:(?!</?$t\\b).)*?</$t>"
+        var prev: String = null
+        while (prev != dom) {
+          prev = dom
+          dom = dom.replaceAll(innermost, "")
+        }
+        dom = dom.replaceAll(s"(?is)<$t\\b[^>]*/>", "")
+      }
+      PeerJ.findElement(dom, "div", "id", "anchor-fulltext", 0)
+        .map { s =>
+          s.inner.replaceAll("(?s)<[^>]+>", "\n ")
+            .replaceAll("(?m)^[ \\t]+|[ \\t]+$", "")
+            .replaceAll("(\\n ?)+", "\n ").trim
+        }.orNull
+    }
+  }
+
+  /** Chapter body: div#anchor-fulltext text with span/a decomposed
+    * (separator-joined text, whitespace-collapsed — BeautifulSoup
+    * get_text("\n ") shape). */
+  def chapterContent(html: Column): Column = chapterUdf(html)
+}

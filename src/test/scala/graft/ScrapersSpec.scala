@@ -168,6 +168,53 @@ class ScrapersSpec extends SparkSuite {
     assert(courseDurationSeconds("n/a") === None)
   }
 
+  test("OE Books: urn doi/isbn split, author normalization, license, " +
+      "lang-scoped abstract, open-access predicate (reference values)") {
+    val s = initSpark()
+    import s.implicits._
+    val xml =
+      """<mets:dmdSec>
+        |<dcterms:identifier scheme="URN">urn:doi:10.1000/xyz123</dcterms:identifier>
+        |<dcterms:identifier scheme="URN">urn:isbn:978-3-16-148410-0</dcterms:identifier>
+        |<dcterms:creator>Doe, John</dcterms:creator>
+        |<dcterms:creator>Smith, Jane</dcterms:creator>
+        |<dcterms:rights>https://creativecommons.org/licenses/by/4.0/</dcterms:rights>
+        |<dcterms:abstract xml:lang="en">This is an abstract in English.</dcterms:abstract>
+        |<dcterms:abstract xml:lang="fr">Ceci est un résumé.</dcterms:abstract>
+        |<dcterms:description>Fallback description.</dcterms:description>
+        |<dcterms:accessRights>info:eu-repo/semantics/openAccess</dcterms:accessRights>
+        |</mets:dmdSec>""".stripMargin
+    val r = Seq(xml).toDF("xml").select(
+      graft.sources.OeBooks.doiAndIsbn(col("xml")).as("ids"),
+      graft.sources.OeBooks.authors(col("xml")).as("authors"),
+      graft.sources.OeBooks.currentLicense(col("xml")).as("lic"),
+      graft.sources.OeBooks.description(col("xml"), lit("en")).as("desc"),
+      graft.sources.OeBooks.description(col("xml"), lit("de")).as("fallback"),
+      graft.sources.OeBooks.isOpenAccess(col("xml")).as("oa")).head()
+    assert(r.getStruct(0).getString(0) === "10.1000/xyz123")
+    assert(r.getStruct(0).getString(1) === "978-3-16-148410-0")
+    val names = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    assert(names === Seq("John Doe", "Jane Smith"))
+    assert(r.getString(2) ===
+      "https://creativecommons.org/licenses/by/4.0/")
+    assert(r.getString(3) === "This is an abstract in English.")
+    assert(r.getString(4) === "Fallback description.")
+    assert(r.getBoolean(5))
+  }
+
+  test("OE Books chapter content: span/a decomposed, anchor-fulltext " +
+      "text extracted from the real fixture") {
+    val s = initSpark()
+    import s.implicits._
+    val content = Seq(fixture("oe_book_chapter.html")).toDF("html")
+      .select(graft.sources.OeBooks.chapterContent(col("html")).as("c"))
+      .head().getString(0)
+    assert(content != null && content.length > 1000)
+    assert(content.contains("Question everything and everyone."))
+    // navigation anchors (a elements) are decomposed, not inlined
+    assert(!content.contains("Texte intégral"))
+  }
+
   test("PLOS: unauthorized or missing license is flagged, not kept") {
     val s = initSpark()
     import s.implicits._
