@@ -31,9 +31,11 @@ object TextClean {
   /** HTML tag strip + entity unescape (reference F4:
     * scraping_utils.py:14-56 uses an HTMLParser; we use a tag regex +
     * common entities, adequate for the reference's fixture corpus). */
-  private val htmlEntities = Seq(
-    "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+  /** `&amp;` is LAST: unescaping it first would double-unescape nested
+    * entities (`&amp;lt;` means literal "&lt;", not "<"). */
+  private[graft] val htmlEntities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
   def stripHtml(c: Column): Column = {
     val noTags = regexp_replace(

@@ -207,10 +207,15 @@ object Dedup {
     * nearly the whole set — use jaccardPairs there. */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
+    // persisted: three plan branches read it (prefix explode + both
+    // verify-join sides) — without the persist the shingling UDF runs
+    // over the full corpus three times. LRU-evictable; disk-spill for
+    // corpora beyond executor memory.
     val sets = df.select(col(idCol).as("id"),
         sortedShingleUdf(n)(col(textCol)).as("shs"))
       .where(size(col("shs")) > 0)
       .withColumn("sz", size(col("shs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1)
       .cast("int")
     val pref = sets.select(col("id"), col("sz"),

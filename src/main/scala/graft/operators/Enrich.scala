@@ -24,12 +24,19 @@ object Enrich {
   private val spliceKey = udf { (details: String, key: String,
       value: String) =>
     val mapper = Enrich.mapper
-    val root = mapper.readTree(
-      if (details == null || details.trim.isEmpty) "{}" else details)
+    val root =
+      try mapper.readTree(
+        if (details == null || details.trim.isEmpty) "{}" else details)
+      catch {
+        // malformed upstream JSON degrades to a fresh object (the old
+        // from_json path nulled out and rebuilt; a throwing UDF would
+        // abort the whole job on one bad row)
+        case _: com.fasterxml.jackson.core.JacksonException => null
+      }
     root match {
       case obj: com.fasterxml.jackson.databind.node.ObjectNode =>
         obj.put(key, value); mapper.writeValueAsString(obj)
-      case _ => // non-object details: replace with a fresh object
+      case _ => // non-object or unparseable details: fresh object
         val o = mapper.createObjectNode(); o.put(key, value)
         mapper.writeValueAsString(o)
     }

@@ -200,14 +200,23 @@ object Similarity {
     }
   }
 
+  // null embeddings assign to no bucket (null centroid / zero probes)
+  // instead of NPEing the task — the replaced expression form was a
+  // null-safe BinaryExpression
   private def nearestUdf(cents: Array[(Long, Seq[Float])]) = {
     val scorer = new CentroidScorer(cents)
-    udf { (vec: Seq[Float]) => scorer.nearest(vec) }
+    val f: Seq[Float] => java.lang.Long = { vec =>
+      if (vec == null) null
+      else java.lang.Long.valueOf(scorer.nearest(vec))
+    }
+    udf(f)
   }
 
   private def probesUdf(cents: Array[(Long, Seq[Float])], nProbe: Int) = {
     val scorer = new CentroidScorer(cents)
-    udf { (vec: Seq[Float]) => scorer.probes(vec, nProbe) }
+    udf { (vec: Seq[Float]) =>
+      if (vec == null) Array.empty[Long] else scorer.probes(vec, nProbe)
+    }
   }
 
   /** Assign each corpus vector to its nearest centroid, map-side. */

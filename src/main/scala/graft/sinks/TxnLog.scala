@@ -74,15 +74,44 @@ object TxnLog {
 
   private def statable(v: Any): Boolean = v match {
     case null => false
-    case _: Long | _: Int | _: Short | _: Byte | _: String => true
+    case _: Long | _: Int | _: Short | _: Byte => true
+    // ASCII-only strings: Java's UTF-16 compare and Spark's UTF-8 binary
+    // min/max agree. Beyond ASCII they diverge for supplementary chars
+    // (UTF-8 orders U+FFFF < U+10000, UTF-16 code units the reverse), so
+    // non-ASCII keys degrade to the never-prunes wide range.
+    case s: String => s.forall(_ < 0x80)
     case _ => false
   }
 
   // -- log serialization (hand-rolled JSON lines: no schema evolution
   // -- needed for 4 fields, and no extra deps) --
 
+  // escape/unescape are exact inverses: backslash first on escape, last
+  // on unescape; newlines MUST be escaped (commits are line-delimited, a
+  // raw \n in a string key would corrupt the log), and parse must
+  // unescape or stored stats would compare escaped-vs-raw and mis-prune
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case other => sb.append(c).append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private def renderCommit(c: Commit): String = {
     val adds = c.add.map(a =>
@@ -92,16 +121,22 @@ object TxnLog {
     (adds ++ removes).mkString("\n")
   }
 
+  // a JSON string field: any run of non-quote-non-backslash chars or
+  // backslash-escaped pairs — an escaped quote inside a key does not
+  // terminate the field
+  private val S = """((?:[^"\\]|\\.)*)"""
   private val AddRe =
-    """\{"add":\{"path":"(.*?)","rows":(\d+),"min":"(.*?)","max":"(.*?)"\}\}""".r
-  private val RemoveRe = """\{"remove":"(.*?)"\}""".r
+    ("""\{"add":\{"path":"""" + S + """","rows":(\d+),"min":"""" + S +
+      """","max":"""" + S + """"\}\}""").r
+  private val RemoveRe = ("""\{"remove":"""" + S + """"\}""").r
 
   private def parseCommit(version: Long, text: String): Commit = {
     val adds = mutable.ArrayBuffer.empty[AddFile]
     val removes = mutable.ArrayBuffer.empty[String]
     text.split("\n").filter(_.nonEmpty).foreach {
-      case AddRe(p, n, mn, mx) => adds += AddFile(p, n.toLong, mn, mx)
-      case RemoveRe(p) => removes += p
+      case AddRe(p, n, mn, mx) =>
+        adds += AddFile(unesc(p), n.toLong, unesc(mn), unesc(mx))
+      case RemoveRe(p) => removes += unesc(p)
       case other => throw new IllegalStateException(
         s"corrupt log line in v$version: $other")
     }
@@ -193,21 +228,38 @@ object TxnLog {
   }
 
   /** Write `df` as new immutable data files; returns their AddFile
-    * entries (with key-range stats) without committing them. */
+    * entries (with key-range stats) without committing them. Stats for
+    * ALL part files come from ONE job grouped by input_file_name() — a
+    * per-file agg loop would run hundreds of driver-sequential jobs on
+    * a wide append. */
   private def writeDataFiles(spark: SparkSession, tableDir: String,
       df: DataFrame, key: String): Seq[AddFile] = {
     val batchId = java.util.UUID.randomUUID().toString.take(8)
     val out = new File(dataDir(tableDir), s"batch-$batchId")
     df.write.parquet(out.getAbsolutePath)
-    val parts = out.listFiles((_, n) => n.endsWith(".parquet")).toSeq
-    parts.map { p =>
-      val rel = s"batch-$batchId/${p.getName}"
-      val stats = spark.read.parquet(p.getAbsolutePath)
-        .agg(count(lit(1)), min(col(key)), max(col(key))).head()
-      if (statable(stats.get(1)) && statable(stats.get(2)))
-        AddFile(rel, stats.getLong(0),
-          statKey(stats.get(1)), statKey(stats.get(2)))
-      else AddFile(rel, stats.getLong(0), WideMin, WideMax)
+    val parts = out.listFiles((_, n) => n.endsWith(".parquet"))
+      .map(_.getName).toSet
+    val statRows = spark.read.parquet(out.getAbsolutePath)
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)), min(col(key)), max(col(key)))
+      .collect()
+    val byName = statRows.map { r =>
+      val name = r.getString(0).split("/").last
+      val entry =
+        if (statable(r.get(2)) && statable(r.get(3)))
+          (r.getLong(1), statKey(r.get(2)), statKey(r.get(3)))
+        else (r.getLong(1), WideMin, WideMax)
+      name -> entry
+    }.toMap
+    parts.toSeq.sorted.flatMap { name =>
+      byName.get(name) match {
+        case Some((rows, mn, mx)) =>
+          Some(AddFile(s"batch-$batchId/$name", rows, mn, mx))
+        case None => // zero-row part: drop it instead of logging a
+          // stat-less file every merge would needlessly rewrite
+          new File(out, name).delete()
+          None
+      }
     }
   }
 
@@ -335,8 +387,13 @@ object TxnLog {
   /** Physically delete data files no longer referenced by ANY log
     * version at or after `retainVersions` back from latest. With the
     * default 0, everything unreferenced by the LATEST snapshot goes —
-    * callers that want time travel keep more. Returns deleted count. */
-  def vacuum(tableDir: String, retainVersions: Int = 0): Int = {
+    * callers that want time travel keep more. Files younger than
+    * `minAgeMs` are NEVER deleted: a concurrent writer stages its data
+    * files BEFORE claiming a log version, so a zero-grace vacuum could
+    * delete an in-flight commit's files and leave the log pointing at
+    * nothing (Delta's retention-window rule). Returns deleted count. */
+  def vacuum(tableDir: String, retainVersions: Int = 0,
+      minAgeMs: Long = 3600000L): Int = {
     val vs = versions(tableDir)
     if (vs.isEmpty) return 0
     val keepFrom = vs.drop(math.max(0, vs.length - 1 - retainVersions)).head
@@ -347,9 +404,11 @@ object TxnLog {
     var deleted = 0
     dd.listFiles().foreach { batch =>
       if (batch.isDirectory) {
+        val cutoff = System.currentTimeMillis() - minAgeMs
         batch.listFiles().foreach { f =>
           val rel = s"${batch.getName}/${f.getName}"
-          if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) {
+          if (f.getName.endsWith(".parquet") && !referenced.contains(rel)
+              && f.lastModified() < cutoff) {
             if (f.delete()) deleted += 1
           }
         }

@@ -118,9 +118,11 @@ object HtmlArticle {
     val author = trim(regexp_replace(authorRaw, "^Auteur :", ""))
     val timeTag = regexp_extract(html,
       "(?is)<time\\b[^>]*class=\"datetime\"[^>]*>", 0)
-    val pubDate = unix_timestamp(
-      to_timestamp(regexp_extract(timeTag, "datetime=\"([^\"]*)\"", 1),
-        "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    // Instant.parse, not to_timestamp with a quoted 'Z': the latter
+    // parses in the SESSION timezone, silently shifting the epoch on
+    // non-UTC sessions (the reference pins tzinfo=utc)
+    val pubDate = isoZuluEpoch(
+      regexp_extract(timeTag, "datetime=\"([^\"]*)\"", 1))
     struct(
       trim(TextClean.stripBacklines(metaContent(html, "og:title")))
         .as("title"),
@@ -150,6 +152,23 @@ object HtmlArticle {
   private val metaIcUdf = udf { (html: String, name: String) =>
     metaContentIgnoreCase(html, name) }
 
+  /** "2026-02-26T13:55:01Z" -> UTC epoch seconds (null if unparseable).
+    * Session-timezone-independent, unlike to_timestamp with a quoted
+    * literal 'Z'. */
+  private val isoZuluEpoch = udf { (s: String) =>
+    if (s == null) null
+    else try java.lang.Long.valueOf(java.time.Instant.parse(s).getEpochSecond)
+    catch { case _: Exception => null.asInstanceOf[java.lang.Long] }
+  }
+
+  /** "2026-01-01" -> UTC midnight epoch seconds (null if unparseable). */
+  private val isoDateEpoch = udf { (s: String) =>
+    if (s == null) null
+    else try java.lang.Long.valueOf(java.time.LocalDate.parse(s)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond)
+    catch { case _: Exception => null.asInstanceOf[java.lang.Long] }
+  }
+
   /** notre-environnement.gouv.fr scraper (reference
     * plugins/scrapers/notre_environnement.py): metadata comes from
     * Dublin Core meta tags (description / dc.title / dc.date /
@@ -167,9 +186,10 @@ object HtmlArticle {
         .orElse(PeerJ.findElement(h, "body", null, null, 0))
         .map(_.inner).orNull
     }
+    // UTC-pinned parse — see isoDateEpoch (to_timestamp would read the
+    // date in the session timezone)
     def dcDate(name: String): Column =
-      unix_timestamp(to_timestamp(
-        metaIcUdf(html, lit(name)), "yyyy-MM-dd"))
+      isoDateEpoch(metaIcUdf(html, lit(name)))
     struct(
       regexp_replace(metaIcUdf(html, lit("dc.title")), "~", " ")
         .as("title"),

@@ -100,8 +100,9 @@ object PeerJ {
   private def tightText(html: String): String = {
     val noTags = html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", "")
       .replaceAll("(?s)<[^>]+>", "")
-    Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+    // shared table; &amp; sits last so nested entities don't
+    // double-unescape
+    TextClean.htmlEntities
       .foldLeft(noTags) { case (t, (e, r)) => t.replace(e, r) }
   }
 

@@ -277,12 +277,16 @@ object OeBooks {
         u => regexp_replace(u, "^urn:isbn:", "")), lit(0)).as("isbn"))
   }
 
-  /** "Lastname, Firstname" creators -> "Firstname Lastname" structs. */
+  /** "Lastname, Firstname" creators -> "Firstname Lastname" structs.
+    * Comma-less creators (institutions: "UNESCO") pass through as-is
+    * instead of nulling out on the missing second segment. */
   def authors(xml: Column): Column =
     transform(Xml.tagContents(xml, "dcterms:creator"), c => struct(
-      concat(
-        trim(element_at(split(c, ","), 2)), lit(" "),
-        trim(element_at(split(c, ","), 1))).as("name"),
+      when(size(split(c, ",")) >= 2,
+        concat(
+          trim(element_at(split(c, ","), 2)), lit(" "),
+          trim(element_at(split(c, ","), 1))))
+        .otherwise(trim(c)).as("name"),
       lit("").as("misc")))
 
   def currentLicense(xml: Column): Column =

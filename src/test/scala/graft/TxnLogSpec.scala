@@ -152,7 +152,9 @@ class TxnLogSpec extends SparkSuite {
     TxnLog.append(s, dir,
       Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), "id")
     TxnLog.replaceByKey(s, dir, Seq((1L, "A")).toDF("id", "v"), "id")
-    val deleted = TxnLog.vacuum(dir)
+    // default grace window spares young files (in-flight-commit guard)
+    assert(TxnLog.vacuum(dir) === 0)
+    val deleted = TxnLog.vacuum(dir, minAgeMs = 0L)
     assert(deleted >= 1, "the pre-merge file must be physically deleted")
     val rows = TxnLog.read(s, dir).get.orderBy("id")
       .as[(Long, String)].collect().toSeq
@@ -217,6 +219,25 @@ class TxnLogSpec extends SparkSuite {
       s"expected disjoint ranges, got ${after.map(f => (f.minKey, f.maxKey))}")
     // idempotent no-op when nothing is small
     assert(TxnLog.optimize(s, dir, "id", smallThresholdRows = 1) === v)
+  }
+
+  test("hostile string keys (newline/quote/backslash) survive the log " +
+      "round-trip and merge correctly") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    val k1 = "line\nbreak"
+    val k2 = "quo\"te\\slash"
+    TxnLog.append(s, dir,
+      Seq((k1, "v1"), (k2, "v1"), ("plain", "v1")).toDF("id", "v"), "id")
+    // log stays parseable and stats round-trip exactly
+    val snap = TxnLog.snapshot(dir)
+    assert(snap.nonEmpty)
+    TxnLog.replaceByKey(s, dir, Seq((k1, "v2")).toDF("id", "v"), "id")
+    val rows = TxnLog.read(s, dir).get.orderBy("id")
+      .as[(String, String)].collect().toMap
+    assert(rows(k1) === "v2" && rows(k2) === "v1" && rows("plain") === "v1")
+    assert(rows.size === 3, "replaced key must not duplicate")
   }
 
   test("statKey is order-preserving for longs incl. negatives") {
