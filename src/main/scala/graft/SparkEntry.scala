@@ -229,10 +229,26 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     }),
 
-    // ---- n-gram Jaccard near-dup pairs (exact set similarity) ----
+    // ---- n-gram Jaccard near-dup pairs (exact set similarity).
+    // SMALL-CORPUS form: cost is Σ df² over shingle document frequency,
+    // so a corpus-scale stop-shingle makes one task quadratic. The
+    // deploy-at-scale exact forms are q70 (df-capped) and q68 (prefix-
+    // filtered); the approximate one is q22 (MinHash+LSH). ----
     "q21_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.2)
+    }),
+
+    // ---- df-capped exact Jaccard — the 100-TB default for low
+    // thresholds: shingles shared by more than maxDocFreq docs are
+    // excluded from BOTH pair generation and the per-doc set sizes, so
+    // per-shingle work is bounded at maxDocFreq²/2 while the score stays
+    // exact over the capped shingle universe. Cap chosen to bite at
+    // sf0.1 (max df there is 25) so the capped semantics are
+    // oracle-pinned, not vacuously equal to q21. ----
+    "q70_jaccard_capped" -> ((s, dir) => {
+      Dedup.jaccardPairsCapped(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.2, maxDocFreq = 10)
     }),
 
     // ---- Prefix-filtered exact jaccard (PPJoin-style — the
@@ -959,6 +975,36 @@ object SparkEntry {
          inter AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
            FROM sh a JOIN sh b ON a.shingle = b.shingle
+           WHERE a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE) /
+               CAST(sa.sz + sb.sz - inter AS DOUBLE) + 1e-9, 4) AS jaccard
+           FROM inter
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b)
+         WHERE jaccard >= 0.2""",
+
+    "q70_jaccard_capped" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+             FROM w)),
+         dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         kept AS (
+           SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+           WHERE df <= 10),
+         sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM kept a JOIN kept b ON a.shingle = b.shingle
            WHERE a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id)
          SELECT id_a, id_b, jaccard FROM (

@@ -206,7 +206,19 @@ object Dedup {
     * formulation for high thresholds. At low thresholds the prefix is
     * nearly the whole set — use jaccardPairs there. */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double): DataFrame =
+    jaccardPairsPrefixScoped(df, idCol, textCol, n, threshold)._1
+
+  /** jaccardPairsPrefix plus an explicit release hook for the internal
+    * shingle-set cache. The operator persists its shingle sets (three
+    * plan branches read them); per-query that cache is LRU-evictable and
+    * harmless, but a long-lived session running many dedup passes would
+    * accumulate pinned RDDs. Call the returned thunk AFTER the last
+    * action on the returned DataFrame — calling it earlier just makes
+    * the remaining branches recompute (correctness unaffected). */
+  def jaccardPairsPrefixScoped(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double)
+      : (DataFrame, () => Unit) = {
     // persisted: three plan branches read it (prefix explode + both
     // verify-join sides) — without the persist the shingling UDF runs
     // over the full corpus three times. LRU-evictable; disk-spill for
@@ -238,12 +250,13 @@ object Dedup {
         col("sz").as("sz_b")), "id_b")
       .withColumn("inter", graft.expr.VectorOps.intersectSortedLongs(
         col("shs_a"), col("shs_b")))
-    verified
+    val out = verified
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double")
         + 1e-9, 4))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (out, () => { sets.unpersist(); () })
   }
 
   /** jaccardPairs with a document-frequency cap on shingles: shingles
@@ -288,22 +301,23 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Row-local MinHash signature: one JVM pass per document (tokenize ->
-    * shingle -> numHashes seeded permutations h_i(x) = (a_i*h(x)+b_i)
-    * mod p, min over shingles). No token-level explode/shuffle — the
-    * original groupBy formulation shuffled every (doc, shingle) row and
-    * dominated the sf0.1 bench. Deterministic (fixed seeds).
-    *
-    * Docs with NO shingles (null/empty text, fewer than shingleN words)
-    * return an EMPTY signature, not a sentinel-filled one — a shared
-    * sentinel would make every short doc pair with every other short doc
-    * at est_jaccard=1.0. Callers filter empty signatures out, mirroring
-    * jaccardPairs' `size(words) >= n` guard. */
-  private def minhashUdf(shingleN: Int, numHashes: Int) =
-    org.apache.spark.sql.functions.udf { (text: String) =>
-      val p = 2147483647L // 2^31 - 1
-      val as = Array.tabulate(numHashes)(i => (1103515245L + 12345L * i) % p)
-      val bs = Array.tabulate(numHashes)(i => (2654435761L + 40503L * i) % p)
+  /** Precomputed MinHash permutation state, hoisted OUT of the per-row
+    * closure: the coefficient arrays are built once on the driver,
+    * serialized into the task closure, and shared by every row a task
+    * signs — the previous formulation re-ran the two
+    * `Array.tabulate(numHashes)` allocations per DOCUMENT (2x128 longs of
+    * garbage per row on the hot path; same hoisting pattern as
+    * Similarity's CentroidScorer / HyperplaneSigner). Deterministic
+    * (fixed seeds). */
+  private final class MinhashSigner(shingleN: Int, numHashes: Int)
+      extends Serializable {
+    private val p = 2147483647L // 2^31 - 1
+    private val as =
+      Array.tabulate(numHashes)(i => (1103515245L + 12345L * i) % p)
+    private val bs =
+      Array.tabulate(numHashes)(i => (2654435761L + 40503L * i) % p)
+
+    def sign(text: String): Seq[Long] = {
       val mins = Array.fill(numHashes)(Long.MaxValue)
       var any = false
       if (text != null) {
@@ -332,6 +346,25 @@ object Dedup {
       }
       if (any) mins.toSeq else Seq.empty[Long]
     }
+  }
+
+  /** Row-local MinHash signature: one JVM pass per document (tokenize ->
+    * shingle -> numHashes seeded permutations h_i(x) = (a_i*h(x)+b_i)
+    * mod p, min over shingles). No token-level explode/shuffle — the
+    * original groupBy formulation shuffled every (doc, shingle) row and
+    * dominated the sf0.1 bench.
+    *
+    * Docs with NO shingles (null/empty text, fewer than shingleN words)
+    * return an EMPTY signature, not a sentinel-filled one — a shared
+    * sentinel would make every short doc pair with every other short doc
+    * at est_jaccard=1.0. Callers filter empty signatures out, mirroring
+    * jaccardPairs' `size(words) >= n` guard. */
+  private def minhashUdf(shingleN: Int, numHashes: Int) = {
+    val signer = new MinhashSigner(shingleN, numHashes)
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      signer.sign(text)
+    }
+  }
 
   /** Per-document MinHash signatures: (id, sig: array<long>). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,

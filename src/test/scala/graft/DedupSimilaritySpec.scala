@@ -68,6 +68,22 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("jaccardPairsPrefixScoped releases its shingle-set cache via the " +
+      "returned hook (long-lived sessions must not accumulate pinned " +
+      "RDDs)") {
+    val s = initSpark()
+    val real = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = s.sparkContext.getPersistentRDDs.size
+    val (pairs, release) =
+      Dedup.jaccardPairsPrefixScoped(real, "doc_id", "text", 3, 0.6)
+    pairs.count() // materialize: the persist is live now
+    assert(s.sparkContext.getPersistentRDDs.size > before,
+      "expected the operator's internal persist to be registered")
+    release()
+    assert(s.sparkContext.getPersistentRDDs.size === before,
+      "release hook must unpersist the internal shingle-set cache")
+  }
+
   test("jaccardPairsCapped: uncapped matches jaccardPairs; cap drops " +
       "stop-shingle pairs") {
     val s = initSpark()
