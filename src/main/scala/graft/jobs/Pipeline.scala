@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expr.VectorCodec
 import graft.ledger.Ledger
-import graft.ml.{Chunker, Keywords, SdgClassifier, StubEmbedder}
+import graft.ml.{Chunker, Keywords, ModelRegistry, SdgClassifier}
 import graft.schema.Warehouse.Step
 import graft.sinks.{CollectionRouter, Merge}
 
@@ -34,7 +34,10 @@ object Pipeline {
   def vectorize(documents: DataFrame, ledger: DataFrame,
       pickQtyMax: Int = 1000, byteCap: Long = 10000000000L,
       maxWordsPerSlice: Int = 128, embedDim: Int = 64,
-      modelName: String = "stub-64"): (DataFrame, DataFrame) = {
+      modelName: String = null): (DataFrame, DataFrame) = {
+    // modelName keys the executor-side ModelRegistry (stub-<dim>,
+    // safetensors:<path>, ...); null falls back to the stub at embedDim.
+    val model = Option(modelName).getOrElse(s"stub-$embedDim")
     val selected = Ledger
       .selectByLastStep(ledger, Seq(Step.DocumentScraped))
       .select(col("document_id"), col("operation_order"))
@@ -50,12 +53,12 @@ object Pipeline {
         posexplode(Chunker.slices(col("full_content"), maxWordsPerSlice))
           .as(Seq("order_sequence", "body")))
       .withColumn("embedding_vec",
-        StubEmbedder.embedding(col("body"), embedDim))
+        ModelRegistry.embedding(col("body"), model))
       .withColumn("embedding",
         VectorCodec.floatVectorToBytes(col("embedding_vec")))
       .withColumn("id",
         concat(col("document_id"), lit("#"), col("order_sequence")))
-      .withColumn("embedding_model_name", lit(modelName))
+      .withColumn("embedding_model_name", lit(model))
     val newStates = Ledger.withNextOperationOrder(
       slices.select("document_id").distinct()
         .withColumn("title", lit(Step.DocumentVectorized)),

@@ -66,18 +66,35 @@ object ModelRegistry extends Serializable {
   @transient private lazy val models =
     new java.util.concurrent.ConcurrentHashMap[String, EmbedFn]()
 
-  /** Resolve (and memoize) the embedding backend for a model name. The
-    * stub registry knows `stub-<dim>` names; a production deployment
-    * registers ONNX/DJL loaders the same way. */
+  /** Resolve (and memoize) the embedding backend for a model name.
+    * Built-in schemes:
+    *  - `stub-<dim>`: the deterministic hash embedder (tests, CI)
+    *  - `safetensors:<path>`: REAL inference from a weights file
+    *    (TensorFileEmbedder) — the file parses once per executor JVM
+    *    and the loaded tensors are reused by every task, the exact
+    *    model-cache shape of the reference's per-process HF dict cache
+    *    (embedding_model_helpers.py:125-163).
+    * A production deployment registers further loaders the same way. */
   def embedderFor(modelName: String): EmbedFn =
     models.computeIfAbsent(modelName, { name =>
       name match {
         case s if s.startsWith("stub-") =>
           val dim = s.stripPrefix("stub-").toInt
           (t: String) => StubEmbedder.embed(t, dim)
+        case s if s.startsWith("safetensors:") =>
+          val model = TensorFileEmbedder.load(s.stripPrefix("safetensors:"))
+          (t: String) => model.embed(t)
         case other =>
           throw new IllegalArgumentException(
             s"no embedding backend registered for model '$other'")
       }
     })
+
+  /** Column form: embed `text` with the backend `modelName` resolves to.
+    * Only the NAME is captured in the task closure — the model itself
+    * loads lazily executor-side and stays JVM-resident. */
+  def embedding(text: Column, modelName: String): Column = {
+    val f = udf { (t: String) => ModelRegistry.embedderFor(modelName)(t) }
+    f(text)
+  }
 }

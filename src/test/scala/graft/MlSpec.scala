@@ -73,6 +73,64 @@ class MlSpec extends SparkSuite {
     }
   }
 
+  // ---- Real-inference seam (M2): safetensors weights -> matmul ----
+
+  test("safetensors round-trip preserves shapes and values") {
+    val dir = java.nio.file.Files.createTempDirectory("st").toString
+    val path = s"$dir/t.safetensors"
+    val a = graft.ml.SafeTensors.Tensor(Array(2, 3),
+      Array(1.5f, -2.25f, 0f, 4f, 5f, -6.125f))
+    val b = graft.ml.SafeTensors.Tensor(Array(4), Array(9f, 8f, 7f, 6f))
+    graft.ml.SafeTensors.write(path, Seq("w" -> a, "bias" -> b))
+    val loaded = graft.ml.SafeTensors.load(path)
+    assert(loaded.keySet === Set("w", "bias"))
+    assert(loaded("w").shape.toSeq === Seq(2, 3))
+    assert(loaded("w").data.toSeq === a.data.toSeq)
+    assert(loaded("bias").data.toSeq === b.data.toSeq)
+  }
+
+  test("tensor-file embedder: deterministic, unit-norm, and genuinely " +
+      "weight-driven (perturbing one weight moves the output)") {
+    val dir = java.nio.file.Files.createTempDirectory("st").toString
+    val path = s"$dir/model.safetensors"
+    graft.ml.TensorFileEmbedder.writeTinyModel(path, vocab = 97,
+      dModel = 16, outDim = 8)
+    val m = graft.ml.TensorFileEmbedder.load(path)
+    val v1 = m.embed("spark catalyst engine")
+    assert(v1.length === 8)
+    assert(v1.toSeq === m.embed("spark catalyst engine").toSeq)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // perturb one weight byte-equivalent: rewrite with a different seed
+    val path2 = s"$dir/model2.safetensors"
+    graft.ml.TensorFileEmbedder.writeTinyModel(path2, vocab = 97,
+      dModel = 16, outDim = 8, seed = 0xbadcafe)
+    val v2 = graft.ml.TensorFileEmbedder.load(path2)
+      .embed("spark catalyst engine")
+    assert(v1.toSeq !== v2.toSeq,
+      "different weights must produce different embeddings")
+    // shared-token bags land closer than disjoint ones (pooled means
+    // are close in model space; the dense+tanh head is continuous)
+    def cos(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+    val base = m.embed("spark catalyst engine query plan")
+    val near = m.embed("spark catalyst engine query optimizer")
+    val far = m.embed("banana apple orange grape melon")
+    assert(cos(base, near) > cos(base, far))
+  }
+
+  test("model registry memoizes the safetensors backend per JVM (R7 " +
+      "model-cache parity: the file parses once, tasks share it)") {
+    val dir = java.nio.file.Files.createTempDirectory("st").toString
+    val path = s"$dir/model.safetensors"
+    graft.ml.TensorFileEmbedder.writeTinyModel(path, vocab = 53,
+      dModel = 8, outDim = 4)
+    val f1 = ModelRegistry.embedderFor(s"safetensors:$path")
+    val f2 = ModelRegistry.embedderFor(s"safetensors:$path")
+    assert(f1 eq f2, "registry must return the memoized instance")
+    assert(f1("hello world").length === 4)
+  }
+
   // ---- SDG classifiers (M3/M4/M5) ----
 
   private def sliceDf = {

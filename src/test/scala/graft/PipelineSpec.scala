@@ -60,6 +60,32 @@ class PipelineSpec extends SparkSuite {
       "d2" -> Step.DocumentVectorized))
   }
 
+  test("vectorize runs the stub AND the safetensors real-inference " +
+      "backend through the same call (M2 seam: only modelName changes)") {
+    val dir = java.nio.file.Files.createTempDirectory("st").toString
+    val path = s"$dir/model.safetensors"
+    graft.ml.TensorFileEmbedder.writeTinyModel(path, vocab = 197,
+      dModel = 24, outDim = 64)
+    val (stubSlices, _) = Pipeline.vectorize(documents, ledger0,
+      maxWordsPerSlice = 12, modelName = "stub-64")
+    val (realSlices, _) = Pipeline.vectorize(documents, ledger0,
+      maxWordsPerSlice = 12, modelName = s"safetensors:$path")
+    val stubRows = stubSlices.select("id", "embedding_vec")
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val realRows = realSlices.select("id", "embedding_vec")
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(stubRows.keySet === realRows.keySet) // same admission+chunking
+    assert(stubRows.nonEmpty)
+    stubRows.keySet.foreach { id =>
+      assert(realRows(id).length === 64)
+      assert(stubRows(id) !== realRows(id),
+        s"backends must actually differ for slice $id")
+    }
+    val names = realSlices.select("embedding_model_name").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(names === Seq(s"safetensors:$path"))
+  }
+
   test("full flow advances the ledger state machine end-to-end") {
     val s = initSpark()
     val (slices, vStates) = Pipeline.vectorize(documents, ledger0,
