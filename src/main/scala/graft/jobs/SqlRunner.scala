@@ -49,6 +49,60 @@ object SqlRunner {
         java.nio.file.Paths.get(path)), "UTF-8"),
       params)
 
+  /** One parsed statement-pair of the category backfill migration: a
+    * category title and the corpus source_names it claims. */
+  final case class CategoryBackfill(title: String, sources: Seq[String])
+
+  private val BackfillValuesRe =
+    "(?s)VALUES\\s*\\(\\s*'([^']+)'\\s*\\)".r
+  private val BackfillInListRe =
+    "(?s)IN\\s*\\(([^)]+)\\)".r
+
+  /** Parse the reference's corpus-category backfill migration
+    * (sql/89920abb7ff8_populate_corpus_category.sql): each statement is
+    * a Postgres `WITH ids AS (INSERT ... RETURNING id) UPDATE ... FROM
+    * ids WHERE source_name IN (...)`. That dialect (INSERT..RETURNING,
+    * UPDATE..FROM, serial ids) has no Spark SQL form — but its MEANING
+    * is pure data: an ordered list of (category title, source_name
+    * list). Parse exactly that and let `applyCategoryBackfill` express
+    * the update Spark-first (dim build + broadcast join), which is also
+    * the shape that survives 100 TB: the reference's row-at-a-time
+    * UPDATE becomes one scan of the corpus table. */
+  def parseCategoryBackfill(path: String): Seq[CategoryBackfill] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val titles = BackfillValuesRe.findAllMatchIn(text)
+      .map(_.group(1)).toSeq
+    val inLists = BackfillInListRe.findAllMatchIn(text)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("'")
+        .stripSuffix("'")).toSeq).toSeq
+    require(titles.length == inLists.length && titles.nonEmpty,
+      s"malformed backfill migration: ${titles.length} inserts vs " +
+        s"${inLists.length} IN-lists in $path")
+    titles.zip(inLists).map { case (t, ss) => CategoryBackfill(t, ss) }
+  }
+
+  /** Apply a parsed category backfill: returns (category dim, corpus
+    * with category_id set). Ids are assigned in declaration order
+    * (1-based), matching the reference's serial PK sequence on a fresh
+    * `category` table. Unmatched corpora keep a null category_id, like
+    * rows the reference UPDATEs never touch. */
+  def applyCategoryBackfill(spark: SparkSession, corpus: DataFrame,
+      statements: Seq[CategoryBackfill]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val categories = spark.createDataFrame(
+      statements.zipWithIndex.map { case (s, i) =>
+        (i + 1L, s.title)
+      }).toDF("id", "title")
+    val mapping = spark.createDataFrame(
+      statements.zipWithIndex.flatMap { case (s, i) =>
+        s.sources.map(src => (src, i + 1L))
+      }).toDF("source_name", "category_id")
+    val updated = corpus.drop("category_id")
+      .join(broadcast(mapping), Seq("source_name"), "left")
+    (categories, updated)
+  }
+
   /** Materialized-view emulation (reference S20: Spark has no MV — a
     * registered query re-runs and overwrites its backing parquet; readers
     * see the refreshed table). */

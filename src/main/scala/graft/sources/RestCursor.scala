@@ -31,6 +31,38 @@ object RestCursor {
   final case class HttpError(code: Int, message: String)
       extends RuntimeException(s"HTTP $code: $message")
 
+  /** Live HTTP transport — the production Transport (reference R10:
+    * utils_/http_client_utils.py builds a requests.Session; here the
+    * JDK's HttpURLConnection, so executors need no extra dependency).
+    * Non-2xx responses raise HttpError with the status code, which is
+    * exactly what `withRetry`'s retryable predicate dispatches on —
+    * wrap as `withRetry(new HttpTransport())` for the reference's
+    * total=10 / backoff-x2 behavior. Serializable: instances carry only
+    * timeouts/headers, connections open per call executor-side. */
+  final class HttpTransport(connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000,
+      headers: Map[String, String] = Map.empty) extends Transport {
+    def get(url: String): String = {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeoutMs)
+        conn.setRequestProperty("Accept", "application/json")
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        val code = conn.getResponseCode
+        val is = if (code >= 200 && code < 300) conn.getInputStream
+          else conn.getErrorStream
+        val body = if (is == null) ""
+          else try new String(is.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally is.close()
+        if (code >= 200 && code < 300) body
+        else throw HttpError(code, body.take(200))
+      } finally conn.disconnect()
+    }
+  }
+
   /** Retrying transport decorator: `retryable` decides from the error
     * code; delays are injectable for tests. */
   def withRetry(inner: Transport, maxAttempts: Int = 10,

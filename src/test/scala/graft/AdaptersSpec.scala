@@ -37,6 +37,56 @@ class AdaptersSpec extends SparkSuite {
     assert(served.head.contains("select=id,title"))
   }
 
+  test("LIVE SOCKET: HttpTransport + withRetry survive real 503/429 " +
+      "responses from a loopback server, then cursorScan completes " +
+      "(reference R10 retry/backoff against an actual HTTP stack)") {
+    val s = initSpark()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/api", { exchange =>
+      val n = hits.incrementAndGet()
+      val (code, body) = n match {
+        case 1 => (503, """{"error":"warming up"}""")
+        case 2 => (429, """{"error":"rate limited"}""")
+        case _ =>
+          val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+          if (q.contains("cursor=*"))
+            (200, """{"next":"c2","items":[1,2]}""")
+          else (200, """{"next":null,"items":[3]}""")
+      }
+      val bytes = body.getBytes("UTF-8")
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(code, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val t = RestCursor.withRetry(new RestCursor.HttpTransport(),
+        maxAttempts = 5, sleep = delays.append(_))
+      val next = (body: String) =>
+        if (body.contains("\"next\":\"c2\"")) Some("c2") else None
+      val pages = RestCursor.cursorScan(s, t,
+        s"http://127.0.0.1:$port/api", Pushdown(), next, maxPages = 5)
+      val bodies = pages.collect().map(_.getAs[String]("page_body"))
+      assert(bodies.length === 2)
+      assert(bodies(0).contains("\"items\":[1,2]"))
+      assert(bodies(1).contains("\"items\":[3]"))
+      assert(hits.get() === 4, "503 + 429 + two successful pages")
+      assert(delays.toSeq === Seq(100L, 200L),
+        "backoff doubles per attempt (reference x2 schedule)")
+      // a hard 404 from a real socket is NOT retried
+      val err = intercept[HttpError] {
+        RestCursor.withRetry(new RestCursor.HttpTransport(),
+          sleep = _ => ()).get(s"http://127.0.0.1:$port/nope")
+      }
+      assert(err.code === 404)
+    } finally server.stop(0)
+  }
+
   test("retry transport: backs off on 429/5xx, gives up past budget") {
     var calls = 0
     val flaky = new Transport {
@@ -181,6 +231,40 @@ class AdaptersSpec extends SparkSuite {
       "SELECT v FROM sqlrunner_t WHERE id >= :minId ORDER BY id",
       Map("minId" -> 2))
     assert(out.collect().map(_.getString(0)).toSeq === Seq("b", "c"))
+  }
+
+  test("GOLDEN: the reference corpus-category backfill migration runs " +
+      "end-to-end (parse the real file -> dim build + broadcast join; " +
+      "sql/89920abb7ff8_populate_corpus_category.sql)") {
+    val s = initSpark()
+    import s.implicits._
+    val path =
+      "/root/reference/sql/89920abb7ff8_populate_corpus_category.sql"
+    assume(new java.io.File(path).exists(), "reference checkout absent")
+    val parsed = SqlRunner.parseCategoryBackfill(path)
+    // golden: the five statements, in file order, with their IN-lists
+    assert(parsed.map(_.title) === Seq(
+      "academic scientific publications", "teaching resources",
+      "expert reports", "science communication and outreach",
+      "collaborative and encyclopedic knowledge"))
+    assert(parsed.head.sources === Seq("hal", "plos", "peerj", "oapen",
+      "openalex", "open-edition-books"))
+    assert(parsed(2).sources === Seq("ipcc", "ipbes"))
+    val corpus = Seq(
+      (1L, "hal", "c1"), (2L, "ted", "c2"), (3L, "wikipedia", "c3"),
+      (4L, "uved", "c4"), (5L, "unknown-source", "c5"))
+      .toDF("id", "source_name", "title")
+    val (categories, updated) =
+      SqlRunner.applyCategoryBackfill(s, corpus, parsed)
+    assert(categories.count() === 5)
+    val got = updated.select("source_name", "category_id").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got("hal") === 1L) // academic scientific publications
+    assert(got("ted") === 4L) // science communication and outreach
+    assert(got("wikipedia") === 5L) // collaborative and encyclopedic
+    assert(got("uved") === 2L) // teaching resources
+    assert(got("unknown-source") === null) // untouched by every UPDATE
   }
 
   test("materialized-view refresh re-runs registered query (S20)") {

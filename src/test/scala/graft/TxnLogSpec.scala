@@ -144,6 +144,89 @@ class TxnLogSpec extends SparkSuite {
     assert(TxnLog.versions(dir).size === 5)
   }
 
+  test("STRESS racing replaceByKey writers: every version has exactly " +
+      "one author, conflicted losers retry to convergence, no key is " +
+      "lost or duplicated") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    // seed: keys 0..19 in one file so every merge overlaps every other
+    TxnLog.append(s, dir,
+      (0L until 20L).map(k => (k, "seed")).toDF("id", "v").coalesce(1),
+      "id")
+    val opsPerWriter = 4
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(tag: String): Thread = new Thread(() => {
+      try {
+        (1 to opsPerWriter).foreach { op =>
+          // each op rewrites an overlapping 12-key window with a
+          // writer+op tagged value
+          val lo = if (tag == "w1") 0L else 8L
+          val rep = (lo until lo + 12L).map(k => (k, s"$tag-op$op"))
+            .toDF("id", "v")
+          var done = false
+          var tries = 0
+          while (!done) {
+            tries += 1
+            assert(tries <= 25, s"$tag op$op did not converge")
+            try { TxnLog.replaceByKey(s, dir, rep, "id"); done = true }
+            catch {
+              case e: IllegalStateException
+                  if e.getMessage.contains("txn conflict") =>
+                conflicts.incrementAndGet() // lost the race; retry
+            }
+          }
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    val ts = Seq(writer("w1"), writer("w2"))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    // exactly one author per version: the log is contiguous and every
+    // replaceByKey that reported success got its own version
+    val vs = TxnLog.versions(dir)
+    assert(vs === (0L to vs.max).toSeq, "version sequence must be gapless")
+    assert(vs.size === 1 + 2 * opsPerWriter,
+      "every successful merge must own exactly one version")
+    // no key lost, none duplicated; contended keys hold a tagged value
+    val rows = TxnLog.read(s, dir).get.as[(Long, String)].collect()
+    assert(rows.map(_._1).sorted === (0L until 20L).toArray)
+    val byKey = rows.toMap
+    (8L until 12L).foreach { k => // contended window: both writers wrote
+      assert(byKey(k).startsWith("w1-op") || byKey(k).startsWith("w2-op"))
+    }
+    // final state is a consistent replay: keys 12..19 belong to w2 only,
+    // 0..7 to w1 only (or seed if never committed last — impossible:
+    // both ranges were rewritten every op)
+    (0L until 8L).foreach(k => assert(byKey(k) === s"w1-op$opsPerWriter"))
+    (12L until 20L).foreach(k => assert(byKey(k) === s"w2-op$opsPerWriter"))
+  }
+
+  test("vacuum honors the retention window: a reader pinned inside it " +
+      "keeps working after vacuum; only versions beyond it lose files") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = tmpTable()
+    TxnLog.append(s, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), "id")
+    TxnLog.replaceByKey(s, dir, Seq((1L, "A")).toDF("id", "v"), "id")
+    TxnLog.replaceByKey(s, dir, Seq((2L, "B")).toDF("id", "v"), "id")
+    // retain 2 versions back: v0's files stay referenced by the window,
+    // so the pinned reader is safe even with the age grace disabled
+    assert(TxnLog.vacuum(dir, retainVersions = 2, minAgeMs = 0L) === 0)
+    val pinned = TxnLog.read(s, dir, asOf = Some(0L)).get
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(pinned === Seq((1L, "a"), (2L, "b")),
+      "reader pinned inside the retention window must survive vacuum")
+    // shrink the window: v0-only files become deletable, latest intact
+    assert(TxnLog.vacuum(dir, retainVersions = 0, minAgeMs = 0L) >= 1)
+    val latest = TxnLog.read(s, dir).get
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(latest === Seq((1L, "A"), (2L, "B")))
+  }
+
   test("vacuum deletes files unreferenced by the latest snapshot and " +
       "keeps the active ones") {
     val s = initSpark()
