@@ -59,13 +59,18 @@ object Similarity {
     * count, cosine assignment (map-side, zero-shuffle), mean recompute
     * as one groupBy per iteration. Each Spark job is bounded: iters x
     * (scan + one shuffle on centroid_id). Empty clusters keep their
-    * previous centroid (stable ids). The structure (sample, assignment,
-    * iteration count) is deterministic, but avg() accumulates floats in
-    * shuffle-partition order, so refined centroids are reproducible only
-    * to float tolerance, not bitwise (ADVICE r2) — queries that need
-    * hash-stable output should use the unrefined sampleCentroids tier.
-    * Better-fitting centroids raise IVF recall at the same nProbe
-    * (pinned by ApproxQualitySpec). */
+    * previous centroid (stable ids).
+    *
+    * BITWISE RUN-TO-RUN DETERMINISTIC (closes ADVICE r2): the per-
+    * cluster mean is computed by quantizing each coordinate to 24-bit
+    * fixed point and summing LONGS — integer addition is associative
+    * and commutative, so no shuffle order, partition count, or AQE
+    * re-plan can change the result, unlike float avg() whose
+    * accumulation order leaks into the low mantissa bits. Quantization
+    * error is <=2^-25 per element — orders below any centroid-movement
+    * tolerance (ApproxQualitySpec's recall floor pins quality). The
+    * long sum saturates only past 2^38 rows per cluster per unit
+    * coordinate range — far beyond a realistic cluster. */
   def kMeansCentroids(corpus: DataFrame, stride: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
@@ -75,17 +80,20 @@ object Similarity {
       s"kMeansCentroids: no centroids sampled — corpus is empty or no " +
         s"$idCol is divisible by stride=$stride")
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    val scale = (1L << 24).toDouble
     (0 until iters).foreach { _ =>
       val assigned = corpus.withColumn("centroid_id",
         nearestUdf(cents)(col(vecCol)))
-      val meanCols = (0 until dim).map(i =>
-        avg(element_at(col(vecCol), i + 1)).as(s"m$i"))
+      val sumCols = (0 until dim).map(i =>
+        sum(round(element_at(col(vecCol), i + 1) * scale).cast("long"))
+          .as(s"s$i")) :+ count(lit(1)).as("n")
       val means = assigned.groupBy("centroid_id")
-        .agg(meanCols.head, meanCols.tail: _*)
+        .agg(sumCols.head, sumCols.tail: _*)
         .collect()
         .map { r =>
+          val n = r.getLong(dim + 1).toDouble
           (r.getLong(0), (0 until dim).map(i =>
-            r.getDouble(i + 1).toFloat): Seq[Float])
+            (r.getLong(i + 1) / scale / n).toFloat): Seq[Float])
         }.toMap
       cents = cents.map { case (cid, old) =>
         (cid, means.getOrElse(cid, old))

@@ -118,6 +118,47 @@ object Warehouse {
     StructField("keyword", StringType, nullable = false),
     StructField("created_at", TimestampType)
   ))
+
+  // ---- user_related schema (the product-API side of the reference
+  // data model; they back auth + usage analytics, not the pipeline) ----
+
+  /** reference: migration 4fcbfb7f3145 (api_key_management). `digest`
+    * is the stored hash of the api key — plaintext keys never land in
+    * the warehouse. */
+  val apiKeyManagement: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("title", StringType),
+    StructField("is_active", BooleanType, nullable = false),
+    StructField("register_email", StringType, nullable = false),
+    StructField("digest", BinaryType, nullable = false),
+    StructField("created_at", TimestampType),
+    StructField("updated_at", TimestampType)
+  ))
+
+  /** reference: migration e354666f951d (inferred_user). */
+  val inferredUser: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("created_at", TimestampType)
+  ))
+
+  /** reference: migration e354666f951d (session). */
+  val userSession: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("inferred_user_id", StringType, nullable = false),
+    StructField("created_at", TimestampType),
+    StructField("end_at", TimestampType, nullable = false),
+    StructField("host", StringType)
+  ))
+
+  /** reference: migration e354666f951d (endpoint_request). */
+  val endpointRequest: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("session_id", StringType, nullable = false),
+    StructField("endpoint_name", StringType, nullable = false),
+    StructField("http_code", IntegerType, nullable = false),
+    StructField("message", StringType),
+    StructField("created_at", TimestampType)
+  ))
 }
 
 /** Typed views of the warehouse rows for Dataset[T] use. */

@@ -122,4 +122,20 @@ class ApproxQualitySpec extends SparkSuite {
     assert(refinedHits >= strideHits,
       s"refined recall $refinedHits < stride recall $strideHits")
   }
+
+  test("k-means centroids are BITWISE identical across partitionings " +
+      "(fixed-point integer sums make the mean order-independent)") {
+    val s = initSpark()
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    def centroids(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Float])] =
+      Similarity.kMeansCentroids(df, stride = 20, iters = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+    val a = centroids(emb.repartition(3))
+    val b = centroids(emb.repartition(17, col("vec_id")))
+    val c = centroids(emb.coalesce(1))
+    assert(a === b, "3-way vs 17-way partitioning must agree bitwise")
+    assert(a === c, "distributed vs single-partition must agree bitwise")
+  }
 }
