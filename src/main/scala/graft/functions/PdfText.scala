@@ -66,4 +66,25 @@ object PdfText {
     * byte-size column so oversized files never reach the fetch stage. */
   def admitBySize(sizeBytes: Column, maxBytes: Long = 2000000L): Column =
     sizeBytes.isNotNull && sizeBytes <= maxBytes
+
+  /** Per-page text extraction from raw PDF bytes (PdfExtract — the
+    * in-engine replacement for the reference's Tika sidecar; see that
+    * object's scaladoc for the supported subset). binary -> array<string>,
+    * row-local. */
+  def extractPages(pdf: Column): Column = {
+    val f = udf { (bytes: Array[Byte]) => PdfExtract.pages(bytes) }
+    f(pdf)
+  }
+
+  /** Encrypted-PDF predicate for error-channel routing (reference
+    * pdf_extractor.py failure branch -> ErrorRetrieval). */
+  def isEncrypted(pdf: Column): Column = {
+    val f = udf { (bytes: Array[Byte]) => PdfExtract.isEncrypted(bytes) }
+    f(pdf)
+  }
+
+  /** The full S15 path, binary to clean text: extract pages, strip
+    * repeated headers/footers, repair hyphenation/ligatures/controls. */
+  def extractRefined(pdf: Column): Column =
+    refinePages(extractPages(pdf))
 }

@@ -310,6 +310,54 @@ class AdaptersSpec extends SparkSuite {
     assert(!got.contains(""))
   }
 
+  test("REAL PDF: FlateDecode content streams extract per-page text, " +
+      "and the full S15 chain strips the repeated header (in-engine " +
+      "replacement for the reference's Tika sidecar)") {
+    val s = initSpark()
+    import s.implicits._
+    val pdf = PdfFixtures.pdf(Seq(
+      Seq("Corporate Header", "First page body text."),
+      Seq("Corporate Header", "Second page body text."),
+      Seq("Corporate Header", "Third page, hy-", "phenated word.")))
+    val pages = graft.functions.PdfExtract.pages(pdf)
+    assert(pages.length === 3)
+    assert(pages(0) === "Corporate Header\nFirst page body text.")
+    assert(pages(2).contains("hy-\nphenated"))
+    // full binary -> clean-text column path
+    val out = Seq(Tuple1(pdf)).toDF("pdf")
+      .select(PdfText.extractRefined(col("pdf")).as("text"))
+      .head().getString(0)
+    assert(!out.contains("Corporate Header"),
+      s"repeated header must be stripped, got: $out")
+    assert(out.contains("First page body text."))
+    assert(out.contains("hyphenated word."), // dehyphenation repaired it
+      s"dehyphenation failed: $out")
+    // uncompressed streams and non-PDF bytes
+    val plain = PdfFixtures.pdf(Seq(Seq("No filter here.")),
+      compress = false)
+    assert(graft.functions.PdfExtract.pages(plain) ===
+      Seq("No filter here."))
+    assert(graft.functions.PdfExtract.pages("not a pdf".getBytes) ===
+      Seq.empty)
+    assert(graft.functions.PdfExtract.pages(null) === Seq.empty)
+  }
+
+  test("PDF content-stream operators: TJ kerning gaps become spaces, " +
+      "hex strings and escapes decode, encryption is detected") {
+    import graft.functions.PdfExtract
+    def content(ops: String) = PdfExtract.textFromContent(
+      ops.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    // -80 is sub-word kerning (joined); -300 is a word gap (space)
+    assert(content("BT [(Hel)-80(lo)-300(world)] TJ ET") === "Hello world")
+    assert(content("BT <48656C6C6F> Tj ET") === "Hello")
+    assert(content("BT (a\\(b\\)c \\134 \\101) Tj ET") === "a(b)c \\ A")
+    assert(content("BT (line one) Tj 0 -14 Td (line two) Tj ET") ===
+      "line one\nline two")
+    val enc = ("%PDF-1.4\n1 0 obj << /Encrypt 2 0 R >> endobj\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfExtract.isEncrypted(enc))
+  }
+
   test("pdf size admission guard (R11)") {
     val s = initSpark()
     import s.implicits._
