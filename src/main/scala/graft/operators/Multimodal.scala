@@ -7,13 +7,94 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (BASELINE.json north star): image/audio/
   * video payloads as opaque binary columns + typed metadata, with the
-  * decode/feature steps as mapPartitions over batched rows — the Spark-
-  * side shape (schema, partitioning, batch iteration) is real and
-  * tested; the actual codec call is a deterministic STUB (media libs are
-  * not in this container; a production build swaps `stubDecode` for an
-  * FFI decode keeping every signature identical).
+  * decode/feature steps as mapPartitions over batched rows.
+  *
+  * IMAGE kernels are REAL: decode/resize/featurize run through the
+  * JDK's ImageIO (PNG/JPEG/BMP/GIF/WBMP readers ship with Java — no
+  * external dependency, headless-safe). Payloads ImageIO cannot decode
+  * fall back to the deterministic stub kernels so non-image bytes keep
+  * flowing (same signature, documented per call site). VIDEO frame
+  * DECODE remains the one stub: the JDK has no video codec, and that is
+  * the honest FFI cut line — frame sampling arithmetic, caps, and the
+  * downstream featurize/LSH plumbing are real either way.
   */
 object Multimodal {
+
+  /** Real image decode via the JDK's bundled ImageIO readers. None for
+    * null/empty/undecodable payloads (callers fall back to the stub
+    * kernels). One call per row inside mapPartitions — ImageIO reader
+    * instances are per-call; the JVM caches the reader SPI registry. */
+  def decodeImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.length == 0) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real resize: bilinear scale to w x h, re-encoded as PNG.
+    * Undecodable payloads degrade to stubResize. */
+  def resizeKernel(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+    decodeImage(payload) match {
+      case Some(img) =>
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      case None => stubResize(payload, w, h)
+    }
+
+  /** Real image featurization: mean luminance over a g x g pooling grid
+    * (g = ceil(sqrt(dim)), first `dim` cells row-major), L2-normalized —
+    * the classic tiny-gist descriptor; enough signal for near-dup LSH
+    * over decoded pixels rather than compressed bytes. */
+  def imageFeatures(img: java.awt.image.BufferedImage,
+      dim: Int): Array[Float] = {
+    val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val acc = new Array[Double](dim)
+    val cnt = new Array[Long](dim)
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val gy = math.min(g - 1, y * g / math.max(h, 1))
+      var x = 0
+      while (x < w) {
+        val gx = math.min(g - 1, x * g / math.max(w, 1))
+        val cell = gy * g + gx
+        if (cell < dim) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          acc(cell) += lum / 255.0
+          cnt(cell) += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < dim) { if (cnt(i) > 0) acc(i) /= cnt(i); i += 1 }
+    val norm = math.sqrt(acc.map(v => v * v).sum)
+    if (norm == 0.0) { val v = new Array[Float](dim); v(0) = 1.0f; v }
+    else acc.map(v => (v / norm).toFloat)
+  }
+
+  /** Featurize kernel: real pixel features for decodable images, byte-
+    * histogram stub otherwise (audio/video payloads until their FFI
+    * decoders are wired). */
+  def featureKernel(payload: Array[Byte], dim: Int): Array[Float] =
+    decodeImage(payload) match {
+      case Some(img) => imageFeatures(img, dim)
+      case None => stubDecode(payload, dim)
+    }
 
   /** media table schema: one row per asset. */
   val mediaSchema: StructType = StructType(Seq(
@@ -32,11 +113,12 @@ object Multimodal {
     StructField("feature", ArrayType(FloatType), nullable = false)
   ))
 
-  /** STUB decode+featurize kernel: deterministic bytes -> fixed-dim
-    * feature (byte histogram, L2-normalized). Replace with a real decoder
-    * (image resize / audio frames / video frame-sample) preserving this
-    * exact signature — per-partition iteration means a real backend can
-    * hold one decoder instance per partition (executor-singleton, R7). */
+  /** FALLBACK featurize kernel for payloads ImageIO cannot decode
+    * (audio bytes, synthetic fixtures): deterministic byte histogram,
+    * L2-normalized. An audio FFI decoder would replace this preserving
+    * the exact signature — per-partition iteration means a real backend
+    * can hold one decoder instance per partition (executor-singleton,
+    * R7). */
   def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Double](dim)
     if (payload != null) {
@@ -63,7 +145,7 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]]("payload")
           Row(r.getString(0), r.getString(1),
             if (payload == null) 0 else payload.length,
-            stubDecode(payload, dim).toSeq)
+            featureKernel(payload, dim).toSeq)
         }
       }(enc)
   }
@@ -76,10 +158,11 @@ object Multimodal {
     extractFeatures(
       media.repartition(partitions, col("asset_id")), dim)
 
-  /** STUB resize kernel: deterministic payload transform standing in for
-    * an image decoder+scaler (production: libvips/ImageIO behind the
-    * same bytes->bytes signature). Emits a payload whose length encodes
-    * the target dims so tests can assert the transform ran. */
+  /** FALLBACK resize kernel for undecodable payloads (and the synthetic
+    * frame bytes sampleFrames emits, pending a video FFI decoder):
+    * deterministic payload transform whose output length encodes the
+    * target dims so tests can assert the transform ran. Real images
+    * never reach this — resizeKernel decodes them via ImageIO. */
   def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte]((w * h) % 4096 + 16)
     if (payload != null && payload.length > 0) {
@@ -104,7 +187,7 @@ object Multimodal {
         rows.map { r =>
           if (r.getString(1) == "image") {
             Row(r.getString(0), r.getString(1),
-              stubResize(r.getAs[Array[Byte]]("payload"), w, h),
+              resizeKernel(r.getAs[Array[Byte]]("payload"), w, h),
               w, h, r.get(5))
           } else r
         }
@@ -149,7 +232,7 @@ object Multimodal {
     * stubbed, plumbing (generator -> featurize -> LSH join) real. */
   def frameNearDupPairs(media: DataFrame, everyMs: Long, dim: Int,
       threshold: Double, planes: Int = 8): DataFrame = {
-    val featUdf = udf { (payload: Array[Byte]) => stubDecode(payload, dim) }
+    val featUdf = udf { (payload: Array[Byte]) => featureKernel(payload, dim) }
     val frames = sampleFrames(media, everyMs).select(
       concat(col("asset_id"), lit("#"), col("frame_index"))
         .as("frame_id"),

@@ -16,6 +16,63 @@ class MultimodalSpec extends SparkSuite {
     s.createDataFrame(rows, Multimodal.mediaSchema)
   }
 
+  /** Real PNG bytes: left half red, right half blue. */
+  private def pngHalves(w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("REAL IMAGE: resizeImages decodes an actual PNG, bilinear-scales " +
+      "it, and the output parses back at the target dims with content " +
+      "preserved") {
+    val s = initSpark()
+    val rows = java.util.Arrays.asList(
+      Row("img1", "image", pngHalves(8, 8), 8, 8, null))
+    val m = s.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.resizeImages(m, 4, 4).collect().head
+    val resized = Multimodal.decodeImage(out.getAs[Array[Byte]](2))
+    assert(resized.isDefined, "resized payload must be a decodable image")
+    assert(resized.get.getWidth === 4 && resized.get.getHeight === 4)
+    // content survives the scale: left still red-dominant, right blue
+    val left = resized.get.getRGB(0, 2)
+    val right = resized.get.getRGB(3, 2)
+    assert(((left >> 16) & 0xff) > (left & 0xff), "left half stays red")
+    assert((right & 0xff) > ((right >> 16) & 0xff), "right half stays blue")
+  }
+
+  test("REAL IMAGE: featureKernel pools decoded pixels (identical " +
+      "images agree, different images differ, undecodable bytes take " +
+      "the histogram fallback)") {
+    val a = Multimodal.featureKernel(pngHalves(), 16)
+    val b = Multimodal.featureKernel(pngHalves(), 16)
+    assert(a.toSeq === b.toSeq, "decode+pool must be deterministic")
+    // an all-white PNG pools differently from red/blue halves
+    val white = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.featureKernel(white, 16).toSeq !== a.toSeq)
+    // pixel features, not byte features: the same image re-encoded with
+    // different bytes (resize to same size) still pools identically
+    // while the byte histogram of the two payloads differs
+    val fallback = Multimodal.stubDecode(pngHalves(), 16)
+    assert(fallback.toSeq !== a.toSeq,
+      "real path must not be the byte-histogram stub")
+    // junk bytes fall back instead of throwing
+    val junk = Array[Byte](1, 2, 3)
+    assert(Multimodal.featureKernel(junk, 16).toSeq ===
+      Multimodal.stubDecode(junk, 16).toSeq)
+  }
+
   test("feature extraction preserves schema and handles null payloads") {
     val out = Multimodal.extractFeatures(media, dim = 8)
     assert(out.schema === Multimodal.featureSchema)
