@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** REAL audio decode + spectral featurization, JDK-only: WAV/AIFF/AU
+  * parse through javax.sound.sampled (bundled, headless-safe), PCM
+  * converts to mono float, and windows run a radix-2 FFT for band
+  * energies — the audio analogue of Multimodal's ImageIO kernels, and
+  * the features a near-dup/similarity pass over speech or music corpora
+  * keys on. Compressed codecs (MP3/AAC/Opus) have no JDK decoder; those
+  * payloads fall back to the byte-histogram stub at the call sites that
+  * accept mixed media — same honest FFI cut line as video.
+  */
+object AudioFeatures {
+
+  /** Decode a WAV/AIFF/AU payload to (sampleRate, mono samples in
+    * [-1,1]). None when the JDK cannot parse the container/encoding. */
+  def decodePcm(payload: Array[Byte]): Option[(Float, Array[Float])] =
+    if (payload == null || payload.length < 12) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          // normalize to signed 16-bit little-endian PCM
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            fmt.getChannels * 2, fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(target, in)
+          val bytes = pcm.readAllBytes()
+          val ch = target.getChannels
+          val n = bytes.length / 2 / ch
+          val mono = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0f
+            var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2
+              val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+              acc += s / 32768.0f
+              c += 1
+            }
+            mono(i) = acc / ch
+            i += 1
+          }
+          Some((target.getSampleRate, mono))
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
+  /** In-place iterative radix-2 Cooley-Tukey FFT (re/im length must be a
+    * power of two). Textbook public algorithm; no allocation per call
+    * beyond the caller's buffers. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, s"FFT length $n is not a power of 2")
+    // bit reversal
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cwr = 1.0; var cwi = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(base + k); val ui = im(base + k)
+          val vr0 = re(base + k + len / 2); val vi0 = im(base + k + len / 2)
+          val vr = vr0 * cwr - vi0 * cwi
+          val vi = vr0 * cwi + vi0 * cwr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val nwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr; cwr = nwr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Log-magnitude band energies of one Hann-windowed frame: `bands`
+    * equal slices of the FFT magnitude spectrum below Nyquist. */
+  private[graft] def bandEnergies(frame: Array[Float], bands: Int)
+      : Array[Float] = {
+    val n = frame.length
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val hann = 0.5 * (1 - math.cos(2 * math.Pi * i / (n - 1)))
+      re(i) = frame(i) * hann
+      i += 1
+    }
+    fft(re, im)
+    val half = n / 2
+    val out = new Array[Float](bands)
+    var b = 0
+    while (b < bands) {
+      val lo = b * half / bands
+      val hi = math.max(lo + 1, (b + 1) * half / bands)
+      var acc = 0.0
+      var k = lo
+      while (k < hi) { acc += re(k) * re(k) + im(k) * im(k); k += 1 }
+      out(b) = math.log1p(acc / (hi - lo)).toFloat
+      b += 1
+    }
+    out
+  }
+
+  /** Fixed-dim clip descriptor: average band-energy vector over all
+    * frames, L2-normalized — what the media featureKernel emits for
+    * decodable audio. */
+  def clipFeatures(payload: Array[Byte], dim: Int,
+      frameSize: Int = 512): Option[Array[Float]] =
+    decodePcm(payload).map { case (_, mono) =>
+      val acc = new Array[Double](dim)
+      var frames = 0
+      var off = 0
+      while (off + frameSize <= mono.length) {
+        val e = bandEnergies(
+          java.util.Arrays.copyOfRange(mono, off, off + frameSize), dim)
+        var i = 0
+        while (i < dim) { acc(i) += e(i); i += 1 }
+        frames += 1
+        off += frameSize
+      }
+      if (frames == 0) { val v = new Array[Float](dim); v(0) = 1.0f; v }
+      else {
+        val norm = math.sqrt(acc.map(v => v * v).sum)
+        if (norm == 0.0) { val v = new Array[Float](dim); v(0) = 1.0f; v }
+        else acc.map(v => (v / norm).toFloat)
+      }
+    }
+
+  val spectrogramSchema: StructType = StructType(Seq(
+    StructField("asset_id", StringType, nullable = false),
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("start_ms", LongType, nullable = false),
+    StructField("bands", ArrayType(FloatType), nullable = false)
+  ))
+
+  /** Spectrogram rows over the media table: audio assets explode to one
+    * row per FFT frame (generator shape like Multimodal.sampleFrames,
+    * capped so one long asset cannot blow a task). Undecodable audio
+    * yields zero rows — count them upstream via the error channel
+    * pattern if routing matters. */
+  def spectrogram(media: DataFrame, frameSize: Int = 512,
+      bands: Int = 16, maxFramesPerAsset: Int = 256): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(spectrogramSchema)
+    media.where(col("media_type") === "audio")
+      .select("asset_id", "payload")
+      .flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        decodePcm(payload) match {
+          case None => Iterator.empty
+          case Some((rate, mono)) =>
+            val n = math.min(mono.length / frameSize,
+              maxFramesPerAsset)
+            (0 until n).iterator.map { f =>
+              val frame = java.util.Arrays.copyOfRange(
+                mono, f * frameSize, (f + 1) * frameSize)
+              Row(r.getString(0), f,
+                (f.toLong * frameSize * 1000 / rate.toLong),
+                bandEnergies(frame, bands).toSeq)
+            }
+        }
+      }(enc)
+  }
+}

@@ -87,13 +87,16 @@ object Multimodal {
     else acc.map(v => (v / norm).toFloat)
   }
 
-  /** Featurize kernel: real pixel features for decodable images, byte-
-    * histogram stub otherwise (audio/video payloads until their FFI
-    * decoders are wired). */
+  /** Featurize kernel: real pixel features for decodable images, real
+    * FFT band energies for decodable audio (AudioFeatures), byte-
+    * histogram stub only for what the JDK cannot decode (compressed
+    * audio codecs, video payloads — the FFI cut line). */
   def featureKernel(payload: Array[Byte], dim: Int): Array[Float] =
     decodeImage(payload) match {
       case Some(img) => imageFeatures(img, dim)
-      case None => stubDecode(payload, dim)
+      case None =>
+        AudioFeatures.clipFeatures(payload, dim)
+          .getOrElse(stubDecode(payload, dim))
     }
 
   /** media table schema: one row per asset. */

@@ -1,0 +1,92 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.Row
+
+import graft.operators.{AudioFeatures, Multimodal}
+
+/** Real audio decode + FFT featurization (JDK javax.sound + radix-2
+  * FFT): WAV bytes synthesized in-test, spectral peaks verified against
+  * the generating tone. */
+class AudioSpec extends SparkSuite {
+
+  /** 16-bit mono PCM WAV of a sine tone. */
+  private def wav(freq: Double, ms: Int = 200,
+      rate: Float = 8000f): Array[Byte] = {
+    val n = (rate * ms / 1000).toInt
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * 30000).toShort
+      data(i * 2) = (s & 0xff).toByte
+      data(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodePcm round-trips a real WAV: rate, length, amplitude") {
+    val Some((rate, mono)) = AudioFeatures.decodePcm(wav(440.0))
+    assert(rate === 8000f)
+    assert(mono.length === 1600) // 200ms at 8kHz
+    assert(mono.max > 0.85f && mono.min < -0.85f) // ~0.92 peak
+    assert(mono.forall(s => s >= -1.0f && s <= 1.0f))
+    assert(AudioFeatures.decodePcm("not audio".getBytes) === None)
+    assert(AudioFeatures.decodePcm(null) === None)
+  }
+
+  test("FFT finds the generating tone: spectral peak lands in the " +
+      "expected band for 440 Hz and 2 kHz") {
+    val s = initSpark()
+    def peakBand(freq: Double): Int = {
+      val rows = java.util.Arrays.asList(
+        Row("a", "audio", wav(freq), null, null, 200L))
+      val m = s.createDataFrame(rows, Multimodal.mediaSchema)
+      val spec = AudioFeatures.spectrogram(m, frameSize = 512, bands = 16)
+        .collect()
+      assert(spec.nonEmpty)
+      // every frame of a steady tone peaks in the same band
+      val peaks = spec.map(_.getSeq[Float](3).zipWithIndex.maxBy(_._1)._2)
+      assert(peaks.distinct.length === 1, s"unstable peak: ${peaks.toSeq}")
+      peaks.head
+    }
+    // band = floor(freq/rate * frameSize) * bands / (frameSize/2)
+    assert(peakBand(440.0) === 1) // bin 28 of 256 -> band 1
+    assert(peakBand(2000.0) === 8) // bin 128 -> band 8
+  }
+
+  test("clip features: deterministic, tone-sensitive, and routed " +
+      "through the media featureKernel (not the byte stub)") {
+    val a1 = AudioFeatures.clipFeatures(wav(440.0), 16).get
+    val a2 = AudioFeatures.clipFeatures(wav(440.0), 16).get
+    val b = AudioFeatures.clipFeatures(wav(2000.0), 16).get
+    assert(a1.toSeq === a2.toSeq)
+    assert(a1.toSeq !== b.toSeq)
+    val viaKernel = Multimodal.featureKernel(wav(440.0), 16)
+    assert(viaKernel.toSeq === a1.toSeq,
+      "featureKernel must take the real audio path for WAV bytes")
+    assert(viaKernel.toSeq !==
+      Multimodal.stubDecode(wav(440.0), 16).toSeq)
+  }
+
+  test("spectrogram explodes frames with the cap honored") {
+    val s = initSpark()
+    val rows = java.util.Arrays.asList(
+      Row("long", "audio", wav(440.0, ms = 1000), null, null, 1000L),
+      Row("img", "image", Array[Byte](1, 2), 1, 1, null))
+    val m = s.createDataFrame(rows, Multimodal.mediaSchema)
+    // 8000 samples / 512 = 15 full frames, cap at 4
+    val capped = AudioFeatures.spectrogram(m, frameSize = 512,
+      bands = 8, maxFramesPerAsset = 4).collect()
+    assert(capped.length === 4)
+    assert(capped.forall(_.getString(0) === "long"))
+    assert(capped.map(_.getLong(2)).sorted.toSeq ===
+      Seq(0L, 64L, 128L, 192L)) // 512/8000 = 64ms per frame
+  }
+}
