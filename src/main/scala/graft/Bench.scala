@@ -39,7 +39,10 @@ object Bench {
     // over reps is the standard noise-floor estimator (what the engine
     // can do when the environment cooperates); per-rep times go to
     // stderr for drift diagnosis.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // toIntOption: a malformed env value must not kill the run after
+    // the warm-up pass already burned its time
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
     val results = ordered.map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()

@@ -47,12 +47,38 @@ object PdfExtract {
 
   /** True when the file declares encryption (needs keys we don't have)
     * — callers route these to the error channel like the reference
-    * routes Tika failures (pdf_extractor.py error branch). */
-  def isEncrypted(pdf: Array[Byte]): Boolean =
-    pdf != null && new String(pdf, StandardCharsets.ISO_8859_1)
-      .contains("/Encrypt")
+    * routes Tika failures (pdf_extractor.py error branch). Only the
+    * file TAIL is examined (trailer dicts — and xref-stream dicts —
+    * live at the end, including incremental updates): scanning the
+    * whole byte stream would false-positive on compressed stream bytes
+    * that happen to spell "/Encrypt", and would pay a full String copy
+    * per row. */
+  def isEncrypted(pdf: Array[Byte]): Boolean = {
+    if (pdf == null || pdf.length == 0) return false
+    val tailLen = math.min(pdf.length, 4096)
+    val tail = new String(pdf, pdf.length - tailLen, tailLen,
+      StandardCharsets.ISO_8859_1)
+    val t = tail.lastIndexOf("trailer")
+    if (t >= 0) {
+      val end = tail.indexOf("startxref", t)
+      val dict = if (end > t) tail.substring(t, end) else tail.substring(t)
+      dict.contains("/Encrypt")
+    } else tail.contains("/Encrypt") // xref-stream PDFs: dict in tail
+  }
 
   // ---- object scanning ----
+
+  /** `/Length 123` NOT followed by a generation+`R` (which would be an
+    * indirect reference, `/Length 5 0 R`). */
+  private val DirectLengthRe =
+    "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
+
+  private def skipEol(text: String, p: Int): Int = {
+    var q = p
+    if (q < text.length && text.charAt(q) == '\r') q += 1
+    if (q < text.length && text.charAt(q) == '\n') q += 1
+    q
+  }
 
   /** (dict-text, raw-stream-bytes) for every stream object, skipping
     * image/font/metadata streams (they hold pixels or glyf programs,
@@ -72,22 +98,39 @@ object PdfExtract {
           if (p < text.length && text.charAt(p) == '\n') p += 1
           p
         }
-        val e = text.indexOf("endstream", bodyStart)
+        // the object's dict sits between the last "obj" and "stream"
+        val objAt = text.lastIndexOf("obj", s)
+        val dict = text.substring(math.max(0, objAt), s)
+        // a DIRECT /Length gives the exact body extent — authoritative,
+        // and immune to (a) "endstream" appearing inside compressed
+        // bytes and (b) a body whose own last byte is CR/LF (the
+        // EOL-stripping heuristic would eat it and corrupt the deflate
+        // tail). Indirect lengths (`/Length 5 0 R`) need the object
+        // graph; those fall back to the delimiter scan.
+        val directLen = DirectLengthRe.findFirstMatchIn(dict)
+          .map(_.group(1).toLong)
+        val bodyEndByLen = directLen
+          .map(l => bodyStart + l)
+          .filter(e => e <= pdf.length &&
+            text.startsWith("endstream",
+              skipEol(text, e.toInt)))
+        val e = bodyEndByLen match {
+          case Some(be) => text.indexOf("endstream", be.toInt)
+          case None => text.indexOf("endstream", bodyStart)
+        }
         if (e < 0) { from = text.length }
         else {
-          // the object's dict sits between the last "obj" and "stream"
-          val objAt = text.lastIndexOf("obj", s)
-          val dict = text.substring(math.max(0, objAt), s)
           val skip = dict.contains("/Image") ||
             dict.contains("/FontFile") || dict.contains("/Metadata") ||
             dict.contains("/ObjStm") || dict.contains("/XRef")
           if (!skip) {
-            // strip the EOL padding before "endstream"
-            var bodyEnd = e
-            if (bodyEnd > bodyStart && text.charAt(bodyEnd - 1) == '\n')
-              bodyEnd -= 1
-            if (bodyEnd > bodyStart && text.charAt(bodyEnd - 1) == '\r')
-              bodyEnd -= 1
+            val bodyEnd = bodyEndByLen.map(_.toInt).getOrElse {
+              // no trustworthy length: strip EOL padding heuristically
+              var be = e
+              if (be > bodyStart && text.charAt(be - 1) == '\n') be -= 1
+              if (be > bodyStart && text.charAt(be - 1) == '\r') be -= 1
+              be
+            }
             out += ((dict,
               java.util.Arrays.copyOfRange(pdf, bodyStart, bodyEnd)))
           }
@@ -144,7 +187,14 @@ object PdfExtract {
         case '(' =>
           val (str, next) = literalString(s, i)
           pendingStrings += str; i = next
-        case '<' if i + 1 < s.length && s.charAt(i + 1) != '<' =>
+        case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' =>
+          // dictionary open: consume BOTH chars — otherwise the second
+          // '<' would be mis-lexed as a hex-string open and swallow
+          // bytes up to the next '>'
+          i += 2
+        case '>' if i + 1 < s.length && s.charAt(i + 1) == '>' =>
+          i += 2 // dictionary close
+        case '<' =>
           val (str, next) = hexString(s, i)
           pendingStrings += str; i = next
         case '[' => inTJArray = true; i += 1
@@ -177,6 +227,14 @@ object PdfExtract {
             case "T*" => newline(); pendingStrings.clear()
             case "BT" | "ET" =>
               newline(); pendingStrings.clear(); lastNumbers.clear()
+            case "BI" =>
+              // inline image: raw binary follows `ID` until `EI`; its
+              // bytes can contain unbalanced '('/'<' that would derail
+              // the lexer — skip the whole island
+              val id = s.indexOf("ID", i)
+              val ei = if (id < 0) -1 else s.indexOf("EI", id + 2)
+              i = if (ei < 0) s.length else ei + 2
+              pendingStrings.clear(); lastNumbers.clear()
             case _ =>
               // non-text operator consumed its operands
               pendingStrings.clear(); lastNumbers.clear()

@@ -94,10 +94,14 @@ object SqlRunner {
       statements.zipWithIndex.map { case (s, i) =>
         (i + 1L, s.title)
       }).toDF("id", "title")
+    // LAST-WINS on duplicate source_names: the reference's statements
+    // run as sequential UPDATEs, so a source claimed by two categories
+    // ends at the later one. A plain flatMap would join BOTH mapping
+    // rows and duplicate the corpus row — toMap keeps the last entry.
     val mapping = spark.createDataFrame(
       statements.zipWithIndex.flatMap { case (s, i) =>
         s.sources.map(src => (src, i + 1L))
-      }).toDF("source_name", "category_id")
+      }.toMap.toSeq).toDF("source_name", "category_id")
     val updated = corpus.drop("category_id")
       .join(broadcast(mapping), Seq("source_name"), "left")
     (categories, updated)

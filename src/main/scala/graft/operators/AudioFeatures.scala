@@ -52,8 +52,13 @@ object AudioFeatures {
           Some((target.getSampleRate, mono))
         } finally in.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        // UnsupportedAudioFileException: container unknown.
+        // IllegalArgumentException: container parsed but the JDK has no
+        // converter to PCM_SIGNED for its encoding (e.g. IEEE float) —
+        // AudioSystem throws it from the conversion call, and a decode
+        // helper that crashes the task instead of falling back would
+        // abort whole feature-extraction jobs on one exotic asset.
+        case scala.util.control.NonFatal(_) => None
       }
 
   /** In-place iterative radix-2 Cooley-Tukey FFT (re/im length must be a

@@ -84,16 +84,29 @@ object Similarity {
     (0 until iters).foreach { _ =>
       val assigned = corpus.withColumn("centroid_id",
         nearestUdf(cents)(col(vecCol)))
-      val sumCols = (0 until dim).map(i =>
+      // per-coordinate non-null counts, not one row count: sum() skips
+      // nulls, so a cluster containing short/ragged vectors would
+      // otherwise divide a partial sum by the full row count and drag
+      // those coordinates toward 0 every iteration (avg() semantics
+      // divide by the non-null count)
+      val sumCols = (0 until dim).flatMap(i => Seq(
         sum(round(element_at(col(vecCol), i + 1) * scale).cast("long"))
-          .as(s"s$i")) :+ count(lit(1)).as("n")
+          .as(s"s$i"),
+        count(element_at(col(vecCol), i + 1)).as(s"n$i")))
       val means = assigned.groupBy("centroid_id")
         .agg(sumCols.head, sumCols.tail: _*)
         .collect()
         .map { r =>
-          val n = r.getLong(dim + 1).toDouble
-          (r.getLong(0), (0 until dim).map(i =>
-            (r.getLong(i + 1) / scale / n).toFloat): Seq[Float])
+          val cid = r.getLong(0)
+          val old = cents.find(_._1 == cid).map(_._2)
+            .getOrElse(Seq.fill(dim)(0.0f))
+          (cid, (0 until dim).map { i =>
+            val n = r.getLong(2 + 2 * i)
+            // all-null coordinate: sum is null — keep the previous
+            // centroid value (matches empty-cluster handling)
+            if (n == 0 || r.isNullAt(1 + 2 * i)) old(i)
+            else (r.getLong(1 + 2 * i) / scale / n).toFloat
+          }: Seq[Float])
         }.toMap
       cents = cents.map { case (cid, old) =>
         (cid, means.getOrElse(cid, old))

@@ -24,12 +24,19 @@ object UserActivity {
     * requests keep their columns plus `register_email` of the matching
     * ACTIVE key, or null when unauthenticated (left join — callers
     * route rejects to their error channel, reference P-style gate).
-    * `keys.digest` is hex-string or binary; both compare via hex. */
+    * `keys.digest` may be binary (the schema's form — hex-encoded for
+    * the compare) or an already-hex string (compared as-is after
+    * lowercasing; hex()-ing a string column would hex its UTF-8 bytes
+    * and never match). */
   def authenticate(requests: DataFrame, plainKeyCol: String,
       keys: DataFrame): DataFrame = {
+    val digestIsString = keys.schema("digest").dataType ==
+      org.apache.spark.sql.types.StringType
+    val digestHex =
+      if (digestIsString) lower(col("digest"))
+      else lower(hex(col("digest")))
     val activeKeys = keys.where(col("is_active"))
-      .select(lower(hex(col("digest"))).as("__digest"),
-        col("register_email"))
+      .select(digestHex.as("__digest"), col("register_email"))
     requests
       .withColumn("__digest", lower(keyDigest(col(plainKeyCol))))
       .join(broadcast(activeKeys), Seq("__digest"), "left")

@@ -77,6 +77,13 @@ object RestCursor {
           case e: HttpError if retryable(e.code) && attempt < maxAttempts =>
             sleep((math.pow(backoffFactor, attempt) * 100).toLong)
             attempt += 1
+          // transient transport failures (connect refused, read timeout,
+          // reset) retry like 5xx — urllib3's Retry covers connect/read
+          // errors too, and a live HttpTransport surfaces them as
+          // IOExceptions, not status codes
+          case _: java.io.IOException if attempt < maxAttempts =>
+            sleep((math.pow(backoffFactor, attempt) * 100).toLong)
+            attempt += 1
           case e: Throwable => throw e
         }
       }

@@ -87,6 +87,60 @@ class AdaptersSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("retry transport also retries transient IOExceptions (connect " +
+      "refused / read timeout), not just HTTP status codes") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = new Transport {
+      def get(url: String): String =
+        if (calls.incrementAndGet() <= 2)
+          throw new java.net.SocketTimeoutException("read timed out")
+        else "ok"
+    }
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    assert(RestCursor.withRetry(flaky, maxAttempts = 5,
+      sleep = delays.append(_)).get("http://x") === "ok")
+    assert(calls.get() === 3)
+    assert(delays.toSeq === Seq(100L, 200L))
+    // a non-IO, non-HTTP error still propagates immediately
+    val broken = new Transport {
+      def get(url: String): String =
+        throw new IllegalStateException("bug")
+    }
+    intercept[IllegalStateException] {
+      RestCursor.withRetry(broken, sleep = _ => ()).get("http://x")
+    }
+  }
+
+  test("PDF lexer edge cases: dictionary tokens and inline-image " +
+      "islands do not pollute extracted text; last-wins on duplicate " +
+      "backfill sources") {
+    import graft.functions.PdfExtract
+    def content(ops: String) = PdfExtract.textFromContent(
+      ops.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    // '<<' is a dict open, not a hex string — the marked-content dict
+    // must not leak '/ActualText (x)' garbage into the output
+    assert(content(
+      "BT /Span << /ActualText (x) >> BDC (real) Tj EMC ET") === "real")
+    // inline image binary with an unbalanced '(' inside ID..EI
+    assert(content(
+      "BT (before) Tj ET BI /W 2 /H 2 ID (ÿþ EI BT (after) Tj ET")
+      === "before\nafter")
+    // duplicate source in two backfill statements: last statement wins
+    val s = initSpark()
+    import s.implicits._
+    val stmts = Seq(
+      SqlRunner.CategoryBackfill("first", Seq("dup", "only-first")),
+      SqlRunner.CategoryBackfill("second", Seq("dup")))
+    val corpus = Seq((1L, "dup", "t"), (2L, "only-first", "t"))
+      .toDF("id", "source_name", "title")
+    val (_, updated) = SqlRunner.applyCategoryBackfill(s, corpus, stmts)
+    assert(updated.count() === 2, "no row duplication on dup sources")
+    val got = updated.select("source_name", "category_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("dup") === 2L) // sequential-UPDATE last-wins
+    assert(got("only-first") === 1L)
+  }
+
   test("retry transport: backs off on 429/5xx, gives up past budget") {
     var calls = 0
     val flaky = new Transport {

@@ -35,6 +35,24 @@ class UserActivitySpec extends SparkSuite {
     assert(out("r3") === null)
   }
 
+  test("authenticate also accepts an already-hex string digest column " +
+      "(review fix: hex() on a string column would hex its UTF-8 bytes " +
+      "and silently reject every key)") {
+    val s = initSpark()
+    import s.implicits._
+    val hexDigest = sha("secret-1").map("%02x".format(_)).mkString
+    val keys = Seq(
+      ("k1", "prod", true, "alice@example.org", hexDigest.toUpperCase))
+      .toDF("id", "title", "is_active", "register_email", "digest")
+    val requests = Seq(("r1", "secret-1"), ("r2", "nope"))
+      .toDF("id", "api_key")
+    val out = UserActivity.authenticate(requests, "api_key", keys)
+      .select("id", "register_email").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("r1") === "alice@example.org")
+    assert(out("r2") === null)
+  }
+
   test("userUsage rolls up requests, errors, endpoints, session time " +
       "per inferred user") {
     val s = initSpark()
