@@ -210,6 +210,19 @@ object SparkEntry {
           TextMetrics.qualityScore(col("text")).as("quality"))
     }),
 
+    // ---- Gopher-rule quality admission (Rae et al. 2021 §A1.1 — the
+    // canonical LLM-corpus filter; integer-arithmetic flags so the
+    // oracle compare has no float surface) ----
+    "q71_gopher_rules" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextMetrics.gopherStruct(col("text")).as("g"))
+        .select(col("doc_id"), col("g.word_count"), col("g.wc_ok"),
+          col("g.mwl_ok"), col("g.hash_ok"), col("g.ellipsis_ok"),
+          col("g.bullet_ok"), col("g.alpha_ok"), col("g.stop_ok"),
+          col("g.keep"))
+    }),
+
     // ---- Language-ID heuristic (SURVEY F12 analogue) ----
     "q18_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -985,6 +998,51 @@ object SparkEntry {
            JOIN sz sa ON sa.doc_id = id_a
            JOIN sz sb ON sb.doc_id = id_b)
          WHERE jaccard >= 0.2""",
+
+    "q71_gopher_rules" ->
+      """WITH base AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS hashes
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS word_count,
+             CAST(list_sum(list_transform(ws, w -> length(w)))
+               AS BIGINT) AS mwl_num,
+             CAST(hashes AS BIGINT) AS hashes,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+               l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ell,
+             CAST(len(list_filter(lines,
+               l -> starts_with(ltrim(l), '-')
+                 OR starts_with(ltrim(l), '*')
+                 OR starts_with(ltrim(l), '•'))) AS BIGINT) AS bul,
+             CAST(len(list_filter(ws,
+               w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha,
+             CAST(len(list_intersect(
+               list_distinct(list_transform(ws, w -> lower(w))),
+               ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS stop_hits
+           FROM base)
+         SELECT doc_id, word_count,
+           word_count >= 50 AND word_count <= 100000 AS wc_ok,
+           mwl_num >= word_count * 3 AND mwl_num <= word_count * 10
+             AS mwl_ok,
+           hashes * 10 <= word_count AS hash_ok,
+           ell * 10 <= n_lines * 3 AS ellipsis_ok,
+           bul * 10 <= n_lines * 9 AS bullet_ok,
+           alpha * 5 >= word_count * 4 AS alpha_ok,
+           stop_hits >= 2 AS stop_ok,
+           (word_count >= 50 AND word_count <= 100000)
+             AND (mwl_num >= word_count * 3 AND mwl_num <= word_count * 10)
+             AND hashes * 10 <= word_count
+             AND ell * 10 <= n_lines * 3
+             AND bul * 10 <= n_lines * 9
+             AND alpha * 5 >= word_count * 4
+             AND stop_hits >= 2 AS keep
+         FROM m""",
 
     "q70_jaccard_capped" ->
       """WITH w AS (

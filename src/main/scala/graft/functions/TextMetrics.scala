@@ -118,6 +118,49 @@ object TextMetrics {
     roundE((lenOk + punctOk + stopOk + wordLenOk) / 4.0, 4)
   }
 
+  /** Gopher-style document-quality rules (Rae et al. 2021, §A1.1 — the
+    * canonical LLM-training-data admission filter): word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratios, bullet/ellipsis
+    * line fractions, alphabetic-word fraction, minimum stopword
+    * diversity. Every flag is computed with INTEGER arithmetic
+    * (ratio <= k/10 becomes count*10 <= total*k), so the output is
+    * bitwise stable across engines — no float rounding in the oracle
+    * compare. Pure column expressions, one pass, no shuffle. */
+  def gopherStruct(text: Column): Column = {
+    val ws = split(trim(text), "\\s+")
+    val words = size(ws).cast("long")
+    val mwlNum = aggregate(ws, lit(0L), (a, t) => a + length(t))
+    val hashes = (length(text) -
+      length(translate(text, "#", ""))).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val ellLines = size(filter(lines,
+      l => endswith(rtrim(l), lit("...")))).cast("long")
+    val bulLines = size(filter(lines, l =>
+      startswith(ltrim(l), lit("-")) || startswith(ltrim(l), lit("*")) ||
+        startswith(ltrim(l), lit("•")))).cast("long")
+    val alphaWords = size(filter(ws,
+      w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopArr = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map(lit): _*)
+    val stopHits = size(array_intersect(
+      array_distinct(transform(ws, w => lower(w))), stopArr)).cast("long")
+    val wcOk = words >= 50 && words <= 100000
+    val mwlOk = mwlNum >= words * 3 && mwlNum <= words * 10
+    val hashOk = hashes * 10 <= words
+    val ellOk = ellLines * 10 <= nLines * 3
+    val bulOk = bulLines * 10 <= nLines * 9
+    val alphaOk = alphaWords * 5 >= words * 4
+    val stopOk = stopHits >= 2
+    struct(
+      words.as("word_count"),
+      wcOk.as("wc_ok"), mwlOk.as("mwl_ok"), hashOk.as("hash_ok"),
+      ellOk.as("ellipsis_ok"), bulOk.as("bullet_ok"),
+      alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+      (wcOk && mwlOk && hashOk && ellOk && bulOk && alphaOk && stopOk)
+        .as("keep"))
+  }
+
   /** n-gram-profile language-ID heuristic: score text against tiny
     * per-language marker-word profiles; returns best-scoring language or
     * "und". (The reference uses the lingua library, F12:

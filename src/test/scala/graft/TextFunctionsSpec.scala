@@ -13,6 +13,40 @@ class TextFunctionsSpec extends SparkSuite {
     Seq(Tuple1(text)).toDF("text").select(colExpr.as("r")).head().get(0)
   }
 
+  test("gopher rules: each flag trips on its own pathology") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    def flags(text: String): Map[String, Any] = {
+      val r = one(graft.functions.TextMetrics.gopherStruct(col("text")),
+        text).asInstanceOf[Row]
+      r.schema.fieldNames.zip(r.toSeq).toMap
+    }
+    val goodBody = ("the quick brown fox jumps over the lazy dog and " +
+      "that is just fine to have with everything else here today ") * 3
+    val good = flags(goodBody)
+    assert(good("keep") === true, s"healthy doc must pass: $good")
+    // too short
+    assert(flags("the of and")("wc_ok") === false)
+    // hash spam: > 1 '#' per 10 words
+    assert(flags(goodBody + " # # # # # # # # # # # # #")("hash_ok")
+      === false)
+    // bullet-only document
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    assert(flags(bullets)("bullet_ok") === false)
+    // ellipsis-heavy lines
+    val ell = (1 to 10).map(i => s"line $i trails off...").mkString("\n")
+    assert(flags(ell)("ellipsis_ok") === false)
+    // numeric soup: < 80% words contain a letter
+    val nums = ("the of 12 34 56 78 90 11 22 33 " * 10)
+    assert(flags(nums)("alpha_ok") === false)
+    // no stopword diversity
+    val noStops = ("lorem ipsum dolor sit amet consectetur adipiscing " +
+      "elit sed do eiusmod tempor ") * 5
+    assert(flags(noStops)("stop_ok") === false)
+    // mean word length out of bounds (all 1-char words)
+    assert(flags(("a b c d e f g h i j " * 10))("mwl_ok") === false)
+  }
+
   test("wordCount counts \\w+ tokens") {
     assert(one(TextMetrics.wordCount(col("text")),
       "Hello, world! it's 42") === 5) // Hello world it s 42
