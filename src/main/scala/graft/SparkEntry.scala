@@ -223,6 +223,22 @@ object SparkEntry {
           col("g.keep"))
     }),
 
+    // ---- Repetition-filter signals (Rae et al. 2021 §A1.1: duplicate
+    // lines + top word-2-gram mass; integer stats, thresholds as
+    // cross-multiplied integer compares — zero float oracle surface) ----
+    "q72_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextMetrics.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_lines"), col("r.dup_lines"),
+          col("r.n_grams"), col("r.top2_count"), col("r.top2_len"),
+          col("r.text_chars"),
+          (col("r.dup_lines") * 10 <= col("r.n_lines") * 3)
+            .as("dup_line_ok"),
+          (col("r.top2_count") * col("r.top2_len") * 5 <=
+            col("r.text_chars")).as("rep_2gram_ok"))
+    }),
+
     // ---- Language-ID heuristic (SURVEY F12 analogue) ----
     "q18_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -998,6 +1014,43 @@ object SparkEntry {
            JOIN sz sa ON sa.doc_id = id_a
            JOIN sz sb ON sb.doc_id = id_b)
          WHERE jaccard >= 0.2""",
+
+    "q72_repetition" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines,
+             string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(ws) - 1, 0) + 1),
+               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+           FROM base),
+         gc AS (SELECT doc_id, gram, count(*) AS c
+                FROM g GROUP BY doc_id, gram),
+         topc AS (SELECT doc_id, max(c) AS top2_count FROM gc
+                  GROUP BY doc_id),
+         topl AS (
+           SELECT gc.doc_id, max(length(gc.gram)) AS top2_len
+           FROM gc JOIN topc ON gc.doc_id = topc.doc_id
+             AND gc.c = topc.top2_count
+           GROUP BY gc.doc_id)
+         SELECT b.doc_id,
+           CAST(len(b.lines) AS INT) AS n_lines,
+           CAST(len(b.lines) - len(list_distinct(b.lines)) AS INT)
+             AS dup_lines,
+           CAST(greatest(len(b.ws) - 1, 0) AS INT) AS n_grams,
+           CAST(coalesce(topc.top2_count, 0) AS INT) AS top2_count,
+           CAST(coalesce(topl.top2_len, 0) AS INT) AS top2_len,
+           CAST(length(b.text) AS INT) AS text_chars,
+           (len(b.lines) - len(list_distinct(b.lines))) * 10 <=
+             len(b.lines) * 3 AS dup_line_ok,
+           coalesce(topc.top2_count, 0) * coalesce(topl.top2_len, 0) * 5
+             <= length(b.text) AS rep_2gram_ok
+         FROM base b
+         LEFT JOIN topc ON b.doc_id = topc.doc_id
+         LEFT JOIN topl ON b.doc_id = topl.doc_id""",
 
     "q71_gopher_rules" ->
       """WITH base AS (

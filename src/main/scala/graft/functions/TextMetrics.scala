@@ -268,4 +268,47 @@ object TextMetrics {
 
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Integer repetition statistics (Rae et al. 2021 §A1.1 repetition
+    * filters, oracle-stable counterpart of duplicateLineFraction):
+    * duplicate-line count and the most-frequent word-2-gram's
+    * occurrence count and character length. All INTEGERS — callers form
+    * the paper's ratio thresholds as cross-multiplied integer compares
+    * (count*len*5 <= chars instead of float fractions), so the output
+    * hash-matches any engine. One JVM pass per document; ties on the
+    * top 2-gram resolve to the LONGEST gram among the most frequent
+    * (deterministic, engine-expressible as two nested maxes). */
+  final case class RepetitionStats(n_lines: Int, dup_lines: Int,
+      n_grams: Int, top2_count: Int, top2_len: Int, text_chars: Int)
+
+  val repetitionStats: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null) RepetitionStats(0, 0, 0, 0, 0, 0)
+      else {
+        val lines = text.split("\n", -1)
+        val distinct = new java.util.HashSet[String]()
+        lines.foreach(distinct.add)
+        val trimmed = text.trim
+        val ws =
+          if (trimmed.isEmpty) Array.empty[String]
+          else trimmed.split("\\s+")
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i + 1 < ws.length) {
+          counts.merge(ws(i) + " " + ws(i + 1), 1, Integer.sum)
+          i += 1
+        }
+        // CODE POINTS, not UTF-16 units: cross-engine length() counts
+        // characters, and a supplementary char would skew the stats
+        def cp(s: String): Int = s.codePointCount(0, s.length)
+        var topCount = 0
+        var topLen = 0
+        counts.forEach { (g, c) =>
+          if (c > topCount) { topCount = c; topLen = cp(g) }
+          else if (c == topCount && cp(g) > topLen) topLen = cp(g)
+        }
+        RepetitionStats(lines.length, lines.length - distinct.size,
+          math.max(ws.length - 1, 0), topCount, topLen, cp(text))
+      }
+    }
 }

@@ -184,6 +184,26 @@ class TextFunctionsSpec extends SparkSuite {
       === "proprietary")
   }
 
+  test("repetitionStats: dup lines, top-2-gram mass, code-point chars") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    def stats(text: String): Row =
+      one(graft.functions.TextMetrics.repetitionStats(col("text")), text)
+        .asInstanceOf[Row]
+    val r = stats("a b\na b\nc d")
+    assert(r.getAs[Int]("n_lines") === 3)
+    assert(r.getAs[Int]("dup_lines") === 1) // "a b" repeats
+    // 2-grams: "a b","b a","b a","a b","b c","c d" -> "a b" x2 ties
+    // "b a" x2; tie resolves to longest (both len 3) -> 3
+    assert(r.getAs[Int]("top2_count") === 2)
+    assert(r.getAs[Int]("top2_len") === 3)
+    // spammy repetition: one gram dominates
+    val spam = stats(("buy now " * 50).trim)
+    assert(spam.getAs[Int]("top2_count") >= 49)
+    // code points, not UTF-16 units: 𝄞 is one char
+    assert(stats("𝄞").getAs[Int]("text_chars") === 1)
+  }
+
   test("duplicateLineFraction and charEntropy quality signals") {
     assert(one(TextMetrics.duplicateLineFraction(col("text")),
       "a\nb\na\nb\nc") === 0.4) // 2 of 5 lines repeat
