@@ -172,4 +172,43 @@ object TextClean {
           struct(p.as("pos"), kv.getField("key").as("word")))))
     array_join(transform(array_sort(posWord), _.getField("word")), " ")
   }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    * lines that (a) have >= 3 whitespace words, (b) end in terminal
+    * punctuation (. ! ? ") after right-trim, (c) contain no
+    * "javascript"/"lorem ipsum" marker (case-insensitive) and no '{'
+    * (code). Pure column expressions over split lines — engine-portable
+    * and shuffle-free. Returns the cleaned text (kept lines re-joined
+    * with newlines; empty string when nothing survives). */
+  def c4CleanLines(text: Column): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l => c4LineKeep(l))
+    concat_ws("\n", kept)
+  }
+
+  /** The per-line C4 predicate (exposed for counting kept/dropped). */
+  def c4LineKeep(l: Column): Column = {
+    val words = size(split(trim(l), "\\s+")) >= 3
+    val term = endswith(rtrim(l), lit(".")) ||
+      endswith(rtrim(l), lit("!")) || endswith(rtrim(l), lit("?")) ||
+      endswith(rtrim(l), lit("\""))
+    val noMarkers = !lower(l).contains("javascript") &&
+      !lower(l).contains("lorem ipsum") && !l.contains("{")
+    words && term && noMarkers
+  }
+
+  /** PII redaction (standard pre-training scrub): e-mail addresses and
+    * IPv4 literals replaced with typed placeholder tokens. The regexes
+    * are RE2-compatible (no backrefs/lookarounds) so any engine's
+    * regexp_replace agrees byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+
+  def piiCounts(text: Column): (Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))))
 }

@@ -204,6 +204,42 @@ class TextFunctionsSpec extends SparkSuite {
     assert(stats("𝄞").getAs[Int]("text_chars") === 1)
   }
 
+  test("C4 line cleaning keeps prose lines, drops boilerplate " +
+      "(Raffel et al. 2020 §2.2; not a declared query — the synthetic " +
+      "corpus has no newlines/punctuation for the rules to bind on)") {
+    import org.apache.spark.sql.functions.col
+    val doc = Seq(
+      "This is a good sentence with plenty of words.",
+      "short line",                         // < 3 words... has 2
+      "no terminal punctuation here at all",
+      "Enable javascript to view this page.", // marker
+      "if (x) { return y; }",                // code
+      "Another keeper, it would seem!",
+      "He said \"this ends with a quote\"").mkString("\n")
+    val out = one(graft.functions.TextClean.c4CleanLines(col("text")),
+      doc).asInstanceOf[String]
+    assert(out === Seq(
+      "This is a good sentence with plenty of words.",
+      "Another keeper, it would seem!",
+      "He said \"this ends with a quote\"").mkString("\n"))
+    // nothing survives -> empty string, not null
+    assert(one(graft.functions.TextClean.c4CleanLines(col("text")),
+      "just words no punct").asInstanceOf[String] === "")
+  }
+
+  test("PII redaction scrubs e-mails and IPv4s with typed tokens") {
+    import org.apache.spark.sql.functions.col
+    val doc = "Contact jane.doe+x@example.co.uk or 192.168.1.254 " +
+      "(backup: bob@sub.domain.org, 10.0.0.1). Version 1.2 stays."
+    val out = one(graft.functions.TextClean.redactPii(col("text")), doc)
+      .asInstanceOf[String]
+    assert(out === "Contact <EMAIL> or <IP> (backup: <EMAIL>, <IP>). " +
+      "Version 1.2 stays.")
+    val (e, i) = graft.functions.TextClean.piiCounts(col("text"))
+    assert(one(e, doc) === 2)
+    assert(one(i, doc) === 2)
+  }
+
   test("duplicateLineFraction and charEntropy quality signals") {
     assert(one(TextMetrics.duplicateLineFraction(col("text")),
       "a\nb\na\nb\nc") === 0.4) // 2 of 5 lines repeat
