@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED IVF index — the Spark-native form of "build the ANN index
+  * once, probe it many times". FAISS keeps an inverted-list file per
+  * centroid; the lakehouse translation is a parquet table PARTITIONED BY
+  * centroid_id, because then bucket pruning is not operator logic at
+  * all — it is Spark's own dynamic partition pruning (DPP): the probe
+  * join's (small, broadcast) query side feeds a runtime filter into the
+  * vectors scan, and only the probed buckets' FILES are ever read. At
+  * 100 TB that is the difference between scanning the corpus per query
+  * batch and scanning nProbe/nCentroids of it — and it composes with
+  * every other scan optimization (column pruning keeps only id+vector,
+  * min/max stats, etc.) for free.
+  *
+  * Layout under `dir`:
+  *   centroids/   — (centroid_id, centroid_vec) plain parquet (small)
+  *   vectors/     — corpus + centroid_id, partitionBy(centroid_id)
+  *
+  * Determinism: centroids come from the fixed-point-deterministic
+  * kMeansCentroids, so rebuilding the index from the same corpus gives
+  * byte-identical routing (ApproxQualitySpec pins that property).
+  */
+object IvfIndex {
+
+  /** Build (or overwrite) the index. One pass to refine centroids
+    * (bounded driver state, see kMeansCentroids), one pass to assign +
+    * write. Buckets are also range-clustered WITHIN each partition by
+    * vec_id so the per-bucket files carry tight min/max id stats. */
+  def build(corpus: DataFrame, dir: String, stride: Int,
+      iters: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val cents = Similarity.kMeansCentroids(corpus, stride, iters,
+      idCol, vecCol)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    Similarity.assignToCentroids(corpus, cents, idCol, vecCol)
+      .where(col("centroid_id").isNotNull)
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions(col("centroid_id"), col(idCol))
+      .write.mode("overwrite")
+      .partitionBy("centroid_id")
+      .parquet(s"$dir/vectors")
+  }
+
+  /** Probe the persisted index: top-k by cosine among the `nProbe`
+    * nearest buckets per query. The vectors scan is pruned by DPP from
+    * the broadcast probe side — assert `isDppPruned` in tests/ops to
+    * prove the plan, not just the result. Same scoring/tie-break
+    * contract as Similarity.ivfTopK (rounded score desc, id asc). */
+  def topK(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val probes = Similarity.probeCentroids(queries, cents, nProbe,
+        idCol, vecCol)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        col("centroid_id"))
+    // rank on the RAW score, round only for display — the exact
+    // contract of Similarity.ivfTopK, so index-vs-in-memory results
+    // are comparable row-for-row
+    val scored = vectors
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        col("centroid_id"))
+      .join(broadcast(probes), "centroid_id")
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("score",
+        graft.expr.VectorOps.cosineF32(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"),
+        round(col("score") + 1e-9, 4).as("score"), col("rank"))
+  }
+
+  /** True when the executed plan pruned the vectors scan with a runtime
+    * (dynamic) partition filter — the property that makes the persisted
+    * index an index. Call AFTER an action has run the plan. */
+  def isDppPruned(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("dynamicpruning")
+}

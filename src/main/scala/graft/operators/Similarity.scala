@@ -247,6 +247,17 @@ object Similarity {
     corpus.withColumn("centroid_id", nearestUdf(cents)(col(vecCol)))
   }
 
+  /** Explode each query row to its `nProbe` nearest centroid buckets
+    * (map-side; one output row per probed bucket). The probe side of
+    * IvfIndex.topK's DPP join. */
+  def probeCentroids(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(centroids)
+    queries.withColumn("centroid_id",
+      explode(probesUdf(cents, nProbe)(col(vecCol))))
+  }
+
   private def collectCentroids(centroids: DataFrame)
       : Array[(Long, Seq[Float])] =
     centroids.collect().map(r =>

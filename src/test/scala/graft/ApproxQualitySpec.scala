@@ -123,6 +123,28 @@ class ApproxQualitySpec extends SparkSuite {
       s"refined recall $refinedHits < stride recall $strideHits")
   }
 
+  test("persisted IVF index: results equal the in-memory refined IVF, " +
+      "and the vectors scan is DYNAMICALLY PARTITION-PRUNED (only " +
+      "probed buckets read) — the index property, plan-asserted") {
+    val s = initSpark()
+    import graft.operators.IvfIndex
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    IvfIndex.build(emb, idx, stride = 20, iters = 3)
+    val q = emb.where(col("vec_id") < 20)
+    val fromIndex = IvfIndex.topK(s, idx, q, k = 5, nProbe = 3)
+    val inMemory = Similarity.ivfTopKRefined(emb, q, k = 5,
+      stride = 20, nProbe = 3, iters = 3)
+    val a = fromIndex.orderBy("q_id", "rank").collect().toSeq
+    val b = inMemory.orderBy("q_id", "rank").collect().toSeq
+    assert(a === b, "persisted index must rank exactly like in-memory")
+    // the plan property that makes it an index: runtime partition
+    // pruning from the broadcast probe side
+    assert(IvfIndex.isDppPruned(fromIndex),
+      "vectors scan must carry a dynamicpruning partition filter:\n" +
+        fromIndex.queryExecution.executedPlan.toString.take(2000))
+  }
+
   test("k-means centroids are BITWISE identical across partitionings " +
       "(fixed-point integer sums make the mean order-independent)") {
     val s = initSpark()
