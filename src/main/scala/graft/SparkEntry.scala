@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextClean, TextMetrics, VectorFunctions}
 import graft.ledger.Ledger
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Mixing, Similarity}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2
   * plus the training-data-pipeline operators (dedup / similarity / text
@@ -237,6 +237,24 @@ object SparkEntry {
             .as("dup_line_ok"),
           (col("r.top2_count") * col("r.top2_len") * 5 <=
             col("r.text_chars")).as("rep_2gram_ok"))
+    }),
+
+    // ---- Deterministic content-hash dataset mixing (md5 buckets —
+    // engine-portable, rerun-stable; rand() sampling is neither) ----
+    "q73_hash_sample" -> ((s, dir) => {
+      Mixing.stratifiedSample(t(s, dir, "documents"),
+          "source", Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25,
+            "src3" -> 0.1), "doc_id", buckets = 1000)
+        .select(col("doc_id"), col("source"),
+          Mixing.hashBucket(col("doc_id"), 1000).as("bucket"))
+    }),
+
+    // ---- Deterministic train/val/test split assignment ----
+    "q74_split_assign" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Mixing.hashBucket(col("doc_id"), 1000).as("bucket"),
+          Mixing.assignSplit(col("doc_id"), 0.8, 0.1, 1000).as("split"))
     }),
 
     // ---- Language-ID heuristic (SURVEY F12 analogue) ----
@@ -1014,6 +1032,30 @@ object SparkEntry {
            JOIN sz sa ON sa.doc_id = id_a
            JOIN sz sb ON sb.doc_id = id_b)
          WHERE jaccard >= 0.2""",
+
+    "q73_hash_sample" ->
+      """WITH rates(source, rate) AS (
+           VALUES ('src0', 0.8), ('src1', 0.5), ('src2', 0.25),
+             ('src3', 0.1)),
+         b AS (
+           SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 8)) AS UBIGINT) % 1000 AS BIGINT) AS bucket
+           FROM documents)
+         SELECT b.doc_id, b.source, b.bucket
+         FROM b JOIN rates USING (source)
+         WHERE b.bucket < CAST(floor(rate * 1000) AS BIGINT)""",
+
+    "q74_split_assign" ->
+      """SELECT doc_id, bucket,
+           CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (
+           SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 8)) AS UBIGINT) % 1000 AS BIGINT) AS bucket
+           FROM documents)""",
 
     "q72_repetition" ->
       """WITH base AS (

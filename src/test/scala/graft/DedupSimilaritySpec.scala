@@ -109,6 +109,40 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!capped.exists(p => p._1 == "d3" || p._2 == "d3"))
   }
 
+  test("mixing: hash sampling is content-stable (same rows kept across " +
+      "reruns/partitionings), rates bind per stratum, split assignment " +
+      "partitions completely and is disjoint") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.Mixing
+    val df = (0L until 1000L).map(i => (i, s"src${i % 4}"))
+      .toDF("id", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val kept1 = Mixing.stratifiedSample(df, "source", rates, "id")
+      .select("id").collect().map(_.getLong(0)).sorted
+    val kept2 = Mixing.stratifiedSample(df.repartition(7), "source",
+      rates, "id").select("id").collect().map(_.getLong(0)).sorted
+    assert(kept1 === kept2, "sampling must not depend on partitioning")
+    val bySrc = df.join(Mixing.stratifiedSample(df, "source", rates, "id")
+        .select(col("id").as("kid")), col("id") === col("kid"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === 250L) // rate 1.0 keeps the whole stratum
+    assert(bySrc.getOrElse("src2", 0L) === 0L) // rate 0.0 drops it
+    assert(!bySrc.contains("src3")) // absent from the mixture config
+    val frac = bySrc("src1").toDouble / 250
+    assert(frac > 0.35 && frac < 0.65, s"src1 kept $frac, want ~0.5")
+    // split: total partition, disjoint, stable, ~80/10/10
+    val splits = df.select(col("id"),
+        Mixing.assignSplit(col("id"), 0.8, 0.1).as("split"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum === 1000L)
+    assert(splits("train") > 700 && splits("train") < 900)
+    assert(splits("val") > 50 && splits("val") < 160)
+    assert(splits("test") > 50 && splits("test") < 160)
+  }
+
   test("minhash LSH: shingle-less docs never pair (round-1 advice " +
       "regression — a shared sentinel made every short doc a false " +
       "1.0-similarity pair)") {
