@@ -82,4 +82,65 @@ object IvfIndex {
     * index an index. Call AFTER an action has run the plan. */
   def isDppPruned(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("dynamicpruning")
+
+  // ---- versioned rebuilds (atomic publish; TxnLog-style claims) ----
+
+  private def committedMarker(dir: String, v: Long) =
+    new java.io.File(s"$dir/v_$v/_COMMITTED")
+
+  /** Committed index versions under `dir`, ascending. A version exists
+    * only once its `_COMMITTED` marker does — a crashed or in-flight
+    * build is invisible to readers. */
+  def committedVersions(dir: String): Seq[Long] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .flatMap(f => f.getName.stripPrefix("v_").toLongOption)
+      .filter(v => committedMarker(dir, v).exists())
+      .sorted
+  }
+
+  def currentVersion(dir: String): Option[Long] =
+    committedVersions(dir).lastOption
+
+  /** Rebuild the index WITHOUT disturbing concurrent probes: claim the
+    * next version directory (atomic createDirectory — two racing
+    * builders get distinct versions), write centroids+vectors fully,
+    * then publish with the `_COMMITTED` marker. Readers resolve the
+    * highest committed version at plan time; versions already being
+    * probed are immutable, so a rebuild never invalidates a running
+    * query (the same reasoning as TxnLog snapshots). Returns the
+    * published version. */
+  def buildVersioned(corpus: DataFrame, dir: String, stride: Int,
+      iters: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    new java.io.File(dir).mkdirs()
+    var v = committedVersions(dir).lastOption.getOrElse(-1L) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        java.nio.file.Files.createDirectory(
+          java.nio.file.Paths.get(s"$dir/v_$v"))
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
+    build(corpus, s"$dir/v_$v", stride, iters, idCol, vecCol)
+    java.nio.file.Files.createFile(committedMarker(dir, v).toPath)
+    v
+  }
+
+  /** Probe the current (or a pinned) committed version. */
+  def topKVersioned(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nProbe: Int, asOf: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val v = asOf.orElse(currentVersion(dir)).getOrElse(
+      throw new IllegalStateException(
+        s"no committed index version under $dir"))
+    require(committedMarker(dir, v).exists(),
+      s"index version $v under $dir is not committed")
+    topK(spark, s"$dir/v_$v", queries, k, nProbe, idCol, vecCol)
+  }
 }

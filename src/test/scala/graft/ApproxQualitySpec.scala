@@ -145,6 +145,33 @@ class ApproxQualitySpec extends SparkSuite {
         fromIndex.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("versioned index rebuild: atomic publish, pinned probes survive " +
+      "a rebuild, uncommitted builds invisible") {
+    val s = initSpark()
+    import graft.operators.IvfIndex
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivfv").toString
+    val q = emb.where(col("vec_id") < 10)
+    val v0 = IvfIndex.buildVersioned(emb, idx, stride = 20)
+    assert(v0 === 0L && IvfIndex.currentVersion(idx) === Some(0L))
+    val before = IvfIndex.topKVersioned(s, idx, q, k = 3, nProbe = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    // rebuild over a CHANGED corpus: current moves, v0 stays probe-able
+    val v1 = IvfIndex.buildVersioned(emb.where(col("vec_id") < 400),
+      idx, stride = 20)
+    assert(v1 === 1L && IvfIndex.currentVersion(idx) === Some(1L))
+    val pinned = IvfIndex.topKVersioned(s, idx, q, k = 3, nProbe = 2,
+      asOf = Some(0L)).orderBy("q_id", "rank").collect().toSeq
+    assert(pinned === before, "pinned version must be immutable")
+    val current = IvfIndex.topKVersioned(s, idx, q, k = 3, nProbe = 2)
+      .select(max(col("c_id"))).head().getLong(0)
+    assert(current < 400L, "current version reflects the new corpus")
+    // a claimed-but-uncommitted build directory is invisible
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$idx/v_7"))
+    assert(IvfIndex.currentVersion(idx) === Some(1L))
+  }
+
   test("k-means centroids are BITWISE identical across partitionings " +
       "(fixed-point integer sums make the mean order-independent)") {
     val s = initSpark()
