@@ -159,6 +159,114 @@ object AudioFeatures {
       }
     }
 
+  // ---- mel front-end (STFT -> mel filterbank -> log -> DCT = MFCC),
+  // the standard speech/music feature stack, self-contained ----
+
+  private def hzToMel(f: Double): Double =
+    2595.0 * math.log10(1.0 + f / 700.0)
+  private def melToHz(m: Double): Double =
+    700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+
+  /** Triangular mel filterbank: `nMels` filters over [0, nyquist],
+    * returned as (fftBin -> weight) rows per filter. Standard HTK-style
+    * construction (public formula). */
+  private[graft] def melFilterbank(nMels: Int, frameSize: Int,
+      sampleRate: Double): Array[Array[Double]] = {
+    val nyquist = sampleRate / 2.0
+    val half = frameSize / 2
+    val melPts = {
+      val lo = hzToMel(0.0); val hi = hzToMel(nyquist)
+      Array.tabulate(nMels + 2)(i => lo + (hi - lo) * i / (nMels + 1))
+    }
+    val binHz = sampleRate / frameSize
+    Array.tabulate(nMels) { m =>
+      val (l, c, r) =
+        (melToHz(melPts(m)), melToHz(melPts(m + 1)), melToHz(melPts(m + 2)))
+      Array.tabulate(half) { b =>
+        val f = b * binHz
+        if (f <= l || f >= r) 0.0
+        else if (f <= c) (f - l) / math.max(c - l, 1e-9)
+        else (r - f) / math.max(r - c, 1e-9)
+      }
+    }
+  }
+
+  /** Log mel energies of one Hann-windowed frame. */
+  private[graft] def melEnergies(frame: Array[Float], nMels: Int,
+      sampleRate: Double): Array[Float] = {
+    val n = frame.length
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val hann = 0.5 * (1 - math.cos(2 * math.Pi * i / (n - 1)))
+      re(i) = frame(i) * hann
+      i += 1
+    }
+    fft(re, im)
+    val power = Array.tabulate(n / 2)(k => re(k) * re(k) + im(k) * im(k))
+    val fb = melFilterbank(nMels, n, sampleRate)
+    Array.tabulate(nMels) { m =>
+      var acc = 0.0
+      var b = 0
+      while (b < power.length) { acc += fb(m)(b) * power(b); b += 1 }
+      math.log1p(acc).toFloat
+    }
+  }
+
+  /** DCT-II over log mel energies -> cepstral coefficients (the "C" of
+    * MFCC; orthonormal scaling). */
+  private[graft] def dct2(xs: Array[Float], nCoeffs: Int): Array[Float] = {
+    val n = xs.length
+    Array.tabulate(nCoeffs) { k =>
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += xs(i) * math.cos(math.Pi * k * (2 * i + 1) / (2.0 * n))
+        i += 1
+      }
+      val scale =
+        if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      (acc * scale).toFloat
+    }
+  }
+
+  val mfccSchema: StructType = StructType(Seq(
+    StructField("asset_id", StringType, nullable = false),
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("start_ms", LongType, nullable = false),
+    StructField("mfcc", ArrayType(FloatType), nullable = false)
+  ))
+
+  /** MFCC rows over the media table: audio assets explode to one row
+    * per OVERLAPPING frame (hop < frameSize — the STFT shape; the
+    * plain spectrogram uses non-overlapping frames). Generator +
+    * per-asset cap like sampleFrames. */
+  def mfcc(media: DataFrame, frameSize: Int = 512, hop: Int = 256,
+      nMels: Int = 24, nCoeffs: Int = 13,
+      maxFramesPerAsset: Int = 512): DataFrame = {
+    require(hop > 0 && hop <= frameSize, "0 < hop <= frameSize")
+    val enc = org.apache.spark.sql.Encoders.row(mfccSchema)
+    media.where(col("media_type") === "audio")
+      .select("asset_id", "payload")
+      .flatMap { r =>
+        decodePcm(r.getAs[Array[Byte]]("payload")) match {
+          case None => Iterator.empty
+          case Some((rate, mono)) =>
+            val n = math.min(
+              math.max((mono.length - frameSize) / hop + 1, 0),
+              maxFramesPerAsset)
+            (0 until n).iterator.map { f =>
+              val frame = java.util.Arrays.copyOfRange(
+                mono, f * hop, f * hop + frameSize)
+              Row(r.getString(0), f,
+                (f.toLong * hop * 1000 / rate.toLong),
+                dct2(melEnergies(frame, nMels, rate), nCoeffs).toSeq)
+            }
+        }
+      }(enc)
+  }
+
   val spectrogramSchema: StructType = StructType(Seq(
     StructField("asset_id", StringType, nullable = false),
     StructField("frame_index", IntegerType, nullable = false),

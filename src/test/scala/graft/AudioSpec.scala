@@ -75,6 +75,38 @@ class AudioSpec extends SparkSuite {
       Multimodal.stubDecode(wav(440.0), 16).toSeq)
   }
 
+  test("mel front-end: filterbank peaks at the tone's mel filter, MFCC " +
+      "frames overlap at the hop and are deterministic") {
+    val s = initSpark()
+    // filterbank sanity: a pure tone's energy maximizes in the filter
+    // whose center is nearest the tone frequency
+    def peakMel(freq: Double): Int = {
+      val Some((rate, mono)) = AudioFeatures.decodePcm(wav(freq)): @unchecked
+      val frame = java.util.Arrays.copyOfRange(mono, 0, 512)
+      val e = AudioFeatures.melEnergies(frame, 24, rate)
+      e.zipWithIndex.maxBy(_._1)._2
+    }
+    assert(peakMel(440.0) < peakMel(2000.0),
+      "higher tone must excite a higher mel filter")
+    // DCT: constant input concentrates in coefficient 0
+    val flat = AudioFeatures.dct2(Array.fill(24)(1.0f), 13)
+    assert(math.abs(flat(0)) > 1e-3)
+    (1 until 13).foreach(k => assert(math.abs(flat(k)) < 1e-5,
+      s"c$k of a constant signal must be ~0"))
+    // frame count: (samples - frameSize)/hop + 1, capped
+    val rows = java.util.Arrays.asList(
+      Row("a", "audio", wav(440.0, ms = 200), null, null, 200L))
+    val m = s.createDataFrame(rows, Multimodal.mediaSchema)
+    val frames = AudioFeatures.mfcc(m, frameSize = 512, hop = 256,
+      nMels = 24, nCoeffs = 13).collect()
+    assert(frames.length === (1600 - 512) / 256 + 1) // 5 frames
+    assert(frames.forall(_.getSeq[Float](3).length === 13))
+    val again = AudioFeatures.mfcc(m, frameSize = 512, hop = 256,
+      nMels = 24, nCoeffs = 13).collect()
+    assert(frames.map(_.getSeq[Float](3)).toSeq ===
+      again.map(_.getSeq[Float](3)).toSeq)
+  }
+
   test("spectrogram explodes frames with the cap honored") {
     val s = initSpark()
     val rows = java.util.Arrays.asList(
