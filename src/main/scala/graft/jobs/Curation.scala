@@ -1,0 +1,46 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextMetrics
+import graft.operators.{Dedup, Mixing}
+
+/** The full training-corpus curation pipeline as ONE declarative plan —
+  * the assembly a 100 TB data-mixing job actually runs, built from the
+  * oracled primitives:
+  *
+  *   quality gates (q71 Gopher rules + q72 repetition thresholds)
+  *     -> exact dedup keep-first (q20/q69)
+  *     -> stratified mixture sampling (q73)
+  *     -> train/val/test assignment (q74)
+  *
+  * Plan shape: every gate and hash decision is row-local (one scan,
+  * whole-stage codegen); the ONLY shuffle is the dedup window on the
+  * content fingerprint. Catalyst pushes the quality predicates below
+  * the dedup exchange, so junk never shuffles. Near-dup (MinHash) and
+  * embedding passes compose after this stage when needed — they are
+  * separate jobs by design (their own shuffles, their own cadence).
+  */
+object Curation {
+
+  def curate(documents: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, rates: Map[String, Double],
+      trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {
+    val g = TextMetrics.gopherStruct(col(textCol))
+    val r = TextMetrics.repetitionStats(col(textCol))
+    documents
+      .withColumn("__g", g)
+      .withColumn("__r", r)
+      .where(col("__g.keep") &&
+        (col("__r.dup_lines") * 10 <= col("__r.n_lines") * 3) &&
+        (col("__r.top2_count") * col("__r.top2_len") * 5 <=
+          col("__r.text_chars")))
+      .drop("__g", "__r")
+      .transform(df => Dedup.dedupKeepFirst(df, idCol, textCol))
+      .transform(df =>
+        Mixing.stratifiedSample(df, stratumCol, rates, idCol))
+      .withColumn("split",
+        Mixing.assignSplit(col(idCol), trainPct, valPct))
+  }
+}

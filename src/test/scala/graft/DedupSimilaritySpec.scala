@@ -143,6 +143,35 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(splits("test") > 50 && splits("test") < 160)
   }
 
+  test("curation pipeline: quality gates + dedup + mixture + split in " +
+      "one plan — junk filtered, dups collapsed, splits total") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.jobs.Curation
+    // needs >= 50 words for the Gopher word-count gate, varied enough
+    // to clear the repetition thresholds
+    val healthy = ("the quick brown fox jumps over the lazy dog and " +
+      "that should be quite enough words to pass every gate with " +
+      "different content because each sentence here keeps adding " +
+      "fresh vocabulary so neither the two gram mass nor the word " +
+      "count rule can possibly object to this document at all ")
+    val docs = ((0L until 60L).map(i =>
+      (i, healthy + s"variant $i", s"src${i % 2}")) ++ Seq(
+      (100L, healthy + "variant 3", "src0"), // exact dup of doc 3
+      (101L, "too short", "src0"), // fails gopher wc
+      (102L, ("spam spam " * 40).trim, "src1") // fails repetition
+    )).toDF("doc_id", "text", "source")
+    val out = Curation.curate(docs, "doc_id", "text", "source",
+      rates = Map("src0" -> 1.0, "src1" -> 1.0))
+    val rows = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!rows.contains(101L) && !rows.contains(102L), "junk gated")
+    assert(!rows.contains(100L), "exact dup collapsed to smallest id")
+    assert(rows.contains(3L))
+    assert(rows.size === 60)
+    assert(rows.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("minhash LSH: shingle-less docs never pair (round-1 advice " +
       "regression — a shared sentinel made every short doc a false " +
       "1.0-similarity pair)") {
