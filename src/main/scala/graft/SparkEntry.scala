@@ -464,7 +464,10 @@ object SparkEntry {
             .as(Seq("order_sequence", "body")))
         .withColumn("embedding",
           graft.expr.VectorCodec.floatVectorToBytes(
-            graft.ml.StubEmbedder.embedding(col("body"), 64)))
+            // resolved through the executor-side ModelRegistry (R7) —
+            // the same seam a safetensors: model name plugs into; the
+            // stub-64 backend is bit-identical to StubEmbedder.embed
+            graft.ml.ModelRegistry.embedding(col("body"), "stub-64")))
         .select(col("doc_id"), col("order_sequence"),
           octet_length(col("embedding")).as("embedding_bytes"))
     }),

@@ -92,12 +92,48 @@ object Multimodal {
     * histogram stub only for what the JDK cannot decode (compressed
     * audio codecs, video payloads — the FFI cut line). */
   def featureKernel(payload: Array[Byte], dim: Int): Array[Float] =
+    featureKernelTagged(payload, dim)._1
+
+  /** featureKernel plus PROVENANCE: which decoder produced the feature
+    * ("image" | "audio" | "fallback"). A mixed 100 TB media corpus
+    * needs this observable — a codec rollout that silently shifts 30%
+    * of assets onto the fallback histogram would otherwise only show
+    * up as drifting similarity scores. One decode attempt per path,
+    * no double work. */
+  def featureKernelTagged(payload: Array[Byte],
+      dim: Int): (Array[Float], String) =
     decodeImage(payload) match {
-      case Some(img) => imageFeatures(img, dim)
+      case Some(img) => (imageFeatures(img, dim), "image")
       case None =>
-        AudioFeatures.clipFeatures(payload, dim)
-          .getOrElse(stubDecode(payload, dim))
+        AudioFeatures.clipFeatures(payload, dim) match {
+          case Some(f) => (f, "audio")
+          case None => (stubDecode(payload, dim), "fallback")
+        }
     }
+
+  val taggedFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", StringType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("decoder", StringType, nullable = false),
+    StructField("feature", ArrayType(FloatType), nullable = false)
+  ))
+
+  /** extractFeatures with the decoder column — same mapPartitions
+    * shape. Monitor `GROUP BY decoder` counts per batch. */
+  def extractFeaturesTagged(media: DataFrame, dim: Int = 32): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(taggedFeatureSchema)
+    media.select("asset_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (feat, tag) = featureKernelTagged(payload, dim)
+          Row(r.getString(0), r.getString(1),
+            if (payload == null) 0 else payload.length,
+            tag, feat.toSeq)
+        }
+      }(enc)
+  }
 
   /** media table schema: one row per asset. */
   val mediaSchema: StructType = StructType(Seq(

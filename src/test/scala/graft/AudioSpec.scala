@@ -107,6 +107,26 @@ class AudioSpec extends SparkSuite {
       again.map(_.getSeq[Float](3)).toSeq)
   }
 
+  test("tagged featurization reports decoder provenance per asset") {
+    val s = initSpark()
+    val png = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = java.util.Arrays.asList(
+      Row("i", "image", png, 4, 4, null),
+      Row("a", "audio", wav(440.0), null, null, 200L),
+      Row("x", "video", Array[Byte](9, 9, 9), null, null, 5L))
+    val m = s.createDataFrame(rows, Multimodal.mediaSchema)
+    val tags = Multimodal.extractFeaturesTagged(m, dim = 8)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(tags === Map("i" -> "image", "a" -> "audio",
+      "x" -> "fallback"))
+  }
+
   test("spectrogram explodes frames with the cap honored") {
     val s = initSpark()
     val rows = java.util.Arrays.asList(
