@@ -233,10 +233,14 @@ object SparkEntry {
         .select(col("doc_id"), col("r.n_lines"), col("r.dup_lines"),
           col("r.n_grams"), col("r.top2_count"), col("r.top2_len"),
           col("r.text_chars"),
-          (col("r.dup_lines") * 10 <= col("r.n_lines") * 3)
-            .as("dup_line_ok"),
-          (col("r.top2_count") * col("r.top2_len") * 5 <=
-            col("r.text_chars")).as("rep_2gram_ok"))
+          // LONG arithmetic: Int products wrap negative on extreme-
+          // repetition documents (100M x 7 x 5 > 2^31), which would
+          // admit the worst spam and diverge from the BIGINT oracle
+          (col("r.dup_lines").cast("long") * 10 <=
+            col("r.n_lines").cast("long") * 3).as("dup_line_ok"),
+          (col("r.top2_count").cast("long") *
+            col("r.top2_len").cast("long") * 5 <=
+            col("r.text_chars").cast("long")).as("rep_2gram_ok"))
     }),
 
     // ---- Deterministic content-hash dataset mixing (md5 buckets —
@@ -244,9 +248,9 @@ object SparkEntry {
     "q73_hash_sample" -> ((s, dir) => {
       Mixing.stratifiedSample(t(s, dir, "documents"),
           "source", Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25,
-            "src3" -> 0.1), "doc_id", buckets = 1000)
-        .select(col("doc_id"), col("source"),
-          Mixing.hashBucket(col("doc_id"), 1000).as("bucket"))
+            "src3" -> 0.1), "doc_id", buckets = 1000,
+          keepBucketCol = Some("bucket"))
+        .select("doc_id", "source", "bucket")
     }),
 
     // ---- Deterministic train/val/test split assignment ----
@@ -1064,7 +1068,8 @@ object SparkEntry {
       """WITH base AS (
            SELECT doc_id, text,
              string_split(text, chr(10)) AS lines,
-             string_split_regex(trim(text), '\s+') AS ws
+             list_filter(string_split_regex(text, '\s+'),
+               w -> w <> '') AS ws
            FROM documents),
          g AS (
            SELECT doc_id,

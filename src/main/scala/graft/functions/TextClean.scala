@@ -200,8 +200,11 @@ object TextClean {
   /** PII redaction (standard pre-training scrub): e-mail addresses and
     * IPv4 literals replaced with typed placeholder tokens. The regexes
     * are RE2-compatible (no backrefs/lookarounds) so any engine's
-    * regexp_replace agrees byte-for-byte. */
-  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    * regexp_replace agrees byte-for-byte. The email host alternative
+    * includes bare IPv4 hosts — otherwise `bob@192.168.1.10` would
+    * survive as `bob@<IP>`, leaking the identifying local part. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@" +
+    "(?:[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|\\d{1,3}(?:\\.\\d{1,3}){3})"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   def redactPii(text: Column): Column =

@@ -288,10 +288,12 @@ object TextMetrics {
         val lines = text.split("\n", -1)
         val distinct = new java.util.HashSet[String]()
         lines.foreach(distinct.add)
-        val trimmed = text.trim
-        val ws =
-          if (trimmed.isEmpty) Array.empty[String]
-          else trimmed.split("\\s+")
+        // tokens = non-empty \s+ splits of the RAW text. No trim: Java
+        // String.trim strips all control chars <= U+0020 while SQL trim
+        // strips spaces only, so any trim makes the two engines
+        // tokenize "hello world\n" differently. Filtering empties on
+        // BOTH sides is whitespace-shape-agnostic.
+        val ws = text.split("\\s+").filter(_.nonEmpty)
         val counts = new java.util.HashMap[String, Int]()
         var i = 0
         while (i + 1 < ws.length) {

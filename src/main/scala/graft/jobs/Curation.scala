@@ -32,10 +32,13 @@ object Curation {
     documents
       .withColumn("__g", g)
       .withColumn("__r", r)
+      // long casts: Int products wrap negative on extreme repetition
       .where(col("__g.keep") &&
-        (col("__r.dup_lines") * 10 <= col("__r.n_lines") * 3) &&
-        (col("__r.top2_count") * col("__r.top2_len") * 5 <=
-          col("__r.text_chars")))
+        (col("__r.dup_lines").cast("long") * 10 <=
+          col("__r.n_lines").cast("long") * 3) &&
+        (col("__r.top2_count").cast("long") *
+          col("__r.top2_len").cast("long") * 5 <=
+          col("__r.text_chars").cast("long")))
       .drop("__g", "__r")
       .transform(df => Dedup.dedupKeepFirst(df, idCol, textCol))
       .transform(df =>

@@ -191,9 +191,16 @@ object AudioFeatures {
     }
   }
 
-  /** Log mel energies of one Hann-windowed frame. */
+  /** Log mel energies of one Hann-windowed frame. The filterbank is a
+    * pure function of (nMels, frameSize, sampleRate) — callers looping
+    * over frames pass a precomputed one (mfcc does); this convenience
+    * overload builds it per call. */
   private[graft] def melEnergies(frame: Array[Float], nMels: Int,
-      sampleRate: Double): Array[Float] = {
+      sampleRate: Double): Array[Float] =
+    melEnergies(frame, melFilterbank(nMels, frame.length, sampleRate))
+
+  private[graft] def melEnergies(frame: Array[Float],
+      fb: Array[Array[Double]]): Array[Float] = {
     val n = frame.length
     val re = new Array[Double](n)
     val im = new Array[Double](n)
@@ -205,8 +212,7 @@ object AudioFeatures {
     }
     fft(re, im)
     val power = Array.tabulate(n / 2)(k => re(k) * re(k) + im(k) * im(k))
-    val fb = melFilterbank(nMels, n, sampleRate)
-    Array.tabulate(nMels) { m =>
+    Array.tabulate(fb.length) { m =>
       var acc = 0.0
       var b = 0
       while (b < power.length) { acc += fb(m)(b) * power(b); b += 1 }
@@ -253,15 +259,22 @@ object AudioFeatures {
         decodePcm(r.getAs[Array[Byte]]("payload")) match {
           case None => Iterator.empty
           case Some((rate, mono)) =>
-            val n = math.min(
-              math.max((mono.length - frameSize) / hop + 1, 0),
-              maxFramesPerAsset)
+            // guard BEFORE the division: Scala int division truncates
+            // toward zero, so (len-frameSize)/hop+1 on a too-short clip
+            // would yield a phantom zero-padded frame instead of none
+            val n =
+              if (mono.length < frameSize) 0
+              else math.min((mono.length - frameSize) / hop + 1,
+                maxFramesPerAsset)
+            // filterbank hoisted: pure in (nMels, frameSize, rate) —
+            // rebuilding it per frame churned ~50 KB per call
+            val fb = melFilterbank(nMels, frameSize, rate)
             (0 until n).iterator.map { f =>
               val frame = java.util.Arrays.copyOfRange(
                 mono, f * hop, f * hop + frameSize)
               Row(r.getString(0), f,
                 (f.toLong * hop * 1000 / rate.toLong),
-                dct2(melEnergies(frame, nMels, rate), nCoeffs).toSeq)
+                dct2(melEnergies(frame, fb), nCoeffs).toSeq)
             }
         }
       }(enc)

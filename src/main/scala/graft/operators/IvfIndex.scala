@@ -83,20 +83,33 @@ object IvfIndex {
   def isDppPruned(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("dynamicpruning")
 
-  // ---- versioned rebuilds (atomic publish; TxnLog-style claims) ----
+  // ---- versioned rebuilds (atomic publish; TxnLog-style claims).
+  // All version bookkeeping goes through the Hadoop FileSystem API so
+  // the index works wherever the parquet does (HDFS/S3A/local) —
+  // java.io.File bookkeeping would silently track a bogus LOCAL path
+  // while Spark wrote the data to the real store. ----
 
-  private def committedMarker(dir: String, v: Long) =
-    new java.io.File(s"$dir/v_$v/_COMMITTED")
+  private def hfs(dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    (p.getFileSystem(conf), p)
+  }
+
+  private def markerPath(dir: String, v: Long) =
+    new org.apache.hadoop.fs.Path(s"$dir/v_$v/_COMMITTED")
 
   /** Committed index versions under `dir`, ascending. A version exists
     * only once its `_COMMITTED` marker does — a crashed or in-flight
     * build is invisible to readers. */
   def committedVersions(dir: String): Seq[Long] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .flatMap(f => f.getName.stripPrefix("v_").toLongOption)
-      .filter(v => committedMarker(dir, v).exists())
+    val (fs, p) = hfs(dir)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .flatMap(s => s.getPath.getName.stripPrefix("v_").toLongOption)
+      .filter(v => fs.exists(markerPath(dir, v)))
       .sorted
   }
 
@@ -104,30 +117,40 @@ object IvfIndex {
     committedVersions(dir).lastOption
 
   /** Rebuild the index WITHOUT disturbing concurrent probes: claim the
-    * next version directory (atomic createDirectory — two racing
-    * builders get distinct versions), write centroids+vectors fully,
-    * then publish with the `_COMMITTED` marker. Readers resolve the
-    * highest committed version at plan time; versions already being
-    * probed are immutable, so a rebuild never invalidates a running
-    * query (the same reasoning as TxnLog snapshots). Returns the
-    * published version. */
+    * next version via an atomic `_CLAIM` file create (overwrite=false
+    * — two racing builders get distinct versions), write
+    * centroids+vectors fully, then publish with the `_COMMITTED`
+    * marker. Readers resolve the highest committed version at plan
+    * time; versions already being probed are immutable, so a rebuild
+    * never invalidates a running query (the same reasoning as TxnLog
+    * snapshots). Returns the published version. */
   def buildVersioned(corpus: DataFrame, dir: String, stride: Int,
       iters: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): Long = {
-    new java.io.File(dir).mkdirs()
-    var v = committedVersions(dir).lastOption.getOrElse(-1L) + 1
+    val (fs, root) = hfs(dir)
+    fs.mkdirs(root)
+    var v = {
+      // start above every claimed OR committed version
+      val names = fs.listStatus(root).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v_"))
+        .flatMap(_.stripPrefix("v_").toLongOption)
+      names.maxOption.getOrElse(-1L) + 1
+    }
     var claimed = false
     while (!claimed) {
       try {
-        java.nio.file.Files.createDirectory(
-          java.nio.file.Paths.get(s"$dir/v_$v"))
+        fs.create(
+          new org.apache.hadoop.fs.Path(s"$dir/v_$v/_CLAIM"),
+          false).close() // overwrite=false: atomic claim
         claimed = true
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => v += 1
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => v += 1
+        case _: java.io.IOException if fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/v_$v/_CLAIM")) => v += 1
       }
     }
     build(corpus, s"$dir/v_$v", stride, iters, idCol, vecCol)
-    java.nio.file.Files.createFile(committedMarker(dir, v).toPath)
+    fs.create(markerPath(dir, v), false).close()
     v
   }
 
@@ -139,7 +162,8 @@ object IvfIndex {
     val v = asOf.orElse(currentVersion(dir)).getOrElse(
       throw new IllegalStateException(
         s"no committed index version under $dir"))
-    require(committedMarker(dir, v).exists(),
+    val (fs, _) = hfs(dir)
+    require(fs.exists(markerPath(dir, v)),
       s"index version $v under $dir is not committed")
     topK(spark, s"$dir/v_$v", queries, k, nProbe, idCol, vecCol)
   }

@@ -29,15 +29,22 @@ object Mixing {
     * One broadcast join + a row-local predicate — no shuffle of the
     * corpus, no rand(). */
   def stratifiedSample(df: DataFrame, stratumCol: String,
-      rates: Map[String, Double], idCol: String,
-      buckets: Int = 1000): DataFrame = {
+      rates: Map[String, Double], idCol: String, buckets: Int = 1000,
+      keepBucketCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rateDf = rates.toSeq.toDF(stratumCol, "__rate")
-    df.join(broadcast(rateDf), stratumCol)
-      .where(hashBucket(col(idCol), buckets) <
-        (col("__rate") * buckets).cast("long"))
+    // bucket computed ONCE as a column (Catalyst does not CSE an
+    // expression repeated across Filter and Project, and callers often
+    // want the bucket in the output — md5 per row is not free)
+    val bucketed = df.join(broadcast(rateDf), stratumCol)
+      .withColumn("__bucket", hashBucket(col(idCol), buckets))
+      .where(col("__bucket") < (col("__rate") * buckets).cast("long"))
       .drop("__rate")
+    keepBucketCol match {
+      case Some(name) => bucketed.withColumnRenamed("__bucket", name)
+      case None => bucketed.drop("__bucket")
+    }
   }
 
   /** Deterministic train/val/test assignment by hash bucket:

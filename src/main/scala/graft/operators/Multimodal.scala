@@ -174,20 +174,11 @@ object Multimodal {
 
   /** Feature extraction over the media table: mapPartitions so decoder
     * state amortizes across a partition's rows (the pandas-UDF batch
-    * shape from the reference's Python world, expressed JVM-native). */
-  def extractFeatures(media: DataFrame, dim: Int = 32): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
-    media.select("asset_id", "media_type", "payload")
-      .mapPartitions { rows =>
-        // decoder init would happen HERE, once per partition
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getString(0), r.getString(1),
-            if (payload == null) 0 else payload.length,
-            featureKernel(payload, dim).toSeq)
-        }
-      }(enc)
-  }
+    * shape from the reference's Python world, expressed JVM-native).
+    * Delegates to the tagged form — one mapPartitions body to
+    * maintain; taggedFeatureSchema minus `decoder` IS featureSchema. */
+  def extractFeatures(media: DataFrame, dim: Int = 32): DataFrame =
+    extractFeaturesTagged(media, dim).drop("decoder")
 
   /** Partitioning discipline for 100 TB media: repartition by asset hash
     * so payload bytes distribute evenly (media sizes are skewed), then

@@ -238,6 +238,12 @@ class TextFunctionsSpec extends SparkSuite {
     val (e, i) = graft.functions.TextClean.piiCounts(col("text"))
     assert(one(e, doc) === 2)
     assert(one(i, doc) === 2)
+    // an e-mail with a bare-IPv4 host is fully redacted (review fix:
+    // the alphabetic-TLD-only regex left 'bob@<IP>' — identifying
+    // local part survived the scrub)
+    assert(one(graft.functions.TextClean.redactPii(col("text")),
+      "ping bob.smith@192.168.1.10 now").asInstanceOf[String] ===
+      "ping <EMAIL> now")
   }
 
   test("duplicateLineFraction and charEntropy quality signals") {
