@@ -100,6 +100,59 @@ class PlanSpec extends SparkSuite {
       s"codegen'd intersect expression missing:\n$plan")
   }
 
+  test("q71 gopher rules stay in ONE whole-stage codegen span with " +
+      "zero exchanges (pure column expressions over the scan)") {
+    val s = initSpark()
+    val df = SparkEntry.queries("q71_gopher_rules")(s, dir)
+    df.count()
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"),
+      s"quality flags must not shuffle:\n${plan.take(1500)}")
+    assert(plan.linesIterator.exists(l =>
+      l.trim.matches("\\*\\(\\d+\\).*")),
+      "flags should run inside whole-stage codegen")
+  }
+
+  test("q73 stratified sampling: ONE broadcast join, zero shuffles of " +
+      "the corpus, md5 bucket computed once") {
+    val s = initSpark()
+    val df = SparkEntry.queries("q73_hash_sample")(s, dir)
+    df.count()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"rates dim must broadcast:\n${plan.take(1500)}")
+    val corpusExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(corpusExchanges === 0,
+      s"sampling must not shuffle the corpus:\n${plan.take(1500)}")
+    assert("conv\\(".r.findAllIn(plan).length <= 2,
+      "bucket expression should appear once (+once in the projection)")
+  }
+
+  test("curation pipeline: quality predicates are pushed BELOW the " +
+      "dedup exchange (junk never shuffles)") {
+    val s = initSpark()
+    // real parquet input: a local relation would let Catalyst constant-
+    // fold the gates away and collapse the whole plan
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val rates = (0 until 20).map(i => s"src$i" -> 1.0).toMap
+    val out = graft.jobs.Curation.curate(docs, "doc_id", "text",
+      "source", rates)
+    out.count()
+    val plan = planOf(out)
+    val lines = plan.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("split("))
+    assert(exchangeIdx >= 0 && filterIdx >= 0,
+      s"expected dedup exchange + quality filter:\n${plan.take(2000)}")
+    // executed plans print root-first: a filter BELOW the exchange
+    // appears AFTER it in the listing
+    assert(filterIdx > exchangeIdx,
+      "quality gates must evaluate before rows reach the dedup shuffle")
+  }
+
   test("step-partitioned ledger scans prune partitions (R15)") {
     val s = initSpark()
     import s.implicits._

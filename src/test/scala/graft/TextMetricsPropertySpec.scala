@@ -54,4 +54,29 @@ class TextMetricsPropertySpec extends SparkSuite {
       assert(q >= 0.0 && q <= 1.0, s"q=$q")
     }
   }
+
+  test("gopher + repetition stats never throw and keep their integer " +
+      "invariants on arbitrary unicode (incl. supplementary chars, " +
+      "whitespace-only, empty)") {
+    val s = initSpark()
+    import s.implicits._
+    val df = genTexts(300).toDF("text")
+    val rows = df.select(
+      TextMetrics.gopherStruct(col("text")).as("g"),
+      TextMetrics.repetitionStats(col("text")).as("r"))
+      .select("g.word_count", "r.n_lines", "r.dup_lines", "r.n_grams",
+        "r.top2_count", "r.top2_len", "r.text_chars")
+      .collect()
+    rows.foreach { r =>
+      val wc = r.getLong(0)
+      val (nl, dl, ng, tc, tl, ch) = (r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+      assert(wc >= 0 && nl >= 1, s"wc=$wc nl=$nl") // split yields >= 1
+      assert(dl >= 0 && dl < nl || (dl == 0 && nl >= 1))
+      assert(ng >= 0 && tc >= 0 && tl >= 0 && ch >= 0)
+      assert(tc <= math.max(ng, 1), s"top count $tc > grams $ng")
+      // a gram's char mass cannot exceed a text made only of it
+      if (ng == 0) assert(tc == 0 && tl == 0)
+    }
+  }
 }
