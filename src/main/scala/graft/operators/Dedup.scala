@@ -66,23 +66,42 @@ object Dedup {
       shingleWords(text, n).distinct
     }
 
+  /** Distinct 64-bit shingle hashes, ASCENDING sorted: hash every
+    * shingle into a primitive long array, sort, dedup in place — no
+    * boxing, no tree/hash-set garbage (the TreeSet/LinkedHashSet forms
+    * allocated a node per shingle on the hottest dedup path; this is
+    * pure primitive work). Shared by the exact, capped, and prefix
+    * jaccard variants (prefix REQUIRES the ascending order; the others
+    * are order-insensitive). */
+  private def sortedDistinctHashes(text: String, n: Int): Array[Long] = {
+    val grams = shingleWords(text, n)
+    if (grams.isEmpty) return Array.emptyLongArray
+    val hs = new Array[Long](grams.length)
+    var i = 0
+    while (i < grams.length) {
+      val sh = grams(i)
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x51ab5)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x7e11a)
+      hs(i) = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    i = 1
+    while (i < hs.length) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
   /** Distinct 64-bit shingle hashes per doc (order-insensitive set).
     * Hash identity is engine-internal: set sizes and intersections —
     * the quantities Jaccard needs — are preserved up to 2^-64-odds
     * collisions. */
   private def shingleHashesUdf(n: Int) =
     org.apache.spark.sql.functions.udf { (text: String) =>
-      val grams = shingleWords(text, n)
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      grams.foreach { sh =>
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x51ab5)
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x7e11a)
-        seen.add((h1.toLong << 32) | (h2.toLong & 0xffffffffL))
-      }
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator; var j = 0
-      while (it.hasNext) { out(j) = it.next(); j += 1 }
-      out
+      sortedDistinctHashes(text, n)
     }
 
   /** One-pass pair emitter over a per-shingle member list, with the
@@ -172,20 +191,11 @@ object Dedup {
   }
 
   /** Sorted distinct shingle hashes per doc (ascending — the global
-    * order prefix filtering requires). */
+    * order prefix filtering requires; same primitive sort+dedup as
+    * shingleHashesUdf). */
   private def sortedShingleUdf(n: Int) =
     org.apache.spark.sql.functions.udf { (text: String) =>
-      val grams = shingleWords(text, n)
-      val set = new java.util.TreeSet[java.lang.Long]()
-      grams.foreach { sh =>
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x51ab5)
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x7e11a)
-        set.add((h1.toLong << 32) | (h2.toLong & 0xffffffffL))
-      }
-      val out = new Array[Long](set.size)
-      val it = set.iterator; var j = 0
-      while (it.hasNext) { out(j) = it.next(); j += 1 }
-      out
+      sortedDistinctHashes(text, n)
     }
 
   // codegen'd merge-scan (graft.expr.SortedLongIntersect): the ScalaUDF
