@@ -289,11 +289,16 @@ object AudioFeatures {
 
   /** Spectrogram rows over the media table: audio assets explode to one
     * row per FFT frame (generator shape like Multimodal.sampleFrames,
-    * capped so one long asset cannot blow a task). Undecodable audio
-    * yields zero rows — count them upstream via the error channel
-    * pattern if routing matters. */
+    * capped so one long asset cannot blow a task). `hop` defaults to
+    * frameSize (non-overlapping); pass hop < frameSize for the STFT
+    * shape (the mfcc default). Undecodable audio yields zero rows —
+    * count them upstream via the error channel pattern if routing
+    * matters. */
   def spectrogram(media: DataFrame, frameSize: Int = 512,
-      bands: Int = 16, maxFramesPerAsset: Int = 256): DataFrame = {
+      bands: Int = 16, maxFramesPerAsset: Int = 256,
+      hop: Int = 0): DataFrame = {
+    val step = if (hop <= 0) frameSize else hop
+    require(step <= frameSize, "hop must be <= frameSize")
     val enc = org.apache.spark.sql.Encoders.row(spectrogramSchema)
     media.where(col("media_type") === "audio")
       .select("asset_id", "payload")
@@ -302,13 +307,15 @@ object AudioFeatures {
         decodePcm(payload) match {
           case None => Iterator.empty
           case Some((rate, mono)) =>
-            val n = math.min(mono.length / frameSize,
-              maxFramesPerAsset)
+            val n =
+              if (mono.length < frameSize) 0
+              else math.min((mono.length - frameSize) / step + 1,
+                maxFramesPerAsset)
             (0 until n).iterator.map { f =>
               val frame = java.util.Arrays.copyOfRange(
-                mono, f * frameSize, (f + 1) * frameSize)
+                mono, f * step, f * step + frameSize)
               Row(r.getString(0), f,
-                (f.toLong * frameSize * 1000 / rate.toLong),
+                (f.toLong * step * 1000 / rate.toLong),
                 bandEnergies(frame, bands).toSeq)
             }
         }

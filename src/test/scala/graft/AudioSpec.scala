@@ -140,5 +140,18 @@ class AudioSpec extends SparkSuite {
     assert(capped.forall(_.getString(0) === "long"))
     assert(capped.map(_.getLong(2)).sorted.toSeq ===
       Seq(0L, 64L, 128L, 192L)) // 512/8000 = 64ms per frame
+    // STFT shape: half-frame hop doubles the frame count (minus edge)
+    val overlapped = AudioFeatures.spectrogram(m, frameSize = 512,
+      bands = 8, maxFramesPerAsset = 1000, hop = 256).collect()
+    assert(overlapped.count(_.getString(0) == "long") ===
+      (8000 - 512) / 256 + 1)
+    // too-short clip emits zero frames, never a zero-padded phantom
+    val short = java.util.Arrays.asList(
+      Row("s", "audio", wav(440.0, ms = 30), null, null, 30L))
+    val sm = s.createDataFrame(short, Multimodal.mediaSchema)
+    assert(AudioFeatures.spectrogram(sm, frameSize = 512,
+      bands = 8).count() === 0L)
+    assert(AudioFeatures.mfcc(sm, frameSize = 512, hop = 256).count()
+      === 0L)
   }
 }

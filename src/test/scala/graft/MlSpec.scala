@@ -119,6 +119,37 @@ class MlSpec extends SparkSuite {
     assert(cos(base, near) > cos(base, far))
   }
 
+  test("safetensors round-trips arbitrary tensor sets (property)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val tensorGen = for {
+      rank <- Gen.choose(1, 3)
+      dims <- Gen.listOfN(rank, Gen.choose(1, 5))
+      data <- Gen.listOfN(dims.product,
+        Gen.chooseNum(-1e6f, 1e6f))
+    } yield graft.ml.SafeTensors.Tensor(dims.toArray, data.toArray)
+    val setGen = for {
+      n <- Gen.choose(1, 6)
+      ts <- Gen.listOfN(n, tensorGen)
+    } yield ts.zipWithIndex.map { case (t, i) => s"t$i.weight" -> t }
+    val dir = java.nio.file.Files.createTempDirectory("stp").toString
+    var case_ = 0
+    val prop = forAll(setGen) { tensors =>
+      case_ += 1
+      val path = s"$dir/m$case_.safetensors"
+      graft.ml.SafeTensors.write(path, tensors)
+      val loaded = graft.ml.SafeTensors.load(path)
+      loaded.keySet == tensors.map(_._1).toSet &&
+        tensors.forall { case (name, t) =>
+          loaded(name).shape.sameElements(t.shape) &&
+            loaded(name).data.sameElements(t.data)
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("model registry memoizes the safetensors backend per JVM (R7 " +
       "model-cache parity: the file parses once, tasks share it)") {
     val dir = java.nio.file.Files.createTempDirectory("st").toString
