@@ -46,4 +46,35 @@ object Curation {
       .withColumn("split",
         Mixing.assignSplit(col(idCol), trainPct, valPct))
   }
+
+  /** The STREAMING form of curation for incremental ingestion: the
+    * quality gates and hash decisions are stateless row-local
+    * predicates (identical semantics to the batch form — same columns,
+    * same integer thresholds), and exact dedup becomes the
+    * watermark-bounded streaming dedup (state holds one fingerprint
+    * per distinct text within the watermark; the batch job remains the
+    * authority for cross-watermark dups, the standard lambda split).
+    * No mixture sampling here: mixing weights are a corpus-level
+    * decision, applied when the batch materializes the training set. */
+  def curateStream(documents: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermarkDelay: String, trainPct: Double = 0.8,
+      valPct: Double = 0.1): DataFrame = {
+    val g = TextMetrics.gopherStruct(col(textCol))
+    val r = TextMetrics.repetitionStats(col(textCol))
+    val gated = documents
+      .withColumn("__g", g)
+      .withColumn("__r", r)
+      .where(col("__g.keep") &&
+        (col("__r.dup_lines").cast("long") * 10 <=
+          col("__r.n_lines").cast("long") * 3) &&
+        (col("__r.top2_count").cast("long") *
+          col("__r.top2_len").cast("long") * 5 <=
+          col("__r.text_chars").cast("long")))
+      .drop("__g", "__r")
+    graft.streaming.WindowedAggregates.dedupByFingerprint(
+        gated, tsCol, TextMetrics.fingerprint(col(textCol)),
+        watermarkDelay)
+      .withColumn("split",
+        Mixing.assignSplit(col(idCol), trainPct, valPct))
+  }
 }

@@ -160,6 +160,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: quality gates + watermarked dedup + split " +
+      "on a live stream (batch-form semantics, incremental execution)") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: org.apache.spark.sql.SparkSession = s
+    val input = MemoryStream[(java.sql.Timestamp, String, String)](s)
+    val docs = input.toDS().toDF("ts", "doc_id", "text")
+    val healthy = ("the quick brown fox jumps over the lazy dog and " +
+      "that should be quite enough words to pass every gate with " +
+      "different content because each sentence here keeps adding " +
+      "fresh vocabulary so neither the two gram mass nor the word " +
+      "count rule can possibly object to this document at all ")
+    val out = graft.jobs.Curation.curateStream(docs, "doc_id", "text",
+      "ts", watermarkDelay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      def ts(sec: Int) =
+        java.sql.Timestamp.valueOf(s"2024-01-01 00:00:$sec")
+      input.addData(
+        (ts(1), "d1", healthy + "alpha"),
+        (ts(2), "d2", "too short"), // gopher gate
+        (ts(3), "d3", healthy + "alpha"), // dup of d1
+        (ts(4), "d4", healthy + "beta"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT doc_id, split FROM curate_out")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows.keySet === Set("d1", "d4"),
+        s"gates+dedup must keep d1/d4, got ${rows.keySet}")
+      assert(rows.values.forall(Set("train", "val", "test").contains))
+    } finally q.stop()
+  }
+
   test("foreachBatch + TxnLog.replaceByKey: an idempotent streaming " +
       "sink (T5) — batch replay converges, versions stay readable") {
     val s = initSpark()
