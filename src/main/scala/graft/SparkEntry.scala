@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextClean, TextMetrics, VectorFunctions}
 import graft.ledger.Ledger
-import graft.operators.{Dedup, Mixing, Similarity}
+import graft.operators.{Dedup, LanguageModel, Mixing, Similarity}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2
   * plus the training-data-pipeline operators (dedup / similarity / text
@@ -259,6 +259,13 @@ object SparkEntry {
         .select(col("doc_id"),
           Mixing.hashBucket(col("doc_id"), 1000).as("bucket"),
           Mixing.assignSplit(col("doc_id"), 0.8, 0.1, 1000).as("split"))
+    }),
+
+    // ---- Unigram surprisal (CCNet-style perplexity filter tier) ----
+    "q75_unigram_surprisal" -> ((s, dir) => {
+      LanguageModel.unigramSurprisal(t(s, dir, "documents"),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
     }),
 
     // ---- Language-ID heuristic (SURVEY F12 analogue) ----
@@ -1039,6 +1046,22 @@ object SparkEntry {
            JOIN sz sa ON sa.doc_id = id_a
            JOIN sz sb ON sb.doc_id = id_b)
          WHERE jaccard >= 0.2""",
+
+    "q75_unigram_surprisal" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '\s+'),
+               x -> x <> '')) AS w
+           FROM documents),
+         c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+         t AS (SELECT sum(cnt) AS total FROM c)
+         SELECT doc_id,
+           round(avg(-log2(CAST(cnt AS DOUBLE) /
+             CAST(total AS DOUBLE))) + 1e-9, 4) AS avg_surprisal,
+           count(*) AS n_tokens
+         FROM w JOIN c USING (w), t
+         GROUP BY doc_id""",
 
     "q73_hash_sample" ->
       """WITH rates(source, rate) AS (

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Perplexity-style quality scoring from a corpus-trained unigram
+  * language model — the CCNet-family filter (score documents by how
+  * surprising their tokens are under a background LM; very high
+  * surprisal = gibberish/OCR noise, very low = boilerplate). A full
+  * KenLM is a model artifact; the unigram form is the engine-native
+  * tier: trained IN the same job by one aggregation over the corpus,
+  * no external file, exact and oracle-checkable.
+  *
+  * Scale: token explode -> one shuffle to count the vocabulary ->
+  * broadcast the (word, count) table back over the token stream ->
+  * per-document mean. The vocabulary of a 100 TB corpus may exceed
+  * broadcast limits — cap it with `minCount` (rare words collapse to
+  * the floor probability, which is also the right smoothing for
+  * singleton noise) or let AQE pick a shuffled join when the vocab
+  * side outgrows the threshold.
+  */
+object LanguageModel {
+
+  /** Per-document mean unigram surprisal in bits:
+    * avg(-log2(count(w) / totalTokens)) over the document's tokens,
+    * under the unigram distribution of `docs` itself. Deterministic;
+    * 4-dp rounded for the cross-engine oracle. */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      explode(filter(split(lower(col(textCol)), "\\s+"),
+        w => length(w) > 0)).as("w"))
+    val counts = words.groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    words
+      .join(broadcast(counts), "w")
+      .crossJoin(broadcast(total))
+      .withColumn("surprisal",
+        -log2(col("cnt").cast("double") / col("total").cast("double")))
+      .groupBy("id")
+      .agg(round(avg(col("surprisal")) + 1e-9, 4).as("avg_surprisal"),
+        count(lit(1)).as("n_tokens"))
+  }
+}

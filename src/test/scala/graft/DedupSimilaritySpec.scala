@@ -143,6 +143,25 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(splits("test") > 50 && splits("test") < 160)
   }
 
+  test("unigram surprisal: rare-vocabulary documents score higher " +
+      "than common-vocabulary ones; uniform text scores log2(vocab)") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.LanguageModel
+    val docs = Seq(
+      (1L, "common common common common common common"),
+      (2L, "common common common rare1 rare2 rare3"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(out(2L)._1 > out(1L)._1,
+      "rare vocabulary must be more surprising")
+    assert(out(1L)._2 === 6L && out(2L)._2 === 6L)
+    // doc of all-common tokens: p(common)=9/12 -> -log2(0.75)=0.415
+    assert(math.abs(out(1L)._1 - 0.415) < 1e-3)
+  }
+
   test("curation pipeline: quality gates + dedup + mixture + split in " +
       "one plan — junk filtered, dups collapsed, splits total") {
     val s = initSpark()
