@@ -24,15 +24,16 @@ import graft.operators.{Dedup, Mixing}
   */
 object Curation {
 
-  def curate(documents: DataFrame, idCol: String, textCol: String,
-      stratumCol: String, rates: Map[String, Double],
-      trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {
-    val g = TextMetrics.gopherStruct(col(textCol))
-    val r = TextMetrics.repetitionStats(col(textCol))
+  /** The shared quality gate (batch AND stream use THIS — the
+    * identical-semantics guarantee between the two forms holds by
+    * construction, not by parallel edits): Gopher keep + the two
+    * repetition thresholds. Long casts: Int products wrap negative on
+    * extreme-repetition documents. */
+  private def qualityGated(documents: DataFrame,
+      textCol: String): DataFrame =
     documents
-      .withColumn("__g", g)
-      .withColumn("__r", r)
-      // long casts: Int products wrap negative on extreme repetition
+      .withColumn("__g", TextMetrics.gopherStruct(col(textCol)))
+      .withColumn("__r", TextMetrics.repetitionStats(col(textCol)))
       .where(col("__g.keep") &&
         (col("__r.dup_lines").cast("long") * 10 <=
           col("__r.n_lines").cast("long") * 3) &&
@@ -40,6 +41,11 @@ object Curation {
           col("__r.top2_len").cast("long") * 5 <=
           col("__r.text_chars").cast("long")))
       .drop("__g", "__r")
+
+  def curate(documents: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, rates: Map[String, Double],
+      trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {
+    qualityGated(documents, textCol)
       .transform(df => Dedup.dedupKeepFirst(df, idCol, textCol))
       .transform(df =>
         Mixing.stratifiedSample(df, stratumCol, rates, idCol))
@@ -59,21 +65,9 @@ object Curation {
   def curateStream(documents: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermarkDelay: String, trainPct: Double = 0.8,
       valPct: Double = 0.1): DataFrame = {
-    val g = TextMetrics.gopherStruct(col(textCol))
-    val r = TextMetrics.repetitionStats(col(textCol))
-    val gated = documents
-      .withColumn("__g", g)
-      .withColumn("__r", r)
-      .where(col("__g.keep") &&
-        (col("__r.dup_lines").cast("long") * 10 <=
-          col("__r.n_lines").cast("long") * 3) &&
-        (col("__r.top2_count").cast("long") *
-          col("__r.top2_len").cast("long") * 5 <=
-          col("__r.text_chars").cast("long")))
-      .drop("__g", "__r")
     graft.streaming.WindowedAggregates.dedupByFingerprint(
-        gated, tsCol, TextMetrics.fingerprint(col(textCol)),
-        watermarkDelay)
+        qualityGated(documents, textCol), tsCol,
+        TextMetrics.fingerprint(col(textCol)), watermarkDelay)
       .withColumn("split",
         Mixing.assignSplit(col(idCol), trainPct, valPct))
   }

@@ -24,22 +24,44 @@ object LanguageModel {
   /** Per-document mean unigram surprisal in bits:
     * avg(-log2(count(w) / totalTokens)) over the document's tokens,
     * under the unigram distribution of `docs` itself. Deterministic;
-    * 4-dp rounded for the cross-engine oracle. */
+    * 4-dp rounded for the cross-engine oracle.
+    *
+    * `minCount` drops sub-threshold vocabulary from BOTH the model and
+    * the scored tokens (singleton-noise smoothing, and the cap that
+    * keeps a 100 TB corpus's vocab table join-able; the total is
+    * computed over the capped vocab so probabilities stay a
+    * distribution over it). No broadcast directive on the join: the
+    * vocab side is usually dimension-sized and AQE will broadcast it
+    * from runtime stats, but when it outgrows the threshold AQE can
+    * fall back to a shuffled join — a forced hint would OOM instead.
+    * Training materializes once (persisted vocab + one driver-side
+    * scalar for the total — bounded model state, centroid-collect
+    * precedent); call the returned release hook from the Scoped
+    * variant after the last action in long-lived sessions. */
   def unigramSurprisal(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, minCount: Long = 1L): DataFrame =
+    unigramSurprisalScoped(docs, idCol, textCol, minCount)._1
+
+  def unigramSurprisalScoped(docs: DataFrame, idCol: String,
+      textCol: String, minCount: Long = 1L)
+      : (DataFrame, () => Unit) = {
     val words = docs.select(col(idCol).as("id"),
       explode(filter(split(lower(col(textCol)), "\\s+"),
         w => length(w) > 0)).as("w"))
     val counts = words.groupBy("w")
       .agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("total"))
-    words
-      .join(broadcast(counts), "w")
-      .crossJoin(broadcast(total))
+      .where(col("cnt") >= minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one action trains the LM: without it, total would re-tokenize
+    // the whole corpus a second time (and the join a third)
+    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    val scored = words
+      .join(counts, "w")
       .withColumn("surprisal",
-        -log2(col("cnt").cast("double") / col("total").cast("double")))
+        -log2(col("cnt").cast("double") / lit(total.toDouble)))
       .groupBy("id")
       .agg(round(avg(col("surprisal")) + 1e-9, 4).as("avg_surprisal"),
         count(lit(1)).as("n_tokens"))
+    (scored, () => { counts.unpersist(); () })
   }
 }

@@ -104,7 +104,6 @@ class PlanSpec extends SparkSuite {
       "zero exchanges (pure column expressions over the scan)") {
     val s = initSpark()
     val df = SparkEntry.queries("q71_gopher_rules")(s, dir)
-    df.count()
     val plan = planOf(df)
     assert(!plan.contains("Exchange"),
       s"quality flags must not shuffle:\n${plan.take(1500)}")
@@ -117,7 +116,6 @@ class PlanSpec extends SparkSuite {
       "the corpus, md5 bucket computed once") {
     val s = initSpark()
     val df = SparkEntry.queries("q73_hash_sample")(s, dir)
-    df.count()
     val plan = planOf(df)
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"),
@@ -139,7 +137,6 @@ class PlanSpec extends SparkSuite {
     val rates = (0 until 20).map(i => s"src$i" -> 1.0).toMap
     val out = graft.jobs.Curation.curate(docs, "doc_id", "text",
       "source", rates)
-    out.count()
     val plan = planOf(out)
     val lines = plan.linesIterator.toSeq
     val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
