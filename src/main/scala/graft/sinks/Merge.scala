@@ -20,8 +20,25 @@ import org.apache.spark.sql.functions._
   *
   * All functions also come in a pure DataFrame form (suffix `Df`) so the
   * merge semantics are testable without filesystem I/O.
+  *
+  * Every filesystem operation (existence probe, staging swap, cleanup)
+  * goes through `org.apache.hadoop.fs.FileSystem`, resolved from the
+  * table path itself — NOT `java.io.File`. Spark writes the data through
+  * the Hadoop FS layer, so an HDFS/S3A table dir with `java.io.File`
+  * bookkeeping would probe a bogus LOCAL path: `exists()` would return
+  * false for a real remote table and `insertIfAbsent` would append
+  * duplicates without the anti-join — a silent correctness failure.
   */
 object Merge {
+
+  /** FileSystem + Path for `dir`, resolved by the dir's own scheme
+    * against the active session's Hadoop conf (same pattern as
+    * IvfIndex.hfs). */
+  private def hfs(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
 
   /** S16 semantics, pure form: rows from `incoming` whose `key` is not
     * already in `existing`, de-duplicated within the batch (first by
@@ -49,8 +66,8 @@ object Merge {
     * the table if missing. Returns the number of appended rows. */
   def insertIfAbsent(spark: SparkSession, tableDir: String,
       incoming: DataFrame, key: String, orderCol: String): Long = {
-    val exists = new java.io.File(tableDir).exists()
-    val toWrite = if (exists) {
+    val (fs, tablePath) = hfs(spark, tableDir)
+    val toWrite = if (fs.exists(tablePath)) {
       insertIfAbsentDf(spark.read.parquet(tableDir), incoming, key, orderCol)
     } else incoming
     val n = toWrite.count()
@@ -67,18 +84,25 @@ object Merge {
     * never reads and overwrites the same path in one commit — a
     * mid-commit failure with in-place dynamic overwrite can lose the
     * retained rows of touched partitions), then swapped in
-    * partition-directory-at-a-time. No session conf is mutated. */
+    * partition-directory-at-a-time. No session conf is mutated.
+    *
+    * The swap uses `FileSystem.rename`, atomic per directory on HDFS
+    * and posix; on S3A rename is copy+delete (not atomic), so there a
+    * reader can observe one bucket mid-swap — the versioned-publish
+    * pattern (IvfIndex.buildVersioned / TxnLog) is the stronger
+    * object-store answer when that window matters. */
   def replaceByKey(spark: SparkSession, tableDir: String,
       replacement: DataFrame, key: String, numBuckets: Int = 64): Unit = {
+    val (fs, tablePath) = hfs(spark, tableDir)
     val withBucket = replacement
       .withColumn("__bucket", pmod(xxhash64(col(key)), lit(numBuckets)))
-    if (!new java.io.File(tableDir).exists()) {
+    if (!fs.exists(tablePath)) {
       withBucket.write.partitionBy("__bucket").parquet(tableDir)
       return
     }
     val staging = tableDir + ".staging"
-    org.apache.commons.io.FileUtils
-      .deleteQuietly(new java.io.File(staging))
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    fs.delete(stagingPath, true)
     val old = spark.read.parquet(tableDir)
     val touched = withBucket.select("__bucket").distinct()
       .collect().map(_.getLong(0)).toSet
@@ -87,18 +111,16 @@ object Merge {
       .join(replacement.select(key).distinct(), Seq(key), "left_anti")
     keep.unionByName(withBucket)
       .write.partitionBy("__bucket").parquet(staging)
-    // swap staged partition dirs into place (per-directory rename; each
-    // touched bucket's swap is atomic on a posix fs / HDFS rename)
+    // swap staged partition dirs into place, one touched bucket at a time
     touched.foreach { b =>
-      val src = new java.io.File(s"$staging/__bucket=$b")
-      val dst = new java.io.File(s"$tableDir/__bucket=$b")
-      if (src.exists()) {
-        org.apache.commons.io.FileUtils.deleteQuietly(dst)
-        if (!src.renameTo(dst))
+      val src = new org.apache.hadoop.fs.Path(s"$staging/__bucket=$b")
+      val dst = new org.apache.hadoop.fs.Path(s"$tableDir/__bucket=$b")
+      if (fs.exists(src)) {
+        fs.delete(dst, true)
+        if (!fs.rename(src, dst))
           throw new java.io.IOException(s"swap failed for bucket $b")
       }
     }
-    org.apache.commons.io.FileUtils
-      .deleteQuietly(new java.io.File(staging))
+    fs.delete(stagingPath, true)
   }
 }

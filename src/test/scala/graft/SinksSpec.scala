@@ -60,6 +60,35 @@ class SinksSpec extends SparkSuite {
     assert(s.read.parquet(dir).count() === 2)
   }
 
+  test("disk writers resolve the table through the Hadoop FS API " +
+      "(scheme'd URI a java.io.File probe would call absent)") {
+    val s = initSpark()
+    import s.implicits._
+    // An explicit file:-scheme URI: Spark's writers handle it via the
+    // Hadoop FileSystem layer, but `new java.io.File("file:/…").exists()`
+    // is false even when the table exists — exactly the off-local lie
+    // that made the old bookkeeping append duplicates. Both writers must
+    // see through it.
+    val base = "file://" + Files.createTempDirectory("graft_hfs").toString
+    assert(!new java.io.File(base + "/docs").exists(),
+      "precondition: java.io.File cannot see a scheme'd URI")
+    val batch = Seq(("https://a", "t1"), ("https://b", "t2"))
+      .toDF("url", "title")
+    assert(Merge.insertIfAbsent(s, base + "/docs", batch, "url", "title") === 2)
+    // second call must find the table and anti-join — NOT re-append
+    assert(Merge.insertIfAbsent(s, base + "/docs", batch, "url", "title") === 0)
+    assert(s.read.parquet(base + "/docs").count() === 2)
+
+    val initial = Seq(("d1", "v1"), ("d2", "v1")).toDF("document_id", "body")
+    Merge.replaceByKey(s, base + "/slices", initial, "document_id", numBuckets = 4)
+    Merge.replaceByKey(s, base + "/slices",
+      Seq(("d2", "v2")).toDF("document_id", "body"), "document_id", numBuckets = 4)
+    val after = s.read.parquet(base + "/slices")
+      .select("document_id", "body")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after === Set(("d1", "v1"), ("d2", "v2")))
+  }
+
   test("collection routing: multilingual, lang-specific, error bucket") {
     val s = initSpark()
     import s.implicits._
