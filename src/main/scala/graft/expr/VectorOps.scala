@@ -28,6 +28,13 @@ object VectorOps {
     ColumnBridge.column(DotF32(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 
+  /** L2 norm, codegen'd. Same accumulation (double, ascending index
+    * order) as the zip_with/aggregate HOF it replaces in
+    * VectorFunctions.norm — HOF lambdas evaluate interpreted per
+    * element, which dominated q26/q57 (see class doc). */
+  def normF32(a: Column): Column =
+    ColumnBridge.column(NormF32(ColumnBridge.expression(a)))
+
   /** Intersection size of two ASCENDING-sorted long arrays (merge
     * scan). Codegen'd: the ScalaUDF form paid a per-call ArrayData ->
     * boxed-Seq conversion that dominated jaccard verification (~45us
@@ -126,6 +133,28 @@ case class SortedLongIntersect(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): SortedLongIntersect =
     copy(left = newLeft, right = newRight)
+}
+
+case class NormF32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"requires an array<float> input, got $other")
+    }
+  override def nullSafeEval(a: Any): Any =
+    math.sqrt(VectorOps.normSq(a.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"java.lang.Math.sqrt(graft.expr.VectorOps.normSq($a))")
+  override protected def withNewChildInternal(
+      newChild: Expression): NormF32 = copy(child = newChild)
 }
 
 case class DotF32(left: Expression, right: Expression)

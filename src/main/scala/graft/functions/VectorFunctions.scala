@@ -25,7 +25,11 @@ object VectorFunctions {
     aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double"))
 
-  def norm(a: Column): Column = sqrt(normSq(a))
+  /** L2 norm — delegates to the codegen'd NormF32 expression (identical
+    * numerics to sqrt(normSq(a)): double accumulation in index order).
+    * The HOF form paid interpreted per-element lambda evaluation in
+    * every row of q26/q57. */
+  def norm(a: Column): Column = graft.expr.VectorOps.normF32(a)
 
   /** Cosine similarity; 0.0 when either vector is all-zero. */
   def cosine(a: Column, b: Column): Column = {

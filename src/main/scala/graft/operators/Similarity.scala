@@ -1,8 +1,14 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
 
 import graft.expr.VectorOps.cosineF32
 
@@ -83,29 +89,33 @@ object Similarity {
     val scale = (1L << 24).toDouble
     (0 until iters).foreach { _ =>
       val assigned = corpus.withColumn("centroid_id",
-        nearestUdf(cents)(col(vecCol)))
-      // per-coordinate non-null counts, not one row count: sum() skips
-      // nulls, so a cluster containing short/ragged vectors would
-      // otherwise divide a partial sum by the full row count and drag
-      // those coordinates toward 0 every iteration (avg() semantics
-      // divide by the non-null count)
-      val sumCols = (0 until dim).flatMap(i => Seq(
-        sum(round(element_at(col(vecCol), i + 1) * scale).cast("long"))
-          .as(s"s$i"),
-        count(element_at(col(vecCol), i + 1)).as(s"n$i")))
+        nearestCol(cents, col(vecCol)))
+      // ONE aggregate expression regardless of dim: the earlier
+      // per-coordinate form (2 x dim sum/count columns) fell out of
+      // whole-stage codegen at real dims (dim=768 => 1,536 agg
+      // expressions, 64KB method limits) and re-evaluated element_at
+      // per coordinate. QuantizedVectorSum walks each vector once and
+      // keeps the same numerics (fixed-point long sums) and the same
+      // ragged/null semantics (per-coordinate non-null counts, so a
+      // cluster containing short vectors divides each coordinate by
+      // its own support instead of dragging it toward 0).
       val means = assigned.groupBy("centroid_id")
-        .agg(sumCols.head, sumCols.tail: _*)
+        .agg(graft.expr.VectorAgg
+          .quantizedSumCount(col(vecCol), scale).as("sc"))
+        .select(col("centroid_id"), col("sc.sums"), col("sc.counts"))
         .collect()
         .map { r =>
           val cid = r.getLong(0)
+          val sums = r.getSeq[Long](1)
+          val counts = r.getSeq[Long](2)
           val old = cents.find(_._1 == cid).map(_._2)
             .getOrElse(Seq.fill(dim)(0.0f))
           (cid, (0 until dim).map { i =>
-            val n = r.getLong(2 + 2 * i)
-            // all-null coordinate: sum is null — keep the previous
-            // centroid value (matches empty-cluster handling)
-            if (n == 0 || r.isNullAt(1 + 2 * i)) old(i)
-            else (r.getLong(1 + 2 * i) / scale / n).toFloat
+            // coordinate with no support in this cluster (all-null or
+            // past every member's length): keep the previous centroid
+            // value (matches empty-cluster handling)
+            if (i >= counts.length || counts(i) == 0L) old(i)
+            else (sums(i) / scale / counts(i)).toFloat
           }: Seq[Float])
         }.toMap
       cents = cents.map { case (cid, old) =>
@@ -136,14 +146,14 @@ object Similarity {
     val cents = collectCentroids(
       sampleCentroids(corpus, stride, idCol, vecCol))
     val coded = corpus
-      .withColumn("centroid_id", nearestUdf(cents)(col(vecCol)))
+      .withColumn("centroid_id", nearestCol(cents, col(vecCol)))
       .select(col(idCol).as("c_id"),
         ProductQuantizer.encode(pq)(col(vecCol)).as("codes"),
         col("centroid_id"))
     val probes = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("centroid_id",
-        explode(probesUdf(cents, nProbe)(col("q_vec"))))
+        explode(probesCol(cents, nProbe, col("q_vec"))))
     val scored = probes.join(coded, "centroid_id")
       .where(col("c_id") =!= col("q_id"))
       .withColumn("score", round(
@@ -167,84 +177,29 @@ object Similarity {
     ivfTopKWith(corpus, queries, k, nProbe, cents, idCol, vecCol)
   }
 
-  /** One-JVM-pass centroid scoring against a closure-captured matrix.
-    * The earlier formulation inlined the centroid set as an
-    * array(struct(cosine, -id, id)) expression — its codegen arity grew
-    * with the centroid count (compile cost, and per-row giant-method
-    * eval), while this loop is a tiny closure whose cost is the raw
-    * flops. Same numerics as CosineSimF32 (double accumulation in index
-    * order; zero-norm => score 0) and the same tie-break (equal score =>
-    * smaller centroid id). Centroid sets up to ~1e4 x dim ride the task
-    * closure; beyond that, switch to a broadcast join + max_by. */
-  private class CentroidScorer(cents: Array[(Long, Seq[Float])])
-      extends Serializable {
-    private val ids: Array[Long] = cents.map(_._1)
-    private val mat: Array[Array[Float]] = cents.map(_._2.toArray)
-    private val norms: Array[Double] = mat.map { c =>
-      var acc = 0.0; var i = 0
-      while (i < c.length) { val v = c(i).toDouble; acc += v * v; i += 1 }
-      math.sqrt(acc)
-    }
+  // Centroid assignment / probing as codegen'd null-safe expressions:
+  // null embeddings assign to no bucket (null centroid_id; explode of a
+  // null probe array emits no rows) via UnaryExpression's null-safe
+  // contract. The r4 ScalaUDF interlude added the same null guard but
+  // paid an ArrayData -> boxed-Seq[Float] conversion per row AND broke
+  // the wholestage codegen span around the corpus scan — the q25
+  // 0.38 s -> 0.87 s regression. These expressions read the primitive
+  // floats straight off ArrayData inside generated code.
+  private def nearestCol(cents: Array[(Long, Seq[Float])],
+      vec: Column): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec),
+      new CentroidScorer(cents)))
 
-    private def scoreAll(vec: Seq[Float]): Array[Double] = {
-      val v = vec.toArray
-      var nv = 0.0
-      var i = 0
-      while (i < v.length) { val x = v(i).toDouble; nv += x * x; i += 1 }
-      val vnorm = math.sqrt(nv)
-      Array.tabulate(ids.length) { c =>
-        val cv = mat(c)
-        val n = math.min(v.length, cv.length)
-        var dot = 0.0; var j = 0
-        while (j < n) { dot += v(j).toDouble * cv(j).toDouble; j += 1 }
-        val denom = vnorm * norms(c)
-        if (denom == 0.0) 0.0 else dot / denom
-      }
-    }
-
-    def nearest(vec: Seq[Float]): Long = {
-      val s = scoreAll(vec)
-      var best = 0; var c = 1
-      while (c < s.length) {
-        if (s(c) > s(best) ||
-          (s(c) == s(best) && ids(c) < ids(best))) best = c
-        c += 1
-      }
-      ids(best)
-    }
-
-    /** Top-`nProbe` centroid ids, score desc then id asc. */
-    def probes(vec: Seq[Float], nProbe: Int): Array[Long] = {
-      val s = scoreAll(vec)
-      val order = Array.range(0, s.length).sortBy(c => (-s(c), ids(c)))
-      order.take(nProbe).map(ids(_))
-    }
-  }
-
-  // null embeddings assign to no bucket (null centroid / zero probes)
-  // instead of NPEing the task — the replaced expression form was a
-  // null-safe BinaryExpression
-  private def nearestUdf(cents: Array[(Long, Seq[Float])]) = {
-    val scorer = new CentroidScorer(cents)
-    val f: Seq[Float] => java.lang.Long = { vec =>
-      if (vec == null) null
-      else java.lang.Long.valueOf(scorer.nearest(vec))
-    }
-    udf(f)
-  }
-
-  private def probesUdf(cents: Array[(Long, Seq[Float])], nProbe: Int) = {
-    val scorer = new CentroidScorer(cents)
-    udf { (vec: Seq[Float]) =>
-      if (vec == null) Array.empty[Long] else scorer.probes(vec, nProbe)
-    }
-  }
+  private def probesCol(cents: Array[(Long, Seq[Float])], nProbe: Int,
+      vec: Column): Column =
+    ColumnBridge.column(CentroidProbes(ColumnBridge.expression(vec),
+      new CentroidScorer(cents), nProbe))
 
   /** Assign each corpus vector to its nearest centroid, map-side. */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = collectCentroids(centroids)
-    corpus.withColumn("centroid_id", nearestUdf(cents)(col(vecCol)))
+    corpus.withColumn("centroid_id", nearestCol(cents, col(vecCol)))
   }
 
   /** Explode each query row to its `nProbe` nearest centroid buckets
@@ -255,7 +210,7 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val cents = collectCentroids(centroids)
     queries.withColumn("centroid_id",
-      explode(probesUdf(cents, nProbe)(col(vecCol))))
+      explode(probesCol(cents, nProbe, col(vecCol))))
   }
 
   private def collectCentroids(centroids: DataFrame)
@@ -279,14 +234,14 @@ object Similarity {
       nProbe: Int, cents: Array[(Long, Seq[Float])], idCol: String,
       vecCol: String): DataFrame = {
     val assigned = corpus
-      .withColumn("centroid_id", nearestUdf(cents)(col(vecCol)))
+      .withColumn("centroid_id", nearestCol(cents, col(vecCol)))
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         col("centroid_id"))
     // nProbe nearest centroids per query — still map-side
     val probes = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("centroid_id",
-        explode(probesUdf(cents, nProbe)(col("q_vec"))))
+        explode(probesCol(cents, nProbe, col("q_vec"))))
     val scored = probes.join(assigned, "centroid_id")
       .where(col("c_id") =!= col("q_id"))
       .withColumn("score", cosineF32(col("q_vec"), col("c_vec")))
@@ -347,4 +302,115 @@ object Similarity {
 
   def hyperplaneSignature(vec: Column, planes: Int): Column =
     hyperplaneUdf(planes)(vec)
+}
+
+/** One-JVM-pass centroid scoring against a captured matrix. The earlier
+  * formulation inlined the centroid set as an array(struct(cosine, -id,
+  * id)) expression — its codegen arity grew with the centroid count
+  * (compile cost, per-row giant-method eval), while this loop is a tiny
+  * object whose cost is the raw flops. Same numerics as CosineSimF32
+  * (double accumulation in index order; zero-norm => score 0) and the
+  * same tie-break (equal score => smaller centroid id). Centroid sets up
+  * to ~1e4 x dim ride the plan/task closure; beyond that, switch to a
+  * broadcast join + max_by.
+  *
+  * Reads floats straight off ArrayData (null elements contribute 0) so
+  * the NearestCentroid/CentroidProbes expressions never box a Seq. */
+private[operators] class CentroidScorer(cents: Array[(Long, Seq[Float])])
+    extends Serializable {
+  private val ids: Array[Long] = cents.map(_._1)
+  private val mat: Array[Array[Float]] = cents.map(_._2.toArray)
+  private val norms: Array[Double] = mat.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { val v = c(i).toDouble; acc += v * v; i += 1 }
+    math.sqrt(acc)
+  }
+
+  private def scoreAll(vec: ArrayData): Array[Double] = {
+    val n0 = vec.numElements()
+    var nv = 0.0
+    var i = 0
+    while (i < n0) {
+      if (!vec.isNullAt(i)) { val x = vec.getFloat(i).toDouble; nv += x * x }
+      i += 1
+    }
+    val vnorm = math.sqrt(nv)
+    Array.tabulate(ids.length) { c =>
+      val cv = mat(c)
+      val n = math.min(n0, cv.length)
+      var dot = 0.0; var j = 0
+      while (j < n) {
+        if (!vec.isNullAt(j)) dot += vec.getFloat(j).toDouble * cv(j).toDouble
+        j += 1
+      }
+      val denom = vnorm * norms(c)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+  }
+
+  def nearest(vec: ArrayData): Long = {
+    val s = scoreAll(vec)
+    var best = 0; var c = 1
+    while (c < s.length) {
+      if (s(c) > s(best) ||
+        (s(c) == s(best) && ids(c) < ids(best))) best = c
+      c += 1
+    }
+    ids(best)
+  }
+
+  /** Top-`nProbe` centroid ids, score desc then id asc. */
+  def probes(vec: ArrayData, nProbe: Int): ArrayData = {
+    val s = scoreAll(vec)
+    val order = Array.range(0, s.length).sortBy(c => (-s(c), ids(c)))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      order.take(nProbe).map(c => ids(c).asInstanceOf[Any]))
+  }
+}
+
+/** Nearest-centroid id (LongType), codegen'd; null vec => null id. */
+case class NearestCentroid(child: Expression, scorer: CentroidScorer)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"requires an array<float> input, got $other")
+    }
+  override def nullSafeEval(v: Any): Any =
+    scorer.nearest(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scorer", scorer,
+      classOf[CentroidScorer].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.nearest($v)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroid = copy(child = newChild)
+  override def prettyName: String = "nearest_centroid"
+}
+
+/** Top-nProbe centroid ids (ArrayType(LongType)), codegen'd; null vec
+  * => null array (explode emits no rows — probe of a null embedding). */
+case class CentroidProbes(child: Expression, scorer: CentroidScorer,
+    nProbe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"requires an array<float> input, got $other")
+    }
+  override def nullSafeEval(v: Any): Any =
+    scorer.probes(v.asInstanceOf[ArrayData], nProbe)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scorer", scorer,
+      classOf[CentroidScorer].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.probes($v, $nProbe)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): CentroidProbes = copy(child = newChild)
+  override def prettyName: String = "centroid_probes"
 }

@@ -172,6 +172,68 @@ class ApproxQualitySpec extends SparkSuite {
     assert(IvfIndex.currentVersion(idx) === Some(1L))
   }
 
+  test("k-means mean recompute is ONE agg expression at dim=256 " +
+      "(single-buffer vector sum, not 2xdim columns) and matches avg()") {
+    val s = initSpark()
+    import s.implicits._
+    val dim = 256
+    // deterministic synthetic vectors: v(id)(i) = ((id*31 + i) % 97)/97
+    val rows = (0L until 200L).map { id =>
+      (id, Seq.tabulate(dim)(i => (((id * 31 + i) % 97) / 97.0).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("embedding"))
+    val cents = Similarity.kMeansCentroids(df, stride = 50, iters = 2)
+    val got = cents.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(got.nonEmpty && got.values.forall(_.length == dim))
+    // the aggregation plans as a single ObjectHashAggregate expression —
+    // the property that keeps dim=768 inside a sane plan (the 2xdim
+    // column form fell back out of codegen with 1,536 agg expressions)
+    val agg = df.groupBy(pmod(col("vec_id"), lit(3)).as("g"))
+      .agg(graft.expr.VectorAgg
+        .quantizedSumCount(col("embedding"), (1L << 24).toDouble).as("sc"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate, got:\n$plan")
+    // numerics: quantized mean equals float avg to quantization error
+    val sc = agg.where(col("g") === 0)
+      .select(col("sc.sums"), col("sc.counts")).head()
+    val (sums, counts) = (sc.getSeq[Long](0), sc.getSeq[Long](1))
+    val members = rows.filter(_._1 % 3 == 0).map(_._2)
+    (0 until dim).foreach { i =>
+      val expect = members.map(_(i).toDouble).sum / members.size
+      val gotMean = sums(i) / (1L << 24).toDouble / counts(i)
+      assert(math.abs(gotMean - expect) < 1e-6,
+        s"coordinate $i: $gotMean vs $expect")
+    }
+  }
+
+  test("quantized vector sum: ragged vectors divide by per-coordinate " +
+      "support; null arrays contribute nothing") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f, 4.0f))),
+      (2L, Some(Seq(3.0f))), // ragged: only coordinate 0
+      (3L, None: Option[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("embedding"))
+    val sc = df.groupBy(lit(1).as("g"))
+      .agg(graft.expr.VectorAgg
+        .quantizedSumCount(col("embedding"), (1L << 24).toDouble).as("sc"))
+      .select(col("sc.sums"), col("sc.counts")).head()
+    val scale = (1L << 24).toDouble
+    assert(sc.getSeq[Long](1) === Seq(2L, 1L, 1L),
+      "counts = per-coordinate non-null support")
+    assert(sc.getSeq[Long](0).map(_ / scale) === Seq(4.0, 2.0, 4.0))
+  }
+
   test("k-means centroids are BITWISE identical across partitionings " +
       "(fixed-point integer sums make the mean order-independent)") {
     val s = initSpark()
