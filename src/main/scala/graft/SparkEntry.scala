@@ -343,6 +343,31 @@ object SparkEntry {
         stride = 20, nProbe = 3)
     }),
 
+    // ---- Persisted IVF index probe (ANN as a TABLE — IvfIndex). Build
+    // once per corpus dir into a versioned tmp index (atomic-publish;
+    // rebuilding from the same corpus is byte-identical, so a cached
+    // index is equivalent to a fresh one), then probe with the q25
+    // workload. The vectors scan must be pruned by Spark's dynamic
+    // partition pruning — asserted IN the query body after running the
+    // plan, so every bench/verify execution proves the index property,
+    // not just the row set. Rows-only tier (engine-defined, like q25).
+    "q76_ivf_index" -> ((s, dir) => {
+      import graft.operators.IvfIndex
+      val emb = t(s, dir, "embeddings")
+      val idxDir = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_index_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      if (IvfIndex.currentVersion(idxDir).isEmpty)
+        IvfIndex.buildVersioned(emb, idxDir, stride = 20)
+      val out = IvfIndex.topKVersioned(s, idxDir,
+        emb.where(col("vec_id") < 10), k = 5, nProbe = 3)
+      out.count() // execute so the assert reads the final (AQE) plan
+      require(IvfIndex.isDppPruned(out),
+        "q76_ivf_index: vectors scan was not dynamic-partition-pruned")
+      out
+    }),
+
     // ---- Embedding column stats (vector math as columns) ----
     "q26_embedding_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")
