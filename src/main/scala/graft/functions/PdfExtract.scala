@@ -63,15 +63,35 @@ object PdfExtract {
       val end = tail.indexOf("startxref", t)
       val dict = if (end > t) tail.substring(t, end) else tail.substring(t)
       dict.contains("/Encrypt")
-    } else tail.contains("/Encrypt") // xref-stream PDFs: dict in tail
+    } else {
+      // xref-stream PDFs (no `trailer` keyword): the xref-stream dict
+      // precedes the final `startxref`. Scope the substring scan to the
+      // region around/after the last startxref marker rather than the
+      // whole 4KB tail — compressed stream bytes ending the file can
+      // otherwise spell "/Encrypt" by accident. (A trailer sitting >4KB
+      // before EOF stays out of reach either way — documented cut line:
+      // such files route to the error channel only if truly encrypted
+      // per this scoped scan.)
+      val sx = tail.lastIndexOf("startxref")
+      val scanFrom = if (sx >= 0) {
+        // the dict for the xref stream typically sits shortly before
+        // startxref; include a bounded window before it
+        math.max(0, sx - 2048)
+      } else 0
+      tail.substring(scanFrom).contains("/Encrypt")
+    }
   }
 
   // ---- object scanning ----
 
   /** `/Length 123` NOT followed by a generation+`R` (which would be an
-    * indirect reference, `/Length 5 0 R`). */
-  private val DirectLengthRe =
-    "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
+    * indirect reference, `/Length 5 0 R`). The `(?!\d)` stops the
+    * engine from backtracking into a partial-digit match: on
+    * `/Length 123 0 R` it would otherwise retry with `12`, whose next
+    * char `3` defeats the indirect-ref lookahead and yields a bogus
+    * direct length. */
+  private[graft] val DirectLengthRe =
+    "/Length\\s+(\\d+)(?!\\d)(?!\\s+\\d+\\s+R)".r
 
   private def skipEol(text: String, p: Int): Int = {
     var q = p

@@ -74,6 +74,12 @@ object SafeTensors {
         }
         val begin = entry.get("data_offsets").get(0).asLong()
         val end = entry.get("data_offsets").get(1).asLong()
+        // mirror the headerLen guard: un-validated offsets would wrap
+        // negative through .toInt below and surface as an opaque
+        // IndexOutOfBounds (or worse, mis-index) instead of a format error
+        require(begin >= 0 && begin <= end && dataStart + end <= all.length,
+          s"tensor '$name' has malformed data_offsets [$begin, $end] " +
+            s"for a ${all.length}-byte file in $path")
         val n = ((end - begin) / 4).toInt
         val data = new Array[Float](n)
         val fb = ByteBuffer.wrap(all, dataStart + begin.toInt,

@@ -53,8 +53,24 @@ object LanguageModel {
       .where(col("cnt") >= minCount)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one action trains the LM: without it, total would re-tokenize
-    // the whole corpus a second time (and the join a third)
-    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    // the whole corpus a second time (and the join a third).
+    // sum() over zero rows is NULL (empty corpus, or minCount filtered
+    // out every word) — treat as 0 and short-circuit to an empty result
+    // below rather than NPE on getLong
+    val totalRow = counts.agg(sum(col("cnt"))).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    if (total == 0L) {
+      val empty = docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            docs.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("avg_surprisal",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("n_tokens",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      return (empty, () => { counts.unpersist(); () })
+    }
     val scored = words
       .join(counts, "w")
       .withColumn("surprisal",

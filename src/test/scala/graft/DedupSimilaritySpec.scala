@@ -160,6 +160,13 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out(1L)._2 === 6L && out(2L)._2 === 6L)
     // doc of all-common tokens: p(common)=9/12 -> -log2(0.75)=0.415
     assert(math.abs(out(1L)._1 - 0.415) < 1e-3)
+    // degenerate corpora return EMPTY, not NPE: sum() over zero vocab
+    // rows is null (empty corpus; or minCount filtering out every word)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(LanguageModel.unigramSurprisal(
+      emptyDocs, "doc_id", "text").count() === 0L)
+    assert(LanguageModel.unigramSurprisal(
+      docs, "doc_id", "text", minCount = 100L).count() === 0L)
   }
 
   test("curation pipeline: quality gates + dedup + mixture + split in " +

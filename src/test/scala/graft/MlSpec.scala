@@ -119,6 +119,53 @@ class MlSpec extends SparkSuite {
     assert(cos(base, near) > cos(base, far))
   }
 
+  test("attention block is real: perturbing ONE attention weight moves " +
+      "the embedding; removing the block changes the architecture") {
+    val dir = java.nio.file.Files.createTempDirectory("st").toString
+    val path = s"$dir/attn.safetensors"
+    graft.ml.TensorFileEmbedder.writeTinyModel(path, vocab = 97,
+      dModel = 16, outDim = 8)
+    val base = graft.ml.TensorFileEmbedder.load(path)
+      .embed("spark catalyst engine")
+    // surgically perturb a single attention.key weight and nothing else
+    val tensors = graft.ml.SafeTensors.load(path)
+    val wk = tensors("attention.key.weight")
+    wk.data(3) += 0.25f
+    val path2 = s"$dir/attn_perturbed.safetensors"
+    graft.ml.SafeTensors.write(path2, tensors.toSeq)
+    val moved = graft.ml.TensorFileEmbedder.load(path2)
+      .embed("spark catalyst engine")
+    assert(base.toSeq !== moved.toSeq,
+      "a single attention weight must change the output — the Q/K/V " +
+        "path is live, not decorative")
+    // same seed WITHOUT the attention tensors = legacy mean-pool file:
+    // loads fine (back-compat) and computes a different function
+    val path3 = s"$dir/meanpool.safetensors"
+    graft.ml.TensorFileEmbedder.writeTinyModel(path3, vocab = 97,
+      dModel = 16, outDim = 8, withAttention = false)
+    val pooled = graft.ml.TensorFileEmbedder.load(path3)
+      .embed("spark catalyst engine")
+    assert(base.toSeq !== pooled.toSeq,
+      "CLS attention pooling must differ from mean pooling")
+    // a PARTIAL attention tensor set is a malformed file, not a fallback
+    val partial = tensors.toSeq.filterNot(_._1 == "attention.value.weight")
+    val path4 = s"$dir/partial.safetensors"
+    graft.ml.SafeTensors.write(path4, partial)
+    intercept[IllegalArgumentException] {
+      graft.ml.TensorFileEmbedder.load(path4)
+    }
+    // attention weights also re-rank neighbors: softmax weighting is
+    // input-dependent (CLS query attends differently per bag), so order
+    // sensitivity beyond the bag-of-words pooled mean is possible — at
+    // minimum the block keeps the shared-vs-disjoint contrast
+    val m = graft.ml.TensorFileEmbedder.load(path)
+    def cos(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+    val b = m.embed("spark catalyst engine query plan")
+    assert(cos(b, m.embed("spark catalyst engine query optimizer")) >
+      cos(b, m.embed("banana apple orange grape melon")))
+  }
+
   test("safetensors round-trips arbitrary tensor sets (property)") {
     import org.scalacheck.{Gen, Test => SCTest}
     import org.scalacheck.Prop.forAll

@@ -31,6 +31,20 @@ class PdfPropertySpec extends SparkSuite {
     ps <- Gen.listOfN(p, page)
   } yield ps.filter(_.nonEmpty)
 
+  test("/Length lexing: an indirect reference never yields a bogus " +
+      "direct length via partial-digit backtracking") {
+    // '/Length 123 0 R': the engine must not retry with '12' (whose
+    // next char '3' defeats the indirect-ref lookahead)
+    assert(PdfExtract.DirectLengthRe
+      .findFirstMatchIn("<< /Length 123 0 R >>").isEmpty)
+    assert(PdfExtract.DirectLengthRe
+      .findFirstMatchIn("<< /Length 123 >>").map(_.group(1))
+      === Some("123"))
+    assert(PdfExtract.DirectLengthRe
+      .findFirstMatchIn("<< /Length 5 0 R /Filter /FlateDecode >>")
+      .isEmpty)
+  }
+
   test("writer -> extractor round-trips hostile printable text, " +
       "compressed and uncompressed") {
     val prop = forAll(doc, Gen.oneOf(true, false)) {
