@@ -1,11 +1,11 @@
 package graft.sinks
 
-import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
 import scala.collection.mutable
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,12 +21,33 @@ import org.apache.spark.sql.functions._
   *    commits <= V. Readers NEVER list `data/` — the log is the source
   *    of truth, so a reader pinned to V is isolated from concurrent
   *    writers (files are immutable, removes are logical).
-  *  - Commit atomicity: write to a temp file, then hard-link-claim the
-  *    next version number (createLink fails atomically when the version
-  *    exists). If the claim fails, another writer won — re-read the log
-  *    and retry (optimistic concurrency). A crash before the claim
-  *    leaves only unreferenced temp/data files; the table is never
-  *    half-committed.
+  *  - Commit atomicity: write to a temp file, then CLAIM the next
+  *    version number. If the claim fails, another writer won — re-read
+  *    the log and retry (optimistic concurrency). A crash before the
+  *    claim leaves only unreferenced temp/data files; the table is
+  *    never half-committed.
+  *
+  * == Filesystem contract ==
+  * All I/O goes through `org.apache.hadoop.fs.FileSystem`, resolved
+  * from the table path's own scheme, so the log lives wherever the
+  * parquet does. The claim — the one operation whose atomicity the
+  * whole design rests on — has two implementations:
+  *
+  *  - `file:` / local paths: POSIX hard link (`Files.createLink` fails
+  *    atomically with EEXIST when the version exists). The strongest
+  *    primitive available, and the one the racing-writer stress test
+  *    exercises.
+  *  - any other scheme (HDFS, ABFS, GCS, ...): `FileSystem.rename` of
+  *    the fully-written temp file onto the version path. On HDFS-like
+  *    stores rename is atomic and FAILS when the destination exists —
+  *    the same fail-if-exists claim Delta Lake's HDFSLogStore uses.
+  *    Readers never observe a partially-written commit because the
+  *    bytes are complete before the name appears.
+  *  - S3A is NOT safe for CONCURRENT writers without a coordination
+  *    service: its rename is copy+delete and cannot reject an existing
+  *    destination atomically (the reason Delta needs a DynamoDB-backed
+  *    LogStore there). Single-writer tables work; racing S3 writers
+  *    need external mutual exclusion.
   *  - `replaceByKey` prunes by the per-file [min,max] key-range stats in
   *    the log: files whose range cannot contain a replaced key are kept
   *    verbatim (no read, no rewrite). At 100 TB this file-skipping is
@@ -46,11 +67,58 @@ object TxnLog {
       maxKey: String)
   case class Commit(version: Long, add: Seq[AddFile], remove: Seq[String])
 
-  private def logDir(tableDir: String) = new File(tableDir, "_graft_log")
-  private def dataDir(tableDir: String) = new File(tableDir, "data")
+  private def hconf() =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
-  private def versionFile(tableDir: String, v: Long): File =
-    new File(logDir(tableDir), f"v$v%020d.json")
+  /** FileSystem for `tableDir`, resolved by the dir's own scheme. */
+  private def fsFor(tableDir: String): FileSystem =
+    new Path(tableDir).getFileSystem(hconf())
+
+  private def logDir(tableDir: String) = new Path(tableDir, "_graft_log")
+  private def dataDir(tableDir: String) = new Path(tableDir, "data")
+
+  private def versionFile(tableDir: String, v: Long): Path =
+    new Path(logDir(tableDir), f"v$v%020d.json")
+
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+  }
+
+  private def writeBytes(fs: FileSystem, p: Path,
+      bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def isLocalFs(fs: FileSystem): Boolean =
+    fs.getScheme == "file"
+
+  /** Atomically claim `target` with the fully-written bytes at `tmp`.
+    * True = this writer owns the version; false = lost the race (the
+    * caller re-reads the log and retries). See the class doc's
+    * filesystem contract. */
+  private[graft] def claim(fs: FileSystem, tmp: Path,
+      target: Path): Boolean = {
+    if (isLocalFs(fs)) {
+      // POSIX hard link: atomic EEXIST rejection. Paths on the local FS
+      // are URI-addressable files.
+      try {
+        Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      // HDFS-like: rename is atomic and fails when the destination
+      // exists. (S3A: see class doc — not safe for racing writers.)
+      !fs.exists(target) && fs.rename(tmp, target)
+    }
+  }
 
   /** Render a key value so lexicographic compare matches the key's
     * native order (numbers zero-padded; negatives get a '-' prefix block
@@ -145,11 +213,14 @@ object TxnLog {
 
   /** All committed versions, ascending. */
   def versions(tableDir: String): Seq[Long] = {
+    val fs = fsFor(tableDir)
     val ld = logDir(tableDir)
-    if (!ld.exists()) Seq.empty
-    else ld.listFiles((_, name) => name.matches("v\\d{20}\\.json"))
-      .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
-      .sorted.toSeq
+    if (!fs.exists(ld)) Seq.empty
+    else fs.listStatus(ld).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d{20}\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted
   }
 
   def latestVersion(tableDir: String): Option[Long] =
@@ -162,17 +233,18 @@ object TxnLog {
     val vs = versions(tableDir)
     val upTo = asOf.map(v => vs.filter(_ <= v)).getOrElse(vs)
     val active = mutable.LinkedHashMap.empty[String, AddFile]
+    val fs = fsFor(tableDir)
     val ckpt = upTo.lastOption.flatMap { hi =>
       checkpointVersions(tableDir).filter(_ <= hi).lastOption
     }
     ckpt.foreach { cv =>
-      val text = new String(Files.readAllBytes(new File(logDir(tableDir),
-        f"v$cv%020d.checkpoint.json").toPath), StandardCharsets.UTF_8)
+      val text = new String(readBytes(fs, new Path(logDir(tableDir),
+        f"v$cv%020d.checkpoint.json")), StandardCharsets.UTF_8)
       parseCommit(cv, text).add.foreach(a => active(a.path) = a)
     }
     upTo.filter(v => ckpt.forall(_ < v)).foreach { v =>
-      val text = new String(Files.readAllBytes(
-        versionFile(tableDir, v).toPath), StandardCharsets.UTF_8)
+      val text = new String(readBytes(fs, versionFile(tableDir, v)),
+        StandardCharsets.UTF_8)
       val c = parseCommit(v, text)
       c.remove.foreach(active.remove)
       c.add.foreach(a => active(a.path) = a)
@@ -197,7 +269,8 @@ object TxnLog {
     * concurrent merges can abort instead of clobbering. */
   def commit(tableDir: String, add: Seq[AddFile], remove: Seq[String],
       validate: Seq[AddFile] => Unit = _ => ()): Long = {
-    logDir(tableDir).mkdirs()
+    val fs = fsFor(tableDir)
+    fs.mkdirs(logDir(tableDir))
     var attempt = 0
     while (true) {
       attempt += 1
@@ -205,24 +278,19 @@ object TxnLog {
         "txn commit: 50 consecutive version collisions")
       validate(snapshot(tableDir))
       val next = latestVersion(tableDir).getOrElse(-1L) + 1
-      val tmp = Files.createTempFile(logDir(tableDir).toPath,
-        ".commit", ".tmp")
-      Files.write(tmp,
+      val tmp = new Path(logDir(tableDir),
+        s".commit-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
+      writeBytes(fs, tmp,
         renderCommit(Commit(next, add, remove))
           .getBytes(StandardCharsets.UTF_8))
-      val target = versionFile(tableDir, next).toPath
-      try {
-        // hard-link claim: createLink fails atomically (EEXIST) when the
-        // target version exists. A rename/ATOMIC_MOVE would NOT — POSIX
-        // rename() silently replaces the target, which would let two
-        // racing writers clobber each other's commit.
-        Files.createLink(target, tmp)
-        Files.deleteIfExists(tmp)
+      // atomic claim (hard link on local, fail-if-exists rename on
+      // HDFS-like — see the class doc). A plain overwriting rename
+      // would let two racing writers clobber each other's commit.
+      if (claim(fs, tmp, versionFile(tableDir, next))) {
+        fs.delete(tmp, false)
         return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // lost the race; retry
       }
+      fs.delete(tmp, false) // lost the race; retry
     }
     -1L // unreachable
   }
@@ -234,12 +302,13 @@ object TxnLog {
     * a wide append. */
   private def writeDataFiles(spark: SparkSession, tableDir: String,
       df: DataFrame, key: String): Seq[AddFile] = {
+    val fs = fsFor(tableDir)
     val batchId = java.util.UUID.randomUUID().toString.take(8)
-    val out = new File(dataDir(tableDir), s"batch-$batchId")
-    df.write.parquet(out.getAbsolutePath)
-    val parts = out.listFiles((_, n) => n.endsWith(".parquet"))
-      .map(_.getName).toSet
-    val statRows = spark.read.parquet(out.getAbsolutePath)
+    val out = new Path(dataDir(tableDir), s"batch-$batchId")
+    df.write.parquet(out.toString)
+    val parts = fs.listStatus(out).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    val statRows = spark.read.parquet(out.toString)
       .groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)), min(col(key)), max(col(key)))
       .collect()
@@ -257,7 +326,7 @@ object TxnLog {
           Some(AddFile(s"batch-$batchId/$name", rows, mn, mx))
         case None => // zero-row part: drop it instead of logging a
           // stat-less file every merge would needlessly rewrite
-          new File(out, name).delete()
+          fs.delete(new Path(out, name), false)
           None
       }
     }
@@ -365,23 +434,28 @@ object TxnLog {
     val v = asOf.orElse(latestVersion(tableDir)).getOrElse(
       throw new IllegalStateException("checkpoint of an empty table"))
     val files = snapshot(tableDir, Some(v))
-    val target = new File(logDir(tableDir), f"v$v%020d.checkpoint.json")
-    val tmp = Files.createTempFile(logDir(tableDir).toPath,
-      ".ckpt", ".tmp")
-    Files.write(tmp, renderCommit(Commit(v, files, Seq.empty))
+    val fs = fsFor(tableDir)
+    val target = new Path(logDir(tableDir), f"v$v%020d.checkpoint.json")
+    val tmp = new Path(logDir(tableDir),
+      s".ckpt-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
+    writeBytes(fs, tmp, renderCommit(Commit(v, files, Seq.empty))
       .getBytes(StandardCharsets.UTF_8))
-    try Files.createLink(target.toPath, tmp)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    Files.deleteIfExists(tmp)
+    // racing checkpointers converge on identical bytes — losing the
+    // claim is success, not failure
+    claim(fs, tmp, target)
+    fs.delete(tmp, false)
     v
   }
 
   private def checkpointVersions(tableDir: String): Seq[Long] = {
+    val fs = fsFor(tableDir)
     val ld = logDir(tableDir)
-    if (!ld.exists()) Seq.empty
-    else ld.listFiles((_, name) => name.matches("v\\d{20}\\.checkpoint\\.json"))
-      .map(_.getName.stripPrefix("v").stripSuffix(".checkpoint.json").toLong)
-      .sorted.toSeq
+    if (!fs.exists(ld)) Seq.empty
+    else fs.listStatus(ld).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d{20}\\.checkpoint\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".checkpoint.json").toLong)
+      .sorted
   }
 
   /** Physically delete data files no longer referenced by ANY log
@@ -399,21 +473,24 @@ object TxnLog {
     val keepFrom = vs.drop(math.max(0, vs.length - 1 - retainVersions)).head
     val referenced = vs.filter(_ >= keepFrom)
       .flatMap(v => snapshot(tableDir, Some(v)).map(_.path)).toSet
+    val fs = fsFor(tableDir)
     val dd = dataDir(tableDir)
-    if (!dd.exists()) return 0
+    if (!fs.exists(dd)) return 0
     var deleted = 0
-    dd.listFiles().foreach { batch =>
+    fs.listStatus(dd).foreach { batch =>
       if (batch.isDirectory) {
         val cutoff = System.currentTimeMillis() - minAgeMs
-        batch.listFiles().foreach { f =>
-          val rel = s"${batch.getName}/${f.getName}"
-          if (f.getName.endsWith(".parquet") && !referenced.contains(rel)
-              && f.lastModified() < cutoff) {
-            if (f.delete()) deleted += 1
+        fs.listStatus(batch.getPath).foreach { f =>
+          val name = f.getPath.getName
+          val rel = s"${batch.getPath.getName}/$name"
+          if (name.endsWith(".parquet") && !referenced.contains(rel)
+              && f.getModificationTime < cutoff) {
+            if (fs.delete(f.getPath, false)) deleted += 1
           }
         }
-        if (batch.listFiles().forall(f => !f.getName.endsWith(".parquet")))
-          org.apache.commons.io.FileUtils.deleteQuietly(batch)
+        if (fs.listStatus(batch.getPath)
+            .forall(f => !f.getPath.getName.endsWith(".parquet")))
+          fs.delete(batch.getPath, true)
       }
     }
     deleted

@@ -31,6 +31,57 @@ class TxnLogSpec extends SparkSuite {
     assert(TxnLog.read(s, "/nonexistent/table").isEmpty)
   }
 
+  test("the whole log walks through the Hadoop FS API: a file:-scheme " +
+      "table (invisible to java.io.File probes) commits, merges, " +
+      "checkpoints, time-travels and vacuums") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = "file://" + tmpTable()
+    assert(!new File(dir).exists(),
+      "precondition: the scheme'd URI defeats java.io.File")
+    val v0 = TxnLog.append(s, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
+    assert(v0 === 0L)
+    TxnLog.replaceByKey(s, dir, Seq((2L, "B")).toDF("id", "v"), "id")
+    assert(TxnLog.read(s, dir).get.orderBy("id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "B")))
+    // time travel + checkpoint + vacuum all route through the same FS
+    assert(TxnLog.read(s, dir, asOf = Some(0L)).get.orderBy("id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    assert(TxnLog.checkpoint(dir) === 1L)
+    assert(TxnLog.vacuum(dir, minAgeMs = 0L) >= 1)
+    assert(TxnLog.read(s, dir).get.count() === 2L)
+  }
+
+  test("claim on a NON-local FileSystem takes the fail-if-exists rename " +
+      "path: first writer wins, loser's bytes never surface") {
+    // a RawLocalFileSystem masquerading under another scheme exercises
+    // the non-POSIX branch of the claim (rename, not hard link) — the
+    // HDFS code path, minus HDFS's stronger rename atomicity (class doc)
+    val fs = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getScheme: String = "mockdfs"
+    }
+    fs.initialize(java.net.URI.create("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    val d = Files.createTempDirectory("claim").toString
+    val target = new org.apache.hadoop.fs.Path(s"$d/v1.json")
+    def stage(name: String, content: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$d/$name")
+      val out = fs.create(p, true)
+      out.write(content.getBytes("UTF-8")); out.close()
+      p
+    }
+    val w1 = stage("w1.tmp", "winner")
+    val w2 = stage("w2.tmp", "loser")
+    assert(TxnLog.claim(fs, w1, target), "first claim wins")
+    assert(!TxnLog.claim(fs, w2, target), "second claim must lose")
+    val in = fs.open(target)
+    val got = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    assert(got === "winner")
+  }
+
   test("replaceByKey matches the pure replaceByKeyDf semantics") {
     val s = initSpark()
     import s.implicits._
