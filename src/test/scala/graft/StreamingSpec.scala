@@ -193,6 +193,52 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("batch/stream curation PARITY: the same rows through curate and " +
+      "curateStream yield the same survivors with the same splits") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: org.apache.spark.sql.SparkSession = s
+    val healthy = ("the quick brown fox jumps over the lazy dog and " +
+      "that should be quite enough words to pass every gate with " +
+      "different content because each sentence here keeps adding " +
+      "fresh vocabulary so neither the two gram mass nor the word " +
+      "count rule can possibly object to this document at all ")
+    // dup groups arrive smallest-id-first, so batch keep-first (min id
+    // per fingerprint) and streaming first-seen pick the SAME survivor
+    val rows = Seq(
+      ("d01", healthy + "alpha"), ("d02", "junk"),
+      ("d03", healthy + "alpha"), ("d04", healthy + "beta"),
+      ("d05", healthy + "beta"), ("d06", healthy + "gamma"),
+      ("d07", "x y"), ("d08", healthy + "delta"))
+    val batchDf = rows.toDF("doc_id", "text")
+      .withColumn("corpus", org.apache.spark.sql.functions.lit("c1"))
+    val batchOut = graft.jobs.Curation.curate(batchDf, "doc_id", "text",
+      "corpus", rates = Map("c1" -> 1.0))
+      .select("doc_id", "split")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    val input = MemoryStream[(java.sql.Timestamp, String, String)](s)
+    val docs = input.toDS().toDF("ts", "doc_id", "text")
+    val out = graft.jobs.Curation.curateStream(docs, "doc_id", "text",
+      "ts", watermarkDelay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("parity_out")
+      .outputMode("append").start()
+    try {
+      def ts(sec: Int) =
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+      input.addData(rows.zipWithIndex.map { case ((id, text), i) =>
+        (ts(i + 1), id, text) }: _*)
+      q.processAllAvailable()
+      val streamOut = s.sql("SELECT doc_id, split FROM parity_out")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(streamOut === batchOut,
+        "shared qualityGated + same split hash must make batch and " +
+          "stream agree row-for-row")
+      assert(batchOut.map(_._1) ===
+        Set("d01", "d04", "d06", "d08"), "sanity: gates+dedup bite")
+    } finally q.stop()
+  }
+
   test("foreachBatch + TxnLog.replaceByKey: an idempotent streaming " +
       "sink (T5) — batch replay converges, versions stay readable") {
     val s = initSpark()
