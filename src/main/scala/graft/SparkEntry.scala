@@ -268,6 +268,19 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // ---- Bigram surprisal with stupid backoff (the CCNet tier above
+    // q75: word-salad scores high even when each word is common).
+    // minCount=21 chosen so BOTH branches bite on the template-heavy
+    // synthetic corpus (vacuity rule — measured backoff-branch
+    // transitions: 665 at sf0.001, 957 at sf0.01, 255 at sf0.1; the
+    // default minCount=2 left the backoff branch with ZERO rows at
+    // sf0.1, an oracle that could not catch a broken backoff). ----
+    "q77_bigram_backoff" -> ((s, dir) => {
+      LanguageModel.bigramSurprisalBackoff(t(s, dir, "documents"),
+          "doc_id", "text", minCount = 21L)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ---- Language-ID heuristic (SURVEY F12 analogue) ----
     "q18_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1087,6 +1100,41 @@ object SparkEntry {
            count(*) AS n_tokens
          FROM w JOIN c USING (w), t
          GROUP BY doc_id""",
+
+    "q77_bigram_backoff" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+         tot AS (SELECT sum(c1) AS total FROM uni),
+         pairs AS (
+           SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(ws) - 1, 0) + 1),
+               i -> array_to_string(ws[i:i+1], ' '))) AS bg
+           FROM w),
+         bgc AS (
+           SELECT bg, count(*) AS c2 FROM pairs
+           GROUP BY bg HAVING count(*) >= 21),
+         sc AS (
+           SELECT p.doc_id,
+             CASE WHEN bgc.c2 IS NOT NULL
+               THEN -log2(CAST(bgc.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+               ELSE -log2(0.4 * CAST(u2.c1 AS DOUBLE) /
+                 CAST(t.total AS DOUBLE))
+             END AS s
+           FROM pairs p
+           LEFT JOIN bgc USING (bg)
+           JOIN uni u1 ON u1.w = string_split(p.bg, ' ')[1]
+           JOIN uni u2 ON u2.w = string_split(p.bg, ' ')[2]
+           CROSS JOIN tot t)
+         SELECT doc_id,
+           round(avg(s) + 1e-9, 4) AS avg_surprisal,
+           count(*) AS n_transitions
+         FROM sc GROUP BY doc_id""",
 
     "q73_hash_sample" ->
       """WITH rates(source, rate) AS (

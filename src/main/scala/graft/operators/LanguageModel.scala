@@ -80,4 +80,109 @@ object LanguageModel {
         count(lit(1)).as("n_tokens"))
     (scored, () => { counts.unpersist(); () })
   }
+
+  /** Per-document mean BIGRAM surprisal with stupid backoff (Brants et
+    * al. 2007, "Large Language Models in Machine Translation" — the
+    * web-scale scheme: no discounting arithmetic, just a fixed backoff
+    * factor, designed precisely for corpus-sized count tables):
+    *
+    *   score(w2 | w1) = count(w1 w2) / count(w1)      if bigram kept
+    *                  = backoff * count(w2) / total    otherwise
+    *   surprisal      = -log2(score), averaged over a document's
+    *                    consecutive-token transitions.
+    *
+    * The next CCNet-fidelity tier above [[unigramSurprisal]]: boilerplate
+    * scores low (its transitions are common), shuffled/gibberish word
+    * salad scores high even when each word is individually common —
+    * exactly what the unigram tier cannot see.
+    *
+    * Scale: bigram generation is ROW-LOCAL (single-pass UDF over the
+    * token array — same rationale as Dedup's shingle UDF: the
+    * declarative HOF form pays interpreted per-element lambda eval);
+    * training is two count shuffles (bigram vocab, unigram vocab);
+    * `minCount` caps the bigram table exactly like the unigram cap —
+    * at 100 TB the sub-threshold tail (the vast majority of distinct
+    * bigrams, by Zipf) collapses into the backoff branch, which is the
+    * model's own smoothing, not an approximation of it. Scoring joins
+    * are AQE-chosen (no forced broadcast, same reasoning as unigram).
+    * Docs with fewer than 2 tokens have no transitions and drop out.
+    *
+    * Determinism/oracle: integer counts + -log2 double arithmetic,
+    * 4-dp rounded — the q75 discipline. */
+  def bigramSurprisalBackoff(docs: DataFrame, idCol: String,
+      textCol: String, minCount: Long = 2L, backoff: Double = 0.4)
+      : DataFrame =
+    bigramSurprisalBackoffScoped(docs, idCol, textCol, minCount,
+      backoff)._1
+
+  /** Tokens -> space-joined consecutive pairs ("w1 w2"); tokens are
+    * whitespace-split so the single space is an unambiguous separator. */
+  private val bigramsUdf = udf { (ws: Seq[String]) =>
+    if (ws == null || ws.length < 2) Array.empty[String]
+    else {
+      val out = new Array[String](ws.length - 1)
+      var i = 0
+      while (i < ws.length - 1) {
+        out(i) = ws(i) + " " + ws(i + 1)
+        i += 1
+      }
+      out
+    }
+  }
+
+  def bigramSurprisalBackoffScoped(docs: DataFrame, idCol: String,
+      textCol: String, minCount: Long = 2L, backoff: Double = 0.4)
+      : (DataFrame, () => Unit) = {
+    require(backoff > 0.0 && backoff <= 1.0,
+      s"backoff factor must be in (0, 1], got $backoff")
+    val ws = filter(split(lower(col(textCol)), "\\s+"),
+      w => length(w) > 0)
+    val tokenized = docs.select(col(idCol).as("id"), ws.as("ws"))
+    val pairs = tokenized
+      .select(col("id"), explode(bigramsUdf(col("ws"))).as("bg"))
+    val tokens = tokenized
+      .select(col("id"), explode(col("ws")).as("w"))
+    val bgCounts = pairs.groupBy("bg")
+      .agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniCounts = tokens.groupBy("w")
+      .agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one action trains both tables; null sum = empty/degenerate corpus
+    val totalRow = uniCounts.agg(sum(col("c1"))).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    val release = () => { bgCounts.unpersist(); uniCounts.unpersist(); () }
+    if (total == 0L) {
+      val spark = docs.sparkSession
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            docs.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("avg_surprisal",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("n_transitions",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      return (empty, release)
+    }
+    val w1 = split(col("bg"), " ").getItem(0)
+    val w2 = split(col("bg"), " ").getItem(1)
+    val scored = pairs
+      .withColumn("w1", w1).withColumn("w2", w2)
+      .join(bgCounts, Seq("bg"), "left")
+      .join(uniCounts.select(col("w").as("w1"), col("c1").as("c1_w1")),
+        Seq("w1"))
+      .join(uniCounts.select(col("w").as("w2"), col("c1").as("c1_w2")),
+        Seq("w2"))
+      .withColumn("s",
+        when(col("c2").isNotNull,
+          -log2(col("c2").cast("double") / col("c1_w1").cast("double")))
+        .otherwise(-log2(lit(backoff) * col("c1_w2").cast("double") /
+          lit(total.toDouble))))
+      .groupBy("id")
+      .agg(round(avg(col("s")) + 1e-9, 4).as("avg_surprisal"),
+        count(lit(1)).as("n_transitions"))
+    (scored, release)
+  }
 }

@@ -169,6 +169,39 @@ class DedupSimilaritySpec extends SparkSuite {
       docs, "doc_id", "text", minCount = 100L).count() === 0L)
   }
 
+  test("bigram stupid backoff: kept bigrams score count ratios, hapax " +
+      "transitions take the backoff branch — hand-computed values") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.LanguageModel
+    // corpus: unigrams a:3 b:3 c:2 d:2 (total 10)
+    // bigrams: "a b":3 "b a":2 "c d":2 kept (minCount=2); "d c":1 backoff
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "c d c d"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.bigramSurprisalBackoff(
+      docs, "doc_id", "text", minCount = 2L, backoff = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    // d1: (a b)x3 -> -log2(3/3)=0; (b a)x2 -> -log2(2/3)=0.58496
+    //     avg over 5 transitions = 0.23399
+    assert(out(1L)._2 === 5L)
+    assert(math.abs(out(1L)._1 - 0.234) < 1e-3)
+    // d2: (c d)x2 -> -log2(2/2)=0; (d c) -> backoff 0.4*c1(c)/total =
+    //     0.4*2/10 = 0.08 -> -log2(0.08)=3.64386; avg/3 = 1.21462
+    assert(out(2L)._2 === 3L)
+    assert(math.abs(out(2L)._1 - 1.2146) < 1e-3)
+    // degenerate corpora: empty, and all-backoff-filtered
+    assert(LanguageModel.bigramSurprisalBackoff(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text").count() === 0L)
+    // single-token docs have no transitions and drop out
+    assert(LanguageModel.bigramSurprisalBackoff(
+      Seq((1L, "word")).toDF("doc_id", "text"),
+      "doc_id", "text").count() === 0L)
+  }
+
   test("curation pipeline: quality gates + dedup + mixture + split in " +
       "one plan — junk filtered, dups collapsed, splits total") {
     val s = initSpark()
