@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextClean, TextMetrics, VectorFunctions}
 import graft.ledger.Ledger
-import graft.operators.{Dedup, LanguageModel, Mixing, Similarity}
+import graft.operators.{Decontaminate, Dedup, LanguageModel, Mixing, Similarity}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2
   * plus the training-data-pipeline operators (dedup / similarity / text
@@ -279,6 +279,18 @@ object SparkEntry {
       LanguageModel.bigramSurprisalBackoff(t(s, dir, "documents"),
           "doc_id", "text", minCount = 21L)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // ---- Train/test decontamination: 13-gram overlap (GPT-3 appendix
+    // C). Parity-split of the documents table stands in for the
+    // train/eval corpora; exact form declared (the df-capped 100-TB
+    // form is spec'd, q70 rationale). ----
+    "q78_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminationPairs(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", n = 13)
     }),
 
     // ---- Language-ID heuristic (SURVEY F12 analogue) ----
@@ -1135,6 +1147,26 @@ object SparkEntry {
            round(avg(s) + 1e-9, 4) AS avg_surprisal,
            count(*) AS n_transitions
          FROM sc GROUP BY doc_id""",
+
+    "q78_decontaminate" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 12, 0) + 1),
+               i -> array_to_string(ws[i:i+12], ' '))) AS shingle
+             FROM w)),
+         tr AS (SELECT doc_id AS train_id, shingle FROM sh
+                WHERE doc_id % 2 = 0),
+         te AS (SELECT doc_id AS test_id, shingle FROM sh
+                WHERE doc_id % 2 = 1)
+         SELECT test_id, train_id, count(*) AS n_shared
+         FROM te JOIN tr USING (shingle)
+         GROUP BY test_id, train_id""",
 
     "q73_hash_sample" ->
       """WITH rates(source, rate) AS (

@@ -202,6 +202,54 @@ class DedupSimilaritySpec extends SparkSuite {
       "doc_id", "text").count() === 0L)
   }
 
+  test("decontamination: planted 13-gram leaks are flagged with exact " +
+      "shared counts; the df cap drops boilerplate; cleaning removes " +
+      "exactly the leaky train docs") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.Decontaminate
+    val leak = "zero one two three four five six seven eight nine " +
+      "ten eleven twelve" // exactly 13 words -> one shingle
+    val boiler = "common license header repeated on every single " +
+      "document in the training corpus verbatim" // 14 words -> 2 shingles
+    val train = Seq(
+      (100L, s"unique training prose alpha $leak beta gamma delta"),
+      (101L, s"clean document with $boiler inside it and nothing else"),
+      (102L, s"another clean one also carrying $boiler in the middle"),
+      (103L, "totally unrelated training text that shares no long " +
+        "ngram with anything else in this corpus at all ok"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (200L, s"eval question mentioning $leak verbatim"),
+      (201L, s"an eval doc that quotes the $boiler too"),
+      (202L, "pristine evaluation document sharing nothing"))
+      .toDF("doc_id", "text")
+    val pairs = Decontaminate.contaminationPairs(train, test,
+      "doc_id", "text", n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // 200 leaks via the 13-word quote into 100; 201 via boilerplate
+    // into 101 and 102
+    assert(pairs.keySet === Set((200L, 100L), (201L, 101L), (201L, 102L)))
+    assert(pairs((200L, 100L)) === 1L)
+    // the df cap: boilerplate shingles appear in 2 train docs, the
+    // genuine leak in 1 — cap=1 keeps exactly the leak pair
+    val capped = Decontaminate.contaminationPairs(train, test,
+      "doc_id", "text", n = 13, maxTrainDocFreq = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((200L, 100L)),
+      "cap=1 must keep the uniquely-attributable leak, drop boilerplate")
+    // cap=2 keeps boilerplate (df=2) AND the leak (df=1)
+    assert(Decontaminate.contaminationPairs(train, test,
+      "doc_id", "text", n = 13, maxTrainDocFreq = Some(2L))
+      .count() === 3L)
+    // cleaning drops exactly the contaminated train docs
+    val cleaned = Decontaminate.removeContaminated(train, test,
+      "doc_id", "text", n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleaned === Set(103L))
+  }
+
   test("curation pipeline: quality gates + dedup + mixture + split in " +
       "one plan — junk filtered, dups collapsed, splits total") {
     val s = initSpark()
