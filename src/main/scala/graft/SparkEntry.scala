@@ -379,9 +379,23 @@ object SparkEntry {
     "q76_ivf_index" -> ((s, dir) => {
       import graft.operators.IvfIndex
       val emb = t(s, dir, "embeddings")
+      // cache key = corpus FILE STATUS (name/length/mtime), not just
+      // the path: a regenerated corpus at the same path must rebuild,
+      // or the index would silently serve stale neighbors
+      val sig = {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val st = fs.getFileStatus(p)
+        val parts =
+          if (st.isDirectory)
+            fs.listStatus(p).map(x => s"${x.getPath.getName}:${x.getLen}:" +
+              s"${x.getModificationTime}").sorted.mkString("|")
+          else s"${st.getLen}:${st.getModificationTime}"
+        s"$dir|$parts"
+      }
       val idxDir = System.getProperty("java.io.tmpdir") +
         "/graft_ivf_index_" + java.security.MessageDigest
-          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .getInstance("MD5").digest(sig.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
       if (IvfIndex.currentVersion(idxDir).isEmpty)
         IvfIndex.buildVersioned(emb, idxDir, stride = 20)

@@ -44,6 +44,15 @@ object VectorAgg {
       QuantizedVectorSum(ColumnBridge.expression(vec), scale)
         .toAggregateExpression())
 
+  /** HALF_UP away from zero — the rounding of Spark's `round()` that
+    * the 2xdim column form used (`sum(round(x * scale).cast("long"))`).
+    * `math.round` is half-up toward +infinity, which differs on
+    * negative exact halves (round(-0.5): Spark -1, math.round 0) —
+    * matching matters because the module's contract is BITWISE
+    * equivalence with the formulation it replaced. */
+  def roundHalfAwayFromZero(x: Double): Long =
+    if (x >= 0) math.round(x) else -math.round(-x)
+
   /** Mutable (sums, counts) pair; grows to the longest vector seen. */
   final class Buf(var sums: Array[Long], var counts: Array[Long]) {
     def ensure(n: Int): Unit = if (sums.length < n) {
@@ -70,7 +79,8 @@ case class QuantizedVectorSum(child: Expression, scale: Double,
       var i = 0
       while (i < n) {
         if (!arr.isNullAt(i)) {
-          buf.sums(i) += math.round(arr.getFloat(i).toDouble * scale)
+          buf.sums(i) += VectorAgg.roundHalfAwayFromZero(
+            arr.getFloat(i).toDouble * scale)
           buf.counts(i) += 1L
         }
         i += 1

@@ -79,6 +79,23 @@ object VectorOps {
     acc
   }
 
+  /** L2 norm with the aggregate()-HOF null semantics NormF32 replaces:
+    * a null ELEMENT null-propagates the whole norm (boxed null return)
+    * instead of being read as 0 or NPEing — `acc + null * null` made
+    * the HOF's accumulator null. */
+  def normOrNull(a: ArrayData): java.lang.Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = a.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(acc))
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val denom = math.sqrt(normSq(a)) * math.sqrt(normSq(b))
     if (denom == 0.0) 0.0 else dot(a, b) / denom
@@ -138,6 +155,9 @@ case class SortedLongIntersect(left: Expression, right: Expression)
 case class NormF32(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = DoubleType
+  // nullable even over a non-null array column: a null ELEMENT
+  // null-propagates (the aggregate()-HOF semantics this replaces)
+  override def nullable: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -148,11 +168,14 @@ case class NormF32(child: Expression)
           .TypeCheckFailure(s"requires an array<float> input, got $other")
     }
   override def nullSafeEval(a: Any): Any =
-    math.sqrt(VectorOps.normSq(a.asInstanceOf[ArrayData]))
+    VectorOps.normOrNull(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      a => s"java.lang.Math.sqrt(graft.expr.VectorOps.normSq($a))")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""java.lang.Double ${ev.value}_r = graft.expr.VectorOps.normOrNull($a);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }""".stripMargin
+    })
   override protected def withNewChildInternal(
       newChild: Expression): NormF32 = copy(child = newChild)
 }

@@ -64,21 +64,33 @@ object PdfExtract {
       val dict = if (end > t) tail.substring(t, end) else tail.substring(t)
       dict.contains("/Encrypt")
     } else {
-      // xref-stream PDFs (no `trailer` keyword): the xref-stream dict
-      // precedes the final `startxref`. Scope the substring scan to the
-      // region around/after the last startxref marker rather than the
-      // whole 4KB tail — compressed stream bytes ending the file can
-      // otherwise spell "/Encrypt" by accident. (A trailer sitting >4KB
-      // before EOF stays out of reach either way — documented cut line:
-      // such files route to the error channel only if truly encrypted
-      // per this scoped scan.)
+      // xref-stream PDFs (no `trailer` keyword): the trailer fields
+      // (/Root /Encrypt /Info /ID) live in the xref STREAM OBJECT's
+      // dict, and `startxref` holds that object's byte offset — parse
+      // it and scan the dict AT the offset (bounded: dict ends at the
+      // `stream` keyword). This neither false-positives on compressed
+      // bytes that happen to spell "/Encrypt" (they sit after the
+      // dict's `stream` keyword) nor misses a dict that is not within
+      // any fixed distance of the file tail.
       val sx = tail.lastIndexOf("startxref")
-      val scanFrom = if (sx >= 0) {
-        // the dict for the xref stream typically sits shortly before
-        // startxref; include a bounded window before it
-        math.max(0, sx - 2048)
-      } else 0
-      tail.substring(scanFrom).contains("/Encrypt")
+      val parsedOffset =
+        if (sx < 0) None
+        else "\\d+".r.findFirstIn(tail.substring(sx + 9)).flatMap(
+          _.toLongOption).filter(off => off >= 0 && off < pdf.length)
+      parsedOffset match {
+        case Some(off) =>
+          val end = math.min(pdf.length, off + 4096).toInt
+          val dict = new String(pdf, off.toInt, end - off.toInt,
+            StandardCharsets.ISO_8859_1)
+          val streamKw = dict.indexOf("stream")
+          (if (streamKw >= 0) dict.substring(0, streamKw) else dict)
+            .contains("/Encrypt")
+        case None =>
+          // unparseable startxref: fall back to the conservative full
+          // tail scan (prefer a false route-to-error-channel over
+          // feeding encrypted bytes to the extractor)
+          tail.contains("/Encrypt")
+      }
     }
   }
 

@@ -47,7 +47,7 @@ final class TensorFileEmbedder(
   import TensorFileEmbedder.MaxSeq
 
   private val Array(vocab, dModel) = embeddings.shape
-  require(vocab >= 2,
+  if (attention.isDefined) require(vocab >= 2,
     "embeddings.weight needs >= 2 rows (row 0 is the reserved CLS row)")
   private val Array(outDim, dIn) = poolerWeight.shape
   require(dIn == dModel,
@@ -64,16 +64,27 @@ final class TensorFileEmbedder(
 
   private val NonWord = java.util.regex.Pattern.compile("\\W+")
 
-  /** Token embedding rows for `text`, hashed into the vocab. Row 0 is
-    * reserved for CLS, so token rows land in [1, vocab). */
+  /** Token embedding rows for `text`. The two architectures use
+    * DIFFERENT mappings on purpose:
+    *  - attention files: row 0 is reserved for CLS, token rows land in
+    *    [1, vocab), and the sequence is capped at MaxSeq (the attention
+    *    block's cost is O(seq x dModel^2)).
+    *  - legacy mean-pool files: the EXACT pre-attention mapping
+    *    (floorMod into [0, vocab), uncapped) — a corpus vectorized with
+    *    an attention-less weights file before this release re-embeds
+    *    byte-identically after it; re-mapping rows under the same file
+    *    would silently move every stored vector's space. */
   private def tokenRows(text: String): Array[Int] = {
     if (text == null) return Array.emptyIntArray
-    NonWord.split(text.toLowerCase).iterator
-      .filter(_.nonEmpty)
-      .take(MaxSeq)
-      .map(tok =>
-        1 + math.floorMod(MurmurHash3.stringHash(tok, 7919), vocab - 1))
-      .toArray
+    val toks = NonWord.split(text.toLowerCase).iterator.filter(_.nonEmpty)
+    if (attention.isDefined)
+      toks.take(MaxSeq)
+        .map(tok =>
+          1 + math.floorMod(MurmurHash3.stringHash(tok, 7919), vocab - 1))
+        .toArray
+    else
+      toks.map(tok =>
+        math.floorMod(MurmurHash3.stringHash(tok, 7919), vocab)).toArray
   }
 
   private def embeddingRow(row: Int): Array[Double] = {

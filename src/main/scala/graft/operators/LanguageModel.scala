@@ -38,9 +38,28 @@ object LanguageModel {
     * scalar for the total — bounded model state, centroid-collect
     * precedent); call the returned release hook from the Scoped
     * variant after the last action in long-lived sessions. */
+  /** Fire-and-forget wrappers release the PREVIOUS invocation's
+    * persisted count tables (the Scoped variants are caller-managed
+    * instead): without this, every call pinned MEMORY_AND_DISK tables
+    * for the JVM's lifetime — in a bench/verify suite that is dozens of
+    * leaked caches crowding out other queries' memory. Unpersisting a
+    * table another in-flight query still references only forces a
+    * recompute, never a wrong result. */
+  private val lastRelease =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+
+  private def swapRelease(release: () => Unit): Unit = {
+    val prev = lastRelease.getAndSet(release)
+    if (prev != null) prev()
+  }
+
   def unigramSurprisal(docs: DataFrame, idCol: String,
-      textCol: String, minCount: Long = 1L): DataFrame =
-    unigramSurprisalScoped(docs, idCol, textCol, minCount)._1
+      textCol: String, minCount: Long = 1L): DataFrame = {
+    val (df, release) =
+      unigramSurprisalScoped(docs, idCol, textCol, minCount)
+    swapRelease(release)
+    df
+  }
 
   def unigramSurprisalScoped(docs: DataFrame, idCol: String,
       textCol: String, minCount: Long = 1L)
@@ -111,9 +130,12 @@ object LanguageModel {
     * 4-dp rounded — the q75 discipline. */
   def bigramSurprisalBackoff(docs: DataFrame, idCol: String,
       textCol: String, minCount: Long = 2L, backoff: Double = 0.4)
-      : DataFrame =
-    bigramSurprisalBackoffScoped(docs, idCol, textCol, minCount,
-      backoff)._1
+      : DataFrame = {
+    val (df, release) = bigramSurprisalBackoffScoped(docs, idCol,
+      textCol, minCount, backoff)
+    swapRelease(release)
+    df
+  }
 
   /** Tokens -> space-joined consecutive pairs ("w1 w2"); tokens are
     * whitespace-split so the single space is an unambiguous separator. */

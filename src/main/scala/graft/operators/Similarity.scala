@@ -99,7 +99,12 @@ object Similarity {
       // ragged/null semantics (per-coordinate non-null counts, so a
       // cluster containing short vectors divides each coordinate by
       // its own support instead of dragging it toward 0).
-      val means = assigned.groupBy("centroid_id")
+      // null embeddings assign to NO bucket (null centroid_id): drop
+      // that group before collecting — getLong on a null key would NPE
+      // the driver
+      val means = assigned
+        .where(col("centroid_id").isNotNull)
+        .groupBy("centroid_id")
         .agg(graft.expr.VectorAgg
           .quantizedSumCount(col(vecCol), scale).as("sc"))
         .select(col("centroid_id"), col("sc.sums"), col("sc.counts"))

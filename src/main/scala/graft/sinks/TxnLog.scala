@@ -37,17 +37,19 @@ import org.apache.spark.sql.functions._
   *    atomically with EEXIST when the version exists). The strongest
   *    primitive available, and the one the racing-writer stress test
   *    exercises.
-  *  - any other scheme (HDFS, ABFS, GCS, ...): `FileSystem.rename` of
-  *    the fully-written temp file onto the version path. On HDFS-like
-  *    stores rename is atomic and FAILS when the destination exists —
-  *    the same fail-if-exists claim Delta Lake's HDFSLogStore uses.
-  *    Readers never observe a partially-written commit because the
-  *    bytes are complete before the name appears.
-  *  - S3A is NOT safe for CONCURRENT writers without a coordination
-  *    service: its rename is copy+delete and cannot reject an existing
-  *    destination atomically (the reason Delta needs a DynamoDB-backed
-  *    LogStore there). Single-writer tables work; racing S3 writers
-  *    need external mutual exclusion.
+  *  - schemes with ATOMIC fail-if-exists rename (hdfs, viewfs,
+  *    webhdfs by default; extend via the `graft.txnlog.renameSafeSchemes`
+  *    session conf): `FileSystem.rename` of the fully-written temp file
+  *    onto the version path — the same claim Delta Lake's HDFSLogStore
+  *    uses. Readers never observe a partially-written commit because
+  *    the bytes are complete before the name appears.
+  *  - any OTHER scheme (s3a, gs, ...) REFUSES to commit rather than
+  *    guess: object-store rename is typically copy+delete and cannot
+  *    reject an existing destination atomically, so two racing writers
+  *    could both "win" a version and silently lose one commit (the
+  *    reason Delta needs a DynamoDB-backed LogStore on S3). A user who
+  *    knows their connector's rename is fail-if-exists-atomic opts the
+  *    scheme in via the conf; nothing is silently assumed.
   *  - `replaceByKey` prunes by the per-file [min,max] key-range stats in
   *    the log: files whose range cannot contain a replaced key are kept
   *    verbatim (no read, no rewrite). At 100 TB this file-skipping is
@@ -96,9 +98,24 @@ object TxnLog {
   private def isLocalFs(fs: FileSystem): Boolean =
     fs.getScheme == "file"
 
+  /** Schemes whose FileSystem.rename atomically fails when the
+    * destination exists (the property the non-local claim rests on).
+    * Hadoop's own HDFS family qualifies; everything else must be opted
+    * in explicitly — see the class doc. */
+  private def renameSafeSchemes: Set[String] = {
+    val defaults = "hdfs,viewfs,webhdfs"
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .flatMap(s =>
+        s.conf.getOption("graft.txnlog.renameSafeSchemes"))
+      .getOrElse(defaults)
+    conf.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+  }
+
   /** Atomically claim `target` with the fully-written bytes at `tmp`.
     * True = this writer owns the version; false = lost the race (the
-    * caller re-reads the log and retries). See the class doc's
+    * caller re-reads the log and retries). Throws on filesystems whose
+    * rename cannot make the claim atomic — see the class doc's
     * filesystem contract. */
   private[graft] def claim(fs: FileSystem, tmp: Path,
       target: Path): Boolean = {
@@ -113,10 +130,19 @@ object TxnLog {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
-    } else {
-      // HDFS-like: rename is atomic and fails when the destination
-      // exists. (S3A: see class doc — not safe for racing writers.)
+    } else if (renameSafeSchemes.contains(fs.getScheme.toLowerCase)) {
+      // fail-if-exists rename (atomic on the whitelisted schemes); the
+      // exists() probe only short-circuits the common lost-race case
       !fs.exists(target) && fs.rename(tmp, target)
+    } else {
+      throw new UnsupportedOperationException(
+        s"TxnLog cannot commit atomically on scheme '${fs.getScheme}': " +
+          "its rename does not reject an existing destination, so two " +
+          "racing writers could silently lose a commit. If this " +
+          "connector's rename IS fail-if-exists-atomic, opt it in via " +
+          "the graft.txnlog.renameSafeSchemes session conf; object " +
+          "stores like s3a need an external coordination service " +
+          "instead (Delta's LogStore precedent).")
     }
   }
 

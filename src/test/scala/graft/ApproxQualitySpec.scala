@@ -232,6 +232,19 @@ class ApproxQualitySpec extends SparkSuite {
     assert(sc.getSeq[Long](1) === Seq(2L, 1L, 1L),
       "counts = per-coordinate non-null support")
     assert(sc.getSeq[Long](0).map(_ / scale) === Seq(4.0, 2.0, 4.0))
+    // a NULL embedding assigns to no bucket; the null centroid_id
+    // group must be dropped before the driver collect (was an NPE)
+    val withNull = Seq(
+      (0L, Some(Seq(1.0f, 2.0f))), (20L, Some(Seq(3.0f, 4.0f))),
+      (21L, None: Option[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("embedding"))
+    val cents2 = Similarity.kMeansCentroids(withNull, stride = 20,
+      iters = 2)
+    assert(cents2.count() === 2L, "null embeddings must not crash or " +
+      "create a phantom cluster")
   }
 
   test("k-means centroids are BITWISE identical across partitionings " +

@@ -347,6 +347,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(r.getDouble(0) === 24.0)
     assert(r.getDouble(1) === 5.0)
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    // a null ELEMENT null-propagates the norm (the aggregate()-HOF
+    // semantics the codegen'd NormF32 must preserve: acc + null * null
+    // made the accumulator null) — not 0, not an NPE
+    val withNullElem = Seq(
+      Tuple1(Seq(Some(3.0f), None, Some(4.0f))),
+      Tuple1(Seq(Some(3.0f), Some(4.0f), Some(0.0f))))
+      .toDF("a")
+      .select(col("a").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("a"))
+    val norms = withNullElem
+      .select(VectorFunctions.norm(col("a")).as("n"))
+      .collect().map(r => Option(r.get(0)))
+    assert(norms(0) === None, "null element must null the norm")
+    assert(norms(1) === Some(5.0))
   }
 
   test("l2Normalize produces unit vectors") {

@@ -54,10 +54,13 @@ class TxnLogSpec extends SparkSuite {
   }
 
   test("claim on a NON-local FileSystem takes the fail-if-exists rename " +
-      "path: first writer wins, loser's bytes never surface") {
+      "path: first writer wins, loser's bytes never surface; unknown " +
+      "schemes are REFUSED rather than assumed rename-atomic") {
     // a RawLocalFileSystem masquerading under another scheme exercises
     // the non-POSIX branch of the claim (rename, not hard link) — the
     // HDFS code path, minus HDFS's stronger rename atomicity (class doc)
+    initSpark().conf.set("graft.txnlog.renameSafeSchemes",
+      "hdfs,viewfs,webhdfs,mockdfs")
     val fs = new org.apache.hadoop.fs.RawLocalFileSystem() {
       override def getScheme: String = "mockdfs"
     }
@@ -80,6 +83,13 @@ class TxnLogSpec extends SparkSuite {
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     finally in.close()
     assert(got === "winner")
+    // an un-whitelisted scheme must refuse loudly, not guess: a silent
+    // overwrite-rename would let two racing writers both "win"
+    initSpark().conf.unset("graft.txnlog.renameSafeSchemes")
+    val w3 = stage("w3.tmp", "other")
+    intercept[UnsupportedOperationException] {
+      TxnLog.claim(fs, w3, new org.apache.hadoop.fs.Path(s"$d/v2.json"))
+    }
   }
 
   test("replaceByKey matches the pure replaceByKeyDf semantics") {
