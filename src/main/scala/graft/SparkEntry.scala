@@ -293,6 +293,112 @@ object SparkEntry {
         "doc_id", "text", n = 13)
     }),
 
+    // ---- PII redaction (standard pre-training scrub): e-mails and
+    // IPv4 literals to typed placeholders. RE2-compatible regexes (no
+    // lookarounds/backrefs) so Spark's Java regex and the oracle's RE2
+    // agree byte-for-byte; counts measured on the ORIGINAL text. ----
+    "q79_pii_redact" -> ((s, dir) => {
+      val (emails, ips) = TextClean.piiCounts(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextClean.redactPii(col("text")).as("redacted"),
+          emails.as("n_emails"), ips.as("n_ips"))
+    }),
+
+    // ---- C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
+    // with >=3 words that end in terminal punctuation and carry no
+    // boilerplate markers. Pure column HOFs over split lines —
+    // shuffle-free, engine-portable.
+    // VACUITY RULE (q77 discipline): the synthetic corpus has ZERO
+    // newlines and ZERO terminal punctuation at every SF (measured), so
+    // the raw text would make every rule all-pass or all-fail. The query
+    // derives a deterministic multi-line view — 7-word lines, '.'
+    // appended when (doc_id + line_no) % 3 == 0 — replicated exactly in
+    // the oracle; the word-count rule bites on short tail lines, the
+    // terminal-punctuation rule on the unpunctuated two-thirds. `__ws`
+    // is materialized as a column BEFORE the transform() so the lambda
+    // references a bound array, not a re-evaluated split (the shingles
+    // O(words^2) trap). ----
+    "q80_c4_lines" -> ((s, dir) => {
+      val derived = t(s, dir, "documents")
+        .withColumn("__ws", split(trim(col("text")), "\\s+"))
+        .withColumn("__lines", transform(
+          sequence(lit(1),
+            ceil(size(col("__ws")) / lit(7.0)).cast("int")),
+          i => concat(
+            array_join(slice(col("__ws"), (i - 1) * 7 + 1, lit(7)), " "),
+            when((col("doc_id") + i) % 3 === 0, lit("."))
+              .otherwise(lit("")))))
+        .withColumn("__derived", array_join(col("__lines"), "\n"))
+      derived.select(col("doc_id"),
+        TextClean.c4CleanLines(col("__derived")).as("clean_text"),
+        size(filter(split(col("__derived"), "\n"),
+          l => TextClean.c4LineKeep(l))).as("n_kept"),
+        size(col("__lines")).as("n_lines"))
+    }),
+
+    // ---- Corpus-global line dedup (RefinedWeb/MassiveText boilerplate
+    // scrub): drop every line whose exact text occurs >1 time across the
+    // corpus; row count preserved (all-boilerplate docs survive empty).
+    // One census shuffle + anti-join back; see Dedup.lineDedupGlobal.
+    // Same derived-line discipline as q80 (the corpus has no newlines):
+    // 4-word chunk lines, measured to BITE — 771 of 6,974 line
+    // occurrences are corpus-duplicates at sf0.01, 12,679 of 69,549 at
+    // sf0.1 — without obliterating the corpus. ----
+    "q82_line_dedup" -> ((s, dir) => {
+      val derived = t(s, dir, "documents")
+        .withColumn("__ws", split(trim(col("text")), "\\s+"))
+        .withColumn("derived_text", array_join(transform(
+          sequence(lit(1),
+            ceil(size(col("__ws")) / lit(4.0)).cast("int")),
+          i => array_join(slice(col("__ws"), (i - 1) * 4 + 1, lit(4)), " ")),
+          "\n"))
+        .select(col("doc_id"), col("derived_text"))
+      Dedup.lineDedupGlobal(derived, "doc_id", "derived_text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // ---- Co-located bucketed join (SURVEY R15 — the 100-TB join plan):
+    // orders and customer bucketed identically on custkey join AND
+    // aggregate with ZERO exchanges — bucketing satisfies both the join
+    // and the groupBy distribution. Asserted IN the query body on the
+    // executed (post-AQE) plan, so every verify/bench run proves the
+    // plan shape, not just the row set. Broadcast is disabled for the
+    // assert run: a broadcast join would also avoid the shuffle but
+    // proves nothing about bucketing (and at 100 TB neither side
+    // broadcasts). ----
+    "q81_colocated_join" -> ((s, dir) => {
+      import graft.sinks.BucketedWarehouse
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_bw_q81"
+      BucketedWarehouse.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+          col("o_totalprice")),
+        "bw_orders_q81", "custkey", buckets = 16,
+        path = Some(s"$tmp/orders"))
+      BucketedWarehouse.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+          col("c_name")),
+        "bw_customer_q81", "custkey", buckets = 16,
+        path = Some(s"$tmp/customer"))
+      val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val out = BucketedWarehouse
+          .colocatedJoin(s, "bw_orders_q81", "bw_customer_q81", "custkey")
+          .groupBy("custkey")
+          .agg(count(lit(1)).as("order_count"),
+            round(sum(col("o_totalprice")) + 1e-9, 2).as("total_spend"))
+        out.count() // execute so the assert reads the final (AQE) plan
+        val plan = out.queryExecution.executedPlan.toString()
+        require(!plan.contains("Exchange"),
+          "q81_colocated_join: bucketed join/agg still shuffles:\n" +
+            plan.take(2000))
+        out
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      }
+    }),
+
     // ---- Language-ID heuristic (SURVEY F12 analogue) ----
     "q18_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1181,6 +1287,81 @@ object SparkEntry {
          SELECT test_id, train_id, count(*) AS n_shared
          FROM te JOIN tr USING (shingle)
          GROUP BY test_id, train_id""",
+
+    "q79_pii_redact" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\d{1,3}(?:\.\d{1,3}){3})',
+               '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+             AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\d{1,3}(?:\.\d{1,3}){3})'))
+             AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips
+         FROM documents""",
+
+    "q80_c4_lines" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+         d AS (
+           SELECT doc_id, list_transform(
+             range(1, CAST(ceil(len(ws) / 7.0) AS BIGINT) + 1),
+             i -> array_to_string(ws[(i-1)*7+1:(i-1)*7+7], ' ') ||
+               CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END)
+             AS lines
+           FROM w),
+         k AS (
+           SELECT doc_id, lines,
+             list_filter(lines, l ->
+               len(string_split_regex(trim(l), '\s+')) >= 3
+               AND (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                 OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+               AND NOT contains(lower(l), 'javascript')
+               AND NOT contains(lower(l), 'lorem ipsum')
+               AND NOT contains(l, '{')) AS kept
+           FROM d)
+         SELECT doc_id,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           CAST(len(kept) AS INT) AS n_kept,
+           CAST(len(lines) AS INT) AS n_lines
+         FROM k""",
+
+    "q82_line_dedup" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+         d AS (
+           SELECT doc_id, list_transform(
+             range(1, CAST(ceil(len(ws) / 4.0) AS BIGINT) + 1),
+             i -> array_to_string(ws[(i-1)*4+1:(i-1)*4+4], ' '))
+             AS lines
+           FROM w),
+         l AS (
+           SELECT doc_id, generate_subscripts(lines, 1) AS pos,
+             unnest(lines) AS line
+           FROM d),
+         dup AS (SELECT line FROM l GROUP BY line HAVING count(*) > 1),
+         kept AS (SELECT l.doc_id, l.pos, l.line FROM l
+                  LEFT JOIN dup USING (line) WHERE dup.line IS NULL),
+         r AS (SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+               FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           coalesce(r.n_kept, 0) AS n_kept,
+           len(d.lines) - coalesce(r.n_kept, 0) AS n_dropped
+         FROM d LEFT JOIN r USING (doc_id)""",
+
+    "q81_colocated_join" ->
+      """SELECT o_custkey AS custkey, count(*) AS order_count,
+           round(sum(o_totalprice) + 1e-9, 2) AS total_spend
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
 
     "q73_hash_sample" ->
       """WITH rates(source, rate) AS (

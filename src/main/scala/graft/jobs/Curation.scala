@@ -3,7 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextMetrics
+import graft.functions.{TextClean, TextMetrics}
 import graft.operators.{Dedup, Mixing}
 
 /** The full training-corpus curation pipeline as ONE declarative plan —
@@ -29,9 +29,18 @@ object Curation {
     * construction, not by parallel edits): Gopher keep + the two
     * repetition thresholds. Long casts: Int products wrap negative on
     * extreme-repetition documents. */
+  /** Row-local scrub applied before scoring in BOTH forms: PII
+    * redaction (q79) — redact first so quality stats and the dedup
+    * fingerprint see the text that will actually ship. The line-level
+    * scrubs (C4 q80) compose here too when the corpus has line
+    * structure; corpus-global line dedup (q82) is batch-only by nature
+    * (needs a census) and runs as its own pass upstream. */
+  private def scrubbed(documents: DataFrame, textCol: String): DataFrame =
+    documents.withColumn(textCol, TextClean.redactPii(col(textCol)))
+
   private def qualityGated(documents: DataFrame,
       textCol: String): DataFrame =
-    documents
+    scrubbed(documents, textCol)
       .withColumn("__g", TextMetrics.gopherStruct(col(textCol)))
       .withColumn("__r", TextMetrics.repetitionStats(col(textCol)))
       .where(col("__g.keep") &&

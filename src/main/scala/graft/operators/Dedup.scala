@@ -504,4 +504,46 @@ object Dedup {
           .cosineF32(col("a.vec"), col("b.vec")) + 1e-9, 4).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Corpus-global line deduplication (the RefinedWeb / MassiveText
+    * boilerplate scrub): any line whose EXACT text occurs more than
+    * `maxFreq` times across the whole corpus — nav bars, cookie banners,
+    * share-button rows — is removed from every document it appears in.
+    * Within-doc repeats count toward the census too (a line pasted twice
+    * in one doc is as removable as one shared by two docs); per-doc
+    * repetition RATE is the separate q72 signal.
+    *
+    * Returns one row per INPUT document (`id`, `clean_text`, `n_kept`,
+    * `n_dropped`) — a doc that was 100% boilerplate survives with empty
+    * text, so downstream joins never lose keys.
+    *
+    * Scale design: one shuffle censuses line frequency hash-partitioned
+    * on the line itself; the census is then filtered to only the
+    * over-threshold lines — a tiny fraction of distinct lines at any
+    * corpus size — before the anti-join back (AQE broadcasts it when
+    * small). The rebuild groups by doc id; `collect_list` is bounded by
+    * a single document's line count, never corpus-scaled. */
+  def lineDedupGlobal(df: DataFrame, idCol: String, textCol: String,
+      maxFreq: Long = 1L): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val dups = lines.groupBy("line")
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") > maxFreq)
+      .select("line")
+    val kept = lines.join(dups, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"),
+            col("line")))), x => x.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("__n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
 }

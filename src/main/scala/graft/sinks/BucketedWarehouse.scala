@@ -16,15 +16,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object BucketedWarehouse {
 
   /** Write `df` as a bucketed, sorted table. Same (bucket count, key)
-    * across tables = co-located joins. */
+    * across tables = co-located joins. `path` makes the table external
+    * (files live there instead of spark.sql.warehouse.dir — bucketing
+    * metadata stays in the session catalog either way). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int = 64, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write
+      buckets: Int = 64, mode: SaveMode = SaveMode.Overwrite,
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .mode(mode)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.foreach(w.option("path", _))
+    w.saveAsTable(table)
+  }
 
   /** Join two identically-bucketed tables on their bucket key — planned
     * shuffle-free (SortMergeJoin over pre-bucketed scans). */

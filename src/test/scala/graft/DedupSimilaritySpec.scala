@@ -37,6 +37,26 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(kept === Array("d1", "d2"))
   }
 
+  test("lineDedupGlobal strips corpus-repeated lines, keeps row count") {
+    val s = initSpark()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "unique opening line.\nCookie banner text\nreal content one."),
+      (2L, "Cookie banner text\nreal content two.\nCookie banner text"),
+      (3L, "Cookie banner text"), // 100% boilerplate — must survive empty
+      (4L, "solo document with no repeated lines at all.")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedupGlobal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "Cookie banner text" occurs 4x corpus-wide (incl. twice in doc 2)
+    assert(out(1L) === (("unique opening line.\nreal content one.", 2L, 1L)))
+    assert(out(2L) === (("real content two.", 1L, 2L)))
+    assert(out(3L) === (("", 0L, 1L))) // row preserved, text emptied
+    assert(out(4L) ===
+      (("solo document with no repeated lines at all.", 1L, 0L)))
+  }
+
   test("shingles emits distinct n-grams, none for too-short docs") {
     val s = initSpark()
     import s.implicits._
@@ -277,6 +297,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(rows.contains(3L))
     assert(rows.size === 60)
     assert(rows.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("curation scrubs PII before scoring/dedup: curated text carries " +
+      "placeholders, and two docs differing only in the email collapse") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.jobs.Curation
+    val healthy = ("the quick brown fox jumps over the lazy dog and " +
+      "that should be quite enough words to pass every gate with " +
+      "different content because each sentence here keeps adding " +
+      "fresh vocabulary so neither the two gram mass nor the word " +
+      "count rule can possibly object to this document at all ")
+    val docs = Seq(
+      (1L, healthy + "contact alice@example.com for details", "src0"),
+      // same text modulo the email address: post-redaction exact dup
+      (2L, healthy + "contact bob@sample.org for details", "src0"),
+      (3L, healthy + "no personal data here", "src0")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.curate(docs, "doc_id", "text", "source",
+      rates = Map("src0" -> 1.0))
+    val rows = out.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet === Set(1L, 3L),
+      "email-only variants must collapse to the smallest id")
+    assert(rows(1L).contains("<EMAIL>") && !rows(1L).contains("alice@"),
+      "curated text must be redacted")
   }
 
   test("minhash LSH: shingle-less docs never pair (round-1 advice " +
