@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextClean, TextMetrics, VectorFunctions}
 import graft.ledger.Ledger
-import graft.operators.{Decontaminate, Dedup, LanguageModel, Mixing, Similarity}
+import graft.operators.{Decontaminate, Dedup, ImportanceSampling,
+  LanguageModel, Mixing, Similarity}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2
   * plus the training-data-pipeline operators (dedup / similarity / text
@@ -397,6 +398,34 @@ object SparkEntry {
       } finally {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       }
+    }),
+
+    // ---- Near-dup clusters: pairwise evidence -> connected components
+    // -> one canonical survivor per cluster (min id) — the consuming
+    // step after q21/q22 that a pipeline actually acts on. Iterative
+    // min-label propagation (one shuffle/round, converges at component
+    // diameter); oracled against a recursive-CTE transitive closure
+    // over the same pair graph. ----
+    "q83_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
+          idCol = "doc_id")
+        .withColumn("keep", col("doc_id") === col("cluster_rep"))
+    }),
+
+    // ---- DSIR importance weights (Xie et al. 2023): hashed
+    // unigram+bigram log2 ratio of a target reference corpus
+    // (source='src0' stands in for the paper's Wikipedia/books) vs the
+    // raw corpus. md5 bucket hashing keeps BOTH count tables at exactly
+    // `buckets` rows regardless of corpus size — broadcast-safe at
+    // 100 TB by construction. ----
+    "q84_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ImportanceSampling.dsirScore(docs,
+          docs.where(col("source") === "src0"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
     }),
 
     // ---- Language-ID heuristic (SURVEY F12 analogue) ----
@@ -1287,6 +1316,76 @@ object SparkEntry {
          SELECT test_id, train_id, count(*) AS n_shared
          FROM te JOIN tr USING (shingle)
          GROUP BY test_id, train_id""",
+
+    "q83_dup_clusters" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+             FROM w)),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+           WHERE a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         p AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               round(CAST(inter AS DOUBLE) /
+                 CAST(sa.sz + sb.sz - inter AS DOUBLE) + 1e-9, 4)
+                 AS jaccard
+             FROM inter
+             JOIN sz sa ON sa.doc_id = id_a
+             JOIN sz sb ON sb.doc_id = id_b)
+           WHERE jaccard >= 0.2),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         r(id, rep) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.rep FROM r JOIN e ON e.src = r.id)
+         SELECT id AS doc_id, min(rep) AS cluster_rep,
+           id = min(rep) AS keep
+         FROM r GROUP BY id""",
+
+    "q84_dsir_weights" ->
+      """WITH w AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, source, unnest(list_concat(ws,
+             list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+               i -> ws[i] || ' ' || ws[i + 1]))) AS g
+           FROM w),
+         b AS (
+           SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT)
+               % 10000 AS BIGINT) AS b
+           FROM g),
+         rawct AS (SELECT b, count(*) AS raw_ct FROM b GROUP BY b),
+         tgtct AS (SELECT b, count(*) AS tgt_ct FROM b
+                   WHERE source = 'src0' GROUP BY b),
+         tots AS (SELECT (SELECT count(*) FROM b) AS rt,
+                    (SELECT count(*) FROM b WHERE source = 'src0') AS tt)
+         SELECT doc_id,
+           round(avg(
+             log2((coalesce(tgt_ct, 0) + 1.0) / (tt + 10000)) -
+             log2((coalesce(raw_ct, 0) + 1.0) / (rt + 10000)))
+             + 1e-9, 4) AS dsir_score,
+           count(*) AS n_grams
+         FROM b
+         LEFT JOIN rawct USING (b)
+         LEFT JOIN tgtct USING (b)
+         CROSS JOIN tots
+         GROUP BY doc_id""",
 
     "q79_pii_redact" ->
       """SELECT doc_id,

@@ -505,6 +505,67 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** Previous connectedComponents invocation's persisted label table —
+    * released fire-and-forget on the next call (LanguageModel
+    * precedent: unpersisting a table a still-running query references
+    * only forces recompute, never a wrong result). */
+  private val lastCcRelease =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise evidence (jaccardPairs / minhashLshPairs /
+    * simhashPairs / embeddingNearDupPairs) into duplicate CLUSTERS a
+    * pipeline can act on: every id maps to `cluster_rep` = the minimum
+    * id in its component (the deterministic canonical survivor; keep
+    * rows where id == cluster_rep, drop the rest). Ids absent from any
+    * pair are their own singleton cluster, so the output has exactly
+    * one row per input id.
+    *
+    * Algorithm: iterative min-label propagation to a fixed point. Each
+    * round is one labels⋈edges shuffle join + a min-aggregation; the
+    * only driver-side state per round is ONE long (the changed-label
+    * count). Rounds needed = component diameter — near-dup clusters
+    * are dense (LSH/threshold graphs are clique-ish), so single-digit
+    * diameters dominate real corpora; `maxRounds` bounds adversarial
+    * chains and the alternating large-star/small-star scheme (Kiveris
+    * et al. 2014) is the O(log n)-round upgrade path if a corpus ever
+    * produces deep chains. Converged-early detection stops the loop as
+    * soon as a round changes nothing. */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+      idCol: String = "id", idACol: String = "id_a",
+      idBCol: String = "id_b", maxRounds: Int = 15): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("rep"))
+      val next = labels.select("id", "rep").union(viaNeighbors)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.withColumnRenamed("rep", "__prev"), "id")
+        .where(col("rep") =!= col("__prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      round += 1
+    }
+    edges.unpersist()
+    val out = labels
+    val prev = lastCcRelease.getAndSet(() => { out.unpersist(); () })
+    if (prev != null) prev()
+    labels.select(col("id").as(idCol), col("rep").as("cluster_rep"))
+  }
+
   /** Corpus-global line deduplication (the RefinedWeb / MassiveText
     * boilerplate scrub): any line whose EXACT text occurs more than
     * `maxFreq` times across the whole corpus — nav bars, cookie banners,

@@ -57,6 +57,42 @@ class DedupSimilaritySpec extends SparkSuite {
       (("solo document with no repeated lines at all.", 1L, 0L)))
   }
 
+  test("connectedComponents: chains merge transitively, singletons " +
+      "keep themselves, min id wins as representative") {
+    val s = initSpark()
+    import s.implicits._
+    // component {1,2,3} via chain 1-2, 2-3 (needs >1 propagation round),
+    // component {5,9} direct, 7 isolated
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 5L))
+      .toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val reps = Dedup.connectedComponents(ids, pairs, idCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 9L -> 5L, 7L -> 7L))
+  }
+
+  test("dsirScore favors docs that look like the target corpus") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.ImportanceSampling
+    val raw = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),   // pure target-like
+      (2L, "noise junk noise junk noise junk"),   // pure background
+      (3L, "alpha beta noise junk")               // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val out = ImportanceSampling
+      .dsirScore(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ORDERING is the contract (select top-weighted); absolute sign is
+    // not meaningful at toy scale, where add-1 smoothing over the
+    // bucket space dominates the raw counts
+    assert(out(1L) > out(3L) && out(3L) > out(2L),
+      s"ordering violated: $out")
+  }
+
   test("shingles emits distinct n-grams, none for too-short docs") {
     val s = initSpark()
     import s.implicits._
