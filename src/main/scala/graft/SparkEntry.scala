@@ -43,6 +43,33 @@ object SparkEntry {
     * division — double division would lose ns precision at 1e18. */
   private val tsSec: Column = expr("ts DIV 1000000000")
 
+  /** Deterministic derived multi-line view for the line-level operators
+    * (q80/q82 vacuity rule — the synthetic corpus has ZERO newlines and
+    * ZERO punctuation at every SF, measured, so raw-text line ops would
+    * oracle-match vacuously): words wrapped into `width`-word lines,
+    * and with `punctEveryThird` a '.' appended when
+    * (doc_id + line_no) % 3 == 0 so the terminal-punctuation rule
+    * bites. Adds `__lines` (the line array). The SAME derivation is
+    * replicated in the two oracles — a chunk-arithmetic change here
+    * must land there too. `__ws` is materialized as a column BEFORE the
+    * transform so the lambda references a bound array, not a
+    * re-evaluated split (the shingles O(words^2) trap). */
+  private def derivedLines(df: DataFrame, width: Int,
+      punctEveryThird: Boolean): DataFrame = {
+    val chunk = (i: Column) =>
+      array_join(slice(col("__ws"), (i - 1) * width + 1, lit(width)), " ")
+    val line = (i: Column) =>
+      if (punctEveryThird)
+        concat(chunk(i), when((col("doc_id") + i) % 3 === 0, lit("."))
+          .otherwise(lit("")))
+      else chunk(i)
+    df.withColumn("__ws", split(trim(col("text")), "\\s+"))
+      .withColumn("__lines", transform(
+        sequence(lit(1),
+          ceil(size(col("__ws")) / lit(width.toDouble)).cast("int")),
+        line))
+  }
+
   /** Flagship on sf0.001 (driver smoke-checks rows>0): ledger-style batch
     * selection — users whose LATEST event is purchase/signup (the
     * reference's select-by-last-step, J1+P2), enriched with per-user
@@ -309,51 +336,32 @@ object SparkEntry {
     // ---- C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
     // with >=3 words that end in terminal punctuation and carry no
     // boilerplate markers. Pure column HOFs over split lines —
-    // shuffle-free, engine-portable.
-    // VACUITY RULE (q77 discipline): the synthetic corpus has ZERO
-    // newlines and ZERO terminal punctuation at every SF (measured), so
-    // the raw text would make every rule all-pass or all-fail. The query
-    // derives a deterministic multi-line view — 7-word lines, '.'
-    // appended when (doc_id + line_no) % 3 == 0 — replicated exactly in
-    // the oracle; the word-count rule bites on short tail lines, the
-    // terminal-punctuation rule on the unpunctuated two-thirds. `__ws`
-    // is materialized as a column BEFORE the transform() so the lambda
-    // references a bound array, not a re-evaluated split (the shingles
-    // O(words^2) trap). ----
+    // shuffle-free, engine-portable. Runs over the derivedLines view
+    // (vacuity rule, q77 discipline): the word-count rule bites on
+    // short tail lines, the terminal-punctuation rule on the
+    // unpunctuated two-thirds. ----
     "q80_c4_lines" -> ((s, dir) => {
-      val derived = t(s, dir, "documents")
-        .withColumn("__ws", split(trim(col("text")), "\\s+"))
-        .withColumn("__lines", transform(
-          sequence(lit(1),
-            ceil(size(col("__ws")) / lit(7.0)).cast("int")),
-          i => concat(
-            array_join(slice(col("__ws"), (i - 1) * 7 + 1, lit(7)), " "),
-            when((col("doc_id") + i) % 3 === 0, lit("."))
-              .otherwise(lit("")))))
+      derivedLines(t(s, dir, "documents"), width = 7,
+          punctEveryThird = true)
         .withColumn("__derived", array_join(col("__lines"), "\n"))
-      derived.select(col("doc_id"),
-        TextClean.c4CleanLines(col("__derived")).as("clean_text"),
-        size(filter(split(col("__derived"), "\n"),
-          l => TextClean.c4LineKeep(l))).as("n_kept"),
-        size(col("__lines")).as("n_lines"))
+        .select(col("doc_id"),
+          TextClean.c4CleanLines(col("__derived")).as("clean_text"),
+          size(filter(split(col("__derived"), "\n"),
+            l => TextClean.c4LineKeep(l))).as("n_kept"),
+          size(col("__lines")).as("n_lines"))
     }),
 
     // ---- Corpus-global line dedup (RefinedWeb/MassiveText boilerplate
     // scrub): drop every line whose exact text occurs >1 time across the
     // corpus; row count preserved (all-boilerplate docs survive empty).
     // One census shuffle + anti-join back; see Dedup.lineDedupGlobal.
-    // Same derived-line discipline as q80 (the corpus has no newlines):
-    // 4-word chunk lines, measured to BITE — 771 of 6,974 line
+    // derivedLines at width 4, measured to BITE — 771 of 6,974 line
     // occurrences are corpus-duplicates at sf0.01, 12,679 of 69,549 at
     // sf0.1 — without obliterating the corpus. ----
     "q82_line_dedup" -> ((s, dir) => {
-      val derived = t(s, dir, "documents")
-        .withColumn("__ws", split(trim(col("text")), "\\s+"))
-        .withColumn("derived_text", array_join(transform(
-          sequence(lit(1),
-            ceil(size(col("__ws")) / lit(4.0)).cast("int")),
-          i => array_join(slice(col("__ws"), (i - 1) * 4 + 1, lit(4)), " ")),
-          "\n"))
+      val derived = derivedLines(t(s, dir, "documents"), width = 4,
+          punctEveryThird = false)
+        .withColumn("derived_text", array_join(col("__lines"), "\n"))
         .select(col("doc_id"), col("derived_text"))
       Dedup.lineDedupGlobal(derived, "doc_id", "derived_text")
         .withColumnRenamed("id", "doc_id")
@@ -370,26 +378,39 @@ object SparkEntry {
     // broadcasts). ----
     "q81_colocated_join" -> ((s, dir) => {
       import graft.sinks.BucketedWarehouse
-      val tmp = System.getProperty("java.io.tmpdir") + "/graft_bw_q81"
+      // table names + paths discriminated by the corpus dir: concurrent
+      // processes on DIFFERENT scale factors stay isolated (same-SF
+      // concurrency would need q76-style versioned publish — out of
+      // scope for a bench query; single-process reps just Overwrite)
+      val disc = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(8)
+      val tmp = System.getProperty("java.io.tmpdir") + s"/graft_bw_$disc"
+      val ordersTbl = s"bw_orders_$disc"
+      val customerTbl = s"bw_customer_$disc"
       BucketedWarehouse.writeBucketed(
         t(s, dir, "orders").select(col("o_custkey").as("custkey"),
           col("o_totalprice")),
-        "bw_orders_q81", "custkey", buckets = 16,
+        ordersTbl, "custkey", buckets = 16,
         path = Some(s"$tmp/orders"))
       BucketedWarehouse.writeBucketed(
         t(s, dir, "customer").select(col("c_custkey").as("custkey"),
           col("c_name")),
-        "bw_customer_q81", "custkey", buckets = 16,
+        customerTbl, "custkey", buckets = 16,
         path = Some(s"$tmp/customer"))
       val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val out = BucketedWarehouse
-          .colocatedJoin(s, "bw_orders_q81", "bw_customer_q81", "custkey")
+          .colocatedJoin(s, ordersTbl, customerTbl, "custkey")
           .groupBy("custkey")
           .agg(count(lit(1)).as("order_count"),
             round(sum(col("o_totalprice")) + 1e-9, 2).as("total_spend"))
-        out.count() // execute so the assert reads the final (AQE) plan
+        // execute THIS dataframe's own QueryExecution (count() would
+        // wrap it in a new one and leave out.queryExecution at the
+        // initial isFinalPlan=false adaptive plan), so the assert reads
+        // the FINAL post-AQE plan of the run it just paid for
+        out.queryExecution.toRdd.count()
         val plan = out.queryExecution.executedPlan.toString()
         require(!plan.contains("Exchange"),
           "q81_colocated_join: bucketed join/agg still shuffles:\n" +
@@ -536,7 +557,10 @@ object SparkEntry {
         IvfIndex.buildVersioned(emb, idxDir, stride = 20)
       val out = IvfIndex.topKVersioned(s, idxDir,
         emb.where(col("vec_id") < 10), k = 5, nProbe = 3)
-      out.count() // execute so the assert reads the final (AQE) plan
+      // execute THIS dataframe's own QueryExecution (count() would wrap
+      // it in a new one, leaving out.queryExecution unexecuted) so the
+      // assert reads the plan of the run it just paid for
+      out.queryExecution.toRdd.count()
       require(IvfIndex.isDppPruned(out),
         "q76_ivf_index: vectors scan was not dynamic-partition-pruned")
       out

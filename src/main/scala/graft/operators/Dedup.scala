@@ -104,6 +104,17 @@ object Dedup {
       sortedDistinctHashes(text, n)
     }
 
+  /** The final jaccard filter keeps pairs whose 4-dp ROUNDED score
+    * clears the threshold — a true J as low as threshold - 5e-5 - 1e-9
+    * still rounds up to it. Every PRE-filter (the size-compatibility
+    * prune, the prefix length) must therefore be conservative against
+    * this bound, not the raw threshold: pruning with the raw value
+    * discards borderline pairs the oracle keeps (|A|=9999 ⊆ |B|=19999
+    * at t=0.5: max J = 0.499975 < 0.5 fails the raw prune but rounds
+    * to 0.5000 and passes the final filter). */
+  private def roundSlackThreshold(threshold: Double): Double =
+    threshold - 5.0001e-5
+
   /** One-pass pair emitter over a per-shingle member list, with the
     * size-compatibility prune (J <= min(sz)/max(sz)) applied inline.
     * The declarative nested-transform/slice formulation was interpreted
@@ -118,6 +129,7 @@ object Dedup {
     val out = ArrayType(StructType(Seq(
       StructField("id_a", idType), StructField("sz_a", IntegerType),
       StructField("id_b", idType), StructField("sz_b", IntegerType))))
+    val tEff = roundSlackThreshold(threshold)
     org.apache.spark.sql.functions.udf(
       new org.apache.spark.sql.api.java.UDF1[scala.collection.Seq[
         org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row]] {
@@ -133,7 +145,7 @@ object Dedup {
             while (j < m) {
               val b = ms(j); val szB = b.getInt(1)
               val lo = math.min(szA, szB); val hi = math.max(szA, szB)
-              if (lo >= hi * threshold)
+              if (lo >= hi * tEff)
                 buf += org.apache.spark.sql.Row(
                   a.get(0), szA, b.get(0), szB)
               j += 1
@@ -238,8 +250,12 @@ object Dedup {
       .where(size(col("shs")) > 0)
       .withColumn("sz", size(col("shs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1)
-      .cast("int")
+    // prefix computed against the round-slack threshold (see
+    // roundSlackThreshold): a marginally longer prefix, never a
+    // dropped borderline pair
+    val prefixLen =
+      (col("sz") - ceil(col("sz") * roundSlackThreshold(threshold)) + 1)
+        .cast("int")
     val pref = sets.select(col("id"), col("sz"),
       explode(slice(col("shs"), lit(1), greatest(prefixLen, lit(1))))
         .as("h"))
@@ -530,7 +546,16 @@ object Dedup {
     * chains and the alternating large-star/small-star scheme (Kiveris
     * et al. 2014) is the O(log n)-round upgrade path if a corpus ever
     * produces deep chains. Converged-early detection stops the loop as
-    * soon as a round changes nothing. */
+    * soon as a round changes nothing; exhausting `maxRounds` WITHOUT
+    * converging throws — truncated propagation would silently report
+    * a 15-hop neighborhood min as the cluster representative, and a
+    * loud failure (raise maxRounds) beats a wrong survivor set.
+    *
+    * Pair endpoints missing from `ids` are handled: propagation runs
+    * over ids ∪ endpoints (a bridge doc filtered out of `ids` still
+    * connects its neighbors), and the output is then restricted back
+    * to `ids` — note cluster_rep can therefore be an id outside `ids`
+    * when the component min was filtered out. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
       idCol: String = "id", idACol: String = "id_a",
       idBCol: String = "id_b", maxRounds: Int = 15): DataFrame = {
@@ -540,7 +565,15 @@ object Dedup {
       .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
+    val idsOnly = ids.select(col(idCol).as("id"))
+    // seed with ids ∪ endpoints: an endpoint absent from `ids` must
+    // still carry labels across (and be visible to the convergence
+    // check — an inner-join change count over `ids` alone would read
+    // an endpoint-only change as convergence)
+    var labels = idsOnly
+      .union(edges.select(col("src").as("id")))
+      .distinct()
+      .withColumn("rep", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var round = 0
     var converged = false
@@ -560,10 +593,19 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "a component's diameter exceeds the cap; raise maxRounds " +
+          "(labels would otherwise be silently truncated to a " +
+          s"$maxRounds-hop neighborhood min)")
+    }
     val out = labels
     val prev = lastCcRelease.getAndSet(() => { out.unpersist(); () })
     if (prev != null) prev()
-    labels.select(col("id").as(idCol), col("rep").as("cluster_rep"))
+    labels.join(idsOnly, "id")
+      .select(col("id").as(idCol), col("rep").as("cluster_rep"))
   }
 
   /** Corpus-global line deduplication (the RefinedWeb / MassiveText

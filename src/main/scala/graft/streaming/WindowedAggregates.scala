@@ -45,4 +45,33 @@ object WindowedAggregates {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Watermarked stream-stream INTERVAL join — the two-stream
+    * Structured Streaming primitive: enrich a fact stream with context
+    * rows that share a key AND arrive within a bounded event-time
+    * interval (impression ⋈ click, request ⋈ response, doc ⋈ its
+    * crawl-status update). Both sides carry watermarks and the join
+    * condition bounds the right side's event time to
+    * [leftTs - lowerBound, leftTs + upperBound]; together those let
+    * Spark EVICT buffered rows once the watermark clears the interval —
+    * the only join formulation whose state stays bounded on an
+    * unbounded ingest stream (an unconstrained stream-stream join
+    * buffers both streams forever). Inner join; matches emit as soon as
+    * both sides have arrived. The right-side key column is dropped from
+    * the output (it equals the left's). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, watermarkDelay: String,
+      lowerBound: String, upperBound: String): DataFrame = {
+    require(leftTs != rightTs,
+      "leftTs and rightTs must have distinct names (both appear in " +
+        "the joined output)")
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r, col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >=
+          col(s"l.$leftTs") - expr(s"INTERVAL $lowerBound") &&
+        col(s"r.$rightTs") <=
+          col(s"l.$leftTs") + expr(s"INTERVAL $upperBound"))
+      .drop(col(s"r.$keyCol"))
+  }
 }

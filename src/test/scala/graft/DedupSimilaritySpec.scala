@@ -72,6 +72,20 @@ class DedupSimilaritySpec extends SparkSuite {
       5L -> 5L, 9L -> 5L, 7L -> 7L))
   }
 
+  test("connectedComponents with ids ⊄ pair endpoints: bridge nodes " +
+      "outside `ids` still connect, output restricted to `ids`") {
+    val s = initSpark()
+    import s.implicits._
+    // doc 1 was filtered out of `ids` but bridges 2 and 3; the labels
+    // must still flow through it, and the output must have exactly one
+    // row per input id (rep may be the filtered-out component min)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val ids = Seq(2L, 3L, 7L).toDF("doc_id")
+    val reps = Dedup.connectedComponents(ids, pairs, idCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(2L -> 1L, 3L -> 1L, 7L -> 7L))
+  }
+
   test("dsirScore favors docs that look like the target corpus") {
     val s = initSpark()
     import s.implicits._
@@ -91,6 +105,30 @@ class DedupSimilaritySpec extends SparkSuite {
     // bucket space dominates the raw counts
     assert(out(1L) > out(3L) && out(3L) > out(2L),
       s"ordering violated: $out")
+  }
+
+  test("borderline jaccard that ROUNDS up to the threshold survives " +
+      "the size prune (round-slack regression)") {
+    val s = initSpark()
+    import s.implicits._
+    // A ⊆ B with |A|=9999 shingles, |B|=19999: true J = 9999/19999 =
+    // 0.4999749... < 0.5, but round(J + 1e-9, 4) = 0.5 passes the final
+    // filter — the old raw-threshold prune (lo >= hi*t: 9999 >= 9999.5)
+    // discarded the pair before scoring, diverging from the oracle
+    val wordsB = (1 to 20001).map(i => s"w$i").mkString(" ")
+    val wordsA = (1 to 10001).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, wordsA), (2L, wordsB)).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(exact === Map((1L, 2L) -> 0.5),
+      s"borderline pair missing or mis-scored: $exact")
+    val prefix = Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(prefix === exact, "prefix path must equal the exact path")
   }
 
   test("shingles emits distinct n-grams, none for too-short docs") {

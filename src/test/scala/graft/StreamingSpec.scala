@@ -112,6 +112,36 @@ class StreamingSpec extends SparkSuite {
     assert(rows === Set(("click", 2L)))
   }
 
+  test("stream-stream interval join: matches within the bound emit, " +
+      "outside it never join (bounded state by watermark)") {
+    val s = initSpark()
+    import s.implicits._
+    val impressions = MemoryStream[(java.sql.Timestamp, String, Double)](s)
+    val clicks = MemoryStream[(java.sql.Timestamp, String, String)](s)
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 00:$min%02d:00")
+    val joined = graft.streaming.WindowedAggregates.intervalJoin(
+      impressions.toDS().toDF("imp_ts", "ad_id", "cost"),
+      clicks.toDS().toDF("click_ts", "ad_id", "user"),
+      keyCol = "ad_id", leftTs = "imp_ts", rightTs = "click_ts",
+      watermarkDelay = "5 minutes",
+      lowerBound = "0 seconds", upperBound = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      impressions.addData((ts(1), "adA", 1.5), (ts(2), "adB", 2.0))
+      clicks.addData(
+        (ts(5), "adA", "u1"),   // within 10 min of adA's impression
+        (ts(40), "adB", "u2"),  // same key, 38 min later — outside
+        (ts(6), "adC", "u3"))   // no matching impression key
+      q.processAllAvailable()
+      val rows = s.sql("SELECT ad_id, user, cost FROM ss_join")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getDouble(2))).toSet
+      assert(rows === Set(("adA", "u1", 1.5)))
+    } finally q.stop()
+  }
+
   test("out-of-order events within a batch apply in operation order") {
     val s = initSpark()
     import s.implicits._
