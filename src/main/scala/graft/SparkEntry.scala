@@ -449,6 +449,20 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // ---- Sequence packing (LLM training-data assembly): where each
+    // doc's tokens land in the concat-and-chunk stream — exclusive
+    // global cumsum, sequence id, in-sequence offset. Two-phase scan
+    // (bucket summary + partitioned window), NOT a single-task global
+    // window; groupWidth=64 so the bucket path is exercised (79 buckets
+    // at sf0.1), seqLen=2048 (GPT-2 context). ----
+    "q85_seq_pack" -> ((s, dir) => {
+      import graft.operators.SequencePack
+      SequencePack.packOrder(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextMetrics.tokenCountEstimate(col("text")).as("est_tokens")),
+        "doc_id", "est_tokens", seqLen = 2048L, groupWidth = 64L)
+    }),
+
     // ---- Language-ID heuristic (SURVEY F12 analogue) ----
     "q18_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1410,6 +1424,23 @@ object SparkEntry {
          LEFT JOIN tgtct USING (b)
          CROSS JOIN tots
          GROUP BY doc_id""",
+
+    "q85_seq_pack" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\w{1,4}|[^\w\s]'))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+           FROM tk)
+         SELECT doc_id, n_tokens, cum_before,
+           cum_before // 2048 AS seq_id,
+           cum_before % 2048 AS seq_offset
+         FROM c""",
 
     "q79_pii_redact" ->
       """SELECT doc_id,

@@ -86,6 +86,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(reps === Map(2L -> 1L, 3L -> 1L, 7L -> 7L))
   }
 
+  test("sequence packing: two-phase cumsum equals the naive global " +
+      "window, sparse ids and zero-token docs included") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.SequencePack
+    import org.apache.spark.sql.expressions.{Window => W}
+    // sparse non-contiguous ids across several buckets (width 4),
+    // including a zero-token doc
+    val docs = Seq((0L, 100L), (1L, 2000L), (5L, 0L), (7L, 50L),
+      (12L, 4096L), (13L, 1L), (40L, 7L))
+      .toDF("doc_id", "est_tokens")
+    val packed = SequencePack.packOrder(docs, "doc_id", "est_tokens",
+        seqLen = 1024L, groupWidth = 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val naive = docs.withColumn("cum", coalesce(
+        sum(col("est_tokens")).over(W.orderBy(col("doc_id"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(2) / 1024L, r.getLong(2) % 1024L)))
+      .toMap
+    assert(packed === naive)
+    // plan shape: no unpartitioned window over the corpus — the only
+    // window without a partition key must run over the bucket summary
+    // (an Aggregate below it), never the raw doc stream
+    val plan = SequencePack.packOrder(docs, "doc_id", "est_tokens",
+      1024L, 4L).queryExecution.optimizedPlan.toString()
+    assert(plan.contains("windowspecdefinition(__bucket"),
+      "per-bucket partitioned window missing:\n" + plan.take(1500))
+  }
+
   test("dsirScore favors docs that look like the target corpus") {
     val s = initSpark()
     import s.implicits._
