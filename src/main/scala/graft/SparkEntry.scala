@@ -43,6 +43,14 @@ object SparkEntry {
     * division — double division would lose ns precision at 1e18. */
   private val tsSec: Column = expr("ts DIV 1000000000")
 
+  /** Hex md5 of a string — the per-corpus-dir discriminator both q76
+    * (index cache key) and q81 (bucketed table/path suffix) derive
+    * from; one definition so a future canonicalization change (e.g.
+    * absolute-path normalization) lands in both. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Deterministic derived multi-line view for the line-level operators
     * (q80/q82 vacuity rule — the synthetic corpus has ZERO newlines and
     * ZERO punctuation at every SF, measured, so raw-text line ops would
@@ -382,9 +390,7 @@ object SparkEntry {
       // processes on DIFFERENT scale factors stay isolated (same-SF
       // concurrency would need q76-style versioned publish — out of
       // scope for a bench query; single-process reps just Overwrite)
-      val disc = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_))
-        .mkString.take(8)
+      val disc = md5Hex(dir).take(8)
       val tmp = System.getProperty("java.io.tmpdir") + s"/graft_bw_$disc"
       val ordersTbl = s"bw_orders_$disc"
       val customerTbl = s"bw_customer_$disc"
@@ -564,9 +570,7 @@ object SparkEntry {
         s"$dir|$parts"
       }
       val idxDir = System.getProperty("java.io.tmpdir") +
-        "/graft_ivf_index_" + java.security.MessageDigest
-          .getInstance("MD5").digest(sig.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
+        "/graft_ivf_index_" + md5Hex(sig)
       if (IvfIndex.currentVersion(idxDir).isEmpty)
         IvfIndex.buildVersioned(emb, idxDir, stride = 20)
       val out = IvfIndex.topKVersioned(s, idxDir,

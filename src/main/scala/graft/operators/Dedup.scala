@@ -535,7 +535,7 @@ object Dedup {
     * id in its component (the deterministic canonical survivor; keep
     * rows where id == cluster_rep, drop the rest). Ids absent from any
     * pair are their own singleton cluster, so the output has exactly
-    * one row per input id.
+    * one row per DISTINCT input id (duplicate input rows collapse).
     *
     * Algorithm: iterative min-label propagation to a fixed point. Each
     * round is one labels⋈edges shuffle join + a min-aggregation; the
@@ -565,7 +565,9 @@ object Dedup {
       .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val idsOnly = ids.select(col(idCol).as("id"))
+    // distinct: a duplicated input id must not fan out the final
+    // restriction join (contract: one output row per distinct id)
+    val idsOnly = ids.select(col(idCol).as("id")).distinct()
     // seed with ids ∪ endpoints: an endpoint absent from `ids` must
     // still carry labels across (and be visible to the convergence
     // check — an inner-join change count over `ids` alone would read

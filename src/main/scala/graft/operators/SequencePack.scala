@@ -38,13 +38,26 @@ import org.apache.spark.sql.functions._
   */
 object SequencePack {
 
+  /** Previous invocation's persisted base table, released on the next
+    * call (LanguageModel precedent: unpersisting a frame a running
+    * query still references only forces recompute, never wrongness). */
+  private val lastRelease =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+
   def packOrder(docs: DataFrame, idCol: String, tokensCol: String,
       seqLen: Long, groupWidth: Long = 1000000L): DataFrame = {
     require(seqLen > 0 && groupWidth > 0,
       "seqLen and groupWidth must be positive")
+    // persisted: two plan branches read it (the bucket-sum aggregation
+    // and the join's left side) — without the persist the upstream
+    // token-count expression (a full-text regex scan in q85) runs over
+    // the corpus twice (jaccardPairsPrefixScoped precedent)
     val base = docs.select(col(idCol).cast("long").as("id"),
         col(tokensCol).cast("long").as("toks"))
       .withColumn("__bucket", expr(s"id DIV $groupWidth"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastRelease.getAndSet(() => { base.unpersist(); () })
+    if (prev != null) prev()
     val bucketSums = base.groupBy("__bucket")
       .agg(sum("toks").as("__bsum"))
     // exclusive prefix sum over the bucket SUMMARY — the one

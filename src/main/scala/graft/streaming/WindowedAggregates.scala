@@ -62,9 +62,13 @@ object WindowedAggregates {
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, watermarkDelay: String,
       lowerBound: String, upperBound: String): DataFrame = {
-    require(leftTs != rightTs,
-      "leftTs and rightTs must have distinct names (both appear in " +
-        "the joined output)")
+    // every column shared by both sides except the join key would be
+    // ambiguous downstream (the key itself is deduplicated below)
+    val overlap = (left.columns.toSet intersect right.columns.toSet) -
+      keyCol
+    require(overlap.isEmpty,
+      s"column names ${overlap.mkString(", ")} appear on BOTH streams — " +
+        "rename one side (only the join key may be shared)")
     val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
     val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
     l.join(r, col(s"l.$keyCol") === col(s"r.$keyCol") &&

@@ -108,13 +108,23 @@ class DedupSimilaritySpec extends SparkSuite {
         ((r.getLong(2), r.getLong(2) / 1024L, r.getLong(2) % 1024L)))
       .toMap
     assert(packed === naive)
-    // plan shape: no unpartitioned window over the corpus — the only
-    // window without a partition key must run over the bucket summary
-    // (an Aggregate below it), never the raw doc stream
-    val plan = SequencePack.packOrder(docs, "doc_id", "est_tokens",
-      1024L, 4L).queryExecution.optimizedPlan.toString()
-    assert(plan.contains("windowspecdefinition(__bucket"),
-      "per-bucket partitioned window missing:\n" + plan.take(1500))
+    // plan shape: exactly one window may lack a partition key, and it
+    // must run over the bucket-summary AGGREGATE — never the raw doc
+    // stream; the per-doc window must be partitioned by __bucket.
+    // (String-matching the plan was satisfiable by either window —
+    // inspect the logical nodes instead.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    val lplan = SequencePack.packOrder(docs, "doc_id", "est_tokens",
+      1024L, 4L).queryExecution.optimizedPlan
+    val wins = lplan.collect { case w: LWindow => w }
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(wins.size === 2 && unpart.size === 1,
+      s"expected 1 partitioned + 1 summary window, got ${wins.size} " +
+        s"windows / ${unpart.size} unpartitioned:\n$lplan")
+    assert(unpart.head.collectFirst { case a: Aggregate => a }.nonEmpty,
+      "the unpartitioned window must sit above the bucket-summary " +
+        s"aggregate, not the corpus:\n${unpart.head}")
   }
 
   test("dsirScore favors docs that look like the target corpus") {
