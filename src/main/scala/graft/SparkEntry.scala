@@ -437,8 +437,11 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.2)
+      // idsCoverEndpoints: pairs derive from the same docs frame, and
+      // doc_id is unique — the filtered-ids seeding/restriction
+      // exchanges would be pure overhead here
       Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
-          idCol = "doc_id")
+          idCol = "doc_id", idsCoverEndpoints = true)
         .withColumn("keep", col("doc_id") === col("cluster_rep"))
     }),
 

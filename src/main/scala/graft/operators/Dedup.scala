@@ -555,10 +555,17 @@ object Dedup {
     * over ids ∪ endpoints (a bridge doc filtered out of `ids` still
     * connects its neighbors), and the output is then restricted back
     * to `ids` — note cluster_rep can therefore be an id outside `ids`
-    * when the component min was filtered out. */
+    * when the component min was filtered out. When the caller KNOWS
+    * every endpoint appears in `ids` AND `ids` has no duplicate rows
+    * (the common case: pairs derived from the same corpus frame), pass
+    * `idsCoverEndpoints = true` to skip the seeding union+distinct and
+    * the final restriction join — at corpus scale those are two real
+    * exchanges over corpus-sized tables bought purely for the filtered-
+    * ids contract. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
       idCol: String = "id", idACol: String = "id_a",
-      idBCol: String = "id_b", maxRounds: Int = 15): DataFrame = {
+      idBCol: String = "id_b", maxRounds: Int = 15,
+      idsCoverEndpoints: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .select(col(idACol).as("src"), col(idBCol).as("dst"))
@@ -567,14 +574,15 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // distinct: a duplicated input id must not fan out the final
     // restriction join (contract: one output row per distinct id)
-    val idsOnly = ids.select(col(idCol).as("id")).distinct()
+    val idsOnly =
+      if (idsCoverEndpoints) ids.select(col(idCol).as("id"))
+      else ids.select(col(idCol).as("id")).distinct()
     // seed with ids ∪ endpoints: an endpoint absent from `ids` must
     // still carry labels across (and be visible to the convergence
     // check — an inner-join change count over `ids` alone would read
     // an endpoint-only change as convergence)
-    var labels = idsOnly
-      .union(edges.select(col("src").as("id")))
-      .distinct()
+    var labels = (if (idsCoverEndpoints) idsOnly
+      else idsOnly.union(edges.select(col("src").as("id"))).distinct())
       .withColumn("rep", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var round = 0
@@ -606,8 +614,9 @@ object Dedup {
     val out = labels
     val prev = lastCcRelease.getAndSet(() => { out.unpersist(); () })
     if (prev != null) prev()
-    labels.join(idsOnly, "id")
-      .select(col("id").as(idCol), col("rep").as("cluster_rep"))
+    val restricted =
+      if (idsCoverEndpoints) labels else labels.join(idsOnly, "id")
+    restricted.select(col("id").as(idCol), col("rep").as("cluster_rep"))
   }
 
   /** Corpus-global line deduplication (the RefinedWeb / MassiveText

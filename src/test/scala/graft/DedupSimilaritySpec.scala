@@ -70,6 +70,49 @@ class DedupSimilaritySpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       5L -> 5L, 9L -> 5L, 7L -> 7L))
+    // the idsCoverEndpoints fast path (no seeding union, no restriction
+    // join) must agree when its precondition holds
+    val fast = Dedup.connectedComponents(ids, pairs, idCol = "doc_id",
+        idsCoverEndpoints = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === reps)
+  }
+
+  test("connectedComponents agrees with driver-side union-find on " +
+      "random graphs (property)") {
+    val s = initSpark()
+    import s.implicits._
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    def findRoot(parent: Array[Int], x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = findRoot(parent, parent(x))
+        parent(x) }
+    val gen = for {
+      n <- Gen.choose(1, 24)
+      m <- Gen.choose(0, 30)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1),
+        Gen.choose(0, n - 1)))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    val prop = forAll(gen) { case (n, edges) =>
+      val parent = Array.tabulate(n)(identity)
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (findRoot(parent, a), findRoot(parent, b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n)
+        .map(i => i.toLong -> findRoot(parent, i).toLong).toMap
+      val ids = (0 until n).map(_.toLong).toDF("id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.map { case (a, b) => (a.toLong, b.toLong) }
+          .toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(ids, pairs, maxRounds = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("connectedComponents with ids ⊄ pair endpoints: bridge nodes " +
