@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
-import graft.expr.{BytesToFloatVector, CosineSimF32, DotF32, FloatVectorToBytes, SortedLongIntersect, TopKStructs}
+import graft.expr.{BytesToFloatVector, CosineSimF32, DotF32,
+  EliminateVectorCodecRoundTrip, FloatVectorToBytes, SortedLongIntersect,
+  TopKStructs}
 
 /** SparkSessionExtensions registration for the engine's custom Catalyst
   * expressions, making them first-class SQL functions:
@@ -28,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: codec round-trip elimination (see CodecRules)
+    ext.injectOptimizerRule(_ => EliminateVectorCodecRoundTrip)
     ext.injectFunction((FunctionIdentifier("cosine_f32"),
       info("cosine_f32",
         "cosine_f32(a, b) - cosine similarity of two float vectors"),
@@ -78,9 +82,16 @@ object GraftExtensions {
 
 /** Same function set for an ALREADY-RUNNING session (extensions only
   * apply at builder time; getOrCreate on an existing session ignores
-  * them — this path covers notebooks/shells attaching late). */
+  * them — this path covers notebooks/shells attaching late). Also
+  * installs the codec round-trip optimizer rule via the live-session
+  * `experimental.extraOptimizations` hook (idempotent). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations
+        .contains(EliminateVectorCodecRoundTrip))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          EliminateVectorCodecRoundTrip
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_f32",
       (args: Seq[Expression]) => CosineSimF32(args(0), args(1)), "built-in")

@@ -41,6 +41,35 @@ class ExtensionsSpec extends SparkSuite {
     assert(got(2) === Seq((1L, "z")))
   }
 
+  test("codec round-trip rule: bytes_to_vec(vec_to_bytes(x)) vanishes " +
+      "from the plan for non-null arrays, stays for nullable elements") {
+    val s = initSpark()
+    GraftFunctions.register(s)
+    import s.implicits._
+    // repartition(1) breaks ConvertToLocalRelation — over a bare
+    // LocalRelation the optimizer EVALUATES the projection eagerly and
+    // both assertions would pass/fail on folding, not on the rule
+    val df = Seq((Array(1.5f, -2.25f), 1)).toDF("v", "k").repartition(1)
+    // Array[Float] encoder -> containsNull = false: rule fires
+    val clean = df.selectExpr("bytes_to_vec(vec_to_bytes(v)) AS r")
+    val cleanPlan = clean.queryExecution.optimizedPlan.toString()
+    assert(!cleanPlan.contains("bytestofloatvector") &&
+      !cleanPlan.contains("BytesToFloatVector"),
+      "round-trip not eliminated:\n" + cleanPlan)
+    assert(clean.head().getSeq[Float](0).toSeq === Seq(1.5f, -2.25f))
+    // nullable elements (array built from a column + a NULL literal —
+    // column-derived so constant folding cannot collapse it): a null
+    // element encodes as 0.0f, so the rule must NOT fire — and the
+    // executed round-trip indeed differs from the input
+    val nullable = df.selectExpr(
+      "bytes_to_vec(vec_to_bytes(array(v[0], CAST(NULL AS FLOAT)))) AS r")
+    val nullablePlan = nullable.queryExecution.optimizedPlan.toString()
+    assert(nullablePlan.contains("bytestofloatvector") ||
+      nullablePlan.contains("BytesToFloatVector"),
+      "rule fired on a nullable-element array:\n" + nullablePlan)
+    assert(nullable.head().getSeq[Float](0).toSeq === Seq(1.5f, 0.0f))
+  }
+
   test("builder-time extensions produce a session with the functions") {
     // verify the GraftExtensions wiring compiles against a builder even
     // though the shared harness session precludes creating it here
