@@ -43,6 +43,48 @@ object SparkEntry {
     * division — double division would lose ns precision at 1e18. */
   private val tsSec: Column = expr("ts DIV 1000000000")
 
+  /** The q83/q86 oracle: exact jaccard pair graph (q21 form) closed
+    * transitively by a recursive CTE, min id as representative. ONE
+    * definition for both queries — q86's star contraction must produce
+    * exactly q83's min-label clustering, so they share the oracle by
+    * construction. */
+  private val DupClustersOracle: String =
+    """WITH RECURSIVE w AS (
+         SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS ws
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, shingle FROM (
+           SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(ws) - 2, 0) + 1),
+             i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+           FROM w)),
+       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle
+         WHERE a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id),
+       p AS (
+         SELECT id_a, id_b FROM (
+           SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE) /
+               CAST(sa.sz + sb.sz - inter AS DOUBLE) + 1e-9, 4)
+               AS jaccard
+           FROM inter
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b)
+         WHERE jaccard >= 0.2),
+       e AS (SELECT id_a AS src, id_b AS dst FROM p
+             UNION SELECT id_b, id_a FROM p),
+       r(id, rep) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.rep FROM r JOIN e ON e.src = r.id)
+       SELECT id AS doc_id, min(rep) AS cluster_rep,
+         id = min(rep) AS keep
+       FROM r GROUP BY id"""
+
   /** Hex md5 of a string — the per-corpus-dir discriminator both q76
     * (index cache key) and q81 (bucketed table/path suffix) derive
     * from; one definition so a future canonicalization change (e.g.
@@ -442,6 +484,20 @@ object SparkEntry {
       // exchanges would be pure overhead here
       Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
           idCol = "doc_id", idsCoverEndpoints = true)
+        .withColumn("keep", col("doc_id") === col("cluster_rep"))
+    }),
+
+    // ---- Same clustering through the O(log n)-round large-star/
+    // small-star contraction (Kiveris et al. 2014) — the adversarial-
+    // diameter algorithm; must produce EXACTLY q83's clusters (same
+    // recursive-CTE oracle), proving the two formulations agree on a
+    // real corpus, cross-engine. ----
+    "q86_dup_clusters_star" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      Dedup.connectedComponentsStar(docs.select(col("doc_id")), pairs,
+          idCol = "doc_id")
         .withColumn("keep", col("doc_id") === col("cluster_rep"))
     }),
 
@@ -1362,42 +1418,11 @@ object SparkEntry {
          FROM te JOIN tr USING (shingle)
          GROUP BY test_id, train_id""",
 
-    "q83_dup_clusters" ->
-      """WITH RECURSIVE w AS (
-           SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\s+') AS ws
-           FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, shingle FROM (
-             SELECT doc_id, unnest(list_transform(
-               range(1, greatest(len(ws) - 2, 0) + 1),
-               i -> array_to_string(ws[i:i+2], ' '))) AS shingle
-             FROM w)),
-         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-           FROM sh a JOIN sh b ON a.shingle = b.shingle
-           WHERE a.doc_id < b.doc_id
-           GROUP BY a.doc_id, b.doc_id),
-         p AS (
-           SELECT id_a, id_b FROM (
-             SELECT id_a, id_b,
-               round(CAST(inter AS DOUBLE) /
-                 CAST(sa.sz + sb.sz - inter AS DOUBLE) + 1e-9, 4)
-                 AS jaccard
-             FROM inter
-             JOIN sz sa ON sa.doc_id = id_a
-             JOIN sz sb ON sb.doc_id = id_b)
-           WHERE jaccard >= 0.2),
-         e AS (SELECT id_a AS src, id_b AS dst FROM p
-               UNION SELECT id_b, id_a FROM p),
-         r(id, rep) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.rep FROM r JOIN e ON e.src = r.id)
-         SELECT id AS doc_id, min(rep) AS cluster_rep,
-           id = min(rep) AS keep
-         FROM r GROUP BY id""",
+    "q83_dup_clusters" -> DupClustersOracle,
+
+    // identical oracle by design: the star-contraction algorithm must
+    // produce exactly the min-label clustering
+    "q86_dup_clusters_star" -> DupClustersOracle,
 
     "q84_dsir_weights" ->
       """WITH w AS (

@@ -521,13 +521,6 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
-  /** Previous connectedComponents invocation's persisted label table —
-    * released fire-and-forget on the next call (LanguageModel
-    * precedent: unpersisting a table a still-running query references
-    * only forces recompute, never a wrong result). */
-  private val lastCcRelease =
-    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
-
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise evidence (jaccardPairs / minhashLshPairs /
     * simhashPairs / embeddingNearDupPairs) into duplicate CLUSTERS a
@@ -591,9 +584,16 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("rep"))
+      // localCheckpoint, not persist: the loop-carried frame must have
+      // its LINEAGE truncated each round — each iteration's plan embeds
+      // the previous one's twice (union + change-count join), so
+      // without truncation the logical plan doubles per round and
+      // analysis/optimization time (and plan-toString memory) explodes
+      // exponentially. Single-JVM form; a cluster deployment with
+      // executor-loss tolerance would use reliable checkpoint(dir).
       val next = labels.select("id", "rep").union(viaNeighbors)
         .groupBy("id").agg(min("rep").as("rep"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("rep", "__prev"), "id")
         .where(col("rep") =!= col("__prev")).count()
@@ -611,12 +611,103 @@ object Dedup {
           "(labels would otherwise be silently truncated to a " +
           s"$maxRounds-hop neighborhood min)")
     }
-    val out = labels
-    val prev = lastCcRelease.getAndSet(() => { out.unpersist(); () })
-    if (prev != null) prev()
+    // the final labels frame is localCheckpoint-backed; its cached RDD
+    // is reclaimed by the ContextCleaner once the returned DataFrame is
+    // dropped — no explicit release hook needed
     val restricted =
       if (idsCoverEndpoints) labels else labels.join(idsOnly, "id")
     restricted.select(col("id").as(idCol), col("rep").as("cluster_rep"))
+  }
+
+  /** Connected components in O(log n) ROUNDS via alternating
+    * large-star / small-star (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond") — the adversarial-diameter
+    * complement to `connectedComponents`: min-label propagation needs
+    * diameter rounds (fine for clique-ish near-dup graphs, ruinous on
+    * deep chains); star contraction halves component height every
+    * other round regardless of shape.
+    *
+    *   large-star: every node points its LARGER neighbors at the
+    *     minimum of its neighborhood (plus itself);
+    *   small-star: every node points its smaller-or-equal neighbors
+    *     (and itself) at that minimum.
+    *
+    * Both steps are implemented join-first (groupBy-min + join back),
+    * NOT as collect_list neighbor lists — a hub node's neighbor list
+    * is O(degree) and the list form reintroduces the skew the
+    * algorithm exists to avoid. Each round is two shuffles; the edge
+    * set is compared by (count, xor of edge hashes) to detect the
+    * fixed point, at which every component is a star rooted at its
+    * minimum id. Output contract and determinism identical to
+    * `connectedComponents` (one row per distinct input id,
+    * cluster_rep = component min; DedupSimilaritySpec pins equality
+    * on random graphs). */
+  def connectedComponentsStar(ids: DataFrame, pairs: DataFrame,
+      idCol: String = "id", idACol: String = "id_a",
+      idBCol: String = "id_b", maxRounds: Int = 25): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    // localCheckpoint (not persist) on every loop-carried frame: each
+    // round's plan references the previous round's SEVERAL times (sym
+    // union, two groupBy-min joins), so un-truncated lineage grows
+    // ~4x per round and plan analysis explodes exponentially
+    var edges = canon(pairs.select(col(idACol).as("u"),
+        col(idBCol).as("v")))
+      .localCheckpoint(true)
+    // (count, xor-of-edge-hashes) as the cheap fixed-point precheck:
+    // bit_xor never overflows (ANSI mode rejects sum() of hashes) and
+    // is order-independent; a signature MATCH is then confirmed with
+    // an exact exceptAll — so a 2^-64 xor collision costs one extra
+    // comparison, never a wrong early stop
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = checksum(edges)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star over the SYMMETRIC view: m(u) = min(N(u) ∪ {u});
+      // larger neighbors re-point at m
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = canon(sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+        .localCheckpoint(true)
+      // small-star over the larger-key-directed view: all smaller
+      // neighbors (and the node itself) point at the minimum
+      val minsS = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val joined = afterLarge.join(minsS, "u")
+      val afterSmall = canon(
+        joined.select(col("v").as("u"), col("m").as("v"))
+          .union(joined.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      val nextSig = checksum(afterSmall)
+      converged = nextSig == sig &&
+        afterSmall.exceptAll(edges).isEmpty
+      edges = afterSmall
+      sig = nextSig
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds " +
+          "rounds — raise maxRounds (expected O(log n))")
+    // fixed point: edges are star edges (node -> component min)
+    val idsOnly = ids.select(col(idCol).as("id")).distinct()
+    val starred = edges.select(col("u").as("id"), col("v").as("rep"))
+    // checkpointed edge RDDs are reclaimed by the ContextCleaner once
+    // unreferenced — no explicit unpersist needed
+    idsOnly.join(starred, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("rep"), col("id")).as("cluster_rep"))
   }
 
   /** Corpus-global line deduplication (the RefinedWeb / MassiveText

@@ -108,11 +108,30 @@ class DedupSimilaritySpec extends SparkSuite {
           .toDF("id_a", "id_b")
       val got = Dedup.connectedComponents(ids, pairs, maxRounds = 30)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got == expect
+      val star = Dedup.connectedComponentsStar(ids, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expect && star == expect
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("star contraction resolves a deep chain in O(log n) rounds " +
+      "where min-label propagation would need diameter rounds") {
+    val s = initSpark()
+    import s.implicits._
+    // path graph 0-1-2-...-79: diameter 79. Min-label propagation at
+    // maxRounds=15 must refuse loudly; star contraction converges.
+    val pairs = (0L until 79L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (0L until 80L).toDF("doc_id")
+    val star = Dedup.connectedComponentsStar(ids, pairs, idCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size === 80 && star.values.forall(_ == 0L))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(ids, pairs, idCol = "doc_id",
+        maxRounds = 15, idsCoverEndpoints = true).count()
+    }
   }
 
   test("connectedComponents with ids ⊄ pair endpoints: bridge nodes " +
