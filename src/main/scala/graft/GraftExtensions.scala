@@ -87,7 +87,15 @@ object GraftExtensions {
   * `experimental.extraOptimizations` hook (idempotent). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraOptimizations
+    // idempotent across BOTH registration paths: a session built with
+    // GraftExtensions already carries the rule in the operator-
+    // optimization batch (extendedOperatorOptimizationRules) — adding
+    // it to extraOptimizations too would run a redundant fixed-point
+    // batch on every plan
+    val alreadyInjected = spark.sessionState.optimizer
+      .extendedOperatorOptimizationRules
+      .contains(EliminateVectorCodecRoundTrip)
+    if (!alreadyInjected && !spark.experimental.extraOptimizations
         .contains(EliminateVectorCodecRoundTrip))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+

@@ -497,7 +497,7 @@ object SparkEntry {
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.2)
       Dedup.connectedComponentsStar(docs.select(col("doc_id")), pairs,
-          idCol = "doc_id")
+          idCol = "doc_id", idsCoverEndpoints = true)
         .withColumn("keep", col("doc_id") === col("cluster_rep"))
     }),
 
@@ -1003,10 +1003,21 @@ object SparkEntry {
     "q63_vector_codec" -> ((s, dir) => {
       val enc = graft.expr.VectorCodec.floatVectorToBytes(col("embedding"))
       val dec = graft.expr.VectorCodec.bytesToFloatVector(enc)
-      t(s, dir, "embeddings")
+      val out = t(s, dir, "embeddings")
         .select(col("vec_id"),
           octet_length(enc).as("n_bytes"),
           (dec === col("embedding")).as("roundtrip_ok"))
+      // this query IS the codec's bit-exactness gate: in a session with
+      // the EliminateVectorCodecRoundTrip rule active AND a non-null
+      // element schema, the optimizer would rewrite roundtrip_ok to
+      // embedding === embedding — vacuously true while a real decode
+      // bug ships (the oracle emits literal true and cannot notice).
+      // Require the decode kernel to still be IN the plan, loudly.
+      require(out.queryExecution.optimizedPlan.toString()
+          .toLowerCase.contains("bytestofloatvector"),
+        "q63_vector_codec: the decode kernel was optimized out — the " +
+          "round-trip check is vacuous in this session")
+      out
     }),
 
     // ---- Salted replicate join (SURVEY R-skew): hot-key mitigation

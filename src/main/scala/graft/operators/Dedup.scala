@@ -521,6 +521,20 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** Deterministically free a `localCheckpoint(true)`-backed frame's
+    * cached blocks. `Dataset.unpersist` only talks to the CacheManager
+    * and is a no-op on checkpoint-backed frames; without an explicit
+    * release every superseded round's full table copy lingers until a
+    * driver GC lets the ContextCleaner run (periodic GC default:
+    * 30 min) — at corpus scale that is maxRounds coexisting copies.
+    * The checkpointed RDD sits in the frame's LogicalRDD leaf. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise evidence (jaccardPairs / minhashLshPairs /
     * simhashPairs / embeddingNearDupPairs) into duplicate CLUSTERS a
@@ -597,7 +611,11 @@ object Dedup {
       val changed = next
         .join(labels.withColumnRenamed("rep", "__prev"), "id")
         .where(col("rep") =!= col("__prev")).count()
+      // round 1's labels are persist-backed (unpersist), later rounds
+      // checkpoint-backed (releaseCheckpoint); both calls are no-ops on
+      // the other backing, so apply both
       labels.unpersist()
+      releaseCheckpoint(labels)
       labels = next
       converged = changed == 0L
       round += 1
@@ -635,16 +653,22 @@ object Dedup {
     * Both steps are implemented join-first (groupBy-min + join back),
     * NOT as collect_list neighbor lists — a hub node's neighbor list
     * is O(degree) and the list form reintroduces the skew the
-    * algorithm exists to avoid. Each round is two shuffles; the edge
-    * set is compared by (count, xor of edge hashes) to detect the
-    * fixed point, at which every component is a star rooted at its
-    * minimum id. Output contract and determinism identical to
+    * algorithm exists to avoid. Per-round cost: ~six exchanges (each
+    * half-round is a groupBy-min, a join, and a canon distinct) plus
+    * two checkpoint materializations and the checksum job — a CONSTANT
+    * factor heavier than a min-label round, bought for O(log n) rounds
+    * instead of O(diameter). The edge set is compared by (count, xor
+    * of edge hashes) and confirmed exactly to detect the fixed point,
+    * at which every component is a star rooted at its minimum id.
+    * Output contract and determinism identical to
     * `connectedComponents` (one row per distinct input id,
     * cluster_rep = component min; DedupSimilaritySpec pins equality
-    * on random graphs). */
+    * on random graphs; `idsCoverEndpoints` skips the ids distinct as
+    * in connectedComponents — the singleton left join remains). */
   def connectedComponentsStar(ids: DataFrame, pairs: DataFrame,
       idCol: String = "id", idACol: String = "id_a",
-      idBCol: String = "id_b", maxRounds: Int = 25): DataFrame = {
+      idBCol: String = "id_b", maxRounds: Int = 25,
+      idsCoverEndpoints: Boolean = false): DataFrame = {
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
@@ -675,8 +699,11 @@ object Dedup {
       // larger neighbors re-point at m
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
+      // grouping columns are directly referenceable in agg expressions
+      // (first(u) would be equivalent but carries Catalyst's
+      // nondeterministic flag)
       val mins = sym.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
+        .agg(least(min(col("v")), col("u")).as("m"))
       val afterLarge = canon(sym.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
@@ -690,21 +717,29 @@ object Dedup {
           .union(joined.select(col("u"), col("m").as("v"))))
         .localCheckpoint(true)
       val nextSig = checksum(afterSmall)
+      // exceptAll runs eagerly here (isEmpty), so the previous round's
+      // checkpoint can be released either way
       converged = nextSig == sig &&
         afterSmall.exceptAll(edges).isEmpty
+      releaseCheckpoint(afterLarge)
+      releaseCheckpoint(edges)
       edges = afterSmall
       sig = nextSig
       round += 1
     }
-    if (!converged)
+    if (!converged) {
+      releaseCheckpoint(edges)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxRounds " +
           "rounds — raise maxRounds (expected O(log n))")
-    // fixed point: edges are star edges (node -> component min)
-    val idsOnly = ids.select(col(idCol).as("id")).distinct()
+    }
+    // fixed point: edges are star edges (node -> component min). The
+    // left join is needed in EVERY mode (star edges only cover
+    // non-singleton nodes); idsCoverEndpoints skips only the distinct.
+    val idsOnly =
+      if (idsCoverEndpoints) ids.select(col(idCol).as("id"))
+      else ids.select(col(idCol).as("id")).distinct()
     val starred = edges.select(col("u").as("id"), col("v").as("rep"))
-    // checkpointed edge RDDs are reclaimed by the ContextCleaner once
-    // unreferenced — no explicit unpersist needed
     idsOnly.join(starred, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("rep"), col("id")).as("cluster_rep"))
