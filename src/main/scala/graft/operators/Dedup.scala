@@ -745,6 +745,33 @@ object Dedup {
         coalesce(col("rep"), col("id")).as("cluster_rep"))
   }
 
+  /** The CONSUMING form of near-dup clustering: keep one survivor per
+    * cluster (the min-id representative), drop every other member —
+    * what the pipeline materializes after pair evidence is clustered.
+    * One semi-join against the survivor set; `clusters` is the output
+    * of connectedComponents / connectedComponentsStar. */
+  def keepClusterSurvivors(df: DataFrame, clusters: DataFrame,
+      idCol: String): DataFrame = {
+    val survivors = clusters
+      .where(col(idCol) === col("cluster_rep"))
+      .select(col(idCol))
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
+
+  /** End-to-end near-dup dedup: pairs (exact df-capped jaccard — the
+    * 100-TB default, q70 rationale) → connected components → survivors.
+    * The composition of q70 + q83 + keepClusterSurvivors as one call. */
+  def dedupNearDup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val pairs = jaccardPairsCapped(df, idCol, textCol, n, threshold,
+      maxDocFreq)
+    val clusters = connectedComponents(
+      df.select(col(idCol)), pairs, idCol = idCol,
+      idsCoverEndpoints = true)
+    keepClusterSurvivors(df, clusters, idCol)
+  }
+
   /** Corpus-global line deduplication (the RefinedWeb / MassiveText
     * boilerplate scrub): any line whose EXACT text occurs more than
     * `maxFreq` times across the whole corpus — nav bars, cookie banners,

@@ -189,6 +189,24 @@ class DedupSimilaritySpec extends SparkSuite {
         s"aggregate, not the corpus:\n${unpart.head}")
   }
 
+  test("dedupNearDup keeps the min-id survivor per near-dup cluster " +
+      "and every singleton") {
+    val s = initSpark()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (7L, "the quick brown fox jumps over the lazy dog today"),
+      (9L, "completely different content about spark engines here now")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupNearDup(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(_.getLong(0)).sorted
+    // 1,2 exact dups; 7 near-dup of them above 0.5 -> cluster {1,2,7}
+    // survives as 1; 9 is a singleton
+    assert(kept === Array(1L, 9L))
+  }
+
   test("dsirScore favors docs that look like the target corpus") {
     val s = initSpark()
     import s.implicits._
