@@ -501,6 +501,27 @@ object SparkEntry {
         .withColumn("keep", col("doc_id") === col("cluster_rep"))
     }),
 
+    // ---- Trained quality classifier (GPT-3/WebText recipe): logistic
+    // regression over the SAME hashed-gram feature space as q84,
+    // trained in-engine to separate the reference stratum (source =
+    // 'src0') from the background, then scoring every doc. Rows-only
+    // tier (iterative training has no SQL oracle form — q40 precedent);
+    // the spec gates separation accuracy AND bitwise-deterministic
+    // training across partitionings (fixed-point gradient sums). ----
+    "q87_quality_classifier" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val docs = t(s, dir, "documents")
+      // train on a DETERMINISTIC subsample (the GPT-3 recipe: the
+      // classifier trains on a labeled sample, then scores the whole
+      // corpus — training cost is sample-sized, scoring corpus-sized)
+      val labeled = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("label",
+          when(col("source") === "src0", 1).otherwise(0))
+      val model = QualityClassifier.train(labeled, "doc_id", "text",
+        "label", buckets = 1024, iters = 4)
+      QualityClassifier.score(docs, "doc_id", "text", model)
+    }),
+
     // ---- DSIR importance weights (Xie et al. 2023): hashed
     // unigram+bigram log2 ratio of a target reference corpus
     // (source='src0' stands in for the paper's Wikipedia/books) vs the

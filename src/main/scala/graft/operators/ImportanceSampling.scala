@@ -30,9 +30,11 @@ object ImportanceSampling {
   /** (id, bucket) rows: every unigram and bigram of `textCol`, hashed
     * into [0, buckets). `__ws` is materialized before the bigram
     * zip_with so the lambda references a bound array column (the
-    * shingles O(words^2) re-evaluation trap). */
-  private def gramBuckets(df: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame =
+    * shingles O(words^2) re-evaluation trap). Shared with
+    * QualityClassifier — DSIR and the trained filter score the SAME
+    * feature space, so their selections are directly comparable. */
+  private[operators] def gramBuckets(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
     df.select(col(idCol).as("id"),
         filter(split(lower(trim(col(textCol))), "\\s+"),
           w => length(w) > 0).as("__ws"))

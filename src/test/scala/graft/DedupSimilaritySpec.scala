@@ -207,6 +207,39 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(kept === Array(1L, 9L))
   }
 
+  test("quality classifier: separates reference from background, " +
+      "training is bitwise deterministic across partitionings") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.QualityClassifier
+    val good = Seq("insightful analysis of renewable energy policy",
+      "thorough peer reviewed study on climate adaptation",
+      "careful empirical evaluation of education outcomes",
+      "detailed methodology for reproducible research results")
+    val spam = Seq("click here buy cheap pills now discount",
+      "winner winner free prize claim your money",
+      "hot deals cheap cheap buy now click click",
+      "free money winner prize claim discount pills")
+    val rows = (good.zipWithIndex.map { case (t, i) => (i.toLong, t, 1) }
+      ++ spam.zipWithIndex.map { case (t, i) =>
+        ((i + 100).toLong, t, 0) })
+    val docs = rows.toDF("doc_id", "text", "label")
+    val model = QualityClassifier.train(docs, "doc_id", "text", "label",
+      buckets = 512, iters = 40)
+    val scored = QualityClassifier.score(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    good.indices.foreach(i => assert(scored(i.toLong) > 0.5,
+      s"good doc $i scored ${scored(i.toLong)}"))
+    spam.indices.foreach(i => assert(scored((i + 100).toLong) < 0.5,
+      s"spam doc $i scored ${scored((i + 100).toLong)}"))
+    // bitwise determinism: retrain on a differently-partitioned frame —
+    // the fixed-point sums must make every weight IDENTICAL
+    val model2 = QualityClassifier.train(docs.repartition(7), "doc_id",
+      "text", "label", buckets = 512, iters = 40)
+    assert(model2.bias === model.bias)
+    assert(model2.weights.toSeq === model.weights.toSeq)
+  }
+
   test("dsirScore favors docs that look like the target corpus") {
     val s = initSpark()
     import s.implicits._
