@@ -752,8 +752,14 @@ object Dedup {
     * of connectedComponents / connectedComponentsStar. */
   def keepClusterSurvivors(df: DataFrame, clusters: DataFrame,
       idCol: String): DataFrame = {
+    // survivor = min PRESENT id per cluster, NOT id === cluster_rep:
+    // in connectedComponents' filtered-ids mode the representative can
+    // be an id outside the clusters frame (the component min was
+    // filtered out), and an equality pick would silently drop that
+    // whole cluster instead of keeping its smallest surviving member
     val survivors = clusters
-      .where(col(idCol) === col("cluster_rep"))
+      .groupBy("cluster_rep")
+      .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     df.join(survivors, Seq(idCol), "left_semi")
   }
@@ -763,12 +769,23 @@ object Dedup {
     * The composition of q70 + q83 + keepClusterSurvivors as one call. */
   def dedupNearDup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      maxDocFreq: Int = 1000): DataFrame = {
+      maxDocFreq: Int = 1000, maxRounds: Int = 15,
+      useStarContraction: Boolean = false): DataFrame = {
     val pairs = jaccardPairsCapped(df, idCol, textCol, n, threshold,
       maxDocFreq)
-    val clusters = connectedComponents(
-      df.select(col(idCol)), pairs, idCol = idCol,
-      idsCoverEndpoints = true)
+    // maxRounds passes through (the non-convergence error says "raise
+    // maxRounds" — that advice must be followable from this entry
+    // point), and useStarContraction switches to the O(log n)
+    // algorithm for corpora with deep transitive dup chains
+    val clusters =
+      if (useStarContraction)
+        connectedComponentsStar(df.select(col(idCol)), pairs,
+          idCol = idCol, maxRounds = maxRounds,
+          idsCoverEndpoints = true)
+      else
+        connectedComponents(df.select(col(idCol)), pairs,
+          idCol = idCol, maxRounds = maxRounds,
+          idsCoverEndpoints = true)
     keepClusterSurvivors(df, clusters, idCol)
   }
 

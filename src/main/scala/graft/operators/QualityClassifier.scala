@@ -56,7 +56,10 @@ object QualityClassifier {
     val grams = ImportanceSampling.gramBuckets(df, idCol, textCol,
       buckets)
     val counts = grams.groupBy("id", "b").agg(count(lit(1)).as("cnt"))
-    val totals = grams.groupBy("id").agg(count(lit(1)).as("tot"))
+    // totals derive from the already-reduced counts frame — a second
+    // groupBy over the raw gram stream would re-parse and re-shuffle
+    // the whole corpus on the scoring path
+    val totals = counts.groupBy("id").agg(sum(col("cnt")).as("tot"))
     counts.join(totals, "id")
       .select(col("id"), col("b"),
         (col("cnt").cast("double") / col("tot").cast("double")).as("tf"))
@@ -72,8 +75,12 @@ object QualityClassifier {
     val spark = labeled.sparkSession
     val feats = features(labeled, idCol, textCol, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // labels persisted too: every iteration's chained job reads it,
+    // and its lineage is a source scan + filter per call otherwise
     val labels = labeled.select(col(idCol).as("id"),
-      col(labelCol).cast("double").as("y"))
+        col(labelCol).cast("double").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val n = labels.count()
     require(n > 0, "empty training set")
     val w = new Array[Double](buckets)
@@ -107,8 +114,14 @@ object QualityClassifier {
       }
       it += 1
     }
-    feats.unpersist()
     Model(w, bias, buckets)
+    } finally {
+      // deterministic release even when an iteration throws (task
+      // failure, ANSI cast overflow under a diverging lr) — a leaked
+      // cached sample would otherwise wait on the ContextCleaner
+      feats.unpersist()
+      labels.unpersist()
+    }
   }
 
   /** Score documents: (id, quality_score 4-dp sigmoid probability).

@@ -143,9 +143,18 @@ class DedupSimilaritySpec extends SparkSuite {
     // row per input id (rep may be the filtered-out component min)
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val ids = Seq(2L, 3L, 7L).toDF("doc_id")
-    val reps = Dedup.connectedComponents(ids, pairs, idCol = "doc_id")
+    val clusters = Dedup.connectedComponents(ids, pairs, idCol = "doc_id")
+    val reps = clusters
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reps === Map(2L -> 1L, 3L -> 1L, 7L -> 7L))
+    // survivor selection must tolerate a representative OUTSIDE the
+    // frame (doc 1 was filtered out): the cluster keeps its smallest
+    // PRESENT member, never silently loses the whole cluster
+    val corpus = Seq((2L, "a"), (3L, "b"), (7L, "c"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.keepClusterSurvivors(corpus, clusters, "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(2L, 7L))
   }
 
   test("sequence packing: two-phase cumsum equals the naive global " +
