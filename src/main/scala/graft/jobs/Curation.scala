@@ -62,6 +62,30 @@ object Curation {
         Mixing.assignSplit(col(idCol), trainPct, valPct))
   }
 
+  /** `curate` with NEAR-dup collapse: after the exact keep-first pass,
+    * near-duplicate clusters (df-capped exact jaccard pairs →
+    * connected components) collapse to their min-id survivor before
+    * mixing/splitting — the full RefinedWeb-shape chain (quality →
+    * exact dedup → fuzzy dedup → mixture) as one call. The near-dup
+    * stage carries its own shuffles (pair generation + the component
+    * rounds) and is therefore a deliberate opt-in over `curate`, not a
+    * silent default. */
+  def curateWithNearDup(documents: DataFrame, idCol: String,
+      textCol: String, stratumCol: String, rates: Map[String, Double],
+      nearDupThreshold: Double = 0.8, shingleN: Int = 3,
+      maxDocFreq: Int = 1000, trainPct: Double = 0.8,
+      valPct: Double = 0.1): DataFrame = {
+    qualityGated(documents, textCol)
+      .transform(df => Dedup.dedupKeepFirst(df, idCol, textCol))
+      .transform(df => Dedup.dedupNearDup(df, idCol, textCol,
+        n = shingleN, threshold = nearDupThreshold,
+        maxDocFreq = maxDocFreq))
+      .transform(df =>
+        Mixing.stratifiedSample(df, stratumCol, rates, idCol))
+      .withColumn("split",
+        Mixing.assignSplit(col(idCol), trainPct, valPct))
+  }
+
   /** The STREAMING form of curation for incremental ingestion: the
     * quality gates and hash decisions are stateless row-local
     * predicates (identical semantics to the batch form — same columns,

@@ -536,6 +536,40 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(rows.values.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("curateWithNearDup collapses near-dup variants the exact pass " +
+      "keeps, preserving everything else curate keeps") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.jobs.Curation
+    val healthy = ("the quick brown fox jumps over the lazy dog and " +
+      "that should be quite enough words to pass every gate with " +
+      "different content because each sentence here keeps adding " +
+      "fresh vocabulary so neither the two gram mass nor the word " +
+      "count rule can possibly object to this document at all ")
+    val docs = Seq(
+      (1L, healthy + "closing words alpha beta gamma", "src0"),
+      // near-dup of 1 (one word differs) — exact dedup keeps both,
+      // the near-dup stage must collapse them
+      (2L, healthy + "closing words alpha beta delta", "src0"),
+      (3L, "meanwhile a completely separate report describes harvest " +
+        "logistics across coastal villages where fishing crews trade " +
+        "morning catches for grain and timber while local councils " +
+        "debate irrigation schedules market prices seasonal storage " +
+        "and the repair of bridges roads schools and granaries over " +
+        "several long winter meetings each calendar year and entirely " +
+        "without any needless repetition anywhere",
+        "src0")
+    ).toDF("doc_id", "text", "source")
+    val exact = Curation.curate(docs, "doc_id", "text", "source",
+      rates = Map("src0" -> 1.0)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact === Set(1L, 2L, 3L), "exact pass keeps the near-dups")
+    val fuzzy = Curation.curateWithNearDup(docs, "doc_id", "text",
+      "source", rates = Map("src0" -> 1.0), nearDupThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fuzzy === Set(1L, 3L), s"near-dup pass: $fuzzy")
+  }
+
   test("curation scrubs PII before scoring/dedup: curated text carries " +
       "placeholders, and two docs differing only in the email collapse") {
     val s = initSpark()
