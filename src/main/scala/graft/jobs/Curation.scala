@@ -51,15 +51,23 @@ object Curation {
           col("__r.text_chars").cast("long")))
       .drop("__g", "__r")
 
+  /** The shared mixing/split tail — ONE definition so curate and
+    * curateWithNearDup cannot fork by parallel edits (same argument as
+    * the shared qualityGated). */
+  private def mixAndSplit(df: DataFrame, idCol: String,
+      stratumCol: String, rates: Map[String, Double],
+      trainPct: Double, valPct: Double): DataFrame =
+    Mixing.stratifiedSample(df, stratumCol, rates, idCol)
+      .withColumn("split",
+        Mixing.assignSplit(col(idCol), trainPct, valPct))
+
   def curate(documents: DataFrame, idCol: String, textCol: String,
       stratumCol: String, rates: Map[String, Double],
       trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {
     qualityGated(documents, textCol)
       .transform(df => Dedup.dedupKeepFirst(df, idCol, textCol))
-      .transform(df =>
-        Mixing.stratifiedSample(df, stratumCol, rates, idCol))
-      .withColumn("split",
-        Mixing.assignSplit(col(idCol), trainPct, valPct))
+      .transform(df => mixAndSplit(df, idCol, stratumCol, rates,
+        trainPct, valPct))
   }
 
   /** `curate` with NEAR-dup collapse: after the exact keep-first pass,
@@ -73,17 +81,23 @@ object Curation {
   def curateWithNearDup(documents: DataFrame, idCol: String,
       textCol: String, stratumCol: String, rates: Map[String, Double],
       nearDupThreshold: Double = 0.8, shingleN: Int = 3,
-      maxDocFreq: Int = 1000, trainPct: Double = 0.8,
+      maxDocFreq: Int = 1000, maxRounds: Int = 15,
+      useStarContraction: Boolean = false, trainPct: Double = 0.8,
       valPct: Double = 0.1): DataFrame = {
-    qualityGated(documents, textCol)
+    // localCheckpoint between the exact and fuzzy stages: dedupNearDup
+    // reads its input THREE times (pair generation, the component
+    // seed, the survivor semi-join) and the component loop runs eager
+    // actions — without truncation the scrub + gates + dedup window
+    // would re-execute over the corpus for each of those reads
+    val base = qualityGated(documents, textCol)
       .transform(df => Dedup.dedupKeepFirst(df, idCol, textCol))
-      .transform(df => Dedup.dedupNearDup(df, idCol, textCol,
+      .localCheckpoint(true)
+    Dedup.dedupNearDup(base, idCol, textCol,
         n = shingleN, threshold = nearDupThreshold,
-        maxDocFreq = maxDocFreq))
-      .transform(df =>
-        Mixing.stratifiedSample(df, stratumCol, rates, idCol))
-      .withColumn("split",
-        Mixing.assignSplit(col(idCol), trainPct, valPct))
+        maxDocFreq = maxDocFreq, maxRounds = maxRounds,
+        useStarContraction = useStarContraction)
+      .transform(df => mixAndSplit(df, idCol, stratumCol, rates,
+        trainPct, valPct))
   }
 
   /** The STREAMING form of curation for incremental ingestion: the

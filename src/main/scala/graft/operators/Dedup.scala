@@ -529,7 +529,13 @@ object Dedup {
     * 30 min) — at corpus scale that is maxRounds coexisting copies.
     * The checkpointed RDD sits in the frame's LogicalRDD leaf. */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    // ROOT node only — walking the whole lineage would unpersist
+    // UPSTREAM checkpoints the frame merely reads (a caller's
+    // checkpointed input appears as a LogicalRDD leaf in round-1
+    // lineage, and releasing it kills every later consumer with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). A frame this code
+    // checkpointed is EXACTLY a LogicalRDD at the root.
+    df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
       case _ => ()
@@ -539,8 +545,10 @@ object Dedup {
     * turns pairwise evidence (jaccardPairs / minhashLshPairs /
     * simhashPairs / embeddingNearDupPairs) into duplicate CLUSTERS a
     * pipeline can act on: every id maps to `cluster_rep` = the minimum
-    * id in its component (the deterministic canonical survivor; keep
-    * rows where id == cluster_rep, drop the rest). Ids absent from any
+    * id in its component (the deterministic canonical survivor —
+    * materialize survivors with `keepClusterSurvivors`, NOT a bare
+    * id == cluster_rep filter, which silently drops whole clusters in
+    * filtered-ids mode). Ids absent from any
     * pair are their own singleton cluster, so the output has exactly
     * one row per DISTINCT input id (duplicate input rows collapse).
     *
@@ -751,16 +759,24 @@ object Dedup {
     * One semi-join against the survivor set; `clusters` is the output
     * of connectedComponents / connectedComponentsStar. */
   def keepClusterSurvivors(df: DataFrame, clusters: DataFrame,
-      idCol: String): DataFrame = {
-    // survivor = min PRESENT id per cluster, NOT id === cluster_rep:
-    // in connectedComponents' filtered-ids mode the representative can
-    // be an id outside the clusters frame (the component min was
-    // filtered out), and an equality pick would silently drop that
-    // whole cluster instead of keeping its smallest surviving member
-    val survivors = clusters
-      .groupBy("cluster_rep")
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
+      idCol: String, repsPresent: Boolean = false): DataFrame = {
+    // General case: survivor = min PRESENT id per cluster, NOT
+    // id === cluster_rep — in connectedComponents' filtered-ids mode
+    // the representative can be an id outside the clusters frame (the
+    // component min was filtered out), and an equality pick would
+    // silently drop that whole cluster instead of keeping its smallest
+    // surviving member. When the caller GUARANTEES every cluster_rep
+    // appears as a row (clusters built with idsCoverEndpoints over the
+    // same frame — dedupNearDup's shape), `repsPresent = true` replaces
+    // the group-min exchange with a free map-side filter.
+    val survivors =
+      if (repsPresent)
+        clusters.where(col(idCol) === col("cluster_rep"))
+          .select(col(idCol))
+      else
+        clusters.groupBy("cluster_rep")
+          .agg(min(col(idCol)).as(idCol))
+          .select(col(idCol))
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
@@ -786,7 +802,9 @@ object Dedup {
         connectedComponents(df.select(col(idCol)), pairs,
           idCol = idCol, maxRounds = maxRounds,
           idsCoverEndpoints = true)
-    keepClusterSurvivors(df, clusters, idCol)
+    // repsPresent: clusters were built with idsCoverEndpoints over the
+    // same frame, so every representative is a present row
+    keepClusterSurvivors(df, clusters, idCol, repsPresent = true)
   }
 
   /** Corpus-global line deduplication (the RefinedWeb / MassiveText
