@@ -95,11 +95,17 @@ object GraftFunctions {
     val alreadyInjected = spark.sessionState.optimizer
       .extendedOperatorOptimizationRules
       .contains(EliminateVectorCodecRoundTrip)
-    if (!alreadyInjected && !spark.experimental.extraOptimizations
-        .contains(EliminateVectorCodecRoundTrip))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+
-          EliminateVectorCodecRoundTrip
+    // the contains-check + append below is check-then-act on shared
+    // session state — two threads registering concurrently could each
+    // pass the check and append the rule twice (a redundant fixed-point
+    // batch per plan), so the pair is serialized per-session
+    if (!alreadyInjected) spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations
+          .contains(EliminateVectorCodecRoundTrip))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            EliminateVectorCodecRoundTrip
+    }
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_f32",
       (args: Seq[Expression]) => CosineSimF32(args(0), args(1)), "built-in")

@@ -446,27 +446,29 @@ object SparkEntry {
           col("c_name")),
         customerTbl, "custkey", buckets = 16,
         path = Some(s"$tmp/customer"))
-      val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val out = BucketedWarehouse
-          .colocatedJoin(s, ordersTbl, customerTbl, "custkey")
-          .groupBy("custkey")
-          .agg(count(lit(1)).as("order_count"),
-            round(sum(col("o_totalprice")) + 1e-9, 2).as("total_spend"))
-        // execute THIS dataframe's own QueryExecution (count() would
-        // wrap it in a new one and leave out.queryExecution at the
-        // initial isFinalPlan=false adaptive plan), so the assert reads
-        // the FINAL post-AQE plan of the run it just paid for
-        out.queryExecution.toRdd.count()
-        val plan = out.queryExecution.executedPlan.toString()
-        require(!plan.contains("Exchange"),
-          "q81_colocated_join: bucketed join/agg still shuffles:\n" +
-            plan.take(2000))
-        out
-      } finally {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-      }
+      // broadcast disabled in a CHILD session: newSession() shares the
+      // SparkContext and catalog (the bucketed tables are visible) but
+      // carries its OWN conf, so concurrent queries on `s` keep their
+      // broadcast joins — mutating the session-global threshold here
+      // raced with them (set/restore interleaving loses broadcasts
+      // silently)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = BucketedWarehouse
+        .colocatedJoin(s2, ordersTbl, customerTbl, "custkey")
+        .groupBy("custkey")
+        .agg(count(lit(1)).as("order_count"),
+          round(sum(col("o_totalprice")) + 1e-9, 2).as("total_spend"))
+      // execute THIS dataframe's own QueryExecution (count() would
+      // wrap it in a new one and leave out.queryExecution at the
+      // initial isFinalPlan=false adaptive plan), so the assert reads
+      // the FINAL post-AQE plan of the run it just paid for
+      out.queryExecution.toRdd.count()
+      val plan = out.queryExecution.executedPlan.toString()
+      require(!plan.contains("Exchange"),
+        "q81_colocated_join: bucketed join/agg still shuffles:\n" +
+          plan.take(2000))
+      out
     }),
 
     // ---- Near-dup clusters: pairwise evidence -> connected components

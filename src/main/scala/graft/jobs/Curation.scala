@@ -78,6 +78,16 @@ object Curation {
     * stage carries its own shuffles (pair generation + the component
     * rounds) and is therefore a deliberate opt-in over `curate`, not a
     * silent default. */
+  /** The RETURNED frame still reads `base`'s checkpoint lazily (the
+    * survivor semi-join), so the checkpoint cannot be freed inside
+    * this call. Instead each invocation releases the PREVIOUS call's
+    * checkpoint (the LanguageModel/SequencePack fire-and-forget
+    * discipline): a long-lived session accumulates at most ONE corpus
+    * copy instead of one per invocation. Releasing a copy a caller
+    * still reads only forces a recompute, never a wrong result. */
+  private val lastNearDupRelease =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+
   def curateWithNearDup(documents: DataFrame, idCol: String,
       textCol: String, stratumCol: String, rates: Map[String, Double],
       nearDupThreshold: Double = 0.8, shingleN: Int = 3,
@@ -92,6 +102,9 @@ object Curation {
     val base = qualityGated(documents, textCol)
       .transform(df => Dedup.dedupKeepFirst(df, idCol, textCol))
       .localCheckpoint(true)
+    val prev = lastNearDupRelease.getAndSet(
+      () => Dedup.releaseCheckpoint(base))
+    if (prev != null) prev()
     Dedup.dedupNearDup(base, idCol, textCol,
         n = shingleN, threshold = nearDupThreshold,
         maxDocFreq = maxDocFreq, maxRounds = maxRounds,

@@ -528,7 +528,7 @@ object Dedup {
     * driver GC lets the ContextCleaner run (periodic GC default:
     * 30 min) — at corpus scale that is maxRounds coexisting copies.
     * The checkpointed RDD sits in the frame's LogicalRDD leaf. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     // ROOT node only — walking the whole lineage would unpersist
     // UPSTREAM checkpoints the frame merely reads (a caller's
     // checkpointed input appears as a LogicalRDD leaf in round-1
@@ -630,7 +630,10 @@ object Dedup {
     }
     edges.unpersist()
     if (!converged) {
+      // after round 1 labels is checkpoint-backed, where unpersist()
+      // alone is a no-op (same dual-release as the loop body above)
       labels.unpersist()
+      releaseCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds — " +
           "a component's diameter exceeds the cap; raise maxRounds " +

@@ -62,6 +62,29 @@ object WindowedAggregates {
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, watermarkDelay: String,
       lowerBound: String, upperBound: String): DataFrame = {
+    // key/ts names are spliced into dotted `l.<name>` references below,
+    // so they must be plain identifiers (dots/backtick-needing names
+    // would silently resolve wrong or fail with an obscure parse error)
+    val ident = "[A-Za-z_][A-Za-z0-9_]*".r
+    Seq("keyCol" -> keyCol, "leftTs" -> leftTs, "rightTs" -> rightTs)
+      .foreach { case (arg, v) =>
+        require(ident.pattern.matcher(v).matches(),
+          s"$arg '$v' is not a plain identifier — intervalJoin builds " +
+            "alias-qualified references and cannot address dotted or " +
+            "special-character column names; rename the column first")
+      }
+    // fail bound typos HERE with the caller's string in the message,
+    // not later as a bare INTERVAL parse error deep in analysis
+    Seq("lowerBound" -> lowerBound, "upperBound" -> upperBound)
+      .foreach { case (arg, v) =>
+        try expr(s"INTERVAL $v")
+        catch {
+          case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+            throw new IllegalArgumentException(
+              s"$arg '$v' is not a valid interval (want e.g. " +
+                s"'10 seconds', '5 minutes'): ${e.getMessage}")
+        }
+      }
     // every column shared by both sides except the join key would be
     // ambiguous downstream (the key itself is deduplicated below)
     val overlap = (left.columns.toSet intersect right.columns.toSet) -
