@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextClean, TextMetrics, VectorFunctions}
 import graft.ledger.Ledger
 import graft.operators.{Decontaminate, Dedup, ImportanceSampling,
-  LanguageModel, Mixing, Similarity}
+  LanguageModel, Mixing, Similarity, SubstringDedup}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2
   * plus the training-data-pipeline operators (dedup / similarity / text
@@ -551,6 +551,46 @@ object SparkEntry {
         "doc_id", "est_tokens", seqLen = 2048L, groupWidth = 64L)
     }),
 
+    // ---- Duplicate-substring profile (Lee et al. 2022 ExactSubstr,
+    // token-window form): window INSTANCES (within-doc repeats count),
+    // census on the md5 window fingerprint, per-doc duplicated-window
+    // tallies. n = 13 shares the q78 contamination width. ----
+    "q88_dup_substrings" -> ((s, dir) => {
+      SubstringDedup.duplicatedWindowStats(
+        t(s, dir, "documents"), "doc_id", "text", n = 13)
+    }),
+
+    // ---- Bloom-prefiltered decontamination: same EXACT semantics as
+    // q78 (the bloom prefilter has no false negatives and the exact
+    // join kills its false positives), so it shares the exact oracle
+    // form — n=8/minShared=3 exercises a different region of the
+    // parameter space than q78's 13/1. The point is the PLAN: the
+    // train corpus's shingle stream is prefiltered map-side against a
+    // broadcast bloom of the (small) test side, so the shuffle never
+    // carries the corpus. ----
+    "q89_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminationPairsBloom(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", n = 8, minShared = 3L)
+    }),
+
+    // ---- Per-stratum quota sampling (balanced mixtures: exactly N
+    // docs per source, deterministic md5 rank — the fixed-size
+    // complement of q73's rate sampling). src4..src19 absent from the
+    // quota map are dropped: explicit mixture config. The prefiltered
+    // 100-TB form is spec-asserted equal to this windowed form. ----
+    "q90_quota_sample" -> ((s, dir) => {
+      Mixing.quotaSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source",
+          Map("src0" -> 12, "src1" -> 7, "src2" -> 25, "src3" -> 3),
+          "doc_id", rankCol = Some("sample_rank"))
+        .select(col("doc_id"), col("source"),
+          col("sample_rank").cast("long").as("sample_rank"))
+    }),
+
     // ---- Language-ID heuristic (SURVEY F12 analogue) ----
     "q18_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -624,6 +664,17 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5,
         stride = 20, nProbe = 3)
+    }),
+
+    // ---- SemDeDup (Abbas et al. 2023): k-means clusters confine the
+    // quadratic epsilon-ball search; min-id survivor per ball.
+    // Rows-only tier (iterative k-means has no SQL oracle form — q25
+    // precedent); the spec gates planted-duplicate recall and exact
+    // keep-set determinism. ----
+    "q91_semdedup" -> ((s, dir) => {
+      import graft.operators.SemDedup
+      SemDedup.semDedup(t(s, dir, "embeddings"), eps = 0.97,
+        stride = 20, iters = 2)
     }),
 
     // ---- Persisted IVF index probe (ANN as a TABLE — IvfIndex). Build
@@ -1451,6 +1502,59 @@ object SparkEntry {
          SELECT test_id, train_id, count(*) AS n_shared
          FROM te JOIN tr USING (shingle)
          GROUP BY test_id, train_id""",
+
+    // same tokenization as q78; window INSTANCES (no DISTINCT), so
+    // within-doc repetition is counted — that is the operator's point
+    "q88_dup_substrings" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 12, 0) + 1),
+               i -> array_to_string(ws[i:i+12], ' '))) AS shingle
+           FROM w),
+         g AS (SELECT shingle, count(*) AS occ FROM sh GROUP BY shingle)
+         SELECT doc_id, count(*) AS n_windows,
+           count(*) FILTER (WHERE g.occ >= 2) AS n_dup_windows
+         FROM sh JOIN g USING (shingle)
+         GROUP BY doc_id""",
+
+    // exact-form oracle for the bloom-prefiltered operator: the bloom
+    // stage is plan-only (no false negatives; false positives die in
+    // the exact join), so the oracle is the q78 shape at n=8/minShared=3
+    "q89_bloom_decontaminate" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 7, 0) + 1),
+               i -> array_to_string(ws[i:i+7], ' '))) AS shingle
+             FROM w)),
+         tr AS (SELECT doc_id AS train_id, shingle FROM sh
+                WHERE doc_id % 2 = 0),
+         te AS (SELECT doc_id AS test_id, shingle FROM sh
+                WHERE doc_id % 2 = 1)
+         SELECT test_id, train_id, count(*) AS n_shared
+         FROM te JOIN tr USING (shingle)
+         GROUP BY test_id, train_id
+         HAVING count(*) >= 3""",
+
+    "q90_quota_sample" ->
+      """SELECT doc_id, source, rn AS sample_rank FROM (
+           SELECT d.doc_id, d.source, q.quota,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY md5(cast(d.doc_id AS varchar)), d.doc_id) AS rn
+           FROM documents d
+           JOIN (VALUES ('src0', 12), ('src1', 7), ('src2', 25),
+                 ('src3', 3)) q(source, quota) USING (source))
+         WHERE rn <= quota""",
 
     "q83_dup_clusters" -> DupClustersOracle,
 

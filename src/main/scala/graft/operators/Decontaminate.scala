@@ -59,6 +59,56 @@ object Decontaminate {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Bloom-prefiltered form — the same EXACT result as
+    * [[contaminationPairs]], with the 100-TB plan: a Bloom filter of
+    * the test side's shingles (test/eval sets are thousands of docs —
+    * the filter is megabytes) is built driver-side in one action and
+    * broadcast; the TRAIN corpus's shingle stream is then prefiltered
+    * MAP-SIDE, so the shuffle join only ever carries the tiny candidate
+    * slice instead of the full corpus's n-gram stream. Bloom filters
+    * have no false negatives, and every false positive dies in the
+    * exact join that follows — the output is bit-identical to the
+    * exact operator (and shares its oracle), the filter only moves
+    * work off the wire.
+    *
+    * `expectedTestShingles` sizes the filter (overestimate freely: bits
+    * scale linearly, ~1.2 MB per million items at fpp 0.01; an
+    * UNDERestimate silently degrades fpp toward 1 and the prefilter
+    * stops helping — still correct, just slow). The test-side shingle
+    * frame is persisted across its two reads (filter build + join);
+    * each invocation releases the previous call's cache (the
+    * fire-and-forget discipline of LanguageModel/SequencePack). */
+  def contaminationPairsBloom(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 13, minShared: Long = 1L,
+      expectedTestShingles: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val te = Dedup.shingles(test, idCol, textCol, n)
+      .withColumnRenamed("id", "test_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = te.stat.bloomFilter("shingle", expectedTestShingles, fpp)
+    val sc = train.sparkSession.sparkContext
+    val bc = sc.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContain(s))
+    val tr = Dedup.shingles(train, idCol, textCol, n)
+      .withColumnRenamed("id", "train_id")
+      .where(mightContain(col("shingle")))
+    val out = te.join(tr, "shingle")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    // unpersist (not destroy): a still-unevaluated previous result can
+    // re-fetch an unpersisted broadcast from the driver on demand,
+    // where destroy() would fail its tasks — recompute, never wrong
+    val prev = lastBloomRelease.getAndSet { () =>
+      te.unpersist(); bc.unpersist(); ()
+    }
+    if (prev != null) prev()
+    out
+  }
+
+  private val lastBloomRelease =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+
   /** The cleaning form: `corpus` minus every document contaminated
     * against `heldOut` (left_anti on the flagged train ids). */
   def removeContaminated(corpus: DataFrame, heldOut: DataFrame,

@@ -47,6 +47,120 @@ object Mixing {
     }
   }
 
+  /** The md5-prefix RANK value behind quota sampling: first 8 hex
+    * chars of md5(id) as a number in [0, 2^32). Ordering by the md5
+    * hex STRING equals ordering by this number (fixed-length lowercase
+    * hex), which is what makes the prefiltered variant exact. */
+  private[operators] def hashRankValue(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Per-stratum QUOTA sampling (balanced mixtures: "exactly N docs of
+    * each source", the fixed-size complement of [[stratifiedSample]]'s
+    * rates): keep each stratum's first `quota` rows in deterministic
+    * md5 order — a pure function of ids, reproducible cross-engine,
+    * stable under reprocessing. Strata absent from `quotas` are
+    * DROPPED (explicit mixture config, as with rates).
+    *
+    * Plan: one broadcast join + one window. The window partitions by
+    * STRATUM — one reducer per stratum, fine up to tens of millions of
+    * rows per stratum; a 100-TB corpus with billions of rows per
+    * stratum uses [[quotaSamplePrefiltered]], which bounds each
+    * window partition at ~slack×quota rows. */
+  def quotaSample(df: DataFrame, stratumCol: String,
+      quotas: Map[String, Int], idCol: String,
+      rankCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qDf = quotas.toSeq.toDF(stratumCol, "__quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val ranked = df.join(broadcast(qDf), stratumCol)
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= col("__quota"))
+      .drop("__quota")
+    rankCol match {
+      case Some(name) => ranked.withColumnRenamed("__rank", name)
+      case None => ranked.drop("__rank")
+    }
+  }
+
+  /** [[quotaSample]] for strata too large to sort in one window
+    * partition — SAME rows out, 100-TB plan: the md5 rank prefix is
+    * uniform on [0, 2^32), so the stratum's true top-`quota` rows
+    * almost surely sit below the value threshold
+    * T = slack × quota/count × 2^32; rows are prefiltered ROW-LOCALLY
+    * on that broadcast threshold and only ~slack×quota survivors per
+    * stratum reach the window. Exactness is VERIFIED, not hoped:
+    * #(survivors) >= min(quota, count) per stratum implies the true
+    * top-`quota` all survived (they are exactly the smallest rank
+    * values); any stratum failing the check (probability exp(-Θ(slack·
+    * quota)) by Chernoff) is re-run through the unfiltered window and
+    * unioned back — correct even then, just slower. Two bounded driver
+    * actions (per-stratum counts, per-stratum survivor counts: rows =
+    * #strata) buy a corpus-scan-sized reduction of the window input. */
+  def quotaSamplePrefiltered(df: DataFrame, stratumCol: String,
+      quotas: Map[String, Int], idCol: String,
+      rankCol: Option[String] = None,
+      slack: Double = 4.0): DataFrame = {
+    require(slack >= 1.0, s"slack must be >= 1, got $slack")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val full = 1L << 32
+    val counts = df.groupBy(stratumCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresholds = quotas.flatMap { case (stratum, quota) =>
+      counts.get(stratum).map { cnt =>
+        val t =
+          if (cnt <= quota.toLong * math.max(slack, 2.0)) full
+          else math.min(full.toDouble,
+            math.ceil(slack * quota.toDouble / cnt.toDouble * full))
+            .toLong
+        (stratum, quota, t)
+      }
+    }.toSeq
+    if (thresholds.isEmpty)
+      return quotaSample(df, stratumCol, quotas, idCol, rankCol)
+    val tDf = broadcast(thresholds.toDF(stratumCol, "__quota", "__t"))
+    val joined = df.join(tDf, stratumCol)
+    // persisted across its two reads (verification count + the window);
+    // released when the NEXT invocation swaps it out (the LanguageModel
+    // fire-and-forget discipline) — an early unpersist would only force
+    // a recompute, but the survivor set is ~slack×quota rows per
+    // stratum, well worth keeping warm for the caller's action
+    val survivors = joined
+      .where(hashRankValue(col(idCol)) < col("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastQuotaRelease.getAndSet(() => { survivors.unpersist(); () })
+    if (prev != null) prev()
+    val got = survivors.groupBy(stratumCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val failed = thresholds.collect {
+      case (stratum, quota, t) if t < full &&
+        got.getOrElse(stratum, 0L) <
+          math.min(quota.toLong, counts(stratum)) => stratum
+    }
+    val windowInput =
+      if (failed.isEmpty) survivors
+      else survivors.where(!col(stratumCol).isin(failed: _*))
+        .unionByName(joined.where(col(stratumCol).isin(failed: _*))
+          .withColumn("__t", lit(full)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val ranked = windowInput
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= col("__quota"))
+      .drop("__quota", "__t")
+    rankCol match {
+      case Some(name) => ranked.withColumnRenamed("__rank", name)
+      case None => ranked.drop("__rank")
+    }
+  }
+
+  private val lastQuotaRelease =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+
   /** Deterministic train/val/test assignment by hash bucket:
     * [0, train) -> "train", [train, train+val) -> "val", rest "test".
     * Percentages in [0,1]; content-stable across reruns. */

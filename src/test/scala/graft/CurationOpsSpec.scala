@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, Mixing, SemDedup, SubstringDedup}
+
+/** Round-6 curation operators: duplicate-substring profile/removal,
+  * bloom-prefiltered decontamination, quota sampling (windowed and
+  * prefiltered), and SemDeDup. */
+class CurationOpsSpec extends SparkSuite {
+
+  private def toks(s: String): Array[String] =
+    s.trim.split("\\s+").filter(_.nonEmpty)
+
+  // a 15-token span shared verbatim between docs 1 and 2
+  private val span =
+    "the quick brown fox jumps over the lazy dog while rain falls on the hill"
+
+  private def substringFixture = {
+    val s = initSpark()
+    import s.implicits._
+    Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"unrelated opening words here $span and a different tail"),
+      (3L, "totally distinct text with no repeated content at all " +
+        "padding padding2 padding3 padding4 padding5 padding6"),
+      // within-doc repetition: the same span twice in ONE document
+      (4L, s"intro $span middle filler words $span outro"),
+      (5L, "short doc") // below the window width
+    ).toDF("doc_id", "text")
+  }
+
+  test("duplicatedWindowStats counts cross-doc and within-doc window " +
+      "instances against the corpus census") {
+    val docs = substringFixture
+    val n = 5
+    val stats = SubstringDedup
+      .duplicatedWindowStats(docs, "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // doc 5 has < n tokens: no window surface, absent from the output
+    assert(stats.keySet === Set(1L, 2L, 3L, 4L))
+    // doc 3 shares nothing
+    assert(stats(3L)._2 === 0L)
+    // the shared 15-token span yields 15-n+1 = 11 duplicated windows
+    // in each carrier (plus boundary windows that differ)
+    assert(stats(1L)._2 >= 11L)
+    assert(stats(2L)._2 >= 11L)
+    // within-doc repeat: both copies' windows are duplicated instances
+    assert(stats(4L)._2 >= 22L)
+    // n_windows is the full instance count: tokens - n + 1
+    val t1 = toks(s"alpha beta $span gamma delta").length
+    assert(stats(1L)._1 === (t1 - n + 1).toLong)
+  }
+
+  test("removeDuplicateWindows keeps the corpus-first occurrence and " +
+      "excises every other copy") {
+    val docs = substringFixture
+    val n = 5
+    val out = SubstringDedup
+      .removeDuplicateWindows(docs, "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 is the minimal (id, pos) carrier for the span's windows —
+    // nothing cut, text only whitespace-normalized
+    assert(out(1L) === s"alpha beta $span gamma delta")
+    // doc 2 lost the span (it survives only in doc 1)
+    assert(!out(2L).contains("quick brown fox"))
+    // doc 2 retains its unique prefix
+    assert(out(2L).startsWith("unrelated opening words"))
+    // doc 3 untouched
+    assert(out(3L) === docs.where(col("doc_id") === 3)
+      .collect().head.getString(1))
+    // doc 4: both in-doc copies are non-first instances (doc 1 holds
+    // the span), so both are cut; unique filler survives
+    assert(!out(4L).contains("quick"))
+    assert(out(4L).contains("intro"))
+    assert(out(4L).contains("outro"))
+    // short doc passes through (no window surface)
+    assert(out(5L) === "short doc")
+  }
+
+  test("removeDuplicateWindows keeps the FIRST within-doc copy when " +
+      "the repetition is doc-local") {
+    val s = initSpark()
+    import s.implicits._
+    val docs = Seq(
+      (10L, s"$span filler one two three $span")
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup
+      .removeDuplicateWindows(docs, "doc_id", "text", 5)
+      .collect().head.getString(1)
+    // first copy survives, second is excised
+    assert(out.startsWith("the quick brown fox"))
+    assert(out.endsWith("filler one two three"))
+  }
+
+  test("contaminationPairsBloom returns exactly the exact operator's " +
+      "pairs (bloom is plan-only)") {
+    val s = initSpark()
+    import s.implicits._
+    // 40 docs; even ids are "train", odd are "test"; five planted
+    // train/test pairs share an 8-token span
+    val base = (0L until 40L).map { i =>
+      (i, s"doc $i unique words u${i}a u${i}b u${i}c u${i}d u${i}e " +
+        s"u${i}f u${i}g u${i}h")
+    }
+    val planted = (0L until 5L).map { k =>
+      val sp = s"shared span s${k}a s${k}b s${k}c s${k}d s${k}e s${k}f"
+      (100L + 2 * k, s"train side $sp padding") // even: train
+    } ++ (0L until 5L).map { k =>
+      val sp = s"shared span s${k}a s${k}b s${k}c s${k}d s${k}e s${k}f"
+      (101L + 2 * k, s"test side $sp other tail") // odd: test
+    }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val train = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val test = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val exact = pairsOf(Decontaminate.contaminationPairs(
+      train, test, "doc_id", "text", n = 8))
+    val bloom = pairsOf(Decontaminate.contaminationPairsBloom(
+      train, test, "doc_id", "text", n = 8))
+    assert(exact.nonEmpty, "fixture must plant contamination")
+    assert(bloom === exact)
+    // an undersized filter degrades the prefilter, never the result
+    val tiny = pairsOf(Decontaminate.contaminationPairsBloom(
+      train, test, "doc_id", "text", n = 8,
+      expectedTestShingles = 4L, fpp = 0.5))
+    assert(tiny === exact)
+  }
+
+  private def quotaFixture = {
+    val s = initSpark()
+    import s.implicits._
+    (0L until 300L).map { i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")
+    }.toDF("id", "stratum")
+  }
+
+  test("quotaSample keeps exactly the md5-first quota rows per stratum " +
+      "and drops unlisted strata") {
+    val df = quotaFixture
+    val out = Mixing.quotaSample(df, "stratum",
+      Map("a" -> 7, "b" -> 1000), "id", rankCol = Some("rk"))
+    val byStratum = out.collect()
+      .groupBy(_.getString(0)) // join puts stratum first
+    assert(byStratum.keySet === Set("a", "b"))
+    assert(byStratum("a").length === 7)
+    // quota above the stratum size keeps the whole stratum
+    assert(byStratum("b").length === 100)
+    // ranks are 1..quota and ordered by md5 of the id
+    val aRows = byStratum("a").map(r => (r.getLong(1), r.getInt(2)))
+    assert(aRows.map(_._2).sorted.toSeq === (1 to 7))
+    val expected = df.where(col("stratum") === "a")
+      .select(col("id"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(7).collect().map(_.getLong(0)).toSet
+    assert(aRows.map(_._1).toSet === expected)
+  }
+
+  test("quotaSamplePrefiltered equals the windowed form, including " +
+      "under a slack so tight the fallback fires") {
+    val df = quotaFixture
+    val quotas = Map("a" -> 9, "b" -> 25, "c" -> 101)
+    def setOf(out: org.apache.spark.sql.DataFrame) =
+      out.select("id", "stratum", "rk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val plain = setOf(Mixing.quotaSample(df, "stratum", quotas, "id",
+      rankCol = Some("rk")))
+    val fast = setOf(Mixing.quotaSamplePrefiltered(df, "stratum",
+      quotas, "id", rankCol = Some("rk")))
+    assert(fast === plain)
+    // slack=1: expected survivor count == quota exactly — sampling
+    // variance makes under-runs likely, driving the verified fallback
+    val tight = setOf(Mixing.quotaSamplePrefiltered(df, "stratum",
+      quotas, "id", rankCol = Some("rk"), slack = 1.0))
+    assert(tight === plain)
+  }
+
+  test("semDedup drops every epsilon-duplicate except the min id and " +
+      "is deterministic across reruns") {
+    val s = initSpark()
+    import s.implicits._
+    // 60 base vectors on distinct directions in 4-d, plus exact
+    // copies of vectors 0 and 5 under higher ids
+    def unit(i: Int): Array[Float] = {
+      val a = math.cos(0.1 * i); val b = math.sin(0.1 * i)
+      val c = math.cos(0.07 * i + 1); val d = math.sin(0.07 * i + 1)
+      val n = math.sqrt(a * a + b * b + c * c + d * d)
+      Array((a / n).toFloat, (b / n).toFloat, (c / n).toFloat,
+        (d / n).toFloat)
+    }
+    val base = (0 until 60).map(i => (i.toLong, unit(i)))
+    val dups = Seq((200L, unit(0)), (201L, unit(0)), (202L, unit(5)))
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val out = SemDedup.semDedup(emb, eps = 0.999, stride = 10,
+      iters = 2)
+    val keep = out.collect().map(r => r.getLong(0) -> r.getBoolean(2))
+      .toMap
+    assert(keep.size === 63)
+    // copies of vector 0 and 5 die; the originals survive
+    assert(keep(0L) && !keep(200L) && !keep(201L))
+    assert(keep(5L) && !keep(202L))
+    // deterministic: a rerun yields the identical keep set
+    val again = SemDedup.semDedup(emb, eps = 0.999, stride = 10,
+        iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(again === keep)
+    // consuming form = survivors only
+    val kept = SemDedup.dedupSemantic(emb, eps = 0.999, stride = 10,
+      iters = 2).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === keep.filter(_._2).keySet)
+  }
+}
