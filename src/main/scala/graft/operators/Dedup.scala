@@ -52,7 +52,7 @@ object Dedup {
     df.select(col(idCol).as("id"),
         explode(shingleStringsUdf(n)(col(textCol))).as("shingle"))
 
-  private def shingleWords(text: String, n: Int): Array[String] =
+  private[operators] def shingleWords(text: String, n: Int): Array[String] =
     if (text == null) Array.empty
     else {
       val w = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)

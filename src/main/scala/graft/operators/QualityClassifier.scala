@@ -30,12 +30,19 @@ import org.apache.spark.sql.functions._
   * ONE (buckets+1)-row gradient collect — bounded model state
   * (centroid-collect precedent), never corpus-scaled.
   *
-  * Scale: the gram-feature frame is computed ONCE and persisted; each
-  * iteration is one chained job (margin groupBy(id) → error join →
-  * gradient groupBy(bucket)) with the weights riding as a
-  * broadcast-sized `buckets+1`-row frame. Train on a labeled SAMPLE
-  * (the recipe's shape — classifier training sets are sample-sized);
-  * scoring is the corpus-scale path.
+  * Scale: features are packed ONCE into one cached row per document
+  * (label + parallel bucket/tf arrays — the only shuffle of training);
+  * each iteration is then a single shuffle-FREE job: weights broadcast
+  * as a plain array, margins and per-bucket gradient contributions
+  * computed in one pass per partition into a local (buckets+1) long
+  * array, partials combined by treeAggregate (the MLlib gradient-
+  * descent shape — per-partition imperative accumulation is the one
+  * place RDD code beats a DataFrame plan, because the alternative is
+  * two aggregations and a join per iteration). Driver state per
+  * iteration: ONE (buckets+1)-long array — bounded model state,
+  * never corpus-scaled. Train on a labeled SAMPLE (the recipe's
+  * shape — classifier training sets are sample-sized); scoring is the
+  * corpus-scale declarative path.
   */
 object QualityClassifier {
 
@@ -73,54 +80,92 @@ object QualityClassifier {
       labelCol: String, buckets: Int = 4096, iters: Int = 30,
       lr: Double = 2.0): Model = {
     val spark = labeled.sparkSession
-    val feats = features(labeled, idCol, textCol, buckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // labels persisted too: every iteration's chained job reads it,
-    // and its lineage is a source scan + filter per call otherwise
-    val labels = labeled.select(col(idCol).as("id"),
-        col(labelCol).cast("double").as("y"))
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // pack features to ONE row per doc: (y, bucket slots, tfs). The
+    // intercept pseudo-feature (b = -1) maps to slot `buckets`, so a
+    // single (buckets+1)-wide array carries weights AND bias through
+    // every iteration. struct-zipped collect_list keeps (b, tf) pairs
+    // aligned; the per-doc LIST ORDER is free to vary — every
+    // consumer below is a commutative long sum, so order cannot reach
+    // the result (the determinism argument, unchanged).
+    val packed = features(labeled, idCol, textCol, buckets)
+      .join(labeled.select(col(idCol).as("id"),
+        col(labelCol).cast("double").as("y")), "id")
+      .groupBy("id", "y")
+      .agg(collect_list(struct(col("b").as("_1"), col("tf").as("_2")))
+        .as("fs"))
+      .select(col("y").as("_1"), col("fs").as("_2"))
+      .as[(Double, Seq[(Long, Double)])]
+      .rdd
+      .map { case (y, fs) =>
+        val bs = new Array[Int](fs.length)
+        val tfs = new Array[Double](fs.length)
+        var i = 0
+        fs.foreach { f =>
+          bs(i) = if (f._1 < 0) buckets else f._1.toInt
+          tfs(i) = f._2
+          i += 1
+        }
+        (y, bs, tfs)
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    val n = labels.count()
-    require(n > 0, "empty training set")
-    val w = new Array[Double](buckets)
-    var bias = 0.0
-    var it = 0
-    while (it < iters) {
-      val wDf = weightsFrame(spark, w, bias)
-      // ONE action per iteration: margins (fixed-point sum incl. the
-      // intercept row) → per-doc error → gradient per bucket (bucket
-      // -1 = the bias gradient), all in a single chained job
-      val margins = feats.join(wDf, "b")
-        .groupBy("id")
-        .agg(sum((col("tf") * col("w") * QD).cast("long")).as("mq"))
-        .select(col("id"), (col("mq").cast("double") / QD).as("margin"))
-      val errs = labels.join(margins, "id")
-        .select(col("id"),
-          (lit(1.0) / (lit(1.0) + exp(-col("margin"))) - col("y"))
-            .as("err"))
-      val gradRows = feats.join(errs, "id")
-        .groupBy("b")
-        .agg(sum((col("err") * col("tf") * QD).cast("long")).as("gq"))
-        .collect()
-      val scale = lr / n
-      var i = 0
-      while (i < gradRows.length) {
-        val r = gradRows(i)
-        val g = scale * (r.getLong(1).toDouble / QD)
-        val b = r.getLong(0)
-        if (b < 0) bias -= g else w(b.toInt) -= g
-        i += 1
+      val n = packed.count()
+      require(n > 0, "empty training set")
+      val w = new Array[Double](buckets)
+      var bias = 0.0
+      var it = 0
+      while (it < iters) {
+        val wAll = java.util.Arrays.copyOf(w, buckets + 1)
+        wAll(buckets) = bias
+        val bcW = sc.broadcast(wAll)
+        // ONE shuffle-free job per iteration: margin (fixed-point
+        // long sum of quantized terms, the exact numeric contract of
+        // the previous DataFrame form: (tf * w * QD).toLong per term)
+        // -> sigmoid error -> per-bucket gradient contributions
+        // accumulated into a per-partition long array; treeAggregate
+        // combines partials with commutative integer addition
+        val grad = packed.treeAggregate(new Array[Long](buckets + 1))(
+          seqOp = (acc, doc) => {
+            val (y, bs, tfs) = doc
+            val wv = bcW.value
+            var mq = 0L
+            var i = 0
+            while (i < bs.length) {
+              mq += (tfs(i) * wv(bs(i)) * QD).toLong
+              i += 1
+            }
+            val margin = mq.toDouble / QD
+            val err = 1.0 / (1.0 + math.exp(-margin)) - y
+            i = 0
+            while (i < bs.length) {
+              acc(bs(i)) += (err * tfs(i) * QD).toLong
+              i += 1
+            }
+            acc
+          },
+          combOp = (a, b) => {
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          })
+        bcW.unpersist(blocking = false)
+        val scale = lr / n
+        var i = 0
+        while (i < buckets) {
+          w(i) -= scale * (grad(i).toDouble / QD)
+          i += 1
+        }
+        bias -= scale * (grad(buckets).toDouble / QD)
+        it += 1
       }
-      it += 1
-    }
-    Model(w, bias, buckets)
+      Model(w, bias, buckets)
     } finally {
       // deterministic release even when an iteration throws (task
-      // failure, ANSI cast overflow under a diverging lr) — a leaked
-      // cached sample would otherwise wait on the ContextCleaner
-      feats.unpersist()
-      labels.unpersist()
+      // failure, a diverging lr) — a leaked cached sample would
+      // otherwise wait on the ContextCleaner
+      packed.unpersist(blocking = false)
     }
   }
 

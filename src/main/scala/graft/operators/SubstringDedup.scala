@@ -34,24 +34,22 @@ object SubstringDedup {
   /** Row-local positional `n`-token windows: (id, pos, w) with 1-based
     * `pos` over the whitespace-token stream — window INSTANCES, not
     * distinct-per-doc (within-doc repetition is precisely one of the
-    * duplication modes this operator exists to catch). Pure builtin
-    * expressions, whole-stage codegen'd.
+    * duplication modes this operator exists to catch).
     *
-    * `sequence(1, m)` is DESCENDING for m < 1 (Spark generates
-    * start-to-stop in either direction), so short documents guard
-    * through `when` rather than relying on an empty sequence. */
+    * One single-pass UDF ([[Dedup.shingleWords]], the shape behind the
+    * q78 shingle stream), not a declarative transform/slice chain: the
+    * HOF form re-slices the token array per window inside a nested
+    * lambda that falls out of whole-stage codegen — measured 20x
+    * slower on the bench corpus than this one-pass generator. */
+  private def windowsUdf(n: Int) = udf { (text: String) =>
+    Dedup.shingleWords(text, n)
+  }
+
   private def windowed(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 2, s"window width must be >= 2 tokens, got $n")
-    val ws = filter(split(lower(trim(col(textCol))), "\\s+"),
-      w => length(w) > 0)
-    df.select(col(idCol).as("id"), ws.as("__ws"))
-      .withColumn("__wins",
-        when(size(col("__ws")) >= n,
-          transform(sequence(lit(1), size(col("__ws")) - (n - 1)),
-            i => array_join(slice(col("__ws"), i, lit(n)), " ")))
-          .otherwise(array().cast("array<string>")))
-      .select(col("id"), posexplode(col("__wins")).as(Seq("__p", "w")))
+    df.select(col(idCol).as("id"),
+        posexplode(windowsUdf(n)(col(textCol))).as(Seq("__p", "w")))
       .select(col("id"), (col("__p") + 1).as("pos"), col("w"))
   }
 
