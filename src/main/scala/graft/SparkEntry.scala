@@ -666,6 +666,26 @@ object SparkEntry {
         stride = 20, nProbe = 3)
     }),
 
+    // ---- PORTABLE MinHash signatures: the oracle-able signer (md5
+    // base hash + fixed affine maps mod 2^61-1) — moves MinHash itself
+    // from the rows-only tier to a hash-matched oracle; q22's fast
+    // xxhash signer remains the throughput path, this one proves the
+    // signature algebra cross-engine. ----
+    "q92_minhash_portable" -> ((s, dir) => {
+      Dedup.minhashSignaturesPortable(
+          t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // ---- MinHash-LSH pairs over the portable signer: banding,
+    // candidates, and the matching-fraction estimate all replayed by
+    // the oracle — the first fully-oracled LSH in the suite (q22's
+    // engine-local-hash form keeps the throughput crown). ----
+    "q93_minhash_lsh_portable" -> ((s, dir) => {
+      Dedup.minhashLshPairsPortable(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, bands = 4)
+    }),
+
     // ---- SemDeDup (Abbas et al. 2023): k-means clusters confine the
     // quadratic epsilon-ball search; min-id survivor per ball.
     // Rows-only tier (iterative k-means has no SQL oracle form — q25
@@ -1545,6 +1565,105 @@ object SparkEntry {
          FROM te JOIN tr USING (shingle)
          GROUP BY test_id, train_id
          HAVING count(*) >= 3""",
+
+    // the portable MinHash contract replayed in SQL: same md5-prefix
+    // base hash, same affine coefficients (literal parity with
+    // Dedup.PortableMinhashCoeffs), HUGEINT 128-bit products
+    "q92_minhash_portable" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+             FROM w)),
+         xs AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS xv
+           FROM sh)
+         SELECT doc_id, j,
+           (min((a::HUGEINT * xv + b) % 2305843009213693951))::BIGINT
+             AS minhash
+         FROM xs CROSS JOIN (VALUES
+           (0, 428211228669798842, 1231823886139169972),
+           (1, 1588437261043606333, 125037580946878544),
+           (2, 462760306997154682, 1510692560004590165),
+           (3, 1361166987500386952, 1259175741772747241),
+           (4, 432330772143187373, 1457787354239467078),
+           (5, 2269042632621585813, 271289342846959209),
+           (6, 459595690967326520, 247923395667062642),
+           (7, 1888506785316944072, 921785063688832414),
+           (8, 114442114781097478, 94453198003562826),
+           (9, 2118706432147538908, 1528312526410001492),
+           (10, 356350401917632119, 2240309207271314907),
+           (11, 713603041279483440, 823569528660996607),
+           (12, 870846301637373144, 318948861742844466),
+           (13, 2093656847386277970, 1111508132540270293),
+           (14, 1925818535337679864, 1637057865177633928),
+           (15, 112307922632766665, 1739027035153223858)) c(j, a, b)
+         GROUP BY doc_id, j""",
+
+    // LSH over the q92 signatures: band key = the band's minhashes in
+    // j order (plain string — band equality is row-set equality, no
+    // bucket-hash to diverge on); 4 bands x 4 rows
+    "q93_minhash_lsh_portable" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+             FROM w)),
+         xs AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS xv
+           FROM sh),
+         sig AS (
+           SELECT doc_id, j,
+             (min((a::HUGEINT * xv + b) % 2305843009213693951))::BIGINT
+               AS minhash
+           FROM xs CROSS JOIN (VALUES
+             (0, 428211228669798842, 1231823886139169972),
+             (1, 1588437261043606333, 125037580946878544),
+             (2, 462760306997154682, 1510692560004590165),
+             (3, 1361166987500386952, 1259175741772747241),
+             (4, 432330772143187373, 1457787354239467078),
+             (5, 2269042632621585813, 271289342846959209),
+             (6, 459595690967326520, 247923395667062642),
+             (7, 1888506785316944072, 921785063688832414),
+             (8, 114442114781097478, 94453198003562826),
+             (9, 2118706432147538908, 1528312526410001492),
+             (10, 356350401917632119, 2240309207271314907),
+             (11, 713603041279483440, 823569528660996607),
+             (12, 870846301637373144, 318948861742844466),
+             (13, 2093656847386277970, 1111508132540270293),
+             (14, 1925818535337679864, 1637057865177633928),
+             (15, 112307922632766665, 1739027035153223858)) c(j, a, b)
+           GROUP BY doc_id, j),
+         bandkeys AS (
+           SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY j) AS bkey
+           FROM sig GROUP BY doc_id, j // 4),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bandkeys a JOIN bandkeys b
+             ON a.band = b.band AND a.bkey = b.bkey
+               AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           round(count(*) FILTER (WHERE sa.minhash = sb.minhash)
+             / 16.0 + 1e-9, 4) AS est_jaccard
+         FROM cand
+         JOIN sig sa ON sa.doc_id = cand.id_a
+         JOIN sig sb ON sb.doc_id = cand.id_b AND sb.j = sa.j
+         GROUP BY id_a, id_b""",
 
     "q90_quota_sample" ->
       """SELECT doc_id, source, rn AS sample_rank FROM (

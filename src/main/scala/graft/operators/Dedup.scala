@@ -437,6 +437,144 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** CROSS-ENGINE-portable MinHash signatures — the oracle-able signer.
+    * The fast signer above hashes shingles with engine-local functions
+    * (xxhash/murmur), which is why q22 has sat in the rows-only tier
+    * since round 2: no other engine can recompute its signatures. This
+    * variant pins every primitive to a portable definition so an
+    * independent SQL engine derives BIT-IDENTICAL signatures:
+    *
+    *   base hash  x(s) = first 15 hex chars of md5(shingle) as a 60-bit
+    *              integer (md5 is the engine-portable hash of the
+    *              mixing/fingerprint stack; 15 chars = no sign issues)
+    *   h_j(x)     = (a_j * x + b_j) mod p,  p = 2^61 - 1 (Mersenne)
+    *   sig[j]     = min over the doc's DISTINCT shingles of h_j(x)
+    *
+    * a_j/b_j are fixed literals (seeded once, baked below AND in the
+    * oracle SQL). The 128-bit product a_j*x is reduced without
+    * BigInteger: 2^64 ≡ 8 (mod 2^61-1), so a*x = hi·2^64 + lo ≡
+    * 8·hi + (lo & p) + (lo >>> 61); a,x < 2^61 keeps hi < 2^58 and
+    * every fold below 2^63 — branch-free primitive long arithmetic in
+    * the row-local signer (one pass per doc, no shuffle). The oracle
+    * replays the same affine map with HUGEINT arithmetic.
+    *
+    * Output: (id, j, minhash) — k rows per doc with >= 1 shingle. */
+  def minhashSignaturesPortable(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(portableMinhashUdf(n)(col(textCol)))
+          .as(Seq("j", "minhash")))
+
+  /** (j, a_j, b_j) for the portable signer — mirrored LITERALLY in the
+    * q92 oracle SQL; regenerating with a different seed breaks parity
+    * by design (the values are part of the operator's contract). */
+  private val PortableMinhashCoeffs: Array[(Long, Long)] = Array(
+    (428211228669798842L, 1231823886139169972L),
+    (1588437261043606333L, 125037580946878544L),
+    (462760306997154682L, 1510692560004590165L),
+    (1361166987500386952L, 1259175741772747241L),
+    (432330772143187373L, 1457787354239467078L),
+    (2269042632621585813L, 271289342846959209L),
+    (459595690967326520L, 247923395667062642L),
+    (1888506785316944072L, 921785063688832414L),
+    (114442114781097478L, 94453198003562826L),
+    (2118706432147538908L, 1528312526410001492L),
+    (356350401917632119L, 2240309207271314907L),
+    (713603041279483440L, 823569528660996607L),
+    (870846301637373144L, 318948861742844466L),
+    (2093656847386277970L, 1111508132540270293L),
+    (1925818535337679864L, 1637057865177633928L),
+    (112307922632766665L, 1739027035153223858L))
+
+  private val MersenneP = (1L << 61) - 1
+
+  private def mulModP(a: Long, x: Long): Long = {
+    val hi = Math.multiplyHigh(a, x)
+    val lo = a * x
+    var t = 8L * hi + (lo & MersenneP) + (lo >>> 61)
+    t = (t & MersenneP) + (t >>> 61)
+    if (t >= MersenneP) t - MersenneP else t
+  }
+
+  /** End-to-end MinHash-LSH candidate pairs over the PORTABLE signer —
+    * the full banding pipeline with cross-engine parity: band key =
+    * the band's minhashes joined in j order (a plain string, not an
+    * engine-local hash — band equality IS row-set equality, so there
+    * are no bucket collisions to diverge on), candidates = pairs
+    * agreeing on >= 1 band, estimate = matching-minhash fraction.
+    * Plan: row-local signatures, one groupBy to band keys, the
+    * band-bucket self-join, then the signature re-join scores each
+    * candidate — the q22 shape with every primitive replayable in SQL.
+    * The signature frame is persisted across its three reads and
+    * released when the next invocation swaps it out. */
+  def minhashLshPairsPortable(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, bands: Int = 4): DataFrame = {
+    val k = PortableMinhashCoeffs.length
+    require(bands >= 1 && k % bands == 0,
+      s"bands must divide $k, got $bands")
+    val rows = k / bands
+    val sig = minhashSignaturesPortable(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastPortableLshRelease.getAndSet(
+      () => { sig.unpersist(); () })
+    if (prev != null) prev()
+    val banded = sig
+      .withColumn("band", floor(col("j") / rows).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("j"), col("minhash")))),
+        s => s.getField("minhash").cast("string")), ",").as("bkey"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("band", "bkey"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sa = sig.select(col("id").as("id_a"), col("j"),
+      col("minhash").as("ma"))
+    val sb = sig.select(col("id").as("id_b"), col("j"),
+      col("minhash").as("mb"))
+    cand.join(sa, "id_a")
+      .join(sb, Seq("id_b", "j"))
+      .groupBy("id_a", "id_b")
+      .agg(count(when(col("ma") === col("mb"), 1)).as("matches"))
+      .select(col("id_a"), col("id_b"),
+        round(col("matches").cast("double") / k + 1e-9, 4)
+          .as("est_jaccard"))
+  }
+
+  private val lastPortableLshRelease =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+
+  private def portableMinhashUdf(n: Int) =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      val grams = shingleWords(text, n).distinct
+      if (grams.isEmpty) Array.emptyLongArray
+      else {
+        val k = PortableMinhashCoeffs.length
+        val mins = Array.fill(k)(Long.MaxValue)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        grams.foreach { g =>
+          md.reset()
+          val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 15 hex chars = the top 60 bits of the first 8 bytes
+          var x = 0L
+          var i = 0
+          while (i < 8) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
+          x = x >>> 4
+          var j = 0
+          while (j < k) {
+            val (a, b) = PortableMinhashCoeffs(j)
+            var h = mulModP(a, x) + b
+            h = (h & MersenneP) + (h >>> 61)
+            if (h >= MersenneP) h -= MersenneP
+            if (h < mins(j)) mins(j) = h
+            j += 1
+          }
+        }
+        mins
+      }
+    }
+
   /** 64-bit SimHash per document: hash each word occurrence to 64 bits,
     * sum +1/-1 per bit position, take the sign bit-vector. Row-local UDF
     * (one pass per doc, primitive loops) — the explode + 64-conditional-

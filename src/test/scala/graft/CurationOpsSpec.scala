@@ -178,6 +178,26 @@ class CurationOpsSpec extends SparkSuite {
     assert(tight === plain)
   }
 
+  test("portable minhash: identical texts share the full signature and " +
+      "surface as an LSH pair with estimate 1.0") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (3L, "completely different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignaturesPortable(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert((0 until 16).forall(j => sig((1L, j)) === sig((2L, j))))
+    val pairs = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
+        n = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("semDedup drops every epsilon-duplicate except the min id and " +
       "is deterministic across reruns") {
     val s = initSpark()
