@@ -686,6 +686,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 3, bands = 4)
     }),
 
+    // ---- Portable SimHash (q92/q93 companion): md5-based 60-bit
+    // variant emitted relationally (doc, bit, bitval), so the oracle
+    // replays the full vote-and-sign construction. q23's murmur form
+    // keeps the throughput path. ----
+    "q94_simhash_portable" -> ((s, dir) => {
+      Dedup.simhashPortable(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ---- SemDeDup (Abbas et al. 2023): k-means clusters confine the
     // quadratic epsilon-ball search; min-id survivor per ball.
     // Rows-only tier (iterative k-means has no SQL oracle form — q25
@@ -1664,6 +1673,27 @@ object SparkEntry {
          JOIN sig sa ON sa.doc_id = cand.id_a
          JOIN sig sb ON sb.doc_id = cand.id_b AND sb.j = sa.j
          GROUP BY id_a, id_b""",
+
+    // portable SimHash: per-occurrence +1/-1 votes per bit of the
+    // md5-prefix 60-bit word hash, sign of the net vote, relational
+    // output — every step engine-replayable
+    "q94_simhash_portable" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         occ AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+         xv AS (SELECT doc_id,
+           ('0x' || substr(md5(wd), 1, 15))::BIGINT AS x FROM occ),
+         bits AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END) AS net
+           FROM xv CROSS JOIN range(60) t(b)
+           GROUP BY doc_id, b)
+         SELECT doc_id, b::INTEGER AS bit,
+           (CASE WHEN net > 0 THEN 1 ELSE 0 END)::INTEGER AS bitval
+         FROM bits""",
 
     "q90_quota_sample" ->
       """SELECT doc_id, source, rn AS sample_rank FROM (

@@ -545,6 +545,50 @@ object Dedup {
   private val lastPortableLshRelease =
     new java.util.concurrent.atomic.AtomicReference[() => Unit]()
 
+  /** PORTABLE SimHash — the oracle-able form of the simhash family,
+    * same contract-pinning move as [[minhashSignaturesPortable]]: word
+    * hash = the md5-prefix 60-bit value (so the signature is 60 bits,
+    * not 64 — a sign-safe width for every engine's integer type), one
+    * +1/-1 vote per word OCCURRENCE per bit, sign of the net vote.
+    * Output is RELATIONAL — (id, bit, bitval) with bit in [0, 60) and
+    * bitval in {0, 1} (net <= 0 votes 0, the tie rule both engines
+    * replay) — so the oracle never has to assemble engine-specific
+    * packed integers; a consumer packs bits with a trivial agg when it
+    * wants the scalar form. Row-local single pass per doc. */
+  def simhashPortable(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(portableSimhashUdf(col(textCol)))
+          .as(Seq("bit", "bitval")))
+
+  private val portableSimhashUdf =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null) Array.emptyIntArray
+      else {
+        val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        if (words.isEmpty) Array.emptyIntArray
+        else {
+          val net = new Array[Long](60)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          words.foreach { w =>
+            md.reset()
+            val d = md.digest(w.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            var x = 0L
+            var i = 0
+            while (i < 8) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
+            x = x >>> 4 // first 15 hex chars = top 60 bits
+            var b = 0
+            while (b < 60) {
+              if (((x >>> b) & 1L) == 1L) net(b) += 1 else net(b) -= 1
+              b += 1
+            }
+          }
+          Array.tabulate(60)(b => if (net(b) > 0) 1 else 0)
+        }
+      }
+    }
+
   private def portableMinhashUdf(n: Int) =
     org.apache.spark.sql.functions.udf { (text: String) =>
       val grams = shingleWords(text, n).distinct
