@@ -59,6 +59,28 @@ object WindowedAggregates {
     * buffers both streams forever). Inner join; matches emit as soon as
     * both sides have arrived. The right-side key column is dropped from
     * the output (it equals the left's). */
+  /** Event-time SESSION windows on an unbounded stream — the streaming
+    * form of the batch lag-cumsum sessionization (q29): consecutive
+    * events of a key belong to one session while the inter-event gap
+    * stays under `gap`; Spark's `session_window` merges windows as
+    * events arrive and the WATERMARK is what closes a session (no new
+    * event can extend it once the watermark clears its end), which
+    * bounds the state exactly like the dedup/interval-join forms.
+    * Semantics note vs the batch form: `session_window` starts a new
+    * session when the gap is >= `gap` (window end is exclusive), the
+    * lag formulation when it is > — boundary-exact events are the one
+    * divergence (documented, inherent to the built-in).
+    * Works unchanged on a BATCH frame (no watermark applied there —
+    * Spark ignores withWatermark on batch), which is what the parity
+    * spec exploits. */
+  def sessionWindows(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, watermarkDelay: String,
       lowerBound: String, upperBound: String): DataFrame = {

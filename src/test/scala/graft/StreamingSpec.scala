@@ -306,4 +306,78 @@ class StreamingSpec extends SparkSuite {
       assert(old === "v1")
     } finally q.stop()
   }
+
+  test("session windows: gap splits sessions, watermark closes them " +
+      "in append mode") {
+    val s = initSpark()
+    import s.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)](s)
+    val df = input.toDS().toDF("ts", "user_id")
+    val sess = graft.streaming.WindowedAggregates.sessionWindows(
+      df, "ts", "user_id", gap = "10 minutes",
+      watermarkDelay = "5 minutes")
+    val q = sess.writeStream.format("memory").queryName("sess_agg")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 00:$min%02d:00")
+    try {
+      // u1: events at 00:01 and 00:05 merge (gap 4 min < 10); the
+      // event at 00:30 starts a NEW session (gap 25 min)
+      input.addData((ts(1), "u1"), (ts(5), "u1"), (ts(30), "u1"))
+      q.processAllAvailable()
+      // session 1 closed (watermark 00:25 > end 00:15); session 2 open
+      val afterFirst = s.sql("SELECT * FROM sess_agg").count()
+      assert(afterFirst === 1)
+      // push the watermark far past session 2's end
+      input.addData((ts(59), "u2"))
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 02:00:00"),
+        "u2"))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT user_id, session_start, n_events FROM sess_agg")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+        .toSet
+      assert(rows.contains(("u1", ts(1), 2L)))  // merged 00:01+00:05
+      assert(rows.contains(("u1", ts(30), 1L))) // split by the gap
+    } finally q.stop()
+  }
+
+  test("session windows agree with the batch lag-cumsum sessionization " +
+      "away from the exact-gap boundary") {
+    val s = initSpark()
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // three users, gaps well clear of the 30-min boundary
+    val evs = Seq(
+      ("u1", 0), ("u1", 5), ("u1", 50), ("u1", 55),
+      ("u2", 10), ("u2", 100), ("u2", 120),
+      ("u3", 42)
+    ).map { case (u, min) =>
+      (u, java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00"))
+    }.toDF("user_id", "ts")
+    // streaming operator applied as a BATCH plan (watermark is a no-op)
+    val viaSessionWindow = graft.streaming.WindowedAggregates
+      .sessionWindows(evs, "ts", "user_id", "30 minutes", "1 minute")
+      .select("user_id", "n_events")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // q29's lag-cumsum form on the same rows
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val viaLag = evs
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800,
+          1).otherwise(0))
+      .withColumn("seq", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "seq").agg(count(lit(1)).as("n_events"))
+      .select("user_id", "n_events")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(viaSessionWindow === viaLag)
+  }
 }
