@@ -150,6 +150,48 @@ class PlanSpec extends SparkSuite {
       "quality gates must evaluate before rows reach the dedup shuffle")
   }
 
+  test("q88 substring stats cost exactly 3 exchanges (census, " +
+      "join-back re-spread, per-doc agg)") {
+    val s = initSpark()
+    val df = SparkEntry.queries("q88_dup_substrings")(s, dir)
+    val plan = planOf(df)
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n === 3, s"expected 3 exchanges, got $n:\n$plan")
+  }
+
+  test("q89 bloom prefilter evaluates BELOW the join shuffle (the " +
+      "corpus shingle stream is filtered map-side)") {
+    val s = initSpark()
+    val df = SparkEntry.queries("q89_bloom_decontaminate")(s, dir)
+    val plan = planOf(df)
+    val lines = plan.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    val bloomFilterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("UDF"))
+    assert(exchangeIdx >= 0 && bloomFilterIdx >= 0,
+      s"expected a shuffle and the bloom UDF filter:\n${plan.take(2000)}")
+    // root-first printing: deeper (earlier-evaluated) nodes print later
+    assert(bloomFilterIdx > exchangeIdx,
+      "bloom prefilter must run before rows reach the join shuffle:\n" +
+        plan.take(2000))
+  }
+
+  test("q90 quota sampling: quota dim broadcasts; the only shuffle is " +
+      "the per-stratum window") {
+    val s = initSpark()
+    val df = SparkEntry.queries("q90_quota_sample")(s, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"quota dim must broadcast:\n${plan.take(1500)}")
+    val corpusExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(corpusExchanges === 1,
+      s"expected exactly the window exchange:\n${plan.take(2000)}")
+    assert(plan.contains("Window"),
+      s"expected a window operator:\n${plan.take(1500)}")
+  }
+
   test("step-partitioned ledger scans prune partitions (R15)") {
     val s = initSpark()
     import s.implicits._
