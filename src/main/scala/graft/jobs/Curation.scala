@@ -70,6 +70,8 @@ object Curation {
         trainPct, valPct))
   }
 
+  private val lastNearDupRelease = graft.operators.ReleaseSlot()
+
   /** `curate` with NEAR-dup collapse: after the exact keep-first pass,
     * near-duplicate clusters (df-capped exact jaccard pairs →
     * connected components) collapse to their min-id survivor before
@@ -77,34 +79,28 @@ object Curation {
     * exact dedup → fuzzy dedup → mixture) as one call. The near-dup
     * stage carries its own shuffles (pair generation + the component
     * rounds) and is therefore a deliberate opt-in over `curate`, not a
-    * silent default. */
-  /** The RETURNED frame still reads `base`'s checkpoint lazily (the
-    * survivor semi-join), so the checkpoint cannot be freed inside
-    * this call. Instead each invocation releases the PREVIOUS call's
-    * checkpoint (the LanguageModel/SequencePack fire-and-forget
-    * discipline): a long-lived session accumulates at most ONE corpus
-    * copy instead of one per invocation. Releasing a copy a caller
-    * still reads only forces a recompute, never a wrong result. */
-  private val lastNearDupRelease =
-    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
-
+    * silent default.
+    *
+    * `base` is PERSISTED (not checkpointed) across dedupNearDup's
+    * three reads (pair generation, component seed, survivor
+    * semi-join); each invocation releases the previous call's cache
+    * (the LanguageModel/SequencePack fire-and-forget discipline), so a
+    * long-lived session holds at most one corpus copy. persist is the
+    * only legal backing for a deferred release: the RETURNED frame
+    * still reads `base` lazily, and unpersisting a cache merely forces
+    * a recompute, where releasing a localCheckpoint (whose lineage is
+    * GONE) would crash a still-live previous result with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. */
   def curateWithNearDup(documents: DataFrame, idCol: String,
       textCol: String, stratumCol: String, rates: Map[String, Double],
       nearDupThreshold: Double = 0.8, shingleN: Int = 3,
       maxDocFreq: Int = 1000, maxRounds: Int = 15,
       useStarContraction: Boolean = false, trainPct: Double = 0.8,
       valPct: Double = 0.1): DataFrame = {
-    // localCheckpoint between the exact and fuzzy stages: dedupNearDup
-    // reads its input THREE times (pair generation, the component
-    // seed, the survivor semi-join) and the component loop runs eager
-    // actions — without truncation the scrub + gates + dedup window
-    // would re-execute over the corpus for each of those reads
     val base = qualityGated(documents, textCol)
       .transform(df => Dedup.dedupKeepFirst(df, idCol, textCol))
-      .localCheckpoint(true)
-    val prev = lastNearDupRelease.getAndSet(
-      () => Dedup.releaseCheckpoint(base))
-    if (prev != null) prev()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastNearDupRelease.swap(() => { base.unpersist(); () })
     Dedup.dedupNearDup(base, idCol, textCol,
         n = shingleN, threshold = nearDupThreshold,
         maxDocFreq = maxDocFreq, maxRounds = maxRounds,

@@ -99,15 +99,11 @@ object Decontaminate {
     // unpersist (not destroy): a still-unevaluated previous result can
     // re-fetch an unpersisted broadcast from the driver on demand,
     // where destroy() would fail its tasks — recompute, never wrong
-    val prev = lastBloomRelease.getAndSet { () =>
-      te.unpersist(); bc.unpersist(); ()
-    }
-    if (prev != null) prev()
+    lastBloomRelease.swap(() => { te.unpersist(); bc.unpersist(); () })
     out
   }
 
-  private val lastBloomRelease =
-    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+  private val lastBloomRelease = ReleaseSlot()
 
   /** The cleaning form: `corpus` minus every document contaminated
     * against `heldOut` (left_anti on the flagged train ids). */

@@ -488,6 +488,20 @@ object Dedup {
 
   private val MersenneP = (1L << 61) - 1
 
+  /** The contract-pinned 60-bit base hash both portable signers (and
+    * their oracle SQL, `('0x' || substr(md5(s),1,15))::BIGINT`) share:
+    * top 60 bits of the MD5 digest = first 15 hex chars. ONE definition
+    * so q92/q93 and q94 can never drift apart. */
+  private def md5Top60(md: java.security.MessageDigest,
+      s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var x = 0L
+    var i = 0
+    while (i < 8) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
+    x >>> 4
+  }
+
   private def mulModP(a: Long, x: Long): Long = {
     val hi = Math.multiplyHigh(a, x)
     val lo = a * x
@@ -515,9 +529,7 @@ object Dedup {
     val rows = k / bands
     val sig = minhashSignaturesPortable(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = lastPortableLshRelease.getAndSet(
-      () => { sig.unpersist(); () })
-    if (prev != null) prev()
+    lastPortableLshRelease.swap(() => { sig.unpersist(); () })
     val banded = sig
       .withColumn("band", floor(col("j") / rows).cast("int"))
       .groupBy(col("id"), col("band"))
@@ -542,8 +554,7 @@ object Dedup {
           .as("est_jaccard"))
   }
 
-  private val lastPortableLshRelease =
-    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+  private val lastPortableLshRelease = ReleaseSlot()
 
   /** PORTABLE SimHash — the oracle-able form of the simhash family,
     * same contract-pinning move as [[minhashSignaturesPortable]]: word
@@ -571,13 +582,7 @@ object Dedup {
           val net = new Array[Long](60)
           val md = java.security.MessageDigest.getInstance("MD5")
           words.foreach { w =>
-            md.reset()
-            val d = md.digest(w.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            var x = 0L
-            var i = 0
-            while (i < 8) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
-            x = x >>> 4 // first 15 hex chars = top 60 bits
+            val x = md5Top60(md, w)
             var b = 0
             while (b < 60) {
               if (((x >>> b) & 1L) == 1L) net(b) += 1 else net(b) -= 1
@@ -598,13 +603,7 @@ object Dedup {
         val mins = Array.fill(k)(Long.MaxValue)
         val md = java.security.MessageDigest.getInstance("MD5")
         grams.foreach { g =>
-          md.reset()
-          val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          // first 15 hex chars = the top 60 bits of the first 8 bytes
-          var x = 0L
-          var i = 0
-          while (i < 8) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
-          x = x >>> 4
+          val x = md5Top60(md, g)
           var j = 0
           while (j < k) {
             val (a, b) = PortableMinhashCoeffs(j)

@@ -131,8 +131,7 @@ object Mixing {
     val survivors = joined
       .where(hashRankValue(col(idCol)) < col("__t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = lastQuotaRelease.getAndSet(() => { survivors.unpersist(); () })
-    if (prev != null) prev()
+    lastQuotaRelease.swap(() => { survivors.unpersist(); () })
     val got = survivors.groupBy(stratumCol).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val failed = thresholds.collect {
@@ -158,8 +157,7 @@ object Mixing {
     }
   }
 
-  private val lastQuotaRelease =
-    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+  private val lastQuotaRelease = ReleaseSlot()
 
   /** Deterministic train/val/test assignment by hash bucket:
     * [0, train) -> "train", [train, train+val) -> "val", rest "test".

@@ -58,8 +58,7 @@ object SemDedup {
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         col("centroid_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = lastRelease.getAndSet(() => { assigned.unpersist(); () })
-    if (prev != null) prev()
+    lastRelease.swap(() => { assigned.unpersist(); () })
     val right = assigned.select(col("centroid_id"),
       col("id").as("rid"), col("vec").as("rvec"))
     val dropped = assigned.join(right, "centroid_id")
@@ -72,15 +71,23 @@ object SemDedup {
         col("__dup").isNull.as("keep"))
   }
 
-  /** The consuming form: `corpus` restricted to semantic survivors. */
+  /** The consuming form: `corpus` minus the dropped epsilon-duplicates.
+    * Rows with a NULL embedding are duplicates of nothing and pass
+    * through untouched (semDedup excludes them from its keep frame, so
+    * a bare semi-join would silently delete them — `keepNullVectors =
+    * false` opts into that stricter "must have semantic evidence"
+    * reading). */
   def dedupSemantic(corpus: DataFrame, eps: Double, stride: Int,
       iters: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      keepNullVectors: Boolean = true): DataFrame = {
     val keep = semDedup(corpus, eps, stride, iters, idCol, vecCol)
       .where(col("keep")).select(col(idCol))
-    corpus.join(keep, Seq(idCol), "left_semi")
+    val survivors = corpus.join(keep, Seq(idCol), "left_semi")
+    if (keepNullVectors)
+      survivors.unionByName(corpus.where(col(vecCol).isNull))
+    else survivors
   }
 
-  private val lastRelease =
-    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+  private val lastRelease = ReleaseSlot()
 }

@@ -46,19 +46,6 @@ object WindowedAggregates {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
-  /** Watermarked stream-stream INTERVAL join — the two-stream
-    * Structured Streaming primitive: enrich a fact stream with context
-    * rows that share a key AND arrive within a bounded event-time
-    * interval (impression ⋈ click, request ⋈ response, doc ⋈ its
-    * crawl-status update). Both sides carry watermarks and the join
-    * condition bounds the right side's event time to
-    * [leftTs - lowerBound, leftTs + upperBound]; together those let
-    * Spark EVICT buffered rows once the watermark clears the interval —
-    * the only join formulation whose state stays bounded on an
-    * unbounded ingest stream (an unconstrained stream-stream join
-    * buffers both streams forever). Inner join; matches emit as soon as
-    * both sides have arrived. The right-side key column is dropped from
-    * the output (it equals the left's). */
   /** Event-time SESSION windows on an unbounded stream — the streaming
     * form of the batch lag-cumsum sessionization (q29): consecutive
     * events of a key belong to one session while the inter-event gap
@@ -81,6 +68,19 @@ object WindowedAggregates {
       .select(col(keyCol), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Watermarked stream-stream INTERVAL join — the two-stream
+    * Structured Streaming primitive: enrich a fact stream with context
+    * rows that share a key AND arrive within a bounded event-time
+    * interval (impression ⋈ click, request ⋈ response, doc ⋈ its
+    * crawl-status update). Both sides carry watermarks and the join
+    * condition bounds the right side's event time to
+    * [leftTs - lowerBound, leftTs + upperBound]; together those let
+    * Spark EVICT buffered rows once the watermark clears the interval —
+    * the only join formulation whose state stays bounded on an
+    * unbounded ingest stream (an unconstrained stream-stream join
+    * buffers both streams forever). Inner join; matches emit as soon as
+    * both sides have arrived. The right-side key column is dropped from
+    * the output (it equals the left's). */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, watermarkDelay: String,
       lowerBound: String, upperBound: String): DataFrame = {
