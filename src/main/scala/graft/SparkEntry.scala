@@ -686,6 +686,21 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 3, bands = 4)
     }),
 
+    // ---- BPE tokenization (Sennrich 2016): merges trained in-engine
+    // on the bounded word-count table (ONE corpus shuffle; training is
+    // vocab-sized driver work, the centroid discipline), row-local
+    // encode with broadcast ranks. Rows-only tier (sequential merge
+    // training has no SQL form); the spec pins determinism and the
+    // round-trip property. ----
+    "q95_bpe_tokens" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val docs = t(s, dir, "documents")
+      val model = Bpe.train(docs, "text", numMerges = 200,
+        minWordCount = 2L)
+      Bpe.encode(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens"))
+    }),
+
     // ---- Portable SimHash (q92/q93 companion): md5-based 60-bit
     // variant emitted relationally (doc, bit, bitval), so the oracle
     // replays the full vote-and-sign construction. q23's murmur form

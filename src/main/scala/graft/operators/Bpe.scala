@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer trained IN-ENGINE (Sennrich et al.
+  * 2016, the GPT-2 tokenizer family's shape) — the piece that turns
+  * the engine's token-count ESTIMATES (sequence packing, q85; Gopher
+  * word stats) into real subword token streams.
+  *
+  * Scale split, the k-means/centroid discipline: the only corpus-sized
+  * work is ONE distributed word count (groupBy word — the shuffle);
+  * BPE training itself runs on the BOUNDED word-frequency table
+  * (vocabulary size, not corpus size — Sennrich's algorithm is
+  * sequential in the merge order by definition, and the vocab table at
+  * 100 TB is still ~millions of rows where the corpus is trillions of
+  * tokens; `maxVocab` caps the driver copy explicitly and loudly).
+  * Encoding is embarrassingly parallel: merge ranks broadcast, one
+  * row-local greedy pass per word.
+  *
+  * DETERMINISTIC: pair counts are exact longs; the argmax merge
+  * tie-breaks lexicographically on the pair, so the merge sequence is
+  * a pure function of the word-count table — identical across
+  * partitionings, reruns, engines.
+  */
+object Bpe {
+
+  /** End-of-word marker (class-internal; never collides with corpus
+    * text because words are whitespace-split). */
+  private val Eow = "</w>"
+
+  final case class Model(merges: Seq[(String, String)]) {
+    /** rank map for the encoder: pair -> merge priority */
+    @transient lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+  }
+
+  /** Train `numMerges` merges. `minWordCount` prunes the long tail of
+    * the word table before it reaches the driver; `maxVocab` is the
+    * loud driver-memory bound (train on a SAMPLE or raise the floor if
+    * it trips — silently truncating would bias the merges). */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      minWordCount: Long = 1L, maxVocab: Int = 200000): Model = {
+    val words = df
+      .select(explode(filter(split(col(textCol), "\\s+"),
+        w => length(w) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minWordCount)
+    val vocabRows = words.limit(maxVocab + 1).collect()
+    require(vocabRows.length <= maxVocab,
+      s"word table exceeds maxVocab=$maxVocab after " +
+        s"minWordCount=$minWordCount pruning — raise the floor or " +
+        "train on a sample (silent truncation would bias the merges)")
+    // symbol sequences per word, weighted by corpus frequency
+    var vocab: Array[(Array[String], Long)] = vocabRows.map { r =>
+      (r.getString(0).map(_.toString).toArray :+ Eow, r.getLong(1))
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    while (m < numMerges) {
+      // exact pair counts over the bounded vocab table
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) m = numMerges
+      else {
+        // argmax with LEXICOGRAPHIC tie-break: determinism contract
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        val (pa, pb) = best._1
+        merges += ((pa, pb))
+        val joined = pa + pb
+        vocab = vocab.map { case (syms, cnt) =>
+          (mergePair(syms, pa, pb, joined), cnt)
+        }
+        m += 1
+      }
+    }
+    Model(merges.result())
+  }
+
+  private def mergePair(syms: Array[String], a: String, b: String,
+      joined: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += joined
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Greedy rank-order encode of one word (the standard BPE encode
+    * loop: repeatedly merge the lowest-rank adjacent pair). */
+  private def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray :+ Eow
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        val joined = syms(bestIdx) + syms(bestIdx + 1)
+        syms = mergePair(syms, syms(bestIdx), syms(bestIdx + 1), joined)
+      }
+    }
+    syms
+  }
+
+  /** (idCol, tokens array<string>, n_tokens) — row-local encode with
+    * the broadcast rank map; unseen characters survive as single-char
+    * tokens (no OOV loss). */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val bc = sc.broadcast(model.ranks)
+    val enc = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else text.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => encodeWord(w, bc.value))
+    }
+    df.select(col(idCol), enc(col(textCol)).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+}

@@ -198,6 +198,36 @@ class CurationOpsSpec extends SparkSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("BPE: merges are deterministic across partitionings, frequent " +
+      "words collapse to one token, and encode round-trips") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.Bpe
+    val corpus = (Seq.fill(8)("low") ++ Seq.fill(4)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .mkString(" ")
+    val docs = Seq((1L, corpus), (2L, "low lower unseen")).toDF(
+      "doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 12)
+    val model2 = Bpe.train(docs.repartition(5), "text", numMerges = 12)
+    assert(model.merges === model2.merges)
+    val enc = Bpe.encode(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getInt(2))).toMap
+    // round-trip: concatenated tokens minus the end marker rebuild the
+    // original words in order
+    val rebuilt = enc(2L)._1.mkString("").split("</w>").toSeq
+    assert(rebuilt === Seq("low", "lower", "unseen"))
+    assert(enc(2L)._2 === enc(2L)._1.length)
+    // the most frequent word fully merges into a single token
+    val lowTokens = Bpe.encode(Seq((9L, "low")).toDF("doc_id", "text"),
+      "doc_id", "text", model).collect().head.getSeq[String](1)
+    assert(lowTokens === Seq("low</w>"))
+    // unseen characters survive as single-char tokens (no OOV loss)
+    assert(enc(2L)._1.containsSlice(
+      Seq("u", "n")) || enc(2L)._1.exists(_.contains("un")))
+  }
+
   test("semDedup drops every epsilon-duplicate except the min id and " +
       "is deterministic across reruns") {
     val s = initSpark()
