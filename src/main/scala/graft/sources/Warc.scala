@@ -49,6 +49,17 @@ object Warc {
         (col("http_content_type").startsWith("text/html") ||
           col("http_content_type").startsWith("text/plain")))
 
+  /** WET segments (Common Crawl's pre-extracted text sidecar): the
+    * `conversion` records, whose payload is already plain text — the
+    * cheapest ingestion path when the crawl provider ships them
+    * (no HTML parse at all). Same record walk; the predicate is the
+    * only difference. */
+  def wetDocuments(spark: SparkSession, pathGlob: String): DataFrame =
+    read(spark, pathGlob)
+      .where(col("warc_type") === "conversion")
+      .select(col("warc_file"), col("target_uri"), col("warc_date"),
+        col("body").as("text"))
+
   private[sources] case class Rec(warc_type: String, record_id: String,
       target_uri: String, warc_date: String, content_type: String,
       content_length: Long, http_status: Integer,

@@ -89,6 +89,23 @@ class WarcSpec extends SparkSuite {
     assert(html.head.getAs[String]("body") === "<p>zipped</p>")
   }
 
+  test("WET conversion records surface as plain-text documents") {
+    val s = initSpark()
+    val wet =
+      record("warcinfo", "", "software: t\r\n".getBytes(UTF_8)) ++
+        record("conversion", "https://example.org/a",
+          "already extracted text body".getBytes(UTF_8)) ++
+        record("conversion", "https://example.org/b",
+          "second page text".getBytes(UTF_8))
+    val path = writeTmp("seg.warc.wet", wet)
+    val docs = Warc.wetDocuments(s, path).collect()
+    assert(docs.length === 2)
+    assert(docs.map(_.getAs[String]("text")).toSet ===
+      Set("already extracted text body", "second page text"))
+    assert(docs.forall(_.getAs[String]("target_uri")
+      .startsWith("https://example.org/")))
+  }
+
   test("a crash-truncated tail drops cleanly: intact records survive") {
     val s = initSpark()
     val truncated = fixture.dropRight(60) // cut into the last record
