@@ -1864,15 +1864,20 @@ object SparkEntry {
          FROM b JOIN rates USING (source)
          WHERE b.bucket < CAST(floor(rate * 1000) AS BIGINT)""",
 
+    // the split bucket is SALTED (':split') — independent of the
+    // sampling bucket, so composed rate+split decisions decorrelate
     "q74_split_assign" ->
       """SELECT doc_id, bucket,
-           CASE WHEN bucket < 800 THEN 'train'
-                WHEN bucket < 900 THEN 'val'
+           CASE WHEN sbucket < 800 THEN 'train'
+                WHEN sbucket < 900 THEN 'val'
                 ELSE 'test' END AS split
          FROM (
            SELECT doc_id,
              CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-               1, 8)) AS UBIGINT) % 1000 AS BIGINT) AS bucket
+               1, 8)) AS UBIGINT) % 1000 AS BIGINT) AS bucket,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||
+               ':split'), 1, 8)) AS UBIGINT) % 1000 AS BIGINT)
+               AS sbucket
            FROM documents)""",
 
     "q72_repetition" ->

@@ -25,9 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** End-of-word marker (class-internal; never collides with corpus
-    * text because words are whitespace-split). */
-  private val Eow = "</w>"
+  /** End-of-word marker: a WHITESPACE character, which is the one
+    * class of symbol that provably cannot collide — words are \s+
+    * split, so no initial symbol contains it, and merge products are
+    * concatenations of initial symbols, so no merge can SYNTHESIZE it
+    * either (the classic "&lt;/w&gt;" marker fails that second test:
+    * three merges over an HTML-bearing corpus build the literal
+    * "</w>" and conflate a mid-word token with the word boundary). */
+  private[graft] val Eow = "\n"
 
   final case class Model(merges: Seq[(String, String)]) {
     /** rank map for the encoder: pair -> merge priority */

@@ -16,11 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
-  /** Stable bucket in [0, buckets): first 8 hex chars of md5(id) as an
-    * integer, mod buckets. Engine-portable (md5 + hex parse + mod). */
-  def hashBucket(id: Column, buckets: Int = 10000): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long") % buckets
+  /** Stable bucket in [0, buckets): first 8 hex chars of md5(id ++
+    * salt) as an integer, mod buckets. Engine-portable (md5 + hex
+    * parse + mod). `salt` makes INDEPENDENT decisions from the same
+    * id: two unsalted hashes of one id are the SAME value, so e.g.
+    * sampling and split assignment would correlate perfectly (a 0.5
+    * sampling rate would leave zero val/test rows — every surviving
+    * bucket is below the train threshold too). The empty default keeps
+    * existing decisions byte-stable. */
+  def hashBucket(id: Column, buckets: Int = 10000,
+      salt: String = ""): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("long") % buckets
 
   /** Per-stratum deterministic sampling: keep a row iff its hash
     * bucket falls under its stratum's rate. Rates ride as a broadcast
@@ -161,10 +168,14 @@ object Mixing {
 
   /** Deterministic train/val/test assignment by hash bucket:
     * [0, train) -> "train", [train, train+val) -> "val", rest "test".
-    * Percentages in [0,1]; content-stable across reruns. */
+    * Percentages in [0,1]; content-stable across reruns. The bucket is
+    * SALTED (":split") so the decision is independent of every other
+    * hash decision on the same id — unsalted, stratifiedSample at rate
+    * r < trainPct would keep ONLY train rows (identical bucket values
+    * on both sides of the composition, the mixAndSplit chain). */
   def assignSplit(id: Column, trainPct: Double, valPct: Double,
       buckets: Int = 1000): Column = {
-    val b = hashBucket(id, buckets)
+    val b = hashBucket(id, buckets, salt = ":split")
     val trainHi = math.round(trainPct * buckets)
     val valHi = math.round((trainPct + valPct) * buckets)
     when(b < trainHi, "train")

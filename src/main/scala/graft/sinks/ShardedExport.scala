@@ -43,12 +43,28 @@ object ShardedExport {
     val spark = df.sparkSession
     df.withColumn("shard",
         graft.operators.Mixing.hashBucket(col(idCol), numShards))
-      .repartition(numShards, col("shard"))
+      // range-partition on the shard value: ~one shard per task.
+      // repartition(n, shard) hash-partitions the ALREADY-hashED shard
+      // id — murmur3 over n distinct values leaves ~1/e of the tasks
+      // empty and stacks 2-3 shards on the unlucky ones, gating the
+      // export on the slowest stack. Shard FILE BYTES are independent
+      // of the shard->task mapping (partitionBy splits by value, rows
+      // sorted within each value), so range boundaries need not be
+      // reproducible — only the parallelism changes.
+      .repartitionByRange(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")
       .json(s"$dir/data")
-    val manifest = manifestOf(spark, s"$dir/data")
+    // ONE manifest pass: the scan re-reads and re-hashes every shard
+    // byte, so materialize it once (numShards rows — driver-bounded by
+    // construction) and serve both the _manifest file and the returned
+    // frame from that copy
+    val rows = manifestOf(spark, s"$dir/data").collect().toIndexedSeq
+    import spark.implicits._
+    val manifest = rows.map(r => (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getString(4)))
+      .toDF("shard", "files", "rows", "bytes", "md5")
     manifest.coalesce(1).write.mode(SaveMode.Overwrite)
       .json(s"$dir/_manifest")
     manifest

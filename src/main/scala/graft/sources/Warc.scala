@@ -46,8 +46,10 @@ object Warc {
     read(spark, pathGlob)
       .where(col("warc_type") === "response" &&
         col("http_status") === 200 &&
-        (col("http_content_type").startsWith("text/html") ||
-          col("http_content_type").startsWith("text/plain")))
+        // MIME types are case-insensitive (RFC 2045) and real crawls
+        // contain TEXT/HTML servers — match case-folded
+        (lower(col("http_content_type")).startsWith("text/html") ||
+          lower(col("http_content_type")).startsWith("text/plain")))
 
   /** WET segments (Common Crawl's pre-extracted text sidecar): the
     * `conversion` records, whose payload is already plain text — the
@@ -75,14 +77,30 @@ object Warc {
       (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) bytes
     else {
       // GZIPInputStream consumes CONCATENATED members (the per-record
-      // gzip convention) in one pass
+      // gzip convention) in one pass. Initial buffer sized in LONG
+      // arithmetic (an Int `length * 4` wraps negative past 512 MB —
+      // exactly the ~1 GB segment class this source targets); the
+      // decompressed side shares the JVM's 2 GB array ceiling with
+      // binaryFile's compressed side, both rejected by the runtime,
+      // never silently truncated.
+      val initial = math.min(bytes.length.toLong * 4L,
+        (Int.MaxValue - 8).toLong).toInt
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes), 1 << 16)
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val out = new java.io.ByteArrayOutputStream(initial)
       val buf = new Array[Byte](1 << 16)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      in.close()
+      try {
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+      } catch {
+        // a crash-truncated or corrupt member: keep the intact
+        // prefix — the same drop-the-tail contract as parseRecords
+        // (an unconditional throw here would fail the whole job on
+        // one torn segment)
+        case _: java.io.EOFException | _: java.util.zip.ZipException =>
+          ()
+      }
       out.toByteArray
     }
   }
@@ -106,7 +124,11 @@ object Warc {
         if (!version.startsWith("WARC/")) ok = false
         else {
           val (headers, p2) = readHeaders(bytes, p1)
-          val len = headers.getOrElse("content-length", "-1").trim.toLong
+          // corrupted length header (torn write) = malformed record:
+          // stop the walk like every other malformation, don't throw
+          val len = scala.util.Try(
+            headers.getOrElse("content-length", "-1").trim.toLong)
+            .getOrElse(-1L)
           if (len < 0 || p2 + len > bytes.length) ok = false
           else {
             val payload = java.util.Arrays.copyOfRange(bytes, p2,

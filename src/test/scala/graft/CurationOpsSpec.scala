@@ -198,6 +198,25 @@ class CurationOpsSpec extends SparkSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("sampling and split decisions decorrelate: a 0.5 mixture rate " +
+      "still yields val and test rows (salted split hash)") {
+    val s = initSpark()
+    import s.implicits._
+    val df = (0L until 2000L).map(i => (i, "s")).toDF("id", "stratum")
+    val out = Mixing.stratifiedSample(df, "stratum",
+        Map("s" -> 0.5), "id")
+      .withColumn("split", Mixing.assignSplit(col("id"), 0.8, 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unsalted, the surviving buckets (< 500) were all below the train
+    // threshold (800) — val and test were structurally EMPTY
+    assert(out.getOrElse("val", 0L) > 0L)
+    assert(out.getOrElse("test", 0L) > 0L)
+    val total = out.values.sum
+    assert(out("train").toDouble / total > 0.7 &&
+      out("train").toDouble / total < 0.9)
+  }
+
   test("BPE: merges are deterministic across partitionings, frequent " +
       "words collapse to one token, and encode round-trips") {
     val s = initSpark()
@@ -216,13 +235,13 @@ class CurationOpsSpec extends SparkSuite {
         (r.getSeq[String](1), r.getInt(2))).toMap
     // round-trip: concatenated tokens minus the end marker rebuild the
     // original words in order
-    val rebuilt = enc(2L)._1.mkString("").split("</w>").toSeq
+    val rebuilt = enc(2L)._1.mkString("").split(Bpe.Eow).toSeq
     assert(rebuilt === Seq("low", "lower", "unseen"))
     assert(enc(2L)._2 === enc(2L)._1.length)
     // the most frequent word fully merges into a single token
     val lowTokens = Bpe.encode(Seq((9L, "low")).toDF("doc_id", "text"),
       "doc_id", "text", model).collect().head.getSeq[String](1)
-    assert(lowTokens === Seq("low</w>"))
+    assert(lowTokens === Seq("low" + Bpe.Eow))
     // unseen characters survive as single-char tokens (no OOV loss)
     assert(enc(2L)._1.containsSlice(
       Seq("u", "n")) || enc(2L)._1.exists(_.contains("un")))

@@ -113,4 +113,23 @@ class WarcSpec extends SparkSuite {
     val rows = Warc.read(s, path).collect()
     assert(rows.length === 4, "intact prefix records must parse")
   }
+
+  test("a gzip member cut mid-stream keeps the intact prefix instead " +
+      "of failing the task") {
+    val s = initSpark()
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val full =
+      gz(record("warcinfo", "", "software: t\r\n".getBytes(UTF_8))) ++
+        gz(record("response", "https://example.org/a",
+          httpResponse(200, "text/html", "<p>ok</p>")))
+    val torn = full.dropRight(10) // cut inside the second member
+    val path = writeTmp("seg_torn.warc.gz", torn)
+    val rows = Warc.read(s, path).collect()
+    assert(rows.map(_.getAs[String]("warc_type")).contains("warcinfo"),
+      "the intact first member must survive a torn second member")
+  }
 }
