@@ -560,6 +560,16 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 13)
     }),
 
+    // ---- The REMOVAL form of q88, also oracled: excise every
+    // duplicated >= 13-token span, keeping the corpus-first (min
+    // (doc,pos)) occurrence; the oracle rebuilds each doc from its
+    // uncovered tokens through a range join. 13 docs at sf0.001 are
+    // full duplicates and excise to empty — the operator BITES. ----
+    "q96_dup_substring_removal" -> ((s, dir) => {
+      SubstringDedup.removeDuplicateWindows(
+        t(s, dir, "documents"), "doc_id", "text", n = 13)
+    }),
+
     // ---- Bloom-prefiltered decontamination: same EXACT semantics as
     // q78 (the bloom prefilter has no false negatives and the exact
     // join kills its false positives), so it shares the exact oracle
@@ -1565,6 +1575,52 @@ object SparkEntry {
            count(*) FILTER (WHERE g.occ >= 2) AS n_dup_windows
          FROM sh JOIN g USING (shingle)
          GROUP BY doc_id""",
+
+    // the removal form replayed relationally: windows + census with a
+    // lexicographic-min first occurrence, cut positions, a range join
+    // marking covered tokens, and a filtered ordered string_agg
+    // rebuilding each doc from the survivors
+    "q96_dup_substring_removal" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '') AS toks,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS ltoks
+           FROM documents),
+         win AS (
+           SELECT doc_id,
+             unnest(range(1, greatest(len(ltoks) - 12, 0) + 1)) AS p,
+             unnest(list_transform(
+               range(1, greatest(len(ltoks) - 12, 0) + 1),
+               i -> array_to_string(ltoks[i:i+12], ' '))) AS wtext
+           FROM w),
+         cen AS (
+           SELECT wtext, count(*) AS occ,
+             min(struct_pack(d := doc_id, p := p)) AS first
+           FROM win GROUP BY wtext),
+         cuts AS (
+           SELECT win.doc_id, win.p FROM win JOIN cen USING (wtext)
+           WHERE cen.occ >= 2 AND
+             NOT (win.doc_id = cen.first.d AND win.p = cen.first.p)),
+         toks AS (
+           SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+             unnest(toks) AS tok
+           FROM w),
+         cov AS (
+           SELECT DISTINCT t.doc_id, t.pos FROM toks t JOIN cuts c
+           ON t.doc_id = c.doc_id AND t.pos BETWEEN c.p AND c.p + 12),
+         reb AS (
+           SELECT t.doc_id,
+             string_agg(t.tok, ' ' ORDER BY t.pos)
+               FILTER (WHERE cv.pos IS NULL) AS clean
+           FROM toks t LEFT JOIN cov cv
+             ON t.doc_id = cv.doc_id AND t.pos = cv.pos
+           GROUP BY t.doc_id)
+         SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(r.clean, '') END AS text
+         FROM documents d LEFT JOIN reb r USING (doc_id)""",
 
     // exact-form oracle for the bloom-prefiltered operator: the bloom
     // stage is plan-only (no false negatives; false positives die in
