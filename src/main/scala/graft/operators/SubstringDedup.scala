@@ -105,8 +105,14 @@ object SubstringDedup {
     */
   def removeDuplicateWindows(df: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
+    // the window stream feeds BOTH the census and the join-back; un-
+    // persisted, the generate UDF re-tokenizes the corpus twice. Fire-
+    // and-forget release (ReleaseSlot contract: persist-backed, a late
+    // reader only recomputes)
     val wins = windowed(df, idCol, textCol, n)
       .select(col("id"), col("pos"), md5(col("w")).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastRemovalRelease.swap(() => { wins.unpersist(); () })
     // first occurrence per fingerprint: min (id, pos) lexicographic —
     // min(struct) partial-aggregates map-side (the argmax/q32 shape)
     val census = wins.groupBy("f")
@@ -122,6 +128,8 @@ object SubstringDedup {
       .select(df(idCol),
         excise(n)(col(textCol), col("__cuts")).as(textCol))
   }
+
+  private val lastRemovalRelease = ReleaseSlot()
 
   /** Rebuild text dropping every token covered by a cut window
     * [p, p+n): one boolean mask pass over the token array — span
