@@ -170,10 +170,72 @@ object QualityClassifier {
   }
 
   /** Score documents: (id, quality_score 4-dp sigmoid probability).
-    * Every doc gets a row (the intercept feature guarantees a margin —
-    * tokenless docs score sigmoid(bias), the no-evidence prior). */
+    * Every doc gets a row (the intercept term guarantees a margin —
+    * tokenless docs score sigmoid(bias), the no-evidence prior).
+    *
+    * SHUFFLE-FREE: the margin is a pure function of one document's
+    * grams and the (broadcast) weight vector, so scoring is one
+    * row-local pass — the earlier relational form exploded the gram
+    * stream and shuffled it twice (counts groupBy + margin groupBy),
+    * which at corpus scale moved ~2 grams per token over the wire to
+    * compute something each row already knew. Numerics are the exact
+    * per-term contract of the relational form (same md5 bucket, same
+    * cnt/tot double division, same (tf*w*QD).toLong quantization,
+    * commutative long sum), so scores are bitwise unchanged —
+    * spec-pinned against the relational formulation. */
   def score(df: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val bcW = sc.broadcast(model.weights)
+    val bias = model.bias
+    val buckets = model.buckets
+    val scoreUdf = udf { (text: String) =>
+      val counts = new java.util.HashMap[Integer, Integer]()
+      var tot = 0L
+      if (text != null) {
+        val ws = text.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def add(g: String): Unit = {
+          // Mixing.hashBucket replayed on bytes: first 8 hex chars of
+          // md5 = first 4 digest bytes as an unsigned 32-bit value
+          md.reset()
+          val d = md.digest(g.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          val b = (v % buckets).toInt
+          val prev = counts.get(b)
+          counts.put(b, if (prev == null) 1 else prev + 1)
+          tot += 1
+        }
+        var i = 0
+        while (i < ws.length) {
+          add(ws(i))
+          if (i + 1 < ws.length) add(ws(i) + " " + ws(i + 1))
+          i += 1
+        }
+      }
+      val w = bcW.value
+      var mq = (1.0 * bias * QD).toLong // the intercept pseudo-feature
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val tf = e.getValue.toDouble / tot.toDouble
+        mq += (tf * w(e.getKey) * QD).toLong
+      }
+      val p = 1.0 / (1.0 + math.exp(-(mq.toDouble / QD)))
+      BigDecimal(p + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    df.select(col(idCol), scoreUdf(col(textCol)).as("quality_score"))
+  }
+
+  /** The relational scoring formulation — retained as the PARITY
+    * REFERENCE the spec checks the row-local path against (and as
+    * documentation of the algebra both forms implement). */
+  private[graft] def scoreRelational(df: DataFrame, idCol: String,
+      textCol: String, model: Model): DataFrame = {
     val wDf = weightsFrame(df.sparkSession, model.weights, model.bias)
     features(df, idCol, textCol, model.buckets)
       .join(wDf, "b")

@@ -247,6 +247,13 @@ class DedupSimilaritySpec extends SparkSuite {
       "text", "label", buckets = 512, iters = 40)
     assert(model2.bias === model.bias)
     assert(model2.weights.toSeq === model.weights.toSeq)
+    // the shuffle-free row-local scorer is BITWISE equal to the
+    // relational formulation it replaced (same md5 bucket, same
+    // quantized-term sum, same rounding)
+    val relational = QualityClassifier
+      .scoreRelational(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored === relational)
   }
 
   test("dsirScore favors docs that look like the target corpus") {
