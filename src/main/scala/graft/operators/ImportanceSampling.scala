@@ -87,6 +87,87 @@ object ImportanceSampling {
     scored
   }
 
+  /** The SCORING-side shuffle-free form of [[dsirScore]] — identical
+    * count-table training (the two bucket-count shuffles are the
+    * trained model and unavoidable), but the per-document score is
+    * computed in one row-local pass against a broadcast log-ratio
+    * TABLE (buckets doubles ≈ 80 KB at the default 10k): the
+    * relational form exploded the raw corpus's gram stream and
+    * shuffled it twice (ratio joins + per-doc groupBy) to average
+    * numbers each row could compute alone — the QualityClassifier
+    * scoring argument, applied to DSIR. Per-gram log ratios are the
+    * identical doubles (same smoothing, same divisions, precomputed
+    * per bucket); only the ADDITION ORDER within a document differs
+    * from the relational avg's partial-sum order, which the 4-dp
+    * round absorbs — spec-pinned equal to the oracled relational
+    * form. */
+  def dsirScoreFast(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 10000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val rawCt = gramBuckets(raw, idCol, textCol, buckets)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tgtCt = gramBuckets(target, idCol, textCol, buckets)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rawTotal = totalOf(rawCt, "ct")
+    val tgtTotal = totalOf(tgtCt, "ct")
+    def toArr(df: DataFrame): Array[Long] = {
+      val a = new Array[Long](buckets)
+      df.collect().foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
+      a
+    }
+    val rawArr = toArr(rawCt)
+    val tgtArr = toArr(tgtCt)
+    rawCt.unpersist(); tgtCt.unpersist()
+    val rawDen = (rawTotal + buckets).toDouble
+    val tgtDen = (tgtTotal + buckets).toDouble
+    // log2 exactly as Spark's Log2 expression computes it
+    // (log(x)/log(2), not a reciprocal multiply — low bits differ)
+    val ln2 = math.log(2.0)
+    val lr = Array.tabulate(buckets) { b =>
+      math.log((tgtArr(b).toDouble + 1.0) / tgtDen) / ln2 -
+        math.log((rawArr(b).toDouble + 1.0) / rawDen) / ln2
+    }
+    val bcLr = raw.sparkSession.sparkContext.broadcast(lr)
+    val scoreUdf = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val ws = text.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        if (ws.isEmpty) null
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val table = bcLr.value
+          var sum = 0.0
+          var n = 0L
+          def add(g: String): Unit = {
+            md.reset()
+            val d = md.digest(g.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            sum += table((v % buckets).toInt)
+            n += 1
+          }
+          var i = 0
+          while (i < ws.length) {
+            add(ws(i))
+            if (i + 1 < ws.length) add(ws(i) + " " + ws(i + 1))
+            i += 1
+          }
+          val s = BigDecimal(sum / n.toDouble + 1e-9)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (s, n)
+        }
+      }
+    }
+    raw.select(col(idCol).as("id"), scoreUdf(col(textCol)).as("__s"))
+      .where(col("__s").isNotNull)
+      .select(col("id"), col("__s._1").as("dsir_score"),
+        col("__s._2").as("n_grams"))
+  }
+
   private def totalOf(counts: DataFrame, cntCol: String): Long = {
     val row = counts.agg(sum(col(cntCol))).head()
     if (row.isNullAt(0)) 0L else row.getLong(0)

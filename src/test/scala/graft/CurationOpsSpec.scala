@@ -198,6 +198,26 @@ class CurationOpsSpec extends SparkSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("dsirScoreFast equals the oracled relational dsirScore " +
+      "(broadcast log-ratio table, row-local pass)") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.ImportanceSampling
+    val raw = (0L until 300L).map { i =>
+      (i, s"the quick brown item $i of batch b${i % 7} was seen with " +
+        s"tag t${i % 13} and note n${i % 5}")
+    }.toDF("doc_id", "text")
+    val target = raw.where(col("doc_id") % 3 === 0)
+    def collectScores(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val slow = collectScores(ImportanceSampling.dsirScore(
+      raw, target, "doc_id", "text"))
+    val fast = collectScores(ImportanceSampling.dsirScoreFast(
+      raw, target, "doc_id", "text"))
+    assert(fast === slow)
+  }
+
   test("sampling and split decisions decorrelate: a 0.5 mixture rate " +
       "still yields val and test rows (salted split hash)") {
     val s = initSpark()
