@@ -55,7 +55,7 @@ object Dedup {
   private[operators] def shingleWords(text: String, n: Int): Array[String] =
     if (text == null) Array.empty
     else {
-      val w = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val w = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
       if (w.length < n) Array.empty
       else Array.tabulate(w.length - n + 1)(i =>
         w.slice(i, i + n).mkString(" "))
@@ -347,7 +347,7 @@ object Dedup {
       val mins = Array.fill(numHashes)(Long.MaxValue)
       var any = false
       if (text != null) {
-        val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        val words = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
         if (words.length >= shingleN) {
           val seen = new java.util.HashSet[String]()
           var i = 0
@@ -576,7 +576,7 @@ object Dedup {
     org.apache.spark.sql.functions.udf { (text: String) =>
       if (text == null) Array.emptyIntArray
       else {
-        val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        val words = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
         if (words.isEmpty) Array.emptyIntArray
         else {
           val net = new Array[Long](60)
@@ -628,7 +628,7 @@ object Dedup {
       if (text == null) 0L
       else {
         val counts = new Array[Long](64)
-        text.toLowerCase.split("\\s+").foreach { w =>
+        text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
           if (w.nonEmpty) {
             val h1 = scala.util.hashing.MurmurHash3.stringHash(w, 0x9747b28c)
             val h2 = scala.util.hashing.MurmurHash3.stringHash(w, 0x85ebca6b)

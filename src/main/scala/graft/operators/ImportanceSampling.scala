@@ -103,69 +103,86 @@ object ImportanceSampling {
     * form. */
   def dsirScoreFast(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 10000): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val rawCt = gramBuckets(raw, idCol, textCol, buckets)
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val tgtCt = gramBuckets(target, idCol, textCol, buckets)
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val rawTotal = totalOf(rawCt, "ct")
-    val tgtTotal = totalOf(tgtCt, "ct")
-    def toArr(df: DataFrame): Array[Long] = {
+    def countArr(df: DataFrame): Array[Long] = {
+      // ONE action: totals are just the array's sum (every groupBy
+      // row lands at a distinct index), so no persist and no separate
+      // total-aggregation job
       val a = new Array[Long](buckets)
-      df.collect().foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
+      gramBuckets(df, idCol, textCol, buckets)
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+        .collect().foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
       a
     }
-    val rawArr = toArr(rawCt)
-    val tgtArr = toArr(tgtCt)
-    rawCt.unpersist(); tgtCt.unpersist()
-    val rawDen = (rawTotal + buckets).toDouble
-    val tgtDen = (tgtTotal + buckets).toDouble
-    // log2 exactly as Spark's Log2 expression computes it
-    // (log(x)/log(2), not a reciprocal multiply — low bits differ)
-    val ln2 = math.log(2.0)
+    val rawArr = countArr(raw)
+    val tgtArr = countArr(target)
+    val rawDen = (rawArr.sum + buckets).toDouble
+    val tgtDen = (tgtArr.sum + buckets).toDouble
+    // log2 exactly as Spark's Log2 expression computes it:
+    // StrictMath.log(x) / StrictMath.log(2) — Math.log is a HotSpot
+    // intrinsic allowed to differ by 1 ulp, which the parity claim
+    // against the oracled relational form cannot tolerate
+    val ln2 = StrictMath.log(2.0)
     val lr = Array.tabulate(buckets) { b =>
-      math.log((tgtArr(b).toDouble + 1.0) / tgtDen) / ln2 -
-        math.log((rawArr(b).toDouble + 1.0) / rawDen) / ln2
+      StrictMath.log((tgtArr(b).toDouble + 1.0) / tgtDen) / ln2 -
+        StrictMath.log((rawArr(b).toDouble + 1.0) / rawDen) / ln2
     }
     val bcLr = raw.sparkSession.sparkContext.broadcast(lr)
     val scoreUdf = udf { (text: String) =>
-      if (text == null) null
+      val table = bcLr.value
+      var sum = 0.0
+      val n = foreachGramBucket(text, buckets)(b => sum += table(b))
+      if (n == 0L) null
       else {
-        val ws = text.trim.toLowerCase(java.util.Locale.ROOT)
-          .split("\\s+").filter(_.nonEmpty)
-        if (ws.isEmpty) null
-        else {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val table = bcLr.value
-          var sum = 0.0
-          var n = 0L
-          def add(g: String): Unit = {
-            md.reset()
-            val d = md.digest(g.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-            sum += table((v % buckets).toInt)
-            n += 1
-          }
-          var i = 0
-          while (i < ws.length) {
-            add(ws(i))
-            if (i + 1 < ws.length) add(ws(i) + " " + ws(i + 1))
-            i += 1
-          }
-          val s = BigDecimal(sum / n.toDouble + 1e-9)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          (s, n)
-        }
+        val s = BigDecimal(sum / n.toDouble + 1e-9)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (s, n)
       }
     }
     raw.select(col(idCol).as("id"), scoreUdf(col(textCol)).as("__s"))
       .where(col("__s").isNotNull)
       .select(col("id"), col("__s._1").as("dsir_score"),
         col("__s._2").as("n_grams"))
+  }
+
+  /** Row-local replay of the [[gramBuckets]] feature space — ONE
+    * definition shared by every shuffle-free scorer (QualityClassifier
+    * margins, DSIR ratios), so the "same feature space" guarantee
+    * cannot desynchronize by parallel edits: trim -> lowercase
+    * (Locale.ROOT, matching Spark's locale-independent `lower`) ->
+    * \s+ split; unigrams plus adjacent bigrams; bucket =
+    * Mixing.hashBucket replayed on bytes (first 4 md5 digest bytes as
+    * an unsigned 32-bit value, mod buckets = the first-8-hex-chars
+    * conv). Calls `f` once per gram OCCURRENCE and returns the gram
+    * count (0 for null/tokenless text).
+    *
+    * NOTE the per-ROW contract: callers score each input row
+    * independently; the relational forms group by id first, so inputs
+    * carrying duplicate ids pool grams there but not here — feed
+    * one row per document (the schema contract everywhere else). */
+  private[operators] def foreachGramBucket(text: String, buckets: Int)(
+      f: Int => Unit): Long = {
+    if (text == null) return 0L
+    val ws = text.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (ws.isEmpty) return 0L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var n = 0L
+    def add(g: String): Unit = {
+      md.reset()
+      val d = md.digest(g.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      f((v % buckets).toInt)
+      n += 1
+    }
+    var i = 0
+    while (i < ws.length) {
+      add(ws(i))
+      if (i + 1 < ws.length) add(ws(i) + " " + ws(i + 1))
+      i += 1
+    }
+    n
   }
 
   private def totalOf(counts: DataFrame, cntCol: String): Long = {

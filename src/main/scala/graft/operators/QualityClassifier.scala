@@ -181,8 +181,11 @@ object QualityClassifier {
     * compute something each row already knew. Numerics are the exact
     * per-term contract of the relational form (same md5 bucket, same
     * cnt/tot double division, same (tf*w*QD).toLong quantization,
-    * commutative long sum), so scores are bitwise unchanged —
-    * spec-pinned against the relational formulation. */
+    * commutative long sum, StrictMath.exp as Spark's Exp expression),
+    * so scores are bitwise unchanged — spec-pinned against the
+    * relational formulation. Per-ROW contract: each input row scores
+    * independently; the relational form grouped by id, so duplicate
+    * ids pooled there — feed one row per document. */
   def score(df: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
     val sc = df.sparkSession.sparkContext
@@ -190,32 +193,15 @@ object QualityClassifier {
     val bias = model.bias
     val buckets = model.buckets
     val scoreUdf = udf { (text: String) =>
+      // the gram walk is the SHARED row-local feature-space replay
+      // (ImportanceSampling.foreachGramBucket) — one definition for
+      // every shuffle-free scorer; per-ROW contract documented there
       val counts = new java.util.HashMap[Integer, Integer]()
-      var tot = 0L
-      if (text != null) {
-        val ws = text.trim.toLowerCase(java.util.Locale.ROOT)
-          .split("\\s+").filter(_.nonEmpty)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        def add(g: String): Unit = {
-          // Mixing.hashBucket replayed on bytes: first 8 hex chars of
-          // md5 = first 4 digest bytes as an unsigned 32-bit value
-          md.reset()
-          val d = md.digest(g.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-          val b = (v % buckets).toInt
+      val tot = graft.operators.ImportanceSampling
+        .foreachGramBucket(text, buckets) { b =>
           val prev = counts.get(b)
           counts.put(b, if (prev == null) 1 else prev + 1)
-          tot += 1
         }
-        var i = 0
-        while (i < ws.length) {
-          add(ws(i))
-          if (i + 1 < ws.length) add(ws(i) + " " + ws(i + 1))
-          i += 1
-        }
-      }
       val w = bcW.value
       var mq = (1.0 * bias * QD).toLong // the intercept pseudo-feature
       val it = counts.entrySet().iterator()
@@ -224,7 +210,10 @@ object QualityClassifier {
         val tf = e.getValue.toDouble / tot.toDouble
         mq += (tf * w(e.getKey) * QD).toLong
       }
-      val p = 1.0 / (1.0 + math.exp(-(mq.toDouble / QD)))
+      // StrictMath.exp, matching Spark's Exp expression exactly —
+      // Math.exp is an intrinsic allowed to differ by 1 ulp, enough to
+      // flip a 4-dp HALF_UP boundary against scoreRelational
+      val p = 1.0 / (1.0 + StrictMath.exp(-(mq.toDouble / QD)))
       BigDecimal(p + 1e-9)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
