@@ -560,6 +560,24 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 13)
     }),
 
+    // ---- Corpus health report (the dashboard every curation pipeline
+    // runs after each build): per-source doc/word totals, Gopher-keep
+    // counts, and exact-dup incidence — one census shuffle + one
+    // rollup, all integer metrics so the oracle is float-free. ----
+    "q97_corpus_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = docs.select(col("doc_id"), col("source"),
+        TextMetrics.gopherStruct(col("text")).as("__g"),
+        TextMetrics.fingerprint(col("text")).as("__fp"))
+      val census = g.groupBy("__fp").agg(count(lit(1)).as("__occ"))
+      g.join(census, "__fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__g.word_count")).as("total_words"),
+          count(when(col("__g.keep"), 1)).as("n_gopher_keep"),
+          count(when(col("__occ") >= 2, 1)).as("n_dup_docs"))
+    }),
+
     // ---- The REMOVAL form of q88, also oracled: excise every
     // duplicated >= 13-token span, keeping the corpus-first (min
     // (doc,pos)) occurrence; the oracle rebuilds each doc from its
@@ -1575,6 +1593,63 @@ object SparkEntry {
            count(*) FILTER (WHERE g.occ >= 2) AS n_dup_windows
          FROM sh JOIN g USING (shingle)
          GROUP BY doc_id""",
+
+    // per-source rollup over the q71 gopher signals + the q19/q20
+    // fingerprint census; integer metrics only (count FILTER + a
+    // BIGINT-cast sum — DuckDB sums integers into HUGEINT)
+    "q97_corpus_report" ->
+      """WITH base AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS hashes
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS word_count,
+             CAST(list_sum(list_transform(ws, w -> length(w)))
+               AS BIGINT) AS mwl_num,
+             CAST(hashes AS BIGINT) AS hashes,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+               l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ell,
+             CAST(len(list_filter(lines,
+               l -> starts_with(ltrim(l), '-')
+                 OR starts_with(ltrim(l), '*')
+                 OR starts_with(ltrim(l), '•'))) AS BIGINT) AS bul,
+             CAST(len(list_filter(ws,
+               w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha,
+             CAST(len(list_intersect(
+               list_distinct(list_transform(ws, w -> lower(w))),
+               ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS stop_hits
+           FROM base),
+         k AS (
+           SELECT doc_id, word_count,
+             (word_count >= 50 AND word_count <= 100000)
+               AND (mwl_num >= word_count * 3 AND
+                 mwl_num <= word_count * 10)
+               AND hashes * 10 <= word_count
+               AND ell * 10 <= n_lines * 3
+               AND bul * 10 <= n_lines * 9
+               AND alpha * 5 >= word_count * 4
+               AND stop_hits >= 2 AS keep
+           FROM m),
+         fp AS (
+           SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS f
+           FROM documents),
+         cen AS (SELECT f, count(*) AS occ FROM fp GROUP BY f)
+         SELECT fp.source,
+           count(*) AS n_docs,
+           CAST(sum(k.word_count) AS BIGINT) AS total_words,
+           count(*) FILTER (WHERE k.keep) AS n_gopher_keep,
+           count(*) FILTER (WHERE cen.occ >= 2) AS n_dup_docs
+         FROM fp
+         JOIN k USING (doc_id)
+         JOIN cen USING (f)
+         GROUP BY fp.source""",
 
     // the removal form replayed relationally: windows + census with a
     // lexicographic-min first occurrence, cut positions, a range join
