@@ -192,6 +192,27 @@ class PlanSpec extends SparkSuite {
       s"expected a window operator:\n${plan.take(1500)}")
   }
 
+  test("q93 portable LSH reuses the persisted signature frame across " +
+      "its three readers (banding + both score sides)") {
+    val s = initSpark()
+    val df = SparkEntry.queries("q93_minhash_lsh_portable")(s, dir)
+    val plan = planOf(df)
+    val cachedScans = plan.linesIterator
+      .count(_.contains("InMemoryTableScan"))
+    assert(cachedScans >= 3,
+      s"signature frame should serve banding + both score joins from " +
+        s"cache, saw $cachedScans cached scans:\n${plan.take(2000)}")
+  }
+
+  test("q97 corpus report costs exactly 3 exchanges (fingerprint " +
+      "census, join-back, source rollup)") {
+    val s = initSpark()
+    val df = SparkEntry.queries("q97_corpus_report")(s, dir)
+    val plan = planOf(df)
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n === 3, s"expected 3 exchanges, got $n:\n$plan")
+  }
+
   test("step-partitioned ledger scans prune partitions (R15)") {
     val s = initSpark()
     import s.implicits._
