@@ -1,0 +1,158 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** robots.txt evaluation (RFC 9309) — the governance side of crawl
+  * ingestion: a corpus pipeline that reads WARC segments it crawled
+  * itself needs the frontier filtered by each host's robots rules,
+  * and the evaluation must match what the crawler did or recrawl
+  * deltas lie.
+  *
+  * Semantics implemented per the RFC:
+  *   - group selection: the group whose user-agent token is the
+  *     LONGEST match for the product token (case-insensitive);
+  *     groups for `*` apply when no specific group matches; multiple
+  *     groups for the same agent merge;
+  *   - rule matching: the longest-matching rule wins (octet count of
+  *     the pattern); on equal length, Allow wins;
+  *   - patterns: `*` matches any char sequence, `$` anchors the end;
+  *     matching is against the percent-decoded path + query;
+  *   - no matching rule, no group, or an EMPTY Disallow => allowed.
+  *
+  * Plan shape: rules compile once per host (robots bodies are a tiny
+  * dimension next to a frontier), the frontier joins on host (robots
+  * dim broadcasts), and the match runs row-local — the frontier is
+  * never shuffled. */
+object Robots {
+
+  final case class Rule(allow: Boolean, pattern: String) {
+    /** match length for precedence = the pattern's length */
+    def matches(path: String): Boolean = Robots.globMatch(pattern, path)
+  }
+
+  /** Parse one robots.txt body into the rule list applying to
+    * `userAgent` (RFC group selection; merged, original order kept —
+    * order is irrelevant under longest-match precedence). */
+  def rulesFor(body: String, userAgent: String): Seq[Rule] = {
+    if (body == null) return Seq.empty
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
+    // group structure: runs of user-agent lines introduce a group that
+    // the following allow/disallow lines populate
+    final case class Group(agents: Seq[String], rules: Seq[Rule])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty)
+        groups += Group(agents.toSeq, rules.toSeq)
+      agents = scala.collection.mutable.ArrayBuffer.empty[String]
+      rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    }
+    body.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) line.split(":", 2) match {
+        case Array(k, v) =>
+          val key = k.trim.toLowerCase(java.util.Locale.ROOT)
+          val value = v.trim
+          key match {
+            case "user-agent" =>
+              if (inRules) { flush(); inRules = false }
+              agents += value.toLowerCase(java.util.Locale.ROOT)
+            case "allow" =>
+              inRules = true
+              if (value.nonEmpty) rules += Rule(allow = true, value)
+            case "disallow" =>
+              inRules = true
+              // empty Disallow = allow everything (no rule)
+              if (value.nonEmpty) rules += Rule(allow = false, value)
+            case _ => () // crawl-delay/sitemap etc.: not access rules
+          }
+        case _ => ()
+      }
+    }
+    flush()
+    // longest agent-token match; fall back to the merged `*` groups
+    val specific = groups.filter(g =>
+      g.agents.exists(a => a != "*" && ua.contains(a)))
+    if (specific.nonEmpty) {
+      val bestLen = specific.iterator.flatMap(_.agents)
+        .filter(a => a != "*" && ua.contains(a)).map(_.length).max
+      specific.filter(_.agents.exists(a =>
+        a != "*" && ua.contains(a) && a.length == bestLen))
+        .flatMap(_.rules).toSeq
+    } else groups.filter(_.agents.contains("*")).flatMap(_.rules).toSeq
+  }
+
+  /** RFC 9309 §2.2.2 longest-match decision over compiled rules. */
+  def isAllowed(rules: Seq[Rule], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (r.matches(path)) {
+        val len = r.pattern.length
+        if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+          bestLen = len
+          bestAllow = r.allow
+        }
+      }
+    }
+    bestAllow
+  }
+
+  /** `*`/`$` glob match, anchored at the path start (RFC semantics:
+    * patterns match from the first path octet). Iterative two-pointer
+    * with backtracking — no regex compilation per row. */
+  private[sources] def globMatch(pattern: String, path: String)
+      : Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.dropRight(1) else pattern
+    var pi = 0; var si = 0
+    var starP = -1; var starS = -1
+    while (si < path.length) {
+      if (pi < p.length &&
+        (p.charAt(pi) == path.charAt(si))) { pi += 1; si += 1 }
+      else if (pi < p.length && p.charAt(pi) == '*') {
+        starP = pi; starS = si; pi += 1
+      } else if (starP >= 0) { starS += 1; si = starS; pi = starP + 1 }
+      else return false
+      // non-anchored patterns may end mid-path
+      if (pi == p.length && !anchored) return true
+    }
+    while (pi < p.length && p.charAt(pi) == '*') pi += 1
+    pi == p.length && (!anchored || si == path.length)
+  }
+
+  /** Filter a frontier to robots-allowed URLs: `robots` is the
+    * (hostCol, bodyCol) dimension; rules compile ONCE per host on the
+    * driver (the dimension is small by nature — one row per host),
+    * broadcast as a map, and the frontier filters row-local on its
+    * own host + path. Hosts with no robots row are allowed (the RFC's
+    * unavailable = allow). */
+  def filterAllowed(frontier: DataFrame, urlCol: String,
+      robots: DataFrame, hostCol: String, bodyCol: String,
+      userAgent: String): DataFrame = {
+    val compiled = robots.select(col(hostCol), col(bodyCol)).collect()
+      .map(r => r.getString(0) -> rulesFor(r.getString(1), userAgent))
+      .toMap
+    val bc = frontier.sparkSession.sparkContext.broadcast(compiled)
+    val allowed = udf { (url: String) =>
+      if (url == null) false
+      else {
+        try {
+          val u = new java.net.URI(url)
+          val host = u.getHost
+          val path = (if (u.getRawPath == null || u.getRawPath.isEmpty)
+            "/" else u.getRawPath) +
+            (if (u.getRawQuery != null) "?" + u.getRawQuery else "")
+          bc.value.get(host) match {
+            case None => true
+            case Some(rules) => isAllowed(rules, path)
+          }
+        } catch { case _: java.net.URISyntaxException => false }
+      }
+    }
+    frontier.where(allowed(col(urlCol)))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.sources.Robots
+import graft.sources.Robots.Rule
+
+/** RFC 9309 robots evaluation — examples lifted from the RFC's own
+  * §2.2.2/§5 match tables. */
+class RobotsSpec extends SparkSuite {
+
+  private def allowed(body: String, path: String,
+      ua: String = "graftbot"): Boolean =
+    Robots.isAllowed(Robots.rulesFor(body, ua), path)
+
+  test("longest-match precedence, allow-wins ties, $ anchors, * globs " +
+      "(RFC match tables)") {
+    // allow /p vs disallow / : longest match wins
+    val b1 = "User-agent: *\nAllow: /p\nDisallow: /"
+    assert(allowed(b1, "/page"))
+    assert(!allowed(b1, "/"))
+    // allow /folder vs disallow /folder/
+    val b2 = "User-agent: *\nAllow: /folder\nDisallow: /folder"
+    assert(allowed(b2, "/folder/page")) // equal length -> allow wins
+    // allow /page vs disallow /*.ph : equal octet count -> allow
+    val b3 = "User-agent: *\nAllow: /page\nDisallow: /*.ph"
+    assert(allowed(b3, "/page.php5"))
+    // disallow /*.php matches anywhere
+    val b4 = "User-agent: *\nDisallow: /*.php"
+    assert(!allowed(b4, "/index.php"))
+    assert(!allowed(b4, "/folder/any.php?x=1&y=2".takeWhile(_ != '?')))
+    assert(allowed(b4, "/php/file.html"))
+    // $ anchors the end
+    val b5 = "User-agent: *\nAllow: /$\nDisallow: /"
+    assert(allowed(b5, "/"))
+    assert(!allowed(b5, "/index.html"))
+  }
+
+  test("group selection: longest agent token wins, * is the fallback, " +
+      "same-agent groups merge, empty Disallow allows") {
+    val body =
+      """User-agent: graftbot-news
+        |Disallow: /news-only/
+        |
+        |User-agent: graftbot
+        |Disallow: /general/
+        |
+        |User-agent: *
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Disallow: /more/
+        |""".stripMargin
+    // the most specific token wins for the news variant
+    assert(!allowed(body, "/news-only/a", ua = "graftbot-news"))
+    assert(allowed(body, "/general/a", ua = "graftbot-news"))
+    // plain graftbot merges BOTH its groups and ignores *'s blanket ban
+    assert(!allowed(body, "/general/a", ua = "graftbot"))
+    assert(!allowed(body, "/more/a", ua = "graftbot"))
+    assert(allowed(body, "/anything-else", ua = "graftbot"))
+    // unknown agents get the * group
+    assert(!allowed(body, "/anything", ua = "otherbot"))
+    // empty Disallow = no rule = everything allowed
+    assert(allowed("User-agent: *\nDisallow:", "/x"))
+    // no robots at all = allowed
+    assert(allowed("", "/x"))
+  }
+
+  test("filterAllowed: frontier filters row-local against broadcast " +
+      "per-host rules; hosts without robots pass") {
+    val s = initSpark()
+    import s.implicits._
+    val robots = Seq(
+      ("a.org", "User-agent: *\nDisallow: /private/"),
+      ("b.org", "User-agent: *\nDisallow: /")
+    ).toDF("host", "body")
+    val frontier = Seq(
+      "https://a.org/public/x",
+      "https://a.org/private/y",
+      "https://b.org/anything",
+      "https://c.org/no-robots-here",
+      "not a url"
+    ).toDF("url")
+    val kept = Robots.filterAllowed(frontier, "url", robots,
+        "host", "body", "graftbot")
+      .collect().map(_.getString(0)).toSet
+    assert(kept === Set("https://a.org/public/x",
+      "https://c.org/no-robots-here"))
+  }
+}
