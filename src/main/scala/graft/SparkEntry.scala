@@ -89,6 +89,47 @@ object SparkEntry {
     * (index cache key) and q81 (bucketed table/path suffix) derive
     * from; one definition so a future canonicalization change (e.g.
     * absolute-path normalization) lands in both. */
+  /** The gopher-signal CTEs + keep predicate shared VERBATIM by the
+    * q71 and q97 oracles — one definition so a threshold tweak cannot
+    * silently desynchronize the two (the Spark side already shares
+    * TextMetrics.gopherStruct). */
+  private val GopherCtes: String =
+    """base AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS hashes
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS word_count,
+             CAST(list_sum(list_transform(ws, w -> length(w)))
+               AS BIGINT) AS mwl_num,
+             CAST(hashes AS BIGINT) AS hashes,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+               l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ell,
+             CAST(len(list_filter(lines,
+               l -> starts_with(ltrim(l), '-')
+                 OR starts_with(ltrim(l), '*')
+                 OR starts_with(ltrim(l), '•'))) AS BIGINT) AS bul,
+             CAST(len(list_filter(ws,
+               w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha,
+             CAST(len(list_intersect(
+               list_distinct(list_transform(ws, w -> lower(w))),
+               ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS stop_hits
+           FROM base)"""
+
+  private val GopherKeepExpr: String =
+    """(word_count >= 50 AND word_count <= 100000)
+             AND (mwl_num >= word_count * 3 AND mwl_num <= word_count * 10)
+             AND hashes * 10 <= word_count
+             AND ell * 10 <= n_lines * 3
+             AND bul * 10 <= n_lines * 9
+             AND alpha * 5 >= word_count * 4
+             AND stop_hits >= 2"""
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -562,8 +603,9 @@ object SparkEntry {
 
     // ---- Corpus health report (the dashboard every curation pipeline
     // runs after each build): per-source doc/word totals, Gopher-keep
-    // counts, and exact-dup incidence — one census shuffle + one
-    // rollup, all integer metrics so the oracle is float-free. ----
+    // counts, and exact-dup incidence — 3 exchanges (census, census
+    // join-back, source rollup; plan-asserted), all integer metrics so
+    // the oracle is float-free. ----
     "q97_corpus_report" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val g = docs.select(col("doc_id"), col("source"),
@@ -1598,46 +1640,14 @@ object SparkEntry {
     // fingerprint census; integer metrics only (count FILTER + a
     // BIGINT-cast sum — DuckDB sums integers into HUGEINT)
     "q97_corpus_report" ->
-      """WITH base AS (
-           SELECT doc_id,
-             string_split_regex(trim(text), '\s+') AS ws,
-             string_split(text, chr(10)) AS lines,
-             length(text) - length(replace(text, '#', '')) AS hashes
-           FROM documents),
-         m AS (
-           SELECT doc_id,
-             CAST(len(ws) AS BIGINT) AS word_count,
-             CAST(list_sum(list_transform(ws, w -> length(w)))
-               AS BIGINT) AS mwl_num,
-             CAST(hashes AS BIGINT) AS hashes,
-             CAST(len(lines) AS BIGINT) AS n_lines,
-             CAST(len(list_filter(lines,
-               l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ell,
-             CAST(len(list_filter(lines,
-               l -> starts_with(ltrim(l), '-')
-                 OR starts_with(ltrim(l), '*')
-                 OR starts_with(ltrim(l), '•'))) AS BIGINT) AS bul,
-             CAST(len(list_filter(ws,
-               w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha,
-             CAST(len(list_intersect(
-               list_distinct(list_transform(ws, w -> lower(w))),
-               ['the','be','to','of','and','that','have','with']))
-               AS BIGINT) AS stop_hits
-           FROM base),
+      s"""WITH $GopherCtes,
          k AS (
            SELECT doc_id, word_count,
-             (word_count >= 50 AND word_count <= 100000)
-               AND (mwl_num >= word_count * 3 AND
-                 mwl_num <= word_count * 10)
-               AND hashes * 10 <= word_count
-               AND ell * 10 <= n_lines * 3
-               AND bul * 10 <= n_lines * 9
-               AND alpha * 5 >= word_count * 4
-               AND stop_hits >= 2 AS keep
+             $GopherKeepExpr AS keep
            FROM m),
          fp AS (
            SELECT doc_id, source,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                AS f
            FROM documents),
          cen AS (SELECT f, count(*) AS occ FROM fp GROUP BY f)
@@ -2050,32 +2060,7 @@ object SparkEntry {
          LEFT JOIN topl ON b.doc_id = topl.doc_id""",
 
     "q71_gopher_rules" ->
-      """WITH base AS (
-           SELECT doc_id,
-             string_split_regex(trim(text), '\s+') AS ws,
-             string_split(text, chr(10)) AS lines,
-             length(text) - length(replace(text, '#', '')) AS hashes
-           FROM documents),
-         m AS (
-           SELECT doc_id,
-             CAST(len(ws) AS BIGINT) AS word_count,
-             CAST(list_sum(list_transform(ws, w -> length(w)))
-               AS BIGINT) AS mwl_num,
-             CAST(hashes AS BIGINT) AS hashes,
-             CAST(len(lines) AS BIGINT) AS n_lines,
-             CAST(len(list_filter(lines,
-               l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ell,
-             CAST(len(list_filter(lines,
-               l -> starts_with(ltrim(l), '-')
-                 OR starts_with(ltrim(l), '*')
-                 OR starts_with(ltrim(l), '•'))) AS BIGINT) AS bul,
-             CAST(len(list_filter(ws,
-               w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha,
-             CAST(len(list_intersect(
-               list_distinct(list_transform(ws, w -> lower(w))),
-               ['the','be','to','of','and','that','have','with']))
-               AS BIGINT) AS stop_hits
-           FROM base)
+      s"""WITH $GopherCtes
          SELECT doc_id, word_count,
            word_count >= 50 AND word_count <= 100000 AS wc_ok,
            mwl_num >= word_count * 3 AND mwl_num <= word_count * 10
@@ -2085,13 +2070,7 @@ object SparkEntry {
            bul * 10 <= n_lines * 9 AS bullet_ok,
            alpha * 5 >= word_count * 4 AS alpha_ok,
            stop_hits >= 2 AS stop_ok,
-           (word_count >= 50 AND word_count <= 100000)
-             AND (mwl_num >= word_count * 3 AND mwl_num <= word_count * 10)
-             AND hashes * 10 <= word_count
-             AND ell * 10 <= n_lines * 3
-             AND bul * 10 <= n_lines * 9
-             AND alpha * 5 >= word_count * 4
-             AND stop_hits >= 2 AS keep
+           $GopherKeepExpr AS keep
          FROM m""",
 
     "q70_jaccard_capped" ->

@@ -9,16 +9,22 @@ import org.apache.spark.sql.functions._
   * and the evaluation must match what the crawler did or recrawl
   * deltas lie.
   *
-  * Semantics implemented per the RFC:
+  * Semantics:
   *   - group selection: the group whose user-agent token is the
-  *     LONGEST match for the product token (case-insensitive);
-  *     groups for `*` apply when no specific group matches; multiple
-  *     groups for the same agent merge;
-  *   - rule matching: the longest-matching rule wins (octet count of
-  *     the pattern); on equal length, Allow wins;
+  *     LONGEST case-insensitive SUBSTRING of the crawler's product
+  *     token — the deployed-crawler convention (Googlebot et al.);
+  *     RFC-strict exact token equality differs for hyphenated tokens
+  *     and is stricter than any major crawler actually is. Groups for
+  *     `*` apply when no specific group matches; multiple groups for
+  *     the same agent merge; empty user-agent values are ignored as
+  *     malformed (they would otherwise substring-match everything);
+  *   - rule matching (RFC 9309 §2.2.2): the longest-matching rule
+  *     wins (octet count of the pattern); on equal length, Allow wins;
   *   - patterns: `*` matches any char sequence, `$` anchors the end;
-  *     matching is against the percent-decoded path + query;
-  *   - no matching rule, no group, or an EMPTY Disallow => allowed.
+  *     both pattern and path+query are PERCENT-DECODED before
+  *     comparison (the RFC's encoding normalization);
+  *   - no matching rule, no group, or an EMPTY Disallow => allowed;
+  *     hosts are compared case-folded (DNS is case-insensitive).
   *
   * Plan shape: rules compile once per host (robots bodies are a tiny
   * dimension next to a frontier), the frontier joins on host (robots
@@ -27,8 +33,36 @@ import org.apache.spark.sql.functions._
 object Robots {
 
   final case class Rule(allow: Boolean, pattern: String) {
-    /** match length for precedence = the pattern's length */
-    def matches(path: String): Boolean = Robots.globMatch(pattern, path)
+    /** decoded once at compile time; precedence length stays the
+      * ORIGINAL pattern's octet count (the RFC measures the rule as
+      * written) */
+    private val decoded = Robots.percentDecode(pattern)
+    def matches(path: String): Boolean = Robots.globMatch(decoded, path)
+  }
+
+  /** Minimal %XX decoding for encoding-normalized comparison ('+' is
+    * NOT a space in paths; malformed escapes pass through). */
+  private[graft] def percentDecode(s: String): String = {
+    if (s == null || !s.contains('%')) return s
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 &&
+        Character.digit(s.charAt(i + 2), 16) >= 0) {
+        out.write(Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16))
+        i += 3
+      } else {
+        val bs = c.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+        out.write(bs, 0, bs.length)
+        i += 1
+      }
+    }
+    new String(out.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Parse one robots.txt body into the rule list applying to
@@ -59,7 +93,10 @@ object Robots {
           key match {
             case "user-agent" =>
               if (inRules) { flush(); inRules = false }
-              agents += value.toLowerCase(java.util.Locale.ROOT)
+              // empty tokens are malformed and would substring-match
+              // EVERY crawler, hijacking group selection from `*`
+              if (value.nonEmpty)
+                agents += value.toLowerCase(java.util.Locale.ROOT)
             case "allow" =>
               inRules = true
               if (value.nonEmpty) rules += Rule(allow = true, value)
@@ -134,7 +171,8 @@ object Robots {
       robots: DataFrame, hostCol: String, bodyCol: String,
       userAgent: String): DataFrame = {
     val compiled = robots.select(col(hostCol), col(bodyCol)).collect()
-      .map(r => r.getString(0) -> rulesFor(r.getString(1), userAgent))
+      .map(r => r.getString(0).toLowerCase(java.util.Locale.ROOT) ->
+        rulesFor(r.getString(1), userAgent))
       .toMap
     val bc = frontier.sparkSession.sparkContext.broadcast(compiled)
     val allowed = udf { (url: String) =>
@@ -142,13 +180,22 @@ object Robots {
       else {
         try {
           val u = new java.net.URI(url)
+          // case-folded host (DNS is case-insensitive — an exact match
+          // would silently bypass every rule for "A.org"); a URL whose
+          // host the URI parser cannot produce is REJECTED, not waved
+          // through
           val host = u.getHost
-          val path = (if (u.getRawPath == null || u.getRawPath.isEmpty)
-            "/" else u.getRawPath) +
-            (if (u.getRawQuery != null) "?" + u.getRawQuery else "")
-          bc.value.get(host) match {
-            case None => true
-            case Some(rules) => isAllowed(rules, path)
+          if (host == null) false
+          else {
+            val path = percentDecode(
+              (if (u.getRawPath == null || u.getRawPath.isEmpty) "/"
+              else u.getRawPath) +
+                (if (u.getRawQuery != null) "?" + u.getRawQuery
+                else ""))
+            bc.value.get(host.toLowerCase(java.util.Locale.ROOT)) match {
+              case None => true
+              case Some(rules) => isAllowed(rules, path)
+            }
           }
         } catch { case _: java.net.URISyntaxException => false }
       }

@@ -17,9 +17,11 @@ class RobotsSpec extends SparkSuite {
     val b1 = "User-agent: *\nAllow: /p\nDisallow: /"
     assert(allowed(b1, "/page"))
     assert(!allowed(b1, "/"))
-    // allow /folder vs disallow /folder/
-    val b2 = "User-agent: *\nAllow: /folder\nDisallow: /folder"
-    assert(allowed(b2, "/folder/page")) // equal length -> allow wins
+    // RFC §5.2: allow /folder/ vs disallow /folder — the LONGER
+    // pattern wins even though it is the Allow
+    val b2 = "User-agent: *\nAllow: /folder/\nDisallow: /folder"
+    assert(allowed(b2, "/folder/page"))
+    assert(!allowed(b2, "/folder"))
     // allow /page vs disallow /*.ph : equal octet count -> allow
     val b3 = "User-agent: *\nAllow: /page\nDisallow: /*.ph"
     assert(allowed(b3, "/page.php5"))
@@ -62,6 +64,18 @@ class RobotsSpec extends SparkSuite {
     assert(allowed("User-agent: *\nDisallow:", "/x"))
     // no robots at all = allowed
     assert(allowed("", "/x"))
+    // a malformed EMPTY user-agent token must not hijack group
+    // selection from * (it would substring-match every crawler)
+    val malformed = "User-agent:\nDisallow:\n\nUser-agent: *\nDisallow: /"
+    assert(!allowed(malformed, "/x"))
+  }
+
+  test("percent-encoding normalizes before matching, in both the " +
+      "pattern and the path") {
+    val b = "User-agent: *\nDisallow: /caf%C3%A9/"
+    assert(!allowed(b, "/café/menu")) // decoded path form
+    assert(!allowed(b, Robots.percentDecode("/caf%C3%A9/menu")))
+    assert(allowed(b, "/cafe/menu"))
   }
 
   test("filterAllowed: frontier filters row-local against broadcast " +
@@ -75,6 +89,8 @@ class RobotsSpec extends SparkSuite {
     val frontier = Seq(
       "https://a.org/public/x",
       "https://a.org/private/y",
+      "https://A.ORG/private/z", // DNS case must not bypass the rules
+      "https://a.org/priv%61te/w", // encoding must not bypass either
       "https://b.org/anything",
       "https://c.org/no-robots-here",
       "not a url"
