@@ -65,24 +65,25 @@ object Robots {
       java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** Parse one robots.txt body into the rule list applying to
-    * `userAgent` (RFC group selection; merged, original order kept —
-    * order is irrelevant under longest-match precedence). */
-  def rulesFor(body: String, userAgent: String): Seq[Rule] = {
+  private final case class Group(agents: Seq[String], rules: Seq[Rule],
+      delay: Option[Double])
+
+  /** ONE parse shared by rule and crawl-delay selection: runs of
+    * user-agent lines introduce a group that the following
+    * allow/disallow/crawl-delay lines populate. */
+  private def parseGroups(body: String): Seq[Group] = {
     if (body == null) return Seq.empty
-    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
-    // group structure: runs of user-agent lines introduce a group that
-    // the following allow/disallow lines populate
-    final case class Group(agents: Seq[String], rules: Seq[Rule])
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = scala.collection.mutable.ArrayBuffer.empty[String]
     var rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var delay: Option[Double] = None
     var inRules = false
     def flush(): Unit = {
       if (agents.nonEmpty)
-        groups += Group(agents.toSeq, rules.toSeq)
+        groups += Group(agents.toSeq, rules.toSeq, delay)
       agents = scala.collection.mutable.ArrayBuffer.empty[String]
       rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+      delay = None
     }
     body.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -104,13 +105,25 @@ object Robots {
               inRules = true
               // empty Disallow = allow everything (no rule)
               if (value.nonEmpty) rules += Rule(allow = false, value)
-            case _ => () // crawl-delay/sitemap etc.: not access rules
+            case "crawl-delay" =>
+              inRules = true
+              if (delay.isEmpty)
+                delay = scala.util.Try(value.toDouble).toOption
+            case _ => () // sitemap etc.: not group content
           }
         case _ => ()
       }
     }
     flush()
-    // longest agent-token match; fall back to the merged `*` groups
+    groups.toSeq
+  }
+
+  /** The groups selected for `userAgent`: longest agent-token match,
+    * `*` fallback, same-agent groups merged (all groups at the best
+    * match length). */
+  private def selectGroups(groups: Seq[Group],
+      userAgent: String): Seq[Group] = {
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
     val specific = groups.filter(g =>
       g.agents.exists(a => a != "*" && ua.contains(a)))
     if (specific.nonEmpty) {
@@ -118,9 +131,22 @@ object Robots {
         .filter(a => a != "*" && ua.contains(a)).map(_.length).max
       specific.filter(_.agents.exists(a =>
         a != "*" && ua.contains(a) && a.length == bestLen))
-        .flatMap(_.rules).toSeq
-    } else groups.filter(_.agents.contains("*")).flatMap(_.rules).toSeq
+    } else groups.filter(_.agents.contains("*"))
   }
+
+  /** Parse one robots.txt body into the rule list applying to
+    * `userAgent` (group selection above; merged, original order kept —
+    * order is irrelevant under longest-match precedence). */
+  def rulesFor(body: String, userAgent: String): Seq[Rule] =
+    selectGroups(parseGroups(body), userAgent).flatMap(_.rules)
+
+  /** Per-host Crawl-delay seconds for the scheduler's politeness dim —
+    * the SAME group selection as the access rules (the delay a crawler
+    * honoring this file would apply); first delay of the selected
+    * groups wins; non-numeric or absent => None. */
+  def crawlDelay(body: String, userAgent: String): Option[Double] =
+    selectGroups(parseGroups(body), userAgent)
+      .flatMap(_.delay).headOption
 
   /** RFC 9309 §2.2.2 longest-match decision over compiled rules. */
   def isAllowed(rules: Seq[Rule], path: String): Boolean = {

@@ -78,6 +78,48 @@ class RobotsSpec extends SparkSuite {
     assert(allowed(b, "/cafe/menu"))
   }
 
+  test("crawlDelay follows the same group selection as the access " +
+      "rules") {
+    val body =
+      """User-agent: graftbot
+        |Crawl-delay: 2.5
+        |Disallow: /x/
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |""".stripMargin
+    assert(Robots.crawlDelay(body, "graftbot") === Some(2.5))
+    assert(Robots.crawlDelay(body, "otherbot") === Some(10.0))
+    assert(Robots.crawlDelay("User-agent: *\nDisallow: /", "b") === None)
+    assert(Robots.crawlDelay(
+      "User-agent: *\nCrawl-delay: soon", "b") === None)
+  }
+
+  test("canonicalizeUrl: RFC 3986 normalization + sorted query params " +
+      "collapse frontier duplicates") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.UrlChecker
+    val urls = Seq(
+      "HTTPS://Example.ORG:443/a/../b?z=1&a=2#frag",
+      "https://example.org/b?a=2&z=1",
+      "https://example.org:8080/b",
+      "https://example.org",
+      "not a url",
+      "mailto:x@example.org" // no host -> null
+    ).toDF("url")
+    val out = urls.select(
+        UrlChecker.canonicalizeUrl(org.apache.spark.sql.functions
+          .col("url")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(out(0) === "https://example.org/b?a=2&z=1")
+    assert(out(1) === out(0)) // param order + dot segments collapse
+    assert(out(2) === "https://example.org:8080/b") // non-default port
+    assert(out(3) === "https://example.org/")
+    assert(out(4) == null)
+    assert(out(5) == null)
+  }
+
   test("filterAllowed: frontier filters row-local against broadcast " +
       "per-host rules; hosts without robots pass") {
     val s = initSpark()
