@@ -601,6 +601,22 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 13)
     }),
 
+    // ---- Vocabulary census (the tokenizer/LM-training staple): top
+    // words by corpus frequency with document frequency, total-ordered
+    // (count desc, word asc) so the LIMIT is deterministic
+    // cross-engine. One explode + one shuffle. ----
+    "q98_vocab_census" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(filter(
+          split(lower(trim(col("text"))), "\\s+"),
+          w => length(w) > 0)).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("occurrences"),
+          countDistinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("occurrences").desc, col("w").asc)
+        .limit(200)
+    }),
+
     // ---- Corpus health report (the dashboard every curation pipeline
     // runs after each build): per-source doc/word totals, Gopher-keep
     // counts, and exact-dup incidence — 3 exchanges (census, census
@@ -1635,6 +1651,20 @@ object SparkEntry {
            count(*) FILTER (WHERE g.occ >= 2) AS n_dup_windows
          FROM sh JOIN g USING (shingle)
          GROUP BY doc_id""",
+
+    "q98_vocab_census" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS w
+           FROM documents)
+         SELECT w, count(*) AS occurrences,
+           count(DISTINCT doc_id) AS doc_freq
+         FROM w
+         GROUP BY w
+         ORDER BY occurrences DESC, w ASC
+         LIMIT 200""",
 
     // per-source rollup over the q71 gopher signals + the q19/q20
     // fingerprint census; integer metrics only (count FILTER + a
