@@ -601,6 +601,37 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 13)
     }),
 
+    // ---- Lexical diversity (type-token profile): distinct-word and
+    // hapax counts per doc — the standard lexical-quality signal
+    // (template/spam text has low type-token ratio); integer outputs
+    // so the oracle is float-free (callers form the ratios). ----
+    "q99_lexical_diversity" -> ((s, dir) => {
+      val lex = udf { (text: String) =>
+        if (text == null) null
+        else {
+          val ws = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          if (ws.isEmpty) null
+          else {
+            val m = new java.util.HashMap[String, Integer]()
+            ws.foreach { w =>
+              val p = m.get(w)
+              m.put(w, if (p == null) 1 else p + 1)
+            }
+            var hapax = 0L
+            val it = m.values().iterator()
+            while (it.hasNext) if (it.next() == 1) hapax += 1
+            (ws.length.toLong, m.size.toLong, hapax)
+          }
+        }
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), lex(col("text")).as("__l"))
+        .where(col("__l").isNotNull)
+        .select(col("doc_id"), col("__l._1").as("n_tokens"),
+          col("__l._2").as("n_types"), col("__l._3").as("n_hapax"))
+    }),
+
     // ---- Vocabulary census (the tokenizer/LM-training staple): top
     // words by corpus frequency with document frequency, total-ordered
     // (count desc, word asc) so the LIMIT is deterministic
@@ -1650,6 +1681,25 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_windows,
            count(*) FILTER (WHERE g.occ >= 2) AS n_dup_windows
          FROM sh JOIN g USING (shingle)
+         GROUP BY doc_id""",
+
+    "q99_lexical_diversity" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents
+           WHERE text IS NOT NULL),
+         occ AS (
+           SELECT doc_id, unnest(ws) AS wd FROM w),
+         freq AS (
+           SELECT doc_id, wd, count(*) AS c FROM occ
+           GROUP BY doc_id, wd)
+         SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           count(*) FILTER (WHERE c = 1) AS n_hapax
+         FROM freq
          GROUP BY doc_id""",
 
     "q98_vocab_census" ->
