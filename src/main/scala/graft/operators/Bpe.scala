@@ -58,7 +58,7 @@ object Bpe {
         "train on a sample (silent truncation would bias the merges)")
     // symbol sequences per word, weighted by corpus frequency
     var vocab: Array[(Array[String], Long)] = vocabRows.map { r =>
-      (r.getString(0).map(_.toString).toArray :+ Eow, r.getLong(1))
+      (initialSymbols(r.getString(0)), r.getLong(1))
     }
     val merges = Seq.newBuilder[(String, String)]
     var m = 0
@@ -90,6 +90,25 @@ object Bpe {
     Model(merges.result())
   }
 
+  /** Initial symbol sequence of a word: one symbol per CODE POINT
+    * (plus the end-of-word marker). Splitting on UTF-16 code units
+    * (`word.map(_.toString)`) tears non-BMP characters — emoji,
+    * supplementary CJK — into unpaired surrogate halves: the emitted
+    * tokens are invalid Unicode and a merge can pair a low surrogate
+    * with an unrelated symbol. */
+  private def initialSymbols(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](
+      word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out += Eow
+    out.toArray
+  }
+
   private def mergePair(syms: Array[String], a: String, b: String,
       joined: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
@@ -110,7 +129,7 @@ object Bpe {
     * loop: repeatedly merge the lowest-rank adjacent pair). */
   private def encodeWord(word: String,
       ranks: Map[(String, String), Int]): Array[String] = {
-    var syms: Array[String] = word.map(_.toString).toArray :+ Eow
+    var syms: Array[String] = initialSymbols(word)
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue

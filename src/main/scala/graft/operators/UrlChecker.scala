@@ -24,16 +24,54 @@ object UrlChecker {
     regexp_replace(truncated, "^http://", "https://")
   }
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization, the SELECTIVE
+    * form: decode ONLY escapes of unreserved characters
+    * (ALPHA / DIGIT / "-" / "." / "_" / "~" — §2.3), uppercase the hex
+    * of every escape kept. Reserved octets stay encoded because they
+    * are semantically DISTINCT from their decoded forms: /a%2Fb and
+    * /a/b are different resources, %3F in a path is data where '?'
+    * is the query delimiter, and decoding %25 would make the whole
+    * normalization non-idempotent. Idempotent by construction (the
+    * output contains no decodable escapes and '%' only as an escape
+    * introducer). */
+  private[graft] def normalizePercent(s: String): String = {
+    if (s == null || s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val hex1 = if (c == '%' && i + 2 < s.length)
+        Character.digit(s.charAt(i + 1), 16) else -1
+      val hex2 = if (hex1 >= 0)
+        Character.digit(s.charAt(i + 2), 16) else -1
+      if (hex1 >= 0 && hex2 >= 0) {
+        val b = hex1 * 16 + hex2
+        val unreserved =
+          (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+            (b >= '0' && b <= '9') || b == '-' || b == '.' ||
+            b == '_' || b == '~'
+        if (unreserved) sb.append(b.toChar)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** FULL canonicalization for frontier dedup (RFC 3986 §6 syntax-based
     * normalization): lowercase scheme+host, strip default ports and
-    * fragments, resolve dot segments, uppercase percent-escapes of
-    * unreserved chars decoded, empty path -> "/", query-param order
-    * SORTED (the crawl-dedup convention — two URLs differing only in
-    * param order are the same fetch). Two URLs canonicalizing equal are
-    * duplicate frontier entries; dedup on this column instead of the
-    * raw URL typically collapses 10-20% of a web frontier. Row-local
-    * UDF (URI parsing has no Catalyst form); null/invalid -> null so
-    * the error channel sees them. */
+    * fragments, resolve dot segments, selective percent normalization
+    * via [[normalizePercent]] (unreserved escapes decoded, reserved
+    * octets like %2F/%3F/%25 KEPT — /a%2Fb and /a/b are distinct
+    * resources and must not canonicalize equal), empty path -> "/",
+    * query-param order SORTED (the crawl-dedup convention — two URLs
+    * differing only in param order are the same fetch). Two URLs
+    * canonicalizing equal are duplicate frontier entries; dedup on
+    * this column instead of the raw URL typically collapses 10-20% of
+    * a web frontier. Row-local UDF (URI parsing has no Catalyst form);
+    * null/invalid -> null so the error channel sees them. */
   val canonicalizeUrl: Column => Column = {
     val f = udf { (url: String) =>
       if (url == null) null
@@ -50,9 +88,12 @@ object UrlChecker {
               (scheme == "https" && u.getPort == 443)
           val port =
             if (u.getPort < 0 || defaultPort) "" else s":${u.getPort}"
-          val path = Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
+          // RAW path: getPath percent-decodes everything including
+          // reserved octets, conflating /a%2Fb with /a/b
+          val path = Option(u.getRawPath).filter(_.nonEmpty)
+            .map(normalizePercent).getOrElse("/")
           val query = Option(u.getRawQuery).map { q =>
-            "?" + q.split("&").sorted.mkString("&")
+            "?" + normalizePercent(q).split("&").sorted.mkString("&")
           }.getOrElse("")
           s"$scheme://$host$port$path$query"
         }

@@ -75,6 +75,17 @@ object ShardedExport {
     * shard in this sink's own layout; the filename sort makes the
     * definition total for externally-written multi-file shards). */
   def manifestOf(spark: SparkSession, dataDir: String): DataFrame = {
+    // an EMPTY export writes no shard directories at all; binaryFile
+    // on a glob matching nothing throws path-not-found instead of
+    // returning an empty frame, so probe the glob first
+    val glob = new org.apache.hadoop.fs.Path(s"$dataDir/shard=*/part-*")
+    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(glob)).exists(_.nonEmpty)
+    if (!matched) {
+      import spark.implicits._
+      return Seq.empty[(Int, Long, Long, Long, String)]
+        .toDF("shard", "files", "rows", "bytes", "md5")
+    }
     val files = spark.read.format("binaryFile")
       .load(s"$dataDir/shard=*/part-*")
     files

@@ -40,24 +40,46 @@ object Robots {
     def matches(path: String): Boolean = Robots.globMatch(decoded, path)
   }
 
-  /** Minimal %XX decoding for encoding-normalized comparison ('+' is
-    * NOT a space in paths; malformed escapes pass through). */
+  /** %XX normalization for encoding-normalized comparison (RFC 9309
+    * §2.2.2 via RFC 3986 §6.2.2): decodes UTF-8 text octets (>= 0x80)
+    * and non-reserved ASCII, but KEEPS reserved-range octets encoded —
+    * decoding %2F would conflate an encoded slash with a path
+    * separator, so a rule like `Disallow: /a/b$` would also block the
+    * distinct resource /a%2Fb. Kept escapes are hex-UPPERCASED so
+    * pattern and path agree regardless of source hex case. Keeping
+    * %24 (`$`) and %2A (`*`) encoded also prevents decoding from
+    * SYNTHESIZING glob metacharacters out of literal data. '+' is NOT
+    * a space in paths; malformed escapes pass through. */
   private[graft] def percentDecode(s: String): String = {
     if (s == null || !s.contains('%')) return s
+    // reserved = gen-delims / sub-delims (RFC 3986 §2.2) plus '%'
+    // itself (decoding it would un-anchor later escapes)
+    def reserved(b: Int): Boolean = b match {
+      case ':' | '/' | '?' | '#' | '[' | ']' | '@' |
+           '!' | '$' | '&' | '\'' | '(' | ')' | '*' |
+           '+' | ',' | ';' | '=' | '%' => true
+      case _ => false
+    }
     val out = new java.io.ByteArrayOutputStream(s.length)
+    def writeStr(str: String): Unit = {
+      val bs = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.write(bs, 0, bs.length)
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '%' && i + 2 < s.length &&
         Character.digit(s.charAt(i + 1), 16) >= 0 &&
         Character.digit(s.charAt(i + 2), 16) >= 0) {
-        out.write(Character.digit(s.charAt(i + 1), 16) * 16 +
-          Character.digit(s.charAt(i + 2), 16))
+        val b = Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)
+        if (reserved(b)) writeStr("%" +
+          Character.toUpperCase(s.charAt(i + 1)) +
+          Character.toUpperCase(s.charAt(i + 2)))
+        else out.write(b)
         i += 3
       } else {
-        val bs = c.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8)
-        out.write(bs, 0, bs.length)
+        writeStr(c.toString)
         i += 1
       }
     }
@@ -196,10 +218,20 @@ object Robots {
   def filterAllowed(frontier: DataFrame, urlCol: String,
       robots: DataFrame, hostCol: String, bodyCol: String,
       userAgent: String): DataFrame = {
+    // null host/body rows are malformed dimension rows, not crashes;
+    // duplicate rows for one host CONCATENATE (both files' groups
+    // evaluated under the same longest-match precedence) rather than
+    // silently keeping whichever row collected last
     val compiled = robots.select(col(hostCol), col(bodyCol)).collect()
+      .iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => r.getString(0).toLowerCase(java.util.Locale.ROOT) ->
-        rulesFor(r.getString(1), userAgent))
-      .toMap
+        r.getString(1))
+      .toSeq
+      .groupBy(_._1)
+      .map { case (host, bodies) =>
+        host -> rulesFor(bodies.map(_._2).mkString("\n"), userAgent)
+      }
     val bc = frontier.sparkSession.sparkContext.broadcast(compiled)
     val allowed = udf { (url: String) =>
       if (url == null) false

@@ -267,6 +267,36 @@ class CurationOpsSpec extends SparkSuite {
       Seq("u", "n")) || enc(2L)._1.exists(_.contains("un")))
   }
 
+  test("BPE: non-BMP characters stay whole code points — no surrogate " +
+      "tearing in train or encode") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.Bpe
+    // U+1F600 (emoji) and U+20BB7 (supplementary CJK) are surrogate
+    // PAIRS in UTF-16; splitting per code unit would emit invalid
+    // half-surrogate tokens and let merges pair a low surrogate with
+    // unrelated symbols
+    val emoji = new String(Character.toChars(0x1F600))
+    val cjk = new String(Character.toChars(0x20BB7))
+    val word = s"a${emoji}b$cjk"
+    val docs = Seq((1L, Seq.fill(5)(word).mkString(" ") + " ab")).toDF(
+      "doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 8)
+    // every merge side is a well-formed Unicode string (no unpaired
+    // surrogate at either end)
+    def wellFormed(t: String): Boolean =
+      !Character.isLowSurrogate(t.charAt(0)) &&
+        !Character.isHighSurrogate(t.charAt(t.length - 1))
+    assert(model.merges.forall { case (a, b) =>
+      wellFormed(a) && wellFormed(b) })
+    val tokens = Bpe.encode(docs, "doc_id", "text", model)
+      .collect().head.getSeq[String](1)
+    assert(tokens.forall(wellFormed))
+    // round-trip: concatenation rebuilds the exact original words
+    assert(tokens.mkString("").split(Bpe.Eow).toSeq ===
+      Seq.fill(5)(word) :+ "ab")
+  }
+
   test("semDedup drops every epsilon-duplicate except the min id and " +
       "is deterministic across reruns") {
     val s = initSpark()

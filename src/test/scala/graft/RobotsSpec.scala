@@ -78,6 +78,32 @@ class RobotsSpec extends SparkSuite {
     assert(allowed(b, "/cafe/menu"))
   }
 
+  test("reserved octets stay percent-encoded for comparison (RFC 9309 " +
+      "via RFC 3986): %2F is not a path separator, hex case folds") {
+    // paths normalize through the SAME percentDecode filterAllowed
+    // applies before matching
+    def norm(p: String) = Robots.percentDecode(p)
+    // an encoded slash is DATA — /a%2Fb is a distinct resource from
+    // /a/b, so a rule anchored at /a/b must not block it
+    val b1 = "User-agent: *\nDisallow: /a/b$"
+    assert(!allowed(b1, norm("/a/b")))
+    assert(allowed(b1, norm("/a%2Fb")))
+    // and a rule written against the encoded form matches it, in
+    // either hex case, without leaking onto the decoded path
+    val b2 = "User-agent: *\nDisallow: /a%2Fb"
+    assert(!allowed(b2, norm("/a%2Fb")))
+    assert(!allowed(b2, norm("/a%2fb"))) // hex case normalizes
+    assert(allowed(b2, norm("/a/b")))
+    // decoding must not SYNTHESIZE glob metacharacters: %2A is a
+    // literal asterisk, not a wildcard
+    val b3 = "User-agent: *\nDisallow: /x%2Ay$"
+    assert(!allowed(b3, norm("/x%2Ay")))
+    assert(allowed(b3, norm("/xZZZy")))
+    // normalization is idempotent (no double-decode through %25)
+    assert(Robots.percentDecode(Robots.percentDecode("/p%252Fq")) ===
+      "/p%252Fq")
+  }
+
   test("crawlDelay follows the same group selection as the access " +
       "rules") {
     val body =
@@ -120,6 +146,34 @@ class RobotsSpec extends SparkSuite {
     assert(out(5) == null)
   }
 
+  test("canonicalizeUrl: selective percent normalization — reserved " +
+      "octets survive, unreserved decode, output is idempotent") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.UrlChecker
+    val urls = Seq(
+      "https://example.org/a%2Fb", // encoded slash: DISTINCT resource
+      "https://example.org/a/b",
+      "https://example.org/%7Euser/%41%2e", // unreserved: decode
+      "https://example.org/p%3fq", // reserved: keep, hex uppercased
+      "https://example.org/x%25y" // %25 kept: idempotence anchor
+    ).toDF("url")
+    val out = urls.select(UrlChecker.canonicalizeUrl(
+        org.apache.spark.sql.functions.col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "https://example.org/a%2Fb")
+    assert(out(1) === "https://example.org/a/b")
+    assert(out(0) !== out(1)) // frontier dedup must keep both
+    assert(out(2) === "https://example.org/~user/A.")
+    assert(out(3) === "https://example.org/p%3Fq")
+    assert(out(4) === "https://example.org/x%25y")
+    // idempotent: canonicalizing the canonical form is a fixpoint
+    val again = out.toSeq.toDF("url").select(UrlChecker.canonicalizeUrl(
+        org.apache.spark.sql.functions.col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("filterAllowed: frontier filters row-local against broadcast " +
       "per-host rules; hosts without robots pass") {
     val s = initSpark()
@@ -142,5 +196,27 @@ class RobotsSpec extends SparkSuite {
       .collect().map(_.getString(0)).toSet
     assert(kept === Set("https://a.org/public/x",
       "https://c.org/no-robots-here"))
+  }
+
+  test("filterAllowed: null dimension rows are skipped, duplicate " +
+      "host rows merge their rule sets") {
+    val s = initSpark()
+    import s.implicits._
+    val robots = Seq(
+      ("a.org", "User-agent: *\nDisallow: /x/"),
+      ("a.org", "User-agent: *\nDisallow: /y/"), // duplicate host
+      (null, "User-agent: *\nDisallow: /"), // malformed: null host
+      ("b.org", null) // malformed: null body
+    ).toDF("host", "body")
+    val frontier = Seq(
+      "https://a.org/x/1", // blocked by the first row's rules
+      "https://a.org/y/2", // blocked by the SECOND row's rules
+      "https://a.org/z/3",
+      "https://b.org/anything" // null body = no rules = allowed
+    ).toDF("url")
+    val kept = Robots.filterAllowed(frontier, "url", robots,
+        "host", "body", "graftbot")
+      .collect().map(_.getString(0)).toSet
+    assert(kept === Set("https://a.org/z/3", "https://b.org/anything"))
   }
 }

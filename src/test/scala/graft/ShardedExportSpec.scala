@@ -51,4 +51,16 @@ class ShardedExportSpec extends SparkSuite {
     val b = fingerprint(dirB)
     assert(a === b)
   }
+
+  test("exporting an EMPTY frame yields an empty manifest with the " +
+      "right schema, not a path-not-found throw") {
+    val s = initSpark()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_export_empty").toString
+    val manifest = ShardedExport.exportJsonl(
+      corpus.where(col("doc_id") < 0L), "doc_id", dir, numShards = 4)
+    assert(manifest.columns.toSeq ===
+      Seq("shard", "files", "rows", "bytes", "md5"))
+    assert(manifest.count() === 0L)
+  }
 }
