@@ -1373,8 +1373,65 @@ object SparkEntry {
         .select(col("o_orderkey"), ntile(10).over(w).as("decile"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- BM25 lexical retrieval (Okapi, Lucene +1 idf) for a fixed
+    // 3-term query: the corpus-wide exchange carries ONLY query-term
+    // hits (the IN-filter runs inside the scan projection, before the
+    // explode's shuffle); df/N/avgdl joins are broadcast-sized. The
+    // per-(doc,term) contribution quantizes to LONG micro-units before
+    // the per-doc sum, so the compare boundary is integer. Top-50 via
+    // TakeOrderedAndProject (parallel partial top-k), ranks assigned
+    // on the 50-row result. ----
+    "q100_bm25_topk" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      Retrieval.rankBy(
+        Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+          BmQueryTerms),
+        Seq(col("score_fp6").desc, col("doc_id").asc), topN = 50)
+    }),
+
+    // ---- Hybrid retrieval: reciprocal-rank fusion (Cormack 2009) of
+    // the BM25 top-100 and the embedding-cosine top-100 for the
+    // vec_id=0 probe (doc_id = vec_id in the testdata pairing). RRF
+    // contributions are 1e9 DIV (60+rank) — the fusion is exact
+    // integer arithmetic end-to-end; the fused join is top-N-sized,
+    // never corpus-sized. ----
+    "q101_hybrid_rrf" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val lex = Retrieval.rankBy(
+          Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+            BmQueryTerms),
+          Seq(col("score_fp6").desc, col("doc_id").asc), topN = 100)
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") === 0), k = 100)
+        .select(col("c_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), "doc_id")
+    }),
+
+    // ---- Crawl-frontier politeness schedule: per-host sequential
+    // fetch slots spaced by the host's crawl delay (the Robots
+    // crawlDelay dimension shape; source stands in for host, src2 has
+    // no delay row and takes the default). ONE shuffle, on the window
+    // partition key — per-host serialization IS the politeness
+    // contract. ----
+    "q102_crawl_schedule" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Retrieval
+      val delays = Seq(("src0", 1000L), ("src1", 250L))
+        .toDF("source", "delay_ms")
+      Retrieval.politenessSchedule(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", Seq(col("doc_id").asc), delays, "delay_ms",
+        defaultDelayMs = 500L)
     })
   )
+
+  /** q100/q101's fixed lexical query — mid-frequency corpus terms so
+    * idf and tf both vary across the result. */
+  private val BmQueryTerms = Seq("vector", "stream", "window")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -2540,6 +2597,95 @@ object SparkEntry {
              ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
                AS decile
            FROM orders)
-         GROUP BY decile"""
+         GROUP BY decile""",
+
+    // BM25 replayed relationally: the float expression is written
+    // operator-for-operator as the Spark side computes it (same
+    // literals, same associativity), then quantized to micro-units
+    // BEFORE the per-doc sum so the compare boundary is integer
+    "q100_bm25_topk" ->
+      s"""WITH $Bm25Ctes
+         SELECT doc_id, n_terms, score_fp6, rank FROM (
+           SELECT doc_id, n_terms, score_fp6, row_number() OVER (
+             ORDER BY score_fp6 DESC, doc_id ASC) AS rank
+           FROM bm)
+         WHERE rank <= 50""",
+
+    // RRF = sum of 1e9 // (60+rank) over the two systems' top-100s —
+    // pure integer fusion; the semantic side replays q24's rounded-
+    // cosine ranking for the vec_id=0 probe
+    "q101_hybrid_rrf" ->
+      s"""WITH $Bm25Ctes,
+         lex AS (
+           SELECT doc_id, rank_1 FROM (
+             SELECT doc_id, row_number() OVER (
+               ORDER BY score_fp6 DESC, doc_id ASC) AS rank_1
+             FROM bm)
+           WHERE rank_1 <= 100),
+         s AS (
+           SELECT c.vec_id AS doc_id,
+             round(
+               list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               + 1e-9, 4) AS score
+           FROM embeddings c,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+           WHERE c.vec_id != 0),
+         sem AS (
+           SELECT doc_id, rank_2 FROM (
+             SELECT doc_id, row_number() OVER (
+               ORDER BY score DESC, doc_id ASC) AS rank_2
+             FROM s)
+           WHERE rank_2 <= 100)
+         SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           rank_1, rank_2,
+           (CASE WHEN rank_1 IS NULL THEN 0
+                 ELSE 1000000000 // (60 + rank_1) END) +
+           (CASE WHEN rank_2 IS NULL THEN 0
+                 ELSE 1000000000 // (60 + rank_2) END) AS rrf_fp9
+         FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id""",
+
+    "q102_crawl_schedule" ->
+      """SELECT doc_id, source,
+         row_number() OVER w AS fetch_seq,
+         (row_number() OVER w - 1) *
+           (CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 250
+                        ELSE 500 END) AS fetch_at_ms
+         FROM documents
+         WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC)"""
   )
+
+  /** Shared BM25 oracle body (q100/q101): tokenize with the census
+    * convention, filter to the query terms map-side, tf / df / corpus
+    * scalars, micro-unit quantized per-term contributions. */
+  private val Bm25Ctes: String =
+    """toks AS (
+         SELECT doc_id, list_filter(
+           string_split_regex(lower(trim(text)), '\s+'),
+           x -> x <> '') AS ws
+         FROM documents WHERE text IS NOT NULL),
+       stats AS (
+         SELECT count(*) AS n, CAST(sum(len(ws)) AS BIGINT) AS tot
+         FROM toks),
+       tf AS (
+         SELECT doc_id, dl, w, count(*) AS tf FROM (
+           SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM toks)
+         WHERE w IN ('vector', 'stream', 'window')
+         GROUP BY doc_id, dl, w),
+       dfq AS (
+         SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+       bm AS (
+         SELECT tf.doc_id, count(*) AS n_terms,
+           CAST(sum(CAST(floor(
+             ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * ((1 - 0.75) +
+                 0.75 * tf.dl / (CAST(stats.tot AS DOUBLE) / stats.n)))
+             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_fp6
+         FROM tf, dfq, stats WHERE tf.w = dfq.w
+         GROUP BY tf.doc_id)"""
 }

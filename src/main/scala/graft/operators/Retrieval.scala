@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval + rank fusion — the search side of a curation
+  * stack: BM25 scoring feeds quality retrieval, search-based
+  * decontamination, and (fused with an embedding ranking) the hybrid
+  * retrieval every RAG/data-selection pipeline runs.
+  *
+  * Scale shape (the whole point at 100 TB):
+  *   - the corpus token stream is filtered to the QUERY'S terms
+  *     map-side, BEFORE any exchange — the only corpus-wide shuffle
+  *     carries (doc, term) rows for query terms only, a stream whose
+  *     size is bounded by |docs containing a query term| x |terms|,
+  *     not by corpus tokens;
+  *   - document frequency / corpus size / average length are
+  *     term-count- or single-row-sized aggregates, joined back by
+  *     broadcast — the corpus itself is never joined or re-shuffled;
+  *   - Catalyst's exchange reuse serves the tf table to both its
+  *     consumers (score join + df agg) from one shuffle.
+  *
+  * Determinism discipline: per-(doc,term) BM25 contributions are
+  * quantized to LONG micro-units (floor(x*1e6 + 0.5)) before the
+  * per-doc sum, so the summation is integer — associative, partition-
+  * order-free, and byte-comparable cross-engine. The only float work
+  * is the per-term expression itself, written operator-for-operator
+  * identically in the DuckDB oracle. */
+object Retrieval {
+
+  /** BM25 (Robertson et al., Okapi; the Lucene `+1` idf form so every
+    * term's contribution is positive) of every document containing at
+    * least one of `queryTerms`. Output: (idCol, n_terms = distinct
+    * query terms present, score_fp6 = BM25 in integer micro-units).
+    *
+    * Tokenization matches the engine's census convention (q98):
+    * lowercase, trim, split on \s+, drop empties. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      w => length(w) > 0)
+    // null text drops (size(split(null)) is -1, which would poison the
+    // corpus length scalar); the oracle filters identically
+    val proj = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), size(toks).as("__dl"), toks.as("__toks"))
+    // corpus-level scalars: ONE row (N, total length) — broadcast
+    val stats = proj.agg(count(lit(1)).as("__n"),
+      sum(col("__dl")).as("__tot"))
+    // (doc, term) tf — the filter runs inside the scan projection,
+    // so the exchange only ever carries query-term hits
+    val tf = proj
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__w"))
+      .where(col("__w").isInCollection(queryTerms))
+      .groupBy(col(idCol), col("__dl"), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    // document frequency: |queryTerms| rows, computed FROM the tf
+    // exchange (reused, not a second corpus pass)
+    val dfreq = tf.groupBy("__w")
+      .agg(countDistinct(col(idCol)).as("__df"))
+    // float expression mirrored verbatim in the oracle SQL:
+    //   idf  = ln((n - df + 0.5) / (df + 0.5) + 1)
+    //   term = idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + b * dl/avgdl))
+    val idf = log((col("__n") - col("__df") + 0.5) /
+      (col("__df") + 0.5) + 1.0)
+    val avgdl = col("__tot").cast("double") / col("__n")
+    val term = idf * (col("__tf") * (k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / avgdl))
+    tf.join(broadcast(dfreq), "__w")
+      .crossJoin(broadcast(stats))
+      .withColumn("__term_fp6",
+        floor(term * 1e6 + 0.5).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__term_fp6")).as("score_fp6"))
+  }
+
+  /** Top-N under a caller-chosen TOTAL order (include an id
+    * tie-break — a partial order would make ranks partitioning-
+    * dependent), with a 1-based `rank` column. orderBy+limit first so
+    * Spark plans TakeOrderedAndProject (parallel per-partition top-N,
+    * no global sort shuffle); the unpartitioned rank window then runs
+    * on the already-bounded N rows, where single-task is by design. */
+  def rankBy(df: DataFrame, order: Seq[Column], topN: Int): DataFrame =
+    df.orderBy(order: _*).limit(topN)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): fuse rankings by
+    * sum(1/(k + rank)). INTEGER form: each contribution is
+    * 1e9 DIV (k + rank) — fused scores are exact longs, so fusion is
+    * float-free end-to-end and cross-engine byte-stable.
+    *
+    * Inputs: (idCol, rank) frames, already truncated to their top-N
+    * (rankings are top-N-sized, not corpus-sized — the fusion join is
+    * a join of result lists and broadcasts at any corpus scale).
+    * Output: (idCol, rank_1..rank_m nullable, rrf_fp9), one row per id
+    * present in ANY ranking; an absent id contributes nothing from
+    * that system. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int = 60)
+      : DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two rankings")
+    val renamed = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").as(s"rank_${i + 1}"))
+    }
+    val joined = renamed.reduce { (a, b) =>
+      a.join(b, Seq(idCol), "full_outer")
+    }
+    val contribs = rankings.indices.map { i =>
+      val r = col(s"rank_${i + 1}")
+      // 1e9 DIV (k+rank). Spark's `/` is double division even on
+      // longs; floor of it is still EXACT here: the true quotient is
+      // a rational with denominator k+rank (couple hundred at most),
+      // so the correctly-rounded double is never on the wrong side of
+      // an integer boundary
+      when(r.isNotNull,
+        floor(lit(1.0e9) / (r.cast("double") + k)).cast("long"))
+        .otherwise(0L)
+    }
+    joined.withColumn("rrf_fp9", contribs.reduce(_ + _))
+  }
+
+  /** Politeness schedule for a crawl frontier: per-host sequential
+    * fetch slots spaced by that host's crawl delay (the
+    * [[graft.sources.Robots.crawlDelay]] output is the natural
+    * `delays` feed). `delays` is (hostCol, delay_ms) — a per-host
+    * dimension, broadcast; hosts without a row get `defaultDelayMs`.
+    * Output adds (fetch_seq = 1-based position in the host's queue,
+    * fetch_at_ms = (fetch_seq-1) * delay).
+    *
+    * Scale: ONE shuffle, on host (the window partition). Per-host
+    * sequencing is semantically serial — politeness IS a per-host
+    * queue — so host skew is inherent to the contract, not a plan
+    * defect; the frontier is never globally ordered. `order` must be
+    * a total order within host (include the url) or slot assignment
+    * is partitioning-dependent. */
+  def politenessSchedule(frontier: DataFrame, hostCol: String,
+      order: Seq[Column], delays: DataFrame, delayMsCol: String,
+      defaultDelayMs: Long): DataFrame = {
+    val dim = delays.select(col(hostCol),
+      col(delayMsCol).as("__delay_ms"))
+    val w = Window.partitionBy(col(hostCol)).orderBy(order: _*)
+    frontier.join(broadcast(dim), Seq(hostCol), "left")
+      .withColumn("fetch_seq", row_number().over(w))
+      .withColumn("fetch_at_ms", (col("fetch_seq") - 1) *
+        coalesce(col("__delay_ms"), lit(defaultDelayMs)))
+      .drop("__delay_ms")
+  }
+}

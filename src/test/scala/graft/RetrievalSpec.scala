@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSuite {
+
+  test("bm25 matches a hand-computed score and only emits matching " +
+      "docs") {
+    val s = initSpark()
+    import s.implicits._
+    // corpus: 4 docs, avgdl = (4+2+3+1)/4 = 2.5
+    val docs = Seq(
+      (1L, "apple banana apple cherry"), // apple tf=2, dl=4
+      (2L, "banana cherry"),             // no query term
+      (3L, "apple date date"),           // apple tf=1, dl=3
+      (4L, "date")                       // date tf=1, dl=1
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, "doc_id", "text",
+        Seq("apple", "date"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // hand computation, k1=1.2 b=0.75, idf = ln((N-df+.5)/(df+.5)+1):
+    //   idf(apple) = ln((4-2+.5)/(2+.5)+1) = ln(2)
+    //   idf(date)  = ln((4-2+.5)/(2+.5)+1) = ln(2)
+    def term(tf: Long, dl: Long, df: Long): Long = {
+      val idf = math.log((4 - df + 0.5) / (df + 0.5) + 1.0)
+      val t = idf * (tf * (1.2 + 1)) /
+        (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / 2.5))
+      math.floor(t * 1e6 + 0.5).toLong
+    }
+    assert(out.keySet === Set(1L, 3L, 4L))
+    assert(out(1L) === ((1L, term(2, 4, 2))))
+    // doc 3: apple tf=1, date tf=2, both at dl=3
+    assert(out(3L) === ((2L, term(1, 3, 2) + term(2, 3, 2))))
+    assert(out(4L) === ((1L, term(1, 1, 2))))
+    // doc 3 contains both query terms; doc 1 scores higher on apple
+    // than doc 3 does (higher tf, longer doc penalized less than x2)
+    assert(out(3L)._1 === 2L)
+  }
+
+  test("rankBy assigns 1-based ranks under the given total order and " +
+      "truncates to topN") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 30L))
+      .toDF("id", "score")
+    val ranked = Retrieval.rankBy(df,
+        Seq(col("score").desc, col("id").asc), topN = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(ranked === Map(2L -> 1, 4L -> 2, 3L -> 3))
+  }
+
+  test("rrfFuse: integer contributions, absent ids contribute zero, " +
+      "present-in-both sums both") {
+    val s = initSpark()
+    import s.implicits._
+    val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
+    val b = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val c1 = 1000000000L / 61; val c2 = 1000000000L / 62
+    assert(out === Map(10L -> c1, 20L -> (c2 + c1), 30L -> c2))
+  }
+
+  test("politenessSchedule spaces fetches per host by its delay, " +
+      "default for hosts without a delay row") {
+    val s = initSpark()
+    import s.implicits._
+    val frontier = Seq(
+      ("a.org", "u1"), ("a.org", "u2"), ("a.org", "u3"),
+      ("b.org", "v1"), ("b.org", "v2")
+    ).toDF("host", "url")
+    val delays = Seq(("a.org", 2000L)).toDF("host", "delay_ms")
+    val out = Retrieval.politenessSchedule(frontier, "host",
+        Seq(col("url").asc), delays, "delay_ms", defaultDelayMs = 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(2), r.getLong(3))).toMap
+    assert(out(("a.org", "u1")) === ((1, 0L)))
+    assert(out(("a.org", "u2")) === ((2, 2000L)))
+    assert(out(("a.org", "u3")) === ((3, 4000L)))
+    assert(out(("b.org", "v1")) === ((1, 0L)))
+    assert(out(("b.org", "v2")) === ((2, 100L)))
+  }
+}
