@@ -1426,6 +1426,36 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         "source", Seq(col("doc_id").asc), delays, "delay_ms",
         defaultDelayMs = 500L)
+    }),
+
+    // ---- Interpolated Kneser-Ney bigram surprisal (Kneser & Ney
+    // 1995; the KenLM default) — the fidelity tier above q77's stupid
+    // backoff: the lower-order distribution is CONTINUATION
+    // probability, not raw frequency. minCount=21 shared with q77 so
+    // both the discounted and the continuation branches bite. ----
+    "q103_kneser_ney" -> ((s, dir) => {
+      LanguageModel.kneserNeySurprisal(t(s, dir, "documents"),
+          "doc_id", "text", minCount = 21L)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // ---- Shuffle-free unigram surprisal: broadcast capped vocab, one
+    // row-local pass, ZERO scoring exchanges — same semantics as q75
+    // (SHARES its oracle), bit-for-bit via the StrictMath/HALF_UP
+    // parity discipline (the dsirScoreFast pattern). ----
+    "q104_unigram_fast" -> ((s, dir) => {
+      LanguageModel.unigramSurprisalFast(t(s, dir, "documents"),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // ---- Shuffle-free bigram backoff: broadcast bigram+unigram
+    // tables, one row-local pass — same semantics as q77 (SHARES its
+    // oracle). ----
+    "q105_bigram_backoff_fast" -> ((s, dir) => {
+      LanguageModel.bigramSurprisalBackoffFast(t(s, dir, "documents"),
+          "doc_id", "text", minCount = 21L)
+        .withColumnRenamed("id", "doc_id")
     })
   )
 
@@ -1433,7 +1463,14 @@ object SparkEntry {
     * idf and tf both vary across the result. */
   private val BmQueryTerms = Seq("vector", "stream", "window")
 
-  def oracleSql: Map[String, String] = Map(
+  /** The fast-plan queries share their relational twins' oracles BY
+    * REFERENCE — same semantics, different plan, one SQL definition
+    * (the q89/q78 precedent). */
+  def oracleSql: Map[String, String] = baseOracleSql +
+    ("q104_unigram_fast" -> baseOracleSql("q75_unigram_surprisal")) +
+    ("q105_bigram_backoff_fast" -> baseOracleSql("q77_bigram_backoff"))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
@@ -2656,7 +2693,61 @@ object SparkEntry {
            (CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 250
                         ELSE 500 END) AS fetch_at_ms
          FROM documents
-         WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC)"""
+         WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC)""",
+
+    // interpolated KN replayed relationally: kept-bigram table, its
+    // two marginals and B, the discounted + continuation-mass p, and
+    // the D/total floor — float ops written exactly as the Spark side
+    // computes them
+    "q103_kneser_ney" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+         tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM uni),
+         pairs AS (
+           SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(ws) - 1, 0) + 1),
+               i -> array_to_string(ws[i:i+1], ' '))) AS bg
+           FROM w),
+         bgc AS (
+           SELECT bg, count(*) AS c2 FROM pairs
+           GROUP BY bg HAVING count(*) >= 21),
+         bgs AS (
+           SELECT bg, c2, string_split(bg, ' ')[1] AS w1,
+             string_split(bg, ' ')[2] AS w2
+           FROM bgc),
+         bb AS (SELECT count(*) AS b FROM bgs),
+         fan AS (SELECT w1, count(*) AS n1p FROM bgs GROUP BY w1),
+         con AS (SELECT w2, count(*) AS n1pc FROM bgs GROUP BY w2),
+         pr AS (
+           SELECT p.doc_id,
+             (greatest(COALESCE(CAST(bgs.c2 AS DOUBLE), 0.0) - 0.75,
+                0.0)
+              + 0.75 * CAST(COALESCE(fan.n1p, 0) AS DOUBLE)
+                * (CAST(COALESCE(con.n1pc, 0) AS DOUBLE)
+                   / CAST(bb.b AS DOUBLE)))
+             / CAST(u1.c1 AS DOUBLE) AS p,
+             t.total AS total
+           FROM pairs p
+           LEFT JOIN bgs USING (bg)
+           JOIN uni u1 ON u1.w = string_split(p.bg, ' ')[1]
+           LEFT JOIN fan ON fan.w1 = string_split(p.bg, ' ')[1]
+           LEFT JOIN con ON con.w2 = string_split(p.bg, ' ')[2]
+           CROSS JOIN bb CROSS JOIN tot t),
+         sc AS (
+           SELECT doc_id,
+             CASE WHEN p > 0.0 THEN -log2(p)
+                  ELSE -log2(0.75 / CAST(total AS DOUBLE)) END AS s
+           FROM pr)
+         SELECT doc_id,
+           round(avg(s) + 1e-9, 4) AS avg_surprisal,
+           count(*) AS n_transitions
+         FROM sc GROUP BY doc_id"""
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census

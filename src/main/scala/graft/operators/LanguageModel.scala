@@ -207,4 +207,257 @@ object LanguageModel {
         count(lit(1)).as("n_transitions"))
     (scored, release)
   }
+
+  /** Per-document mean bigram surprisal under INTERPOLATED KNESER-NEY
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.26) —
+    * the KenLM-default scheme and the fidelity tier above stupid
+    * backoff: the lower-order distribution is the CONTINUATION
+    * probability (how many distinct contexts a word completes), not
+    * raw frequency, so "Francisco" stops looking probable outside
+    * "San Francisco" even though it is frequent.
+    *
+    *   P(w2|w1) = (max(c(w1 w2) - D, 0)
+    *               + D * N1+(w1 *) * (N1+(* w2) / B)) / c(w1)
+    *
+    * with D the absolute discount, N1+(w1 *) the distinct kept
+    * continuations of w1, N1+(* w2) the distinct kept predecessors of
+    * w2, and B the kept distinct-bigram count. All four are integer
+    * counts of the KEPT (minCount-capped) bigram table, so the model
+    * is a pure function of its own bounded parameters — at 100 TB the
+    * capped tail falls into the continuation mass, which is the
+    * scheme's own smoothing. A zero-probability transition (w1 with
+    * no kept continuation) floors at D/total — the OOV floor,
+    * replayed by the oracle.
+    *
+    * Same plan shape as [[bigramSurprisalBackoffScoped]]: row-local
+    * bigram generation, three vocab-bounded count shuffles (bigram
+    * table + its two marginals), AQE-chosen scoring joins, one
+    * training action. */
+  def kneserNeySurprisal(docs: DataFrame, idCol: String,
+      textCol: String, minCount: Long = 2L, discount: Double = 0.75)
+      : DataFrame = {
+    val (df, release) = kneserNeySurprisalScoped(docs, idCol, textCol,
+      minCount, discount)
+    swapRelease(release)
+    df
+  }
+
+  def kneserNeySurprisalScoped(docs: DataFrame, idCol: String,
+      textCol: String, minCount: Long = 2L, discount: Double = 0.75)
+      : (DataFrame, () => Unit) = {
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must be in (0, 1), got $discount")
+    val ws = filter(split(lower(col(textCol)), "\\s+"),
+      w => length(w) > 0)
+    val tokenized = docs.select(col(idCol).as("id"), ws.as("ws"))
+    val pairs = tokenized
+      .select(col("id"), explode(bigramsUdf(col("ws"))).as("bg"))
+    val bgCounts = pairs.groupBy("bg")
+      .agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniCounts = tokenized
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release = () => { bgCounts.unpersist(); uniCounts.unpersist(); () }
+    // TWO training actions materialize both tables and yield the two
+    // driver scalars (kept-bigram count B, token total)
+    val b = bgCounts.count()
+    val totalRow = uniCounts.agg(sum(col("c1"))).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    if (total == 0L || b == 0L) {
+      val spark = docs.sparkSession
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            docs.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("avg_surprisal",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("n_transitions",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      return (empty, release)
+    }
+    // marginals of the kept table: fan-out (distinct continuations of
+    // w1) and continuation count (distinct predecessors of w2) — rows
+    // of bgCounts are distinct bigrams, so count(*) IS the N1+ count
+    val fanout = bgCounts.groupBy("w1")
+      .agg(count(lit(1)).as("n1p_w1"))
+    val contc = bgCounts.groupBy("w2")
+      .agg(count(lit(1)).as("n1pc_w2"))
+    // float expression mirrored verbatim in the oracle:
+    //   p = (greatest(coalesce(c2,0) - D, 0)
+    //        + D * n1p_w1 * (n1pc_w2 / B)) / c1_w1
+    val scored = pairs
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(bgCounts.select(col("bg"), col("c2")), Seq("bg"), "left")
+      .join(uniCounts.select(col("w").as("w1"), col("c1").as("c1_w1")),
+        Seq("w1"))
+      .join(fanout, Seq("w1"), "left")
+      .join(contc, Seq("w2"), "left")
+      .withColumn("p",
+        (greatest(coalesce(col("c2").cast("double"), lit(0.0)) -
+            discount, lit(0.0)) +
+          lit(discount) * coalesce(col("n1p_w1"), lit(0L)).cast("double") *
+            (coalesce(col("n1pc_w2"), lit(0L)).cast("double") /
+              lit(b.toDouble))) /
+          col("c1_w1").cast("double"))
+      .withColumn("s",
+        when(col("p") > 0.0, -log2(col("p")))
+          .otherwise(-log2(lit(discount / total.toDouble))))
+      .groupBy("id")
+      .agg(round(avg(col("s")) + 1e-9, 4).as("avg_surprisal"),
+        count(lit(1)).as("n_transitions"))
+    (scored, release)
+  }
+
+  /** Loud driver-memory bound for the broadcast fast scorers: a model
+    * table past this is a relational-tier job, not a broadcast one. */
+  private def collectBounded(df: DataFrame, maxRows: Int, what: String)
+      : Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"$what exceeds maxModelRows=$maxRows — raise minCount or use " +
+        "the relational scorer (silently truncating the model would " +
+        "change scores)")
+    rows
+  }
+
+  /** Shuffle-free [[unigramSurprisal]]: the minCount-capped vocabulary
+    * collects to the driver (loudly bounded), broadcasts, and every
+    * document scores in ONE row-local pass — zero exchanges in the
+    * scoring plan. Same output, bit-for-bit: the per-token float ops
+    * replay Spark's Log2 (StrictMath.log(x)/StrictMath.log(2)) and the
+    * rounding replays round(x+1e-9, 4) as HALF_UP decimal — the
+    * dsirScoreFast discipline.
+    *
+    * The 100-TB split of labor: the relational form handles unbounded
+    * vocabularies (AQE shuffled join); this form is the fast path when
+    * the capped vocab fits an executor — which minCount exists to
+    * arrange. */
+  def unigramSurprisalFast(docs: DataFrame, idCol: String,
+      textCol: String, minCount: Long = 1L, maxModelRows: Int = 2000000)
+      : DataFrame = {
+    val words = docs.select(
+      explode(filter(split(lower(col(textCol)), "\\s+"),
+        w => length(w) > 0)).as("w"))
+    val counts = words.groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    val rows = collectBounded(counts, maxModelRows, "unigram vocab")
+    val vocab = new java.util.HashMap[String, java.lang.Long](
+      rows.length * 2)
+    var total = 0L
+    rows.foreach { r =>
+      vocab.put(r.getString(0), r.getLong(1)); total += r.getLong(1)
+    }
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab)
+    val totalD = total.toDouble
+    val ln2 = StrictMath.log(2.0)
+    val score = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val m = bc.value
+        var sum = 0.0
+        var n = 0L
+        text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          .foreach { w =>
+            if (w.nonEmpty) {
+              val c = m.get(w)
+              if (c != null) {
+                sum += -(StrictMath.log(c.toDouble / totalD) / ln2)
+                n += 1
+              }
+            }
+          }
+        if (n == 0L) null
+        else {
+          val s = BigDecimal(sum / n.toDouble + 1e-9)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (s, n)
+        }
+      }
+    }
+    docs.select(col(idCol).as("id"), score(col(textCol)).as("__s"))
+      .where(col("__s").isNotNull)
+      .select(col("id"), col("__s._1").as("avg_surprisal"),
+        col("__s._2").as("n_tokens"))
+  }
+
+  /** Shuffle-free [[bigramSurprisalBackoff]] — broadcast capped bigram
+    * table + full unigram table, one row-local pass per document. Same
+    * parity discipline as [[unigramSurprisalFast]]. */
+  def bigramSurprisalBackoffFast(docs: DataFrame, idCol: String,
+      textCol: String, minCount: Long = 2L, backoff: Double = 0.4,
+      maxModelRows: Int = 2000000): DataFrame = {
+    require(backoff > 0.0 && backoff <= 1.0,
+      s"backoff factor must be in (0, 1], got $backoff")
+    val ws = filter(split(lower(col(textCol)), "\\s+"),
+      w => length(w) > 0)
+    val tokenized = docs.select(col(idCol).as("id"), ws.as("ws"))
+    val bgCounts = tokenized
+      .select(explode(bigramsUdf(col("ws"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= minCount)
+    val uniCounts = tokenized
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bgRows = collectBounded(bgCounts, maxModelRows, "bigram table")
+    val uniRows = collectBounded(uniCounts, maxModelRows,
+      "unigram vocab")
+    val bgMap = new java.util.HashMap[String, java.lang.Long](
+      bgRows.length * 2)
+    bgRows.foreach(r => bgMap.put(r.getString(0), r.getLong(1)))
+    val uniMap = new java.util.HashMap[String, java.lang.Long](
+      uniRows.length * 2)
+    var total = 0L
+    uniRows.foreach { r =>
+      uniMap.put(r.getString(0), r.getLong(1)); total += r.getLong(1)
+    }
+    val sc = docs.sparkSession.sparkContext
+    val bcBg = sc.broadcast(bgMap)
+    val bcUni = sc.broadcast(uniMap)
+    val totalD = total.toDouble
+    val ln2 = StrictMath.log(2.0)
+    val score = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val toks = text.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        if (toks.length < 2) null
+        else {
+          val bgs = bcBg.value
+          val unis = bcUni.value
+          var sum = 0.0
+          var i = 0
+          while (i < toks.length - 1) {
+            val c2 = bgs.get(toks(i) + " " + toks(i + 1))
+            val s =
+              if (c2 != null) {
+                val c1 = unis.get(toks(i))
+                -(StrictMath.log(c2.toDouble / c1.toDouble) / ln2)
+              } else {
+                val c1w2 = unis.get(toks(i + 1))
+                -(StrictMath.log(
+                  backoff * c1w2.toDouble / totalD) / ln2)
+              }
+            sum += s
+            i += 1
+          }
+          val n = (toks.length - 1).toLong
+          val avg = BigDecimal(sum / n.toDouble + 1e-9)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (avg, n)
+        }
+      }
+    }
+    docs.select(col(idCol).as("id"), score(col(textCol)).as("__s"))
+      .where(col("__s").isNotNull)
+      .select(col("id"), col("__s._1").as("avg_surprisal"),
+        col("__s._2").as("n_transitions"))
+  }
 }

@@ -466,6 +466,69 @@ class DedupSimilaritySpec extends SparkSuite {
       "doc_id", "text").count() === 0L)
   }
 
+  test("Kneser-Ney: discounted + continuation mass matches the hand " +
+      "computation; unseen transitions with no continuation mass take " +
+      "the D/total floor") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.LanguageModel
+    // uni: a:3 b:3 c:2 d:2 (total 10); kept bigrams (minCount=2):
+    // "a b":3 "b a":2 "c d":2 -> B=3; every kept w1/w2 marginal is 1
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "c d c d"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.kneserNeySurprisal(
+      docs, "doc_id", "text", minCount = 2L, discount = 0.75)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    // d1: (a b)x3 p=(3-.75+.75*1*(1/3))/3=2.5/3; (b a)x2 p=1.5/3=.5
+    //     avg = (3*0.263034 + 2*1.0)/5 = 0.55782
+    assert(out(1L)._2 === 5L)
+    assert(math.abs(out(1L)._1 - 0.5578) < 1e-3)
+    // d2: (c d)x2 p=1.5/2=.75; (d c) unseen, n1p(d)=0 -> p=0 -> floor
+    //     -log2(0.75/10)=3.736966; avg = (2*0.415037+3.736966)/3
+    assert(out(2L)._2 === 3L)
+    assert(math.abs(out(2L)._1 - 1.5223) < 1e-3)
+    // degenerate corpus: everything capped out -> empty, not a crash
+    assert(LanguageModel.kneserNeySurprisal(
+      docs, "doc_id", "text", minCount = 100L).count() === 0L)
+  }
+
+  test("fast LM scorers equal the oracled relational forms " +
+      "bit-for-bit (broadcast model, zero scoring exchanges)") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.LanguageModel
+    // varied corpus: zipf-ish repetition + hapax tail, deterministic
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0 until 60).map { i =>
+      val body = (0 until 8 + i % 13).map { j =>
+        words((i * 7 + j * j) % words.length)
+      }.mkString(" ") + s" tail$i"
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+    def collectScores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    val uniRel = collectScores(
+      LanguageModel.unigramSurprisal(docs, "doc_id", "text"))
+    val uniFast = collectScores(
+      LanguageModel.unigramSurprisalFast(docs, "doc_id", "text"))
+    assert(uniRel === uniFast)
+    val bgRel = collectScores(LanguageModel.bigramSurprisalBackoff(
+      docs, "doc_id", "text", minCount = 2L))
+    val bgFast = collectScores(LanguageModel.bigramSurprisalBackoffFast(
+      docs, "doc_id", "text", minCount = 2L))
+    assert(bgRel === bgFast)
+    // the fast tier's memory bound is LOUD, not a silent truncation
+    val ex = intercept[IllegalArgumentException] {
+      LanguageModel.unigramSurprisalFast(docs, "doc_id", "text",
+        maxModelRows = 3).count()
+    }
+    assert(ex.getMessage.contains("maxModelRows"))
+  }
+
   test("decontamination: planted 13-gram leaks are flagged with exact " +
       "shared counts; the df cap drops boilerplate; cleaning removes " +
       "exactly the leaky train docs") {
