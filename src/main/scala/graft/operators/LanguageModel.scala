@@ -53,6 +53,21 @@ object LanguageModel {
     if (prev != null) prev()
   }
 
+  /** Degenerate-corpus result: the scorers' shared empty frame (id
+    * type follows the input; ONE definition so the three relational
+    * scorers' empty schemas cannot drift apart). */
+  private def emptyScores(docs: DataFrame, idCol: String,
+      countCol: String): DataFrame =
+    docs.sparkSession.createDataFrame(
+      docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          docs.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("avg_surprisal",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField(countCol,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+
   def unigramSurprisal(docs: DataFrame, idCol: String,
       textCol: String, minCount: Long = 1L): DataFrame = {
     val (df, release) =
@@ -78,18 +93,9 @@ object LanguageModel {
     // below rather than NPE on getLong
     val totalRow = counts.agg(sum(col("cnt"))).head()
     val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
-    if (total == 0L) {
-      val empty = docs.sparkSession.createDataFrame(
-        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            docs.schema(idCol).dataType),
-          org.apache.spark.sql.types.StructField("avg_surprisal",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("n_tokens",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-      return (empty, () => { counts.unpersist(); () })
-    }
+    if (total == 0L)
+      return (emptyScores(docs, idCol, "n_tokens"),
+        () => { counts.unpersist(); () })
     val scored = words
       .join(counts, "w")
       .withColumn("surprisal",
@@ -175,19 +181,8 @@ object LanguageModel {
     val totalRow = uniCounts.agg(sum(col("c1"))).head()
     val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val release = () => { bgCounts.unpersist(); uniCounts.unpersist(); () }
-    if (total == 0L) {
-      val spark = docs.sparkSession
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            docs.schema(idCol).dataType),
-          org.apache.spark.sql.types.StructField("avg_surprisal",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("n_transitions",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-      return (empty, release)
-    }
+    if (total == 0L)
+      return (emptyScores(docs, idCol, "n_transitions"), release)
     val w1 = split(col("bg"), " ").getItem(0)
     val w2 = split(col("bg"), " ").getItem(1)
     val scored = pairs
@@ -268,19 +263,8 @@ object LanguageModel {
     val b = bgCounts.count()
     val totalRow = uniCounts.agg(sum(col("c1"))).head()
     val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
-    if (total == 0L || b == 0L) {
-      val spark = docs.sparkSession
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            docs.schema(idCol).dataType),
-          org.apache.spark.sql.types.StructField("avg_surprisal",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("n_transitions",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-      return (empty, release)
-    }
+    if (total == 0L || b == 0L)
+      return (emptyScores(docs, idCol, "n_transitions"), release)
     // marginals of the kept table: fan-out (distinct continuations of
     // w1) and continuation count (distinct predecessors of w2) — rows
     // of bgCounts are distinct bigrams, so count(*) IS the N1+ count
@@ -433,25 +417,34 @@ object LanguageModel {
           val bgs = bcBg.value
           val unis = bcUni.value
           var sum = 0.0
+          var n = 0L
           var i = 0
           while (i < toks.length - 1) {
-            val c2 = bgs.get(toks(i) + " " + toks(i + 1))
-            val s =
-              if (c2 != null) {
-                val c1 = unis.get(toks(i))
-                -(StrictMath.log(c2.toDouble / c1.toDouble) / ln2)
-              } else {
-                val c1w2 = unis.get(toks(i + 1))
-                -(StrictMath.log(
-                  backoff * c1w2.toDouble / totalD) / ln2)
-              }
-            sum += s
+            // missing unigram counts mirror the relational form's two
+            // INNER uniCounts joins (both w1 AND w2 must resolve, in
+            // either branch): the transition DROPS from the average
+            // (tokenizer-divergence safety), never an NPE
+            val c1w1 = unis.get(toks(i))
+            val c1w2 = unis.get(toks(i + 1))
+            if (c1w1 != null && c1w2 != null) {
+              val c2 = bgs.get(toks(i) + " " + toks(i + 1))
+              val s =
+                if (c2 != null)
+                  -(StrictMath.log(c2.toDouble / c1w1.toDouble) / ln2)
+                else
+                  -(StrictMath.log(
+                    backoff * c1w2.toDouble / totalD) / ln2)
+              sum += s
+              n += 1
+            }
             i += 1
           }
-          val n = (toks.length - 1).toLong
-          val avg = BigDecimal(sum / n.toDouble + 1e-9)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          (avg, n)
+          if (n == 0L) null
+          else {
+            val avg = BigDecimal(sum / n.toDouble + 1e-9)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (avg, n)
+          }
         }
       }
     }

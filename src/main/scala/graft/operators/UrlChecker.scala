@@ -24,6 +24,56 @@ object UrlChecker {
     regexp_replace(truncated, "^http://", "https://")
   }
 
+  /** ASCII-only HEXDIG value (RFC 3986 — Character.digit also accepts
+    * Unicode digits and fullwidth hex letters, which would "decode"
+    * malformed escapes like %４1 instead of passing them through). */
+  private def asciiHex(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** ONE %XX scan shared by every escape normalizer (frontier
+    * canonicalization here, robots-rule comparison in
+    * [[graft.sources.Robots]]): escapes whose decoded octet satisfies
+    * `decode` are decoded (byte-level, so multi-byte UTF-8 sequences
+    * reassemble), every kept escape is hex-UPPERCASED, and malformed
+    * escapes (non-ASCII-HEXDIG) pass through untouched. Idempotent
+    * whenever `decode` rejects '%' (0x25): the output then contains no
+    * decodable escapes and '%' only as an escape introducer. */
+  private[graft] def normalizeEscapes(s: String,
+      decode: Int => Boolean): String = {
+    if (s == null || s.indexOf('%') < 0) return s
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    def writeStr(str: String): Unit = {
+      val bs = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.write(bs, 0, bs.length)
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val hex1 = if (c == '%' && i + 2 < s.length)
+        asciiHex(s.charAt(i + 1)) else -1
+      val hex2 = if (hex1 >= 0) asciiHex(s.charAt(i + 2)) else -1
+      if (hex1 >= 0 && hex2 >= 0) {
+        val b = hex1 * 16 + hex2
+        if (decode(b)) out.write(b)
+        else writeStr("%" +
+          Character.toUpperCase(s.charAt(i + 1)) +
+          Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { writeStr(c.toString); i += 1 }
+    }
+    new String(out.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** RFC 3986 §2.3 unreserved octet. */
+  private[graft] def isUnreserved(b: Int): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+      (b >= '0' && b <= '9') || b == '-' || b == '.' ||
+      b == '_' || b == '~'
+
   /** RFC 3986 §6.2.2 percent-encoding normalization, the SELECTIVE
     * form: decode ONLY escapes of unreserved characters
     * (ALPHA / DIGIT / "-" / "." / "_" / "~" — §2.3), uppercase the hex
@@ -31,33 +81,43 @@ object UrlChecker {
     * are semantically DISTINCT from their decoded forms: /a%2Fb and
     * /a/b are different resources, %3F in a path is data where '?'
     * is the query delimiter, and decoding %25 would make the whole
-    * normalization non-idempotent. Idempotent by construction (the
-    * output contains no decodable escapes and '%' only as an escape
-    * introducer). */
-  private[graft] def normalizePercent(s: String): String = {
-    if (s == null || s.indexOf('%') < 0) return s
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      val hex1 = if (c == '%' && i + 2 < s.length)
-        Character.digit(s.charAt(i + 1), 16) else -1
-      val hex2 = if (hex1 >= 0)
-        Character.digit(s.charAt(i + 2), 16) else -1
-      if (hex1 >= 0 && hex2 >= 0) {
-        val b = hex1 * 16 + hex2
-        val unreserved =
-          (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
-            (b >= '0' && b <= '9') || b == '-' || b == '.' ||
-            b == '_' || b == '~'
-        if (unreserved) sb.append(b.toChar)
-        else sb.append('%')
-          .append(Character.toUpperCase(s.charAt(i + 1)))
-          .append(Character.toUpperCase(s.charAt(i + 2)))
-        i += 3
-      } else { sb.append(c); i += 1 }
+    * normalization non-idempotent. */
+  private[graft] def normalizePercent(s: String): String =
+    normalizeEscapes(s, isUnreserved)
+
+  /** RFC 3986 §5.2.4 remove_dot_segments, applied AFTER percent
+    * normalization (§6.2.2's step order: a dot segment hidden as
+    * %2E%2E must be resolved once decoded, or canonicalization is not
+    * idempotent). Operates on the percent-normalized path, where a
+    * kept %2F is data — correctly NOT a segment boundary. */
+  private[graft] def removeDotSegments(path: String): String = {
+    val in = new java.lang.StringBuilder(path)
+    val out = new java.lang.StringBuilder(path.length)
+    def dropLastSegment(): Unit = {
+      val idx = out.lastIndexOf("/")
+      out.setLength(if (idx < 0) 0 else idx)
     }
-    sb.toString
+    def startsWith(p: String): Boolean =
+      in.length >= p.length && in.indexOf(p) == 0
+    def is(p: String): Boolean =
+      in.length == p.length && in.indexOf(p) == 0
+    while (in.length > 0) {
+      if (startsWith("../")) in.delete(0, 3)
+      else if (startsWith("./")) in.delete(0, 2)
+      else if (startsWith("/./")) in.replace(0, 3, "/")
+      else if (is("/.")) in.replace(0, 2, "/")
+      else if (startsWith("/../")) { in.replace(0, 4, "/"); dropLastSegment() }
+      else if (is("/..")) { in.replace(0, 3, "/"); dropLastSegment() }
+      else if (is(".") || is("..")) in.setLength(0)
+      else {
+        val start = if (in.charAt(0) == '/') 1 else 0
+        val next = in.indexOf("/", start)
+        val end = if (next < 0) in.length else next
+        out.append(in, 0, end)
+        in.delete(0, end)
+      }
+    }
+    out.toString
   }
 
   /** FULL canonicalization for frontier dedup (RFC 3986 §6 syntax-based
@@ -76,7 +136,7 @@ object UrlChecker {
     val f = udf { (url: String) =>
       if (url == null) null
       else try {
-        val u = new java.net.URI(url.trim).normalize() // dot segments
+        val u = new java.net.URI(url.trim)
         val scheme = Option(u.getScheme)
           .map(_.toLowerCase(java.util.Locale.ROOT)).orNull
         val host = Option(u.getHost)
@@ -89,9 +149,13 @@ object UrlChecker {
           val port =
             if (u.getPort < 0 || defaultPort) "" else s":${u.getPort}"
           // RAW path: getPath percent-decodes everything including
-          // reserved octets, conflating /a%2Fb with /a/b
+          // reserved octets, conflating /a%2Fb with /a/b. RFC §6.2.2
+          // step ORDER: decode unreserved escapes FIRST, then resolve
+          // dot segments — a %2E%2E segment must resolve once decoded
+          // or the canonical form is not a fixpoint.
           val path = Option(u.getRawPath).filter(_.nonEmpty)
-            .map(normalizePercent).getOrElse("/")
+            .map(p => removeDotSegments(normalizePercent(p)))
+            .filter(_.nonEmpty).getOrElse("/")
           val query = Option(u.getRawQuery).map { q =>
             "?" + normalizePercent(q).split("&").sorted.mkString("&")
           }.getOrElse("")

@@ -49,42 +49,20 @@ object Robots {
     * pattern and path agree regardless of source hex case. Keeping
     * %24 (`$`) and %2A (`*`) encoded also prevents decoding from
     * SYNTHESIZING glob metacharacters out of literal data. '+' is NOT
-    * a space in paths; malformed escapes pass through. */
-  private[graft] def percentDecode(s: String): String = {
-    if (s == null || !s.contains('%')) return s
-    // reserved = gen-delims / sub-delims (RFC 3986 §2.2) plus '%'
-    // itself (decoding it would un-anchor later escapes)
-    def reserved(b: Int): Boolean = b match {
-      case ':' | '/' | '?' | '#' | '[' | ']' | '@' |
-           '!' | '$' | '&' | '\'' | '(' | ')' | '*' |
-           '+' | ',' | ';' | '=' | '%' => true
-      case _ => false
-    }
-    val out = new java.io.ByteArrayOutputStream(s.length)
-    def writeStr(str: String): Unit = {
-      val bs = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out.write(bs, 0, bs.length)
-    }
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-        Character.digit(s.charAt(i + 1), 16) >= 0 &&
-        Character.digit(s.charAt(i + 2), 16) >= 0) {
-        val b = Character.digit(s.charAt(i + 1), 16) * 16 +
-          Character.digit(s.charAt(i + 2), 16)
-        if (reserved(b)) writeStr("%" +
-          Character.toUpperCase(s.charAt(i + 1)) +
-          Character.toUpperCase(s.charAt(i + 2)))
-        else out.write(b)
-        i += 3
-      } else {
-        writeStr(c.toString)
-        i += 1
-      }
-    }
-    new String(out.toByteArray,
-      java.nio.charset.StandardCharsets.UTF_8)
+    * a space in paths; malformed escapes (including non-ASCII "hex
+    * digits") pass through. One scanner for the whole engine:
+    * [[graft.operators.UrlChecker.normalizeEscapes]]. */
+  private[graft] def percentDecode(s: String): String =
+    graft.operators.UrlChecker.normalizeEscapes(s,
+      b => b >= 0x80 || !reservedByte(b))
+
+  /** Reserved = gen-delims / sub-delims (RFC 3986 §2.2) plus '%'
+    * itself (decoding it would un-anchor later escapes). */
+  private def reservedByte(b: Int): Boolean = b match {
+    case ':' | '/' | '?' | '#' | '[' | ']' | '@' |
+         '!' | '$' | '&' | '\'' | '(' | ')' | '*' |
+         '+' | ',' | ';' | '=' | '%' => true
+    case _ => false
   }
 
   private final case class Group(agents: Seq[String], rules: Seq[Rule],
@@ -219,9 +197,11 @@ object Robots {
       robots: DataFrame, hostCol: String, bodyCol: String,
       userAgent: String): DataFrame = {
     // null host/body rows are malformed dimension rows, not crashes;
-    // duplicate rows for one host CONCATENATE (both files' groups
-    // evaluated under the same longest-match precedence) rather than
-    // silently keeping whichever row collected last
+    // duplicate rows for one host merge by parsing EACH body
+    // independently and unioning the selected rule sets (longest-match
+    // precedence is order-free) — text concatenation would fuse one
+    // body's trailing user-agent run with the next body's first group
+    // and change decisions
     val compiled = robots.select(col(hostCol), col(bodyCol)).collect()
       .iterator
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
@@ -230,7 +210,7 @@ object Robots {
       .toSeq
       .groupBy(_._1)
       .map { case (host, bodies) =>
-        host -> rulesFor(bodies.map(_._2).mkString("\n"), userAgent)
+        host -> bodies.flatMap(b => rulesFor(b._2, userAgent))
       }
     val bc = frontier.sparkSession.sparkContext.broadcast(compiled)
     val allowed = udf { (url: String) =>

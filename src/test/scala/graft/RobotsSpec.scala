@@ -102,6 +102,11 @@ class RobotsSpec extends SparkSuite {
     // normalization is idempotent (no double-decode through %25)
     assert(Robots.percentDecode(Robots.percentDecode("/p%252Fq")) ===
       "/p%252Fq")
+    // malformed escapes pass through — including Unicode "digits"
+    // (Character.digit('４',16)=4 would decode %４1 to 'A'): HEXDIG is
+    // ASCII-only per RFC 3986
+    assert(Robots.percentDecode("/a%４" + "1") === "/a%４" + "1")
+    assert(Robots.percentDecode("/a%zz") === "/a%zz")
   }
 
   test("crawlDelay follows the same group selection as the access " +
@@ -172,6 +177,17 @@ class RobotsSpec extends SparkSuite {
         org.apache.spark.sql.functions.col("url")).as("c"))
       .collect().map(_.getString(0))
     assert(again.toSeq === out.toSeq)
+    // RFC 6.2.2 step ORDER: a dot segment hidden behind %2E escapes
+    // resolves after decoding — the canonical form is a true fixpoint
+    val hidden = Seq("https://example.org/a/%2e%2e/b",
+        "https://example.org/a/../b", "https://example.org/x/%2e/y")
+      .toDF("url")
+      .select(UrlChecker.canonicalizeUrl(
+        org.apache.spark.sql.functions.col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(hidden(0) === "https://example.org/b")
+    assert(hidden(1) === "https://example.org/b")
+    assert(hidden(2) === "https://example.org/x/y")
   }
 
   test("filterAllowed: frontier filters row-local against broadcast " +
@@ -218,5 +234,30 @@ class RobotsSpec extends SparkSuite {
         "host", "body", "graftbot")
       .collect().map(_.getString(0)).toSet
     assert(kept === Set("https://a.org/z/3", "https://b.org/anything"))
+  }
+
+  test("filterAllowed: duplicate-host bodies parse INDEPENDENTLY — " +
+      "orphan rules at the start of one body must not attach to the " +
+      "previous body's trailing group") {
+    val s = initSpark()
+    import s.implicits._
+    // body2 opens with an orphan rule (no user-agent line above it): a
+    // standalone parse DROPS it (RFC: rules outside a group are
+    // ignored), but text concatenation would attach it to body1's
+    // trailing graftbot group and block graftbot from /orphan/
+    val robots = Seq(
+      ("a.org", "User-agent: graftbot\nDisallow: /g1/"),
+      ("a.org", "Disallow: /orphan/\n\nUser-agent: *\nDisallow: /star/")
+    ).toDF("host", "body")
+    val frontier = Seq(
+      "https://a.org/orphan/x", // fusion casualty — must stay allowed
+      "https://a.org/g1/x", // body1's real graftbot rule
+      "https://a.org/star/x", // body2's * rule also applies per-file
+      "https://a.org/free"
+    ).toDF("url")
+    val kept = Robots.filterAllowed(frontier, "url", robots,
+        "host", "body", "graftbot")
+      .collect().map(_.getString(0)).toSet
+    assert(kept === Set("https://a.org/orphan/x", "https://a.org/free"))
   }
 }
