@@ -1456,6 +1456,26 @@ object SparkEntry {
       LanguageModel.bigramSurprisalBackoffFast(t(s, dir, "documents"),
           "doc_id", "text", minCount = 21L)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // ---- Retrieval evaluation: hits/recall/MRR/nDCG@20 of the
+    // cosine ranking (q24's probes) against label-match relevance —
+    // the eval loop a retrieval pipeline closes with. Integer
+    // hits/ranks, exact fixed-point MRR, 4-dp recall/nDCG. ----
+    "q106_retrieval_eval" -> ((s, dir) => {
+      import graft.operators.Retrieval
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 10)
+      val ranking = Similarity.bruteForceTopK(emb, probes, k = 20)
+        .select(col("q_id"), col("c_id"), col("rank"))
+      val relevant = probes
+        .select(col("vec_id").as("q_id"), col("label").as("__ql"))
+        .join(emb.select(col("vec_id").as("c_id"),
+          col("label").as("__cl")), col("__ql") === col("__cl"))
+        .where(col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"))
+      Retrieval.rankingMetrics(ranking, relevant, "q_id", "c_id",
+        k = 20)
     })
   )
 
@@ -2747,7 +2767,59 @@ object SparkEntry {
          SELECT doc_id,
            round(avg(s) + 1e-9, 4) AS avg_surprisal,
            count(*) AS n_transitions
-         FROM sc GROUP BY doc_id"""
+         FROM sc GROUP BY doc_id""",
+
+    // q24's cosine ranking (k=20) scored against label-match
+    // relevance: integer hits, exact fixed-point MRR, 4-dp rounded
+    // recall/nDCG with the IDCG sequence folded as Spark folds it
+    "q106_retrieval_eval" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS c_id, embedding AS c_vec, label
+               FROM embeddings),
+         s AS (
+           SELECT q_id, c_id,
+             round(
+               list_sum(list_transform(list_zip(q_vec, c_vec),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q_vec,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c_vec,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               + 1e-9, 4) AS score
+           FROM q, c WHERE c_id != q_id),
+         rk AS (
+           SELECT q_id, c_id, rank FROM (
+             SELECT q_id, c_id, row_number() OVER (
+               PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
+             FROM s)
+           WHERE rank <= 20),
+         rel AS (
+           SELECT q.q_id, c.vec_id AS c_id
+           FROM q JOIN embeddings c ON q.label = c.label
+           WHERE c.vec_id != q.q_id),
+         tot AS (
+           SELECT q_id, count(*) AS n_relevant FROM rel GROUP BY q_id),
+         h AS (
+           SELECT rk.q_id, count(*) AS hits,
+             min(rank) AS first_hit,
+             sum(1.0 / log2(rank + 1)) AS dcg
+           FROM rk JOIN rel USING (q_id, c_id)
+           GROUP BY rk.q_id)
+         SELECT tot.q_id,
+           tot.n_relevant,
+           COALESCE(h.hits, 0) AS hits,
+           CASE WHEN h.first_hit IS NOT NULL
+             THEN CAST(floor(1000000000.0 /
+               CAST(h.first_hit AS DOUBLE)) AS BIGINT)
+             ELSE 0 END AS mrr_fp9,
+           round(CAST(COALESCE(h.hits, 0) AS DOUBLE) /
+             CAST(tot.n_relevant AS DOUBLE) + 1e-9, 4) AS recall_at_k,
+           round(COALESCE(h.dcg, 0.0) /
+             list_sum(list_transform(
+               range(1, least(tot.n_relevant, 20) + 1),
+               i -> 1.0 / log2(i + 1))) + 1e-9, 4) AS ndcg_at_k
+         FROM tot LEFT JOIN h ON tot.q_id = h.q_id"""
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census

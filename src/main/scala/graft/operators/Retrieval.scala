@@ -121,6 +121,52 @@ object Retrieval {
     joined.withColumn("rrf_fp9", contribs.reduce(_ + _))
   }
 
+  /** Per-query ranking quality against a relevance dimension — the
+    * eval loop every retrieval/data-selection pipeline closes with:
+    * hits@k, recall@k, MRR, nDCG@k (binary relevance, the standard
+    * 1/log2(rank+1) discount).
+    *
+    * `ranking`: (qidCol, idCol, rank) rows (a rankBy/bruteForceTopK
+    * output); `relevant`: (qidCol, idCol) pairs. Queries with zero
+    * relevant pairs have no definable recall/IDCG and emit no row
+    * (document the denominator, don't fake it). Scale: rankings are
+    * top-N-sized per query, the relevance join hits only ranked rows,
+    * and every aggregate is per-query — nothing here is corpus-sized.
+    *
+    * Determinism: hits/ranks are integers; MRR is exact fixed-point
+    * (1e9 DIV first-hit-rank, the rrfFuse discipline); the two float
+    * outputs (recall, ndcg) are 4-dp rounded with IDCG's generated
+    * sequence folded left-to-right — each float op mirrored in the
+    * oracle. */
+  def rankingMetrics(ranking: DataFrame, relevant: DataFrame,
+      qidCol: String, idCol: String, k: Int): DataFrame = {
+    val totals = relevant.groupBy(col(qidCol))
+      .agg(count(lit(1)).as("n_relevant"))
+    val hits = ranking.where(col("rank") <= k)
+      .join(relevant, Seq(qidCol, idCol))
+      .groupBy(col(qidCol))
+      .agg(count(lit(1)).as("hits"),
+        min(col("rank")).as("__first"),
+        sum(lit(1.0) / log2(col("rank") + 1)).as("__dcg"))
+    val idcg = aggregate(
+      transform(sequence(lit(1),
+          least(col("n_relevant"), lit(k.toLong)).cast("int")),
+        i => lit(1.0) / log2(i + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    totals.join(hits, Seq(qidCol), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("mrr_fp9",
+        when(col("__first").isNotNull,
+          floor(lit(1.0e9) / col("__first").cast("double")).cast("long"))
+          .otherwise(0L))
+      .withColumn("recall_at_k",
+        round(col("hits").cast("double") /
+          col("n_relevant").cast("double") + 1e-9, 4))
+      .withColumn("ndcg_at_k",
+        round(coalesce(col("__dcg"), lit(0.0)) / idcg + 1e-9, 4))
+      .drop("__first", "__dcg")
+  }
+
   /** Politeness schedule for a crawl frontier: per-host sequential
     * fetch slots spaced by that host's crawl delay (the
     * [[graft.sources.Robots.crawlDelay]] output is the natural

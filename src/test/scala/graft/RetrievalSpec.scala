@@ -64,6 +64,42 @@ class RetrievalSpec extends SparkSuite {
     assert(out === Map(10L -> c1, 20L -> (c2 + c1), 30L -> c2))
   }
 
+  test("rankingMetrics: hand-computed hits/recall/MRR/nDCG, no-hit " +
+      "queries zero out, zero-relevant queries emit no row") {
+    val s = initSpark()
+    import s.implicits._
+    val ranking = Seq(
+      // q1: relevant docs at ranks 2 and 4 (of 5)
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4),
+      (1L, 14L, 5),
+      // q2: no relevant doc ranked
+      (2L, 20L, 1), (2L, 21L, 2)
+    ).toDF("q_id", "id", "rank")
+    val relevant = Seq(
+      (1L, 11L), (1L, 13L), (1L, 99L), // 3 relevant, 2 ranked
+      (2L, 77L) // relevant but unranked
+    ).toDF("q_id", "id")
+    val out = Retrieval.rankingMetrics(ranking, relevant, "q_id", "id",
+        k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // q1: hits=2, recall=2/3, mrr=1e9/2, dcg=1/log2(3)+1/log2(5),
+    //     idcg=1/log2(2)+1/log2(3)+1/log2(4)
+    val dcg = 1.0 / (math.log(3) / math.log(2)) +
+      1.0 / (math.log(5) / math.log(2))
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(out(1L)._1 === 3L && out(1L)._2 === 2L)
+    assert(out(1L)._3 === 500000000L)
+    assert(math.abs(out(1L)._4 - 0.6667) < 1e-9)
+    assert(math.abs(out(1L)._5 -
+      BigDecimal(dcg / idcg + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // q2: one relevant, zero hits -> zeros
+    assert(out(2L) === ((1L, 0L, 0L, 0.0, 0.0)))
+    assert(out.size === 2)
+  }
+
   test("politenessSchedule spaces fetches per host by its delay, " +
       "default for hosts without a delay row") {
     val s = initSpark()
