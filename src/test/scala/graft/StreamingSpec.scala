@@ -380,4 +380,57 @@ class StreamingSpec extends SparkSuite {
       .groupBy(identity).view.mapValues(_.length).toMap
     assert(viaSessionWindow === viaLag)
   }
+
+  test("streaming frontier scheduler: per-host slots continue across " +
+      "micro-batches, one batch equals the batch politeness operator") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: org.apache.spark.sql.SparkSession = s
+    import graft.streaming.FrontierScheduler
+    import graft.streaming.FrontierScheduler.FrontierUrl
+    val input = MemoryStream[FrontierUrl](s)
+    val query = FrontierScheduler.schedule(input.toDS())
+      .writeStream.format("memory").queryName("sched_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        FrontierUrl("a.org", "u1", 2000L),
+        FrontierUrl("a.org", "u2", 2000L),
+        FrontierUrl("b.org", "v1", 100L))
+      query.processAllAvailable()
+      // batch 2 CONTINUES a.org's queue (seq 3, last + delay), does
+      // not restart it — the property a per-batch window cannot have
+      input.addData(
+        FrontierUrl("a.org", "u3", 2000L),
+        FrontierUrl("b.org", "v2", 100L))
+      query.processAllAvailable()
+      val rows = s.sql(
+          "SELECT host, url, fetch_seq, fetch_at_ms FROM sched_out")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(rows(("a.org", "u1")) === ((1L, 0L)))
+      assert(rows(("a.org", "u2")) === ((2L, 2000L)))
+      assert(rows(("a.org", "u3")) === ((3L, 4000L)))
+      assert(rows(("b.org", "v1")) === ((1L, 0L)))
+      assert(rows(("b.org", "v2")) === ((2L, 100L)))
+      // single-batch parity with the batch operator (order = url)
+      val frontier = Seq(("a.org", "u1"), ("a.org", "u2"),
+        ("b.org", "v1")).toDF("host", "url")
+      val delays = Seq(("a.org", 2000L), ("b.org", 100L))
+        .toDF("host", "delay_ms")
+      val batch = graft.operators.Retrieval.politenessSchedule(
+          frontier, "host",
+          Seq(org.apache.spark.sql.functions.col("url").asc),
+          delays, "delay_ms", defaultDelayMs = 0L)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getInt(2).toLong, r.getLong(3))).toMap
+      val batch1Stream = Map(
+        ("a.org", "u1") -> rows(("a.org", "u1")),
+        ("a.org", "u2") -> rows(("a.org", "u2")),
+        ("b.org", "v1") -> rows(("b.org", "v1")))
+      assert(batch === batch1Stream)
+    } finally query.stop()
+  }
 }
