@@ -1476,6 +1476,21 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"))
       Retrieval.rankingMetrics(ranking, relevant, "q_id", "c_id",
         k = 20)
+    }),
+
+    // ---- Incremental exact dedup (the production ingest shape): the
+    // src10-19 batch dedups against the src0-9 snapshot WITHOUT
+    // reshuffling the snapshot — distinct fingerprints anti-join +
+    // batch-local keep-first. Bites at sf0.1 (8 cross-half dup
+    // fingerprints); the planted-dup spec pins both rules at any
+    // scale. ----
+    "q107_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupIncremental(
+          docs.where(length(col("source")) === 5), // src10..src19
+          docs.where(length(col("source")) === 4), // src0..src9
+          "doc_id", "text")
+        .select(col("doc_id"), octet_length(col("text")).as("octets"))
     })
   )
 
@@ -2819,7 +2834,25 @@ object SparkEntry {
              list_sum(list_transform(
                range(1, least(tot.n_relevant, 20) + 1),
                i -> 1.0 / log2(i + 1))) + 1e-9, 4) AS ndcg_at_k
-         FROM tot LEFT JOIN h ON tot.q_id = h.q_id"""
+         FROM tot LEFT JOIN h ON tot.q_id = h.q_id""",
+
+    "q107_incremental_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id, source, text,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS f
+           FROM documents),
+         snap AS (
+           SELECT DISTINCT f FROM fp WHERE strlen(source) = 4),
+         first_in_batch AS (
+           SELECT doc_id, text, f FROM (
+             SELECT doc_id, text, f, row_number() OVER (
+               PARTITION BY f ORDER BY doc_id) AS rn
+             FROM fp WHERE strlen(source) = 5)
+           WHERE rn = 1)
+         SELECT doc_id, strlen(text) AS octets
+         FROM first_in_batch
+         WHERE f NOT IN (SELECT f FROM snap)"""
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census

@@ -40,6 +40,34 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** INCREMENTAL exact dedup — the production shape at 100 TB: a new
+    * batch dedups against an already-indexed snapshot WITHOUT touching
+    * the snapshot's rows (re-running keep-first over snapshot ∪ batch
+    * would reshuffle the whole historical corpus every ingest).
+    * Survivors = batch rows that are (a) first within the batch for
+    * their fingerprint (min id — the dedupKeepFirst rule) and (b)
+    * absent from the snapshot's fingerprint set.
+    *
+    * Plan: fingerprints are row-local (codegen'd md5); the snapshot
+    * side reduces to DISTINCT fingerprints before the anti join (the
+    * join ships one hash per distinct historical text, not the
+    * corpus); the batch side pays one keep-first shuffle on its OWN
+    * size. In a real deployment the distinct-fingerprint table is the
+    * persisted index this reads (IvfIndex-style artifact); the
+    * semantics here are what that index must answer. */
+  def dedupIncremental(batch: DataFrame, snapshot: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val seen = snapshot
+      .select(TextMetrics.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    batch.withColumn("__fp", TextMetrics.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .join(seen, Seq("__fp"), "left_anti")
+      .drop("__fp", "__rn")
+  }
+
   /** Distinct word n-gram shingles per document, exploded:
     * (id, shingle). Row-local single-pass UDF: the declarative
     * `transform(sequence(...), i => slice(split(text), ...))`

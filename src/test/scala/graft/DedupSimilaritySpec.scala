@@ -37,6 +37,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(kept === Array("d1", "d2"))
   }
 
+  test("dedupIncremental: snapshot fingerprints kill batch dups, " +
+      "keep-first applies within the batch, fresh rows survive") {
+    val s = initSpark()
+    import s.implicits._
+    val snapshot = Seq((1L, "seen text one"), (2L, "seen text two"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen text one"), // exact dup vs snapshot -> dropped
+      (11L, "fresh text"), // survives
+      (12L, "fresh text"), // batch dup of 11 -> keep-first drops
+      (13L, "Seen   TEXT two") // NORMALIZED dup vs snapshot -> dropped
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(batch, snapshot,
+        "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(11L))
+    // empty snapshot degenerates to plain keep-first over the batch
+    val keptNoSnap = Dedup.dedupIncremental(batch,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(keptNoSnap === Array(10L, 11L, 13L))
+  }
+
   test("lineDedupGlobal strips corpus-repeated lines, keeps row count") {
     val s = initSpark()
     import s.implicits._
