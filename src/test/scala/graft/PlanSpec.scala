@@ -213,6 +213,46 @@ class PlanSpec extends SparkSuite {
     assert(n === 3, s"expected 3 exchanges, got $n:\n$plan")
   }
 
+  test("q100 BM25: the query-term IN-filter evaluates BELOW the first " +
+      "exchange (the corpus shuffle carries only query-term hits), " +
+      "and df/stats join back by broadcast") {
+    val df = SparkEntry.queries("q100_bm25_topk")(initSpark(), dir)
+    val plan = planOf(df)
+    val firstExchange = plan.indexOf("Exchange")
+    assert(firstExchange >= 0, plan.take(2000))
+    // the literal IN-list filter on the exploded token must appear in
+    // the pre-shuffle (deeper = later in toString) segment
+    val tail = plan.substring(firstExchange)
+    assert(tail.contains("__w") && (tail.contains(" IN ") ||
+      tail.contains("isin") || tail.contains("INSET")),
+      "query-term filter not below the first exchange:\n" +
+        plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "df/stats joins should broadcast:\n" + plan.take(3000))
+  }
+
+  test("q104 fast LM scorer: ZERO exchanges in the scoring plan (the " +
+      "model is broadcast state, not a join side)") {
+    val df = SparkEntry.queries("q104_unigram_fast")(initSpark(), dir)
+    val plan = planOf(df)
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n === 0, s"expected a shuffle-free scoring plan, got $n " +
+      s"exchanges:\n$plan")
+  }
+
+  test("q107 incremental dedup: the snapshot side reduces to distinct " +
+      "fingerprints before the anti join; only the batch pays the " +
+      "keep-first window shuffle") {
+    val df = SparkEntry.queries("q107_incremental_dedup")(initSpark(),
+      dir)
+    val plan = planOf(df)
+    // anti join present, and the window (keep-first) sits on the batch
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(plan.contains("RunningWindowFunction") ||
+      plan.contains("Window"), plan.take(3000))
+  }
+
   test("step-partitioned ledger scans prune partitions (R15)") {
     val s = initSpark()
     import s.implicits._
