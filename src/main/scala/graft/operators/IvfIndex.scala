@@ -83,6 +83,47 @@ object IvfIndex {
   def isDppPruned(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("dynamicpruning")
 
+  /** INCREMENTAL add — FAISS's `IndexIVF.add()` semantics, lakehouse
+    * form: new vectors are assigned against the FROZEN centroid model
+    * and appended as new bucket files; the routing model itself never
+    * changes on add. Probe correctness is unaffected (a probe scans
+    * whole buckets); routing QUALITY drifts as the data distribution
+    * shifts away from the trained centroids — re-train on a cadence
+    * with [[buildVersioned]], exactly as FAISS re-trains.
+    *
+    * Concurrency: a parquet append creates new files only — a probe
+    * planned before the append keeps its file list (no invalidation,
+    * the IvfIndex immutability argument), later probes see the new
+    * vectors. Cost: one scan of the NEW vectors + one bucket-clustered
+    * write; the existing index is never read or rewritten. */
+  def append(newVectors: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    Similarity.assignToCentroids(newVectors, cents, idCol, vecCol)
+      .where(col("centroid_id").isNotNull)
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions(col("centroid_id"), col(idCol))
+      .write.mode("append")
+      .partitionBy("centroid_id")
+      .parquet(s"$dir/vectors")
+  }
+
+  /** [[append]] into a committed version (the current one by default).
+    * Returns the version appended to. */
+  def appendVersioned(newVectors: DataFrame, dir: String,
+      asOf: Option[Long] = None, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    val v = asOf.orElse(currentVersion(dir)).getOrElse(
+      throw new IllegalStateException(
+        s"no committed index version under $dir"))
+    val (fs, _) = hfs(dir)
+    require(fs.exists(markerPath(dir, v)),
+      s"index version $v under $dir is not committed")
+    append(newVectors, s"$dir/v_$v", idCol, vecCol)
+    v
+  }
+
   // ---- versioned rebuilds (atomic publish; TxnLog-style claims).
   // All version bookkeeping goes through the Hadoop FileSystem API so
   // the index works wherever the parquet does (HDFS/S3A/local) —

@@ -172,6 +172,44 @@ class ApproxQualitySpec extends SparkSuite {
     assert(IvfIndex.currentVersion(idx) === Some(1L))
   }
 
+  test("IVF append: adds route through the FROZEN centroid model " +
+      "(equals a bulk assign over the same model), appended vectors " +
+      "are probe-able, DPP still prunes") {
+    val s = initSpark()
+    import graft.operators.IvfIndex
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val part = emb.where(col("vec_id") >= 100)
+    val rest = emb.where(col("vec_id") < 100)
+    val idxA = java.nio.file.Files.createTempDirectory("ivfa").toString
+    IvfIndex.build(part, idxA, stride = 20, iters = 3)
+    IvfIndex.append(rest, idxA)
+    val q = emb.where(col("vec_id") < 10)
+    val fromAppended = IvfIndex.topK(s, idxA, q, k = 5, nProbe = 3)
+    val a = fromAppended.orderBy("q_id", "rank").collect().toSeq
+    // reference: an index with the SAME (deterministic) part-trained
+    // centroids whose vectors were bulk-assigned in one pass — append
+    // must be indistinguishable from it
+    val idxB = java.nio.file.Files.createTempDirectory("ivfb").toString
+    IvfIndex.build(part, idxB, stride = 20, iters = 3)
+    val cents = s.read.parquet(s"$idxB/centroids")
+    Similarity.assignToCentroids(emb, cents, "vec_id", "embedding")
+      .where(col("centroid_id").isNotNull)
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions(col("centroid_id"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$idxB/vectors")
+    val b = IvfIndex.topK(s, idxB, q, k = 5, nProbe = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(a === b,
+      "append must equal bulk assignment over the frozen model")
+    // the appended vectors really are in the index (neighbors < 100
+    // surface — vec ids 0..99 cluster with their own label class)
+    assert(a.exists(_.getLong(1) < 100L),
+      s"no appended vector surfaced in the top-k: ${a.take(10)}")
+    assert(IvfIndex.isDppPruned(fromAppended),
+      "append must not break dynamic partition pruning")
+  }
+
   test("k-means mean recompute is ONE agg expression at dim=256 " +
       "(single-buffer vector sum, not 2xdim columns) and matches avg()") {
     val s = initSpark()
