@@ -1491,6 +1491,30 @@ object SparkEntry {
           docs.where(length(col("source")) === 4), // src0..src9
           "doc_id", "text")
         .select(col("doc_id"), octet_length(col("text")).as("octets"))
+    }),
+
+    // ---- PageRank over the customer-supplier transaction graph —
+    // the crawl-frontier authority scorer (a 100 TB crawl prioritizes
+    // hosts by link authority, not flat quotas). Fixed-point integer
+    // ranks (scale 1e12): every contribution floor-divides to an
+    // exact long, so sums are associative and the result is bitwise
+    // identical across partitionings AND engines — the oracle unrolls
+    // the same integer recurrence as five chained CTEs. One shuffle
+    // per iteration (edges persisted partitioned on src; ranks arrive
+    // partitioned on node id from the previous groupBy). ----
+    "q108_pagerank" -> ((s, dir) => {
+      import graft.operators.Graph
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      val nodes = t(s, dir, "customer")
+        .select(col("c_custkey").as("node_id"))
+        .unionByName(t(s, dir, "supplier")
+          .select((col("s_suppkey") + lit(1000000L)).as("node_id")))
+      Graph.pageRankFixed(s, nodes, Graph.undirect(base, "src", "dst"),
+        "node_id", "src", "dst", iters = 5)
     })
   )
 
@@ -2852,7 +2876,64 @@ object SparkEntry {
            WHERE rn = 1)
          SELECT doc_id, strlen(text) AS octets
          FROM first_in_batch
-         WHERE f NOT IN (SELECT f FROM snap)"""
+         WHERE f NOT IN (SELECT f FROM snap)""",
+
+    // the same integer recurrence as Graph.pageRankFixed, unrolled:
+    // init = scale//n, tele = scale*15//100//n, contribution =
+    // rank*85//100//outdeg (all BIGINT floor division, left-assoc —
+    // identical order to the Spark DIV chain), five chained CTEs
+    "q108_pagerank" ->
+      """WITH base AS (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         und AS (
+           SELECT src, dst FROM base
+           UNION SELECT dst, src FROM base),
+         deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
+         c AS (SELECT
+             CAST(1000000000000 // k AS BIGINT) AS init,
+             CAST(1000000000000 * 15 // 100 // k AS BIGINT) AS tele
+           FROM (SELECT (SELECT count(*) FROM customer)
+                      + (SELECT count(*) FROM supplier) AS k)),
+         r0 AS (SELECT DISTINCT src AS node_id,
+             (SELECT init FROM c) AS rank_fixed FROM und),
+         r1 AS (SELECT e.dst AS node_id,
+             CAST((SELECT tele FROM c) + sum(
+               r.rank_fixed * 85 // 100 // d.outdeg) AS BIGINT)
+               AS rank_fixed
+           FROM und e JOIN deg d ON e.src = d.src
+           JOIN r0 r ON r.node_id = e.src GROUP BY e.dst),
+         r2 AS (SELECT e.dst AS node_id,
+             CAST((SELECT tele FROM c) + sum(
+               r.rank_fixed * 85 // 100 // d.outdeg) AS BIGINT)
+               AS rank_fixed
+           FROM und e JOIN deg d ON e.src = d.src
+           JOIN r1 r ON r.node_id = e.src GROUP BY e.dst),
+         r3 AS (SELECT e.dst AS node_id,
+             CAST((SELECT tele FROM c) + sum(
+               r.rank_fixed * 85 // 100 // d.outdeg) AS BIGINT)
+               AS rank_fixed
+           FROM und e JOIN deg d ON e.src = d.src
+           JOIN r2 r ON r.node_id = e.src GROUP BY e.dst),
+         r4 AS (SELECT e.dst AS node_id,
+             CAST((SELECT tele FROM c) + sum(
+               r.rank_fixed * 85 // 100 // d.outdeg) AS BIGINT)
+               AS rank_fixed
+           FROM und e JOIN deg d ON e.src = d.src
+           JOIN r3 r ON r.node_id = e.src GROUP BY e.dst),
+         r5 AS (SELECT e.dst AS node_id,
+             CAST((SELECT tele FROM c) + sum(
+               r.rank_fixed * 85 // 100 // d.outdeg) AS BIGINT)
+               AS rank_fixed
+           FROM und e JOIN deg d ON e.src = d.src
+           JOIN r4 r ON r.node_id = e.src GROUP BY e.dst)
+         SELECT node_id, rank_fixed FROM r5
+         UNION ALL
+         SELECT node_id, (SELECT tele FROM c) AS rank_fixed FROM (
+           SELECT c_custkey AS node_id FROM customer
+           UNION ALL
+           SELECT s_suppkey + 1000000 FROM supplier) an
+         WHERE node_id NOT IN (SELECT src FROM und)"""
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census

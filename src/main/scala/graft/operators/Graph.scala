@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for crawl-frontier governance. The reference
+  * schedules its crawl by flat per-source quotas (SURVEY §2 T4,
+  * nodes_workflow cadence); a 100 TB crawl prioritizes by GRAPH
+  * authority — PageRank over the host/document link graph is the
+  * canonical scorer (Page et al. 1999, and what production crawlers
+  * seed their frontier with).
+  *
+  * Scale + determinism design:
+  *
+  *   - Ranks are FIXED-POINT LONGS (scale = 1e12), never doubles.
+  *     Every per-edge contribution is floor-divided into an exact
+  *     integer, so the per-node sum is integer addition — associative
+  *     and commutative — and the result is bitwise identical across
+  *     partitionings, AQE re-plans, and engines (the same trick as
+  *     the k-means accumulators in Similarity; pinned cross-engine by
+  *     the q108 DuckDB oracle, which unrolls the same integer
+  *     recurrence). A float formulation would hash-mismatch on sum
+  *     order alone.
+  *
+  *   - One shuffle per iteration. The edge list (with out-degrees
+  *     baked in) is persisted hash-partitioned on `src`; the rank
+  *     frame comes out of each iteration hash-partitioned on the node
+  *     id (it is the groupBy output), so the next iteration's
+  *     edges-ranks join needs NO new exchange on either side — the
+  *     only data movement per round is the contribution groupBy.
+  *     Edges are read once from disk, not once per iteration.
+  *
+  *   - Iteration count is a parameter (default 5): frontier scoring
+  *     wants a handful of power-iteration rounds, not convergence to
+  *     machine epsilon; a fixed count also keeps the oracle SQL
+  *     finite (unrolled CTE chain).
+  */
+object Graph {
+
+  /** PageRank over an explicit node set and directed edge list, in
+    * fixed-point integer arithmetic.
+    *
+    * Recurrence (all operations integer, all values non-negative):
+    * {{{
+    *   init       = scale DIV n
+    *   teleport   = (scale * (dampDen - dampNum) DIV dampDen) DIV n
+    *   contrib(e) = ((rank(src) * dampNum) DIV dampDen) DIV outdeg(src)
+    *   rank'(v)   = teleport + sum over in-edges of contrib
+    * }}}
+    *
+    * Nodes with no edges at all hold `teleport` from iteration 1 on
+    * (they receive no mass and are appended once after the loop —
+    * they never enter the iterated join). Dangling nodes (out-degree
+    * zero but in-edges present) simply leak their damped mass, the
+    * standard simplification; pass a symmetrized edge list (every
+    * edge in both directions) to avoid dangling entirely, which is
+    * what host-graph frontier scoring does anyway.
+    *
+    * `nodes` must carry one row per distinct node id in `idCol`;
+    * `edges` directed pairs in `srcCol`/`dstCol` (duplicates are
+    * collapsed — this is a simple graph walk, not a multigraph).
+    * Output: (node_id, rank_fixed) with sum(rank_fixed) <= scale
+    * (floor losses only, bounded by edges + nodes per iteration).
+    */
+  def pageRankFixed(spark: SparkSession, nodes: DataFrame,
+      edges: DataFrame, idCol: String, srcCol: String, dstCol: String,
+      iters: Int = 5, scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, "pageRankFixed needs at least one iteration")
+    val n = nodes.count()
+    require(n > 0, "pageRankFixed over an empty node set")
+    val init = scale / n
+    val tele = scale * (dampDen - dampNum) / dampDen / n
+
+    val simple = edges
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .distinct()
+    val deg = simple.groupBy("__src")
+      .agg(count(lit(1)).as("__outdeg"))
+    // Partitioned on __src and persisted: every iteration's join reads
+    // this cached, correctly-partitioned copy — no per-round re-scan,
+    // no per-round edge shuffle.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val edgesDeg = simple.join(deg, "__src")
+      .repartition(parts, col("__src"))
+    // Release the PREVIOUS call's cache BEFORE persisting this one:
+    // on identical lineage the cache manager dedupes persist() into
+    // the existing entry, so releasing prev AFTER registering would
+    // silently drop THIS call's cache too (ReleaseSlot contract:
+    // recomputable persist only, so worst case is a slow recompute).
+    lastRelease.swap(() => { edgesDeg.unpersist(); () })
+    edgesDeg.persist()
+
+    var ranks = edgesDeg.select(col("__src").as("node_id")).distinct()
+      .withColumn("rank_fixed", lit(init))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks, col("__src") === col("node_id"))
+        .select(col("__dst").as("node_id"),
+          expr(s"((rank_fixed * $dampNum) DIV $dampDen) DIV __outdeg")
+            .as("__c"))
+      ranks = contrib.groupBy("node_id")
+        .agg((lit(tele) + sum(col("__c"))).as("rank_fixed"))
+    }
+
+    // Nodes that touch no edge: teleport-only from iteration 1 on.
+    val isolated = nodes
+      .select(col(idCol).cast("long").as("node_id"))
+      .join(edgesDeg.select(col("__src").as("node_id")), Seq("node_id"),
+        "left_anti")
+      .withColumn("rank_fixed", lit(tele))
+    ranks.unionByName(isolated)
+  }
+
+  private val lastRelease = ReleaseSlot()
+
+  /** The symmetrized (undirected) edge list `pageRankFixed` wants for
+    * host-authority scoring: both directions of every pair, distinct. */
+  def undirect(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    fwd.unionByName(
+        edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+  }
+}
