@@ -1515,7 +1515,16 @@ object SparkEntry {
           .select((col("s_suppkey") + lit(1000000L)).as("node_id")))
       Graph.pageRankFixed(s, nodes, Graph.undirect(base, "src", "dst"),
         "node_id", "src", "dst", iters = 5)
-    })
+    }),
+
+    // ---- TF-IDF top-3 terms per document (keyword profiles / index-
+    // time term selection). Smooth idf, score quantized to micro-units
+    // so the per-doc ranking is integer with a term tie-break; the
+    // per-doc top-k goes through the bounded-heap TopK aggregate (map-
+    // side partial top-k), not a full sort window. ----
+    "q109_tfidf_terms" -> ((s, dir) =>
+      graft.operators.Retrieval.tfIdfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 3))
   )
 
   /** q100/q101's fixed lexical query — mid-frequency corpus terms so
@@ -2933,7 +2942,37 @@ object SparkEntry {
            SELECT c_custkey AS node_id FROM customer
            UNION ALL
            SELECT s_suppkey + 1000000 FROM supplier) an
-         WHERE node_id NOT IN (SELECT src FROM und)"""
+         WHERE node_id NOT IN (SELECT src FROM und)""",
+
+    // same smooth-idf micro-unit expression as Retrieval.tfIdfTopTerms,
+    // identical operator order: ((tf * (ln((n+1)/(df+1)) + 1)) * 1e6)
+    // + 0.5, floored; ranking on the integer score with term tie-break
+    "q109_tfidf_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'),
+             x -> x <> '')) AS w
+           FROM documents WHERE text IS NOT NULL),
+         nn AS (
+           SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+         tf AS (
+           SELECT doc_id, w, count(*) AS tf FROM toks
+           GROUP BY doc_id, w),
+         dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         scored AS (
+           SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+             CAST(floor(tf.tf * (ln(((SELECT n FROM nn) + 1.0)
+               / (dfq.df + 1.0)) + 1.0) * 1000000.0 + 0.5) AS BIGINT)
+               AS score_fp6
+           FROM tf JOIN dfq USING (w))
+         SELECT doc_id, w AS term, tf, df, score_fp6,
+           CAST(rn AS INT) AS rnk
+         FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY score_fp6 DESC, w ASC) AS rn
+           FROM scored)
+         WHERE rn <= 3"""
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census

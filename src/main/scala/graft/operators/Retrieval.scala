@@ -77,6 +77,51 @@ object Retrieval {
         sum(col("__term_fp6")).as("score_fp6"))
   }
 
+  /** TF-IDF top-k terms per document — the keyword-profile staple
+    * (doc descriptors, index-time term selection, cluster labeling).
+    * Smooth idf (sklearn's): ln((n + 1) / (df + 1)) + 1, score =
+    * tf * idf, quantized to LONG micro-units on the rounded score so
+    * the ranking is integer (ties broken by term asc).
+    *
+    * Scale shape — three shuffles, none corpus-token-sized twice:
+    *   1. (doc, term) tf groupBy — THE corpus-sized exchange;
+    *   2. document frequency as a count window over the tf table
+    *      partitioned by term (reuses the tf rows, not a second
+    *      corpus pass, and avoids a vocab-dim join);
+    *   3. the per-doc top-k via the bounded-heap TypedImperativeAgg
+    *      (TopK) — each map task ships <= k rows per doc, not every
+    *      (doc, term) row through a sort window.
+    * Corpus doc count is a one-row broadcast. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      w => length(w) > 0)
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks"))
+    val stats = base.agg(count(lit(1)).as("__n"))
+    val tf = base
+      .select(col(idCol), explode(col("__toks")).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    // tf has one row per (doc, term), so df(term) = row count per term
+    val withDf = tf.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy(col("__w"))))
+    val scored = withDf.crossJoin(broadcast(stats))
+      .withColumn("__score_fp6", floor(col("__tf") *
+          (log((col("__n") + 1.0) / (col("__df") + 1.0)) + 1.0)
+          * 1e6 + 0.5).cast("long"))
+    scored.groupBy(col(idCol))
+      .agg(graft.expr.TopK.topKBy(
+        struct(col("__score_fp6"), col("__w"), col("__tf"),
+          col("__df")), k,
+        descending = Seq(true, false, true, true)).as("__top"))
+      .select(col(idCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(idCol), col("__t.__w").as("term"),
+        col("__t.__tf").as("tf"), col("__t.__df").as("df"),
+        col("__t.__score_fp6").as("score_fp6"),
+        (col("__pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Top-N under a caller-chosen TOTAL order (include an id
     * tie-break — a partial order would make ranks partitioning-
     * dependent), with a 1-based `rank` column. orderBy+limit first so

@@ -40,6 +40,55 @@ class RetrievalSpec extends SparkSuite {
     assert(out(3L)._1 === 2L)
   }
 
+  test("tfIdfTopTerms: hand-computed smooth-idf scores, term " +
+      "tie-break, empty-token docs counted in n but emit no rows") {
+    val s = initSpark()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "  "), // tokenless but text IS NOT NULL: counts toward n=3
+      (4L, null.asInstanceOf[String])) // null text: excluded from n
+      .toDF("doc_id", "text")
+    val out = Retrieval.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+      .sortBy(t => (t._1, t._6))
+    def fp6(tf: Long, df: Long): Long =
+      math.floor(tf * (math.log((3 + 1.0) / (df + 1.0)) + 1.0)
+        * 1e6 + 0.5).toLong
+    assert(out === Seq(
+      // doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+      (1L, "apple", 2L, 1L, fp6(2, 1), 1),
+      (1L, "banana", 1L, 2L, fp6(1, 2), 2),
+      // doc 2: banana and cherry tie on tf=1 when df were equal —
+      // but df differ (banana 2, cherry 1), so cherry outranks
+      (2L, "cherry", 1L, 1L, fp6(1, 1), 1),
+      (2L, "banana", 1L, 2L, fp6(1, 2), 2)))
+    // doc 3 emitted nothing (no tokens), doc 4 excluded entirely
+    assert(!out.exists(t => t._1 == 3L || t._1 == 4L))
+  }
+
+  test("tfIdfTopTerms costs exactly 4 shuffles (tf agg, df window, " +
+      "bounded top-k agg, one-row corpus count)") {
+    val s = initSpark()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val df = Retrieval.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+      }.size
+      // the 4th is the SinglePartition exchange under the one-row
+      // corpus-count aggregate — constant-sized at any corpus scale
+      assert(shuffles === 4,
+        "expected tf agg + df window + top-k agg + corpus count:\n"
+        + df.queryExecution.executedPlan.toString().take(3000))
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("rankBy assigns 1-based ranks under the given total order and " +
       "truncates to topN") {
     val s = initSpark()
