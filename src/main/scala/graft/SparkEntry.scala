@@ -1524,7 +1524,22 @@ object SparkEntry {
     // side partial top-k), not a full sort window. ----
     "q109_tfidf_terms" -> ((s, dir) =>
       graft.operators.Retrieval.tfIdfTopTerms(
-        t(s, dir, "documents"), "doc_id", "text", k = 3))
+        t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // ---- Temperature-scaled mixture (mT5/Pile alpha=0.5): quotas
+    // derive from the DATA (count^alpha, micro-unit-quantized so the
+    // weight sum is integer), then the q90 deterministic md5-rank
+    // take per stratum. The whole quota vector is bit-deterministic
+    // cross-engine — sqrt is IEEE exactly-rounded, everything after
+    // it is integer arithmetic. ----
+    "q110_temperature_mix" -> ((s, dir) => {
+      Mixing.temperatureMixtureSqrt(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", target = 200L,
+          rankCol = Some("mix_rank"))
+        .select(col("doc_id"), col("source"),
+          col("mix_rank").cast("long").as("mix_rank"))
+    })
   )
 
   /** q100/q101's fixed lexical query — mid-frequency corpus terms so
@@ -2972,7 +2987,31 @@ object SparkEntry {
              PARTITION BY doc_id
              ORDER BY score_fp6 DESC, w ASC) AS rn
            FROM scored)
-         WHERE rn <= 3"""
+         WHERE rn <= 3""",
+
+    // same integer quota derivation as Mixing.temperatureMixtureSqrt:
+    // wq = floor(sqrt(count)*1e6 + 0.5) (IEEE sqrt — exactly rounded
+    // in both engines), quota = target*wq // sum(wq), then the q90
+    // md5-rank take
+    "q110_temperature_mix" ->
+      """WITH cnt AS (
+           SELECT source, count(*) AS c FROM documents GROUP BY source),
+         wq AS (
+           SELECT source,
+             CAST(floor(sqrt(c) * 1000000.0 + 0.5) AS BIGINT) AS wq
+           FROM cnt),
+         tot AS (SELECT CAST(sum(wq) AS BIGINT) AS t FROM wq),
+         q AS (
+           SELECT source, (200 * wq) // (SELECT t FROM tot) AS quota
+           FROM wq),
+         r AS (
+           SELECT doc_id, source, row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, source, rn AS mix_rank
+         FROM r JOIN q USING (source)
+         WHERE rn <= quota"""
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census

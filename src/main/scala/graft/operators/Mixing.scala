@@ -166,6 +166,54 @@ object Mixing {
 
   private val lastQuotaRelease = ReleaseSlot()
 
+  /** Temperature-scaled mixture sampling (the mT5 / Pile recipe):
+    * stratum s gets quota_s = floor(target * w_s / sum(w)) where
+    * w_s = count_s^alpha — alpha < 1 flattens the source distribution
+    * (upweights rare strata), alpha = 1 is proportional, alpha = 0
+    * uniform. Rows are taken per stratum by the same deterministic
+    * md5-rank order as [[quotaSample]]; a quota larger than the
+    * stratum (alpha flattening a skewed mix) caps at the stratum size
+    * — sampling WITHOUT replacement, the upsampling decision belongs
+    * to the epoch scheduler, not the corpus builder.
+    *
+    * Fixed alpha = 0.5 (sqrt): IEEE sqrt is exactly rounded, so the
+    * weight is bit-identical in any engine; a generic pow(c, alpha)
+    * carries last-ulp divergence. Weights then quantize to integer
+    * micro-units BEFORE summing — sum(w) is a long sum (associative,
+    * cross-engine exact) and each quota is one integer floor-divide:
+    * the whole quota vector is deterministic to the bit.
+    *
+    * Plan: one stratum-count aggregate (strata-sized), driver-free —
+    * counts, weights, total, and quotas stay in a broadcast frame —
+    * then the per-stratum rank window. Strata counts are tiny by
+    * definition (one row per source), so the only corpus-sized work
+    * is the window, same shape as [[quotaSample]]. */
+  def temperatureMixtureSqrt(df: DataFrame, stratumCol: String,
+      idCol: String, target: Long,
+      rankCol: Option[String] = None): DataFrame = {
+    require(target > 0, s"target must be positive, got $target")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val weighted = counts.withColumn("__wq",
+      floor(sqrt(col("__cnt")) * 1e6 + 0.5).cast("long"))
+    val total = weighted.agg(sum(col("__wq")).as("__wtot"))
+    val quotas = weighted.crossJoin(broadcast(total))
+      .withColumn("__quota",
+        expr(s"($target * __wq) DIV __wtot"))
+      .select(col(stratumCol), col("__quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val ranked = df.join(broadcast(quotas), stratumCol)
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= col("__quota"))
+      .drop("__quota")
+    rankCol match {
+      case Some(name) => ranked.withColumnRenamed("__rank", name)
+      case None => ranked.drop("__rank")
+    }
+  }
+
   /** Deterministic train/val/test assignment by hash bucket:
     * [0, train) -> "train", [train, train+val) -> "val", rest "test".
     * Percentages in [0,1]; content-stable across reruns. The bucket is

@@ -159,6 +159,38 @@ class CurationOpsSpec extends SparkSuite {
     assert(aRows.map(_._1).toSet === expected)
   }
 
+  test("temperatureMixtureSqrt: quotas follow floor(target*sqrt(c)/" +
+      "sum), flatten skew vs proportional, and take md5-first rows") {
+    val s = initSpark()
+    import s.implicits._
+    // heavily skewed strata: 400 / 90 / 10
+    val df = (0L until 500L).map { i =>
+      (i, if (i < 400) "big" else if (i < 490) "mid" else "tiny")
+    }.toDF("id", "stratum")
+    val out = Mixing.temperatureMixtureSqrt(df, "stratum", "id",
+      target = 100L, rankCol = Some("rk"))
+    val got = out.collect().groupBy(_.getString(0))
+      .view.mapValues(_.length).toMap
+    // exact integer model of the quota vector
+    val wq = Map("big" -> 400L, "mid" -> 90L, "tiny" -> 10L)
+      .view.mapValues(c => math.floor(math.sqrt(c.toDouble) * 1e6 + 0.5)
+        .toLong).toMap
+    val wtot = wq.values.sum
+    val expect = wq.view.mapValues(w => 100L * w / wtot).toMap
+    assert(got === expect.filter(_._2 > 0).map(identity))
+    // temperature flattening: tiny's share beats its proportional 2%
+    assert(got("tiny").toDouble / 100 > 10.0 / 500)
+    assert(got("big").toDouble / 100 < 400.0 / 500)
+    // the taken rows per stratum are exactly the md5-first `quota`
+    val tinyTaken = out.where(col("stratum") === "tiny")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val tinyExpected = df.where(col("stratum") === "tiny")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(expect("tiny").toInt)
+      .collect().map(_.getLong(0)).toSet
+    assert(tinyTaken === tinyExpected)
+  }
+
   test("quotaSamplePrefiltered equals the windowed form, including " +
       "under a slack so tight the fallback fires") {
     val df = quotaFixture
