@@ -1539,7 +1539,15 @@ object SparkEntry {
           rankCol = Some("mix_rank"))
         .select(col("doc_id"), col("source"),
           col("mix_rank").cast("long").as("mix_rank"))
-    })
+    }),
+
+    // ---- PMI collocations (Church & Hanks): the multiword-expression
+    // miner before vocab building. Integer counts, one ln in a fixed
+    // operator order, micro-unit quantized — the oracle replays the
+    // identical expression. ----
+    "q111_pmi_collocations" -> ((s, dir) =>
+      LanguageModel.pmiCollocations(
+        t(s, dir, "documents"), "doc_id", "text", minCount = 5L))
   )
 
   /** q100/q101's fixed lexical query — mid-frequency corpus terms so
@@ -3011,7 +3019,40 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, source, rn AS mix_rank
          FROM r JOIN q USING (source)
-         WHERE rn <= quota"""
+         WHERE rn <= quota""",
+
+    // identical expression order to LanguageModel.pmiCollocations:
+    // ln(((c2d * U) * U) / ((Td * c1x) * c1y)), floored micro-units
+    "q111_pmi_collocations" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         stats AS (
+           SELECT CAST(sum(len(ws)) AS BIGINT) AS u,
+             CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS t
+           FROM w),
+         uni AS (
+           SELECT w, count(*) AS c1
+           FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+         bgc AS (
+           SELECT bg, count(*) AS c2 FROM (
+             SELECT unnest(list_transform(
+               range(1, greatest(len(ws) - 1, 0) + 1),
+               i -> array_to_string(ws[i:i+1], ' '))) AS bg
+             FROM w)
+           GROUP BY bg HAVING count(*) >= 5)
+         SELECT string_split(bg, ' ')[1] AS w1,
+           string_split(bg, ' ')[2] AS w2,
+           c2 AS pair_count,
+           CAST(floor(ln((CAST(c2 AS DOUBLE) * s.u * s.u)
+             / (CAST(s.t AS DOUBLE) * u1.c1 * u2.c1))
+             * 1000000.0 + 0.5) AS BIGINT) AS pmi_fp6
+         FROM bgc
+         JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+         JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]
+         CROSS JOIN stats s"""
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census

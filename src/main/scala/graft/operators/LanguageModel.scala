@@ -299,6 +299,56 @@ object LanguageModel {
     (scored, release)
   }
 
+  /** PMI collocations (Church & Hanks 1990): adjacent-token pairs
+    * whose corpus co-occurrence beats the independence baseline —
+    * pmi = ln( P(w1 w2) / (P(w1) P(w2)) )
+    *     = ln( c2 * U * U / (T * c1(w1) * c1(w2)) )
+    * with U = corpus token count and T = corpus bigram count. The
+    * multiword-expression miner every tokenizer/vocab pipeline runs
+    * before merging collocations into units.
+    *
+    * Scale shape: bigram generation is row-local (one pass, the
+    * bigramsUdf used by the LM trainers); U and T are ONE row-local
+    * scan of the token arrays (sum of len and len-1 — never a pass
+    * over the exploded stream); the only corpus-sized exchanges are
+    * the two vocabulary counts (unigram, bigram). The minCount cut
+    * (Zipf) bounds the scored table, and the unigram joins against it
+    * are vocab-sized on both sides.
+    *
+    * Determinism: all counts are integers; the PMI ratio is built in
+    * ONE fixed operator order — (c2d * U) * U over (Td * c1) * c1 —
+    * then a single ln, quantized to micro-units. The oracle replays
+    * the identical expression. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val ws = filter(split(lower(col(textCol)), "\\s+"),
+      w => length(w) > 0)
+    val tokenized = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), ws.as("ws"))
+    // corpus scalars from the token ARRAYS (row-local, one scan):
+    // U = sum(len), T = sum(max(len-1, 0))
+    val stats = tokenized.agg(
+      sum(size(col("ws"))).as("__u"),
+      sum(greatest(size(col("ws")) - 1, lit(0))).as("__t"))
+    val uni = tokenized.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bgc = tokenized
+      .select(explode(bigramsUdf(col("ws"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= minCount)
+    val split1 = split(col("bg"), " ")
+    val ratio = (col("c2").cast("double") * col("__u") * col("__u")) /
+      (col("__t").cast("double") * col("cx") * col("cy"))
+    bgc
+      .withColumn("w1", split1.getItem(0))
+      .withColumn("w2", split1.getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c1").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("cy")), "w2")
+      .crossJoin(broadcast(stats))
+      .select(col("w1"), col("w2"), col("c2").as("pair_count"),
+        floor(log(ratio) * 1e6 + 0.5).cast("long").as("pmi_fp6"))
+  }
+
   /** Loud driver-memory bound for the broadcast fast scorers: a model
     * table past this is a relational-tier job, not a broadcast one. */
   private def collectBounded(df: DataFrame, maxRows: Int, what: String)

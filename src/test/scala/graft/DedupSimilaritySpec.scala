@@ -490,6 +490,39 @@ class DedupSimilaritySpec extends SparkSuite {
       "doc_id", "text").count() === 0L)
   }
 
+  test("PMI collocations: hand-computed micro-unit values, glued " +
+      "pairs beat independent ones, minCount cuts the tail") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.LanguageModel
+    // "new york" always glued (3x); "the cat"/"the dog" mix freely;
+    // "rare pair" appears once (cut by minCount=2)
+    val docs = Seq(
+      (1L, "new york new york the cat"),
+      (2L, "new york the dog the cat"),
+      (3L, "the dog rare pair")).toDF("doc_id", "text")
+    val out = LanguageModel.pmiCollocations(docs, "doc_id", "text",
+        minCount = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // corpus: U=16 tokens (6+6+4), T=13 bigrams (5+5+3)
+    // unigrams: new 3, york 3, the 4, cat 2, dog 2, rare 1, pair 1
+    def fp6(c2: Long, cx: Long, cy: Long): Long =
+      math.floor(math.log(c2.toDouble * 16 * 16 /
+        (13.0 * cx * cy)) * 1e6 + 0.5).toLong
+    assert(out.keySet === Set(("new", "york"), ("york", "the"),
+      ("the", "cat"), ("the", "dog")), s"got ${out.keySet}")
+    assert(out(("new", "york")) === ((3L, fp6(3, 3, 3))))
+    assert(out(("york", "the")) === ((2L, fp6(2, 3, 4))))
+    assert(out(("the", "cat"))  === ((2L, fp6(2, 4, 2))))
+    assert(out(("the", "dog"))  === ((2L, fp6(2, 4, 2))))
+    // the glued pair's association dominates the free-mixing ones
+    assert(out(("new", "york"))._2 > out(("the", "cat"))._2)
+    // "york new" (1x, inside doc 1) was cut by minCount
+    assert(!out.contains(("york", "new")))
+  }
+
   test("Kneser-Ney: discounted + continuation mass matches the hand " +
       "computation; unseen transitions with no continuation mass take " +
       "the D/total floor") {
