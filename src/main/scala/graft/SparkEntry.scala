@@ -48,6 +48,54 @@ object SparkEntry {
     * definition for both queries — q86's star contraction must produce
     * exactly q83's min-label clustering, so they share the oracle by
     * construction. */
+  /** Shared portable-MinHash oracle CTEs (q92/q93/q112): tokenize ->
+    * distinct 3-shingles -> md5-prefix 60-bit values -> 16 affine
+    * minhashes over the Mersenne prime -> 4-row band keys. ONE
+    * definition so the full-corpus pair query and the incremental
+    * batch-vs-snapshot query can never drift on the signer. */
+  private val PortableSigCtes: String =
+    """w AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS ws
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+             FROM w)),
+         xs AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS xv
+           FROM sh),
+         sig AS (
+           SELECT doc_id, j,
+             (min((a::HUGEINT * xv + b) % 2305843009213693951))::BIGINT
+               AS minhash
+           FROM xs CROSS JOIN (VALUES
+             (0, 428211228669798842, 1231823886139169972),
+             (1, 1588437261043606333, 125037580946878544),
+             (2, 462760306997154682, 1510692560004590165),
+             (3, 1361166987500386952, 1259175741772747241),
+             (4, 432330772143187373, 1457787354239467078),
+             (5, 2269042632621585813, 271289342846959209),
+             (6, 459595690967326520, 247923395667062642),
+             (7, 1888506785316944072, 921785063688832414),
+             (8, 114442114781097478, 94453198003562826),
+             (9, 2118706432147538908, 1528312526410001492),
+             (10, 356350401917632119, 2240309207271314907),
+             (11, 713603041279483440, 823569528660996607),
+             (12, 870846301637373144, 318948861742844466),
+             (13, 2093656847386277970, 1111508132540270293),
+             (14, 1925818535337679864, 1637057865177633928),
+             (15, 112307922632766665, 1739027035153223858)) c(j, a, b)
+           GROUP BY doc_id, j),
+         bandkeys AS (
+           SELECT doc_id, j // 4 AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY j) AS bkey
+           FROM sig GROUP BY doc_id, j // 4)"""
+
   private val DupClustersOracle: String =
     """WITH RECURSIVE w AS (
          SELECT doc_id,
@@ -1547,7 +1595,20 @@ object SparkEntry {
     // identical expression. ----
     "q111_pmi_collocations" -> ((s, dir) =>
       LanguageModel.pmiCollocations(
-        t(s, dir, "documents"), "doc_id", "text", minCount = 5L))
+        t(s, dir, "documents"), "doc_id", "text", minCount = 5L)),
+
+    // ---- Incremental NEAR-dup: the q107 ingest shape for MinHash —
+    // the new batch LSH-checks against the corpus snapshot without
+    // re-pairing the snapshot against itself; batch-sized tables
+    // broadcast into both joins. Same portable signer as q92/q93, so
+    // the cross-stratum candidates + estimates replay in SQL. ----
+    "q112_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashLshIncremental(
+        docs.where(length(col("source")) === 5), // src10..src19
+        docs.where(length(col("source")) === 4), // src0..src9
+        "doc_id", "text")
+    })
   )
 
   /** q100/q101's fixed lexical query — mid-frequency corpus terms so
@@ -2041,47 +2102,7 @@ object SparkEntry {
     // j order (plain string — band equality is row-set equality, no
     // bucket-hash to diverge on); 4 bands x 4 rows
     "q93_minhash_lsh_portable" ->
-      """WITH w AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '\s+'),
-               x -> x <> '') AS ws
-           FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, shingle FROM (
-             SELECT doc_id, unnest(list_transform(
-               range(1, greatest(len(ws) - 2, 0) + 1),
-               i -> array_to_string(ws[i:i+2], ' '))) AS shingle
-             FROM w)),
-         xs AS (
-           SELECT doc_id,
-             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS xv
-           FROM sh),
-         sig AS (
-           SELECT doc_id, j,
-             (min((a::HUGEINT * xv + b) % 2305843009213693951))::BIGINT
-               AS minhash
-           FROM xs CROSS JOIN (VALUES
-             (0, 428211228669798842, 1231823886139169972),
-             (1, 1588437261043606333, 125037580946878544),
-             (2, 462760306997154682, 1510692560004590165),
-             (3, 1361166987500386952, 1259175741772747241),
-             (4, 432330772143187373, 1457787354239467078),
-             (5, 2269042632621585813, 271289342846959209),
-             (6, 459595690967326520, 247923395667062642),
-             (7, 1888506785316944072, 921785063688832414),
-             (8, 114442114781097478, 94453198003562826),
-             (9, 2118706432147538908, 1528312526410001492),
-             (10, 356350401917632119, 2240309207271314907),
-             (11, 713603041279483440, 823569528660996607),
-             (12, 870846301637373144, 318948861742844466),
-             (13, 2093656847386277970, 1111508132540270293),
-             (14, 1925818535337679864, 1637057865177633928),
-             (15, 112307922632766665, 1739027035153223858)) c(j, a, b)
-           GROUP BY doc_id, j),
-         bandkeys AS (
-           SELECT doc_id, j // 4 AS band,
-             string_agg(minhash::VARCHAR, ',' ORDER BY j) AS bkey
-           FROM sig GROUP BY doc_id, j // 4),
+      s"""WITH $PortableSigCtes,
          cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bandkeys a JOIN bandkeys b
@@ -2094,6 +2115,29 @@ object SparkEntry {
          JOIN sig sa ON sa.doc_id = cand.id_a
          JOIN sig sb ON sb.doc_id = cand.id_b AND sb.j = sa.j
          GROUP BY id_a, id_b""",
+
+    // same portable primitives, cross-stratum: NEW batch (src10..19,
+    // strlen 5) LSH-checked against the snapshot (src0..9, strlen 4)
+    // — the q107 stratum convention, near-dup form
+    "q112_incremental_neardup" ->
+      s"""WITH $PortableSigCtes,
+         newids AS (
+           SELECT doc_id FROM documents WHERE strlen(source) = 5),
+         oldids AS (
+           SELECT doc_id FROM documents WHERE strlen(source) = 4),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+           FROM bandkeys a JOIN bandkeys b
+             ON a.band = b.band AND a.bkey = b.bkey
+           WHERE a.doc_id IN (SELECT doc_id FROM newids)
+             AND b.doc_id IN (SELECT doc_id FROM oldids))
+         SELECT id_new, id_old,
+           round(count(*) FILTER (WHERE sa.minhash = sb.minhash)
+             / 16.0 + 1e-9, 4) AS est_jaccard
+         FROM cand
+         JOIN sig sa ON sa.doc_id = cand.id_new
+         JOIN sig sb ON sb.doc_id = cand.id_old AND sb.j = sa.j
+         GROUP BY id_new, id_old""",
 
     // portable SimHash: per-occurrence +1/-1 votes per bit of the
     // md5-prefix 60-bit word hash, sign of the net vote, relational

@@ -584,6 +584,66 @@ object Dedup {
 
   private val lastPortableLshRelease = ReleaseSlot()
 
+  /** INCREMENTAL near-dup — [[minhashLshPairsPortable]]'s production
+    * shape at 100 TB, the MinHash analogue of [[dedupIncremental]]: a
+    * NEW batch is LSH-checked against an already-indexed corpus
+    * snapshot without ever re-pairing the snapshot against itself.
+    * Re-running the full pairwise pass per ingest would re-shuffle
+    * the historical corpus every time; here the snapshot-sized work
+    * is one banding pass (in a real deployment the snapshot's
+    * (band, bkey) table and signatures ARE the persisted index
+    * artifact this reads — the TxnLog/IvfIndex pattern — so even that
+    * pass amortizes to an index scan), while everything batch-sized
+    * broadcasts: the batch band table builds the hash side of the
+    * candidate join and the batch signatures build the hash side of
+    * the scoring join, so the snapshot streams through both joins
+    * with no batch-driven shuffle.
+    *
+    * Same portable primitives as q93 — band equality is row-set
+    * equality on the joined minhash string, the estimate is the
+    * matching-coefficient fraction — so the whole output replays in
+    * oracle SQL. Output: (id_new, id_old, est_jaccard), one row per
+    * cross-stratum candidate pair. */
+  def minhashLshIncremental(batch: DataFrame, snapshot: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, bands: Int = 4)
+      : DataFrame = {
+    val k = PortableMinhashCoeffs.length
+    require(bands >= 1 && k % bands == 0,
+      s"bands must divide $k, got $bands")
+    val rows = k / bands
+    def bandedOf(sig: DataFrame): DataFrame = sig
+      .withColumn("band", floor(col("j") / rows).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("j"), col("minhash")))),
+        s => s.getField("minhash").cast("string")), ",").as("bkey"))
+    val sigB = minhashSignaturesPortable(batch, idCol, textCol, n)
+    val sigS = minhashSignaturesPortable(snapshot, idCol, textCol, n)
+    // release previous call's caches BEFORE persisting (cache-manager
+    // dedupe on identical lineage — the Graph.pageRankFixed ordering)
+    lastIncrementalLshRelease.swap(
+      () => { sigB.unpersist(); sigS.unpersist(); () })
+    sigB.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigS.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = broadcast(bandedOf(sigB)).as("nb")
+      .join(bandedOf(sigS).as("os"), Seq("band", "bkey"))
+      .select(col("nb.id").as("id_new"), col("os.id").as("id_old"))
+      .distinct()
+    val sa = sigB.select(col("id").as("id_new"), col("j"),
+      col("minhash").as("ma"))
+    val sb = sigS.select(col("id").as("id_old"), col("j"),
+      col("minhash").as("mb"))
+    cand.join(broadcast(sa), "id_new")
+      .join(sb, Seq("id_old", "j"))
+      .groupBy("id_new", "id_old")
+      .agg(count(when(col("ma") === col("mb"), 1)).as("matches"))
+      .select(col("id_new"), col("id_old"),
+        round(col("matches").cast("double") / k + 1e-9, 4)
+          .as("est_jaccard"))
+  }
+
+  private val lastIncrementalLshRelease = ReleaseSlot()
+
   /** PORTABLE SimHash — the oracle-able form of the simhash family,
     * same contract-pinning move as [[minhashSignaturesPortable]]: word
     * hash = the md5-prefix 60-bit value (so the signature is 60 bits,

@@ -745,6 +745,53 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs.contains(("d1", "d2")))
   }
 
+  test("minhashLshIncremental equals the cross-stratum slice of the " +
+      "full portable LSH pass and never pairs the snapshot with " +
+      "itself") {
+    val s = initSpark()
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val all = Seq(
+      // snapshot: two near-identical docs (an intra-snapshot pair the
+      // incremental form must NOT emit) + one unique
+      (1L, "old", base + " one"),
+      (2L, "old", base + " one two"),
+      (3L, "old", "completely different snapshot content here folks"),
+      // batch: a near-dup of snapshot docs + a unique doc
+      (10L, "new", base + " one"),
+      (11L, "new", "nothing like anything in the snapshot at all"))
+      .toDF("id", "stratum", "text")
+    val batch = all.where(col("stratum") === "new")
+    val snap = all.where(col("stratum") === "old")
+    val inc = Dedup.minhashLshIncremental(batch, snap, "id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // reference: the full-corpus portable pass, sliced to cross pairs
+    val full = Dedup.minhashLshPairsPortable(all, "id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .collect { case ((a, b), j) if a <= 3 && b >= 10 => (b, a) -> j }
+      .toMap
+    assert(inc === full, s"inc=$inc full=$full")
+    // doc 10 is an exact copy of snapshot doc 1
+    assert(inc((10L, 1L)) === 1.0)
+    // no intra-snapshot or intra-batch pairs leak out
+    assert(inc.keys.forall { case (n, o) => n >= 10 && o <= 3 })
+  }
+
+  test("minhashLshIncremental broadcasts the batch side of the " +
+      "candidate join (the snapshot never shuffles batch-driven)") {
+    val s = initSpark()
+    import s.implicits._
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Dedup.minhashLshIncremental(
+      docs.where(length(col("source")) === 5),
+      docs.where(length(col("source")) === 4), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      "candidate join not broadcast:\n" + plan.take(3000))
+  }
+
   test("minhash LSH surfaces the exact-dup pair with est_jaccard 1") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 3, numHashes = 16, bands = 4)
