@@ -1562,7 +1562,7 @@ object SparkEntry {
         .unionByName(t(s, dir, "supplier")
           .select((col("s_suppkey") + lit(1000000L)).as("node_id")))
       Graph.pageRankFixed(s, nodes, Graph.undirect(base, "src", "dst"),
-        "node_id", "src", "dst", iters = 5)
+        "node_id", "src", "dst", iters = 5, edgesDistinct = true)
     }),
 
     // ---- TF-IDF top-3 terms per document (keyword profiles / index-

@@ -65,25 +65,28 @@ object Graph {
   def pageRankFixed(spark: SparkSession, nodes: DataFrame,
       edges: DataFrame, idCol: String, srcCol: String, dstCol: String,
       iters: Int = 5, scale: Long = 1000000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRankFixed needs at least one iteration")
     val n = nodes.count()
     require(n > 0, "pageRankFixed over an empty node set")
     val init = scale / n
     val tele = scale * (dampDen - dampNum) / dampDen / n
 
-    val simple = edges
+    val proj = edges
       .select(col(srcCol).cast("long").as("__src"),
         col(dstCol).cast("long").as("__dst"))
-      .distinct()
-    val deg = simple.groupBy("__src")
-      .agg(count(lit(1)).as("__outdeg"))
-    // Partitioned on __src and persisted: every iteration's join reads
-    // this cached, correctly-partitioned copy — no per-round re-scan,
-    // no per-round edge shuffle.
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val edgesDeg = simple.join(deg, "__src")
-      .repartition(parts, col("__src"))
+    // edgesDistinct: [[undirect]] output is distinct by construction —
+    // re-deduplicating a corpus-scale edge list would pay a second
+    // full shuffle for nothing
+    val simple = if (edgesDistinct) proj else proj.distinct()
+    // Out-degree as a count window over __src: ONE pass over the
+    // distinct edges and one shuffle — a groupBy+self-join form
+    // materializes the whole distinct subtree twice. The window's
+    // exchange also leaves the frame hash-partitioned on __src,
+    // exactly what every iteration's join wants.
+    val edgesDeg = simple.withColumn("__outdeg", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("__src"))))
     // Release the PREVIOUS call's cache BEFORE persisting this one:
     // on identical lineage the cache manager dedupes persist() into
     // the existing entry, so releasing prev AFTER registering would
@@ -116,12 +119,24 @@ object Graph {
   private val lastRelease = ReleaseSlot()
 
   /** The symmetrized (undirected) edge list `pageRankFixed` wants for
-    * host-authority scoring: both directions of every pair, distinct. */
+    * host-authority scoring: both directions of every pair, distinct
+    * by construction, self-loops dropped.
+    *
+    * Canonical-orientation form: pairs normalize to (least, greatest)
+    * and deduplicate at HALF the symmetrized size, then mirror — the
+    * naive union-both-directions-then-distinct evaluates the (possibly
+    * expensive) edge-producing pipeline twice and shuffles twice the
+    * rows through its dedup. The mirror union's second branch reuses
+    * the canonical distinct's exchange (identical subtree — AQE/
+    * ReuseExchange), so the input pipeline runs once. */
   def undirect(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    fwd.unionByName(
-        edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("src"),
+        greatest(col(srcCol), col(dstCol)).as("dst"))
+      .where(col("src") =!= col("dst"))
       .distinct()
+    canon.unionByName(
+      canon.select(col("dst").as("src"), col("src").as("dst")))
   }
 }
