@@ -682,28 +682,37 @@ object Dedup {
       }
     }
 
+  /** Row-local portable signature — the UDF body, exposed for
+    * stateful/streaming consumers (NearDupStream) so there is exactly
+    * ONE signer implementation. Empty array = no shingles (never sign
+    * with a sentinel — the round-1 false-pair advice). */
+  private[graft] def portableSignature(text: String, n: Int = 3)
+      : Array[Long] = {
+    val grams = shingleWords(text, n).distinct
+    if (grams.isEmpty) Array.emptyLongArray
+    else {
+      val k = PortableMinhashCoeffs.length
+      val mins = Array.fill(k)(Long.MaxValue)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      grams.foreach { g =>
+        val x = md5Top60(md, g)
+        var j = 0
+        while (j < k) {
+          val (a, b) = PortableMinhashCoeffs(j)
+          var h = mulModP(a, x) + b
+          h = (h & MersenneP) + (h >>> 61)
+          if (h >= MersenneP) h -= MersenneP
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      mins
+    }
+  }
+
   private def portableMinhashUdf(n: Int) =
     org.apache.spark.sql.functions.udf { (text: String) =>
-      val grams = shingleWords(text, n).distinct
-      if (grams.isEmpty) Array.emptyLongArray
-      else {
-        val k = PortableMinhashCoeffs.length
-        val mins = Array.fill(k)(Long.MaxValue)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        grams.foreach { g =>
-          val x = md5Top60(md, g)
-          var j = 0
-          while (j < k) {
-            val (a, b) = PortableMinhashCoeffs(j)
-            var h = mulModP(a, x) + b
-            h = (h & MersenneP) + (h >>> 61)
-            if (h >= MersenneP) h -= MersenneP
-            if (h < mins(j)) mins(j) = h
-            j += 1
-          }
-        }
-        mins
-      }
+      portableSignature(text, n)
     }
 
   /** 64-bit SimHash per document: hash each word occurrence to 64 bits,

@@ -433,4 +433,59 @@ class StreamingSpec extends SparkSuite {
       assert(batch === batch1Stream)
     } finally query.stop()
   }
+
+  test("streaming near-dup: cross-batch pairs surface, replays pair " +
+      "nothing, and the distinct pair set equals the batch portable " +
+      "LSH pass") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: org.apache.spark.sql.SparkSession = s
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.StreamDoc
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val b1 = Seq(
+      StreamDoc(1L, base + " one"),
+      StreamDoc(2L, base + " one two"),
+      StreamDoc(3L, "totally unrelated content in the first batch"))
+    val b2 = Seq(
+      StreamDoc(10L, base + " one"), // exact dup of doc 1, later batch
+      StreamDoc(11L, "nothing in common with anything else at all"))
+    val input = MemoryStream[StreamDoc](s)
+    val query = NearDupStream.nearDupPairs(input.toDS())
+      .writeStream.format("memory").queryName("neardup_pairs")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      input.addData(b1.head) // at-least-once replay of doc 1
+      query.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT id_new, id_old, est_jaccard FROM neardup_pairs")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // normalize to unordered pairs, distinct across bands
+      val streamSet = streamed
+        .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }
+        .toSet
+      val batchSet = graft.operators.Dedup.minhashLshPairsPortable(
+          (b1 ++ b2).toDF("id", "text"), "id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }
+        .toSet
+      assert(streamSet === batchSet,
+        s"stream=$streamSet batch=$batchSet")
+      // the cross-batch exact dup scored 1.0
+      assert(streamSet.contains((1L, 10L, 1.0)))
+      // the replay emitted nothing new: every (1,x) pair count across
+      // the raw stream output matches its band-collision multiplicity
+      // at FIRST delivery — total raw rows for the pair (1,10) can't
+      // exceed the band count
+      val raw110 = streamed.count(t =>
+        Set(t._1, t._2) === Set(1L, 10L))
+      assert(raw110 >= 1 && raw110 <= 4, s"raw emissions: $raw110")
+    } finally query.stop()
+  }
 }
