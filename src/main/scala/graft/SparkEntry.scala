@@ -1608,7 +1608,47 @@ object SparkEntry {
         docs.where(length(col("source")) === 5), // src10..src19
         docs.where(length(col("source")) === 4), // src0..src9
         "doc_id", "text")
-    })
+    }),
+
+    // ---- Ordered funnel over the event log (view -> click ->
+    // purchase): greedy earliest-match join chain, all integer —
+    // the oracle replays the identical nested-min construction. ----
+    "q113_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(
+        t(s, dir, "events").withColumn("sec", tsSec),
+        "user_id", "sec", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // ---- Cohort retention: users bucketed by first-event week,
+    // distinct-active per (cohort, week offset). Pure integer DIV
+    // bucketing. ----
+    "q114_cohort_retention" -> ((s, dir) =>
+      graft.operators.EventAnalytics.cohortRetention(
+        t(s, dir, "events").withColumn("sec", tsSec),
+        "user_id", "sec", periodSec = 604800L)),
+
+    // ---- Edit-distance self-join (PassJoin segment blocking) over
+    // 24-char document prefixes: exact pair set at tau=3, found via
+    // pigeonhole segments instead of the oracle's O(n²) cross join. ----
+    "q115_edit_distance_join" -> ((s, dir) =>
+      graft.operators.EditDistanceJoin.selfJoin(
+        t(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("s")),
+        "doc_id", "s", tau = 3)),
+
+    // ---- Exact heavy hitters (tokens with count > n/30) via a
+    // Misra-Gries candidate pass + candidate-pruned exact recount —
+    // the census never shuffles; the answer is still exact, so it
+    // hash-matches the census oracle. ----
+    "q116_heavy_hitters" -> ((s, dir) =>
+      graft.operators.HeavyHitters.frequentTokens(
+        t(s, dir, "documents"), "text", k = 30)),
+
+    // ---- Zipf power-law fit of the token-frequency census:
+    // micro-quantized ln, decimal(38,0) moment sums, one float
+    // division at the end (the q111 numeric discipline). ----
+    "q117_zipf_fit" -> ((s, dir) =>
+      LanguageModel.zipfFit(t(s, dir, "documents"), "text"))
   )
 
   /** q100/q101's fixed lexical query — mid-frequency corpus terms so
@@ -3096,7 +3136,98 @@ object SparkEntry {
          FROM bgc
          JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
          JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]
-         CROSS JOIN stats s"""
+         CROSS JOIN stats s""",
+
+    // greedy earliest-match funnel: t1 = min(view), t_i = min(step_i
+    // at/after t_{i-1}) — greedy-earliest is the max-depth witness
+    "q113_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+             epoch_ns(ts) // 1000000000 AS sec
+           FROM events),
+         s1 AS (
+           SELECT user_id, min(sec) AS t FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(sec) AS t FROM e
+           JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND sec >= s1.t
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(sec) AS t FROM e
+           JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND sec >= s2.t
+           GROUP BY e.user_id)
+         SELECT 1 AS step, 'view' AS step_name, count(*) AS users FROM s1
+         UNION ALL
+         SELECT 2, 'click', count(*) FROM s2
+         UNION ALL
+         SELECT 3, 'purchase', count(*) FROM s3""",
+
+    "q114_cohort_retention" ->
+      """WITH e AS (
+           SELECT user_id,
+             epoch_ns(ts) // 1000000000 // 604800 AS p
+           FROM events),
+         f AS (
+           SELECT user_id, min(p) AS cohort_period FROM e
+           GROUP BY user_id)
+         SELECT cohort_period, p - cohort_period AS period_offset,
+           count(DISTINCT user_id) AS active_users
+         FROM e JOIN f USING (user_id)
+         GROUP BY cohort_period, period_offset""",
+
+    // brute-force cross join — the blocked PassJoin must reproduce it
+    // exactly (same unit-cost Levenshtein in both engines)
+    "q115_edit_distance_join" ->
+      """WITH p AS (
+           SELECT doc_id, substr(text, 1, 24) AS s FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.s, b.s) AS dist
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.s, b.s) <= 3""",
+
+    // exact census answer — the MG candidate pass is plan-only
+    "q116_heavy_hitters" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'),
+             x -> x <> '')) AS token
+           FROM documents)
+         SELECT token, count(*) AS cnt FROM w
+         GROUP BY token
+         HAVING count(*) * 30 > (SELECT count(*) FROM w)""",
+
+    "q117_zipf_fit" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'),
+             x -> x <> '')) AS w
+           FROM documents),
+         c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+         r AS (
+           SELECT cnt, row_number() OVER (
+             ORDER BY cnt DESC, w ASC) AS rank
+           FROM c),
+         p AS (
+           SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5)
+               AS HUGEINT) AS x,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
+               AS HUGEINT) AS y
+           FROM r),
+         a AS (
+           SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+             sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+           FROM p)
+         SELECT CAST(n AS BIGINT) AS n_types,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) + 1e-9, 6) AS slope_6,
+           round((CAST(sy AS DOUBLE)
+               - CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1000000.0 + 1e-9, 6) AS intercept_6
+         FROM a"""
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein) self-join with PassJoin segment
+  * blocking — all pairs within distance `tau`, without the O(n²)
+  * cross join.
+  *
+  * Pigeonhole (Li, Deng & Feng, "PASS-JOIN: A Partition-based Method
+  * for Similarity Joins", PVLDB 2011): partition a string s into
+  * tau+1 contiguous segments; if ed(s, t) <= tau, an optimal alignment
+  * has at most tau edit operations, so at least one segment of s is
+  * untouched — it appears EXACTLY in t, shifted by at most tau
+  * positions. Blocking on (segment index, source length, segment text)
+  * therefore finds every qualifying pair.
+  *
+  * Plan shape (the 100-TB design):
+  *   - INDEX side: strings of length >= tau+1 emit their tau+1
+  *     segments — O(tau) rows per string, each a short key.
+  *   - PROBE side: every string t emits, for each segment slot i and
+  *     each plausible source length l in [len(t)-tau, len(t)+tau], the
+  *     substrings of t at positions within tau of the slot's position
+  *     — O(tau³) short rows per string, a CONSTANT per-row factor.
+  *   - One equality shuffle join on (slot, source length, text) —
+  *     bucket-local work, never all-pairs — then the codegen'd
+  *     `levenshtein() <= tau` verify and a (least, greatest) distinct.
+  *   - Strings shorter than tau+1 can only match strings of length
+  *     <= 2*tau (ed >= length gap), so they pair inside one dedicated
+  *     near-empty bucket (all-pairs over degenerate sub-tau-length
+  *     strings; bounded by the alphabet, not the corpus).
+  *
+  * Length filtering is implicit: the probe only generates source
+  * lengths within tau of its own, so |len(s)-len(t)| <= tau holds for
+  * every candidate by construction.
+  *
+  * Determinism: output is the exact pair set with the exact distance —
+  * integer-valued, engine-independent (both engines implement the
+  * standard unit-cost Levenshtein DP) — so the oracle is a brute-force
+  * SQL cross join.
+  */
+object EditDistanceJoin {
+
+  /** PassJoin segment layout for length l with tau+1 slots: the first
+    * `(tau+1) - l % (tau+1)` slots get floor(l/(tau+1)) chars, the
+    * rest one more — (start 1-based, length) per slot. */
+  private def segments(l: Int, tau: Int): Array[(Int, Int)] = {
+    val k = tau + 1
+    val base = l / k
+    val longer = l % k
+    val out = new Array[(Int, Int)](k)
+    var start = 1
+    var i = 0
+    while (i < k) {
+      val len = if (i < k - longer) base else base + 1
+      out(i) = (start, len)
+      start += len
+      i += 1
+    }
+    out
+  }
+
+  /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) <= tau.
+    * Output: (id_a, id_b, dist). */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String, tau: Int)
+      : DataFrame = {
+    require(tau >= 1, "tau must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(strCol).as("s"))
+      .where(col("s").isNotNull)
+
+    // ---- main path: indexed segments ⋈ probe substrings ----
+    val indexSide = base.as[(Long, String)].flatMap { case (id, s) =>
+      val l = s.length
+      if (l < tau + 1) Iterator.empty
+      else segments(l, tau).iterator.zipWithIndex.map {
+        case ((start, len), slot) =>
+          (slot, l, s.substring(start - 1, start - 1 + len), id, s)
+      }
+    }.toDF("slot", "src_len", "seg", "id_l", "s_l")
+
+    val probeSide = base.as[(Long, String)].flatMap { case (id, t) =>
+      val m = t.length
+      for {
+        l <- (math.max(tau + 1, m - tau) to (m + tau)).iterator
+        ((start, len), slot) <- segments(l, tau).iterator.zipWithIndex
+        q <- math.max(1, start - tau) to
+          math.min(m - len + 1, start + tau)
+      } yield (slot, l, t.substring(q - 1, q - 1 + len), id, t)
+    }.toDF("slot", "src_len", "seg", "id_r", "s_r")
+
+    val main = indexSide.join(probeSide, Seq("slot", "src_len", "seg"))
+      .where(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        col("s_l"), col("s_r"))
+
+    // ---- degenerate bucket: both sides shorter than tau+1 ----
+    val shorts = base.where(length(col("s")) <= tau)
+    val shortPairs = shorts.select(col("id").as("id_a"),
+        col("s").as("s_l"))
+      .crossJoin(shorts.select(col("id").as("id_b"), col("s").as("s_r")))
+      .where(col("id_a") < col("id_b"))
+
+    main.unionByName(shortPairs)
+      .where(levenshtein(col("s_l"), col("s_r")) <= tau)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_l"), col("s_r")).as("dist"))
+      .distinct()
+  }
+}

@@ -503,4 +503,54 @@ object LanguageModel {
       .select(col("id"), col("__s._1").as("avg_surprisal"),
         col("__s._2").as("n_transitions"))
   }
+
+  /** Zipf power-law fit of the corpus token-frequency distribution:
+    * least-squares slope/intercept of ln(count) against ln(rank) —
+    * the one-number corpus-health signal (natural text ≈ -1; a slope
+    * far off flags boilerplate floods or token-soup noise).
+    *
+    * Plan: one census shuffle (vocab-sized, tiny next to the corpus),
+    * a rank over the vocab (single-partition window — the vocab of
+    * even a 100 TB corpus is dimension-scale after the census, and
+    * `minCount` caps it when it isn't), then ONE one-row aggregate.
+    *
+    * Numerics (the q111 discipline): each ln is computed once on an
+    * INTEGER argument — identical in both engines — and immediately
+    * micro-quantized (`floor(ln(x)*1e6 + 0.5)` → long). Every sum,
+    * product, and the slope's numerator/denominator then run in
+    * decimal(38,0) (DuckDB: HUGEINT) — exact integer arithmetic, so
+    * summation order cannot move the result; only the final division
+    * is float, rounded to 6 dp. Output one row:
+    * (n_types, slope_6, intercept_6). */
+  def zipfFit(docs: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = docs
+      .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        w => length(w) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    val ranked = census
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w").asc)))
+    val dec = "decimal(38,0)"
+    val fp: Column => Column =
+      c => floor(log(c.cast("double")) * 1e6 + 0.5).cast(dec)
+    val pt = ranked.select(fp(col("rank")).as("x"), fp(col("cnt")).as("y"))
+    pt.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").cast("long").as("n_types"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") + 1e-9, 6).as("slope_6"),
+        round((col("sy") - ((col("n") * col("sxy") -
+              col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) * col("sx").cast("double"))
+            .cast("double") / col("n").cast("double") / 1e6 + 1e-9, 6)
+          .as("intercept_6"))
+  }
 }
