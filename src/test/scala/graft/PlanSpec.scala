@@ -308,4 +308,55 @@ class PlanSpec extends SparkSuite {
     assert(top.getString(0) === "hot")
     assert(top.getDouble(2) === 0.6)
   }
+
+  test("q116 heavy hitters: MG candidate pass partial-aggregates " +
+    "map-side (no census shuffle) and the recount prunes at the scan") {
+    val s = initSpark()
+    // pass 1 shape (probe it standalone — frequentTokens executes it
+    // eagerly): partial_misra_gries must appear BELOW the single-
+    // partition exchange, i.e. each map task ships one k-bounded
+    // summary, never its token census
+    val toks = s.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val pass1 = toks.agg(
+      graft.expr.MisraGries.candidates(col("token"), 30).as("cand"),
+      count(lit(1)).as("n"))
+    val plan = planOf(pass1)
+    assert(plan.contains("partial_misra_gries"),
+      "MG pass lost its map-side partial aggregation:\n" + plan.take(2000))
+    // pass 2 shape: the isin filter must sit below the (≤ k keys)
+    // exchange, so only candidate rows ever shuffle
+    val full = graft.operators.HeavyHitters
+      .frequentTokens(s.read.parquet(s"$dir/documents.parquet"),
+        "text", 30)
+    val plan2 = planOf(full)
+    // Spark renders a large literal IN-list as INSET once it converts
+    // to a hash-set predicate — either spelling proves scan-side pruning
+    assert(plan2.contains("INSET") || plan2.contains(" IN "),
+      "candidate IN-filter missing from recount plan:\n" + plan2.take(2000))
+  }
+
+  test("q115 PassJoin: the candidate join is an equality shuffle join " +
+    "on segment keys, never a cross join of the corpus") {
+    val df = SparkEntry.queries("q115_edit_distance_join")(initSpark(), dir)
+    val plan = planOf(df)
+    val joins = plan.linesIterator
+      .filter(l => l.contains("Join") || l.contains("CartesianProduct"))
+      .mkString("\n")
+    // main path: equality join keyed on (slot, src_len, seg)
+    assert(plan.contains("slot#"),
+      "segment-keyed equality join missing:\n" + joins)
+    assert(!plan.contains("CartesianProduct"),
+      "corpus-sized cartesian crept in:\n" + joins)
+  }
+
+  test("q113 funnel: each step join co-partitions on the user key " +
+    "and the step predicate pushes into the event scan") {
+    val df = SparkEntry.queries("q113_funnel")(initSpark(), dir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("EqualTo(event_type,view"),
+      "step predicate not pushed to the event scan:\n" + plan.take(3000))
+  }
 }
