@@ -59,11 +59,16 @@ object Bench {
       val good = timed.collect { case (t, true) => t }
       name -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values: the driver captures this line from a bounded
+    // stdout tail, and full-precision doubles pushed the line past the
+    // tail window in round 6 (artifact arrived truncated → unparseable).
+    // Millisecond precision is below the run-to-run noise floor anyway.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries (sentinel -1) must not deflate the headline sum
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
     println(line)
     // also persist the summary: the driver's stdout tail-capture
     // truncated 13 of 75 per-query times in round 4 — the artifact
