@@ -96,7 +96,12 @@ object SparkEntry {
              string_agg(minhash::VARCHAR, ',' ORDER BY j) AS bkey
            FROM sig GROUP BY doc_id, j // 4)"""
 
-  private val DupClustersOracle: String =
+  /** The q83/q86 trigram-jaccard pair graph + recursive-CTE
+    * transitive closure, shared as a CTE prefix so q119's
+    * cluster-keyed split replays EXACTLY the clustering it claims to
+    * be leakage-safe against (same shingles, same threshold
+    * rounding, same min-label closure). */
+  private val DupClustersCtes: String =
     """WITH RECURSIVE w AS (
          SELECT doc_id,
            string_split_regex(lower(trim(text)), '\s+') AS ws
@@ -128,7 +133,10 @@ object SparkEntry {
        r(id, rep) AS (
          SELECT doc_id, doc_id FROM documents
          UNION
-         SELECT e.dst, r.rep FROM r JOIN e ON e.src = r.id)
+         SELECT e.dst, r.rep FROM r JOIN e ON e.src = r.id)"""
+
+  private val DupClustersOracle: String = DupClustersCtes +
+    """
        SELECT id AS doc_id, min(rep) AS cluster_rep,
          id = min(rep) AS keep
        FROM r GROUP BY id"""
@@ -1650,7 +1658,59 @@ object SparkEntry {
     // micro-quantized ln, decimal(38,0) moment sums, one float
     // division at the end (the q111 numeric discipline). ----
     "q117_zipf_fit" -> ((s, dir) =>
-      LanguageModel.zipfFit(t(s, dir, "documents"), "text"))
+      LanguageModel.zipfFit(t(s, dir, "documents"), "text")),
+
+    // ---- CCNet head/middle/tail buckets (Wenzek et al. 2020):
+    // per-language perplexity terciles over the q75/q104 unigram
+    // surprisal. The tercile is exact ANSI ntile(3) semantics, but
+    // computed by ScalableRank's two-phase range-partitioned ranking —
+    // never a per-language window partition (one language = one task
+    // does not survive 100 TB). Shares q75's scoring semantics, so the
+    // oracle replays the q75 CTEs + a plain ntile window. ----
+    "q118_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scores = LanguageModel
+        .unigramSurprisalFast(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "avg_surprisal")
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(scores, "doc_id")
+      graft.operators.ScalableRank.ntileByKey(scored,
+          "lang", "avg_surprisal", "doc_id", k = 3, ntileCol = "__nt")
+        .select(col("doc_id"), col("lang"), col("avg_surprisal"),
+          when(col("__nt") === 1, "head")
+            .when(col("__nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+    }),
+
+    // ---- Leakage-safe split: train/val/test assignment keyed on the
+    // DUP-CLUSTER representative, not the document — near-duplicates
+    // land in the SAME split by construction, so cross-split
+    // contamination from surviving near-dups is structurally
+    // impossible (the q74 md5 split, the q83 clusters). ----
+    "q119_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
+          idCol = "doc_id", idsCoverEndpoints = true)
+        .select(col("doc_id"), col("cluster_rep"),
+          Mixing.assignSplit(col("cluster_rep"), 0.8, 0.1)
+            .as("split"))
+    }),
+
+    // ---- Water-filling mixture rebalance: level per-source takes at
+    // the largest uniform cap whose total fits the target — small
+    // sources keep everything, large sources clip to the water line.
+    // Closed-form integer quota vector (no iteration), then the q90
+    // deterministic md5-rank take per stratum. ----
+    "q120_water_fill" -> ((s, dir) =>
+      Mixing.waterFillMix(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", target = 300L,
+          rankCol = Some("mix_rank"))
+        .select(col("doc_id"), col("source"),
+          col("mix_rank").cast("long").as("mix_rank")))
   )
 
   /** q100/q101's fixed lexical query — mid-frequency corpus terms so
@@ -3229,7 +3289,91 @@ object SparkEntry {
                  / CAST(n * sxx - sx * sx AS DOUBLE)
                  * CAST(sx AS DOUBLE))
              / CAST(n AS DOUBLE) / 1000000.0 + 1e-9, 6) AS intercept_6
-         FROM a"""
+         FROM a""",
+
+    // q75's per-doc surprisal replayed verbatim, then a plain ANSI
+    // ntile(3) window — the two-phase range-partitioned ranking must
+    // reproduce it bit-for-bit (ties broken by doc_id in both)
+    "q118_ccnet_buckets" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '\s+'),
+               x -> x <> '')) AS w
+           FROM documents),
+         c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+         t AS (SELECT sum(cnt) AS total FROM c),
+         s AS (
+           SELECT doc_id,
+             round(avg(-log2(CAST(cnt AS DOUBLE) /
+               CAST(total AS DOUBLE))) + 1e-9, 4) AS avg_surprisal
+           FROM w JOIN c USING (w), t
+           GROUP BY doc_id),
+         nt AS (
+           SELECT d.doc_id, d.lang, s.avg_surprisal,
+             ntile(3) OVER (PARTITION BY d.lang
+               ORDER BY s.avg_surprisal, d.doc_id) AS nt
+           FROM documents d JOIN s USING (doc_id))
+         SELECT doc_id, lang, avg_surprisal,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM nt""",
+
+    // the q83 clustering CTEs verbatim, then the q74 salted-md5 split
+    // keyed on cluster_rep instead of doc_id
+    "q119_leakage_split" -> (DupClustersCtes +
+      """,
+         cc AS (
+           SELECT id AS doc_id, min(rep) AS cluster_rep
+           FROM r GROUP BY id)
+         SELECT doc_id, cluster_rep,
+           CASE WHEN sb < 800 THEN 'train'
+                WHEN sb < 900 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (
+           SELECT doc_id, cluster_rep,
+             CAST(CAST(('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)
+               || ':split'), 1, 8)) AS UBIGINT) % 1000 AS BIGINT) AS sb
+           FROM cc)"""),
+
+    // closed-form water line replayed in SQL: strata sorted ascending
+    // by count, capped suffix found by the prefix+slots*count
+    // overflow test, integer DIV/mod remainder spread, then the q90
+    // md5-rank take
+    "q120_water_fill" ->
+      """WITH c AS (
+           SELECT source, count(*) AS cnt FROM documents
+           GROUP BY source),
+         o AS (
+           SELECT source, cnt,
+             CAST(row_number() OVER (ORDER BY cnt, source) AS BIGINT)
+               AS i,
+             coalesce(sum(cnt) OVER (ORDER BY cnt, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS pb,
+             CAST(count(*) OVER () AS BIGINT) AS m
+           FROM c),
+         f AS (
+           SELECT *, (pb + (m - i + 1) * cnt > 300) AS capped FROM o),
+         j AS (
+           SELECT min(CASE WHEN capped THEN i END) AS ji,
+             min(CASE WHEN capped THEN pb END) AS jpb
+           FROM f),
+         q AS (
+           SELECT f.source,
+             CASE WHEN j.ji IS NULL OR f.i < j.ji THEN f.cnt
+               ELSE (300 - j.jpb) // (f.m - j.ji + 1) +
+                 (CASE WHEN f.i - j.ji <
+                    (300 - j.jpb) % (f.m - j.ji + 1)
+                  THEN 1 ELSE 0 END)
+             END AS quota
+           FROM f CROSS JOIN j)
+         SELECT doc_id, source, rn AS mix_rank FROM (
+           SELECT d.doc_id, d.source, q.quota,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+           FROM documents d JOIN q USING (source))
+         WHERE rn <= quota"""
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census

@@ -214,6 +214,80 @@ object Mixing {
     }
   }
 
+  /** Water-filling quota vector: the LARGEST uniform cap `c` such
+    * that sum over strata of min(count_s, c) fits `target`, with the
+    * integer remainder spread one row each over the first capped
+    * strata in (count, stratum) order. The balanced-mixture
+    * complement of [[temperatureMixtureSqrt]]: instead of scaling
+    * quotas BY size, it levels them — small sources keep everything,
+    * large sources are clipped to the common water line (the
+    * "uniform cap" rebalancing used when one crawl source would
+    * otherwise drown the mixture).
+    *
+    * Closed form, no iteration: sort strata ascending by count; a
+    * stratum is capped iff taking its full count for it AND every
+    * later (larger) stratum would overflow the target —
+    * prefix + slots × count > target. Capped strata form a suffix of
+    * the sort order, so the first capped row pins the water line:
+    * cap = (target - prefix_before_it) DIV remaining-slots, remainder
+    * spread 1-each from it onward. Everything is integer arithmetic
+    * over the STRATA COUNT table (one row per source — the windows
+    * below are single-partition but strata-sized, never corpus-
+    * sized), so the vector is bit-deterministic cross-engine.
+    *
+    * Output: (stratumCol, quota) with sum(quota) = min(target,
+    * total rows) and quota <= count per stratum. */
+  def waterFillQuotas(df: DataFrame, stratumCol: String,
+      target: Long): DataFrame = {
+    require(target >= 0, s"target must be >= 0, got $target")
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.orderBy(col("__cnt"), col(stratumCol))
+    val whole = Window.partitionBy()
+    df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__i", row_number().over(ordered).cast("long"))
+      .withColumn("__pb", coalesce(sum(col("__cnt")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__m", count(lit(1)).over(whole))
+      .withColumn("__capped",
+        col("__pb") + (col("__m") - col("__i") + 1) * col("__cnt") >
+          lit(target))
+      // prefix sums are increasing in __i, so min over the capped
+      // rows picks the FIRST capped row's index and prefix together
+      .withColumn("__ji",
+        min(when(col("__capped"), col("__i"))).over(whole))
+      .withColumn("__jpb",
+        min(when(col("__capped"), col("__pb"))).over(whole))
+      .withColumn("quota",
+        when(col("__ji").isNull || col("__i") < col("__ji"),
+          col("__cnt"))
+          .otherwise(
+            expr(s"($target - __jpb) DIV (__m - __ji + 1)") +
+              when(col("__i") - col("__ji") <
+                expr(s"($target - __jpb) % (__m - __ji + 1)"), 1L)
+                .otherwise(0L)))
+      .select(col(stratumCol), col("quota"))
+  }
+
+  /** [[waterFillQuotas]] applied: keep each stratum's first `quota`
+    * rows in the deterministic md5 order (the [[quotaSample]] take).
+    * One strata-sized aggregate + broadcast join + the per-stratum
+    * rank window — the corpus shuffles once. */
+  def waterFillMix(df: DataFrame, stratumCol: String, idCol: String,
+      target: Long, rankCol: Option[String] = None): DataFrame = {
+    val quotas = waterFillQuotas(df, stratumCol, target)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val ranked = df.join(broadcast(quotas), stratumCol)
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= col("quota"))
+      .drop("quota")
+    rankCol match {
+      case Some(name) => ranked.withColumnRenamed("__rank", name)
+      case None => ranked.drop("__rank")
+    }
+  }
+
   /** Deterministic train/val/test assignment by hash bucket:
     * [0, train) -> "train", [train, train+val) -> "val", rest "test".
     * Percentages in [0,1]; content-stable across reruns. The bucket is

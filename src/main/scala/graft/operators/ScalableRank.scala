@@ -1,0 +1,140 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Exact global per-key ranking WITHOUT per-key window partitions —
+  * the scale primitive behind CCNet-style percentile bucketing
+  * (Wenzek et al. 2020 split Common Crawl into head/middle/tail by
+  * per-language perplexity terciles; reference analogue: the corpus-
+  * wide orderings in `welearn_datastack` ledger queries, SURVEY §2
+  * W1-W4/O1).
+  *
+  * Why not `ntile(k) OVER (PARTITION BY key ORDER BY ...)`: a window
+  * partition is ONE task. With ~30 languages over a 100 TB corpus the
+  * largest key holds several TB — a single sort task is not slow, it
+  * is impossible. The classic two-phase ranking (the TeraSort offset
+  * trick) computes the SAME total order from a range-partitioned
+  * sort:
+  *
+  *   1. range-partition + sort on (key, score, id) — Spark's own
+  *      `repartitionByRange`, so every partition holds a contiguous
+  *      slice of the total order and scales by adding partitions;
+  *   2. one pass counts rows per (partition, key). Because slices
+  *      are contiguous, a key appears in at most a run of adjacent
+  *      partitions: the collected summary has at most
+  *      partitions + distinct-keys - 1 entries — bounded driver
+  *      state, independent of row count;
+  *   3. broadcast the per-(partition, key) prefix offsets and
+  *      per-key totals; a second map-side pass assigns
+  *      rank = offset + position-in-partition and folds the rank
+  *      into the ANSI ntile bucket formula.
+  *
+  * The result is bit-identical to the window form (asserted by a
+  * randomized equivalence spec) because rank depends only on the
+  * total order, never on partition boundaries. Determinism: the sort
+  * key ends with a unique id column, so the total order — and hence
+  * every rank — is unique regardless of score ties.
+  */
+object ScalableRank {
+
+  /** ANSI ntile: with n rows and k tiles, the first n mod k tiles get
+    * ceil(n/k) rows, the rest floor(n/k); `rank` is 1-based. */
+  private[graft] def ansiNtile(rank: Long, n: Long, k: Int): Int = {
+    val q = n / k
+    val rem = n % k
+    if (rank <= (q + 1) * rem) ((rank - 1) / (q + 1) + 1).toInt
+    // unreachable when q == 0: then rem == n and every rank is
+    // covered by the first branch, so the division below is safe
+    else (rem + (rank - 1 - (q + 1) * rem) / q + 1).toInt
+  }
+
+  /** `ntile(k) OVER (PARTITION BY keyCol ORDER BY scoreCol, idCol)`,
+    * computed scalably. Output: the three input columns plus
+    * `ntileCol` (int). `idCol` must be unique per key (it is the
+    * deterministic tie-break). Null keys/scores sort first, matching
+    * the window form's NULLS FIRST default. */
+  def ntileByKey(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, k: Int, ntileCol: String = "ntile",
+      partitions: Int = 0): DataFrame = {
+    require(k >= 1, s"ntile needs k >= 1, got $k")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val proj = df.select(col(keyCol), col(scoreCol), col(idCol))
+    // The input pipeline (often an expensive scoring query) is read
+    // THREE times: range-boundary sampling, shuffle write, and — only
+    // if a later stage retries — recompute. Persist it; released when
+    // the next invocation swaps the slot (recomputable, so a racing
+    // reader worst-cases into a recompute, never a wrong result).
+    proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastRelease.swap(() => { proj.unpersist(); () })
+    val sorted = proj
+      .repartitionByRange(p, col(keyCol).asc, col(scoreCol).asc,
+        col(idCol).asc)
+      .sortWithinPartitions(col(keyCol).asc, col(scoreCol).asc,
+        col(idCol).asc)
+    // ONE RDD object for both passes: the second job's stages up to
+    // the range exchange are skipped (shuffle files are reused), so
+    // the counting pass is the only extra full read.
+    val rdd = sorted.rdd
+    // pass 1: run-length key counts per partition (keys are contiguous
+    // within a sorted partition, so this is a single streaming scan)
+    val segs: Array[(Int, Any, Long)] = rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        val out = ArrayBuffer.empty[(Int, Any, Long)]
+        var cur: Any = null
+        var started = false
+        var cnt = 0L
+        it.foreach { r =>
+          val kv = r.get(0)
+          if (!started || kv != cur) {
+            if (started) out += ((pid, cur, cnt))
+            cur = kv; cnt = 1L; started = true
+          } else cnt += 1
+        }
+        if (started) out += ((pid, cur, cnt))
+        out.iterator
+      }.collect()
+    // bounded driver state: <= partitions + distinct keys - 1 entries
+    val totals: Map[Any, Long] =
+      segs.groupBy(_._2).map { case (kv, xs) => kv -> xs.map(_._3).sum }
+    val offsets: Map[(Int, Any), Long] = {
+      val m = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+      segs.groupBy(_._2).foreach { case (kv, xs) =>
+        var acc = 0L
+        xs.sortBy(_._1).foreach { case (pid, _, cnt) =>
+          m((pid, kv)) = acc
+          acc += cnt
+        }
+      }
+      m.toMap
+    }
+    val bTotals = spark.sparkContext.broadcast(totals)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val kk = k
+    // pass 2: assign rank = prefix offset + position, fold into ntile
+    val outRdd = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val tot = bTotals.value
+      val off = bOffsets.value
+      var cur: Any = null
+      var started = false
+      var local = 0L
+      it.map { r =>
+        val kv = r.get(0)
+        if (!started || kv != cur) { cur = kv; started = true; local = 0L }
+        local += 1
+        val rank = off((pid, kv)) + local
+        Row.fromSeq(r.toSeq :+ ansiNtile(rank, tot(kv), kk))
+      }
+    }
+    val schema = StructType(sorted.schema.fields :+
+      StructField(ntileCol, IntegerType, nullable = false))
+    spark.createDataFrame(outRdd, schema)
+  }
+
+  private val lastRelease = ReleaseSlot()
+}

@@ -191,6 +191,81 @@ class CurationOpsSpec extends SparkSuite {
     assert(tinyTaken === tinyExpected)
   }
 
+  /** Independent water-fill model: scan cap values for the largest
+    * uniform cap whose clipped sum fits, then spread the remainder
+    * one-each over the clipped strata in (count, stratum) order —
+    * a DIFFERENT formulation than the closed form under test. */
+  private def waterModel(counts: Map[String, Long],
+      target: Long): Map[String, Long] = {
+    val total = counts.values.sum
+    if (total <= target) counts
+    else {
+      def sumAt(c: Long) = counts.values.map(math.min(_, c)).sum
+      var cap = 0L
+      while (sumAt(cap + 1) <= target) cap += 1
+      var rem = target - sumAt(cap)
+      counts.toSeq.sortBy(x => (x._2, x._1)).map { case (st, c) =>
+        if (c <= cap) st -> c
+        else if (rem > 0) { rem -= 1; st -> (cap + 1) }
+        else st -> cap
+      }.toMap
+    }
+  }
+
+  test("waterFillQuotas equals the cap-scan model over randomized " +
+      "strata, including no-capping and target-zero edges") {
+    val s = initSpark()
+    import s.implicits._
+    val rnd = new scala.util.Random(911)
+    for (trial <- 0 until 20) {
+      val nStrata = 1 + rnd.nextInt(8)
+      val counts = (0 until nStrata).map { i =>
+        s"s$i" -> (1L + rnd.nextInt(40))
+      }.toMap
+      val total = counts.values.sum
+      val target = trial match {
+        case 0 => 0L
+        case 1 => total      // exact fit: nothing clipped
+        case 2 => total + 50 // over-ask keeps everything
+        case _ => rnd.nextInt(total.toInt + 1).toLong
+      }
+      val df = counts.toSeq.flatMap { case (st, c) =>
+        (0L until c).map(j => (s"$st-$j", st))
+      }.toDF("id", "stratum")
+      val got = Mixing.waterFillQuotas(df, "stratum", target)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === waterModel(counts, target),
+        s"trial=$trial counts=$counts target=$target")
+      assert(got.values.sum === math.min(target, total))
+    }
+  }
+
+  test("waterFillMix levels skew to the water line and takes the " +
+      "md5-first rows per stratum") {
+    val s = initSpark()
+    import s.implicits._
+    // 400 / 90 / 10 skew, target 120: tiny keeps all, the line clips
+    // the rest
+    val df = (0L until 500L).map { i =>
+      (i, if (i < 400) "big" else if (i < 490) "mid" else "tiny")
+    }.toDF("id", "stratum")
+    val out = Mixing.waterFillMix(df, "stratum", "id", target = 120L,
+      rankCol = Some("rk"))
+    val got = out.collect().groupBy(_.getString(0))
+      .view.mapValues(_.length.toLong).toMap
+    assert(got === waterModel(
+      Map("big" -> 400L, "mid" -> 90L, "tiny" -> 10L), 120L))
+    assert(got("tiny") === 10L) // below the line: keeps everything
+    // the taken rows are exactly the md5-first quota per stratum
+    val bigTaken = out.where(col("stratum") === "big")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val bigExpected = df.where(col("stratum") === "big")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(got("big").toInt)
+      .collect().map(_.getLong(0)).toSet
+    assert(bigTaken === bigExpected)
+  }
+
   test("quotaSamplePrefiltered equals the windowed form, including " +
       "under a slack so tight the fallback fires") {
     val df = quotaFixture

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScalableRank
+
+/** The two-phase range-partitioned ranking must be bit-identical to
+  * the single-partition window form — rank depends only on the total
+  * order, never on partition boundaries. */
+class ScalableRankSpec extends SparkSuite {
+
+  private def windowForm(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.select(col("k"), col("s"), col("id"),
+      ntile(k).over(Window.partitionBy("k")
+        .orderBy(col("s").asc, col("id").asc)).as("nt"))
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+  test("ntileByKey equals window ntile on randomized skewed data, " +
+      "ties included, keys spanning range partitions") {
+    val s = initSpark()
+    import s.implicits._
+    val rnd = new scala.util.Random(4217)
+    // skewed key sizes (one dominant key forces it across partitions)
+    // and a tiny score domain so ties are everywhere
+    val rows = (0L until 3000L).map { i =>
+      val key = if (rnd.nextInt(10) < 6) "big"
+        else s"k${rnd.nextInt(7)}"
+      (key, rnd.nextInt(5).toLong, i)
+    }
+    val df = rows.toDF("k", "s", "id")
+    for (k <- Seq(1, 2, 3, 7, 100)) {
+      val fast = ScalableRank.ntileByKey(df, "k", "s", "id", k,
+        ntileCol = "nt", partitions = 11)
+      assert(asSet(fast) === asSet(windowForm(df, k)),
+        s"mismatch at k=$k")
+    }
+  }
+
+  test("ntileByKey handles a key count below the partition count and " +
+      "groups smaller than the tile count") {
+    val s = initSpark()
+    import s.implicits._
+    // 2 keys, 13 partitions requested; one key has fewer rows than k
+    val df = Seq(("a", 1L, 1L), ("a", 1L, 2L), ("b", 9L, 3L),
+      ("b", 2L, 4L), ("b", 5L, 5L)).toDF("k", "s", "id")
+    val fast = ScalableRank.ntileByKey(df, "k", "s", "id", 3,
+      ntileCol = "nt", partitions = 13)
+    assert(asSet(fast) === asSet(windowForm(df, 3)))
+  }
+
+  test("ansiNtile matches the standard tile-size law: first n mod k " +
+      "tiles get ceil(n/k) rows") {
+    for (n <- 1L to 40L; k <- Seq(1, 2, 3, 5, 8, 40, 41)) {
+      val tiles = (1L to n)
+        .map(r => ScalableRank.ansiNtile(r, n, k))
+      // non-decreasing, starts at 1
+      assert(tiles.head === 1)
+      assert(tiles.zip(tiles.tail).forall { case (a, b) =>
+        b == a || b == a + 1 })
+      val sizes = tiles.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val q = n / k
+      val rem = n % k
+      sizes.foreach { case (tile, size) =>
+        val expect = if (tile <= rem) q + 1 else q
+        assert(size === expect, s"tile $tile of n=$n k=$k")
+      }
+    }
+  }
+}
