@@ -43,7 +43,7 @@ object Bench {
     // the warm-up pass already burned its time
     val reps = sys.env.get("SPARK_GRAFT_REPS")
       .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
-    val results = ordered.map { case (name, fn) =>
+    val detailed = ordered.map { case (name, fn) =>
       // min over SUCCESSFUL reps only: a rep that throws returns almost
       // instantly, and letting its near-zero elapsed time into the min
       // would report a transiently failing query as fast. All-failed =>
@@ -56,6 +56,9 @@ object Bench {
       }
       System.err.println(s"bench $name reps=[" + timed.map { case (t, ok) =>
         f"$t%.3f" + (if (ok) "" else "(FAILED)") }.mkString(",") + "]")
+      (name, timed)
+    }
+    val results = detailed.map { case (name, timed) =>
       val good = timed.collect { case (t, true) => t }
       name -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
@@ -72,11 +75,33 @@ object Bench {
     println(line)
     // also persist the summary: the driver's stdout tail-capture
     // truncated 13 of 75 per-query times in round 4 — the artifact
-    // should never depend on tail length
+    // should never depend on tail length. The FILE form additionally
+    // carries per-rep times and the max/min spread per query: round 8's
+    // bench box was contended and min-of-3 silently absorbed 4-9× rep
+    // swings, making the artifact useless for regression detection. With
+    // the spread in the artifact, contamination is visible without
+    // stderr: spread >~2 on a trivial query = noisy box, not a plan
+    // regression.
+    val repsJson = detailed.map { case (name, timed) =>
+      "\"" + name + "\":[" + timed.map { case (t, ok) =>
+        if (ok) fmt(t) else fmt(-t) // negative = failed rep, magnitude kept
+      }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val spreadJson = detailed.map { case (name, timed) =>
+      val good = timed.collect { case (t, true) => t }
+      val sp = if (good.size >= 2 && good.min > 0) good.max / good.min else -1.0
+      "\"" + name + "\":" + fmt(sp)
+    }.mkString("{", ",", "}")
+    val maxSpread = detailed.flatMap { case (_, timed) =>
+      val good = timed.collect { case (t, true) => t }
+      if (good.size >= 2 && good.min > 0) Some(good.max / good.min) else None
+    }.foldLeft(0.0)(_ max _)
+    val fileLine = line.dropRight(1) +
+      s""","max_spread":${fmt(maxSpread)},"spread":$spreadJson,"reps_sec":$repsJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_summary.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (fileLine + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       System.err.println(s"bench summary write failed: $e") }
     spark.stop()

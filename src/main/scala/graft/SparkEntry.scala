@@ -22,12 +22,30 @@ import graft.operators.{Decontaminate, Dedup, ImportanceSampling,
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark only reads as a
-    // raw long; queries treat `ts` as nanos-since-epoch (floor-divided to
-    // seconds where needed, matching DuckDB's epoch_ns(ts) // 1e9).
+    // Queries treat events.ts as a nanos-since-epoch LONG (floor-divided to
+    // seconds where needed, matching DuckDB's epoch_ns(ts) // 1e9), but the
+    // testdata's physical type has drifted across driver regens:
+    // TIMESTAMP(NANOS) (Spark can only surface it as a raw long via
+    // nanosAsLong) vs TIMESTAMP(MICROS) (arrives as timestamp / timestamp_ntz
+    // depending on isAdjustedToUTC). Normalize every form to the nanos long
+    // here so the 120 queries never see the drift. Session tz is UTC, so the
+    // NTZ cast is wall-clock identity and epoch math matches DuckDB's naive
+    // epoch_ns().
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case _ => df
+    }
   }
+
+  /** Test-visible handle on the normalizing loader (the schema-canary spec
+    * asserts what the 120 queries actually see, not just the raw parquet). */
+  private[graft] def table(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name)
 
   /** Fan a thin scan out to all cores before a CPU-heavy per-row stage
     * (chunking, embedding, MMR, shingling). The testdata parquet is one
