@@ -1133,25 +1133,29 @@ object SparkEntry {
     }),
 
     // ---- Embedding-cosine near-dup via hyperplane LSH buckets
-    // (training-data dedup; rows-only). Runs on stub-embedded documents
+    // (training-data dedup). PORTABLE form since round 9: md5 feature-hash
+    // embedding + md5-derived hyperplanes + exact integer dots, so the
+    // oracle replays signatures and cosines bit-identically (the q92/q94
+    // promotion applied to the embedding family; the murmur-based fast
+    // variant stays in Dedup for spec/throughput use). Runs on documents
     // — the random `embeddings` table has no pair above cosine 0.52, so
     // it can't demonstrate the operator; document texts share vocabulary
     // and yield real near-dup structure. ----
     "q44_embedding_neardup" -> ((s, dir) => {
-      val docs = fan(s, t(s, dir, "documents"))
-        .select(col("doc_id"),
-          graft.ml.StubEmbedder.embedding(col("text"), 64).as("emb"))
-      graft.operators.Dedup.embeddingNearDupPairs(
-        docs, "doc_id", "emb", threshold = 0.8, planes = 8)
+      graft.operators.Dedup.embeddingNearDupPairsPortable(
+        fan(s, t(s, dir, "documents")), "doc_id", "text", threshold = 0.8)
     }),
 
-    // ---- approx_count_distinct (A5 scale variant: HLL sketch beats
-    // exact distinct at 100 TB; rows-only — HLL is engine-specific) ----
+    // ---- approx distinct counts (A5 scale variant: HLL sketch beats
+    // exact distinct at 100 TB). PORTABLE HLL since round 9 (md5-bucketed
+    // registers, exact-integer indicator sum) so the estimate itself is
+    // oracle-checked, not just the row count. ----
     "q45_approx_distinct" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_count_distinct(col("value"), 0.02).as("approx_values"))
+      val ev = t(s, dir, "events")
+      graft.operators.Hll
+        .approxCountDistinct(ev, "event_type", col("user_id"), "approx_users")
+        .join(graft.operators.Hll.approxCountDistinct(
+          ev, "event_type", col("event_id"), "approx_ids"), "event_type")
     }),
 
     // ---- SDG classification matmul (SURVEY M3/M4; rows-only) ----
@@ -2685,6 +2689,70 @@ object SparkEntry {
            substring(md5(concat_ws('', doc_id, lang)), 21, 12))
            AS doc_uuid
          FROM documents""",
+
+    // Portable embedding near-dup: replays the md5 feature-hash integer
+    // embedding, the md5-derived ±1 hyperplane matrix, the 8-bit LSH
+    // signature, and the integer-exact cosine verify — every float op
+    // runs on exact integer inputs, so 4-dp values agree bit-for-bit.
+    "q44_embedding_neardup" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+             AS tok
+           FROM documents),
+         feat AS (
+           SELECT doc_id, h % 64 AS bucket,
+             CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+           FROM (SELECT doc_id,
+                   ('0x' || substr(md5(k || '_' || tok), 1, 15))::BIGINT AS h
+                 FROM toks CROSS JOIN (VALUES (0),(1)) kk(k))),
+         vec AS (
+           SELECT doc_id, bucket, sum(s)::BIGINT AS v
+           FROM feat GROUP BY doc_id, bucket HAVING sum(s) <> 0),
+         planes AS (
+           SELECT p, d,
+             CASE WHEN ('0x' || substr(md5('w_' || p || '_' || d), 1, 15))::BIGINT
+               % 2 = 0 THEN 1 ELSE -1 END AS w
+           FROM range(8) t1(p) CROSS JOIN range(64) t2(d)),
+         sigbits AS (
+           SELECT v.doc_id, pl.p,
+             CASE WHEN sum(v.v * pl.w) >= 0 THEN 1 ELSE 0 END AS bit
+           FROM vec v JOIN planes pl ON pl.d = v.bucket
+           GROUP BY v.doc_id, pl.p),
+         sig AS (
+           SELECT doc_id, sum(bit * (1 << p))::BIGINT AS sig
+           FROM sigbits GROUP BY doc_id),
+         norms AS (
+           SELECT doc_id, sum(v * v)::BIGINT AS norm2
+           FROM vec GROUP BY doc_id),
+         cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sig a JOIN sig b
+             ON a.sig = b.sig AND a.doc_id < b.doc_id),
+         nums AS (
+           SELECT c.id_a, c.id_b, sum(va.v * vb.v)::BIGINT AS num
+           FROM cand c
+           JOIN vec va ON va.doc_id = c.id_a
+           JOIN vec vb ON vb.doc_id = c.id_b AND vb.bucket = va.bucket
+           GROUP BY c.id_a, c.id_b)
+         SELECT n.id_a, n.id_b,
+           round(n.num::DOUBLE / (sqrt(na.norm2) * sqrt(nb.norm2)) + 1e-9, 4)
+             AS cos
+         FROM nums n
+         JOIN norms na ON na.doc_id = n.id_a
+         JOIN norms nb ON nb.doc_id = n.id_b
+         WHERE round(n.num::DOUBLE / (sqrt(na.norm2) * sqrt(nb.norm2)) + 1e-9, 4)
+           >= 0.8""",
+
+    // Portable HLL (see operators/Hll.scala): both estimates replay the
+    // same md5-bucketed registers and exact-integer indicator sum.
+    "q45_approx_distinct" ->
+      s"""WITH u AS (${graft.operators.Hll.oracleSql(
+            "user_id::VARCHAR", "approx_users")}),
+         i AS (${graft.operators.Hll.oracleSql(
+            "event_id::VARCHAR", "approx_ids")})
+         SELECT u.event_type, u.approx_users, i.approx_ids
+         FROM u JOIN i ON u.event_type = i.event_type""",
 
     "q46_url_clean" ->
       """SELECT doc_id,

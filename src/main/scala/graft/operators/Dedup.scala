@@ -715,6 +715,104 @@ object Dedup {
       portableSignature(text, n)
     }
 
+  /** CROSS-ENGINE-portable embedding near-dup — the oracle-able form of
+    * [[embeddingNearDupPairs]] (q44's promotion out of the rows-only tier;
+    * the q92/q94 contract-pinning move applied to the embedding family).
+    * Every primitive replays in portable SQL with EXACT arithmetic:
+    *
+    *   feature vector  64 integer buckets; each token OCCURRENCE adds ±1
+    *                   to 2 buckets via h_k = md5Top60(k + "_" + token),
+    *                   k in {0,1}: bucket = h mod 64, sign = +1 iff
+    *                   (h div 64) even. This is the StubEmbedder algebra
+    *                   (feature-hashed bag of words) with the engine-local
+    *                   murmur swapped for the portable md5 prefix and the
+    *                   float L2 normalize dropped — cosine is scale-free,
+    *                   so the un-normalized INTEGER vector ranks pairs
+    *                   identically and sums associatively in any engine.
+    *   hyperplanes     w(p,d) = +1 iff md5Top60("w_" + p + "_" + d) even —
+    *                   hash-derived, not RNG-derived, so the oracle
+    *                   rebuilds the exact matrix from the same strings.
+    *   signature       bit p = [dot(vec, w_p) >= 0], an exact integer dot;
+    *                   8 bits packed little-endian into one bucket key.
+    *   verify          cosine from the integer vectors: the dot is exact
+    *                   BIGINT, and sqrt/mul/div on exact inputs are
+    *                   correctly-rounded IEEE double ops, so both engines
+    *                   emit the same 4-dp value.
+    *
+    * Same scale shape as the fast variant: signatures are row-local (one
+    * UDF pass, no shuffle), the pair join is LSH-bucket-local on the
+    * 8-bit signature — never all-pairs — and the verify runs only on
+    * bucket collisions. Output: (id_a, id_b, cos) with cos >= threshold. */
+  def embeddingNearDupPairsPortable(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8): DataFrame = {
+    val sigd = df.select(col(idCol).as("id"),
+        portableEmbUdf(col(textCol)).as("e"))
+      .select(col("id"), col("e.sig").as("sig"), col("e.vec").as("vec"),
+        col("e.norm2").as("norm2"))
+      .where(col("norm2") > 0L)
+    val cand = sigd.as("a").join(sigd.as("b"),
+      col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+    cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        aggregate(zip_with(col("a.vec"), col("b.vec"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("num"),
+        col("a.norm2").as("n2a"), col("b.norm2").as("n2b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("num").cast("double")
+          / (sqrt(col("n2a")) * sqrt(col("n2b"))) + 1e-9, 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Contract constants of the portable embedding signer — mirrored
+    * literally in the q44 oracle SQL; changing either breaks parity by
+    * design. */
+  private val PortableEmbDim = 64
+  private val PortableEmbPlanes = 8
+
+  /** w(p,d) in {-1,+1} from the md5 prefix of "w_p_d" — computed once per
+    * JVM (the oracle recomputes it per query; both derive from the same
+    * strings, so the matrices are identical). */
+  private lazy val PortableEmbPlaneMatrix: Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(PortableEmbPlanes, PortableEmbDim) { (p, d) =>
+      if (md5Top60(md, s"w_${p}_$d") % 2 == 0L) 1L else -1L
+    }
+  }
+
+  private case class PortableEmb(sig: Int, vec: Seq[Long], norm2: Long)
+
+  private val portableEmbUdf =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      val dim = PortableEmbDim
+      val vec = new Array[Long](dim)
+      if (text != null) {
+        val toks = text.toLowerCase(java.util.Locale.ROOT).trim
+          .split("\\s+").filter(_.nonEmpty)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        toks.foreach { t =>
+          var k = 0
+          while (k < 2) {
+            val h = md5Top60(md, s"${k}_$t")
+            vec((h % dim).toInt) += (if ((h / dim) % 2 == 0L) 1L else -1L)
+            k += 1
+          }
+        }
+      }
+      var sig = 0
+      var p = 0
+      while (p < PortableEmbPlanes) {
+        val w = PortableEmbPlaneMatrix(p)
+        var dot = 0L
+        var d = 0
+        while (d < dim) { dot += vec(d) * w(d); d += 1 }
+        if (dot >= 0L) sig |= (1 << p)
+        p += 1
+      }
+      var norm2 = 0L
+      var d = 0
+      while (d < dim) { norm2 += vec(d) * vec(d); d += 1 }
+      PortableEmb(sig, scala.collection.immutable.ArraySeq.unsafeWrapArray(vec), norm2)
+    }
+
   /** 64-bit SimHash per document: hash each word occurrence to 64 bits,
     * sum +1/-1 per bit position, take the sign bit-vector. Row-local UDF
     * (one pass per doc, primitive loops) — the explode + 64-conditional-

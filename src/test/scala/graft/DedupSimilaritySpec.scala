@@ -886,4 +886,53 @@ class DedupSimilaritySpec extends SparkSuite {
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((0L, 1L)))
   }
+
+  test("embeddingNearDupPairsPortable: identical texts pair at cos 1, " +
+    "disjoint vocab stays apart, empty docs never pair") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),       // exact dup of 1
+      (3L, "alpha beta gamma delta zeta"),          // near dup
+      (4L, "uno dos tres cuatro cinco seis siete"), // disjoint vocab
+      (5L, "")                                      // empty: no features
+    ).toDF("doc_id", "text")
+    val rows = Dedup.embeddingNearDupPairsPortable(df, "doc_id", "text",
+        threshold = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(rows.contains((1L, 2L)) && rows((1L, 2L)) === 1.0,
+      s"exact dup must score cosine 1.0: $rows")
+    // near dup pairs iff it lands in the same LSH bucket — if present
+    // its cosine must sit strictly between the dup and disjoint scores
+    rows.get((1L, 3L)).foreach(c => assert(c >= 0.7 && c < 1.0))
+    assert(!rows.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"disjoint-vocab doc must not pair at 0.7: $rows")
+    assert(!rows.keySet.exists { case (a, b) => a == 5L || b == 5L },
+      "featureless doc must be excluded, not paired at cos 0/0")
+  }
+
+  test("portable HLL: estimate tracks exact distinct within rel. error " +
+    "and is insensitive to duplication") {
+    val s = initSpark()
+    import s.implicits._
+    // 2000 distinct users under key A (each twice — dup-insensitive),
+    // 50 distinct under key B
+    val df = ((0 until 2000) ++ (0 until 2000)).map(i => ("A", i.toLong))
+      .++((0 until 50).map(i => ("B", 100000L + i)))
+      .toDF("event_type", "user_id")
+    val got = graft.operators.Hll
+      .approxCountDistinct(df, "event_type", col("user_id"), "est")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // m=256 registers => typical HLL rel. error ~1.04/sqrt(256) = 6.5%;
+    // assert a loose 3-sigma band, and exactness-of-determinism: the
+    // estimate is a pinned value, so equality is stable across runs
+    assert(math.abs(got("A") - 2000.0) / 2000.0 < 0.2, s"A: ${got("A")}")
+    assert(math.abs(got("B") - 50.0) / 50.0 < 0.2, s"B: ${got("B")}")
+    val again = graft.operators.Hll
+      .approxCountDistinct(df, "event_type", col("user_id"), "est")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === again, "portable HLL must be bit-deterministic")
+  }
 }
