@@ -26,10 +26,14 @@ import org.apache.spark.sql.functions._
   *   - no matching rule, no group, or an EMPTY Disallow => allowed;
   *     hosts are compared case-folded (DNS is case-insensitive).
   *
-  * Plan shape: rules compile once per host (robots bodies are a tiny
-  * dimension next to a frontier), the frontier joins on host (robots
-  * dim broadcasts), and the match runs row-local — the frontier is
-  * never shuffled. */
+  * Plan shape: the frontier LEFT-joins the robots dimension on the
+  * case-folded host with NO driver-side collect — Spark broadcasts the
+  * dim while it is small and falls back to a hash-partitioned join at
+  * web scale (one dim row per host ≈ tens of millions of rows, which a
+  * collect-and-broadcast would OOM the driver on). Rule compilation
+  * happens executor-side behind a per-JVM cache keyed by
+  * (host, user-agent, bodies-hash), so a hot host's bodies parse once
+  * per executor and the match itself stays row-local. */
 object Robots {
 
   final case class Rule(allow: Boolean, pattern: String) {
@@ -188,56 +192,80 @@ object Robots {
   }
 
   /** Filter a frontier to robots-allowed URLs: `robots` is the
-    * (hostCol, bodyCol) dimension; rules compile ONCE per host on the
-    * driver (the dimension is small by nature — one row per host),
-    * broadcast as a map, and the frontier filters row-local on its
-    * own host + path. Hosts with no robots row are allowed (the RFC's
-    * unavailable = allow). */
+    * (hostCol, bodyCol) dimension. NO driver collect anywhere: the
+    * frontier LEFT-joins the dimension on the case-folded host (Spark
+    * broadcasts the dim when it is small, hash-partitions both sides
+    * when it is not — at web scale the dim is one row per HOST, tens of
+    * millions of rows, which a driver-side collect-and-broadcast would
+    * OOM on), and rules compile EXECUTOR-side behind a per-JVM cache
+    * keyed by (host, userAgent, bodies-hash) — the ModelRegistry
+    * pattern — so each host's bodies parse once per executor, not once
+    * per frontier row. Hosts with no robots row are allowed (the RFC's
+    * unavailable = allow); duplicate dimension rows for one host merge
+    * by parsing EACH body independently and unioning the selected rule
+    * sets (longest-match precedence is order-free) — text concatenation
+    * would fuse one body's trailing user-agent run with the next body's
+    * first group and change decisions; null host/body rows are malformed
+    * dimension rows and are dropped before the join. */
   def filterAllowed(frontier: DataFrame, urlCol: String,
       robots: DataFrame, hostCol: String, bodyCol: String,
       userAgent: String): DataFrame = {
-    // null host/body rows are malformed dimension rows, not crashes;
-    // duplicate rows for one host merge by parsing EACH body
-    // independently and unioning the selected rule sets (longest-match
-    // precedence is order-free) — text concatenation would fuse one
-    // body's trailing user-agent run with the next body's first group
-    // and change decisions
-    val compiled = robots.select(col(hostCol), col(bodyCol)).collect()
-      .iterator
-      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      .map(r => r.getString(0).toLowerCase(java.util.Locale.ROOT) ->
-        r.getString(1))
-      .toSeq
-      .groupBy(_._1)
-      .map { case (host, bodies) =>
-        host -> bodies.flatMap(b => rulesFor(b._2, userAgent))
-      }
-    val bc = frontier.sparkSession.sparkContext.broadcast(compiled)
-    val allowed = udf { (url: String) =>
-      if (url == null) false
+    val dim = robots
+      .select(col(hostCol).as("__r_host_raw"), col(bodyCol).as("__r_body"))
+      .where(col("__r_host_raw").isNotNull && col("__r_body").isNotNull)
+      .groupBy(lower(col("__r_host_raw")).as("__r_host"))
+      .agg(collect_list(col("__r_body")).as("__r_bodies"))
+    // case-folded host (DNS is case-insensitive — an exact match would
+    // silently bypass every rule for "A.org"); a URL whose host the URI
+    // parser cannot produce is REJECTED, not waved through — those rows
+    // carry a null struct and fail the final decision
+    val hostPath = udf { (url: String) =>
+      if (url == null) None
       else {
         try {
           val u = new java.net.URI(url)
-          // case-folded host (DNS is case-insensitive — an exact match
-          // would silently bypass every rule for "A.org"); a URL whose
-          // host the URI parser cannot produce is REJECTED, not waved
-          // through
           val host = u.getHost
-          if (host == null) false
-          else {
-            val path = percentDecode(
+          if (host == null) None
+          else Some((host.toLowerCase(java.util.Locale.ROOT),
+            percentDecode(
               (if (u.getRawPath == null || u.getRawPath.isEmpty) "/"
               else u.getRawPath) +
                 (if (u.getRawQuery != null) "?" + u.getRawQuery
-                else ""))
-            bc.value.get(host.toLowerCase(java.util.Locale.ROOT)) match {
-              case None => true
-              case Some(rules) => isAllowed(rules, path)
-            }
-          }
-        } catch { case _: java.net.URISyntaxException => false }
+                else ""))))
+        } catch { case _: java.net.URISyntaxException => None }
       }
     }
-    frontier.where(allowed(col(urlCol)))
+    val decide = udf { (host: String, path: String, bodies: Seq[String]) =>
+      if (host == null || path == null) false
+      else if (bodies == null) true // unjoined host: robots unavailable
+      else isAllowed(cachedRules(host, userAgent, bodies), path)
+    }
+    val withHp = frontier.withColumn("__hp", hostPath(col(urlCol)))
+    withHp
+      .join(dim, col("__hp._1") === col("__r_host"), "left")
+      .where(decide(col("__hp._1"), col("__hp._2"), col("__r_bodies")))
+      .drop("__hp", "__r_host", "__r_bodies")
+  }
+
+  /** Executor-side compiled-rule cache: robots bodies for a hot host
+    * parse once per JVM instead of once per frontier row. Size-capped
+    * with whole-cache reset (simplicity over LRU: the cap is far above
+    * any real per-executor distinct-host working set; a reset costs one
+    * re-parse per host, not correctness). */
+  @transient private lazy val ruleCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Seq[Rule]]()
+  private val RuleCacheMax = 20000
+
+  private def cachedRules(host: String, userAgent: String,
+      bodies: Seq[String]): Seq[Rule] = {
+    val key = (host, userAgent, bodies.hashCode)
+    val hit = ruleCache.get(key)
+    if (hit != null) hit
+    else {
+      val rules = bodies.flatMap(b => rulesFor(b, userAgent))
+      if (ruleCache.size >= RuleCacheMax) ruleCache.clear()
+      ruleCache.put(key, rules)
+      rules
+    }
   }
 }

@@ -260,4 +260,34 @@ class RobotsSpec extends SparkSuite {
       .collect().map(_.getString(0)).toSet
     assert(kept === Set("https://a.org/orphan/x", "https://a.org/free"))
   }
+
+  test("filterAllowed: the robots dim is JOINED, never collected to " +
+      "the driver — web-scale dims can't fit a collect-and-broadcast") {
+    val s = initSpark()
+    import s.implicits._
+    // a dim orders of magnitude past what a driver map should hold;
+    // with the old collect() path this materializes every body on the
+    // driver before the query even starts — the join path streams it
+    val robots = s.range(0, 50000)
+      .selectExpr("concat('h', id, '.org') AS host",
+        "concat('User-agent: *\nDisallow: /blocked', id, '/') AS body")
+    val frontier = Seq(
+      "https://h7.org/blocked7/page",    // per-host rule applies
+      "https://h7.org/blocked8/page",    // other hosts' rules must NOT
+      "https://h49999.org/blocked49999/x",
+      "https://h49999.org/open/x",
+      "https://unlisted.org/anything"    // robots unavailable = allow
+    ).toDF("url")
+    val result = Robots.filterAllowed(frontier, "url", robots,
+      "host", "body", "graftbot")
+    // the plan must contain a real join against the dim (left outer on
+    // the host key), and NO stage of it may be fed by a driver-side
+    // local relation of the dim's size
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("join"),
+      s"robots dim must join, not collect:\n$plan")
+    val kept = result.collect().map(_.getString(0)).toSet
+    assert(kept === Set("https://h7.org/blocked8/page",
+      "https://h49999.org/open/x", "https://unlisted.org/anything"))
+  }
 }
