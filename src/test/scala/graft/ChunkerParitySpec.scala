@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.text.BreakIterator
+import java.util.Locale
+
+import scala.collection.mutable
+
+import graft.ml.Chunker
+
+/** M1 cut-line parity, quantified (round-9 advice item 7).
+  *
+  * The chunker's PACKING algorithm is the reference's exactly
+  * (embedding_model_helpers.py:166-225) — proven here by running the
+  * reference's own unit-test golden values verbatim
+  * (tests/document_vectorizer/test_embedding_model_helpers.py:102-120).
+  *
+  * The irreducible divergence is the sentence SEGMENTER: spaCy
+  * `xx_sent_ud_sm` doesn't exist on the JVM, so boundaries come from ICU
+  * BreakIterator. This spec puts a NUMBER on that gap instead of a shrug:
+  * boundary agreement (Jaccard over boundary offsets) between
+  * BreakIterator and a UD-style punctuation-rule segmenter — the closest
+  * replicable stand-in for xx_sent_ud_sm, which for European-language
+  * prose is itself a punctuation+capitalization model — measured over the
+  * reference's own scraper fixture corpus (French + English article
+  * text). MEASURED at pinning time: 0.971 (IRD, fr — clean journalistic
+  * prose) and 0.699 (OE chapter, en — citation-heavy academic text where
+  * quote/parenthetical boundaries are genuinely ambiguous; both
+  * segmenters disagree with EACH OTHER there, which is exactly the
+  * uncertainty band a spaCy swap-in would land inside). The assertion
+  * floors sit one noise-notch below the measurements so a segmenter
+  * regression (locale change, ICU upgrade) trips while fixture-trim
+  * churn doesn't. */
+class ChunkerParitySpec extends SparkSuite {
+
+  private def fixture(name: String): String =
+    new String(Files.readAllBytes(Paths.get(
+      getClass.getResource(s"/fixtures/$name").toURI)), "UTF-8")
+
+  test("the reference's own packing unit test passes verbatim " +
+    "(slice_length 4 -> truncate to 3 words + '...')") {
+    val text = "Lorem ipsum dolor sit amet, consectetur adipiscing elit. " +
+      "Sed do eiusmod tempor incididunt ut labore et dolore magna aliqua."
+    assert(Chunker.chunkText(text, maxWords = 4) ===
+      Seq("Lorem ipsum dolor...", "Sed do eiusmod..."))
+  }
+
+  test("truncated sentences CO-PACK with successors (the reference " +
+    "packing loop, not emit-alone)") {
+    // 10-word sentence truncates to 7 words + '...' (w=7), then a
+    // 1-word sentence: 7+1 <= 8 so BOTH land in ONE slice — the
+    // reference appends the truncated sentence to current_slice, it
+    // never flushes it out alone
+    val text = "a b c d e f g h i j. Ok."
+    val got = Chunker.chunkText(text, maxWords = 8)
+    assert(got === Seq("a b c d e f g... Ok."), got.toString)
+  }
+
+  // ---- segmenter divergence quantification ----
+
+  /** UD-style rule segmenter (the spaCy xx_sent_ud_sm stand-in):
+    * sentence ends after terminal punctuation (+ optional closing
+    * quotes/brackets) followed by whitespace and an upper-case letter,
+    * digit, or opening quote. */
+  private val ProxyBoundary = java.util.regex.Pattern.compile(
+    "[.!?…]+[\"'»)\\]]*\\s+(?=[\\p{Lu}\\p{N}\"'«(\\[])")
+
+  private def proxyBoundaries(text: String): Set[Int] = {
+    val m = ProxyBoundary.matcher(text)
+    val out = mutable.Set.empty[Int]
+    while (m.find()) out += m.end()
+    out.toSet
+  }
+
+  private def icuBoundaries(text: String): Set[Int] = {
+    val it = BreakIterator.getSentenceInstance(Locale.ROOT)
+    it.setText(text)
+    val out = mutable.Set.empty[Int]
+    var b = it.next()
+    while (b != BreakIterator.DONE) {
+      if (b > 0 && b < text.length) out += b
+      b = it.next()
+    }
+    out.toSet
+  }
+
+  /** Crude tag-strip good enough to recover article prose from the
+    * reference's HTML fixtures (script/style dropped whole). */
+  private def prose(html: String): String = Chunker.normalizeWs(
+    html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+      .replaceAll("(?s)<[^>]+>", " ")
+      .replaceAll("&[a-zA-Z#0-9]+;", " "))
+
+  private def agreement(text: String): Double = {
+    val a = icuBoundaries(text)
+    val b = proxyBoundaries(text)
+    val union = (a ++ b).size
+    if (union == 0) 1.0 else (a & b).size.toDouble / union
+  }
+
+  test("segmenter agreement vs the UD rule proxy on the reference's " +
+    "fixture corpus stays above the pinned floor") {
+    val ird = agreement(prose(fixture("page_ird_le_mag.html")))
+    val oe = agreement(prose(fixture("oe_book_chapter.html")))
+    info(f"boundary agreement: IRD(fr)=$ird%.3f OE-chapter(en)=$oe%.3f")
+    assert(ird >= 0.90, f"IRD agreement regressed: $ird%.3f")
+    assert(oe >= 0.65, f"OE-chapter agreement regressed: $oe%.3f")
+  }
+}

@@ -24,12 +24,13 @@ class MlSpec extends SparkSuite {
     assert(slices === Seq("Alpha one. Beta two.", "Gamma three. Delta four."))
   }
 
-  test("chunker: over-long sentence truncated with ellipsis") {
+  test("chunker: over-long sentence truncated to maxWords-1 + '...' " +
+    "(the reference's exact truncation rule)") {
     val long = (1 to 50).map(i => s"w$i").mkString(" ") + "."
     val slices = Chunker.chunkText(long, maxWords = 10)
     assert(slices.length === 1)
-    assert(slices.head.endsWith("…"))
-    assert(slices.head.split("\\s+").length === 10)
+    assert(slices.head.endsWith("..."))
+    assert(slices.head.split("\\s+").length === 9)
   }
 
   test("chunker: empty/null-ish input -> no slices") {
