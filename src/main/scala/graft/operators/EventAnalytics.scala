@@ -39,10 +39,25 @@ object EventAnalytics {
     *
     * Returns one row per step: (step 1-based, step_name, users reaching
     * that depth). Counts are non-increasing by construction.
+    *
+    * Hot-key skew: a user with millions of step-i events lands all of
+    * them in one shuffle partition of the step join. Two defenses:
+    * AQE's OptimizeSkewedJoin splits oversized partitions of exactly
+    * this join shape at runtime (the engine runs with AQE on), and
+    * `salts > 1` hardens the plan DETERMINISTICALLY — step events
+    * spread across `salts` sub-keys (hash of the event time), the
+    * 1-row-per-user frontier replicates `salts`×, the join runs on
+    * (user, salt), and the per-user min reduces in two phases
+    * (per-salt, then per-user over <= salts rows). Any partition's
+    * share of a hot user is bounded by ~1/salts of its events, at the
+    * cost of a frontier `salts`× its (tiny) size. Identical results by
+    * construction — min is associative over the salt partition —
+    * pinned by the skew spec.
     */
   def funnel(events: DataFrame, userCol: String, timeCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String], salts: Int = 1): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(salts >= 1, "salts must be >= 1")
     val user = col(userCol)
     // frontier: per-user earliest completion time of the step prefix
     var frontier: DataFrame = events
@@ -52,10 +67,22 @@ object EventAnalytics {
       .select(lit(1).as("step"), lit(steps.head).as("step_name"),
         col("users"))
     steps.zipWithIndex.drop(1).foreach { case (st, i) =>
-      frontier = events.where(col(typeCol) === st)
-        .join(frontier.withColumnRenamed("t", "t_prev"), Seq(userCol))
-        .where(col(timeCol) >= col("t_prev"))
-        .groupBy(user).agg(min(col(timeCol)).as("t"))
+      val stepEvents = events.where(col(typeCol) === st)
+      val prev = frontier.withColumnRenamed("t", "t_prev")
+      frontier =
+        if (salts == 1)
+          stepEvents.join(prev, Seq(userCol))
+            .where(col(timeCol) >= col("t_prev"))
+            .groupBy(user).agg(min(col(timeCol)).as("t"))
+        else
+          stepEvents
+            .withColumn("__salt", pmod(hash(col(timeCol)), lit(salts)))
+            .join(prev.withColumn("__salt",
+              explode(sequence(lit(0), lit(salts - 1)))),
+              Seq(userCol, "__salt"))
+            .where(col(timeCol) >= col("t_prev"))
+            .groupBy(user, col("__salt")).agg(min(col(timeCol)).as("t"))
+            .groupBy(user).agg(min(col("t")).as("t"))
       out = out.unionAll(frontier.agg(count(lit(1)).as("users"))
         .select(lit(i + 1).as("step"), lit(st).as("step_name"),
           col("users")))

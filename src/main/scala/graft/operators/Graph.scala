@@ -66,7 +66,8 @@ object Graph {
       edges: DataFrame, idCol: String, srcCol: String, dstCol: String,
       iters: Int = 5, scale: Long = 1000000000000L,
       dampNum: Long = 85, dampDen: Long = 100,
-      edgesDistinct: Boolean = false): DataFrame = {
+      edgesDistinct: Boolean = false,
+      checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1, "pageRankFixed needs at least one iteration")
     val n = nodes.count()
     require(n > 0, "pageRankFixed over an empty node set")
@@ -97,7 +98,18 @@ object Graph {
 
     var ranks = edgesDeg.select(col("__src").as("node_id")).distinct()
       .withColumn("rank_fixed", lit(init))
-    for (_ <- 1 to iters) {
+    // Deep iteration hygiene (q86's per-round discipline, gated so the
+    // common shallow case stays a single unrolled plan): every
+    // `checkpointEvery` rounds the rank frame localCheckpoints, cutting
+    // the lineage so optimizer/AQE work stays O(checkpointEvery) per
+    // round instead of compounding over the whole loop; the superseded
+    // round's checkpoint blocks release immediately (releaseCheckpoint —
+    // Dataset.unpersist is a no-op on checkpoint-backed frames and the
+    // periodic-GC ContextCleaner would otherwise hold every round's copy
+    // for up to 30 min).
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    var prevCkpt: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contrib = edgesDeg
         .join(ranks, col("__src") === col("node_id"))
         .select(col("__dst").as("node_id"),
@@ -105,6 +117,12 @@ object Graph {
             .as("__c"))
       ranks = contrib.groupBy("node_id")
         .agg((lit(tele) + sum(col("__c"))).as("rank_fixed"))
+      if (i % checkpointEvery == 0 && i < iters) {
+        val ck = ranks.localCheckpoint(true)
+        prevCkpt.foreach(Dedup.releaseCheckpoint)
+        prevCkpt = Some(ck)
+        ranks = ck
+      }
     }
 
     // Nodes that touch no edge: teleport-only from iteration 1 on.

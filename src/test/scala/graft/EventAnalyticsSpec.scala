@@ -50,6 +50,27 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got.toSeq === Seq(1L, 1L))
   }
 
+  test("salted funnel equals the unsalted form under hot-key skew") {
+    // one user owns ~99% of the step-2 events (the 100-TB hot-key
+    // shape); min over salt sub-partitions is associative, so every
+    // salt width must reproduce the exact unsalted counts
+    val hot = (0 until 3000).map(i => (7L, 100L + i, "click"))
+    val rows = Seq(
+      (7L, 50L, "view"), (7L, 5000L, "purchase"),
+      (8L, 10L, "view"), (8L, 20L, "click"),
+      (9L, 10L, "view")) ++ hot
+    val events = rows.toDF("user_id", "sec", "event_type")
+    def counts(salts: Int) = EventAnalytics
+      .funnel(events, "user_id", "sec", "event_type",
+        Seq("view", "click", "purchase"), salts = salts)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    val unsalted = counts(1)
+    assert(unsalted === Seq((1, 3L), (2, 2L), (3, 1L)))
+    for (ss <- Seq(4, 16, 64)) // incl. salts > distinct times per user
+      assert(counts(ss) === unsalted, s"salts=$ss diverged")
+  }
+
   test("cohort retention buckets by first-event period") {
     // period = 100s. u1 first at 50 (cohort 0), active periods 0,2;
     // u2 first at 250 (cohort 2), active periods 2,3.

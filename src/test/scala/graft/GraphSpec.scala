@@ -126,4 +126,21 @@ class GraphSpec extends SparkSuite {
           s"round contribution groupBy, nothing else), added $twoMore")
     } finally s.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("deep-iteration checkpointing changes the plan, never the ranks") {
+    val s = initSpark()
+    import s.implicits._
+    val nodesDf = nodes.toDF("node_id")
+    val edgesDf = Graph.undirect(edges.toDF("a", "b"), "a", "b")
+    def ranksWith(every: Int): Map[Long, Long] =
+      Graph.pageRankFixed(s, nodesDf, edgesDf, "node_id", "src", "dst",
+          iters = 11, checkpointEvery = every)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every=3 checkpoints mid-loop 3 times; every=1000 never does —
+    // the fixed-point integers must agree bit-for-bit either way, and
+    // both must equal the driver-side model
+    val ckpt = ranksWith(3)
+    assert(ckpt === ranksWith(1000))
+    assert(ckpt === model(nodes, edges, 11))
+  }
 }

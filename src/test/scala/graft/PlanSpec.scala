@@ -353,10 +353,34 @@ class PlanSpec extends SparkSuite {
 
   test("q113 funnel: each step join co-partitions on the user key " +
     "and the step predicate pushes into the event scan") {
+    // Skew note (round-9 advice item 9): at 100 TB a hot user
+    // concentrates a step's events into one partition of this join.
+    // Defense in depth: AQE's OptimizeSkewedJoin splits oversized
+    // partitions of exactly this shuffle-join shape at runtime, and
+    // EventAnalytics.funnel(salts > 1) bounds any partition to
+    // ~1/salts of a hot user's events deterministically (join on
+    // (user, salt), two-phase min) — equality with the unsalted form
+    // is pinned by EventAnalyticsSpec's skew case; the salted plan
+    // shape is asserted below.
     val df = SparkEntry.queries("q113_funnel")(initSpark(), dir)
     val plan = planOf(df)
     assert(plan.contains("PushedFilters:"), plan.take(500))
     assert(plan.contains("EqualTo(event_type,view"),
       "step predicate not pushed to the event scan:\n" + plan.take(3000))
+  }
+
+  test("salted funnel: the step join key includes the salt, so a hot " +
+    "user's events spread over `salts` shuffle partitions") {
+    val s = initSpark()
+    import s.implicits._
+    val events = Seq((1L, 10L, "view"), (1L, 20L, "click"))
+      .toDF("user_id", "sec", "event_type")
+    val df = graft.operators.EventAnalytics.funnel(
+      events, "user_id", "sec", "event_type",
+      Seq("view", "click"), salts = 8)
+    val plan = planOf(df)
+    assert(plan.contains("__salt"),
+      "salted funnel must partition the step join on (user, salt):\n" +
+        plan.take(2000))
   }
 }
