@@ -25,40 +25,89 @@ import scala.util.hashing.MurmurHash3
   * no shuffle, executes inside the same `Pipeline.vectorize` call that
   * runs the stub.
   *
-  * Honest boundaries: tokenization is hashed into the vocab (no BPE
-  * vocab file), one attention head and one block (granite-107m has 12),
-  * no layer norm. What this proves is the production seam AND the
-  * transformer arithmetic: weights artifact on disk -> parsed ->
-  * resident per-executor (ModelRegistry) -> Q/K/V attention from those
-  * tensors per row.
+  * THREE architectures, discovered from the file's tensor names:
   *
-  * Expected tensors: `embeddings.weight` [vocab, dModel],
-  * `attention.query.weight` / `attention.key.weight` /
-  * `attention.value.weight` [dModel, dModel] (all three or none —
-  * absent = legacy masked-mean-pool file, kept loadable),
-  * `pooler.dense.weight` [outDim, dModel], `pooler.dense.bias` [outDim].
+  *  1. `encoder.layer.{i}.*` present => a FULL stacked transformer
+  *     encoder in the HF BERT/granite layout: word + position
+  *     embeddings with embedding LayerNorm, N layers of multi-head
+  *     self-attention (Q/K/V + output projection, biases) -> residual
+  *     -> LayerNorm -> GELU FFN -> residual -> LayerNorm, then the CLS
+  *     hidden state L2-normalized with NO pooler head — exactly the
+  *     reference's `model_output[0][:, 0]` contract
+  *     (embedding_model_helpers.py:56-62). Head count from the
+  *     `config.num_attention_heads` scalar (else dModel/64). An
+  *     exported real checkpoint in this naming runs AS IS.
+  *  2. flat `attention.{query,key,value}.weight` => the single-block
+  *     CLS-query form (kept for files written by earlier releases).
+  *  3. neither => legacy masked-mean-pool + tanh pooler head.
+  *
+  * Honest boundary: tokenization hashes words into the vocab (no BPE
+  * vocab file in this environment), so token IDS differ from the real
+  * tokenizer's — the stack proves the full inference arithmetic and the
+  * artifact seam, not corpus-level output equality with granite.
   */
 final class TensorFileEmbedder(
     embeddings: SafeTensors.Tensor,
     attention: Option[TensorFileEmbedder.Attention],
-    poolerWeight: SafeTensors.Tensor,
-    poolerBias: SafeTensors.Tensor) extends Serializable {
+    stack: Option[TensorFileEmbedder.Stack],
+    pooler: Option[(SafeTensors.Tensor, SafeTensors.Tensor)])
+    extends Serializable {
 
-  import TensorFileEmbedder.MaxSeq
+  import TensorFileEmbedder.{MaxSeq, Stack, EncoderLayer}
 
   private val Array(vocab, dModel) = embeddings.shape
-  if (attention.isDefined) require(vocab >= 2,
+  require(!(attention.isDefined && stack.isDefined),
+    "a file carries EITHER the single-block attention tensors or an " +
+      "encoder.layer.* stack, never both")
+  if (attention.isDefined || stack.isDefined) require(vocab >= 2,
     "embeddings.weight needs >= 2 rows (row 0 is the reserved CLS row)")
-  private val Array(outDim, dIn) = poolerWeight.shape
-  require(dIn == dModel,
-    s"pooler expects input dim $dIn but embeddings emit $dModel")
-  require(poolerBias.shape.sameElements(Array(outDim)),
-    s"bias shape ${poolerBias.shape.mkString("x")} != [$outDim]")
+  require(stack.isDefined || pooler.isDefined,
+    "non-stack layouts need pooler.dense.{weight,bias} (the stack " +
+      "layout is CLS-pooled with no head, the granite contract)")
+  private val outDim =
+    pooler.map(_._1.shape(0)).getOrElse(dModel)
+  pooler.foreach { case (pw, pb) =>
+    val Array(od, dIn) = pw.shape
+    require(dIn == dModel,
+      s"pooler expects input dim $dIn but embeddings emit $dModel")
+    require(pb.shape.sameElements(Array(od)),
+      s"bias shape ${pb.shape.mkString("x")} != [$od]")
+  }
   attention.foreach { a =>
     Seq("query" -> a.wq, "key" -> a.wk, "value" -> a.wv).foreach {
       case (n, t) => require(t.shape.sameElements(Array(dModel, dModel)),
         s"attention.$n.weight shape ${t.shape.mkString("x")} != " +
           s"[$dModel, $dModel]")
+    }
+  }
+  stack.foreach { st =>
+    require(st.layers.nonEmpty, "encoder stack with zero layers")
+    require(st.heads >= 1 && dModel % st.heads == 0,
+      s"dModel $dModel must divide into ${st.heads} heads")
+    st.posEmbeddings.foreach(pe => require(pe.shape(1) == dModel,
+      s"position embedding dim ${pe.shape(1)} != $dModel"))
+    st.layers.zipWithIndex.foreach { case (l, i) =>
+      def sq(n: String, t: SafeTensors.Tensor): Unit =
+        require(t.shape.sameElements(Array(dModel, dModel)),
+          s"layer $i $n shape ${t.shape.mkString("x")} != [$dModel,$dModel]")
+      def vec(n: String, t: SafeTensors.Tensor, len: Int): Unit =
+        require(t.shape.sameElements(Array(len)),
+          s"layer $i $n shape ${t.shape.mkString("x")} != [$len]")
+      sq("query", l.wq); sq("key", l.wk); sq("value", l.wv)
+      sq("attention.output", l.attnOut)
+      vec("query.bias", l.bq, dModel); vec("key.bias", l.bk, dModel)
+      vec("value.bias", l.bv, dModel)
+      vec("attention.output.bias", l.attnOutB, dModel)
+      vec("ln1.weight", l.ln1w, dModel); vec("ln1.bias", l.ln1b, dModel)
+      val Array(dff, dIn) = l.ffnIn.shape
+      require(dIn == dModel,
+        s"layer $i intermediate in-dim $dIn != $dModel")
+      vec("intermediate.bias", l.ffnInB, dff)
+      require(l.ffnOut.shape.sameElements(Array(dModel, dff)),
+        s"layer $i output shape ${l.ffnOut.shape.mkString("x")} != " +
+          s"[$dModel,$dff]")
+      vec("output.bias", l.ffnOutB, dModel)
+      vec("ln2.weight", l.ln2w, dModel); vec("ln2.bias", l.ln2b, dModel)
     }
   }
 
@@ -77,7 +126,7 @@ final class TensorFileEmbedder(
   private def tokenRows(text: String): Array[Int] = {
     if (text == null) return Array.emptyIntArray
     val toks = NonWord.split(text.toLowerCase).iterator.filter(_.nonEmpty)
-    if (attention.isDefined)
+    if (attention.isDefined || stack.isDefined)
       toks.take(MaxSeq)
         .map(tok =>
           1 + math.floorMod(MurmurHash3.stringHash(tok, 7919), vocab - 1))
@@ -174,30 +223,183 @@ final class TensorFileEmbedder(
     pooled
   }
 
-  def embed(text: String): Array[Float] = {
-    val rows = tokenRows(text)
-    val pooled = attention match {
-      case Some(attn) => attentionPool(attn, rows)
-      case None => meanPool(rows)
+  // ---- full encoder stack (granite/BERT layout) ----
+
+  /** LayerNorm with BERT's eps, in place over `x`. */
+  private def layerNorm(x: Array[Double], w: SafeTensors.Tensor,
+      b: SafeTensors.Tensor): Unit = {
+    var mean = 0.0
+    var j = 0
+    while (j < dModel) { mean += x(j); j += 1 }
+    mean /= dModel
+    var varSum = 0.0
+    j = 0
+    while (j < dModel) {
+      val d = x(j) - mean; varSum += d * d; j += 1
     }
-    // dense head: y = tanh(W * pooled + b), then L2 normalize to float32
-    val y = new Array[Double](outDim)
+    val inv = 1.0 / math.sqrt(varSum / dModel + 1e-12)
+    j = 0
+    while (j < dModel) {
+      x(j) = (x(j) - mean) * inv * w.data(j) + b.data(j); j += 1
+    }
+  }
+
+  /** BERT's gelu_new (tanh approximation — the erf form differs by
+    * < 3e-4 absolute, far below the parity tests' discrimination). */
+  private def gelu(x: Double): Double =
+    0.5 * x * (1.0 + math.tanh(0.7978845608028654 *
+      (x + 0.044715 * x * x * x)))
+
+  /** y = M x + b for a row-major [rows x cols] tensor. */
+  private def affine(m: SafeTensors.Tensor, b: SafeTensors.Tensor,
+      x: Array[Double], rows: Int, cols: Int): Array[Double] = {
+    val out = new Array[Double](rows)
     var o = 0
-    while (o < outDim) {
-      var acc = poolerBias.data(o).toDouble
-      val base = o * dModel
+    while (o < rows) {
+      var acc = b.data(o).toDouble
+      val base = o * cols
       var j = 0
-      while (j < dModel) {
-        acc += poolerWeight.data(base + j) * pooled(j)
-        j += 1
-      }
-      y(o) = math.tanh(acc)
+      while (j < cols) { acc += m.data(base + j) * x(j); j += 1 }
+      out(o) = acc
       o += 1
     }
+    out
+  }
+
+  /** Full multi-head self-attention encoder forward over
+    * [CLS] ++ tokens; returns the FINAL hidden state of the CLS
+    * position (the reference's `model_output[0][:, 0]`,
+    * embedding_model_helpers.py:56-57). Every position attends to every
+    * position in every layer (the single-block legacy path only ever
+    * needed the CLS row; a stacked encoder needs all positions' outputs
+    * as the next layer's input). Cost O(L * (n^2 d + n d^2)), n capped
+    * at MaxSeq — row-local, no shuffle. */
+  private def encodeCls(st: Stack, rows: Array[Int]): Array[Double] = {
+    val n = rows.length + 1 // CLS + tokens
+    var h: Array[Array[Double]] = new Array[Array[Double]](n)
+    h(0) = embeddingRow(0)
+    var i = 1
+    while (i < n) { h(i) = embeddingRow(rows(i - 1)); i += 1 }
+    // BERT embedding stage: + position embedding, then LayerNorm (both
+    // optional in the file; absent = identity)
+    st.posEmbeddings.foreach { pe =>
+      val maxPos = pe.shape(0)
+      i = 0
+      while (i < n) {
+        if (i < maxPos) {
+          val base = i * dModel
+          var j = 0
+          while (j < dModel) { h(i)(j) += pe.data(base + j); j += 1 }
+        }
+        i += 1
+      }
+    }
+    st.embLn.foreach { case (w, b) =>
+      i = 0; while (i < n) { layerNorm(h(i), w, b); i += 1 }
+    }
+    val heads = st.heads
+    val dh = dModel / heads
+    val invSqrtDh = 1.0 / math.sqrt(dh.toDouble)
+    st.layers.foreach { l =>
+      val q = new Array[Array[Double]](n)
+      val k = new Array[Array[Double]](n)
+      val v = new Array[Array[Double]](n)
+      i = 0
+      while (i < n) {
+        q(i) = affine(l.wq, l.bq, h(i), dModel, dModel)
+        k(i) = affine(l.wk, l.bk, h(i), dModel, dModel)
+        v(i) = affine(l.wv, l.bv, h(i), dModel, dModel)
+        i += 1
+      }
+      val next = new Array[Array[Double]](n)
+      i = 0
+      while (i < n) {
+        val ctx = new Array[Double](dModel)
+        var hd = 0
+        while (hd < heads) {
+          val off = hd * dh
+          // scores for this (position, head) over all positions
+          val scores = new Array[Double](n)
+          var maxS = Double.NegativeInfinity
+          var j = 0
+          while (j < n) {
+            var dot = 0.0
+            var t = 0
+            while (t < dh) { dot += q(i)(off + t) * k(j)(off + t); t += 1 }
+            scores(j) = dot * invSqrtDh
+            if (scores(j) > maxS) maxS = scores(j)
+            j += 1
+          }
+          var z = 0.0
+          j = 0
+          while (j < n) {
+            scores(j) = math.exp(scores(j) - maxS); z += scores(j); j += 1
+          }
+          j = 0
+          while (j < n) {
+            val a = scores(j) / z
+            var t = 0
+            while (t < dh) { ctx(off + t) += a * v(j)(off + t); t += 1 }
+            j += 1
+          }
+          hd += 1
+        }
+        // attention output projection + residual + LN1
+        val o = affine(l.attnOut, l.attnOutB, ctx, dModel, dModel)
+        var j = 0
+        while (j < dModel) { o(j) += h(i)(j); j += 1 }
+        layerNorm(o, l.ln1w, l.ln1b)
+        // FFN + residual + LN2
+        val dff = l.ffnIn.shape(0)
+        val g = affine(l.ffnIn, l.ffnInB, o, dff, dModel)
+        var t = 0
+        while (t < dff) { g(t) = gelu(g(t)); t += 1 }
+        val f = affine(l.ffnOut, l.ffnOutB, g, dModel, dff)
+        j = 0
+        while (j < dModel) { f(j) += o(j); j += 1 }
+        layerNorm(f, l.ln2w, l.ln2b)
+        next(i) = f
+        i += 1
+      }
+      h = next
+    }
+    h(0)
+  }
+
+  private def l2NormF32(y: Array[Double]): Array[Float] = {
     val norm = math.sqrt(y.map(v => v * v).sum)
     if (norm == 0.0) {
-      val v = new Array[Float](outDim); v(0) = 1.0f; v
+      val v = new Array[Float](y.length); v(0) = 1.0f; v
     } else y.map(v => (v / norm).toFloat)
+  }
+
+  def embed(text: String): Array[Float] = stack match {
+    case Some(st) =>
+      // granite contract: CLS hidden state, L2-normalized, float32 —
+      // NO pooler head (embedding_model_helpers.py:56-62)
+      l2NormF32(encodeCls(st, tokenRows(text)))
+    case None =>
+      val rows = tokenRows(text)
+      val pooled = attention match {
+        case Some(attn) => attentionPool(attn, rows)
+        case None => meanPool(rows)
+      }
+      val (pw, pb) = pooler.get
+      // dense head: y = tanh(W * pooled + b), L2 normalize to float32
+      val y = new Array[Double](outDim)
+      var o = 0
+      while (o < outDim) {
+        var acc = pb.data(o).toDouble
+        val base = o * dModel
+        var j = 0
+        while (j < dModel) {
+          acc += pw.data(base + j) * pooled(j)
+          j += 1
+        }
+        y(o) = math.tanh(acc)
+        o += 1
+      }
+      l2NormF32(y)
   }
 }
 
@@ -206,6 +408,28 @@ object TensorFileEmbedder {
   /** Attention projection tensors, each [dModel x dModel]. */
   final case class Attention(wq: SafeTensors.Tensor,
       wk: SafeTensors.Tensor, wv: SafeTensors.Tensor) extends Serializable
+
+  /** One full BERT-style encoder layer (HF `encoder.layer.{i}.*`
+    * naming): multi-head self-attention (Q/K/V + output projection,
+    * all with biases), post-attention LayerNorm, GELU FFN
+    * (intermediate/output), post-FFN LayerNorm. */
+  final case class EncoderLayer(
+      wq: SafeTensors.Tensor, bq: SafeTensors.Tensor,
+      wk: SafeTensors.Tensor, bk: SafeTensors.Tensor,
+      wv: SafeTensors.Tensor, bv: SafeTensors.Tensor,
+      attnOut: SafeTensors.Tensor, attnOutB: SafeTensors.Tensor,
+      ln1w: SafeTensors.Tensor, ln1b: SafeTensors.Tensor,
+      ffnIn: SafeTensors.Tensor, ffnInB: SafeTensors.Tensor,
+      ffnOut: SafeTensors.Tensor, ffnOutB: SafeTensors.Tensor,
+      ln2w: SafeTensors.Tensor, ln2b: SafeTensors.Tensor)
+    extends Serializable
+
+  /** A stacked encoder: N layers + head count + the optional BERT
+    * embedding stage (position embeddings, embedding LayerNorm). */
+  final case class Stack(layers: Seq[EncoderLayer], heads: Int,
+      posEmbeddings: Option[SafeTensors.Tensor],
+      embLn: Option[(SafeTensors.Tensor, SafeTensors.Tensor)])
+    extends Serializable
 
   /** Sequence cap for the attention block: bounds per-row cost at
     * O(MaxSeq x dModel^2) regardless of document length (the chunker
@@ -233,8 +457,59 @@ object TensorFileEmbedder {
         s"safetensors file $path has a PARTIAL attention tensor set — " +
           "need all of attention.{query,key,value}.weight or none")
     }
-    new TensorFileEmbedder(get("embeddings.weight"), attn,
-      get("pooler.dense.weight"), get("pooler.dense.bias"))
+    // encoder.layer.{i}.* stack discovery (HF BERT/granite naming):
+    // layer indices must be contiguous from 0, each layer's 16-tensor
+    // set all-or-nothing (get throws the missing name otherwise)
+    val LayerKey = "encoder\\.layer\\.(\\d+)\\..*".r
+    val layerIdx = t.keys.collect { case LayerKey(i) => i.toInt }.toSet
+    val stack =
+      if (layerIdx.isEmpty) None
+      else {
+        val nLayers = layerIdx.max + 1
+        require(layerIdx == (0 until nLayers).toSet,
+          s"encoder layers must be contiguous from 0, found " +
+            s"${layerIdx.toSeq.sorted.mkString(",")}")
+        val layers = (0 until nLayers).map { i =>
+          def g(suffix: String) = get(s"encoder.layer.$i.$suffix")
+          EncoderLayer(
+            g("attention.self.query.weight"), g("attention.self.query.bias"),
+            g("attention.self.key.weight"), g("attention.self.key.bias"),
+            g("attention.self.value.weight"), g("attention.self.value.bias"),
+            g("attention.output.dense.weight"),
+            g("attention.output.dense.bias"),
+            g("attention.output.LayerNorm.weight"),
+            g("attention.output.LayerNorm.bias"),
+            g("intermediate.dense.weight"), g("intermediate.dense.bias"),
+            g("output.dense.weight"), g("output.dense.bias"),
+            g("output.LayerNorm.weight"), g("output.LayerNorm.bias"))
+        }
+        val dModel = layers.head.wq.shape(1)
+        // head count: config scalar when exported, else the BERT-family
+        // universal 64-wide heads
+        val heads = t.get("config.num_attention_heads")
+          .map(_.data(0).toInt)
+          .getOrElse(math.max(1, dModel / 64))
+        val embLn = (t.get("embeddings.LayerNorm.weight"),
+            t.get("embeddings.LayerNorm.bias")) match {
+          case (Some(w), Some(b)) => Some((w, b))
+          case (None, None) => None
+          case _ => throw new IllegalArgumentException(
+            s"safetensors file $path has a partial embeddings.LayerNorm")
+        }
+        Some(Stack(layers, heads,
+          t.get("embeddings.position_embeddings.weight"), embLn))
+      }
+    // word embeddings: HF name first, the repo's flat legacy name second
+    val emb = t.getOrElse("embeddings.word_embeddings.weight",
+      get("embeddings.weight"))
+    val pooler = (t.get("pooler.dense.weight"),
+        t.get("pooler.dense.bias")) match {
+      case (Some(w), Some(b)) => Some((w, b))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        s"safetensors file $path has a partial pooler.dense tensor set")
+    }
+    new TensorFileEmbedder(emb, attn, stack, pooler)
   }
 
   /** Deterministic tiny-model generator (test fixture / smoke artifact):
@@ -260,5 +535,57 @@ object TensorFileEmbedder {
       "embeddings.weight" -> tensor(vocab, dModel)) ++ attn ++ Seq(
       "pooler.dense.weight" -> tensor(outDim, dModel),
       "pooler.dense.bias" -> tensor(outDim)))
+  }
+
+  /** Deterministic tiny ENCODER-STACK model (the granite/BERT layout
+    * `load` discovers via `encoder.layer.{i}.*`): `layers` full
+    * transformer layers, `heads`-way attention, position embeddings +
+    * embedding LayerNorm, NO pooler (the stack path is CLS-pooled by
+    * contract). Output dim = dModel. */
+  def writeTinyStackModel(path: String, vocab: Int, dModel: Int,
+      layers: Int, heads: Int = 2, dff: Int = 0, maxPos: Int = MaxSeq + 1,
+      seed: Long = 0x5eed): Unit = {
+    require(layers >= 1 && heads >= 1 && dModel % heads == 0)
+    val ff = if (dff > 0) dff else dModel * 4
+    var state = seed
+    def next(): Float = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 40).toFloat / (1 << 24).toFloat) - 0.5f
+    }
+    def tensor(shape: Int*) = SafeTensors.Tensor(shape.toArray,
+      Array.fill(shape.product)(next()))
+    // LayerNorm gains near 1, biases near 0 (a [-0.5,0.5) gain would
+    // zero out half the channels and make perturbation tests flaky)
+    def lnW(len: Int) = SafeTensors.Tensor(Array(len),
+      Array.fill(len)(1.0f + next() * 0.1f))
+    def lnB(len: Int) = SafeTensors.Tensor(Array(len),
+      Array.fill(len)(next() * 0.1f))
+    val layerTensors = (0 until layers).flatMap { i =>
+      def n(s: String) = s"encoder.layer.$i.$s"
+      Seq(
+        n("attention.self.query.weight") -> tensor(dModel, dModel),
+        n("attention.self.query.bias") -> tensor(dModel),
+        n("attention.self.key.weight") -> tensor(dModel, dModel),
+        n("attention.self.key.bias") -> tensor(dModel),
+        n("attention.self.value.weight") -> tensor(dModel, dModel),
+        n("attention.self.value.bias") -> tensor(dModel),
+        n("attention.output.dense.weight") -> tensor(dModel, dModel),
+        n("attention.output.dense.bias") -> tensor(dModel),
+        n("attention.output.LayerNorm.weight") -> lnW(dModel),
+        n("attention.output.LayerNorm.bias") -> lnB(dModel),
+        n("intermediate.dense.weight") -> tensor(ff, dModel),
+        n("intermediate.dense.bias") -> tensor(ff),
+        n("output.dense.weight") -> tensor(dModel, ff),
+        n("output.dense.bias") -> tensor(dModel),
+        n("output.LayerNorm.weight") -> lnW(dModel),
+        n("output.LayerNorm.bias") -> lnB(dModel))
+    }
+    SafeTensors.write(path, Seq(
+      "embeddings.word_embeddings.weight" -> tensor(vocab, dModel),
+      "embeddings.position_embeddings.weight" -> tensor(maxPos, dModel),
+      "embeddings.LayerNorm.weight" -> lnW(dModel),
+      "embeddings.LayerNorm.bias" -> lnB(dModel),
+      "config.num_attention_heads" -> SafeTensors.Tensor(Array(1),
+        Array(heads.toFloat))) ++ layerTensors)
   }
 }

@@ -120,6 +120,60 @@ class MlSpec extends SparkSuite {
     assert(cos(base, near) > cos(base, far))
   }
 
+  test("encoder STACK is real: depth, multi-head split, and word order " +
+      "all change the embedding; CLS contract has no pooler head") {
+    val dir = java.nio.file.Files.createTempDirectory("st").toString
+    val path = s"$dir/stack.safetensors"
+    graft.ml.TensorFileEmbedder.writeTinyStackModel(path, vocab = 97,
+      dModel = 16, layers = 2, heads = 2, dff = 32)
+    val m = graft.ml.TensorFileEmbedder.load(path)
+    val v = m.embed("spark catalyst engine")
+    // CLS contract: output dim == dModel (no pooler head), unit norm
+    assert(v.length === 16)
+    assert(math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0)
+      < 1e-5)
+    assert(v.toSeq === m.embed("spark catalyst engine").toSeq)
+    // DEPTH is real: perturb one weight in the SECOND layer only
+    val tensors = graft.ml.SafeTensors.load(path)
+    tensors("encoder.layer.1.intermediate.dense.weight").data(5) += 0.5f
+    val path2 = s"$dir/stack_l2.safetensors"
+    graft.ml.SafeTensors.write(path2, tensors.toSeq)
+    val movedDeep = graft.ml.TensorFileEmbedder.load(path2)
+      .embed("spark catalyst engine")
+    assert(v.toSeq !== movedDeep.toSeq,
+      "a layer-2 weight must reach the output — the stack is live " +
+        "end to end, not just its first block")
+    // MULTI-HEAD is real: same weights, different head split => a
+    // different attention pattern => a different embedding
+    val t3 = graft.ml.SafeTensors.load(path)
+    t3("config.num_attention_heads").data(0) = 4.0f
+    val path3 = s"$dir/stack_h4.safetensors"
+    graft.ml.SafeTensors.write(path3, t3.toSeq)
+    val h4 = graft.ml.TensorFileEmbedder.load(path3)
+      .embed("spark catalyst engine")
+    assert(v.toSeq !== h4.toSeq,
+      "the head split must change the function, not just relabel it")
+    // WORD ORDER matters now (position embeddings + full attention):
+    // the bag-of-words paths can't tell these apart, the stack must
+    assert(m.embed("catalyst spark engine").toSeq !== v.toSeq,
+      "position embeddings must make the encoder order-sensitive")
+    // a missing layer tensor is a malformed file, not a fallback
+    val partial = graft.ml.SafeTensors.load(path).toSeq
+      .filterNot(_._1 == "encoder.layer.1.output.LayerNorm.bias")
+    val path4 = s"$dir/stack_partial.safetensors"
+    graft.ml.SafeTensors.write(path4, partial)
+    intercept[IllegalArgumentException] {
+      graft.ml.TensorFileEmbedder.load(path4)
+    }
+    // and the semantic contrast survives the full transformer
+    def cos(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+    val b = m.embed("spark catalyst engine query plan")
+    val near = m.embed("spark catalyst engine query optimizer")
+    val far = m.embed("banana apple orange grape melon")
+    assert(cos(b, near) > cos(b, far))
+  }
+
   test("attention block is real: perturbing ONE attention weight moves " +
       "the embedding; removing the block changes the architecture") {
     val dir = java.nio.file.Files.createTempDirectory("st").toString
