@@ -1158,19 +1158,14 @@ object SparkEntry {
           ev, "event_type", col("event_id"), "approx_ids"), "event_type")
     }),
 
-    // ---- SDG classification matmul (SURVEY M3/M4; rows-only) ----
+    // ---- SDG classification matmul (SURVEY M3/M4). PORTABLE form
+    // since round 9 (SdgClassifier.classifyPortableQ): integer-quantized
+    // embeddings x md5-derived weights, decisions in logit space — the
+    // oracle replays binary gate, logit, and 17-way argmax exactly. The
+    // float sigmoid operators (classifyBinary/NWay) remain the
+    // production sklearn-parity surface, spec-covered in MlSpec. ----
     "q40_sdg_classify" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id").cast("string").as("id"),
-          col("embedding"))
-      val bi = graft.ml.SdgClassifier.classifyBinary(emb,
-        graft.ml.SdgClassifier.stubModelTable(s, "bi-1", 64, nSdgs = 1)
-          .drop("sdg_number"))
-      val n = graft.ml.SdgClassifier.classifyNWay(emb,
-        graft.ml.SdgClassifier.stubModelTable(s, "n-1", 64))
-      bi.select(col("id"), col("is_sdg"),
-          round(col("bi_score") + 1e-9, 4).as("bi_score"))
-        .join(n.select(col("id"), col("sdg_number")), "id")
+      graft.ml.SdgClassifier.classifyPortableQ(t(s, dir, "embeddings"))
     }),
 
     // ---- DOI / HAL-version URL cleaning (SURVEY F18/F19) ----
@@ -2689,6 +2684,39 @@ object SparkEntry {
            substring(md5(concat_ws('', doc_id, lang)), 21, 12))
            AS doc_uuid
          FROM documents""",
+
+    // Portable SDG classify (see SdgClassifier.classifyPortableQ): the
+    // oracle rebuilds the md5-derived [-4,4] weight matrix, quantizes
+    // the embeddings with the same floor(x*1e6), and replays gate +
+    // logit + argmax in exact integer algebra.
+    "q40_sdg_classify" ->
+      """WITH q AS (
+           SELECT vec_id::VARCHAR AS id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS xq
+           FROM embeddings),
+         w AS (
+           SELECT sdg, list_transform(range(0, 64),
+             d -> ('0x' || substr(md5('sdgw_' || sdg || '_' || d), 1, 15))::BIGINT
+               % 9 - 4) AS wq
+           FROM range(0, 18) t(sdg)),
+         scores AS (
+           SELECT q.id, w.sdg,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> q.xq[i] * w.wq[i])) AS BIGINT) AS dot
+           FROM q CROSS JOIN w),
+         bi AS (
+           SELECT id, dot AS bi_logit_q, dot >= 2000000 AS is_sdg
+           FROM scores WHERE sdg = 0),
+         nbest AS (
+           SELECT id, sdg, dot, row_number() OVER (
+             PARTITION BY id ORDER BY dot DESC, sdg ASC) AS rn
+           FROM scores WHERE sdg >= 1)
+         SELECT bi.id, bi.is_sdg, bi.bi_logit_q,
+           CAST(CASE WHEN n.dot >= 3000000 THEN n.sdg ELSE -1 END AS INT)
+             AS sdg_number
+         FROM bi JOIN nbest n ON n.id = bi.id AND n.rn = 1""",
 
     // Portable embedding near-dup: replays the md5 feature-hash integer
     // embedding, the md5-derived ±1 hyperplane matrix, the 8-bit LSH

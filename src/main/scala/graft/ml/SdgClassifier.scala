@@ -118,6 +118,57 @@ object SdgClassifier {
           .as("document_sdgs"))
   }
 
+  /** CROSS-ENGINE-portable SDG scoring — the oracle-able form of M3/M4
+    * (q40's promotion out of the rows-only tier; the q44/q92 contract-
+    * pinning move applied to the linear-classifier family). Every
+    * decision is EXACT integer algebra:
+    *
+    *   embedding   xq[d] = floor(x[d] * 1e6) — float32 parquet values
+    *               widen to double exactly, the multiply is one
+    *               correctly-rounded IEEE op, and floor of identical
+    *               doubles is engine-identical
+    *   weights     w(sdg, d) = md5Top60("sdgw_" + sdg + "_" + d) mod 9
+    *               - 4, integers in [-4, 4]; sdg 0 is the binary gate,
+    *               1..17 the n-way heads — hash-derived, so the oracle
+    *               rebuilds the exact matrix from the same strings
+    *   logit       dot(xq, w) — exact BIGINT
+    *   decisions   in LOGIT space: sigmoid is monotone, so
+    *               score >= t  <=>  dot >= TQ with TQ a pinned integer
+    *               literal; the n-way pick is integer argmax with the
+    *               smallest-sdg tie-break. No float op anywhere near a
+    *               decision boundary.
+    *
+    * Same scale shape as the float path: the 18-head model is a literal
+    * (equivalently a broadcast 18-row dim) and scoring is codegen'd
+    * row-local arithmetic — no shuffle. The float sigmoid operators
+    * above remain the production sklearn-parity surface (spec-covered);
+    * this is the verification tier. Output: (id, is_sdg, bi_logit_q,
+    * sdg_number) with sdg_number = -1 when no head clears TQ. */
+  def classifyPortableQ(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64,
+      biThresholdQ: Long = 2000000L, nThresholdQ: Long = 3000000L)
+      : DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weights(sdg: Int): Seq[Long] = (0 until dim).map(d =>
+      graft.operators.Dedup.md5Top60(md, s"sdgw_${sdg}_$d") % 9 - 4)
+    val xq = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    def dotW(sdg: Int): Column =
+      aggregate(
+        zip_with(col("__xq"), typedLit(weights(sdg)), (x, w) => x * w),
+        lit(0L), (acc, p) => acc + p)
+    val heads = (1 to 17).map(sdg =>
+      struct(dotW(sdg).as("dot"), lit(-sdg).as("negsdg")))
+    emb.select(col(idCol).cast("string").as("id"), xq.as("__xq"))
+      .withColumn("__bi", dotW(0))
+      .withColumn("__best", array_max(array(heads: _*)))
+      .select(col("id"),
+        (col("__bi") >= biThresholdQ).as("is_sdg"),
+        col("__bi").as("bi_logit_q"),
+        when(col("__best.dot") >= nThresholdQ, -col("__best.negsdg"))
+          .otherwise(lit(-1)).cast("int").as("sdg_number"))
+  }
+
   /** Deterministic stub model table for tests/pipelines without trained
     * weights: weight vectors derived from the stub embedder so scores are
     * reproducible. */

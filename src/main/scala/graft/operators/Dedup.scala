@@ -520,7 +520,7 @@ object Dedup {
     * their oracle SQL, `('0x' || substr(md5(s),1,15))::BIGINT`) share:
     * top 60 bits of the MD5 digest = first 15 hex chars. ONE definition
     * so q92/q93 and q94 can never drift apart. */
-  private def md5Top60(md: java.security.MessageDigest,
+  private[graft] def md5Top60(md: java.security.MessageDigest,
       s: String): Long = {
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -284,6 +284,30 @@ class MlSpec extends SparkSuite {
       .toDF("model_id", "weights", "bias", "threshold")
   }
 
+  test("portable SDG classify: exact-integer logit decisions, " +
+      "deterministic, internally consistent") {
+    val s = initSpark()
+    import s.implicits._
+    val df = (1 to 40).map { i =>
+      (i.toLong, StubEmbedder.embed(s"topic $i solar water energy", 64))
+    }.toDF("vec_id", "embedding")
+    val rows = SdgClassifier.classifyPortableQ(df).collect()
+    assert(rows.length === 40)
+    rows.foreach { r =>
+      val (isSdg, logit, sdg) =
+        (r.getBoolean(1), r.getLong(2), r.getInt(3))
+      // the gate IS the logit comparison — no separate float path to
+      // drift from
+      assert(isSdg === (logit >= 2000000L))
+      assert(sdg === -1 || (sdg >= 1 && sdg <= 17))
+    }
+    // decisions must be non-degenerate on varied inputs
+    assert(rows.map(_.getInt(3)).distinct.length > 1)
+    val again = SdgClassifier.classifyPortableQ(df).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
+      "portable classify must be bit-deterministic")
+  }
+
   test("binary classifier thresholds per-slice scores (M3)") {
     val out = SdgClassifier.classifyBinary(sliceDf, biModel)
     val m = out.collect().map(r =>
