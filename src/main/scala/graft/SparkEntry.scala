@@ -1974,6 +1974,108 @@ object SparkEntry {
          FROM w JOIN c USING (w), t
          GROUP BY doc_id""",
 
+    // Trained quality classifier: the generated CTE chain (see
+    // QualityClassifier.oracleSql) unrolls the 4 full-batch GD
+    // iterations with the engine's exact numerics — md5 gram-bucket
+    // features, TRUNC-quantized 2^30 fixed-point margins/gradients,
+    // the pinned weight-update operation order — then replays the
+    // corpus-wide scoring pass. The TRAINER is oracle-checked, not
+    // just the scores.
+    "q87_quality_classifier" ->
+      s"WITH ${graft.operators.QualityClassifier.oracleSql()}",
+
+    // SemDeDup: the generated k-means CTE chain (iters=2) + nearest-
+    // centroid assignment + the one-shot pairwise epsilon-ball rule —
+    // a vector is dropped iff a LOWER-ID cluster-mate sits within
+    // cosine eps. Pure pairwise function, so the oracle replays it as
+    // one self-join; the iterative trainer replays via the same CTEs
+    // that oracle q76.
+    "q91_semdedup" ->
+      s"""WITH ${graft.operators.Similarity.kMeansOracleCtes(20, 2)},
+         assigned AS (
+           SELECT vec_id, cid AS centroid_id FROM (
+             SELECT b.vec_id, c.cid, row_number() OVER (
+               PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.embedding, c.cvec),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.cvec,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 DESC, c.cid ASC) AS rn
+             FROM base b CROSS JOIN cents2 c) t WHERE rn = 1),
+         dropped AS (
+           SELECT DISTINCT a.vec_id FROM assigned a
+           JOIN assigned o ON o.centroid_id = a.centroid_id
+             AND o.vec_id < a.vec_id
+           JOIN base av ON av.vec_id = a.vec_id
+           JOIN base ov ON ov.vec_id = o.vec_id
+           WHERE
+             list_sum(list_transform(list_zip(av.embedding, ov.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(av.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(ov.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             >= 0.97)
+         SELECT a.vec_id, a.centroid_id,
+           (d.vec_id IS NULL) AS keep
+         FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id""",
+
+    // Persisted IVF index probe: the SAME scoring/tie-break tail as q25
+    // but over k-means centroids — the generated CTE chain (see
+    // Similarity.kMeansOracleCtes) unrolls the 3 Lloyd iterations with
+    // the engine's exact numerics (raw-double cosine assignment, 24-bit
+    // symmetric-half-up quantized long sums, pinned descale order), so
+    // the iterative trainer itself is oracle-replayed, not just the
+    // probe.
+    "q76_ivf_index" ->
+      s"""WITH ${graft.operators.Similarity.kMeansOracleCtes(20, 3)},
+         assigned AS (
+           SELECT vec_id AS c_id, cid AS centroid_id FROM (
+             SELECT b.vec_id, c.cid, row_number() OVER (
+               PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.embedding, c.cvec),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.cvec,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 DESC, c.cid ASC) AS rn
+             FROM base b CROSS JOIN cents3 c) t WHERE rn = 1),
+         probes AS (
+           SELECT q_id, centroid_id FROM (
+             SELECT b.vec_id AS q_id, c.cid AS centroid_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(b.embedding, c.cvec),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(c.cvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   DESC, c.cid ASC) AS rn
+             FROM base b CROSS JOIN cents3 c
+             WHERE b.vec_id < 10) t WHERE rn <= 3),
+         scored AS (
+           SELECT p.q_id, a.c_id,
+             list_sum(list_transform(list_zip(q.embedding, cb.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(cb.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+           FROM probes p
+           JOIN assigned a ON a.centroid_id = p.centroid_id
+           JOIN base q ON q.vec_id = p.q_id
+           JOIN base cb ON cb.vec_id = a.c_id
+           WHERE a.c_id != p.q_id)
+         SELECT q_id, c_id, round(s + 1e-9, 4) AS score, rank FROM (
+           SELECT q_id, c_id, s, row_number() OVER (
+             PARTITION BY q_id ORDER BY s DESC, c_id ASC) AS rank
+           FROM scored) t
+         WHERE rank <= 5""",
+
     "q77_bigram_backoff" ->
       """WITH w AS (
            SELECT doc_id,
@@ -2576,6 +2678,54 @@ object SparkEntry {
            SELECT q_id, c_id, score, row_number() OVER (
              PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
            FROM s)
+         WHERE rank <= 5""",
+
+    // IVF top-k: stride-sampled centroids (vec_id % 20 = 0), nearest-
+    // centroid assignment and nProbe=3 probing by RAW cosine with the
+    // (score DESC, id ASC) tie-break, then the q24 scoring pattern over
+    // probed buckets only. All cosines are index-ordered double sums —
+    // the same numeric contract q24 already hash-matches on.
+    "q25_ivf_topk" ->
+      """WITH cents AS (
+           SELECT vec_id AS cid, embedding AS cvec
+           FROM embeddings WHERE vec_id % 20 = 0),
+         base AS (SELECT vec_id, embedding FROM embeddings),
+         ascore AS (
+           SELECT b.vec_id, c.cid,
+             list_sum(list_transform(list_zip(b.embedding, c.cvec),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.cvec,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+           FROM base b CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id AS c_id, cid AS centroid_id FROM (
+             SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+             FROM ascore) t WHERE rn = 1),
+         probes AS (
+           SELECT q_id, cid AS centroid_id FROM (
+             SELECT a.vec_id AS q_id, a.cid, row_number() OVER (
+               PARTITION BY a.vec_id ORDER BY a.s DESC, a.cid ASC) AS rn
+             FROM ascore a WHERE a.vec_id < 10) t WHERE rn <= 3),
+         scored AS (
+           SELECT p.q_id, a.c_id,
+             list_sum(list_transform(list_zip(q.embedding, cb.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(cb.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+           FROM probes p
+           JOIN assigned a ON a.centroid_id = p.centroid_id
+           JOIN base q ON q.vec_id = p.q_id
+           JOIN base cb ON cb.vec_id = a.c_id
+           WHERE a.c_id != p.q_id)
+         SELECT q_id, c_id, round(s + 1e-9, 4) AS score, rank FROM (
+           SELECT q_id, c_id, s, row_number() OVER (
+             PARTITION BY q_id ORDER BY s DESC, c_id ASC) AS rank
+           FROM scored) t
          WHERE rank <= 5""",
 
     "q26_embedding_stats" ->

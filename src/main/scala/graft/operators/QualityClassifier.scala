@@ -242,4 +242,117 @@ object QualityClassifier {
     (w.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       :+ (-1L, bias)).toDF("b", "w")
   }
+
+  /** Oracle-SQL generator: the DuckDB replay of `train` + `score` for
+    * the q87 workload (labeled = doc_id % 5 = 0, label = source='src0')
+    * — kept NEXT to the trainer so the two can't drift. Replayable
+    * because every numeric step is contract-pinned: the md5 gram-bucket
+    * feature space (the q84 CTE pattern), tf as one exact long/long
+    * double division, margins and gradients as sums of TRUNC-quantized
+    * 2^30 fixed-point longs (commutative — list/shuffle order can't
+    * reach the result), the weight update in the engine's exact
+    * `w - (lr/n) * (grad/Q)` operation order, and sigmoid+HALF_UP-4dp
+    * only at the very end. The GD loop unrolls to `iters` CTE stages.
+    * The lone cross-engine float risk is exp() (StrictMath vs libm,
+    * <= 1 ulp) feeding a TRUNC boundary — flip probability ~1e-9 per
+    * term, and a flipped quantum moves weights by lr/(n*2^30), orders
+    * below the 4-dp output rounding. */
+  def oracleSql(buckets: Int = 1024, iters: Int = 4,
+      lr: Double = 2.0): String = {
+    val Qs = "1073741824.0" // 2^30, the fixed-point scale
+    val sb = new StringBuilder
+    sb ++= s"""lab AS (
+         SELECT doc_id,
+           CAST(CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS DOUBLE)
+             AS y, text
+         FROM documents WHERE doc_id % 5 = 0),
+       tws AS (
+         SELECT doc_id, y,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             x -> x <> '') AS ws
+         FROM lab),
+       tg AS (
+         SELECT doc_id, y, unnest(list_concat(ws,
+           list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+             i -> ws[i] || ' ' || ws[i + 1]))) AS g
+         FROM tws),
+       tb AS (
+         SELECT doc_id, y,
+           CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT)
+             % $buckets AS BIGINT) AS slot
+         FROM tg),
+       tf AS (
+         SELECT doc_id, y, slot,
+           CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS tf
+         FROM (
+           SELECT doc_id, y, slot, count(*) AS cnt,
+             sum(count(*)) OVER (PARTITION BY doc_id) AS tot
+           FROM tb GROUP BY doc_id, y, slot)
+         UNION ALL
+         SELECT doc_id, y, $buckets AS slot, 1.0 AS tf FROM lab),
+       nn AS (SELECT count(*) AS n FROM lab),
+       wt0 AS (SELECT i AS slot, 0.0 AS wv FROM range(0, ${buckets + 1}) r(i))"""
+    for (t <- 0 until iters) {
+      sb ++= s""",
+       mg$t AS (
+         SELECT f.doc_id, f.y,
+           sum(CAST(trunc(f.tf * w.wv * $Qs) AS BIGINT)) AS mq
+         FROM tf f JOIN wt$t w ON w.slot = f.slot
+         GROUP BY f.doc_id, f.y),
+       er$t AS (
+         SELECT doc_id,
+           1.0 / (1.0 + exp(-(CAST(mq AS DOUBLE) / $Qs))) - y AS err
+         FROM mg$t),
+       gr$t AS (
+         SELECT f.slot,
+           sum(CAST(trunc(e.err * f.tf * $Qs) AS BIGINT)) AS gq
+         FROM tf f JOIN er$t e USING (doc_id)
+         GROUP BY f.slot),
+       wt${t + 1} AS (
+         SELECT w.slot,
+           w.wv - ($lr / n.n) * (CAST(COALESCE(g.gq, 0) AS DOUBLE) / $Qs)
+             AS wv
+         FROM wt$t w
+         LEFT JOIN gr$t g ON g.slot = w.slot
+         CROSS JOIN nn n)"""
+    }
+    sb ++= s""",
+       aws AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             x -> x <> '') AS ws
+         FROM documents),
+       ag AS (
+         SELECT doc_id, unnest(list_concat(ws,
+           list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+             i -> ws[i] || ' ' || ws[i + 1]))) AS g
+         FROM aws),
+       ab AS (
+         SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT)
+             % $buckets AS BIGINT) AS slot
+         FROM ag),
+       atf AS (
+         SELECT doc_id, slot,
+           CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS tf
+         FROM (
+           SELECT doc_id, slot, count(*) AS cnt,
+             sum(count(*)) OVER (PARTITION BY doc_id) AS tot
+           FROM ab GROUP BY doc_id, slot)),
+       contrib AS (
+         SELECT f.doc_id,
+           sum(CAST(trunc(f.tf * w.wv * $Qs) AS BIGINT)) AS s
+         FROM atf f JOIN wt$iters w ON w.slot = f.slot
+         GROUP BY f.doc_id),
+       biasq AS (
+         SELECT CAST(trunc(1.0 * wv * $Qs) AS BIGINT) AS bq
+         FROM wt$iters WHERE slot = $buckets)
+       SELECT d.doc_id,
+         round(1.0 / (1.0 + exp(-(CAST(b.bq + COALESCE(c.s, 0) AS DOUBLE)
+           / $Qs))) + 1e-9, 4) AS quality_score
+       FROM documents d
+       LEFT JOIN contrib c ON c.doc_id = d.doc_id
+       CROSS JOIN biasq b"""
+    sb.toString
+  }
 }

@@ -182,6 +182,63 @@ object Similarity {
     ivfTopKWith(corpus, queries, k, nProbe, cents, idCol, vecCol)
   }
 
+  /** Oracle-SQL generator: the DuckDB replay of [[kMeansCentroids]] —
+    * kept NEXT to the Spark algebra it mirrors so they can't drift.
+    * Replayable because every numeric step is contract-pinned:
+    * stride-sampled init, RAW-double cosine assignment with the
+    * (score DESC, cid ASC) tie-break (index-ordered sums — the q24
+    * numeric precedent), per-coordinate 24-bit symmetric-half-up
+    * quantized LONG sums (exact integers, associative), and the mean
+    * descale `(sum / 2^24) / count` cast to float in the same
+    * operation order. Empty clusters / unsupported coordinates keep
+    * the previous value via the per-coordinate COALESCE. Produces CTEs
+    * `base`, `coords`, `cents0..cents{iters}`; callers append their
+    * consuming SQL against `cents{iters}`. */
+  def kMeansOracleCtes(stride: Int, iters: Int, dim: Int = 64): String = {
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform($a,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform($b,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    val sb = new StringBuilder
+    sb ++= s"""base AS (SELECT vec_id, embedding FROM embeddings),
+       coords AS (
+         SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         FROM base CROSS JOIN range(1, ${dim + 1}) r(i)),
+       cents0 AS (
+         SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         WHERE vec_id % $stride = 0)"""
+    for (t <- 0 until iters) {
+      sb ++= s""",
+       asg$t AS (
+         SELECT vec_id, cid FROM (
+           SELECT b.vec_id, c.cid, row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY ${cos("b.embedding", "c.cvec")} DESC, c.cid ASC)
+             AS rn
+           FROM base b CROSS JOIN cents$t c) t WHERE rn = 1),
+       upd$t AS (
+         SELECT a.cid, co.i,
+           sum(CASE WHEN co.x * 16777216.0 >= 0
+               THEN CAST(floor(co.x * 16777216.0 + 0.5) AS BIGINT)
+               ELSE -CAST(floor(-(co.x * 16777216.0) + 0.5) AS BIGINT)
+               END) AS sq,
+           count(*) AS cnt
+         FROM asg$t a JOIN coords co ON co.vec_id = a.vec_id
+         GROUP BY a.cid, co.i),
+       cents${t + 1} AS (
+         SELECT c.cid, list(CAST(COALESCE(u.sq / 16777216.0 / u.cnt,
+             CAST(c.cvec[r.i] AS DOUBLE)) AS FLOAT) ORDER BY r.i)
+           AS cvec
+         FROM cents$t c CROSS JOIN range(1, ${dim + 1}) r(i)
+         LEFT JOIN upd$t u ON u.cid = c.cid AND u.i = r.i
+         GROUP BY c.cid)"""
+    }
+    sb.toString
+  }
+
   // Centroid assignment / probing as codegen'd null-safe expressions:
   // null embeddings assign to no bucket (null centroid_id; explode of a
   // null probe array emits no rows) via UnaryExpression's null-safe
