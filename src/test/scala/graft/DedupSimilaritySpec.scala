@@ -913,6 +913,44 @@ class DedupSimilaritySpec extends SparkSuite {
       "featureless doc must be excluded, not paired at cos 0/0")
   }
 
+  test("throughput tier vs portable tier cross-check (q22/q23 vs " +
+    "q92/q93/q94): exact duplicates pair in BOTH hash families") {
+    val s = initSpark()
+    import s.implicits._
+    // identical texts collide under ANY correct hash family — the one
+    // property the two tiers must agree on regardless of hash choice
+    // (near-dup candidate sets legitimately differ between families)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "an entirely different document about spark physical plans"),
+      (4L, "an entirely different document about spark physical plans"),
+      (5L, "one more unrelated text with its own vocabulary set here")
+    ).toDF("doc_id", "text")
+    def pairs(res: org.apache.spark.sql.DataFrame) =
+      res.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fastMh = pairs(Dedup.minhashLshPairs(df, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4))
+    val portMh = pairs(Dedup.minhashLshPairsPortable(df, "doc_id",
+      "text", n = 3, bands = 4))
+    val fastSh = pairs(Dedup.simhashPairs(df, "doc_id", "text",
+      maxHamming = 7))
+    val dups = Set((1L, 2L), (3L, 4L))
+    for ((name, got) <- Seq("fast minhash" -> fastMh,
+        "portable minhash" -> portMh, "fast simhash" -> fastSh)) {
+      assert(dups.subsetOf(got), s"$name missed an exact-dup pair: $got")
+      assert(!got.exists { case (a, b) => a == 5L || b == 5L },
+        s"$name paired the unrelated doc: $got")
+    }
+    // portable simhash: identical texts produce identical 60-bit rows
+    val sh = Dedup.simhashPortable(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(sh(1L).map(t => (t._2, t._3)).toSet ===
+      sh(2L).map(t => (t._2, t._3)).toSet)
+  }
+
   test("portable HLL: estimate tracks exact distinct within rel. error " +
     "and is insensitive to duplication") {
     val s = initSpark()
