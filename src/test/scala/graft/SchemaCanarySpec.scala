@@ -21,7 +21,8 @@ class SchemaCanarySpec extends SparkSuite {
   initSpark()
 
   private val sfDirs =
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
       .filter(d => new java.io.File(d).exists())
 
   /** Type contract: exact type, or a named family for encodings the engine
