@@ -1093,10 +1093,14 @@ object SparkEntry {
     }),
 
     // ---- Keyword extraction w/ MMR (SURVEY M6; rows-only) ----
+    // PORTABLE form since round 9 (Keywords.extractPortable): md5
+    // integer feature-hash embeddings make every MMR cosine exact, so
+    // the greedy loop replays in SQL; the murmur stub tier remains the
+    // spec-covered production shape (extract/extractUdf).
     "q39_keywords" -> ((s, dir) => {
       fan(s, t(s, dir, "documents"))
         .select(col("doc_id"),
-          explode(graft.ml.Keywords.extract(col("text"), 64, topN = 5))
+          explode(graft.ml.Keywords.extractPortable(col("text"), topN = 5))
             .as("kw"))
         .select(col("doc_id"), col("kw.keyword"),
           round(col("kw.score") + 1e-9, 4).as("score"))
@@ -1973,6 +1977,22 @@ object SparkEntry {
            count(*) AS n_tokens
          FROM w JOIN c USING (w), t
          GROUP BY doc_id""",
+
+    // KeyBERT/MMR keywords: the generated CTE chain (see
+    // Keywords.oracleSql) replays candidate generation, the exact-
+    // integer embedding cosines, and the unrolled 5-round greedy MMR
+    // with the engine's tie-break.
+    "q39_keywords" ->
+      s"WITH ${graft.ml.Keywords.oracleSql(topN = 5, diversity = 0.7)}",
+
+    // BPE tokenizer: the generated CTE chain (see Bpe.oracleSql)
+    // unrolls the 200 sequential merge-training stages AND the greedy
+    // rank-order encode — the sequential trainer is oracle-replayed
+    // end to end (exact pair counts, the lexicographic argmax
+    // tie-break, left-to-right non-overlapping merge application).
+    "q95_bpe_tokens" ->
+      s"WITH ${graft.operators.Bpe.oracleSql(numMerges = 200, encK = 12,
+        minWordCount = 2L)}",
 
     // Trained quality classifier: the generated CTE chain (see
     // QualityClassifier.oracleSql) unrolls the 4 full-batch GD

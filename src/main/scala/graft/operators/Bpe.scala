@@ -164,4 +164,105 @@ object Bpe {
     df.select(col(idCol), enc(col(textCol)).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
   }
+
+  /** Oracle-SQL generator: the DuckDB replay of `train` + `encode` for
+    * the q95 workload — kept NEXT to the trainer so they can't drift.
+    * The sequential merge loop (the reason q95 sat rows-only since its
+    * round) unrolls to `numMerges` MATERIALIZED CTE stages; each stage
+    * counts adjacent symbol pairs over the bounded vocab (exact longs),
+    * picks the argmax with the engine's exact (count DESC, a ASC,
+    * b ASC) tie-break, and applies the merge as a string replace over a
+    * control-char-wrapped symbol string — `replace` scans left-to-right
+    * non-overlapping over the ORIGINAL string, which is precisely
+    * `mergePair`'s semantics; the U+001F/U+001E wrappers make symbol
+    * boundaries unambiguous (no initial symbol contains them — words
+    * are \s+ split — and merge products are concatenations of initial
+    * symbols, so no merge can synthesize them: the Eow argument). The
+    * encode loop unrolls to `encK` stages of per-word lowest-rank-pair
+    * merges; `encK` must be >= the corpus' max word length (each
+    * iteration removes >= 1 symbol) — testdata words cap at 8 chars,
+    * and a drift past encK shows up as a hash MISMATCH, never silence.
+    * MATERIALIZED is load-bearing: without it DuckDB inlines each
+    * doubly-referenced stage and evaluation goes exponential. */
+  def oracleSql(numMerges: Int = 200, encK: Int = 12,
+      minWordCount: Long = 2L): String = {
+    val U = "chr(31)"
+    val R = "chr(30)"
+    def rebuild(wrapped: String): String =
+      s"list_transform(string_split(trim($wrapped, $U || $R), $R || $U), x -> x)"
+    def wrap(syms: String): String =
+      s"list_aggregate(list_transform($syms, x -> $U || x || $R), 'string_agg', '')"
+    val sb = new StringBuilder
+    sb ++= s"""wordocc AS MATERIALIZED (
+       SELECT doc_id, unnest(list_filter(
+         string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+       FROM documents),
+     wc AS MATERIALIZED (
+       SELECT w, count(*) AS cnt FROM wordocc GROUP BY w
+       HAVING count(*) >= $minWordCount),
+     v0 AS MATERIALIZED (
+       SELECT w, cnt, list_concat(
+         list_transform(range(1, length(w) + 1), i -> w[i]),
+         [chr(10)]) AS syms
+       FROM wc)"""
+    for (t <- 0 until numMerges) {
+      sb ++= s""",
+     p$t AS MATERIALIZED (
+       SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c FROM (
+         SELECT cnt, unnest(list_zip(
+           syms[1:len(syms) - 1], syms[2:len(syms)])) AS pr
+         FROM v$t WHERE len(syms) > 1) GROUP BY 1, 2),
+     b$t AS MATERIALIZED (
+       SELECT a, b FROM p$t ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+     v${t + 1} AS MATERIALIZED (
+       SELECT w, cnt,
+         CASE WHEN NOT EXISTS (SELECT 1 FROM b$t) THEN syms
+         ELSE ${rebuild(s"""replace(${wrap("syms")},
+             $U || (SELECT a FROM b$t) || $R || $U || (SELECT b FROM b$t) || $R,
+             $U || (SELECT a FROM b$t) || (SELECT b FROM b$t) || $R)""")}
+         END AS syms
+       FROM v$t)"""
+    }
+    val mtab = (0 until numMerges)
+      .map(t => s"SELECT $t AS rank, a, b FROM b$t")
+      .mkString(" UNION ALL ")
+    sb ++= s""",
+     mtab AS MATERIALIZED ($mtab),
+     aw AS MATERIALIZED (SELECT DISTINCT w FROM wordocc),
+     e0 AS MATERIALIZED (
+       SELECT w, list_concat(
+         list_transform(range(1, length(w) + 1), i -> w[i]),
+         [chr(10)]) AS syms
+       FROM aw)"""
+    for (t <- 0 until encK) {
+      sb ++= s""",
+     eb$t AS MATERIALIZED (
+       SELECT w, a, b FROM (
+         SELECT q.w, q.a, q.b, row_number() OVER (
+           PARTITION BY q.w ORDER BY m.rank ASC) AS rn
+         FROM (
+           SELECT DISTINCT w, pr[1] AS a, pr[2] AS b FROM (
+             SELECT w, unnest(list_zip(
+               syms[1:len(syms) - 1], syms[2:len(syms)])) AS pr
+             FROM e$t WHERE len(syms) > 1)) q
+         JOIN mtab m ON m.a = q.a AND m.b = q.b) t
+       WHERE rn = 1),
+     e${t + 1} AS MATERIALIZED (
+       SELECT e.w,
+         CASE WHEN b.w IS NULL THEN e.syms
+         ELSE ${rebuild(s"""replace(${wrap("e.syms")},
+             $U || b.a || $R || $U || b.b || $R,
+             $U || b.a || b.b || $R)""")}
+         END AS syms
+       FROM e$t e LEFT JOIN eb$t b ON b.w = e.w)"""
+    }
+    sb ++= s"""
+     SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS INT) AS n_tokens
+     FROM documents d
+     LEFT JOIN (
+       SELECT o.doc_id, sum(len(e.syms)) AS n
+       FROM wordocc o JOIN e$encK e ON e.w = o.w
+       GROUP BY o.doc_id) s ON s.doc_id = d.doc_id"""
+    sb.toString
+  }
 }
