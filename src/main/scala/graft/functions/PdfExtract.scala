@@ -14,16 +14,20 @@ import scala.collection.mutable.ArrayBuffer
   * (ISO 32000); the TEXT-extraction subset a corpus pipeline needs is:
   *
   *  - find `stream ... endstream` objects and their preceding dicts
-  *  - inflate /FlateDecode bodies (java.util.zip — no dependency)
+  *  - decode every TEXT-capable stream filter, chained in /Filter
+  *    order: FlateDecode (java.util.zip), LZWDecode (the PDF
+  *    EarlyChange variant), ASCIIHexDecode, ASCII85Decode,
+  *    RunLengthDecode — all pure-JVM, no dependency
   *  - run the content-stream text operators: `(s) Tj`, `<hex> Tj`,
   *    `[(s) kern (s)] TJ`, `'`, `"`, with Td/TD/T* line breaks and
   *    PDFDocEncoding escape sequences
   *
   * Honest boundaries (routed to the error channel, not silently
-  * wrong): encrypted PDFs, non-Flate filters (LZW/DCT/CCITT), and CID/
-  * composite fonts whose strings are glyph indexes, not character
-  * codes. Those need a full font-CMap engine — the documented cut line
-  * for this extractor; everything below it is real parsing, not a stub.
+  * wrong): encrypted PDFs, the IMAGE codecs (DCT/CCITT/JBIG2/JPX —
+  * no text inside them by construction), and CID/composite fonts
+  * whose strings are glyph indexes, not character codes. Those last
+  * need a full font-CMap engine — the documented cut line for this
+  * extractor; everything below it is real parsing, not a stub.
   */
 object PdfExtract {
 
@@ -37,12 +41,177 @@ object PdfExtract {
       StandardCharsets.ISO_8859_1)
     if (!head.startsWith("%PDF-")) return Seq.empty
     streams(pdf).flatMap { case (dict, raw) =>
-      val body =
-        if (dict.contains("/FlateDecode")) inflate(raw)
-        else if (!dict.contains("/Filter")) Some(raw)
-        else None // unsupported filter: skip, caller sees fewer pages
-      body.map(textFromContent).filter(_.nonEmpty)
+      decodeStream(dict, raw).map(textFromContent).filter(_.nonEmpty)
     }
+  }
+
+  /** Ordered /Filter chain of a stream dict: a single name or an array
+    * of names applied FIRST-to-last (ISO 32000 §7.4). Empty = no
+    * filter. */
+  private val FilterName = "/[A-Za-z0-9]+".r
+  private def filterChain(dict: String): Seq[String] = {
+    val fi = dict.indexOf("/Filter")
+    if (fi < 0) return Seq.empty
+    var p = fi + "/Filter".length
+    while (p < dict.length && dict.charAt(p).isWhitespace) p += 1
+    if (p < dict.length && dict.charAt(p) == '[') {
+      val close = dict.indexOf(']', p)
+      if (close < 0) Seq("/malformed")
+      else FilterName.findAllIn(dict.substring(p, close)).toSeq
+    } else FilterName.findFirstIn(dict.substring(p)).toSeq
+  }
+
+  /** Apply the dict's filter chain. Decodable: Flate, ASCIIHex,
+    * ASCII85, RunLength, LZW (plus chains thereof — `[/ASCII85Decode
+    * /FlateDecode]` is the classic mail-safe wrapping). None for the
+    * residual cut line: DCT/CCITT/JBIG2/JPX are IMAGE codecs with no
+    * text inside, and /Crypt needs keys — callers see fewer pages and
+    * the error channel sees the file. */
+  private def decodeStream(dict: String,
+      raw: Array[Byte]): Option[Array[Byte]] =
+    filterChain(dict).foldLeft(Option(raw)) { (acc, f) =>
+      acc.flatMap { data =>
+        f match {
+          case "/FlateDecode" | "/Fl" => inflate(data)
+          case "/ASCIIHexDecode" | "/AHx" => asciiHexDecode(data)
+          case "/ASCII85Decode" | "/A85" => ascii85Decode(data)
+          case "/RunLengthDecode" | "/RL" => runLengthDecode(data)
+          case "/LZWDecode" | "/LZW" => lzwDecode(data)
+          case _ => None
+        }
+      }
+    }
+
+  /** /ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace
+    * ignored, '>' ends, odd trailing digit pads with 0. */
+  private[graft] def asciiHexDecode(data: Array[Byte])
+      : Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i).toChar
+      if (c == '>') i = data.length
+      else {
+        if (!c.isWhitespace) {
+          val d = Character.digit(c, 16)
+          if (d < 0) return None
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        }
+        i += 1
+      }
+    }
+    if (hi >= 0) out.write(hi << 4)
+    Some(out.toByteArray)
+  }
+
+  /** /ASCII85Decode (ISO 32000 §7.4.3): 5 chars in '!'..'u' -> 4
+    * bytes big-endian base 85; 'z' = four zero bytes (group start
+    * only); "~>" terminates; a trailing group of n chars (n >= 2)
+    * pads with 'u' and yields n-1 bytes. */
+  private[graft] def ascii85Decode(data: Array[Byte])
+      : Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(data.length * 4 / 5)
+    val group = new Array[Int](5)
+    var n = 0
+    def flush(count: Int): Boolean = {
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < count) group(i) else 84); i += 1 }
+      if (v > 0xffffffffL) return false
+      val emit = count - 1
+      var j = 0
+      while (j < emit) {
+        out.write(((v >>> (8 * (3 - j))) & 0xff).toInt)
+        j += 1
+      }
+      true
+    }
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0))
+      else if (!c.isWhitespace) {
+        if (c < '!' || c > 'u') return None
+        group(n) = c - '!'
+        n += 1
+        if (n == 5) { if (!flush(5)) return None; n = 0 }
+      }
+      i += 1
+    }
+    if (n == 1) return None // a lone trailing char encodes nothing
+    if (n >= 2 && !flush(n)) return None
+    Some(out.toByteArray)
+  }
+
+  /** /RunLengthDecode (ISO 32000 §7.4.5): length byte L: 0..127 copy
+    * the next L+1 bytes; 129..255 repeat the next byte 257-L times;
+    * 128 = EOD. */
+  private[graft] def runLengthDecode(data: Array[Byte])
+      : Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xff
+      if (l == 128) i = data.length
+      else if (l < 128) {
+        if (i + 1 + l + 1 > data.length) return None
+        out.write(data, i + 1, l + 1)
+        i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        var k = 0
+        while (k < 257 - l) { out.write(data(i + 1)); k += 1 }
+        i += 2
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** /LZWDecode (ISO 32000 §7.4.4, EarlyChange = 1 — the default and
+    * the only variant PDF writers emit for content): 9..12-bit codes
+    * MSB-first; 256 = clear table, 257 = EOD; the code width grows one
+    * code EARLY (at next-code 511/1023/2047). Truncated input yields
+    * the bytes decoded so far (the inflate() leniency — real-world
+    * tails are sloppy); an impossible code is malformed -> None. */
+  private[graft] def lzwDecode(data: Array[Byte])
+      : Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(data.length * 3)
+    val entries = ArrayBuffer.empty[Array[Byte]]
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    while (pos < data.length || bitCnt >= width) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xffL)
+        bitCnt += 8
+        pos += 1
+      }
+      if (bitCnt < width) return Some(out.toByteArray)
+      val code = ((bitBuf >>> (bitCnt - width)) & ((1L << width) - 1)).toInt
+      bitCnt -= width
+      if (code == 256) { entries.clear(); width = 9; prev = null }
+      else if (code == 257) return Some(out.toByteArray)
+      else {
+        val cur: Array[Byte] =
+          if (code < 256) Array(code.toByte)
+          else if (code - 258 < entries.length) entries(code - 258)
+          else if (prev != null && code - 258 == entries.length)
+            prev :+ prev(0) // the KwKwK case
+          else return None
+        out.write(cur, 0, cur.length)
+        if (prev != null) entries += (prev :+ cur(0))
+        prev = cur
+        val nextCode = 258 + entries.length
+        if (nextCode + 1 >= (1 << width) && width < 12) width += 1
+      }
+    }
+    Some(out.toByteArray)
   }
 
   /** True when the file declares encryption (needs keys we don't have)

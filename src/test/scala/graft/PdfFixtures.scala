@@ -23,7 +23,16 @@ object PdfFixtures {
   /** A PDF with one page per entry of `pageLines`; each page's content
     * stream draws its lines top-down with Td moves and Tj shows. */
   def pdf(pageLines: Seq[Seq[String]], compress: Boolean = true)
-      : Array[Byte] = {
+      : Array[Byte] =
+    if (compress) pdfEncoded(pageLines, " /Filter /FlateDecode", deflate)
+    else pdfEncoded(pageLines, "", identity)
+
+  /** Same document with an arbitrary /Filter entry and matching
+    * encoder — exercises the non-Flate decoders and filter CHAINS
+    * (`filterEntry` is spliced into the stream dict verbatim; `encode`
+    * must be the left-inverse of the declared decode chain). */
+  def pdfEncoded(pageLines: Seq[Seq[String]], filterEntry: String,
+      encode: Array[Byte] => Array[Byte]): Array[Byte] = {
     def esc(s: String) = s.replace("\\", "\\\\")
       .replace("(", "\\(").replace(")", "\\)")
     val nPages = pageLines.length
@@ -52,9 +61,9 @@ object PdfFixtures {
       }
       ops.append("ET")
       val raw = bytes(ops.toString)
-      val body = if (compress) deflate(raw) else raw
-      val filter = if (compress) " /Filter /FlateDecode" else ""
-      val head = bytes(s"<< /Length ${body.length}$filter >>\nstream\n")
+      val body = encode(raw)
+      val head = bytes(
+        s"<< /Length ${body.length}$filterEntry >>\nstream\n")
       val tail = bytes("\nendstream")
       val full = new Array[Byte](head.length + body.length + tail.length)
       System.arraycopy(head, 0, full, 0, head.length)
