@@ -40,9 +40,184 @@ object PdfExtract {
     val head = new String(pdf, 0, math.min(8, pdf.length),
       StandardCharsets.ISO_8859_1)
     if (!head.startsWith("%PDF-")) return Seq.empty
-    streams(pdf).flatMap { case (dict, raw) =>
-      decodeStream(dict, raw).map(textFromContent).filter(_.nonEmpty)
+    val text = new String(pdf, StandardCharsets.ISO_8859_1)
+    val strms = streams(pdf)
+    val fontsByContent = cidFontsByContentObj(text, strms)
+    strms.flatMap { case (objNum, dict, raw) =>
+      val fonts = objNum.flatMap(fontsByContent.get)
+        .getOrElse(Map.empty[String, Map[Int, String]])
+      decodeStream(dict, raw)
+        .map(textFromContent(_, fonts)).filter(_.nonEmpty)
     }
+  }
+
+  // ---- CID/Type0 font support (ToUnicode CMaps) ----
+  //
+  // Composite-font strings carry 2-byte GLYPH codes, not character
+  // codes; without the font's /ToUnicode CMap the raw bytes are
+  // garbage, which is why CID content used to route to the error
+  // channel. The object-graph walk here is deliberately shallow:
+  // page dict -> /Contents refs + /Resources (/Font name->obj) ->
+  // font dict -> /ToUnicode stream -> bfchar/bfrange CMap. Fonts
+  // without a ToUnicode map keep the old behavior (their codes are
+  // unknowable without a full CMap/font engine — still the cut line).
+
+  private val ObjHeadRe = """(\d+)\s+\d+\s+obj""".r
+  private val RefRe = """(\d+)\s+\d+\s+R""".r
+
+  /** Object dict texts keyed by object number (dict area only: from
+    * `N G obj` to the first `stream` or `endobj`). */
+  private def objectDicts(text: String): Map[Int, String] =
+    ObjHeadRe.findAllMatchIn(text).map { m =>
+      val from = m.end
+      val stop1 = text.indexOf("endobj", from)
+      val stop2 = text.indexOf("stream", from)
+      val stop = Seq(stop1, stop2).filter(_ >= 0)
+        .minOption.getOrElse(text.length)
+      m.group(1).toInt -> text.substring(from, stop)
+    }.toMap
+
+  /** The balanced `<< ... >>` block starting at the first `<<` at or
+    * after `from`; empty when absent. */
+  private def balancedDict(s: String, from: Int): String = {
+    val open = s.indexOf("<<", from)
+    if (open < 0) return ""
+    var depth = 0
+    var i = open
+    while (i < s.length - 1) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return s.substring(open, i)
+      } else i += 1
+    }
+    ""
+  }
+
+  /** content-stream objNum -> (font resource name -> CID-to-unicode
+    * map), for fonts that declare /ToUnicode. */
+  private def cidFontsByContentObj(text: String,
+      strms: Seq[(Option[Int], String, Array[Byte])])
+      : Map[Int, Map[String, Map[Int, String]]] = {
+    val dicts = objectDicts(text)
+    val streamByObj = strms.collect {
+      case (Some(n), d, raw) => n -> ((d, raw))
+    }.toMap
+    // font obj -> decoded ToUnicode cmap (only for fonts that have one)
+    val toUniOf = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
+    def cmapFor(fontObj: Int): Option[Map[Int, String]] =
+      toUniOf.get(fontObj).orElse {
+        val parsed = for {
+          fd <- dicts.get(fontObj)
+          tu <- "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
+            .findFirstMatchIn(fd).map(_.group(1).toInt)
+          (sd, raw) <- streamByObj.get(tu)
+          body <- decodeStream(sd, raw)
+          m = parseToUnicode(new String(body, StandardCharsets.ISO_8859_1))
+          if m.nonEmpty
+        } yield m
+        parsed.foreach(toUniOf.update(fontObj, _))
+        parsed
+      }
+    val out = scala.collection.mutable
+      .Map.empty[Int, Map[String, Map[Int, String]]]
+    dicts.foreach { case (_, d) =>
+      if (d.contains("/Type") && d.contains("/Page") &&
+          !d.contains("/Pages")) {
+        // /Contents: single ref or array of refs
+        val cIdx = d.indexOf("/Contents")
+        val contentRefs =
+          if (cIdx < 0) Seq.empty
+          else {
+            val after = d.substring(cIdx + "/Contents".length)
+            val stopAt = after.indexOf('/') match {
+              case -1 => after
+              case k => after.substring(0, k)
+            }
+            RefRe.findAllMatchIn(stopAt).map(_.group(1).toInt).toSeq
+          }
+        // /Resources: inline dict or one-level indirection
+        val rIdx = d.indexOf("/Resources")
+        val resText =
+          if (rIdx < 0) ""
+          else {
+            val inline = balancedDict(d, rIdx)
+            if (inline.nonEmpty) inline
+            else RefRe.findFirstMatchIn(d.substring(rIdx))
+              .flatMap(m => dicts.get(m.group(1).toInt)).getOrElse("")
+          }
+        val fIdx = resText.indexOf("/Font")
+        val fonts =
+          if (fIdx < 0) Map.empty[String, Map[Int, String]]
+          else "/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R".r
+            .findAllMatchIn(balancedDict(resText, fIdx))
+            .flatMap(m => cmapFor(m.group(2).toInt)
+              .map(cm => m.group(1) -> cm))
+            .toMap
+        if (fonts.nonEmpty)
+          contentRefs.foreach(c => out(c) = fonts)
+      }
+    }
+    out.toMap
+  }
+
+  /** ToUnicode CMap body -> code -> unicode string (bfchar pairs and
+    * bfrange runs, ISO 32000 §9.10.3; dst hex is UTF-16BE). */
+  private[graft] def parseToUnicode(cmap: String): Map[Int, String] = {
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    val Hex = "<([0-9A-Fa-f]+)>".r
+    def hexInt(h: String): Int = java.lang.Long.parseLong(h, 16).toInt
+    def hexStr(h: String): String = {
+      val padded = if (h.length % 2 == 1) h + "0" else h
+      val bytes = padded.grouped(2)
+        .map(p => Integer.parseInt(p, 16).toByte).toArray
+      new String(bytes, StandardCharsets.UTF_16BE)
+    }
+    var from = 0
+    while ({ val b = cmap.indexOf("beginbfchar", from); b >= 0 } ) {
+      val b = cmap.indexOf("beginbfchar", from)
+      val e = cmap.indexOf("endbfchar", b)
+      val block = if (e < 0) cmap.substring(b) else cmap.substring(b, e)
+      val toks = Hex.findAllMatchIn(block).map(_.group(1)).toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) => out(hexInt(src)) = hexStr(dst)
+        case _ => ()
+      }
+      from = if (e < 0) cmap.length else e + 1
+    }
+    from = 0
+    while ({ val b = cmap.indexOf("beginbfrange", from); b >= 0 }) {
+      val b = cmap.indexOf("beginbfrange", from)
+      val e = cmap.indexOf("endbfrange", b)
+      val block = if (e < 0) cmap.substring(b) else cmap.substring(b, e)
+      // two forms: <lo> <hi> <dstStart>   |   <lo> <hi> [<d1> <d2> ...]
+      val RangeRe =
+        ("<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*" +
+          "(?:<([0-9A-Fa-f]+)>|\\[([^\\]]*)\\])").r
+      RangeRe.findAllMatchIn(block).foreach { m =>
+        val lo = hexInt(m.group(1))
+        val hi = hexInt(m.group(2))
+        if (hi >= lo && hi - lo < 65536) {
+          if (m.group(3) != null) {
+            val base = m.group(3)
+            val baseVal = java.lang.Long.parseLong(base, 16)
+            (0 to (hi - lo)).foreach { k =>
+              out(lo + k) = hexStr(String.format(
+                "%0" + base.length + "x",
+                java.lang.Long.valueOf(baseVal + k)))
+            }
+          } else {
+            val dsts = Hex.findAllMatchIn(m.group(4))
+              .map(_.group(1)).toSeq
+            dsts.zipWithIndex.foreach { case (d, k) =>
+              if (lo + k <= hi) out(lo + k) = hexStr(d)
+            }
+          }
+        }
+      }
+      from = if (e < 0) cmap.length else e + 1
+    }
+    out.toMap
   }
 
   /** Ordered /Filter chain of a stream dict: a single name or an array
@@ -284,9 +459,12 @@ object PdfExtract {
   /** (dict-text, raw-stream-bytes) for every stream object, skipping
     * image/font/metadata streams (they hold pixels or glyf programs,
     * not text operators). */
-  private def streams(pdf: Array[Byte]): Seq[(String, Array[Byte])] = {
+  private val ObjNumTailRe = """(\d+)\s+\d+\s+obj$""".r
+
+  private def streams(pdf: Array[Byte])
+      : Seq[(Option[Int], String, Array[Byte])] = {
     val text = new String(pdf, StandardCharsets.ISO_8859_1)
-    val out = ArrayBuffer.empty[(String, Array[Byte])]
+    val out = ArrayBuffer.empty[(Option[Int], String, Array[Byte])]
     var from = 0
     while (from < text.length) {
       val s = text.indexOf("stream", from)
@@ -302,6 +480,10 @@ object PdfExtract {
         // the object's dict sits between the last "obj" and "stream"
         val objAt = text.lastIndexOf("obj", s)
         val dict = text.substring(math.max(0, objAt), s)
+        val objNum = ObjNumTailRe
+          .findFirstMatchIn(text.substring(
+            math.max(0, objAt - 24), math.min(text.length, objAt + 3)))
+          .map(_.group(1).toInt)
         // a DIRECT /Length gives the exact body extent — authoritative,
         // and immune to (a) "endstream" appearing inside compressed
         // bytes and (b) a body whose own last byte is CR/LF (the
@@ -332,7 +514,7 @@ object PdfExtract {
               if (be > bodyStart && text.charAt(be - 1) == '\r') be -= 1
               be
             }
-            out += ((dict,
+            out += ((objNum, dict,
               java.util.Arrays.copyOfRange(pdf, bodyStart, bodyEnd)))
           }
           from = e + "endstream".length
@@ -365,18 +547,43 @@ object PdfExtract {
     * operands; on a text-showing operator emit them; on a line-moving
     * operator emit a newline. Kern numbers below `-wordGapKern`
     * thousandths-of-em inside TJ arrays become spaces (the standard
-    * heuristic for inter-word gaps encoded as kerning). */
-  private[graft] def textFromContent(bytes: Array[Byte]): String = {
+    * heuristic for inter-word gaps encoded as kerning). `fonts` maps a
+    * font RESOURCE name (the `/F1` of a Tf operator) to its ToUnicode
+    * CID map; while such a font is selected, string operands decode as
+    * 2-byte glyph codes through the map (unmapped codes drop — they
+    * carry no unicode by the font's own declaration) instead of
+    * PDFDocEncoding bytes. */
+  private[graft] def textFromContent(bytes: Array[Byte],
+      fonts: Map[String, Map[Int, String]] = Map.empty): String = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val sb = new StringBuilder
     val wordGapKern = 150.0
     var i = 0
-    var pendingStrings = ArrayBuffer.empty[String]
+    // (text, isRawOperand): kern-gap spaces are already decoded and
+    // must not go through the CID pairing
+    var pendingStrings = ArrayBuffer.empty[(String, Boolean)]
     var inTJArray = false
     var lastNumbers = ArrayBuffer.empty[Double]
+    var lastName: String = ""
+    var currentCmap: Option[Map[Int, String]] = None
 
+    def decodeCid(str: String, cmap: Map[Int, String]): String = {
+      val out = new StringBuilder
+      var k = 0
+      while (k + 1 < str.length) {
+        val code = ((str.charAt(k) & 0xff) << 8) | (str.charAt(k + 1) & 0xff)
+        cmap.get(code).foreach(out.append)
+        k += 2
+      }
+      out.toString
+    }
     def emitShow(): Unit = {
-      pendingStrings.foreach(sb.append)
+      pendingStrings.foreach { case (str, raw) =>
+        currentCmap match {
+          case Some(cm) if raw => sb.append(decodeCid(str, cm))
+          case _ => sb.append(str)
+        }
+      }
       pendingStrings.clear()
     }
     def newline(): Unit =
@@ -387,7 +594,7 @@ object PdfExtract {
       c match {
         case '(' =>
           val (str, next) = literalString(s, i)
-          pendingStrings += str; i = next
+          pendingStrings += ((str, true)); i = next
         case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' =>
           // dictionary open: consume BOTH chars — otherwise the second
           // '<' would be mis-lexed as a hex-string open and swallow
@@ -397,18 +604,25 @@ object PdfExtract {
           i += 2 // dictionary close
         case '<' =>
           val (str, next) = hexString(s, i)
-          pendingStrings += str; i = next
+          pendingStrings += ((str, true)); i = next
         case '[' => inTJArray = true; i += 1
         case ']' => inTJArray = false; i += 1
         case '%' => // comment to EOL
           while (i < s.length && s.charAt(i) != '\n') i += 1
+        case '/' =>
+          val start = i + 1
+          i += 1
+          while (i < s.length && (s.charAt(i).isLetterOrDigit ||
+            s.charAt(i) == '_' || s.charAt(i) == '-' ||
+            s.charAt(i) == '.')) i += 1
+          lastName = s.substring(start, i)
         case d if d.isDigit || d == '-' || d == '+' || d == '.' =>
           val start = i
           i += 1
           while (i < s.length && (s.charAt(i).isDigit ||
             s.charAt(i) == '.')) i += 1
           val num = s.substring(start, i).toDoubleOption.getOrElse(0.0)
-          if (inTJArray && num < -wordGapKern) pendingStrings += " "
+          if (inTJArray && num < -wordGapKern) pendingStrings += ((" ", false))
           else if (!inTJArray) { lastNumbers += num;
             if (lastNumbers.length > 6) lastNumbers.remove(0) }
         case ch if ch.isLetter || ch == '\'' || ch == '"' =>
@@ -417,6 +631,9 @@ object PdfExtract {
           while (i < s.length && (s.charAt(i).isLetter ||
             s.charAt(i) == '*')) i += 1
           s.substring(start, i) match {
+            case "Tf" =>
+              currentCmap = fonts.get(lastName)
+              pendingStrings.clear(); lastNumbers.clear()
             case "Tj" => emitShow()
             case "TJ" => emitShow()
             case "'" => newline(); emitShow()
