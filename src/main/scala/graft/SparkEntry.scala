@@ -1731,7 +1731,20 @@ object SparkEntry {
           "source", "doc_id", target = 300L,
           rankCol = Some("mix_rank"))
         .select(col("doc_id"), col("source"),
-          col("mix_rank").cast("long").as("mix_rank")))
+          col("mix_rank").cast("long").as("mix_rank"))),
+
+    // ---- Semantic decontamination (round 9): embedding-space eval
+    // hygiene — train docs within cosine 0.8 of any src0 "benchmark"
+    // doc are flagged even when paraphrase defeats the 13-gram tests
+    // (q78/q89's lexical complement). Eval side broadcasts; portable
+    // q44 algebra, so the decision is fully oracled. ----
+    "q121_semantic_decontaminate" -> ((s, dir) => {
+      val docs = fan(s, t(s, dir, "documents"))
+      graft.operators.Dedup.semanticDecontaminate(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", threshold = 0.8)
+    })
   )
 
   /** q100/q101's fixed lexical query — mid-frequency corpus terms so
@@ -3657,7 +3670,74 @@ object SparkEntry {
              row_number() OVER (PARTITION BY d.source
                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
            FROM documents d JOIN q USING (source))
-         WHERE rn <= quota"""
+         WHERE rn <= quota""",
+
+    // Semantic decontamination: the q44 portable-embedding CTEs split
+    // cross-strata — train sigs bucket-join eval sigs, integer-exact
+    // cosine verify at 0.8, max per train doc; every train doc gets a
+    // row with the contamination flag.
+    "q121_semantic_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, source, unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+             AS tok
+           FROM documents),
+         feat AS (
+           SELECT doc_id, source, h % 64 AS bucket,
+             CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+           FROM (SELECT doc_id, source,
+                   ('0x' || substr(md5(k || '_' || tok), 1, 15))::BIGINT AS h
+                 FROM toks CROSS JOIN (VALUES (0),(1)) kk(k))),
+         vec AS (
+           SELECT doc_id, source, bucket, sum(s)::BIGINT AS v
+           FROM feat GROUP BY doc_id, source, bucket
+           HAVING sum(s) <> 0),
+         planes AS (
+           SELECT p, d,
+             CASE WHEN ('0x' || substr(md5('w_' || p || '_' || d), 1, 15))::BIGINT
+               % 2 = 0 THEN 1 ELSE -1 END AS w
+           FROM range(8) t1(p) CROSS JOIN range(64) t2(d)),
+         sigbits AS (
+           SELECT v.doc_id, pl.p,
+             CASE WHEN sum(v.v * pl.w) >= 0 THEN 1 ELSE 0 END AS bit
+           FROM vec v JOIN planes pl ON pl.d = v.bucket
+           GROUP BY v.doc_id, pl.p),
+         sig AS (
+           SELECT doc_id, sum(bit * (1 << p))::BIGINT AS sig
+           FROM sigbits GROUP BY doc_id),
+         norms AS (
+           SELECT doc_id, sum(v * v)::BIGINT AS norm2
+           FROM vec GROUP BY doc_id),
+         train AS (
+           SELECT s.doc_id, s.sig FROM sig s
+           JOIN documents d ON d.doc_id = s.doc_id
+           WHERE d.source <> 'src0'),
+         ev AS (
+           SELECT s.doc_id, s.sig FROM sig s
+           JOIN documents d ON d.doc_id = s.doc_id
+           WHERE d.source = 'src0'),
+         hits AS (
+           SELECT t.doc_id, max(
+             round(n.num::DOUBLE / (sqrt(na.norm2) * sqrt(nb.norm2))
+               + 1e-9, 4)) AS max_eval_cos
+           FROM train t
+           JOIN ev e ON e.sig = t.sig
+           JOIN (
+             SELECT va.doc_id AS a, vb.doc_id AS b,
+               sum(va.v * vb.v)::BIGINT AS num
+             FROM vec va JOIN vec vb ON vb.bucket = va.bucket
+             WHERE va.source <> 'src0' AND vb.source = 'src0'
+             GROUP BY va.doc_id, vb.doc_id) n
+             ON n.a = t.doc_id AND n.b = e.doc_id
+           JOIN norms na ON na.doc_id = t.doc_id
+           JOIN norms nb ON nb.doc_id = e.doc_id
+           WHERE round(n.num::DOUBLE / (sqrt(na.norm2) * sqrt(nb.norm2))
+             + 1e-9, 4) >= 0.8
+           GROUP BY t.doc_id)
+         SELECT t.doc_id,
+           h.max_eval_cos IS NOT NULL AS contaminated,
+           coalesce(h.max_eval_cos, 0.0) AS max_eval_cos
+         FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id"""
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census

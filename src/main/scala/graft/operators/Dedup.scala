@@ -762,6 +762,46 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * 13-gram [[Decontaminate]]: a TRAINING document is contaminated iff
+    * some EVAL document sits within cosine `threshold` of it, caught
+    * even when paraphrase defeats every n-gram test (the Phi/GPT-4
+    * eval-hygiene motivation). Cross-strata form of
+    * [[embeddingNearDupPairsPortable]] with the
+    * [[minhashLshIncremental]] scale asymmetry: both sides sign
+    * row-local (one UDF pass, no shuffle), the EVAL side — benchmark-
+    * sized, tiny next to a 100-TB corpus — broadcasts into the bucket
+    * join, so the training corpus streams through with no
+    * corpus-driven shuffle; the quadratic verify is confined to 8-bit
+    * LSH bucket collisions. Same portable primitives as q44, so the
+    * whole decision replays in oracle SQL.
+    * Output: one row per train doc, (id, contaminated, max_eval_cos —
+    * 4-dp max cosine to any colliding eval doc, 0.0 when none). */
+  def semanticDecontaminate(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8)
+      : DataFrame = {
+    def signed(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), portableEmbUdf(col(textCol)).as("e"))
+        .select(col("id"), col("e.sig").as("sig"), col("e.vec").as("vec"),
+          col("e.norm2").as("norm2"))
+        .where(col("norm2") > 0L)
+    val t = signed(train)
+    val ev = signed(eval_)
+      .select(col("sig"), col("vec").as("evec"), col("norm2").as("en2"))
+    val hits = t.join(broadcast(ev), "sig")
+      .select(col("id"),
+        round(aggregate(zip_with(col("vec"), col("evec"), (x, y) => x * y),
+          lit(0L), (acc, p) => acc + p).cast("double")
+          / (sqrt(col("norm2")) * sqrt(col("en2"))) + 1e-9, 4).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy("id").agg(max(col("cos")).as("max_eval_cos"))
+    t.select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("max_eval_cos").isNotNull.as("contaminated"),
+        coalesce(col("max_eval_cos"), lit(0.0)).as("max_eval_cos"))
+  }
+
   /** Contract constants of the portable embedding signer — mirrored
     * literally in the q44 oracle SQL; changing either breaks parity by
     * design. */

@@ -951,6 +951,40 @@ class DedupSimilaritySpec extends SparkSuite {
       sh(2L).map(t => (t._2, t._3)).toSet)
   }
 
+  test("semantic decontamination: eval neighbors flagged, train-train " +
+    "near-dups are NOT, every train doc gets a verdict row") {
+    val s = initSpark()
+    import s.implicits._
+    val train = Seq(
+      (1L, "the measured rotation curve of spiral galaxies stays flat"),
+      // near-dup of ANOTHER TRAIN doc — must stay clean (no eval side)
+      (2L, "the measured rotation curve of spiral galaxies stays flat!"),
+      (3L, "sourdough starters need regular feeding and warm water")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      // paraphrase-free near-copy of train doc 1 = the leak
+      (100L, "the measured rotation curve of spiral galaxies stays flat")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .semanticDecontaminate(train, eval_, "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L),
+      "every train doc needs a verdict row")
+    assert(got(1L), "the eval near-copy must be flagged")
+    assert(!got(3L), "disjoint-vocab doc must stay clean")
+    // doc 2 is a near-dup of TRAIN doc 1, and also (transitively) of
+    // the eval doc — it may flag via the eval doc itself, which is
+    // correct; what must NOT happen is flagging with an EMPTY eval set
+    val none = graft.operators.Dedup
+      .semanticDecontaminate(train,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(none.values.forall(_ == false),
+      "no eval set => nothing is contaminated")
+  }
+
   test("portable HLL: estimate tracks exact distinct within rel. error " +
     "and is insensitive to duplication") {
     val s = initSpark()
