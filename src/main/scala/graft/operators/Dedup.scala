@@ -742,7 +742,13 @@ object Dedup {
     * Same scale shape as the fast variant: signatures are row-local (one
     * UDF pass, no shuffle), the pair join is LSH-bucket-local on the
     * 8-bit signature — never all-pairs — and the verify runs only on
-    * bucket collisions. Output: (id_a, id_b, cos) with cos >= threshold. */
+    * bucket collisions. 100-TB note: the PLANE COUNT is the scale knob —
+    * 8 planes = 256 buckets suits testdata-sized corpora, while a
+    * corpus-scale run raises planes (each plane halves expected bucket
+    * occupancy; recall then comes from multiple independent plane SETS,
+    * i.e. banding, exactly the q93 pattern) — the contract constants
+    * below pin the ORACLE'S parameters, not the operator's ceiling.
+    * Output: (id_a, id_b, cos) with cos >= threshold. */
   def embeddingNearDupPairsPortable(df: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8): DataFrame = {
     val sigd = df.select(col(idCol).as("id"),
