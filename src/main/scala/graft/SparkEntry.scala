@@ -1744,6 +1744,22 @@ object SparkEntry {
         docs.where(col("source") =!= "src0"),
         docs.where(col("source") === "src0"),
         "doc_id", "text", threshold = 0.8)
+    }),
+
+    // ---- Portable chunk packing (round 9): the reference's M1 packing
+    // loop over PINNED-regex sentence boundaries, so the greedy
+    // flush/truncate/co-pack algorithm itself is hash-checked (the
+    // oracle replays the resettable cumsum with a recursive CTE).
+    // q38 remains the production surface with BreakIterator
+    // boundaries (quantified in ChunkerParitySpec). ----
+    "q122_chunks_portable" -> ((s, dir) => {
+      fan(s, t(s, dir, "documents"))
+        .select(col("doc_id"),
+          posexplode(graft.ml.Chunker.chunkPortable(col("text"), 32))
+            .as(Seq("order_sequence", "slice_text")))
+        .withColumn("n_words",
+          size(filter(split(col("slice_text"), "\\s+"),
+            w => length(w) > 0)))
     })
   )
 
@@ -3737,7 +3753,62 @@ object SparkEntry {
          SELECT t.doc_id,
            h.max_eval_cos IS NOT NULL AS contaminated,
            coalesce(h.max_eval_cos, 0.0) AS max_eval_cos
-         FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id"""
+         FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id""",
+
+    // Portable chunk packing: pinned-regex sentences, the reference's
+    // exact truncate rule (cap-1 words + fused "..."), and the greedy
+    // flush/co-pack loop as a per-doc resettable cumsum — a recursive
+    // CTE stepping sentence-by-sentence, exactly packSlices' state
+    // machine.
+    "q122_chunks_portable" ->
+      """WITH RECURSIVE norm AS (
+           SELECT doc_id, trim(regexp_replace(regexp_replace(
+             text, '\n+', ' ', 'g'), ' +', ' ', 'g')) AS t
+           FROM documents),
+         sentsl AS (
+           SELECT doc_id,
+             regexp_extract_all(t, '[^.!?]+[.!?]*') AS ss
+           FROM norm),
+         sidx AS (
+           SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS raw_i
+           FROM sentsl),
+         sraw AS (
+           SELECT doc_id, raw_i, trim(ss[raw_i]) AS s FROM sidx),
+         sents AS (
+           SELECT doc_id, s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY raw_i)
+               AS idx,
+             len(list_filter(string_split_regex(s, '\s+'),
+               x -> x <> '')) AS w0
+           FROM sraw WHERE s <> ''),
+         tsents AS (
+           SELECT doc_id, idx,
+             CASE WHEN w0 > 32 THEN array_to_string(
+               list_filter(string_split_regex(s, '\s+'),
+                 x -> x <> '')[1:31], ' ') || '...'
+             ELSE s END AS s,
+             CASE WHEN w0 > 32 THEN 31 ELSE w0 END AS w
+           FROM sents),
+         pack AS (
+           SELECT doc_id, idx, 1 AS slice, w AS running, s
+           FROM tsents WHERE idx = 1
+           UNION ALL
+           SELECT nx.doc_id, nx.idx,
+             CASE WHEN p.running + nx.w > 32 THEN p.slice + 1
+               ELSE p.slice END,
+             CASE WHEN p.running + nx.w > 32 THEN nx.w
+               ELSE p.running + nx.w END,
+             nx.s
+           FROM pack p JOIN tsents nx
+             ON nx.doc_id = p.doc_id AND nx.idx = p.idx + 1)
+         SELECT doc_id, slice - 1 AS order_sequence,
+           slice_text,
+           len(list_filter(string_split_regex(slice_text, '\s+'),
+             x -> x <> '')) AS n_words
+         FROM (
+           SELECT doc_id, slice,
+             string_agg(s, ' ' ORDER BY idx) AS slice_text
+           FROM pack GROUP BY doc_id, slice)"""
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census

@@ -103,6 +103,33 @@ object Chunker {
   def chunkUdf(maxWords: Int): UserDefinedFunction =
     udf { (text: String) => chunkText(text, maxWords) }
 
+  /** PORTABLE sentence split (q122's oracle tier): a pinned greedy
+    * regex — runs of non-terminators plus their trailing [.!?]+ — that
+    * Java regex and RE2 match identically (no lookbehind: RE2 has
+    * none). This is NOT the production splitter (BreakIterator handles
+    * abbreviations/ellipses far better — the M1 surface, q38); its job
+    * is to make the PACKING loop cross-engine-verifiable: with
+    * boundaries any engine can reproduce, `packSlices`' greedy
+    * flush/truncate/co-pack decisions replay in SQL (a resettable
+    * cumsum via recursive CTE), so the reference's packing algorithm is
+    * hash-checked, not just golden-tested. */
+  private val PortableSentence = "[^.!?]+[.!?]*".r
+
+  def portableSentences(text: String): Seq[String] =
+    if (text == null) Seq.empty
+    else PortableSentence.findAllIn(normalizeWs(text))
+      .map(_.trim).filter(_.nonEmpty).toSeq
+
+  def chunkPortableUdf(maxWords: Int): UserDefinedFunction =
+    udf { (text: String) =>
+      val sents = portableSentences(text)
+      if (sents.isEmpty) Seq.empty[String]
+      else packSlices(sents, maxWords)
+    }
+
+  def chunkPortable(text: Column, maxWords: Int): Column =
+    chunkPortableUdf(maxWords)(text)
+
   /** Column form: array of slice bodies, ready for posexplode (position =
     * order_sequence). */
   def slices(text: Column, maxWords: Int): Column =

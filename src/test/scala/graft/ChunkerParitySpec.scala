@@ -56,6 +56,23 @@ class ChunkerParitySpec extends SparkSuite {
     assert(got === Seq("a b c d e f g... Ok."), got.toString)
   }
 
+  test("portable splitter (q122's oracle tier): pinned-regex " +
+    "boundaries feed the SAME packing loop and reproduce the goldens") {
+    val text = "One two three. Four five six! Seven eight? Nine."
+    assert(Chunker.portableSentences(text) === Seq("One two three.",
+      "Four five six!", "Seven eight?", "Nine."))
+    val lorem = "Lorem ipsum dolor sit amet, consectetur adipiscing " +
+      "elit. Sed do eiusmod tempor incididunt ut labore et dolore " +
+      "magna aliqua."
+    assert(Chunker.packSlices(Chunker.portableSentences(lorem), 4) ===
+      Seq("Lorem ipsum dolor...", "Sed do eiusmod..."))
+    // no-terminator text = one sentence; empty/null = none
+    assert(Chunker.portableSentences("no terminators here") ===
+      Seq("no terminators here"))
+    assert(Chunker.portableSentences("").isEmpty)
+    assert(Chunker.portableSentences(null).isEmpty)
+  }
+
   // ---- segmenter divergence quantification ----
 
   /** UD-style rule segmenter (the spaCy xx_sent_ud_sm stand-in):

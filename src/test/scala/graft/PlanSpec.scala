@@ -369,6 +369,17 @@ class PlanSpec extends SparkSuite {
       "step predicate not pushed to the event scan:\n" + plan.take(3000))
   }
 
+  test("q121 semantic decontamination: the eval side BROADCASTS into " +
+    "the bucket join — the training corpus never shuffles for it") {
+    val df = SparkEntry.queries("q121_semantic_decontaminate")(
+      initSpark(), dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"),
+      "eval side must broadcast (benchmark-sized vs a 100-TB corpus):\n" +
+        plan.take(2000))
+  }
+
   test("salted funnel: the step join key includes the salt, so a hot " +
     "user's events spread over `salts` shuffle partitions") {
     val s = initSpark()
