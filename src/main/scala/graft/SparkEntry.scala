@@ -3753,7 +3753,8 @@ object SparkEntry {
          SELECT t.doc_id,
            h.max_eval_cos IS NOT NULL AS contaminated,
            coalesce(h.max_eval_cos, 0.0) AS max_eval_cos
-         FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id""",
+         FROM (SELECT doc_id FROM documents WHERE source <> 'src0') t
+         LEFT JOIN hits h ON h.doc_id = t.doc_id""",
 
     // Portable chunk packing: pinned-regex sentences, the reference's
     // exact truncate rule (cap-1 words + fused "..."), and the greedy

@@ -43,7 +43,7 @@ object Keywords {
   /** Candidate 1-2grams with stopword-boundary filtering (the reference
     * strips spaCy stopwords before ngram generation). */
   def candidates(text: String, maxNgram: Int = 2): Seq[String] = {
-    val words = NonWord.split(text.toLowerCase)
+    val words = NonWord.split(text.toLowerCase(java.util.Locale.ROOT))
       .filter(w => w.nonEmpty && !defaultStopwords.contains(w))
     val out = mutable.LinkedHashSet.empty[String]
     (1 to maxNgram).foreach { n =>
@@ -161,7 +161,7 @@ object Keywords {
     udf { (text: String) =>
       if (text == null || text.trim.isEmpty) Seq.empty[ScoredKeyword]
       else {
-        val toks = NonWord.split(text.toLowerCase).filter(_.nonEmpty)
+        val toks = NonWord.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
         val docVec = intVec(toks)
         val cands = candidates(text)
           .map(kw => kw -> intVec(kw.split(' ')))

@@ -64,6 +64,10 @@ final class TensorFileEmbedder(
   require(stack.isDefined || pooler.isDefined,
     "non-stack layouts need pooler.dense.{weight,bias} (the stack " +
       "layout is CLS-pooled with no head, the granite contract)")
+  require(!(stack.isDefined && pooler.isDefined),
+    "an encoder.layer.* stack is CLS-pooled with NO head; a file also " +
+      "carrying pooler.dense.* is malformed (outDim would contradict " +
+      "the emitted vector length)")
   private val outDim =
     pooler.map(_._1.shape(0)).getOrElse(dModel)
   pooler.foreach { case (pw, pb) =>

@@ -801,7 +801,12 @@ object Dedup {
           / (sqrt(col("norm2")) * sqrt(col("en2"))) + 1e-9, 4).as("cos"))
       .where(col("cos") >= threshold)
       .groupBy("id").agg(max(col("cos")).as("max_eval_cos"))
-    t.select(col("id"))
+    // Verdict coverage is over the RAW train frame, not the signed one:
+    // a doc whose portable feature vector is empty (empty text or full
+    // ±1 cancellation, norm2 == 0) can't collide with anything, so it
+    // gets an explicit (contaminated = false, 0.0) row instead of
+    // silently vanishing from the output.
+    train.select(col(idCol).as("id"))
       .join(hits, Seq("id"), "left")
       .select(col("id").as(idCol),
         col("max_eval_cos").isNotNull.as("contaminated"),

@@ -60,10 +60,15 @@ object Hll {
         count(lit(1)).as("nb"))
       .withColumn("s", col("sp") + (lit(M.toLong) - col("nb")) * lit(P53))
       .withColumn("v", lit(M.toLong) - col("nb"))
-      // pinned literal order — the oracle SQL repeats this expression
-      // text so both engines round identically at every step
+      // pinned literal order, FORCED double: Scala double lits (not
+      // expr() text, whose fractional literals Spark parses as DECIMAL
+      // and divides under decimal-scale rounding) so every step is the
+      // same IEEE double op DuckDB executes — its decimal/decimal
+      // division promotes to DOUBLE, verified equal to pure-double
+      // left-to-right evaluation
       .withColumn("e_raw",
-        expr("0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0 / s"))
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+          * lit(9007199254740992.0) / col("s").cast("double"))
       .withColumn("e",
         when(col("e_raw") <= 640.0 && col("v") > 0L,
           lit(256.0) * log(lit(256.0) / col("v")))

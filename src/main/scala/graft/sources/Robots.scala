@@ -253,12 +253,29 @@ object Robots {
     * any real per-executor distinct-host working set; a reset costs one
     * re-parse per host, not correctness). */
   @transient private lazy val ruleCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Seq[Rule]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Seq[Rule]]()
   private val RuleCacheMax = 20000
+
+  /** Strong, order-independent digest of the robots bodies: md5 over the
+    * SORTED bodies, each length-prefixed so concatenation can't alias
+    * ("a","bc" vs "ab","c"). collect_list order is nondeterministic, so
+    * sorting makes identical content hit one cache slot; md5 (vs the
+    * former 32-bit Seq hashCode) makes a same-host collision returning
+    * the WRONG compiled rules cryptographically implausible — this is a
+    * crawl-policy safety surface, not just a perf cache. */
+  private def bodiesDigest(bodies: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    bodies.sorted.foreach { b =>
+      val bytes = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(bytes.length).array())
+      md.update(bytes)
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
 
   private def cachedRules(host: String, userAgent: String,
       bodies: Seq[String]): Seq[Rule] = {
-    val key = (host, userAgent, bodies.hashCode)
+    val key = (host, userAgent, bodiesDigest(bodies))
     val hit = ruleCache.get(key)
     if (hit != null) hit
     else {
