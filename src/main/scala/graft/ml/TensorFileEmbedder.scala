@@ -41,16 +41,29 @@ import scala.util.hashing.MurmurHash3
   *     CLS-query form (kept for files written by earlier releases).
   *  3. neither => legacy masked-mean-pool + tanh pooler head.
   *
-  * Honest boundary: tokenization hashes words into the vocab (no BPE
-  * vocab file in this environment), so token IDS differ from the real
-  * tokenizer's — the stack proves the full inference arithmetic and the
-  * artifact seam, not corpus-level output equality with granite.
+  * TOKENIZATION is two-tier, mirroring the reference's weights-file +
+  * tokenizer-file artifact pair (embedding_model_helpers.py:34-65 loads
+  * both through AutoTokenizer/AutoModel):
+  *  - a `<weights>.bpe` sibling artifact (graft's in-engine trained BPE,
+  *    [[graft.operators.Bpe]]) => REAL subword tokenization: \s+ word
+  *    split, greedy rank-order merges, then the model's deterministic
+  *    token->id table maps each subword piece to its embedding row.
+  *    Pieces outside the table (unseen code points) hash into the vocab
+  *    so no input is droppable — the same no-OOV-loss contract as
+  *    Bpe.encode.
+  *  - no tokenizer artifact => the legacy hashed-WORD mapping below
+  *    (kept verbatim: corpora vectorized by earlier releases re-embed
+  *    byte-identically).
+  * Residual honest boundary: the artifact is OUR trained BPE, not a
+  * shipped granite vocab, so ids are compatible with graft-exported
+  * checkpoints, not with huggingface-downloaded ones.
   */
 final class TensorFileEmbedder(
     embeddings: SafeTensors.Tensor,
     attention: Option[TensorFileEmbedder.Attention],
     stack: Option[TensorFileEmbedder.Stack],
-    pooler: Option[(SafeTensors.Tensor, SafeTensors.Tensor)])
+    pooler: Option[(SafeTensors.Tensor, SafeTensors.Tensor)],
+    subword: Option[graft.operators.Bpe.Model] = None)
     extends Serializable {
 
   import TensorFileEmbedder.{MaxSeq, Stack, EncoderLayer}
@@ -115,10 +128,30 @@ final class TensorFileEmbedder(
     }
   }
 
+  // subword id table fits the embedding matrix: known pieces must map
+  // injectively into token-row space ([1, vocab) when row 0 is the
+  // reserved CLS, [0, vocab) for legacy mean-pool files)
+  subword.foreach { sw =>
+    val rows = if (attention.isDefined || stack.isDefined) vocab - 1
+               else vocab
+    require(sw.tokenIds.size <= rows,
+      s"BPE tokenizer has ${sw.tokenIds.size} tokens but the embedding " +
+        s"matrix provides only $rows token rows — retrain with fewer " +
+        "merges or export a larger embedding matrix")
+  }
+
   private val NonWord = java.util.regex.Pattern.compile("\\W+")
 
-  /** Token embedding rows for `text`. The two architectures use
-    * DIFFERENT mappings on purpose:
+  /** Token embedding rows for `text`.
+    *
+    * With a subword tokenizer: BPE pieces ([[graft.operators.Bpe
+    * .encodeText]]), each mapped through the model's deterministic id
+    * table; pieces outside the table (unseen code points survive the
+    * encode as single-char symbols) hash into the same row space so no
+    * input is droppable.
+    *
+    * Without one, the legacy hashed-WORD mappings — DIFFERENT per
+    * architecture on purpose:
     *  - attention files: row 0 is reserved for CLS, token rows land in
     *    [1, vocab), and the sequence is capped at MaxSeq (the attention
     *    block's cost is O(seq x dModel^2)).
@@ -129,15 +162,31 @@ final class TensorFileEmbedder(
     *    would silently move every stored vector's space. */
   private def tokenRows(text: String): Array[Int] = {
     if (text == null) return Array.emptyIntArray
-    val toks = NonWord.split(text.toLowerCase).iterator.filter(_.nonEmpty)
-    if (attention.isDefined || stack.isDefined)
-      toks.take(MaxSeq)
-        .map(tok =>
-          1 + math.floorMod(MurmurHash3.stringHash(tok, 7919), vocab - 1))
-        .toArray
-    else
-      toks.map(tok =>
-        math.floorMod(MurmurHash3.stringHash(tok, 7919), vocab)).toArray
+    val cls = attention.isDefined || stack.isDefined
+    subword match {
+      case Some(sw) =>
+        val off = if (cls) 1 else 0
+        val space = if (cls) vocab - 1 else vocab
+        val pieces = graft.operators.Bpe.encodeText(text, sw.ranks).iterator
+        (if (cls) pieces.take(MaxSeq) else pieces).map { p =>
+          sw.tokenIds.get(p) match {
+            case Some(id) => off + id
+            case None =>
+              off + math.floorMod(MurmurHash3.stringHash(p, 7919), space)
+          }
+        }.toArray
+      case None =>
+        val toks =
+          NonWord.split(text.toLowerCase).iterator.filter(_.nonEmpty)
+        if (cls)
+          toks.take(MaxSeq)
+            .map(tok =>
+              1 + math.floorMod(MurmurHash3.stringHash(tok, 7919), vocab - 1))
+            .toArray
+        else
+          toks.map(tok =>
+            math.floorMod(MurmurHash3.stringHash(tok, 7919), vocab)).toArray
+    }
   }
 
   private def embeddingRow(row: Int): Array[Double] = {
@@ -445,8 +494,21 @@ object TensorFileEmbedder {
     * executor-visible (shared FS / SparkFiles-distributed artifact in a
     * real cluster; a local path under local[*]). The attention tensors
     * are all-or-nothing: a partial set is a malformed file, not a
-    * fallback. */
+    * fallback.
+    *
+    * Tokenizer discovery: a sibling `<path>.bpe` artifact (written by
+    * [[graft.operators.Bpe.save]]) switches tokenization from hashed
+    * words to real subword encoding — the HF convention of tokenizer
+    * files living next to the weights, so the ModelRegistry's
+    * `safetensors:<path>` scheme needs no new syntax. */
   def load(path: String): TensorFileEmbedder = {
+    val bpe = new java.io.File(path + ".bpe")
+    load(path, if (bpe.isFile) Some(bpe.getPath) else None)
+  }
+
+  /** As [[load(path*]] with an explicit tokenizer-artifact path (None =
+    * legacy hashed-word tokenization even if a sibling file exists). */
+  def load(path: String, bpePath: Option[String]): TensorFileEmbedder = {
     val t = SafeTensors.load(path)
     def get(name: String) = t.getOrElse(name,
       throw new IllegalArgumentException(
@@ -513,7 +575,8 @@ object TensorFileEmbedder {
       case _ => throw new IllegalArgumentException(
         s"safetensors file $path has a partial pooler.dense tensor set")
     }
-    new TensorFileEmbedder(emb, attn, stack, pooler)
+    new TensorFileEmbedder(emb, attn, stack, pooler,
+      bpePath.map(graft.operators.Bpe.loadModel))
   }
 
   /** Deterministic tiny-model generator (test fixture / smoke artifact):

@@ -34,10 +34,91 @@ object Bpe {
     * "</w>" and conflate a mid-word token with the word boundary). */
   private[graft] val Eow = "\n"
 
-  final case class Model(merges: Seq[(String, String)]) {
+  final case class Model(merges: Seq[(String, String)],
+      alphabet: Seq[String] = Nil) {
     /** rank map for the encoder: pair -> merge priority */
     @transient lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
+
+    /** Deterministic token -> id table (the vocab.json half of the HF
+      * tokenizer-artifact pair, derived instead of stored separately):
+      * Eow, then the training alphabet in sorted order, then merge
+      * products in merge order, first occurrence wins. A pure function
+      * of the model, so two JVMs loading the same artifact agree on
+      * every id. */
+    @transient lazy val tokenIds: Map[String, Int] = {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      (Eow +: alphabet) ++ merges.map { case (a, b) => a + b } foreach {
+        tok => if (!seen.contains(tok)) seen.update(tok, seen.size)
+      }
+      seen.toMap
+    }
+  }
+
+  // ---- tokenizer artifact I/O (the merges.txt/vocab.json seam of the
+  // reference's HF tokenizer, embedding_model_helpers.py:34-65, as ONE
+  // self-contained file). Line format needs escaping because Eow IS a
+  // newline: symbols are escaped (\\, \n, \t, \r), merges are
+  // tab-separated pairs, alphabet one symbol per line. ----
+
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\t' => "\\t"
+    case '\r' => "\\r"
+    case c => c.toString
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        sb += (s.charAt(i + 1) match {
+          case 'n' => '\n'
+          case 't' => '\t'
+          case 'r' => '\r'
+          case c => c
+        })
+        i += 2
+      } else { sb += s.charAt(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val ArtifactHeader = "graft-bpe-v1"
+
+  /** Write a trained model as a portable tokenizer artifact. */
+  def save(model: Model, path: String): Unit = {
+    val sb = new StringBuilder(ArtifactHeader).append('\n')
+    model.alphabet.foreach(a => sb.append("A ").append(esc(a)).append('\n'))
+    model.merges.foreach { case (a, b) =>
+      sb.append("M ").append(esc(a)).append('\t').append(esc(b)).append('\n')
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a tokenizer artifact written by [[save]]. */
+  def loadModel(path: String): Model = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    require(!lines.isEmpty && lines.get(0) == ArtifactHeader,
+      s"$path is not a $ArtifactHeader tokenizer artifact")
+    val alphabet = Seq.newBuilder[String]
+    val merges = Seq.newBuilder[(String, String)]
+    lines.subList(1, lines.size).forEach { line =>
+      if (line.startsWith("A ")) alphabet += unesc(line.substring(2))
+      else if (line.startsWith("M ")) {
+        val t = line.substring(2).split("\t", 2)
+        require(t.length == 2, s"malformed merge line in $path: '$line'")
+        merges += ((unesc(t(0)), unesc(t(1))))
+      } else if (line.nonEmpty)
+        throw new IllegalArgumentException(
+          s"unknown record in $path: '$line'")
+    }
+    Model(merges.result(), alphabet.result())
   }
 
   /** Train `numMerges` merges. `minWordCount` prunes the long tail of
@@ -60,6 +141,10 @@ object Bpe {
     var vocab: Array[(Array[String], Long)] = vocabRows.map { r =>
       (initialSymbols(r.getString(0)), r.getLong(1))
     }
+    // training alphabet (sorted, Eow excluded) — the id-table base of
+    // the tokenizer artifact; bounded by the capped word table
+    val alphabet = vocab.iterator.flatMap(_._1).filter(_ != Eow)
+      .toSeq.distinct.sorted
     val merges = Seq.newBuilder[(String, String)]
     var m = 0
     while (m < numMerges) {
@@ -87,7 +172,7 @@ object Bpe {
         m += 1
       }
     }
-    Model(merges.result())
+    Model(merges.result(), alphabet)
   }
 
   /** Initial symbol sequence of a word: one symbol per CODE POINT
@@ -125,6 +210,17 @@ object Bpe {
     out.toArray
   }
 
+  /** Row-local subword encode of raw text: \s+ word split, then the
+    * greedy rank-order merge per word. Same loop [[encode]]'s UDF runs —
+    * exposed for executor-side callers that hold a broadcast/singleton
+    * rank map (TensorFileEmbedder's subword tokenization). */
+  def encodeText(text: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    if (text == null) Array.empty[String]
+    else text.split("\\s+").filter(_.nonEmpty)
+      .flatMap(w => encodeWord(w, ranks))
+  }
+
   /** Greedy rank-order encode of one word (the standard BPE encode
     * loop: repeatedly merge the lowest-rank adjacent pair). */
   private def encodeWord(word: String,
@@ -156,11 +252,7 @@ object Bpe {
       model: Model): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val bc = sc.broadcast(model.ranks)
-    val enc = udf { (text: String) =>
-      if (text == null) Array.empty[String]
-      else text.split("\\s+").filter(_.nonEmpty)
-        .flatMap(w => encodeWord(w, bc.value))
-    }
+    val enc = udf { (text: String) => encodeText(text, bc.value) }
     df.select(col(idCol), enc(col(textCol)).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
   }

@@ -252,6 +252,60 @@ class MlSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("BPE tokenizer drives the encoder: sibling .bpe artifact " +
+      "switches tokenization to subword ids, a merge-table change " +
+      "moves the embedding, and the artifact round-trips exactly") {
+    val s = initSpark()
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stbpe").toString
+    // a corpus where merges matter: 'banana' compresses to few pieces
+    // under its own merges, stays character-level under none
+    val docs = Seq.tabulate(20)(i => (i.toLong, "banana bandana band"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.Bpe.train(docs, "text", numMerges = 12)
+    assert(model.alphabet.nonEmpty)
+    // artifact round-trip is EXACT (merges contain the \n Eow marker —
+    // the escaping is load-bearing)
+    val tokPath = s"$dir/stack.safetensors.bpe"
+    graft.operators.Bpe.save(model, tokPath)
+    val back = graft.operators.Bpe.loadModel(tokPath)
+    assert(back.merges === model.merges)
+    assert(back.alphabet === model.alphabet)
+    assert(back.tokenIds === model.tokenIds)
+
+    val path = s"$dir/stack.safetensors"
+    graft.ml.TensorFileEmbedder.writeTinyStackModel(path, vocab = 97,
+      dModel = 16, layers = 1, heads = 2, dff = 32)
+    // load() auto-discovers the sibling artifact; load(path, None) is
+    // the legacy hashed-word path over the same weights
+    val sub = graft.ml.TensorFileEmbedder.load(path)
+    val hashed = graft.ml.TensorFileEmbedder.load(path, None)
+    val text = "banana bandana band"
+    assert(sub.embed(text).toSeq === sub.embed(text).toSeq)
+    assert(sub.embed(text).toSeq !== hashed.embed(text).toSeq,
+      "subword ids must select different embedding rows than " +
+        "hashed whole words")
+    // merge-table change => different token ids => different embedding
+    // (same weights file both times)
+    val model2 = graft.operators.Bpe.train(docs, "text", numMerges = 2)
+    val tokPath2 = s"$dir/alt.bpe"
+    graft.operators.Bpe.save(model2, tokPath2)
+    val sub2 = graft.ml.TensorFileEmbedder.load(path, Some(tokPath2))
+    assert(sub.embed(text).toSeq !== sub2.embed(text).toSeq,
+      "a different merge table must move the embedding")
+    // OOV pieces (code points outside the training alphabet) still
+    // embed — the hash fallback keeps the no-OOV-loss contract
+    assert(sub.embed("zzz éé").length === 16)
+    // an id table larger than the embedding matrix is a loud error
+    val tiny = s"$dir/tiny.safetensors"
+    graft.ml.TensorFileEmbedder.writeTinyStackModel(tiny,
+      vocab = 4, dModel = 16, layers = 1, heads = 2, dff = 32)
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.TensorFileEmbedder.load(tiny, Some(tokPath))
+    }
+    assert(e.getMessage.contains("token rows"))
+  }
+
   test("model registry memoizes the safetensors backend per JVM (R7 " +
       "model-cache parity: the file parses once, tasks share it)") {
     val dir = java.nio.file.Files.createTempDirectory("st").toString
