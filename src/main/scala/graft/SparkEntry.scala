@@ -594,8 +594,8 @@ object SparkEntry {
     // over the same pair graph. ----
     "q83_dup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.2)
+      val pairs = Dedup.jaccardPairsCapped(docs, "doc_id", "text",
+        n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap)
       // idsCoverEndpoints: pairs derive from the same docs frame, and
       // doc_id is unique — the filtered-ids seeding/restriction
       // exchanges would be pure overhead here
@@ -611,8 +611,8 @@ object SparkEntry {
     // real corpus, cross-engine. ----
     "q86_dup_clusters_star" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.2)
+      val pairs = Dedup.jaccardPairsCapped(docs, "doc_id", "text",
+        n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap)
       Dedup.connectedComponentsStar(docs.select(col("doc_id")), pairs,
           idCol = "doc_id", idsCoverEndpoints = true)
         .withColumn("keep", col("doc_id") === col("cluster_rep"))
@@ -1711,8 +1711,8 @@ object SparkEntry {
     // impossible (the q74 md5 split, the q83 clusters). ----
     "q119_leakage_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.2)
+      val pairs = Dedup.jaccardPairsCapped(docs, "doc_id", "text",
+        n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap)
       Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
           idCol = "doc_id", idsCoverEndpoints = true)
         .select(col("doc_id"), col("cluster_rep"),
@@ -1766,6 +1766,17 @@ object SparkEntry {
   /** q100/q101's fixed lexical query — mid-frequency corpus terms so
     * idf and tf both vary across the result. */
   private val BmQueryTerms = Seq("vector", "stream", "window")
+
+  /** Shingle df cap for the composite cluster queries (q83/q86/q119):
+    * bounds the exact pair generator at maxDocFreq²/2 pairs per shingle
+    * — the d² stop-shingle blowup cannot happen at ANY corpus size. The
+    * value sits far above the testdata's max 3-shingle df (25 at sf0.1,
+    * 7 at sf0.01), so capped output == uncapped output and the shared
+    * recursive-CTE oracle is unchanged; at 100 TB the cap bites by
+    * design, dropping only shingles whose duplicate signal is nil (a
+    * 3-gram in 4096+ docs is a stop phrase). q70 pins the BITING
+    * semantics of the same generator (cap 10 < max df). */
+  private val ClusterPairDfCap = 4096
 
   /** The fast-plan queries share their relational twins' oracles BY
     * REFERENCE — same semantics, different plan, one SQL definition
