@@ -34,20 +34,82 @@ object Chunker {
 
   val PreSplitChars = 1000000
 
+  /** Abbreviations that end in '.' but do not end a sentence — the
+    * UD/spaCy exceptions ICU's locale-free rules miss most often in
+    * academic prose (measured on the reference's fixture corpus:
+    * ChunkerParitySpec). Compared lowercased against the final token
+    * before a candidate boundary, closing quotes/brackets stripped. */
+  private val Abbreviations: Set[String] = Set(
+    "e.g.", "i.e.", "etc.", "cf.", "al.", "et al.", "ibid.", "viz.",
+    "vs.", "fig.", "figs.", "p.", "pp.", "no.", "nos.", "vol.",
+    "vols.", "ch.", "chap.", "sec.", "ed.", "eds.", "dr.", "mr.",
+    "mrs.", "ms.", "prof.", "st.", "jr.", "sr.", "inc.", "ltd.",
+    "approx.", "dept.", "univ.", "resp.")
+
+  /** True when the ICU boundary at block[end] should be SUPPRESSED
+    * (merged with the following sentence):
+    *  - abbreviation guard: the last token of the finished sentence is
+    *    a known '.'-final abbreviation ("...see fig. 3 below...")
+    *  - citation-bracket guard: the next sentence opens with a '(' or
+    *    '[' — in academic text that is a trailing citation
+    *    "...project." (Danby 2017: 79)" that UD segmenters keep
+    *    attached to the sentence it cites. */
+  private def suppressBoundary(block: String, start: Int,
+      end: Int): Boolean = {
+    // next non-space char after the boundary
+    var i = end
+    while (i < block.length && Character.isWhitespace(block.charAt(i))) i += 1
+    if (i < block.length &&
+        (block.charAt(i) == '(' || block.charAt(i) == '[')) return true
+    // last whitespace-token of the finished sentence, sans closing marks
+    var e = end
+    while (e > start && Character.isWhitespace(block.charAt(e - 1))) e -= 1
+    var b = e
+    while (b > start && !Character.isWhitespace(block.charAt(b - 1))) b -= 1
+    if (e <= b) return false
+    val tok = block.substring(b, e)
+      .replaceAll("[\"'“”‘’»«)\\]]+$", "")
+      .toLowerCase(Locale.ROOT)
+    Abbreviations.contains(tok)
+  }
+
+  /** EMITTED sentence boundaries of one <=1M-char block: ICU
+    * boundaries minus the suppressed ones (ChunkerParitySpec measures
+    * these against the UD rule proxy). Block-relative offsets;
+    * excludes offset 0, includes block.length. */
+  private[graft] def blockBoundaries(block: String): Seq[Int] = {
+    val it = BreakIterator.getSentenceInstance(Locale.ROOT)
+    it.setText(block)
+    val bounds = mutable.ArrayBuffer(it.first())
+    var b = it.next()
+    while (b != BreakIterator.DONE) { bounds += b; b = it.next() }
+    val out = mutable.ArrayBuffer.empty[Int]
+    // suppressed ICU boundaries extend the current run instead of
+    // flushing it (the final boundary always flushes)
+    var runStart = bounds.head
+    var i = 1
+    while (i < bounds.length) {
+      val end = bounds(i)
+      if (i == bounds.length - 1 ||
+          !suppressBoundary(block, runStart, end)) {
+        out += end
+        runStart = end
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
   def splitSentences(text: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     // pre-split very long inputs so the iterator never sees >1M chars
     // (reference embedding_model_helpers.py:87-92)
     text.grouped(PreSplitChars).foreach { block =>
-      val it = BreakIterator.getSentenceInstance(Locale.ROOT)
-      it.setText(block)
-      var start = it.first()
-      var end = it.next()
-      while (end != BreakIterator.DONE) {
-        val s = block.substring(start, end).trim
+      var runStart = 0
+      blockBoundaries(block).foreach { end =>
+        val s = block.substring(runStart, end).trim
         if (s.nonEmpty) out += s
-        start = end
-        end = it.next()
+        runStart = end
       }
     }
     out.toSeq
