@@ -48,19 +48,32 @@ object Graph {
     *   rank'(v)   = teleport + sum over in-edges of contrib
     * }}}
     *
-    * Nodes with no edges at all hold `teleport` from iteration 1 on
-    * (they receive no mass and are appended once after the loop —
-    * they never enter the iterated join). Dangling nodes (out-degree
-    * zero but in-edges present) simply leak their damped mass, the
-    * standard simplification; pass a symmetrized edge list (every
-    * edge in both directions) to avoid dangling entirely, which is
-    * what host-graph frontier scoring does anyway.
+    * DIRECTED inputs are handled exactly (round-10 hardening — the
+    * previous release double-counted dst-only nodes under a directed
+    * edge list):
+    *  - nodes with no edges at all hold `teleport` from iteration 1 on
+    *    (they receive no mass; filled in by the final node-cover join —
+    *    they never enter the iterated join)
+    *  - source-only nodes (out-edges, no in-edges) receive nothing, so
+    *    from iteration 1 on they hold exactly `teleport`; the iterated
+    *    join coalesces their missing rank to `teleport`, which keeps
+    *    their OUT-contributions flowing in later rounds
+    *  - dst-only nodes accumulate contributions like any other node and
+    *    appear exactly once in the output (GraphSpec pins it).
+    * Dangling nodes (out-degree zero but in-edges present) simply leak
+    * their damped mass, the standard simplification — so
+    * sum(rank_fixed) <= scale always (GraphSpec asserts it); pass a
+    * symmetrized edge list (every edge in both directions) to avoid
+    * dangling entirely, which is what host-graph frontier scoring does
+    * anyway.
     *
-    * `nodes` must carry one row per distinct node id in `idCol`;
-    * `edges` directed pairs in `srcCol`/`dstCol` (duplicates are
-    * collapsed — this is a simple graph walk, not a multigraph).
-    * Output: (node_id, rank_fixed) with sum(rank_fixed) <= scale
-    * (floor losses only, bounded by edges + nodes per iteration).
+    * `nodes` must carry one row per distinct node id in `idCol` and
+    * COVER every edge endpoint; `edges` directed pairs in
+    * `srcCol`/`dstCol` (duplicates are collapsed — this is a simple
+    * graph walk, not a multigraph).
+    * Output: (node_id, rank_fixed), exactly one row per node, with
+    * sum(rank_fixed) <= scale (floor losses only, bounded by
+    * edges + nodes per iteration).
     */
   def pageRankFixed(spark: SparkSession, nodes: DataFrame,
       edges: DataFrame, idCol: String, srcCol: String, dstCol: String,
@@ -110,11 +123,17 @@ object Graph {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     var prevCkpt: Option[DataFrame] = None
     for (i <- 1 to iters) {
+      // LEFT join + teleport coalesce: after iteration 1 the rank frame
+      // only covers contribution RECEIVERS (the dst set); a source-only
+      // node's rank is then exactly `tele`, and an inner join would
+      // silently zero its out-contributions (directed-input bug fixed
+      // in round 10). Symmetrized inputs never take the coalesce branch
+      // — src ⊆ dst — so q108's plan and output are unchanged.
       val contrib = edgesDeg
-        .join(ranks, col("__src") === col("node_id"))
+        .join(ranks, col("__src") === col("node_id"), "left")
         .select(col("__dst").as("node_id"),
-          expr(s"((rank_fixed * $dampNum) DIV $dampDen) DIV __outdeg")
-            .as("__c"))
+          expr(s"((coalesce(rank_fixed, $tele) * $dampNum) DIV $dampDen)" +
+            " DIV __outdeg").as("__c"))
       ranks = contrib.groupBy("node_id")
         .agg((lit(tele) + sum(col("__c"))).as("rank_fixed"))
       if (i % checkpointEvery == 0 && i < iters) {
@@ -125,13 +144,16 @@ object Graph {
       }
     }
 
-    // Nodes that touch no edge: teleport-only from iteration 1 on.
-    val isolated = nodes
-      .select(col(idCol).cast("long").as("node_id"))
-      .join(edgesDeg.select(col("__src").as("node_id")), Seq("node_id"),
-        "left_anti")
-      .withColumn("rank_fixed", lit(tele))
-    ranks.unionByName(isolated)
+    // Node-cover fill: after >=1 iterations the rank frame is exactly
+    // the contribution receivers (dst set); every other node —
+    // isolated OR source-only — holds `tele`. One left join emits
+    // exactly one row per node (the former __src-only anti-join
+    // emitted dst-only nodes TWICE on directed inputs: once from the
+    // loop, once as "isolated").
+    nodes.select(col(idCol).cast("long").as("node_id"))
+      .join(ranks, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("rank_fixed"), lit(tele)).as("rank_fixed"))
   }
 
   private val lastRelease = ReleaseSlot()

@@ -94,6 +94,45 @@ class GraphSpec extends SparkSuite {
         s"${Scale - isolatedLeak - slack}")
   }
 
+  test("DIRECTED edge lists are exact: dst-only nodes appear exactly " +
+      "once, source-only nodes hold teleport, mass never exceeds scale") {
+    val s = initSpark()
+    import s.implicits._
+    // 4 -> 2 -> 3, 1 -> 2: node 3 is dst-only (the double-count bug
+    // surface), 1 and 4 are source-only, 99 isolated
+    val dNodes = Seq(1L, 2L, 3L, 4L, 99L)
+    val dEdges = Seq((1L, 2L), (2L, 3L), (4L, 2L))
+    val got = Graph.pageRankFixed(s, dNodes.toDF("node_id"),
+        dEdges.toDF("src", "dst"), "node_id", "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // exactly one row per node — the r9 form emitted dst-only nodes
+    // twice (loop row + "isolated" row)
+    assert(got.map(_._1).sorted === dNodes.sorted)
+    val gotMap = got.toMap
+    val n = dNodes.size
+    val init = Scale / n
+    val tele = Scale * 15 / 100 / n
+    // driver-side replay of the documented directed semantics:
+    // receivers accumulate, non-receivers coalesce to teleport
+    val deg = dEdges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    var rank = dEdges.map(_._1).distinct.map(_ -> init).toMap
+    for (_ <- 1 to 3) {
+      rank = dEdges
+        .map { case (sr, d) =>
+          d -> (rank.getOrElse(sr, tele) * 85 / 100 / deg(sr)) }
+        .groupBy(_._1)
+        .map { case (d, cs) => d -> (tele + cs.map(_._2).sum) }
+    }
+    val want = dNodes.map(v => v -> rank.getOrElse(v, tele)).toMap
+    assert(gotMap === want)
+    // source-only and isolated nodes hold exactly the teleport term
+    assert(gotMap(1L) === tele)
+    assert(gotMap(4L) === tele)
+    assert(gotMap(99L) === tele)
+    // dangling leak (node 3 re-emits nothing) only ever SHRINKS mass
+    assert(gotMap.values.sum <= Scale)
+  }
+
   test("one extra power iteration costs exactly one extra shuffle") {
     val s = initSpark()
     val dir = "/root/testdata/sf0.001"
