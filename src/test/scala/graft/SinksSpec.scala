@@ -127,4 +127,102 @@ class SinksSpec extends SparkSuite {
     assert(m("d2") === Some("collection_welearn_en_minilm"))
     assert(m("d3") === None)
   }
+
+  test("LIVE LOOPBACK vector sink: delete-then-insert over the wire, " +
+      "chunked at chunkSize, and a FAILED upsert does NOT advance the " +
+      "ledger (S19, qdrant_syncronizer.py:132-205 protocol shape)") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.sinks.VectorStore
+
+    val okColl = "collection_welearn_en_stub"
+    val badColl = "collection_welearn_fr_stub"
+    // request journal: (method, path) in arrival order + point counts
+    val journal =
+      new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
+    val pointCounts =
+      new java.util.concurrent.CopyOnWriteArrayList[Integer]()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val method = exchange.getRequestMethod
+      val path = exchange.getRequestURI.getPath
+      journal.add((method, path))
+      val reqBody = new String(
+        exchange.getRequestBody.readAllBytes(), "UTF-8")
+      val (code, body) = (method, path) match {
+        case ("GET", "/collections") =>
+          (200, s"""{"status":"ok","result":{"collections":[
+            {"name":"$okColl"},{"name":"$badColl"}]}}""")
+        case ("POST", p) if p.endsWith("/points/delete") =>
+          (200, """{"status":"ok","result":{"operation_id":1,
+            "status":"acknowledged"}}""")
+        case ("PUT", p) if p == s"/collections/$okColl/points" =>
+          pointCounts.add(
+            mapper.readTree(reqBody).path("points").size())
+          (200, """{"status":"ok","result":{"operation_id":2,
+            "status":"completed"}}""")
+        case ("PUT", p) if p == s"/collections/$badColl/points" =>
+          // the store refuses this collection's batches
+          (500, """{"status":{"error":"disk full"}}""")
+        case _ => (404, """{"status":"not found"}""")
+      }
+      val bytes = body.getBytes("UTF-8")
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(code, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // 3 docs x 2 slices into the ok collection (6 points: chunkSize 4
+      // => 2 chunks), 1 doc into the failing one
+      val slices = (for {
+        d <- 1 to 3; k <- 1 to 2
+      } yield (s"s$d-$k", s"doc$d", "en", "stub",
+        Array.fill(4)(0.25f), s"body $d-$k")) ++
+        Seq(("s9-1", "doc9", "fr", "stub", Array.fill(4)(0.5f), "body 9"))
+      val df = slices.toDF("slice_id", "document_id", "lang", "model",
+        "embedding", "slice_content")
+      val routed = df.withColumn("collection",
+        CollectionRouter.collectionForCatalog(col("lang"), col("model"),
+          Seq(okColl, badColl)))
+      val status = VectorStore.sync(routed, "slice_id", "document_id",
+        "embedding", Seq("slice_content", "lang"), base, chunkSize = 4)
+        .collect().map(r => (r.getString(1), r.getBoolean(2))).toMap
+      assert(status === Map("doc1" -> true, "doc2" -> true,
+        "doc3" -> true, "doc9" -> false))
+
+      // the wire saw: one catalog list, then PER COLLECTION a delete
+      // BEFORE any insert, inserts chunked at 4 points max
+      val calls = journal.toArray(Array.empty[(String, String)]).toSeq
+      assert(calls.head === ("GET", "/collections"))
+      def idx(m: String, p: String) =
+        calls.indexWhere(c => c._1 == m && c._2 == p)
+      assert(idx("POST", s"/collections/$okColl/points/delete") <
+        idx("PUT", s"/collections/$okColl/points"),
+        "delete must precede insert (delete-then-insert upsert)")
+      val counts = pointCounts.toArray(Array.empty[Integer]).map(_.toInt)
+      assert(counts.sum === 6, s"all 6 ok-collection points shipped: " +
+        counts.mkString(","))
+      assert(counts.forall(_ <= 4), "chunk cap respected")
+
+      // ledger gate: only synced docs advance process state
+      val dir = Files.createTempDirectory("vsync").toString
+      val prior = Seq(("doc0", "KEPT")).toDF("document_id", "state")
+      prior.write.parquet(s"$dir/state")
+      val advanced = VectorStore.sync(routed, "slice_id", "document_id",
+          "embedding", Seq("slice_content"), base, chunkSize = 4)
+        .where(col("synced"))
+        .select(col("document_id"), lit("IN_QDRANT").as("state"))
+      Merge.insertIfAbsent(s, s"$dir/state", advanced,
+        "document_id", "state")
+      val state = s.read.parquet(s"$dir/state")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(state.keySet === Set("doc0", "doc1", "doc2", "doc3"),
+        "doc9's failed upsert must NOT advance the ledger")
+    } finally server.stop(0)
+  }
 }
