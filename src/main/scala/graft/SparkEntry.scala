@@ -1760,6 +1760,19 @@ object SparkEntry {
         .withColumn("n_words",
           size(filter(split(col("slice_text"), "\\s+"),
             w => length(w) > 0)))
+    }),
+
+    // ---- Char-trigram language ID (round 10): the Cavnar-Trenkle
+    // rank-profile model over q18's corpus — strictly stronger than
+    // the marker-word heuristic on short/mixed text (LangIdSpec
+    // measures the gap on the reference's own fixtures). The model is
+    // pure tables (integer ranks from embedded public samples), so
+    // the whole decision replays in generated oracle SQL. ----
+    "q123_lang_trigram" -> ((s, dir) => {
+      fan(s, t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang").as("declared_lang"),
+          graft.functions.LangId.detectLang(col("text"))
+            .as("detected_lang"))
     })
   )
 
@@ -3820,7 +3833,17 @@ object SparkEntry {
          FROM (
            SELECT doc_id, slice,
              string_agg(s, ' ' ORDER BY idx) AS slice_text
-           FROM pack GROUP BY doc_id, slice)"""
+           FROM pack GROUP BY doc_id, slice)""",
+
+    // Char-trigram lang-id: the rank-profile model's tables and the
+    // full rank/distance/argmin algebra are generated from the Scala
+    // model itself (LangId.oracleSql — the Bpe.oracleSql discipline),
+    // then joined back for the declared_lang column.
+    "q123_lang_trigram" ->
+      s"""SELECT d.doc_id, d.lang AS declared_lang, q.detected_lang
+         FROM documents d
+         JOIN (${graft.functions.LangId.oracleSql()}) q
+           ON q.doc_id = d.doc_id"""
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census
