@@ -22,12 +22,18 @@ import scala.collection.mutable.ArrayBuffer
   *    `[(s) kern (s)] TJ`, `'`, `"`, with Td/TD/T* line breaks and
   *    PDFDocEncoding escape sequences
   *
+  * Standard-security encryption (RC4 40-128, AESV2, AESV3 — see
+  * PdfCrypt) is decrypted in-line when the file opens with the empty
+  * user password (the dominant crawl-corpus case: permissions-only
+  * encryption).
+  *
   * Honest boundaries (routed to the error channel, not silently
-  * wrong): encrypted PDFs, the IMAGE codecs (DCT/CCITT/JBIG2/JPX —
-  * no text inside them by construction), and CID/composite fonts
-  * whose strings are glyph indexes, not character codes. Those last
-  * need a full font-CMap engine — the documented cut line for this
-  * extractor; everything below it is real parsing, not a stub.
+  * wrong): password-protected or non-Standard-handler encryption, the
+  * IMAGE codecs (DCT/CCITT/JBIG2/JPX — no text inside them by
+  * construction), and CID/composite fonts without a /ToUnicode CMap
+  * (their strings are glyph indexes, unknowable without a full font
+  * engine) — the documented cut lines for this extractor; everything
+  * below them is real parsing, not a stub.
   */
 object PdfExtract {
 
@@ -41,10 +47,28 @@ object PdfExtract {
       StandardCharsets.ISO_8859_1)
     if (!head.startsWith("%PDF-")) return Seq.empty
     val text = new String(pdf, StandardCharsets.ISO_8859_1)
-    val strms = streams(pdf)
+    val rawStrms = streams(pdf)
+    // Standard-security decryption (PdfCrypt): when the file opens with
+    // the empty user password, decrypt every stream body up front (the
+    // ToUnicode CMap streams consumed below are encrypted too). An
+    // encrypted stream whose object number is unknown cannot be keyed
+    // (R≤4 salts the key with obj+gen) — drop it rather than feed
+    // ciphertext to the filter chain. Unsupported schemes keep the old
+    // contract: no handler, no streams decodable, empty result, caller
+    // routes via isEncrypted to the error channel.
+    val strms =
+      if (!isEncrypted(pdf)) rawStrms
+      else PdfCrypt.handlerFor(pdf) match {
+        case None => return Seq.empty
+        case Some(h) => rawStrms.flatMap {
+          case (id @ Some((obj, gen)), dict, raw) =>
+            Some((id, dict, h.decrypt(obj, gen, raw)))
+          case _ => None
+        }
+      }
     val fontsByContent = cidFontsByContentObj(text, strms)
     strms.flatMap { case (objNum, dict, raw) =>
-      val fonts = objNum.flatMap(fontsByContent.get)
+      val fonts = objNum.map(_._1).flatMap(fontsByContent.get)
         .getOrElse(Map.empty[String, Map[Int, String]])
       decodeStream(dict, raw)
         .map(textFromContent(_, fonts)).filter(_.nonEmpty)
@@ -79,7 +103,7 @@ object PdfExtract {
 
   /** The balanced `<< ... >>` block starting at the first `<<` at or
     * after `from`; empty when absent. */
-  private def balancedDict(s: String, from: Int): String = {
+  private[graft] def balancedDictAt(s: String, from: Int): String = {
     val open = s.indexOf("<<", from)
     if (open < 0) return ""
     var depth = 0
@@ -97,11 +121,11 @@ object PdfExtract {
   /** content-stream objNum -> (font resource name -> CID-to-unicode
     * map), for fonts that declare /ToUnicode. */
   private def cidFontsByContentObj(text: String,
-      strms: Seq[(Option[Int], String, Array[Byte])])
+      strms: Seq[(Option[(Int, Int)], String, Array[Byte])])
       : Map[Int, Map[String, Map[Int, String]]] = {
     val dicts = objectDicts(text)
     val streamByObj = strms.collect {
-      case (Some(n), d, raw) => n -> ((d, raw))
+      case (Some((n, _)), d, raw) => n -> ((d, raw))
     }.toMap
     // font obj -> decoded ToUnicode cmap (only for fonts that have one)
     val toUniOf = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
@@ -141,7 +165,7 @@ object PdfExtract {
         val resText =
           if (rIdx < 0) ""
           else {
-            val inline = balancedDict(d, rIdx)
+            val inline = balancedDictAt(d, rIdx)
             if (inline.nonEmpty) inline
             else RefRe.findFirstMatchIn(d.substring(rIdx))
               .flatMap(m => dicts.get(m.group(1).toInt)).getOrElse("")
@@ -150,7 +174,7 @@ object PdfExtract {
         val fonts =
           if (fIdx < 0) Map.empty[String, Map[Int, String]]
           else "/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R".r
-            .findAllMatchIn(balancedDict(resText, fIdx))
+            .findAllMatchIn(balancedDictAt(resText, fIdx))
             .flatMap(m => cmapFor(m.group(2).toInt)
               .map(cm => m.group(1) -> cm))
             .toMap
@@ -459,12 +483,12 @@ object PdfExtract {
   /** (dict-text, raw-stream-bytes) for every stream object, skipping
     * image/font/metadata streams (they hold pixels or glyf programs,
     * not text operators). */
-  private val ObjNumTailRe = """(\d+)\s+\d+\s+obj$""".r
+  private val ObjNumTailRe = """(\d+)\s+(\d+)\s+obj$""".r
 
   private def streams(pdf: Array[Byte])
-      : Seq[(Option[Int], String, Array[Byte])] = {
+      : Seq[(Option[(Int, Int)], String, Array[Byte])] = {
     val text = new String(pdf, StandardCharsets.ISO_8859_1)
-    val out = ArrayBuffer.empty[(Option[Int], String, Array[Byte])]
+    val out = ArrayBuffer.empty[(Option[(Int, Int)], String, Array[Byte])]
     var from = 0
     while (from < text.length) {
       val s = text.indexOf("stream", from)
@@ -483,7 +507,7 @@ object PdfExtract {
         val objNum = ObjNumTailRe
           .findFirstMatchIn(text.substring(
             math.max(0, objAt - 24), math.min(text.length, objAt + 3)))
-          .map(_.group(1).toInt)
+          .map(m => (m.group(1).toInt, m.group(2).toInt))
         // a DIRECT /Length gives the exact body extent — authoritative,
         // and immune to (a) "endstream" appearing inside compressed
         // bytes and (b) a body whose own last byte is CR/LF (the
@@ -593,7 +617,7 @@ object PdfExtract {
       val c = s.charAt(i)
       c match {
         case '(' =>
-          val (str, next) = literalString(s, i)
+          val (str, next) = literalStringAt(s, i)
           pendingStrings += ((str, true)); i = next
         case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' =>
           // dictionary open: consume BOTH chars — otherwise the second
@@ -603,7 +627,7 @@ object PdfExtract {
         case '>' if i + 1 < s.length && s.charAt(i + 1) == '>' =>
           i += 2 // dictionary close
         case '<' =>
-          val (str, next) = hexString(s, i)
+          val (str, next) = hexStringAt(s, i)
           pendingStrings += ((str, true)); i = next
         case '[' => inTJArray = true; i += 1
         case ']' => inTJArray = false; i += 1
@@ -665,7 +689,7 @@ object PdfExtract {
 
   /** PDF literal string starting at `(`: returns (decoded, next index).
     * Handles nesting, escapes, and octal codes (ISO 32000 §7.3.4.2). */
-  private def literalString(s: String, open: Int): (String, Int) = {
+  private[graft] def literalStringAt(s: String, open: Int): (String, Int) = {
     val sb = new StringBuilder
     var depth = 1
     var i = open + 1
@@ -704,7 +728,7 @@ object PdfExtract {
 
   /** PDF hex string `<48656C6C6F>`: bytes from hex pairs (odd final
     * digit padded with 0). */
-  private def hexString(s: String, open: Int): (String, Int) = {
+  private[graft] def hexStringAt(s: String, open: Int): (String, Int) = {
     val close = s.indexOf('>', open)
     if (close < 0) return ("", s.length)
     val hex = s.substring(open + 1, close).filter(c =>

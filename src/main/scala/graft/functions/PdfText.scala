@@ -76,10 +76,22 @@ object PdfText {
     f(pdf)
   }
 
-  /** Encrypted-PDF predicate for error-channel routing (reference
-    * pdf_extractor.py failure branch -> ErrorRetrieval). */
+  /** Encrypted-PDF predicate (declares an /Encrypt dict — the file may
+    * still be extractable; see needsPassword for routing). */
   def isEncrypted(pdf: Column): Column = {
     val f = udf { (bytes: Array[Byte]) => PdfExtract.isEncrypted(bytes) }
+    f(pdf)
+  }
+
+  /** Error-channel routing predicate (reference pdf_extractor.py
+    * failure branch -> ErrorRetrieval): encrypted AND not openable with
+    * the empty user password under the standard security handler —
+    * extractPages decrypts everything else in-line (PdfCrypt). */
+  def needsPassword(pdf: Column): Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      PdfExtract.isEncrypted(bytes) &&
+        PdfCrypt.handlerFor(bytes).isEmpty
+    }
     f(pdf)
   }
 

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{PdfCrypt, PdfExtract}
+
+/** Standard-security-handler decryption (PdfCrypt) — closes the round-9
+  * "encrypted PDFs" cut line for the empty-user-password case. The
+  * cipher layer is pinned by independent public known-answer vectors
+  * (RC4; AES is the JRE's own); the fixture round trips then exercise
+  * the full integration: /Encrypt dict parse (direct and by reference),
+  * /ID hashing, Algorithm 2 key derivation, /U verification, per-object
+  * key salting (obj+gen LE + sAlT), the AES IV prefix, and R6's
+  * Algorithm 2.B hardened hash. */
+class PdfCryptSpec extends AnyFunSuite with SparkSuite {
+
+  private def hexToBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def toHex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xFF}%02X").mkString
+
+  test("RC4 matches the public known-answer vectors") {
+    def enc(key: String, plain: String): String =
+      toHex(PdfCrypt.rc4(key.getBytes(StandardCharsets.US_ASCII),
+        plain.getBytes(StandardCharsets.US_ASCII)))
+    assert(enc("Key", "Plaintext") === "BBF316E8D940AF0AD3")
+    assert(enc("Wiki", "pedia") === "1021BF0420")
+    assert(enc("Secret", "Attack at dawn") ===
+      "45A01F645FC35B383552544B9BF5")
+    // symmetric: decrypt == encrypt
+    val c = PdfCrypt.rc4("Key".getBytes, "Plaintext".getBytes)
+    assert(new String(PdfCrypt.rc4("Key".getBytes, c)) === "Plaintext")
+  }
+
+  test("Algorithm 2.B hardened hash: deterministic, 32 bytes, " +
+      "salt-sensitive") {
+    val s1 = Array.tabulate[Byte](8)(_.toByte)
+    val s2 = Array.tabulate[Byte](8)(i => (i + 1).toByte)
+    val h1 = PdfCrypt.hash2b(Array.emptyByteArray, s1)
+    val h1b = PdfCrypt.hash2b(Array.emptyByteArray, s1)
+    val h2 = PdfCrypt.hash2b(Array.emptyByteArray, s2)
+    assert(h1.length === 32)
+    assert(java.util.Arrays.equals(h1, h1b))
+    assert(!java.util.Arrays.equals(h1, h2))
+    assert(!java.util.Arrays.equals(
+      PdfCrypt.hash2b("pw".getBytes, s1), h1))
+  }
+
+  private val lines = Seq("Encrypted corpus document.",
+    "Second line of recovered text.")
+  private val expected = lines.mkString("\n")
+
+  for (scheme <- Seq("rc4-40", "rc4-128", "aesv2", "aesv3")) {
+    test(s"$scheme: encrypted fixture decrypts and extracts " +
+        "known text end to end") {
+      val pdf = PdfFixtures.encryptedPdf(lines, scheme)
+      assert(PdfExtract.isEncrypted(pdf),
+        "fixture must declare /Encrypt")
+      assert(PdfCrypt.handlerFor(pdf).isDefined,
+        "empty user password must verify against /U")
+      assert(PdfExtract.pages(pdf) === Seq(expected))
+    }
+  }
+
+  test("wrong /U (a real user password we don't have) -> no handler, " +
+      "no pages, routed to the error channel") {
+    val pdf = PdfFixtures.encryptedPdf(lines, "rc4-128")
+    // corrupt the /U entry in place: flip one hex digit inside it
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    val uAt = s.indexOf("/U <")
+    assert(uAt > 0)
+    val bad = (s.substring(0, uAt + 4) +
+      (if (s.charAt(uAt + 4) == '0') '1' else '0') +
+      s.substring(uAt + 5)).getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfExtract.isEncrypted(bad))
+    assert(PdfCrypt.handlerFor(bad).isEmpty,
+      "U mismatch must refuse the key, never emit garbage text")
+    assert(PdfExtract.pages(bad) === Seq.empty)
+  }
+
+  test("unencrypted files are untouched: no handler, pages unchanged") {
+    val plain = PdfFixtures.pdf(Seq(Seq("hello", "world")))
+    assert(!PdfExtract.isEncrypted(plain))
+    assert(PdfCrypt.handlerFor(plain).isEmpty)
+    assert(PdfExtract.pages(plain) === Seq("hello\nworld"))
+  }
+
+  test("needsPassword column: false for decryptable, true for " +
+      "password-protected, false for plaintext") {
+    val s = initSpark()
+    import s.implicits._
+    val ok = PdfFixtures.encryptedPdf(lines, "aesv2")
+    val txt = new String(PdfFixtures.encryptedPdf(lines, "rc4-128"),
+      StandardCharsets.ISO_8859_1)
+    val uAt = txt.indexOf("/U <")
+    val locked = (txt.substring(0, uAt + 4) +
+      (if (txt.charAt(uAt + 4) == '0') '1' else '0') +
+      txt.substring(uAt + 5)).getBytes(StandardCharsets.ISO_8859_1)
+    val plain = PdfFixtures.pdf(Seq(Seq("x")))
+    val df = Seq(("ok", ok), ("locked", locked), ("plain", plain))
+      .toDF("k", "pdf")
+    val got = df.select($"k",
+        graft.functions.PdfText.needsPassword($"pdf").as("np"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got === Map("ok" -> false, "locked" -> true,
+      "plain" -> false))
+  }
+}
