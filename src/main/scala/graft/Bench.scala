@@ -44,6 +44,14 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS")
       .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
     val detailed = ordered.map { case (name, fn) =>
+      // One untimed rep at the MEASURED scale before the timed loop: the
+      // sf0.001 warm-up above compiles the codegen classes, but AQE
+      // re-plans at sf0.1 (different stage stats => different shuffle
+      // coalescing / join strategies), so rep1 at sfDir still paid
+      // first-execution JIT for the replanned stages — round 9 saw
+      // spreads of 2.3-2.8 on q108/q84 from exactly that. Warming at
+      // sfDir makes every timed rep a steady-state measurement.
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
       // min over SUCCESSFUL reps only: a rep that throws returns almost
       // instantly, and letting its near-zero elapsed time into the min
       // would report a transiently failing query as fast. All-failed =>
