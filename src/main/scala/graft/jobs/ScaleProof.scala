@@ -1,0 +1,183 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Scale-up proof harness (round-9 brief item 9): no sf1 testdata
+  * exists in this environment, so the scaled corpus is derived from
+  * the largest driver-generated scale (sf0.1) by REFERENTIALLY
+  * CONSISTENT replication — each fact/entity table is unioned
+  * `factor` times with every key column in a foreign-key domain
+  * shifted by the same per-replica offset (max(key)+1 of the base).
+  * Join fan-out therefore scales LINEARLY like a real larger corpus
+  * (each orders replica joins exactly its customer replica), never
+  * quadratically like naive duplication would (10 copies x 10 copies
+  * per key). Dimension tables (region, nation) stay 1x, as they would
+  * at any real scale factor.
+  *
+  * Content columns are byte-identical across replicas — deliberately:
+  * the dedup tier then sees every document in a 10-member exact-dup
+  * cluster, which exercises the pair generators, LSH banding, and
+  * connected components under maximal duplication pressure (the
+  * worst realistic case for those operators).
+  *
+  * Output: one JSON line per query with base and scaled wall seconds
+  * and the scaled/base ratio, plus a summary line; also written to
+  * SPARK_GRAFT_SCALE_OUT (default scale_proof.json). Queries are run
+  * under a per-query job group with a watchdog cancel so a
+  * superlinear operator shows up as "timeout" evidence instead of
+  * hanging the harness.
+  */
+object ScaleProof {
+
+  /** Key domains: (table, key columns in that domain). A domain's
+    * offset is max(key)+1 over the base table that OWNS the domain. */
+  private val keyDomains: Seq[(String, String, Seq[(String, String)])] =
+    Seq(
+      // (owner table, owner key, all (table, column) members)
+      ("customer", "c_custkey",
+        Seq("customer" -> "c_custkey", "orders" -> "o_custkey")),
+      ("orders", "o_orderkey",
+        Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")),
+      ("part", "p_partkey",
+        Seq("part" -> "p_partkey", "lineitem" -> "l_partkey")),
+      ("supplier", "s_suppkey",
+        Seq("supplier" -> "s_suppkey", "lineitem" -> "l_suppkey")),
+      ("documents", "doc_id", Seq("documents" -> "doc_id")),
+      ("embeddings", "vec_id", Seq("embeddings" -> "vec_id")),
+      ("events", "event_id", Seq("events" -> "event_id")),
+      ("events", "user_id", Seq("events" -> "user_id")))
+
+  private val dims = Seq("region", "nation")
+  private val facts = Seq("customer", "orders", "lineitem", "part",
+    "supplier", "documents", "embeddings", "events")
+
+  /** Materialize the scaled corpus under `outDir` (one `<table>
+    * .parquet` directory per table, the layout SparkEntry.t reads). */
+  def scaleTables(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    require(factor >= 1, s"factor must be >=1, got $factor")
+    // one pass over each owner table for the offsets (tiny: one agg row)
+    val offsets: Map[(String, String), Long] = keyDomains.map {
+      case (owner, key, members) =>
+        val maxKey = SparkEntry.table(spark, baseDir, owner)
+          .agg(coalesce(max(col(key)), lit(0L))).head().getLong(0)
+        members.map(m => m -> (maxKey + 1L))
+    }.flatten.toMap
+      .map { case ((t, c), off) => (t, c) -> off }
+    dims.foreach { name =>
+      SparkEntry.table(spark, baseDir, name).write
+        .mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    facts.foreach { name =>
+      val base = SparkEntry.table(spark, baseDir, name)
+      val shifted = offsets.collect {
+        case ((t, c), off) if t == name => c -> off
+      }
+      val replicated = base
+        .withColumn("__rep",
+          explode(sequence(lit(0L), lit(factor - 1L))))
+      val out = shifted.foldLeft(replicated) { case (df, (c, off)) =>
+        df.withColumn(c, col(c) + col("__rep") * off)
+      }.drop("__rep")
+      // spread the write so the scaled table is multi-file (a single
+      // 10x row group would serialize every downstream scan)
+      out.repartition(spark.sessionState.conf.numShufflePartitions)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+  }
+
+  /** Time one query under a watchdog; Right(sec) or Left(reason). */
+  private def timed(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => DataFrame, dir: String,
+      timeoutSec: Int): Either[String, Double] = {
+    val group = s"scaleproof-$name"
+    spark.sparkContext.setJobGroup(group, name,
+      interruptOnCancel = true)
+    @volatile var done = false
+    val watchdog = new Thread(() => {
+      val deadline = System.nanoTime() + timeoutSec * 1000000000L
+      while (!done && System.nanoTime() < deadline) Thread.sleep(200)
+      if (!done) spark.sparkContext.cancelJobGroup(group)
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
+    val t0 = System.nanoTime()
+    val res =
+      try { fn(spark, dir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          val timedOut = (System.nanoTime() - t0) / 1e9 >= timeoutSec
+          Left(if (timedOut) "timeout" else
+            e.getClass.getSimpleName)
+      } finally {
+        done = true
+        spark.sparkContext.clearJobGroup()
+      }
+    res
+  }
+
+  private def fmt(v: Double) = f"$v%.3f"
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption
+      .getOrElse("/root/testdata/sf0.1")
+    val outDir = if (args.length > 1) args(1)
+      else "/tmp/graft_scaleproof/sfx"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val timeoutSec = sys.env.get("SPARK_GRAFT_SCALE_TIMEOUT")
+      .flatMap(_.toIntOption).getOrElse(180)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    System.err.println(s"[scaleproof] materializing ${factor}x of " +
+      s"$baseDir under $outDir")
+    val tMat0 = System.nanoTime()
+    scaleTables(spark, baseDir, outDir, factor)
+    val matSec = (System.nanoTime() - tMat0) / 1e9
+    System.err.println(f"[scaleproof] materialized in $matSec%.1f s")
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val rows = ordered.map { case (name, fn) =>
+      // base first: its execution doubles as the codegen/JIT warm-up
+      // for the scaled run, so the ratio compares warm against warm-ish
+      val base = timed(spark, name, fn, baseDir, timeoutSec)
+      val scaled = timed(spark, name, fn, outDir, timeoutSec)
+      val ratio = for (b <- base; s <- scaled)
+        yield if (b > 0.001) s / b else -1.0
+      val line = s"""{"query":"$name"""" +
+        s""","base_sec":${base.fold(e => "\"" + e + "\"", fmt)}""" +
+        s""","scaled_sec":${scaled.fold(e => "\"" + e + "\"", fmt)}""" +
+        s""","ratio":${ratio.fold(_ => "null", fmt)}}"""
+      System.err.println(s"[scaleproof] $line")
+      (name, base, scaled, ratio, line)
+    }
+    val ok = rows.collect { case (_, _, Right(s), _, _) => s }
+    val summary =
+      s"""{"metric":"scale_proof","factor":$factor""" +
+        s""","queries_total":${rows.length}""" +
+        s""","queries_completed_scaled":${ok.length}""" +
+        s""","scaled_total_sec":${fmt(ok.sum)}""" +
+        s""","materialize_sec":${fmt(matSec)}""" +
+        s""","timeout_sec":$timeoutSec}"""
+    println(summary)
+    val body = (rows.map(_._5) :+ summary).mkString("[", ",\n", "]")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "scale_proof.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (body + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[scaleproof] write failed: $e") }
+    spark.stop()
+  }
+}
