@@ -1,0 +1,290 @@
+package graft.ml
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Loader for the huggingface `tokenizer.json` artifact (the PUBLIC
+  * serialization format of the `tokenizers` library — one JSON file
+  * carrying normalizer, pre-tokenizer, model and added tokens). The
+  * reference tokenizes with AutoTokenizer over exactly this file
+  * (embedding_model_helpers.py:34-65); parsing it natively makes
+  * [[TensorFileEmbedder]] token-id-COMPATIBLE with real checkpoints:
+  * the ids this encoder emits are the ids the checkpoint's embedding
+  * matrix was trained against (the round-9 residual honesty gap).
+  *
+  * Supported models:
+  *  - `BPE` with the GPT-2 byte-level pre-tokenizer (byte-to-unicode
+  *    remap + the public GPT-2 split regex, `Ġ` space prefix) or plain
+  *    whitespace pre-tokenization; merges in both serialized forms
+  *    ("a b" strings / [a, b] pairs).
+  *  - `WordPiece` (BERT): basic whitespace+punctuation split,
+  *    optional lowercase normalizer, greedy longest-prefix with the
+  *    `##` continuation convention, unk fallback.
+  *
+  * `Unigram` (sentencepiece) is rejected loudly — different algorithm,
+  * not silently wrong ids.
+  *
+  * Special tokens from `added_tokens` join the vocab; the CLS row used
+  * by the encoder's pooling position is discovered from the standard
+  * content spellings ([CLS] / &lt;s&gt; / [cls]), falling back to the
+  * post_processor's declared specials.
+  */
+object HfTokenizer {
+
+  /** GPT-2 byte-to-unicode table (public: every byte maps to a
+    * printable char so BPE can treat bytes as string symbols; the
+    * printable ranges map to themselves, the rest shift into
+    * U+0100+). */
+  private[graft] val ByteToChar: Array[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Char](256)
+    var shifted = 0
+    (0 until 256).foreach { b =>
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = (256 + shifted).toChar; shifted += 1 }
+    }
+    out
+  }
+
+  /** The GPT-2 pre-tokenization split (public regex: contraction
+    * suffixes, letter runs, digit runs, punctuation runs, trailing
+    * whitespace). */
+  private val Gpt2Split = java.util.regex.Pattern.compile(
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+
+  def load(path: String): HfTokenizer =
+    parse(new String(Files.readAllBytes(Paths.get(path)),
+      StandardCharsets.UTF_8))
+
+  def parse(json: String): HfTokenizer = {
+    val root = new ObjectMapper().readTree(json)
+    val model = Option(root.get("model")).getOrElse(
+      throw new IllegalArgumentException(
+        "tokenizer.json has no 'model' section"))
+    val kind = Option(model.get("type")).map(_.asText)
+      .getOrElse("BPE")
+    require(kind == "BPE" || kind == "WordPiece",
+      s"unsupported tokenizer model type '$kind' (BPE and WordPiece " +
+        "are implemented; Unigram/sentencepiece is a documented cut)")
+
+    val vocab = Option(model.get("vocab")).map { v =>
+      v.properties().asScala.map(e => e.getKey -> e.getValue.asInt)
+        .toMap
+    }.getOrElse(Map.empty[String, Int])
+
+    val added = Option(root.get("added_tokens")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(t => Option(t.get("content")).map(_.asText)
+        .zip(Option(t.get("id")).map(_.asInt)))
+      .toMap
+
+    val merges: Seq[(String, String)] =
+      Option(model.get("merges")).toSeq
+        .flatMap(_.elements().asScala)
+        .flatMap { m =>
+          if (m.isArray && m.size >= 2)
+            Some((m.get(0).asText, m.get(1).asText))
+          else {
+            // "a b": the FIRST space splits (symbols may not contain
+            // one under byte-level, where space is Ġ)
+            val s = m.asText
+            val sp = s.indexOf(' ')
+            if (sp > 0) Some((s.substring(0, sp), s.substring(sp + 1)))
+            else None
+          }
+        }
+
+    // pre_tokenizer: ByteLevel either top-level or inside a Sequence
+    def hasPreTok(node: JsonNode, t: String): Boolean =
+      if (node == null) false
+      else if (Option(node.get("type")).exists(_.asText == t)) true
+      else Option(node.get("pretokenizers")).exists(
+        _.elements().asScala.exists(hasPreTok(_, t)))
+    val preTok = root.get("pre_tokenizer")
+    val byteLevel = hasPreTok(preTok, "ByteLevel")
+    def findPre(node: JsonNode): Option[JsonNode] =
+      if (node == null) None
+      else if (Option(node.get("type")).exists(_.asText == "ByteLevel"))
+        Some(node)
+      else Option(node.get("pretokenizers")).toSeq
+        .flatMap(_.elements().asScala).flatMap(findPre).headOption
+    val addPrefixSpace = findPre(preTok)
+      .flatMap(n => Option(n.get("add_prefix_space")))
+      .exists(_.asBoolean)
+
+    // normalizer: Lowercase directly, or BertNormalizer{lowercase}
+    def lowers(node: JsonNode): Boolean =
+      if (node == null) false
+      else Option(node.get("type")).map(_.asText) match {
+        case Some("Lowercase") => true
+        case Some("BertNormalizer") =>
+          Option(node.get("lowercase")).forall(_.asBoolean)
+        case Some("Sequence") =>
+          Option(node.get("normalizers")).exists(
+            _.elements().asScala.exists(lowers))
+        case _ => false
+      }
+    val lowercase = lowers(root.get("normalizer"))
+
+    val contPrefix = Option(model.get("continuing_subword_prefix"))
+      .filter(!_.isNull).map(_.asText)
+      .getOrElse(if (kind == "WordPiece") "##" else "")
+    val unk = Option(model.get("unk_token")).filter(!_.isNull)
+      .map(_.asText)
+
+    val full = vocab ++ added
+    // CLS discovery: standard spellings, else the post_processor's
+    // declared special tokens that look like a CLS
+    val clsNames = Seq("[CLS]", "<s>", "[cls]", "<cls>")
+    val clsId = clsNames.collectFirst {
+      case n if full.contains(n) => full(n)
+    }
+    new HfTokenizer(kind, full, merges.zipWithIndex.toMap, byteLevel,
+      addPrefixSpace, lowercase, contPrefix, unk, clsId)
+  }
+
+  /** Greedy lowest-rank merge loop (the standard BPE encode). */
+  private[graft] def mergeByRank(init: Array[String],
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = init
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        val out = new Array[String](syms.length - 1)
+        var j = 0
+        while (j < bestIdx) { out(j) = syms(j); j += 1 }
+        out(bestIdx) = syms(bestIdx) + syms(bestIdx + 1)
+        j = bestIdx + 1
+        while (j < out.length) { out(j) = syms(j + 1); j += 1 }
+        syms = out
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
+  private[graft] def byteEncode(s: String): Array[String] = {
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = String.valueOf(ByteToChar(bytes(i) & 0xFF))
+      i += 1
+    }
+    out
+  }
+
+  private[graft] def gpt2Pretokens(text: String): Iterator[String] = {
+    val m = Gpt2Split.matcher(text)
+    new Iterator[String] {
+      private var nextTok: String = advance()
+      private def advance(): String =
+        if (m.find()) m.group() else null
+      def hasNext: Boolean = nextTok != null
+      def next(): String = {
+        val t = nextTok; nextTok = advance(); t
+      }
+    }
+  }
+}
+
+final case class HfTokenizer(
+    kind: String,
+    vocab: Map[String, Int],
+    ranks: Map[(String, String), Int],
+    byteLevel: Boolean,
+    addPrefixSpace: Boolean,
+    lowercase: Boolean,
+    contPrefix: String,
+    unkToken: Option[String],
+    clsId: Option[Int])
+  extends TensorFileEmbedder.Subword {
+
+  import HfTokenizer._
+
+  /** Embedding rows needed: the checkpoint's id space is [0, max id]. */
+  @transient lazy val tableSize: Int =
+    if (vocab.isEmpty) 0 else vocab.valuesIterator.max + 1
+
+  /** Checkpoint ids are used AS the embedding rows (identity), so the
+    * encoder pools at the checkpoint's own CLS row. */
+  override def clsRow: Option[Int] = clsId
+
+  def idOf(piece: String): Option[Int] =
+    vocab.get(piece).orElse(unkToken.flatMap(vocab.get))
+
+  def encodePieces(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val t0 = if (lowercase) text.toLowerCase(java.util.Locale.ROOT)
+      else text
+    kind match {
+      case "BPE" => bpePieces(t0)
+      case _ => wordPieces(t0)
+    }
+  }
+
+  private def bpePieces(text: String): Array[String] = {
+    val t = if (addPrefixSpace && text.nonEmpty && !text.startsWith(" "))
+      " " + text else text
+    val out = Array.newBuilder[String]
+    if (byteLevel) {
+      gpt2Pretokens(t).foreach { pre =>
+        out ++= mergeByRank(byteEncode(pre), ranks)
+      }
+    } else {
+      t.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+        out ++= mergeByRank(w.map(String.valueOf(_)).toArray, ranks)
+      }
+    }
+    out.result()
+  }
+
+  /** BERT basic+wordpiece: split to words and single punctuation
+    * chars, then greedy longest vocab prefix with the `##`
+    * continuation; a word with no decomposition becomes the unk piece
+    * (standard WordPiece contract). */
+  private def wordPieces(text: String): Array[String] = {
+    val words = Array.newBuilder[String]
+    val cur = new StringBuilder
+    def flush(): Unit =
+      if (cur.nonEmpty) { words += cur.toString; cur.clear() }
+    text.foreach { c =>
+      if (Character.isWhitespace(c)) flush()
+      else if (!Character.isLetterOrDigit(c)) {
+        flush(); words += String.valueOf(c)
+      } else cur.append(c)
+    }
+    flush()
+    val unk = unkToken.getOrElse("[UNK]")
+    words.result().flatMap { w =>
+      val pieces = Array.newBuilder[String]
+      var start = 0
+      var bad = false
+      while (start < w.length && !bad) {
+        var end = w.length
+        var found: String = null
+        while (end > start && found == null) {
+          val cand = (if (start > 0) contPrefix else "") +
+            w.substring(start, end)
+          if (vocab.contains(cand)) found = cand else end -= 1
+        }
+        if (found == null) bad = true
+        else { pieces += found; start = end }
+      }
+      if (bad) Array(unk) else pieces.result()
+    }
+  }
+}

@@ -41,29 +41,36 @@ import scala.util.hashing.MurmurHash3
   *     CLS-query form (kept for files written by earlier releases).
   *  3. neither => legacy masked-mean-pool + tanh pooler head.
   *
-  * TOKENIZATION is two-tier, mirroring the reference's weights-file +
+  * TOKENIZATION is three-tier, mirroring the reference's weights-file +
   * tokenizer-file artifact pair (embedding_model_helpers.py:34-65 loads
   * both through AutoTokenizer/AutoModel):
+  *  - a `tokenizer.json` in the weights directory (the public HF
+  *    `tokenizers` serialization, [[HfTokenizer]]: byte-level BPE or
+  *    WordPiece) => the CHECKPOINT's ids drive the embedding rows
+  *    identity-mapped, and pooling happens at the checkpoint's own
+  *    [CLS]/&lt;s&gt; row — token-id-compatible with real
+  *    huggingface-downloaded checkpoints.
   *  - a `<weights>.bpe` sibling artifact (graft's in-engine trained BPE,
   *    [[graft.operators.Bpe]]) => REAL subword tokenization: \s+ word
   *    split, greedy rank-order merges, then the model's deterministic
-  *    token->id table maps each subword piece to its embedding row.
-  *    Pieces outside the table (unseen code points) hash into the vocab
-  *    so no input is droppable — the same no-OOV-loss contract as
-  *    Bpe.encode.
+  *    token->id table maps each subword piece to its embedding row
+  *    shifted past the reserved CLS row 0. Pieces outside the table
+  *    (unseen code points) hash into the vocab so no input is
+  *    droppable — the same no-OOV-loss contract as Bpe.encode.
   *  - no tokenizer artifact => the legacy hashed-WORD mapping below
   *    (kept verbatim: corpora vectorized by earlier releases re-embed
   *    byte-identically).
-  * Residual honest boundary: the artifact is OUR trained BPE, not a
-  * shipped granite vocab, so ids are compatible with graft-exported
-  * checkpoints, not with huggingface-downloaded ones.
+  * Residual honest boundary: Unigram/sentencepiece tokenizer.json
+  * models are rejected loudly (different algorithm), and real-number
+  * parity with a GPU torch forward is bounded by the gelu_new vs erf
+  * difference documented at [[gelu]].
   */
 final class TensorFileEmbedder(
     embeddings: SafeTensors.Tensor,
     attention: Option[TensorFileEmbedder.Attention],
     stack: Option[TensorFileEmbedder.Stack],
     pooler: Option[(SafeTensors.Tensor, SafeTensors.Tensor)],
-    subword: Option[graft.operators.Bpe.Model] = None)
+    subword: Option[TensorFileEmbedder.Subword] = None)
     extends Serializable {
 
   import TensorFileEmbedder.{MaxSeq, Stack, EncoderLayer}
@@ -128,16 +135,24 @@ final class TensorFileEmbedder(
     }
   }
 
-  // subword id table fits the embedding matrix: known pieces must map
+  // subword id table fits the embedding matrix. Graft-trained BPE maps
   // injectively into token-row space ([1, vocab) when row 0 is the
-  // reserved CLS, [0, vocab) for legacy mean-pool files)
+  // reserved CLS, [0, vocab) for legacy mean-pool files); a checkpoint
+  // tokenizer (clsRow defined) uses its ids AS rows (identity — the
+  // whole point of checkpoint compatibility), so its id space must fit
+  // the matrix outright and its CLS row must exist.
   subword.foreach { sw =>
-    val rows = if (attention.isDefined || stack.isDefined) vocab - 1
-               else vocab
-    require(sw.tokenIds.size <= rows,
-      s"BPE tokenizer has ${sw.tokenIds.size} tokens but the embedding " +
-        s"matrix provides only $rows token rows — retrain with fewer " +
-        "merges or export a larger embedding matrix")
+    val identity = sw.clsRow.isDefined
+    val rows =
+      if (identity) vocab
+      else if (attention.isDefined || stack.isDefined) vocab - 1
+      else vocab
+    require(sw.tableSize <= rows,
+      s"tokenizer has id space ${sw.tableSize} but the embedding " +
+        s"matrix provides only $rows token rows — the tokenizer and " +
+        "weights file are not from the same checkpoint")
+    sw.clsRow.foreach(c => require(c >= 0 && c < vocab,
+      s"tokenizer CLS id $c outside the embedding matrix [0, $vocab)"))
   }
 
   private val NonWord = java.util.regex.Pattern.compile("\\W+")
@@ -165,11 +180,13 @@ final class TensorFileEmbedder(
     val cls = attention.isDefined || stack.isDefined
     subword match {
       case Some(sw) =>
-        val off = if (cls) 1 else 0
-        val space = if (cls) vocab - 1 else vocab
-        val pieces = graft.operators.Bpe.encodeText(text, sw.ranks).iterator
+        // checkpoint tokenizer: ids ARE rows; graft BPE: shift past
+        // the reserved CLS row
+        val off = if (cls && sw.clsRow.isEmpty) 1 else 0
+        val space = vocab - off
+        val pieces = sw.encodePieces(text).iterator
         (if (cls) pieces.take(MaxSeq) else pieces).map { p =>
-          sw.tokenIds.get(p) match {
+          sw.idOf(p) match {
             case Some(id) => off + id
             case None =>
               off + math.floorMod(MurmurHash3.stringHash(p, 7919), space)
@@ -216,7 +233,7 @@ final class TensorFileEmbedder(
   /** CLS-pooled single-head attention over [CLS] ++ tokens. */
   private def attentionPool(attn: TensorFileEmbedder.Attention,
       rows: Array[Int]): Array[Double] = {
-    val cls = embeddingRow(0)
+    val cls = embeddingRow(subword.flatMap(_.clsRow).getOrElse(0))
     val q = matVec(attn.wq, cls)
     val n = rows.length
     // scaled dot-product scores over CLS itself + every token
@@ -330,7 +347,9 @@ final class TensorFileEmbedder(
   private def encodeCls(st: Stack, rows: Array[Int]): Array[Double] = {
     val n = rows.length + 1 // CLS + tokens
     var h: Array[Array[Double]] = new Array[Array[Double]](n)
-    h(0) = embeddingRow(0)
+    // CLS position: the checkpoint's own [CLS]/<s> row when a real
+    // tokenizer declares one, else the reserved row 0
+    h(0) = embeddingRow(subword.flatMap(_.clsRow).getOrElse(0))
     var i = 1
     while (i < n) { h(i) = embeddingRow(rows(i - 1)); i += 1 }
     // BERT embedding stage: + position embedding, then LayerNorm (both
@@ -462,6 +481,27 @@ object TensorFileEmbedder {
   final case class Attention(wq: SafeTensors.Tensor,
       wk: SafeTensors.Tensor, wv: SafeTensors.Tensor) extends Serializable
 
+  /** A subword tokenizer the embedder can drive: either the in-engine
+    * trained BPE ([[BpeSubword]], graft id layout) or a checkpoint's
+    * own tokenizer ([[HfTokenizer]], identity id layout). `clsRow`
+    * defined means "ids are checkpoint rows, pool at this row". */
+  trait Subword extends Serializable {
+    def encodePieces(text: String): Array[String]
+    def idOf(piece: String): Option[Int]
+    def tableSize: Int
+    def clsRow: Option[Int] = None
+  }
+
+  /** Adapter for the graft-trained [[graft.operators.Bpe.Model]]
+    * artifact (derived token->id table, reserved CLS row 0). */
+  final case class BpeSubword(model: graft.operators.Bpe.Model)
+      extends Subword {
+    def encodePieces(text: String): Array[String] =
+      graft.operators.Bpe.encodeText(text, model.ranks)
+    def idOf(piece: String): Option[Int] = model.tokenIds.get(piece)
+    def tableSize: Int = model.tokenIds.size
+  }
+
   /** One full BERT-style encoder layer (HF `encoder.layer.{i}.*`
     * naming): multi-head self-attention (Q/K/V + output projection,
     * all with biases), post-attention LayerNorm, GELU FFN
@@ -496,19 +536,35 @@ object TensorFileEmbedder {
     * are all-or-nothing: a partial set is a malformed file, not a
     * fallback.
     *
-    * Tokenizer discovery: a sibling `<path>.bpe` artifact (written by
-    * [[graft.operators.Bpe.save]]) switches tokenization from hashed
-    * words to real subword encoding — the HF convention of tokenizer
-    * files living next to the weights, so the ModelRegistry's
-    * `safetensors:<path>` scheme needs no new syntax. */
+    * Tokenizer discovery, in priority order (the HF convention of
+    * tokenizer files living next to the weights, so the ModelRegistry's
+    * `safetensors:<path>` scheme needs no new syntax):
+    *  1. `tokenizer.json` in the weights file's directory — the real
+    *     checkpoint artifact ([[HfTokenizer]]): checkpoint ids drive
+    *     the embedding rows directly.
+    *  2. a sibling `<path>.bpe` artifact (written by
+    *     [[graft.operators.Bpe.save]]) — graft's in-engine trained BPE.
+    *  3. neither => legacy hashed-word tokenization. */
   def load(path: String): TensorFileEmbedder = {
-    val bpe = new java.io.File(path + ".bpe")
-    load(path, if (bpe.isFile) Some(bpe.getPath) else None)
+    val dir = new java.io.File(path).getAbsoluteFile.getParentFile
+    val hf = new java.io.File(dir, "tokenizer.json")
+    if (hf.isFile)
+      loadWith(path, Some(HfTokenizer.load(hf.getPath)))
+    else {
+      val bpe = new java.io.File(path + ".bpe")
+      load(path, if (bpe.isFile) Some(bpe.getPath) else None)
+    }
   }
 
-  /** As [[load(path*]] with an explicit tokenizer-artifact path (None =
+  /** As [[load(path*]] with an explicit graft-BPE artifact path (None =
     * legacy hashed-word tokenization even if a sibling file exists). */
-  def load(path: String, bpePath: Option[String]): TensorFileEmbedder = {
+  def load(path: String, bpePath: Option[String]): TensorFileEmbedder =
+    loadWith(path,
+      bpePath.map(p => BpeSubword(graft.operators.Bpe.loadModel(p))))
+
+  /** Load with an explicit subword tokenizer (bypasses discovery). */
+  def loadWith(path: String, subword: Option[Subword])
+      : TensorFileEmbedder = {
     val t = SafeTensors.load(path)
     def get(name: String) = t.getOrElse(name,
       throw new IllegalArgumentException(
@@ -575,8 +631,7 @@ object TensorFileEmbedder {
       case _ => throw new IllegalArgumentException(
         s"safetensors file $path has a partial pooler.dense tensor set")
     }
-    new TensorFileEmbedder(emb, attn, stack, pooler,
-      bpePath.map(graft.operators.Bpe.loadModel))
+    new TensorFileEmbedder(emb, attn, stack, pooler, subword)
   }
 
   /** Deterministic tiny-model generator (test fixture / smoke artifact):

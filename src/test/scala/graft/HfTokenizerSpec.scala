@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{HfTokenizer, TensorFileEmbedder}
+
+/** The huggingface tokenizer.json loader — the artifact format the
+  * reference's AutoTokenizer reads (embedding_model_helpers.py:34-65).
+  * Encodings are pinned by hand-derived fixtures; the embedder
+  * integration proves checkpoint ids drive embedding rows IDENTITY-
+  * mapped and pooling happens at the checkpoint's CLS row. */
+class HfTokenizerSpec extends AnyFunSuite {
+
+  test("GPT-2 byte-to-unicode table: printables map to themselves, " +
+      "space maps to \\u0120 (the public table)") {
+    val t = HfTokenizer.ByteToChar
+    assert(t('a'.toInt) === 'a')
+    assert(t('!'.toInt) === '!')
+    assert(t(0x20) === 'Ġ') // Ġ — the GPT-2 space marker
+    assert(t(0x0A) === 'Ċ') // control chars shift into U+0100+
+    assert(t.distinct.length === 256, "mapping must be injective")
+  }
+
+  private val bpeJson =
+    """{
+      |  "normalizer": null,
+      |  "pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": false},
+      |  "model": {
+      |    "type": "BPE",
+      |    "unk_token": null,
+      |    "vocab": {"l":0,"o":1,"w":2,"e":3,"r":4,"lo":5,"low":6,
+      |              "er":7,"Ġl":8,"Ġlo":9,"Ġlow":10},
+      |    "merges": ["Ġ l","l o","lo w","Ġl o",
+      |               "Ġlo w","e r"]
+      |  },
+      |  "added_tokens": [{"id": 11, "content": "[CLS]", "special": true}]
+      |}""".stripMargin
+
+  test("byte-level BPE: pinned merge walk, ids, CLS discovery") {
+    val tok = HfTokenizer.parse(bpeJson)
+    assert(tok.byteLevel)
+    assert(tok.clsId === Some(11))
+    assert(tok.tableSize === 12)
+    val pieces = tok.encodePieces("low lower")
+    // " lower" byte-encodes to Ġ l o w e r; rank order merges Ġ+l
+    // BEFORE l+o (rank 0 < 1), so the Ġ-prefixed products win —
+    // the subtlety real GPT-2 merge tables rely on
+    assert(pieces.toSeq === Seq("low", "Ġlow", "er"))
+    assert(pieces.flatMap(tok.idOf).toSeq === Seq(6, 10, 7))
+    // no unk token: an unseen piece has no id (embedder hashes it)
+    assert(tok.idOf("zzz") === None)
+  }
+
+  test("BPE merges also parse in the [a, b] array form") {
+    val arr =
+      """{
+        |  "pre_tokenizer": {"type": "ByteLevel"},
+        |  "model": {
+        |    "type": "BPE",
+        |    "vocab": {"l":0,"o":1,"w":2,"e":3,"r":4,"lo":5,"low":6,
+        |              "er":7,"Ġl":8,"Ġlo":9,"Ġlow":10},
+        |    "merges": [["Ġ","l"],["l","o"],["lo","w"],
+        |               ["Ġl","o"],["Ġlo","w"],["e","r"]]
+        |  }
+        |}""".stripMargin
+    val tok = HfTokenizer.parse(arr)
+    assert(tok.encodePieces("low lower").toSeq ===
+      Seq("low", "Ġlow", "er"))
+    assert(tok.clsId === None)
+  }
+
+  private val wpJson =
+    """{
+      |  "normalizer": {"type": "BertNormalizer", "lowercase": true},
+      |  "pre_tokenizer": {"type": "BertPreTokenizer"},
+      |  "model": {
+      |    "type": "WordPiece",
+      |    "unk_token": "[UNK]",
+      |    "continuing_subword_prefix": "##",
+      |    "vocab": {"un":0,"##aff":1,"##able":2,"[UNK]":3,"[CLS]":4,
+      |              "runn":5,"##ing":6,".":7}
+      |  }
+      |}""".stripMargin
+
+  test("WordPiece: lowercase, greedy longest prefix, ## continuation, " +
+      "unk for undecomposable words") {
+    val tok = HfTokenizer.parse(wpJson)
+    assert(!tok.byteLevel)
+    assert(tok.lowercase)
+    assert(tok.clsId === Some(4))
+    assert(tok.encodePieces("Unaffable running.").toSeq ===
+      Seq("un", "##aff", "##able", "runn", "##ing", "."))
+    assert(tok.encodePieces("xyz").toSeq === Seq("[UNK]"))
+    assert(tok.idOf("zzz") === Some(3), "unk fallback id")
+  }
+
+  test("Unigram models are rejected loudly, not silently wrong") {
+    val uni = """{"model": {"type": "Unigram", "vocab": []}}"""
+    val e = intercept[IllegalArgumentException](HfTokenizer.parse(uni))
+    assert(e.getMessage.contains("Unigram"))
+  }
+
+  test("embedder integration: tokenizer.json is auto-discovered, " +
+      "checkpoint ids drive rows identity-mapped, CLS row is the " +
+      "checkpoint's own") {
+    val dir = Files.createTempDirectory("hftok")
+    val weights = dir.resolve("model.safetensors").toString
+    TensorFileEmbedder.writeTinyModel(weights, vocab = 16, dModel = 8,
+      outDim = 8)
+    Files.write(dir.resolve("tokenizer.json"),
+      bpeJson.getBytes(StandardCharsets.UTF_8))
+    val hf = TensorFileEmbedder.load(weights)
+    val legacy = TensorFileEmbedder.load(weights, None)
+    val text = "low lower"
+    val a = hf.embed(text)
+    assert(!java.util.Arrays.equals(a, legacy.embed(text)),
+      "checkpoint tokenization must change the embedding vs hashed words")
+
+    // permuting two vocab ids moves the embedding: rows = ids, proven
+    val permuted = bpeJson
+      .replace("\"low\":6", "\"low\":13").replace("\"er\":7", "\"er\":14")
+    Files.write(dir.resolve("tokenizer.json"),
+      permuted.getBytes(StandardCharsets.UTF_8))
+    val b = TensorFileEmbedder.load(weights).embed(text)
+    assert(!java.util.Arrays.equals(a, b),
+      "id permutation must select different embedding rows")
+
+    // moving the CLS id moves the pooled row
+    val movedCls = bpeJson.replace("\"id\": 11", "\"id\": 12")
+    Files.write(dir.resolve("tokenizer.json"),
+      movedCls.getBytes(StandardCharsets.UTF_8))
+    val c = TensorFileEmbedder.load(weights).embed(text)
+    assert(!java.util.Arrays.equals(a, c),
+      "the pooling position must be the checkpoint's declared CLS row")
+
+    // id space larger than the matrix = loud mismatch, not wrap-around
+    val tooBig = bpeJson.replace("\"id\": 11", "\"id\": 99")
+    Files.write(dir.resolve("tokenizer.json"),
+      tooBig.getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException](
+      TensorFileEmbedder.load(weights))
+  }
+}
