@@ -24,9 +24,17 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *  - `WordPiece` (BERT): basic whitespace+punctuation split,
   *    optional lowercase normalizer, greedy longest-prefix with the
   *    `##` continuation convention, unk fallback.
+  *  - `Unigram` (sentencepiece — the XLM-R family, which is what the
+  *    reference's granite-embedding-107m-multilingual checkpoint
+  *    ships): Metaspace pre-tokenization (`▁` word prefix) + exact
+  *    Viterbi max-score segmentation over the scored vocab, with the
+  *    sentencepiece unknown-character lattice entry (min score − 10).
+  *    Ids are the vocab-array indices, per the serialization.
   *
-  * `Unigram` (sentencepiece) is rejected loudly — different algorithm,
-  * not silently wrong ids.
+  * Residual cut: sentencepiece `Precompiled` normalizer charsmaps
+  * (NFKC-ish) are not replayed — text is taken as-is (plus the
+  * optional lowercase normalizer); exotic normalization divergence
+  * routes to slightly different ids, never to a crash.
   *
   * Special tokens from `added_tokens` join the vocab; the CLS row used
   * by the encoder's pooling position is discovered from the standard
@@ -67,14 +75,31 @@ object HfTokenizer {
         "tokenizer.json has no 'model' section"))
     val kind = Option(model.get("type")).map(_.asText)
       .getOrElse("BPE")
-    require(kind == "BPE" || kind == "WordPiece",
-      s"unsupported tokenizer model type '$kind' (BPE and WordPiece " +
-        "are implemented; Unigram/sentencepiece is a documented cut)")
+    require(kind == "BPE" || kind == "WordPiece" || kind == "Unigram",
+      s"unsupported tokenizer model type '$kind' (BPE, WordPiece and " +
+        "Unigram are implemented)")
 
-    val vocab = Option(model.get("vocab")).map { v =>
-      v.properties().asScala.map(e => e.getKey -> e.getValue.asInt)
-        .toMap
-    }.getOrElse(Map.empty[String, Int])
+    // BPE/WordPiece: vocab is an object {piece: id}. Unigram: an array
+    // of [piece, score] where the INDEX is the id (the serialization's
+    // contract); a duplicated piece keeps its first id.
+    val isUnigram = kind == "Unigram"
+    val uniEntries: Vector[(String, Double)] =
+      if (!isUnigram) Vector.empty
+      else Option(model.get("vocab")).toVector
+        .flatMap(_.elements().asScala)
+        .collect { case e if e.isArray && e.size >= 2 =>
+          e.get(0).asText -> e.get(1).asDouble
+        }
+    val vocab =
+      if (isUnigram)
+        uniEntries.zipWithIndex.reverseIterator
+          .map { case ((p, _), i) => p -> i }.toMap
+      else Option(model.get("vocab")).map { v =>
+        v.properties().asScala.map(e => e.getKey -> e.getValue.asInt)
+          .toMap
+      }.getOrElse(Map.empty[String, Int])
+    val scores: Map[String, Double] =
+      if (isUnigram) uniEntries.reverseIterator.toMap else Map.empty
 
     val added = Option(root.get("added_tokens")).toSeq
       .flatMap(_.elements().asScala)
@@ -135,6 +160,21 @@ object HfTokenizer {
       .getOrElse(if (kind == "WordPiece") "##" else "")
     val unk = Option(model.get("unk_token")).filter(!_.isNull)
       .map(_.asText)
+      .orElse { // Unigram names its unk by index
+        Option(model.get("unk_id")).filter(!_.isNull).map(_.asInt)
+          .flatMap(id => uniEntries.lift(id).map(_._1))
+      }
+
+    // Metaspace pre-tokenizer (Unigram/XLM-R): the word-prefix marker
+    def findMeta(node: JsonNode): Option[JsonNode] =
+      if (node == null) None
+      else if (Option(node.get("type")).exists(_.asText == "Metaspace"))
+        Some(node)
+      else Option(node.get("pretokenizers")).toSeq
+        .flatMap(_.elements().asScala).flatMap(findMeta).headOption
+    val metaspace = findMeta(preTok)
+      .flatMap(n => Option(n.get("replacement")).map(_.asText))
+      .getOrElse("▁")
 
     val full = vocab ++ added
     // CLS discovery: standard spellings, else the post_processor's
@@ -144,7 +184,8 @@ object HfTokenizer {
       case n if full.contains(n) => full(n)
     }
     new HfTokenizer(kind, full, merges.zipWithIndex.toMap, byteLevel,
-      addPrefixSpace, lowercase, contPrefix, unk, clsId)
+      addPrefixSpace, lowercase, contPrefix, unk, clsId, scores,
+      metaspace)
   }
 
   /** Greedy lowest-rank merge loop (the standard BPE encode). */
@@ -210,10 +251,21 @@ final case class HfTokenizer(
     lowercase: Boolean,
     contPrefix: String,
     unkToken: Option[String],
-    clsId: Option[Int])
+    clsId: Option[Int],
+    scores: Map[String, Double] = Map.empty,
+    metaspace: String = "▁")
   extends TensorFileEmbedder.Subword {
 
   import HfTokenizer._
+
+  // Unigram lattice bounds: the longest scored piece caps the inner
+  // Viterbi loop; the unknown-character score is the sentencepiece
+  // contract (min vocab score − kUnkPenalty 10), so a real piece
+  // always beats falling through to unk
+  @transient private lazy val maxPieceLen: Int =
+    if (scores.isEmpty) 1 else scores.keysIterator.map(_.length).max
+  @transient private lazy val unkScore: Double =
+    (if (scores.isEmpty) 0.0 else scores.valuesIterator.min) - 10.0
 
   /** Embedding rows needed: the checkpoint's id space is [0, max id]. */
   @transient lazy val tableSize: Int =
@@ -232,8 +284,59 @@ final case class HfTokenizer(
       else text
     kind match {
       case "BPE" => bpePieces(t0)
+      case "Unigram" => unigramPieces(t0)
       case _ => wordPieces(t0)
     }
+  }
+
+  /** Metaspace + exact Viterbi (sentencepiece): each whitespace-split
+    * word gets the `▁` prefix, then the max-total-score segmentation
+    * over the scored vocab wins; a character no piece covers enters
+    * the lattice as a single unk-scored step and surfaces as the unk
+    * token (the id the real tokenizer would emit). */
+  private def unigramPieces(text: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    text.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+      out ++= viterbi(metaspace + w)
+    }
+    out.result()
+  }
+
+  private def viterbi(s: String): Array[String] = {
+    val n = s.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    val unkAt = new Array[Boolean](n + 1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          scores.get(s.substring(j, i)) match {
+            case Some(sc) if best(j) + sc > best(i) =>
+              best(i) = best(j) + sc; back(i) = j; unkAt(i) = false
+            case _ =>
+          }
+        }
+        j += 1
+      }
+      // unknown-char lattice entry (always a candidate, like
+      // sentencepiece's unk node — not only a dead-end fallback)
+      if (best(i - 1) != Double.NegativeInfinity &&
+          best(i - 1) + unkScore > best(i)) {
+        best(i) = best(i - 1) + unkScore; back(i) = i - 1; unkAt(i) = true
+      }
+      i += 1
+    }
+    val unk = unkToken.getOrElse("<unk>")
+    var at = n
+    var rev = List.empty[String]
+    while (at > 0) {
+      rev = (if (unkAt(at)) unk else s.substring(back(at), at)) :: rev
+      at = back(at)
+    }
+    rev.toArray
   }
 
   private def bpePieces(text: String): Array[String] = {

@@ -45,8 +45,10 @@ import scala.util.hashing.MurmurHash3
   * tokenizer-file artifact pair (embedding_model_helpers.py:34-65 loads
   * both through AutoTokenizer/AutoModel):
   *  - a `tokenizer.json` in the weights directory (the public HF
-  *    `tokenizers` serialization, [[HfTokenizer]]: byte-level BPE or
-  *    WordPiece) => the CHECKPOINT's ids drive the embedding rows
+  *    `tokenizers` serialization, [[HfTokenizer]]: byte-level BPE,
+  *    WordPiece, or Unigram/sentencepiece — the last being what the
+  *    reference's granite-embedding-107m-multilingual actually ships)
+  *    => the CHECKPOINT's ids drive the embedding rows
   *    identity-mapped, and pooling happens at the checkpoint's own
   *    [CLS]/&lt;s&gt; row — token-id-compatible with real
   *    huggingface-downloaded checkpoints.
@@ -60,8 +62,8 @@ import scala.util.hashing.MurmurHash3
   *  - no tokenizer artifact => the legacy hashed-WORD mapping below
   *    (kept verbatim: corpora vectorized by earlier releases re-embed
   *    byte-identically).
-  * Residual honest boundary: Unigram/sentencepiece tokenizer.json
-  * models are rejected loudly (different algorithm), and real-number
+  * Residual honest boundary: sentencepiece Precompiled-normalizer
+  * charsmaps are not replayed (see [[HfTokenizer]]), and real-number
   * parity with a GPU torch forward is bounded by the gelu_new vs erf
   * difference documented at [[gelu]].
   */

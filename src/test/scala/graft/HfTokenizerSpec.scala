@@ -97,10 +97,49 @@ class HfTokenizerSpec extends AnyFunSuite {
     assert(tok.idOf("zzz") === Some(3), "unk fallback id")
   }
 
-  test("Unigram models are rejected loudly, not silently wrong") {
-    val uni = """{"model": {"type": "Unigram", "vocab": []}}"""
-    val e = intercept[IllegalArgumentException](HfTokenizer.parse(uni))
-    assert(e.getMessage.contains("Unigram"))
+  private val uniJson =
+    """{
+      |  "normalizer": null,
+      |  "pre_tokenizer": {"type": "Metaspace", "replacement": "▁",
+      |                    "prepend_scheme": "always"},
+      |  "model": {
+      |    "type": "Unigram",
+      |    "unk_id": 0,
+      |    "vocab": [["<unk>", 0.0], ["▁hello", -5.0], ["▁he", -1.0],
+      |              ["▁h", -2.5], ["e", -1.0], ["l", -1.0],
+      |              ["o", -1.0], ["ll", -1.8], ["▁wor", -3.0],
+      |              ["ld", -2.0]]
+      |  },
+      |  "added_tokens": [{"id": 10, "content": "<s>", "special": true}]
+      |}""".stripMargin
+
+  test("Unigram (XLM-R/granite family): Metaspace prefix, exact " +
+      "Viterbi max-sum (beats greedy-longest), index ids, unk lattice") {
+    val tok = HfTokenizer.parse(uniJson)
+    assert(tok.kind === "Unigram")
+    assert(tok.clsId === Some(10)) // <s> from added_tokens
+    assert(tok.tableSize === 11)
+    // max-SUM segmentation: ▁he+ll+o = -3.8 beats the whole-word
+    // ▁hello at -5.0 (greedy-longest would have taken ▁hello)
+    assert(tok.encodePieces("hello").toSeq === Seq("▁he", "ll", "o"))
+    // whole-piece path when it IS optimal
+    assert(tok.encodePieces("hello world").toSeq ===
+      Seq("▁he", "ll", "o", "▁wor", "ld"))
+    // ids are vocab-array INDICES
+    assert(tok.encodePieces("hello").flatMap(tok.idOf).toSeq ===
+      Seq(2, 7, 6))
+    // characters no piece covers surface as the unk token (id 0),
+    // entering the lattice per-char like sentencepiece's unk node
+    assert(tok.encodePieces("hxq").toSeq ===
+      Seq("▁h", "<unk>", "<unk>"))
+    assert(tok.idOf("<unk>") === Some(0))
+  }
+
+  test("a tokenizer model type outside BPE/WordPiece/Unigram is " +
+      "rejected loudly, not silently wrong") {
+    val bad = """{"model": {"type": "WordLevel", "vocab": {}}}"""
+    val e = intercept[IllegalArgumentException](HfTokenizer.parse(bad))
+    assert(e.getMessage.contains("WordLevel"))
   }
 
   test("embedder integration: tokenizer.json is auto-discovered, " +
