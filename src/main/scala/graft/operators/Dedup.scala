@@ -331,14 +331,24 @@ object Dedup {
         shingleHashesUdf(n)(col(textCol)).as("shs"))
       .where(size(col("shs")) > 0)
       .select(col("id"), explode(col("shs")).as("h"))
-    // df per shingle, keep only sub-cap shingles; sizes AFTER the cap
-    // so the Jaccard denominator matches the capped universe
-    val kept = sh.withColumn("df_count",
-        count(lit(1)).over(Window.partitionBy(col("h"))))
-      .where(col("df_count") <= maxDocFreq)
-    val sized = kept.withColumn("sz",
-      count(lit(1)).over(Window.partitionBy(col("id"))).cast("int"))
-    val byShingle = sized.groupBy("h")
+    // df cap and per-doc sizes from AGGREGATIONS, not windows: the
+    // previous window formulation (count OVER partitionBy(h), then
+    // count OVER partitionBy(id)) paid two full exchange+sort passes
+    // over every (doc, shingle) row before the pairing groupBy — a
+    // +35% wall regression on q83/q86/q119 when the cap landed. One
+    // groupBy(h) applies the cap (sizes computed AFTER it so the
+    // Jaccard denominator matches the capped universe), a groupBy(id)
+    // over the survivors counts sizes, and the id-keyed equi-join ships
+    // only (id, sz) — partial aggregation does the heavy lifting
+    // map-side instead of sorting the exploded rows twice.
+    val grouped = sh.groupBy("h")
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) <= maxDocFreq)
+    val kept = grouped.select(col("h"), explode(col("ids")).as("id"))
+    val sized = kept.groupBy("id")
+      .agg(count(lit(1)).cast("int").as("sz"))
+    val byShingle = kept.join(sized, "id")
+      .groupBy("h")
       .agg(sort_array(collect_list(struct(col("id"), col("sz"))))
         .as("ms"))
       .where(size(col("ms")) > 1)
