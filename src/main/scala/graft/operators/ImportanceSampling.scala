@@ -61,15 +61,30 @@ object ImportanceSampling {
     */
   def dsirScore(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 10000): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+    val spark = raw.sparkSession
+    import spark.implicits._
     val rawGrams = gramBuckets(raw, idCol, textCol, buckets)
     val targetGrams = gramBuckets(target, idCol, textCol, buckets)
-    val rawCt = rawGrams.groupBy("b").agg(count(lit(1)).as("raw_ct"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val tgtCt = targetGrams.groupBy("b").agg(count(lit(1)).as("tgt_ct"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val rawTotal = totalOf(rawCt, "raw_ct")
-    val tgtTotal = totalOf(tgtCt, "tgt_ct")
+    // The count tables are at most `buckets` rows BY CONSTRUCTION, so
+    // collect them into local relations instead of persist + deferred
+    // unpersist. The cache lifecycle was actively harmful under
+    // repeated invocation: Spark's cache manager keys on the analyzed
+    // plan, so a later call would first REUSE the previous call's
+    // cached blocks and then release() would nuke them mid-flight —
+    // bench reps alternated cache hits and full recomputes (spread
+    // 2.6x). Local relations also make both count-table joins
+    // broadcast by construction and drop the extra totalOf jobs (the
+    // totals fall out of the collected rows).
+    val rawRows = rawGrams.groupBy("b")
+      .agg(count(lit(1)).as("raw_ct")).collect()
+    val tgtRows = targetGrams.groupBy("b")
+      .agg(count(lit(1)).as("tgt_ct")).collect()
+    val rawTotal = rawRows.iterator.map(_.getLong(1)).sum
+    val tgtTotal = tgtRows.iterator.map(_.getLong(1)).sum
+    val rawCt = rawRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("b", "raw_ct")
+    val tgtCt = tgtRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("b", "tgt_ct")
     val scored = rawGrams
       .join(rawCt, Seq("b"), "left")
       .join(tgtCt, Seq("b"), "left")
@@ -81,9 +96,6 @@ object ImportanceSampling {
       .groupBy("id")
       .agg(round(avg(col("__lr")) + 1e-9, 4).as("dsir_score"),
         count(lit(1)).as("n_grams"))
-    val release = () => { rawCt.unpersist(); tgtCt.unpersist(); () }
-    val prev = lastRelease.getAndSet(release)
-    if (prev != null) prev()
     scored
   }
 
@@ -185,13 +197,4 @@ object ImportanceSampling {
     n
   }
 
-  private def totalOf(counts: DataFrame, cntCol: String): Long = {
-    val row = counts.agg(sum(col(cntCol))).head()
-    if (row.isNullAt(0)) 0L else row.getLong(0)
-  }
-
-  /** Previous invocation's persisted count tables, released on the next
-    * call (LanguageModel precedent). */
-  private val lastRelease =
-    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
 }
