@@ -66,14 +66,55 @@ object PdfExtract {
           case _ => None
         }
       }
-    val fontsByContent = cidFontsByContentObj(text, strms)
-    strms.flatMap { case (objNum, dict, raw) =>
+    // /Type /ObjStm containers (ISO 32000 §7.5.7, the compressed-xref
+    // object packing every modern writer emits): their packed objects
+    // join the object-graph dict space, so page/font/ToUnicode dicts
+    // that live inside one still resolve. The containers themselves
+    // carry no text operators — keep them out of the extraction pass.
+    val (objStms, contentStrms) =
+      strms.partition(_._2.contains("/ObjStm"))
+    val fontsByContent =
+      cidFontsByContentObj(text, strms, objStmDicts(objStms))
+    contentStrms.flatMap { case (objNum, dict, raw) =>
       val fonts = objNum.map(_._1).flatMap(fontsByContent.get)
         .getOrElse(Map.empty[String, Map[Int, String]])
       decodeStream(dict, raw)
         .map(textFromContent(_, fonts)).filter(_.nonEmpty)
     }
   }
+
+  /** Dict texts of the objects packed inside /ObjStm streams, keyed by
+    * object number: the header (first /First bytes of the decoded
+    * body) is N whitespace-separated (objNum, offset) int pairs,
+    * offsets relative to /First. Malformed entries are skipped, never
+    * thrown. */
+  private def objStmDicts(
+      objStms: Seq[(Option[(Int, Int)], String, Array[Byte])])
+      : Map[Int, String] =
+    objStms.iterator.flatMap { case (_, dict, raw) =>
+      decodeStream(dict, raw).toSeq.flatMap { body =>
+        val s = new String(body, StandardCharsets.ISO_8859_1)
+        val n = "/N\\s+(\\d+)".r.findFirstMatchIn(dict)
+          .flatMap(_.group(1).toIntOption).getOrElse(0)
+        val first = "/First\\s+(\\d+)".r.findFirstMatchIn(dict)
+          .flatMap(_.group(1).toIntOption).getOrElse(0)
+        if (n <= 0 || first <= 0 || first > s.length) Seq.empty
+        else {
+          val pairs = "\\d+".r.findAllIn(s.substring(0, first))
+            .flatMap(_.toIntOption).grouped(2).take(n)
+            .collect { case Seq(o, off) => (o, off) }.toVector
+          pairs.zipWithIndex.flatMap { case ((objNum, off), i) =>
+            val start = first.toLong + off
+            val end =
+              if (i + 1 < pairs.length) first.toLong + pairs(i + 1)._2
+              else s.length.toLong
+            if (start >= 0 && start <= end && end <= s.length)
+              Some(objNum -> s.substring(start.toInt, end.toInt))
+            else None
+          }
+        }
+      }
+    }.toMap
 
   // ---- CID/Type0 font support (ToUnicode CMaps) ----
   //
@@ -121,9 +162,10 @@ object PdfExtract {
   /** content-stream objNum -> (font resource name -> CID-to-unicode
     * map), for fonts that declare /ToUnicode. */
   private def cidFontsByContentObj(text: String,
-      strms: Seq[(Option[(Int, Int)], String, Array[Byte])])
+      strms: Seq[(Option[(Int, Int)], String, Array[Byte])],
+      extraDicts: Map[Int, String] = Map.empty)
       : Map[Int, Map[String, Map[Int, String]]] = {
-    val dicts = objectDicts(text)
+    val dicts = objectDicts(text) ++ extraDicts
     val streamByObj = strms.collect {
       case (Some((n, _)), d, raw) => n -> ((d, raw))
     }.toMap
@@ -527,9 +569,12 @@ object PdfExtract {
         }
         if (e < 0) { from = text.length }
         else {
+          // ObjStm is NOT skipped: pages() expands packed objects into
+          // the object-graph dict space (and keeps them out of the
+          // text-operator pass itself)
           val skip = dict.contains("/Image") ||
             dict.contains("/FontFile") || dict.contains("/Metadata") ||
-            dict.contains("/ObjStm") || dict.contains("/XRef")
+            dict.contains("/XRef")
           if (!skip) {
             val bodyEnd = bodyEndByLen.map(_.toInt).getOrElse {
               // no trustworthy length: strip EOL padding heuristically

@@ -120,6 +120,62 @@ class PdfCidSpec extends AnyFunSuite {
     assert(m(0x50) === "X" && m(0x51) === "Y" && m(0x52) === "Z")
   }
 
+  test("ObjStm: page and font dicts packed in an object stream still " +
+      "resolve the ToUnicode graph (compressed-xref writer layout)") {
+    val msg = "Nebulae expand."
+    val alphabet = msg.distinct.sorted
+    def codeOf(c: Char): Int = 0x0100 + alphabet.indexOf(c)
+    val codesHex = msg.map(c => f"${codeOf(c)}%04x").mkString
+    val cmap =
+      s"""1 begincodespacerange <0000> <ffff> endcodespacerange
+         |${alphabet.length} beginbfrange
+         |${alphabet.map(c =>
+             f"<${codeOf(c)}%04x> <${codeOf(c)}%04x> <${c.toInt}%04x>")
+           .mkString("\n")}
+         |endbfrange
+         |endcmap""".stripMargin
+    val content = s"BT /FC 12 Tf 72 720 Td <$codesHex> Tj ET"
+    // the page (obj 3) and font (obj 5) dicts live INSIDE obj 8, a
+    // FlateDecode /ObjStm; content (4) and ToUnicode (6) stay
+    // top-level streams (streams cannot live in an ObjStm per spec)
+    val pageDict = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/MediaBox [0 0 612 792] /Resources << /Font " +
+      "<< /FC 5 0 R >> >> >>"
+    val fontDict = "<< /Type /Font /Subtype /Type0 /BaseFont /T " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>"
+    val header = s"3 0 5 ${pageDict.length}\n"
+    val stmBody = header + pageDict + fontDict
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(bytes(stmBody)); d.finish()
+      val o = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(bytes("%PDF-1.6\n"))
+    def obj(n: Int, body: Array[Byte]): Unit = {
+      out.write(bytes(s"$n 0 obj\n")); out.write(body)
+      out.write(bytes("\nendobj\n"))
+    }
+    obj(1, bytes("<< /Type /Catalog /Pages 2 0 R >>"))
+    obj(2, bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    obj(4, bytes(s"<< /Length ${content.length} >>\nstream\n" +
+      content + "\nendstream"))
+    obj(6, bytes(s"<< /Length ${cmap.length} >>\nstream\n" + cmap +
+      "\nendstream"))
+    val stmb = new ByteArrayOutputStream()
+    stmb.write(bytes(s"<< /Type /ObjStm /N 2 /First ${header.length} " +
+      s"/Length ${deflated.length} /Filter /FlateDecode >>\nstream\n"))
+    stmb.write(deflated)
+    stmb.write(bytes("\nendstream"))
+    obj(8, stmb.toByteArray)
+    out.write(bytes("trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n"))
+    val got = PdfExtract.pages(out.toByteArray).mkString("\n")
+    assert(got.contains(msg), s"extracted: '$got'")
+  }
+
   test("a CID font WITHOUT ToUnicode keeps the old cut-line behavior " +
     "(no garbage emitted for unmappable codes)") {
     val pdf = cidPdf("Any text.")
