@@ -58,6 +58,12 @@ object Bench {
       // spreads of 2.3-2.8 on q108/q84 from exactly that. Warming at
       // sfDir makes every timed rep a steady-state measurement.
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // GC fence: garbage from the previous query's executions (and
+      // the warm rep above) otherwise lands as a collection pause
+      // inside a RANDOM later query's timed rep — q123 measured spread
+      // 2.8 in a full-suite run vs 1.1 in isolation from exactly that.
+      // One explicit collection here pins the cost to the untimed gap.
+      System.gc()
       // min over SUCCESSFUL reps only: a rep that throws returns almost
       // instantly, and letting its near-zero elapsed time into the min
       // would report a transiently failing query as fast. All-failed =>
