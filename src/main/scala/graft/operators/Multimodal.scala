@@ -270,4 +270,126 @@ object Multimodal {
     Dedup.embeddingNearDupPairs(frames, "frame_id", "feature",
       threshold, planes)
   }
+
+  // ---- ISO-BMFF (MP4/MOV) metadata — REAL parsing, no codec ----
+  //
+  // Frame DECODE stays the FFI cut line, but the container METADATA a
+  // curation pipeline filters on (duration caps, resolution floors,
+  // codec allow-lists) is a pure byte-level box walk per ISO/IEC
+  // 14496-12 — public spec, no dependency. This narrows the video cut
+  // line the same way PdfCrypt narrowed the encrypted-PDF one.
+
+  /** Parsed ISO-BMFF container facts. durationMs from mvhd
+    * (duration/timescale); width/height from the first visual tkhd
+    * (16.16 fixed point); codecs = stsd sample-entry fourccs in track
+    * order. */
+  final case class Mp4Info(brand: String, durationMs: Long,
+      trackCount: Int, width: Int, height: Int, codecs: Seq[String])
+
+  private def be32(b: Array[Byte], at: Int): Long =
+    ((b(at) & 0xFFL) << 24) | ((b(at + 1) & 0xFFL) << 16) |
+      ((b(at + 2) & 0xFFL) << 8) | (b(at + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], at: Int): Long =
+    (be32(b, at) << 32) | be32(b, at + 4)
+
+  private def fourcc(b: Array[Byte], at: Int): String =
+    new String(b, at, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** None for null/short/non-BMFF payloads (first top-level box must
+    * carry a known brand-bearing or structural type). Malformed sizes
+    * terminate the walk instead of throwing — best-effort facts over
+    * exceptions, like every other kernel here. */
+  def mp4Metadata(payload: Array[Byte]): Option[Mp4Info] = {
+    if (payload == null || payload.length < 16) return None
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var brand = ""
+    var durationMs = -1L
+    var tracks = 0
+    var width = 0
+    var height = 0
+    val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var sawStructural = false
+
+    def walk(from: Long, to: Long): Unit = {
+      var at = from
+      while (at + 8 <= to) {
+        val size0 = be32(payload, at.toInt)
+        val typ = fourcc(payload, at.toInt + 4)
+        var header = 8L
+        val size =
+          if (size0 == 1 && at + 16 <= to) { header = 16L
+            be64(payload, at.toInt + 8) }
+          else if (size0 == 0) to - at // box runs to end of enclosure
+          else size0
+        if (size < header || at + size > to) return // torn/corrupt
+        val body = at + header
+        typ match {
+          case "ftyp" if size >= header + 4 =>
+            brand = fourcc(payload, body.toInt); sawStructural = true
+          case "mvhd" if size >= header + 4 =>
+            sawStructural = true
+            val v = payload(body.toInt) & 0xFF
+            // v0: c(4) m(4) timescale(4) duration(4); v1: 8 8 4 8
+            val (ts, dur) =
+              if (v == 1 && size >= header + 4 + 28)
+                (be32(payload, body.toInt + 20),
+                  be64(payload, body.toInt + 24))
+              else if (size >= header + 4 + 16)
+                (be32(payload, body.toInt + 12),
+                  be32(payload, body.toInt + 16))
+              else (0L, 0L)
+            if (ts > 0) durationMs = dur * 1000L / ts
+          case "tkhd" =>
+            tracks += 1
+            // width/height: the LAST 8 bytes of the box, 16.16 fixed
+            val wh = at + size - 8
+            if (wh >= body && width == 0) {
+              val w = (be32(payload, wh.toInt) >> 16).toInt
+              val h = (be32(payload, wh.toInt + 4) >> 16).toInt
+              if (w > 0 && h > 0) { width = w; height = h }
+            }
+          case "stsd" if size >= header + 8 =>
+            val n = be32(payload, body.toInt + 4).toInt
+            var e = body + 8
+            var i = 0
+            while (i < n && e + 8 <= at + size) {
+              val esz = be32(payload, e.toInt)
+              codecs += fourcc(payload, e.toInt + 4)
+              if (esz < 8) { i = n } // corrupt entry: stop
+              else { e += esz; i += 1 }
+            }
+          case t if containers(t) =>
+            sawStructural = true
+            walk(body, at + size)
+          case _ => ()
+        }
+        at += size
+      }
+    }
+    walk(0L, payload.length.toLong)
+    if (!sawStructural) None
+    else Some(Mp4Info(brand, durationMs, tracks, width, height,
+      codecs.toSeq))
+  }
+
+  /** Column form: media frame -> parsed container metadata columns
+    * (null struct for non-BMFF payloads). Row-local, no shuffle — the
+    * admission predicates (duration/resolution/codec) then push into
+    * the scan like any other filter. */
+  def withVideoMetadata(media: DataFrame): DataFrame = {
+    val metaUdf = udf { (payload: Array[Byte]) =>
+      mp4Metadata(payload).map(m =>
+        (m.brand, m.durationMs, m.trackCount, m.width, m.height,
+          m.codecs))
+    }
+    media.withColumn("video_meta", metaUdf(col("payload")))
+      .withColumn("vm_brand", col("video_meta._1"))
+      .withColumn("vm_duration_ms", col("video_meta._2"))
+      .withColumn("vm_tracks", col("video_meta._3"))
+      .withColumn("vm_width", col("video_meta._4"))
+      .withColumn("vm_height", col("video_meta._5"))
+      .withColumn("vm_codecs", col("video_meta._6"))
+      .drop("video_meta")
+  }
 }

@@ -142,4 +142,62 @@ class MultimodalSpec extends SparkSuite {
       (p._1.startsWith("v3") && !p._2.startsWith("v3")) ||
         (p._2.startsWith("v3") && !p._1.startsWith("v3"))))
   }
+
+  // ---- ISO-BMFF metadata (the real part of the video tier) ----
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def box(typ: String, body: Array[Byte]): Array[Byte] =
+    be32(body.length + 8L) ++
+      typ.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+
+  test("mp4Metadata: hand-built ISO-BMFF walks ftyp/mvhd/tkhd/stsd " +
+      "(duration, dims, codec fourccs); junk bytes -> None") {
+    // mvhd v0: version+flags, creation, modification, timescale=1000,
+    // duration=90500 -> 90500 ms
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(90500) ++ Array.fill[Byte](76)(0))
+    // tkhd v0: 80-byte body whose LAST 8 bytes are 16.16 width/height
+    val tkhd = box("tkhd", Array.fill[Byte](72)(0) ++
+      be32(640L << 16) ++ be32(360L << 16))
+    val avc1 = box("avc1", Array.fill[Byte](8)(0))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ avc1)
+    val stbl = box("stbl", stsd)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512))
+    val mp4 = ftyp ++ moov
+
+    val got = Multimodal.mp4Metadata(mp4)
+    assert(got.isDefined)
+    val m = got.get
+    assert(m.brand === "isom")
+    assert(m.durationMs === 90500L)
+    assert(m.trackCount === 1)
+    assert((m.width, m.height) === ((640, 360)))
+    assert(m.codecs === Seq("avc1"))
+
+    // junk / truncated payloads: None, never a throw
+    assert(Multimodal.mp4Metadata(null).isEmpty)
+    assert(Multimodal.mp4Metadata(Array.fill[Byte](64)(33)).isEmpty)
+    assert(Multimodal.mp4Metadata(mp4.take(20)).isEmpty ||
+      Multimodal.mp4Metadata(mp4.take(20)).get.durationMs === -1L)
+
+    // column form: predicates on the parsed facts
+    val s2 = initSpark()
+    val rows = java.util.Arrays.asList(
+      Row("a", "video", mp4, null, null, null),
+      Row("b", "video", Array.fill[Byte](32)(7), null, null, null))
+    val df = s2.createDataFrame(rows, Multimodal.mediaSchema)
+    val meta = Multimodal.withVideoMetadata(df)
+      .select("asset_id", "vm_duration_ms", "vm_codecs")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -999L else r.getLong(1))).toMap
+    assert(meta("a") === 90500L)
+    assert(meta("b") === -999L)
+  }
 }
