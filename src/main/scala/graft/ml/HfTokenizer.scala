@@ -228,6 +228,46 @@ object HfTokenizer {
     out
   }
 
+  /** DataFrame surface: per-document token ids under a checkpoint
+    * tokenizer (broadcast once per plan, row-local encode — the same
+    * shape as Bpe.encode, so corpus token accounting runs with the ids
+    * the training run will actually see, not an estimate). */
+  def encode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, tok: HfTokenizer)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, size => asize, udf}
+    val enc = udf { (text: String) =>
+      tok.encodePieces(text).flatMap(tok.idOf)
+    }
+    df.select(col(idCol), enc(col(textCol)).as("token_ids"))
+      .withColumn("n_tokens", asize(col("token_ids")))
+  }
+
+  /** Per-document tokenizer-fit diagnostics: token count under the
+    * REAL tokenizer, whitespace word count, fertility (tokens/word —
+    * the standard multilingual tokenizer-quality metric; ~1 is
+    * English-like, >>1 flags scripts the vocab underserves), and
+    * bytes/token (compression). The numbers that drive mixing weights
+    * and packing budgets once a checkpoint is fixed. */
+  def tokenStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, tok: HfTokenizer)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nTok = udf { (text: String) =>
+      if (text == null) 0 else tok.encodePieces(text).length
+    }
+    df.select(col(idCol), nTok(col(textCol)).as("n_tokens"),
+        size(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+          w => length(w) > 0)).as("n_words"),
+        octet_length(coalesce(col(textCol), lit(""))).as("n_bytes"))
+      .withColumn("fertility",
+        when(col("n_words") > 0, round(col("n_tokens").cast("double") /
+          col("n_words") + 1e-9, 4)))
+      .withColumn("bytes_per_token",
+        when(col("n_tokens") > 0, round(col("n_bytes").cast("double") /
+          col("n_tokens") + 1e-9, 4)))
+  }
+
   private[graft] def gpt2Pretokens(text: String): Iterator[String] = {
     val m = Gpt2Split.matcher(text)
     new Iterator[String] {

@@ -12,7 +12,7 @@ import graft.ml.{HfTokenizer, TensorFileEmbedder}
   * Encodings are pinned by hand-derived fixtures; the embedder
   * integration proves checkpoint ids drive embedding rows IDENTITY-
   * mapped and pooling happens at the checkpoint's CLS row. */
-class HfTokenizerSpec extends AnyFunSuite {
+class HfTokenizerSpec extends AnyFunSuite with SparkSuite {
 
   test("GPT-2 byte-to-unicode table: printables map to themselves, " +
       "space maps to \\u0120 (the public table)") {
@@ -133,6 +133,32 @@ class HfTokenizerSpec extends AnyFunSuite {
     assert(tok.encodePieces("hxq").toSeq ===
       Seq("▁h", "<unk>", "<unk>"))
     assert(tok.idOf("<unk>") === Some(0))
+  }
+
+  test("DataFrame surface: encode emits checkpoint ids, tokenStats " +
+      "computes fertility/bytes-per-token from the real tokenizer") {
+    val s = initSpark()
+    val tok = HfTokenizer.parse(uniJson)
+    val df = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "hello world"),
+      org.apache.spark.sql.Row(2L, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val enc = HfTokenizer.encode(df, "id", "text", tok)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Int](1)).toMap
+    assert(enc(1L) === Seq(2, 7, 6, 8, 9)) // ▁he ll o ▁wor ld
+    assert(enc(2L) === Seq())
+    val st = HfTokenizer.tokenStats(df, "id", "text", tok)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).getInt(1) === 5) // n_tokens
+    assert(st(1L).getInt(2) === 2) // n_words
+    assert(st(1L).getDouble(st(1L).fieldIndex("fertility")) === 2.5)
+    assert(st(2L).getInt(1) === 0 &&
+      st(2L).isNullAt(st(2L).fieldIndex("fertility")))
   }
 
   test("a tokenizer model type outside BPE/WordPiece/Unigram is " +
