@@ -321,4 +321,149 @@ object AudioFeatures {
         }
       }(enc)
   }
+
+  // ---- compressed-audio CONTAINER metadata (public specs, no codec) ----
+  //
+  // Decode of MP3/OGG/FLAC payloads stays the documented FFI cut line
+  // (javax.sound ships PCM only), but the header facts curation
+  // filters on — duration, sample rate, channels — are byte-level
+  // parses of public formats, the audio mirror of Multimodal's
+  // ISO-BMFF walk.
+
+  /** Parsed container facts. durationMs is -1 when the container gives
+    * no length (e.g. a chained/torn stream). */
+  final case class AudioMeta(container: String, durationMs: Long,
+      sampleRate: Int, channels: Int)
+
+  /** MP3 / OGG (Opus+Vorbis) / FLAC / WAV header facts; None for
+    * null/short/unrecognized payloads. Best-effort: malformed tails
+    * degrade the duration to -1, never throw. */
+  def audioMetadata(payload: Array[Byte]): Option[AudioMeta] = {
+    if (payload == null || payload.length < 12) return None
+    def u8(i: Int) = payload(i) & 0xFF
+    def ascii(at: Int, n: Int) =
+      new String(payload, at, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def le32(i: Int): Long = (u8(i)) | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def le64(i: Int): Long = le32(i) | (le32(i + 4) << 32)
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+
+    if (ascii(0, 4) == "RIFF" && payload.length >= 44 &&
+        ascii(8, 4) == "WAVE") {
+      val channels = u8(22) | (u8(23) << 8)
+      val rate = le32(24).toInt
+      val byteRate = le32(28)
+      // find the data chunk (fmt may carry extensions)
+      var at = 12
+      var dur = -1L
+      while (at + 8 <= payload.length && dur < 0) {
+        val id = ascii(at, 4); val sz = le32(at + 4)
+        if (id == "data" && byteRate > 0) dur = sz * 1000L / byteRate
+        at += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      Some(AudioMeta("wav", dur, rate, channels))
+    } else if (ascii(0, 4) == "fLaC" && payload.length >= 42) {
+      // STREAMINFO: 4-byte block header then 34 bytes; rate(20) +
+      // channels-1(3) + bps-1(5) + totalSamples(36) start at data+10
+      val d = 8 // 4 marker + 4 block header
+      val rate = ((u8(d + 10) << 12) | (u8(d + 11) << 4) |
+        (u8(d + 12) >> 4))
+      val channels = ((u8(d + 12) >> 1) & 0x7) + 1
+      val total = ((u8(d + 13).toLong & 0x0F) << 32) | be32(d + 14)
+      val dur = if (rate > 0 && total > 0) total * 1000L / rate else -1L
+      Some(AudioMeta("flac", dur, rate, channels))
+    } else if (ascii(0, 4) == "OggS") {
+      // identification packet in the first page's payload
+      val segs = u8(26)
+      val body = 27 + segs
+      var rate = 0; var channels = 0; var opusPreSkip = -1
+      if (body + 19 <= payload.length && ascii(body, 8) == "OpusHead") {
+        channels = u8(body + 9)
+        opusPreSkip = u8(body + 10) | (u8(body + 11) << 8)
+        rate = 48000 // Opus granule positions are always 48 kHz
+      } else if (body + 30 <= payload.length &&
+          ascii(body + 1, 6) == "vorbis" && u8(body) == 1) {
+        channels = u8(body + 11)
+        rate = le32(body + 12).toInt
+      } else return None
+      // duration: granule position of the LAST page
+      val last = ascii(0, payload.length).lastIndexOf("OggS")
+      val dur =
+        if (last + 14 > payload.length || rate <= 0) -1L
+        else {
+          val granule = le64(last + 6)
+          val effective =
+            if (opusPreSkip >= 0) granule - opusPreSkip else granule
+          if (effective <= 0) -1L else effective * 1000L / rate
+        }
+      Some(AudioMeta(if (opusPreSkip >= 0) "opus" else "vorbis",
+        dur, rate, channels))
+    } else mp3Metadata(payload)
+  }
+
+  private val Mp3BitrateV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64,
+    80, 96, 112, 128, 144, 160)
+  private val Mp3RateV1 = Array(44100, 48000, 32000)
+
+  /** MPEG Layer III: skip ID3v2, sync to the first frame header,
+    * prefer the Xing/Info frame count (VBR-exact), else extrapolate
+    * CBR from the first frame's bitrate. */
+  private def mp3Metadata(payload: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int) = payload(i) & 0xFF
+    var at = 0
+    if (payload.length > 10 && payload(0) == 'I' && payload(1) == 'D' &&
+        payload(2) == '3') {
+      val size = ((u8(6) & 0x7F) << 21) | ((u8(7) & 0x7F) << 14) |
+        ((u8(8) & 0x7F) << 7) | (u8(9) & 0x7F)
+      at = 10 + size
+    }
+    // sync scan (bounded): a real frame header, Layer III only
+    var found = -1
+    var tries = 0
+    while (found < 0 && at + 4 <= payload.length && tries < 4096) {
+      if (u8(at) == 0xFF && (u8(at + 1) & 0xE0) == 0xE0 &&
+          ((u8(at + 1) >> 1) & 0x3) == 0x1 && // layer III
+          ((u8(at + 1) >> 3) & 0x3) != 0x1 && // valid version
+          ((u8(at + 2) >> 4) & 0xF) != 0xF && // valid bitrate idx
+          ((u8(at + 2) >> 2) & 0x3) != 0x3)   // valid rate idx
+        found = at
+      else { at += 1; tries += 1 }
+    }
+    if (found < 0) return None
+    val h1 = u8(found + 1); val h2 = u8(found + 2); val h3 = u8(found + 3)
+    val versionBits = (h1 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val mpeg1 = versionBits == 3
+    val rateIdx = (h2 >> 2) & 0x3
+    val rate = versionBits match {
+      case 3 => Mp3RateV1(rateIdx)
+      case 2 => Mp3RateV1(rateIdx) / 2
+      case _ => Mp3RateV1(rateIdx) / 4
+    }
+    val channels = if (((h3 >> 6) & 0x3) == 3) 1 else 2
+    val bitrate = (if (mpeg1) Mp3BitrateV1L3 else
+      Mp3BitrateV2L3)((h2 >> 4) & 0xF) * 1000
+    val samplesPerFrame = if (mpeg1) 1152 else 576
+    // Xing/Info VBR header sits after the side info
+    val sideInfo = if (mpeg1) { if (channels == 1) 17 else 32 }
+      else { if (channels == 1) 9 else 17 }
+    val xingAt = found + 4 + sideInfo
+    val dur =
+      if (xingAt + 12 <= payload.length &&
+          (new String(payload, xingAt, 4,
+            java.nio.charset.StandardCharsets.ISO_8859_1) == "Xing" ||
+           new String(payload, xingAt, 4,
+            java.nio.charset.StandardCharsets.ISO_8859_1) == "Info") &&
+          (u8(xingAt + 7) & 0x1) == 1) {
+        val frames = ((u8(xingAt + 8).toLong << 24) |
+          (u8(xingAt + 9) << 16) | (u8(xingAt + 10) << 8) |
+          u8(xingAt + 11))
+        if (rate > 0) frames * samplesPerFrame * 1000L / rate else -1L
+      } else if (bitrate > 0)
+        (payload.length - found).toLong * 8000L / bitrate
+      else -1L
+    Some(AudioMeta("mp3", dur, rate, channels))
+  }
 }

@@ -154,4 +154,60 @@ class AudioSpec extends SparkSuite {
     assert(AudioFeatures.mfcc(sm, frameSize = 512, hop = 256).count()
       === 0L)
   }
+
+  // ---- compressed-audio container metadata ----
+
+  test("audioMetadata: WAV/FLAC/MP3(Xing)/Ogg-Opus header facts pin " +
+      "duration, rate, channels; junk -> None") {
+    import AudioFeatures.audioMetadata
+
+    // WAV: reuse the real generated fixture (200 ms @ 16 kHz mono)
+    val w = audioMetadata(wav(440.0)).get
+    assert(w.container === "wav")
+    assert(w.channels === 1)
+    assert(w.durationMs === 200L)
+
+    // FLAC STREAMINFO: 44100 Hz stereo, 441000 samples = 10 s
+    val flac = "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++
+      Array.fill[Byte](10)(0) ++ Array[Byte](0x0A, 0xC4.toByte, 0x42,
+        0xF0.toByte, 0x00, 0x06, 0xBA.toByte, 0xA8.toByte) ++
+      Array.fill[Byte](16)(0)
+    val f = audioMetadata(flac).get
+    assert(f.container === "flac")
+    assert((f.sampleRate, f.channels, f.durationMs) ===
+      ((44100, 2, 10000L)))
+
+    // MP3: MPEG1 Layer III 128 kbps 44100 stereo + Xing frame count
+    // 38 frames * 1152 samples / 44100 Hz = 992 ms
+    val frame = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0) ++
+      Array.fill[Byte](32)(0) ++ "Xing".getBytes ++
+      Array[Byte](0, 0, 0, 1) ++ Array[Byte](0, 0, 0, 38) ++
+      Array.fill[Byte](64)(0)
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 0)
+    val m = audioMetadata(id3 ++ frame).get
+    assert(m.container === "mp3")
+    assert((m.sampleRate, m.channels) === ((44100, 2)))
+    assert(m.durationMs === 38L * 1152 * 1000 / 44100)
+
+    // Ogg Opus: ident page (pre-skip 312) + last page at granule
+    // 96312 -> (96312 - 312) / 48 = 2000 ms
+    def leBytes(v: Long, n: Int): Array[Byte] =
+      Array.tabulate[Byte](n)(i => ((v >> (8 * i)) & 0xFF).toByte)
+    val ident = "OggS".getBytes ++ Array[Byte](0, 2) ++
+      leBytes(0, 8) ++ leBytes(1, 4) ++ leBytes(0, 4) ++
+      leBytes(0, 4) ++ Array[Byte](1, 19) ++
+      "OpusHead".getBytes ++ Array[Byte](1, 2) ++ leBytes(312, 2) ++
+      leBytes(48000, 4) ++ Array[Byte](0, 0, 0)
+    val lastPage = "OggS".getBytes ++ Array[Byte](0, 4) ++
+      leBytes(96312, 8) ++ leBytes(1, 4) ++ leBytes(1, 4) ++
+      leBytes(0, 4) ++ Array[Byte](0)
+    val o = audioMetadata(ident ++ lastPage).get
+    assert(o.container === "opus")
+    assert((o.sampleRate, o.channels, o.durationMs) ===
+      ((48000, 2, 2000L)))
+
+    // junk: None, never a throw
+    assert(audioMetadata(null).isEmpty)
+    assert(audioMetadata(Array.fill[Byte](64)(42)).isEmpty)
+  }
 }

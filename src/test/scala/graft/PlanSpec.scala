@@ -82,6 +82,21 @@ class PlanSpec extends SparkSuite {
     assert(n === 3, s"expected 3 exchanges, got $n:\n$plan")
   }
 
+  test("jaccardPairsCapped: aggregation-only plan — no window sorts " +
+      "over the shingle explosion (the round-10 reformulation)") {
+    val s = initSpark()
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(graft.operators.Dedup.jaccardPairsCapped(
+      docs, "doc_id", "text", 3, 0.2, maxDocFreq = 4096))
+    assert(!plan.contains("Window"),
+      s"df cap and sizes must come from aggregations, not window " +
+        s"passes (each window = exchange + full sort of every " +
+        s"(doc, shingle) row):\n$plan")
+    // partial (map-side) aggregation must be doing the heavy lifting
+    assert(plan.contains("HashAggregate"),
+      s"expected hash aggregates in the capped pair plan:\n$plan")
+  }
+
   test("jaccardPairsPrefix verifies candidates through broadcast joins " +
       "and a codegen'd intersect (no SMJ, no ScalaUDF in the verify)") {
     val s = initSpark()
