@@ -147,7 +147,12 @@ object ScaleProof {
     val matSec = (System.nanoTime() - tMat0) / 1e9
     System.err.println(f"[scaleproof] materialized in $matSec%.1f s")
 
+    // SPARK_GRAFT_SCALE_ONLY=q70,q83 restricts to named prefixes — for
+    // higher-factor runs over a subset (e.g. the dedup tier at 30x)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val rows = ordered.map { case (name, fn) =>
       // base first: its execution doubles as the codegen/JIT warm-up
       // for the scaled run, so the ratio compares warm against warm-ish

@@ -839,7 +839,7 @@ object Dedup {
     }
   }
 
-  private case class PortableEmb(sig: Int, vec: Seq[Long], norm2: Long)
+  private[graft] final case class PortableEmb(sig: Int, vec: Seq[Long], norm2: Long)
 
   private val portableEmbUdf =
     org.apache.spark.sql.functions.udf { (text: String) =>
