@@ -53,7 +53,8 @@ class PdfCryptSpec extends AnyFunSuite with SparkSuite {
     "Second line of recovered text.")
   private val expected = lines.mkString("\n")
 
-  for (scheme <- Seq("rc4-40", "rc4-128", "aesv2", "aesv3")) {
+  for (scheme <- Seq("rc4-40", "rc4-128", "rc4-cf", "aesv2",
+      "aesv3")) {
     test(s"$scheme: encrypted fixture decrypts and extracts " +
         "known text end to end") {
       val pdf = PdfFixtures.encryptedPdf(lines, scheme)

@@ -132,11 +132,12 @@ object PdfFixtures {
     val (v, r, bits) = scheme match {
       case "rc4-40" => (1, 2, 40)
       case "rc4-128" => (2, 3, 128)
+      case "rc4-cf" => (4, 4, 128) // V4 crypt filter with /CFM /V2
       case "aesv2" => (4, 4, 128)
       case "aesv3" => (5, 6, 256)
       case other => sys.error(s"unknown scheme $other")
     }
-    val aes = v >= 4
+    val aes = scheme.startsWith("aes")
     val n = bits / 8
 
     // --- entries + file key ---
@@ -165,9 +166,14 @@ object PdfFixtures {
               x = PdfCrypt.rc4(key.map(b => (b ^ i).toByte), x))
             x ++ new Array[Byte](16)
           }
-        val cf = if (aes)
-          " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
-            "/StmF /StdCF /StrF /StdCF" else ""
+        val cf =
+          if (aes)
+            " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+              "/StmF /StdCF /StrF /StdCF"
+          else if (v == 4) // RC4 through a named crypt filter
+            " /CF << /StdCF << /CFM /V2 /Length 16 >> >> " +
+              "/StmF /StdCF /StrF /StdCF"
+          else ""
         (s"<< /Filter /Standard /V $v /R $r /Length $bits /P $p " +
           s"/O ${hex(o)} /U ${hex(u)}$cf >>", key)
       } else {

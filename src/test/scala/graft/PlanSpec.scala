@@ -82,6 +82,21 @@ class PlanSpec extends SparkSuite {
     assert(n === 3, s"expected 3 exchanges, got $n:\n$plan")
   }
 
+  test("dsirScore: count-table joins broadcast (local relations by " +
+      "construction), no cache lifecycle in the plan") {
+    val s = initSpark()
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val scored = graft.operators.ImportanceSampling.dsirScore(
+      docs, docs.limit(50), "doc_id", "text")
+    val plan = planOf(scored)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"10k-row count tables must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"ratio joins must never sort-merge the gram stream:\n$plan")
+    assert(!plan.contains("InMemoryTableScan"),
+      s"no persisted intermediates (the round-10 lifecycle fix):\n$plan")
+  }
+
   test("jaccardPairsCapped: aggregation-only plan — no window sorts " +
       "over the shingle explosion (the round-10 reformulation)") {
     val s = initSpark()
