@@ -1773,7 +1773,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang").as("declared_lang"),
           graft.functions.LangId.detectLang(col("text"))
             .as("detected_lang"))
-    })
+    }),
+
+    // ---- Unicode script census (round 10): per-doc character counts
+    // over the 7 primary script blocks, dominant script with a
+    // deterministic tie-break, dominant share. The mixed-script spam
+    // signal of multilingual curation; fully portable — the \x{...}
+    // character classes are the syntax Java regex AND RE2 share. ----
+    "q124_script_profile" -> ((s, dir) =>
+      graft.functions.TextMetrics.scriptProfile(
+        t(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** q100/q101's fixed lexical query — mid-frequency corpus terms so
@@ -3843,7 +3852,34 @@ object SparkEntry {
       s"""SELECT d.doc_id, d.lang AS declared_lang, q.detected_lang
          FROM documents d
          JOIN (${graft.functions.LangId.oracleSql()}) q
-           ON q.doc_id = d.doc_id"""
+           ON q.doc_id = d.doc_id""",
+
+    // q124: the same \x{...} classes Java regex executes — RE2 shares
+    // the syntax; 'g' flag because DuckDB's regexp_replace is
+    // first-match-only by default. Integer censuses + one division.
+    "q124_script_profile" -> {
+      val counts = graft.functions.TextMetrics.ScriptRanges.map {
+        case (n, r) =>
+          s"length(regexp_replace(coalesce(text, ''), '[^$r]', '', 'g')) AS $n"
+      }.mkString(",\n           ")
+      val names = graft.functions.TextMetrics.ScriptRanges.map(_._1)
+      val sum = names.mkString(" + ")
+      val gr = s"greatest(${names.mkString(", ")})"
+      val domCases = names.map(n =>
+        s"WHEN $n > 0 AND $n >= $gr THEN '$n'").mkString("\n           ")
+      s"""WITH c AS (
+         SELECT doc_id,
+           $counts
+         FROM documents),
+       s AS (
+         SELECT *, $sum AS script_chars FROM c)
+       SELECT doc_id, ${names.mkString(", ")}, script_chars,
+         CASE $domCases ELSE 'none' END AS dominant_script,
+         CASE WHEN script_chars > 0 THEN
+           round($gr::DOUBLE / script_chars::DOUBLE + 1e-9, 4)
+         END AS dominant_share
+       FROM s"""
+    }
   )
 
   /** Shared BM25 oracle body (q100/q101): tokenize with the census

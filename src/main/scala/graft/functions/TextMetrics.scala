@@ -21,6 +21,58 @@ object TextMetrics {
     * +1e-9. */
   def roundE(c: Column, scale: Int): Column = round(c + lit(1e-9), scale)
 
+  /** Unicode script census classes — the multilingual curation signal
+    * (dominant script, mixed-script spam flagging). Character classes
+    * use `\x{...}` range syntax, which Java regex (Spark) and RE2
+    * (the DuckDB oracle) both accept, so every count replays
+    * bit-identically cross-engine; `\p{script=...}` does NOT port
+    * (Java spells it IsLatin, RE2 Latin). Ranges cover each script's
+    * primary block(s); rare supplementary blocks land in `other`
+    * (= chars minus all counted classes), which is part of the
+    * contract, not a bug. Order matters: the dominant-script
+    * tie-break is first-in-this-order. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\x{00C0}-\\x{024F}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "devanagari" -> "\\x{0900}-\\x{097F}",
+    "cjk" -> "\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}", // kana + ideographs
+    "hangul" -> "\\x{AC00}-\\x{D7AF}")
+
+  /** Characters of `text` inside the named script class. */
+  def scriptCharCount(text: Column, ranges: String): Column =
+    length(regexp_replace(coalesce(text, lit("")),
+      s"[^$ranges]", ""))
+
+  /** Per-document script profile: one count column per script, the
+    * total of counted script chars, the dominant script (max count,
+    * ties to the earlier entry in [[ScriptRanges]] — deterministic),
+    * and the dominant share (4-dp, null when no script chars). All
+    * integer censuses + one division — fully portable to the SQL
+    * oracle. */
+  def scriptProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val counted = ScriptRanges.foldLeft(
+        df.select(col(idCol), col(textCol))) { case (d, (n, r)) =>
+      d.withColumn(n, scriptCharCount(col(textCol), r))
+    }
+    val names = ScriptRanges.map(_._1)
+    val total = names.map(col).reduce(_ + _)
+    val maxC = greatest(names.map(col): _*)
+    val dominant = names.foldRight(lit("none")) { (n, rest) =>
+      when(col(n) > 0 && col(n) >= maxC, lit(n)).otherwise(rest)
+    }
+    counted
+      .withColumn("script_chars", total)
+      .withColumn("dominant_script", dominant)
+      .withColumn("dominant_share",
+        when(col("script_chars") > 0,
+          roundE(maxC.cast("double") /
+            col("script_chars").cast("double"), 4)))
+      .drop(textCol)
+  }
+
   /** Word count via \w+ tokens (reference F8: computed_metadata.py:68-79;
     * WORDS_REGEX regular_expression.py:80-82). */
   def wordCount(text: Column): Column =

@@ -291,4 +291,34 @@ class TextFunctionsSpec extends SparkSuite {
     assert(one(TextClean.firstSentences(col("text"), 2),
       "A one. B two. C three. D") === "A one. B two.")
   }
+
+  test("scriptProfile: per-script censuses, deterministic dominant, " +
+      "mixed-script share (q124)") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq(
+      (1L, "hello world"),                    // pure latin
+      (2L, "Привет мир"),                     // pure cyrillic
+      (3L, "日本語テキスト"),                   // cjk (kana + ideographs)
+      (4L, "hello Привет"),                   // mixed, latin ties? 5 vs 6
+      (5L, "12345 !!!"),                      // no script chars
+      (6L, "한국어")                           // hangul
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextMetrics
+      .scriptProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def dom(id: Long) =
+      got(id).getString(got(id).fieldIndex("dominant_script"))
+    assert(dom(1L) === "latin")
+    assert(got(1L).getInt(got(1L).fieldIndex("latin")) === 10)
+    assert(dom(2L) === "cyrillic")
+    assert(dom(3L) === "cjk")
+    assert(dom(6L) === "hangul")
+    assert(dom(5L) === "none")
+    assert(got(5L).isNullAt(got(5L).fieldIndex("dominant_share")))
+    // mixed doc: hello=5 latin, Привет=6 cyrillic -> cyrillic wins
+    assert(dom(4L) === "cyrillic")
+    val share4 = got(4L).getDouble(got(4L).fieldIndex("dominant_share"))
+    assert(math.abs(share4 - 6.0 / 11.0) < 0.001)
+  }
 }
