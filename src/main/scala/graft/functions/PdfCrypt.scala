@@ -107,9 +107,13 @@ object PdfCrypt {
     if (at < 0) return Array.emptyByteArray
     val open = text.indexOf('[', at)
     if (open < 0) return Array.emptyByteArray
-    stringAt(text, text.indexOf('<', open).max(text.indexOf('(', open))
-      match { case -1 => return Array.emptyByteArray; case p => p })
-      .getOrElse(Array.emptyByteArray)
+    // first string opener of either form — the EARLIER match (taking
+    // the later one could skip past the ID array entirely and parse
+    // unrelated bytes; wrong bytes here fail /U verification, so the
+    // failure mode was safe but needlessly lossy)
+    val first = Seq(text.indexOf('<', open), text.indexOf('(', open))
+      .filter(_ >= 0).minOption.getOrElse(return Array.emptyByteArray)
+    stringAt(text, first).getOrElse(Array.emptyByteArray)
   }
 
   // ---- dict field parsing ----

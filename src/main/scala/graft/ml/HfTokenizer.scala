@@ -395,8 +395,10 @@ final case class HfTokenizer(
     out.result()
   }
 
-  /** BERT basic+wordpiece: split to words and single punctuation
-    * chars, then greedy longest vocab prefix with the `##`
+  /** BERT basic+wordpiece: split to words, single punctuation chars,
+    * and single CJK ideographs (the BasicTokenizer's
+    * tokenize_chinese_chars contract — each ideograph is its own
+    * word), then greedy longest vocab prefix with the `##`
     * continuation; a word with no decomposition becomes the unk piece
     * (standard WordPiece contract). */
   private def wordPieces(text: String): Array[String] = {
@@ -404,9 +406,12 @@ final case class HfTokenizer(
     val cur = new StringBuilder
     def flush(): Unit =
       if (cur.nonEmpty) { words += cur.toString; cur.clear() }
+    def isCjk(c: Char): Boolean =
+      (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF) ||
+        (c >= 0xF900 && c <= 0xFAFF)
     text.foreach { c =>
       if (Character.isWhitespace(c)) flush()
-      else if (!Character.isLetterOrDigit(c)) {
+      else if (isCjk(c) || !Character.isLetterOrDigit(c)) {
         flush(); words += String.valueOf(c)
       } else cur.append(c)
     }

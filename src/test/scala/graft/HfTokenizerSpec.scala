@@ -97,6 +97,16 @@ class HfTokenizerSpec extends AnyFunSuite with SparkSuite {
     assert(tok.idOf("zzz") === Some(3), "unk fallback id")
   }
 
+  test("WordPiece splits CJK ideographs per character (BasicTokenizer " +
+      "tokenize_chinese_chars contract)") {
+    val json = wpJson.replace("\"runn\":5", "\"日\":5")
+      .replace("\"##ing\":6", "\"本\":6")
+    val tok = HfTokenizer.parse(json)
+    // adjacent ideographs become separate words, never one ## chain
+    assert(tok.encodePieces("日本").toSeq === Seq("日", "本"))
+    assert(tok.encodePieces("un日").toSeq === Seq("un", "日"))
+  }
+
   private val uniJson =
     """{
       |  "normalizer": null,
