@@ -154,6 +154,23 @@ object HfTokenizer {
         case _ => false
       }
     val lowercase = lowers(root.get("normalizer"))
+    // BertNormalizer strip_accents: explicit bool, or null => follows
+    // lowercase (the HF contract — uncased checkpoints strip accents)
+    def strips(node: JsonNode): Boolean =
+      if (node == null) false
+      else Option(node.get("type")).map(_.asText) match {
+        case Some("BertNormalizer") =>
+          Option(node.get("strip_accents")).filter(!_.isNull)
+            .map(_.asBoolean)
+            .getOrElse(Option(node.get("lowercase"))
+              .forall(_.asBoolean))
+        case Some("StripAccents") => true
+        case Some("Sequence") =>
+          Option(node.get("normalizers")).exists(
+            _.elements().asScala.exists(strips))
+        case _ => false
+      }
+    val stripAccents = strips(root.get("normalizer"))
 
     val contPrefix = Option(model.get("continuing_subword_prefix"))
       .filter(!_.isNull).map(_.asText)
@@ -185,7 +202,7 @@ object HfTokenizer {
     }
     new HfTokenizer(kind, full, merges.zipWithIndex.toMap, byteLevel,
       addPrefixSpace, lowercase, contPrefix, unk, clsId, scores,
-      metaspace)
+      metaspace, stripAccents)
   }
 
   /** Greedy lowest-rank merge loop (the standard BPE encode). */
@@ -293,7 +310,8 @@ final case class HfTokenizer(
     unkToken: Option[String],
     clsId: Option[Int],
     scores: Map[String, Double] = Map.empty,
-    metaspace: String = "▁")
+    metaspace: String = "▁",
+    stripAccents: Boolean = false)
   extends TensorFileEmbedder.Subword {
 
   import HfTokenizer._
@@ -320,8 +338,17 @@ final case class HfTokenizer(
 
   def encodePieces(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
-    val t0 = if (lowercase) text.toLowerCase(java.util.Locale.ROOT)
+    val t1 = if (lowercase) text.toLowerCase(java.util.Locale.ROOT)
       else text
+    // BertNormalizer accent stripping: NFD then drop combining marks
+    // ("café" -> "cafe" — uncased checkpoints' vocabs carry no
+    // accented forms, so skipping this would route them all to [UNK])
+    val t0 =
+      if (!stripAccents) t1
+      else java.text.Normalizer.normalize(t1,
+          java.text.Normalizer.Form.NFD)
+        .filter(c => Character.getType(c) !=
+          Character.NON_SPACING_MARK)
     kind match {
       case "BPE" => bpePieces(t0)
       case "Unigram" => unigramPieces(t0)

@@ -97,6 +97,20 @@ class HfTokenizerSpec extends AnyFunSuite with SparkSuite {
     assert(tok.idOf("zzz") === Some(3), "unk fallback id")
   }
 
+  test("BertNormalizer strips accents when lowercase (HF contract: " +
+      "strip_accents=null follows lowercase)") {
+    val json = wpJson.replace("\"un\":0", "\"cafe\":0")
+    val tok = HfTokenizer.parse(json)
+    assert(tok.stripAccents)
+    assert(tok.encodePieces("Café").toSeq === Seq("cafe"))
+    // explicit strip_accents: false overrides
+    val noStrip = json.replace("\"lowercase\": true",
+      "\"lowercase\": true, \"strip_accents\": false")
+    val tok2 = HfTokenizer.parse(noStrip)
+    assert(!tok2.stripAccents)
+    assert(tok2.encodePieces("Café").toSeq === Seq("[UNK]"))
+  }
+
   test("WordPiece splits CJK ideographs per character (BasicTokenizer " +
       "tokenize_chinese_chars contract)") {
     val json = wpJson.replace("\"runn\":5", "\"日\":5")
