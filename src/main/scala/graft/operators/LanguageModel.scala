@@ -42,14 +42,26 @@ object LanguageModel {
     * persisted count tables (the Scoped variants are caller-managed
     * instead): without this, every call pinned MEMORY_AND_DISK tables
     * for the JVM's lifetime — in a bench/verify suite that is dozens of
-    * leaked caches crowding out other queries' memory. Unpersisting a
+    * leaked caches crowding out other queries' memory.
+    *
+    * ORDER MATTERS (the DSIR lesson, round 10): the previous tables
+    * must release BEFORE the new invocation persists. Spark's cache
+    * manager keys on the analyzed plan, so a repeated identical call
+    * would first piggyback on the previous call's cache entry and
+    * then — releasing AFTER — nuke the very blocks it just started
+    * using, alternating cache hits with full recomputes
+    * ("Asked to cache already cached data" in the logs, rep spread
+    * 1.5-2.8 on q75/q77/q103). Released first, the new persist
+    * registers fresh and every rep runs steady-state. Unpersisting a
     * table another in-flight query still references only forces a
     * recompute, never a wrong result. */
   private val lastRelease =
     new java.util.concurrent.atomic.AtomicReference[() => Unit]()
 
-  private def swapRelease(release: () => Unit): Unit = {
-    val prev = lastRelease.getAndSet(release)
+  /** Release the previous fire-and-forget invocation's tables; call
+    * BEFORE building (and persisting) the new ones. */
+  private def releasePrevious(): Unit = {
+    val prev = lastRelease.getAndSet(null)
     if (prev != null) prev()
   }
 
@@ -70,9 +82,10 @@ object LanguageModel {
 
   def unigramSurprisal(docs: DataFrame, idCol: String,
       textCol: String, minCount: Long = 1L): DataFrame = {
+    releasePrevious()
     val (df, release) =
       unigramSurprisalScoped(docs, idCol, textCol, minCount)
-    swapRelease(release)
+    lastRelease.set(release)
     df
   }
 
@@ -137,9 +150,10 @@ object LanguageModel {
   def bigramSurprisalBackoff(docs: DataFrame, idCol: String,
       textCol: String, minCount: Long = 2L, backoff: Double = 0.4)
       : DataFrame = {
+    releasePrevious()
     val (df, release) = bigramSurprisalBackoffScoped(docs, idCol,
       textCol, minCount, backoff)
-    swapRelease(release)
+    lastRelease.set(release)
     df
   }
 
@@ -231,9 +245,10 @@ object LanguageModel {
   def kneserNeySurprisal(docs: DataFrame, idCol: String,
       textCol: String, minCount: Long = 2L, discount: Double = 0.75)
       : DataFrame = {
+    releasePrevious()
     val (df, release) = kneserNeySurprisalScoped(docs, idCol, textCol,
       minCount, discount)
-    swapRelease(release)
+    lastRelease.set(release)
     df
   }
 
