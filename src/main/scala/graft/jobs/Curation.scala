@@ -99,8 +99,11 @@ object Curation {
       valPct: Double = 0.1): DataFrame = {
     val base = qualityGated(documents, textCol)
       .transform(df => Dedup.dedupKeepFirst(df, idCol, textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // release-BEFORE-persist (the pageRankFixed ordering): on identical
+    // lineage the cache manager dedupes persist() into the previous
+    // entry, and releasing it afterwards would drop THIS call's cache
     lastNearDupRelease.swap(() => { base.unpersist(); () })
+    base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.dedupNearDup(base, idCol, textCol,
         n = shingleN, threshold = nearDupThreshold,
         maxDocFreq = maxDocFreq, maxRounds = maxRounds,

@@ -84,8 +84,15 @@ object Decontaminate {
       fpp: Double = 0.01): DataFrame = {
     val te = Dedup.shingles(test, idCol, textCol, n)
       .withColumnRenamed("id", "test_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloom = te.stat.bloomFilter("shingle", expectedTestShingles, fpp)
+    // release-BEFORE-persist (the pageRankFixed ordering). The hook
+    // swap happens here, before this call's persist, NOT at the end:
+    // the previous bc broadcast is droppable the same early way (a
+    // late reader re-fetches or recomputes, never wrong).
+    val bloom = {
+      lastBloomRelease.releasePrevious()
+      te.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      te.stat.bloomFilter("shingle", expectedTestShingles, fpp)
+    }
     val sc = train.sparkSession.sparkContext
     val bc = sc.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bc.value.mightContain(s))
@@ -99,7 +106,7 @@ object Decontaminate {
     // unpersist (not destroy): a still-unevaluated previous result can
     // re-fetch an unpersisted broadcast from the driver on demand,
     // where destroy() would fail its tasks — recompute, never wrong
-    lastBloomRelease.swap(() => { te.unpersist(); bc.unpersist(); () })
+    lastBloomRelease.set(() => { te.unpersist(); bc.unpersist(); () })
     out
   }
 

@@ -566,8 +566,9 @@ object Dedup {
       s"bands must divide $k, got $bands")
     val rows = k / bands
     val sig = minhashSignaturesPortable(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // release-BEFORE-persist (the pageRankFixed ordering)
     lastPortableLshRelease.swap(() => { sig.unpersist(); () })
+    sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig
       .withColumn("band", floor(col("j") / rows).cast("int"))
       .groupBy(col("id"), col("band"))

@@ -137,8 +137,9 @@ object Mixing {
     // stratum, well worth keeping warm for the caller's action
     val survivors = joined
       .where(hashRankValue(col(idCol)) < col("__t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // release-BEFORE-persist (the pageRankFixed ordering)
     lastQuotaRelease.swap(() => { survivors.unpersist(); () })
+    survivors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val got = survivors.groupBy(stratumCol).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val failed = thresholds.collect {

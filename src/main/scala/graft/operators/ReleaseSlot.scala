@@ -23,11 +23,30 @@ final class ReleaseSlot private () {
     new java.util.concurrent.atomic.AtomicReference[() => Unit]()
 
   /** Register this invocation's release hook and run the previous
-    * one (if any). */
+    * one (if any).
+    *
+    * ORDERING CONTRACT (round 10): call this BEFORE the new
+    * invocation's `persist()`. Spark's cache manager dedupes
+    * persist() on the analyzed plan, so on identical lineage a
+    * persist-then-swap order registers nothing new and the previous
+    * hook then drops the very entry this call is relying on —
+    * alternating cache hits with full recomputes across repeated
+    * invocations (the q75/q84 bench-spread pathology). */
   def swap(release: () => Unit): Unit = {
     val prev = last.getAndSet(release)
     if (prev != null) prev()
   }
+
+  /** Run the previous hook (if any) without registering a new one —
+    * the release-first half when the new hook's frame is not built
+    * yet; pair with [[set]]. */
+  def releasePrevious(): Unit = {
+    val prev = last.getAndSet(null)
+    if (prev != null) prev()
+  }
+
+  /** Register this invocation's hook (after [[releasePrevious]]). */
+  def set(release: () => Unit): Unit = last.set(release)
 }
 
 object ReleaseSlot {

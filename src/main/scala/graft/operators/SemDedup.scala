@@ -57,8 +57,9 @@ object SemDedup {
       .where(col("centroid_id").isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         col("centroid_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // release-BEFORE-persist (the pageRankFixed ordering)
     lastRelease.swap(() => { assigned.unpersist(); () })
+    assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val right = assigned.select(col("centroid_id"),
       col("id").as("rid"), col("vec").as("rvec"))
     val dropped = assigned.join(right, "centroid_id")

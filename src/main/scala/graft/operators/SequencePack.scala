@@ -55,9 +55,11 @@ object SequencePack {
     val base = docs.select(col(idCol).cast("long").as("id"),
         col(tokensCol).cast("long").as("toks"))
       .withColumn("__bucket", expr(s"id DIV $groupWidth"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // release-BEFORE-persist (the pageRankFixed ordering: releasing
+    // after would drop this call's cache-manager-deduped entry)
     val prev = lastRelease.getAndSet(() => { base.unpersist(); () })
     if (prev != null) prev()
+    base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketSums = base.groupBy("__bucket")
       .agg(sum("toks").as("__bsum"))
     // exclusive prefix sum over the bucket SUMMARY — the one
