@@ -130,18 +130,33 @@ object PdfCrypt {
     ("/" + key + "\\s+(true|false)").r.findFirstMatchIn(dict)
       .map(_.group(1) == "true")
 
-  /** String value (raw bytes) for /key in `dict` — literal or hex. */
+  /** String value (raw bytes) for /key in `dict` — literal or hex.
+    * Scans SUCCESSIVE occurrences: the first indexOf hit may land on a
+    * longer name (/UE when asked for /U, /OE for /O), and an encrypt
+    * dict whose key order puts /UE before /U must still resolve /U —
+    * returning None on the first miss misrouted supported files to the
+    * error channel depending on writer key order. */
   private def strField(dict: String, key: String): Option[Array[Byte]] = {
-    val at = dict.indexOf("/" + key)
-    if (at < 0) return None
-    var i = at + key.length + 1
-    while (i < dict.length && Character.isWhitespace(dict.charAt(i))) i += 1
-    // guard against matching a longer name (/UE when asked for /U)
-    if (i < dict.length && (dict.charAt(i) == '(' ||
-        (dict.charAt(i) == '<' &&
-         (i + 1 >= dict.length || dict.charAt(i + 1) != '<'))))
-      stringAt(dict, i)
-    else None
+    var at = dict.indexOf("/" + key)
+    while (at >= 0) {
+      var i = at + key.length + 1
+      // the name must END here — a regular (non-delimiter) char means
+      // this hit is a longer name; move to the next occurrence
+      val longerName = i < dict.length && {
+        val c = dict.charAt(i)
+        !Character.isWhitespace(c) && "()<>[]{}/%".indexOf(c) < 0
+      }
+      if (!longerName) {
+        while (i < dict.length && Character.isWhitespace(dict.charAt(i)))
+          i += 1
+        if (i < dict.length && (dict.charAt(i) == '(' ||
+            (dict.charAt(i) == '<' &&
+             (i + 1 >= dict.length || dict.charAt(i + 1) != '<'))))
+          return stringAt(dict, i)
+      }
+      at = dict.indexOf("/" + key, at + 1)
+    }
+    None
   }
 
   /** Decode the PDF string starting exactly at `(` or `<` to bytes
@@ -167,19 +182,34 @@ object PdfCrypt {
     val u = strField(dict, "U").getOrElse(return None)
     val p = intField(dict, "P").getOrElse(return None)
     if (r >= 5) return buildV5(dict, u, r)
-    // stream crypt method: V4 names a crypt filter; V1/V2 are RC4
-    val aes = v == 4 && {
-      val stmF = name(dict, "StmF").getOrElse("Identity")
-      if (stmF == "Identity") false
+    // stream crypt method: V4 names a crypt filter; V1/V2 are RC4.
+    // The /CFM must resolve POSITIVELY — if /CF is an indirect
+    // reference or the named filter's /CFM is missing/unknown, refuse
+    // (None → error channel) rather than default to RC4: /U verifies
+    // only the KEY, not the cipher, so applying RC4 to AES-CBC
+    // ciphertext would silently extract garbage, breaking the
+    // "wrong key never silently produces garbage" contract.
+    val aes: Boolean =
+      if (v != 4) false
       else {
-        // /CF << /StdCF << /CFM /AESV2 >> >> — locate the named
-        // filter's dict and read its /CFM
-        val cfAt = dict.indexOf("/" + stmF, dict.indexOf("/CF"))
-        cfAt >= 0 &&
-          name(PdfExtract.balancedDictAt(dict, cfAt), "CFM")
-            .contains("AESV2")
+        val stmF = name(dict, "StmF").getOrElse("Identity")
+        if (stmF == "Identity") false
+        else {
+          // /CF << /StdCF << /CFM /AESV2 >> >> — locate the named
+          // filter's dict and read its /CFM
+          val cfStart = dict.indexOf("/CF")
+          val cfAt =
+            if (cfStart < 0) -1 else dict.indexOf("/" + stmF, cfStart + 3)
+          val cfm =
+            if (cfAt < 0) None
+            else name(PdfExtract.balancedDictAt(dict, cfAt), "CFM")
+          cfm match {
+            case Some("AESV2") => true
+            case Some("V2") => false // explicit RC4 crypt filter
+            case _ => return None // indirect /CF or unknown CFM
+          }
+        }
       }
-    }
     val nBytes =
       if (r == 2) 5
       else math.max(5, math.min(16, intField(dict, "Length")

@@ -400,7 +400,14 @@ final case class HfTokenizer(
     var at = n
     var rev = List.empty[String]
     while (at > 0) {
-      rev = (if (unkAt(at)) unk else s.substring(back(at), at)) :: rev
+      if (unkAt(at)) {
+        // sentencepiece fuses CONSECUTIVE unknown characters into a
+        // single unk token — one per run, not one per character
+        while (back(at) > 0 && unkAt(back(at))) at = back(at)
+        rev = unk :: rev
+      } else {
+        rev = s.substring(back(at), at) :: rev
+      }
       at = back(at)
     }
     rev.toArray
@@ -445,21 +452,26 @@ final case class HfTokenizer(
     flush()
     val unk = unkToken.getOrElse("[UNK]")
     words.result().flatMap { w =>
-      val pieces = Array.newBuilder[String]
-      var start = 0
-      var bad = false
-      while (start < w.length && !bad) {
-        var end = w.length
-        var found: String = null
-        while (end > start && found == null) {
-          val cand = (if (start > 0) contPrefix else "") +
-            w.substring(start, end)
-          if (vocab.contains(cand)) found = cand else end -= 1
+      // HF WordPiece max_input_chars_per_word: words beyond 100 chars
+      // map straight to unk without attempting decomposition
+      if (w.length > 100) Array(unk)
+      else {
+        val pieces = Array.newBuilder[String]
+        var start = 0
+        var bad = false
+        while (start < w.length && !bad) {
+          var end = w.length
+          var found: String = null
+          while (end > start && found == null) {
+            val cand = (if (start > 0) contPrefix else "") +
+              w.substring(start, end)
+            if (vocab.contains(cand)) found = cand else end -= 1
+          }
+          if (found == null) bad = true
+          else { pieces += found; start = end }
         }
-        if (found == null) bad = true
-        else { pieces += found; start = end }
+        if (bad) Array(unk) else pieces.result()
       }
-      if (bad) Array(unk) else pieces.result()
     }
   }
 }

@@ -357,10 +357,17 @@ object AudioFeatures {
       // find the data chunk (fmt may carry extensions)
       var at = 12
       var dur = -1L
-      while (at + 8 <= payload.length && dur < 0) {
+      var ok = true
+      while (ok && at + 8 <= payload.length && dur < 0) {
         val id = ascii(at, 4); val sz = le32(at + 4)
         if (id == "data" && byteRate > 0) dur = sz * 1000L / byteRate
-        at += 8 + sz.toInt + (sz.toInt & 1)
+        // sz is unsigned-32 from untrusted crawl bytes: a huge or
+        // padded value must not wrap Int (0xFFFFFFF8 -> advance 0 ->
+        // infinite loop) — require strict forward progress and stop
+        // at the payload end instead of walking past it.
+        val next = at.toLong + 8L + sz + (sz & 1L)
+        if (next <= at || next > Int.MaxValue) ok = false
+        else at = next.toInt
       }
       Some(AudioMeta("wav", dur, rate, channels))
     } else if (ascii(0, 4) == "fLaC" && payload.length >= 42) {

@@ -341,9 +341,18 @@ object Dedup {
     // over the survivors counts sizes, and the id-keyed equi-join ships
     // only (id, sz) — partial aggregation does the heavy lifting
     // map-side instead of sorting the exploded rows twice.
+    //
+    // cappedCollect, NOT collect_list + size filter: collect_list
+    // materializes the FULL posting list of every shingle before the
+    // filter — a corpus-wide hot shingle would build a multi-million-id
+    // array in one aggregation buffer (2 GB row limit / OOM), exactly
+    // the skew the cap neutralizes. cappedCollect trips at
+    // maxDocFreq+1, empties the buffer, and evaluates to NULL, so
+    // per-shingle buffer memory is O(maxDocFreq) regardless of df.
     val grouped = sh.groupBy("h")
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) <= maxDocFreq)
+      .agg(graft.expr.CappedCollect.cappedCollect(col("id"), maxDocFreq)
+        .as("ids"))
+      .where(col("ids").isNotNull)
     val kept = grouped.select(col("h"), explode(col("ids")).as("id"))
     val sized = kept.groupBy("id")
       .agg(count(lit(1)).cast("int").as("sz"))

@@ -210,4 +210,22 @@ class AudioSpec extends SparkSuite {
     assert(audioMetadata(null).isEmpty)
     assert(audioMetadata(Array.fill[Byte](64)(42)).isEmpty)
   }
+
+  test("audioMetadata: malformed WAV chunk size (0xFFFFFFF8) " +
+      "terminates — no infinite loop, no throw (untrusted crawl bytes)") {
+    import AudioFeatures.audioMetadata
+    // RIFF/WAVE header then a chunk whose unsigned size wraps Int to -8
+    // (the old sz.toInt advance became 0 -> executor task hang)
+    val evil = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes ++
+      "fmt ".getBytes ++ Array[Byte](0xF8.toByte, 0xFF.toByte,
+        0xFF.toByte, 0xFF.toByte) ++ Array.fill[Byte](24)(0)
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = done.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = { audioMetadata(evil); true }
+      })
+      assert(fut.get(10, java.util.concurrent.TimeUnit.SECONDS))
+    } finally done.shutdownNow()
+  }
 }

@@ -397,6 +397,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!capped.exists(p => p._1 == "d3" || p._2 == "d3"))
   }
 
+  test("cappedCollect: groups over the cap evaluate to NULL with " +
+      "bounded buffers (never materialize hot posting lists); under " +
+      "cap it matches collect_list as a set") {
+    val s = initSpark()
+    import s.implicits._
+    // group 'hot' has 1000 members (over cap 10), 'cold' has 3 —
+    // spread over many partitions so merge() paths run
+    val df = ((0 until 1000).map(i => ("hot", i.toLong)) ++
+      Seq(("cold", 1L), ("cold", 2L), ("cold", 3L)))
+      .toDF("k", "v").repartition(8)
+    val out = df.groupBy("k")
+      .agg(graft.expr.CappedCollect.cappedCollect(col("v"), 10).as("vs"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[Long](1)).map(_.toSet)).toMap
+    assert(out("hot") === None, "over-cap group must be NULL")
+    assert(out("cold") === Some(Set(1L, 2L, 3L)))
+    // string element type (UTF8String copy semantics under codegen)
+    val sdf = Seq(("g", "a"), ("g", "b"), ("h", "c"))
+      .toDF("k", "v").repartition(4)
+    val sout = sdf.groupBy("k")
+      .agg(graft.expr.CappedCollect.cappedCollect(col("v"), 2).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet)
+      .toMap
+    assert(sout === Map("g" -> Set("a", "b"), "h" -> Set("c")))
+  }
+
   test("mixing: hash sampling is content-stable (same rows kept across " +
       "reruns/partitionings), rates bind per stratum, split assignment " +
       "partitions completely and is disjoint") {

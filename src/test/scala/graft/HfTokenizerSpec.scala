@@ -121,6 +121,18 @@ class HfTokenizerSpec extends AnyFunSuite with SparkSuite {
     assert(tok.encodePieces("un日").toSeq === Seq("un", "日"))
   }
 
+  test("WordPiece maps words longer than 100 chars straight to [UNK] " +
+      "(HF max_input_chars_per_word)") {
+    val json = wpJson.replace("\"runn\":5", "\"u\":5")
+      .replace("\"##ing\":6", "\"##u\":6")
+    val tok = HfTokenizer.parse(json)
+    // exactly 100 chars: decomposes (u + 99 × ##u)
+    assert(tok.encodePieces("u" * 100).length === 100)
+    // 101 chars: decomposable in principle, but the HF rule
+    // short-circuits to unk before attempting decomposition
+    assert(tok.encodePieces("u" * 101).toSeq === Seq("[UNK]"))
+  }
+
   private val uniJson =
     """{
       |  "normalizer": null,
@@ -152,10 +164,13 @@ class HfTokenizerSpec extends AnyFunSuite with SparkSuite {
     // ids are vocab-array INDICES
     assert(tok.encodePieces("hello").flatMap(tok.idOf).toSeq ===
       Seq(2, 7, 6))
-    // characters no piece covers surface as the unk token (id 0),
-    // entering the lattice per-char like sentencepiece's unk node
-    assert(tok.encodePieces("hxq").toSeq ===
-      Seq("▁h", "<unk>", "<unk>"))
+    // characters no piece covers surface as the unk token (id 0);
+    // CONSECUTIVE unknowns fuse into ONE unk token (sentencepiece
+    // emits one unk per run, not one per character)
+    assert(tok.encodePieces("hxq").toSeq === Seq("▁h", "<unk>"))
+    // unknowns separated by a known piece stay separate
+    assert(tok.encodePieces("hxeq").toSeq ===
+      Seq("▁h", "<unk>", "e", "<unk>"))
     assert(tok.idOf("<unk>") === Some(0))
   }
 

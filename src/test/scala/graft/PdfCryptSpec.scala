@@ -82,6 +82,39 @@ class PdfCryptSpec extends AnyFunSuite with SparkSuite {
     assert(PdfExtract.pages(bad) === Seq.empty)
   }
 
+  test("encrypt dict key order: /UE and /OE listed BEFORE /U and /O " +
+      "still resolves (strField must skip longer-name hits)") {
+    val pdf = PdfFixtures.encryptedPdf(lines, "aesv3")
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    // reorder the four string entries in place — same byte length, so
+    // xref offsets stay valid
+    val re = ("/O (<[0-9a-f]+>) /U (<[0-9a-f]+>) " +
+      "/OE (<[0-9a-f]+>) /UE (<[0-9a-f]+>)").r
+    val m = re.findFirstMatchIn(s).getOrElse(
+      fail("fixture dict should carry /O /U /OE /UE in order"))
+    val reordered = s.substring(0, m.start) +
+      s"/UE ${m.group(4)} /OE ${m.group(3)} " +
+      s"/U ${m.group(2)} /O ${m.group(1)}" +
+      s.substring(m.end)
+    assert(reordered.length === s.length)
+    val out = reordered.getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfCrypt.handlerFor(out).isDefined,
+      "/UE-first key order must still verify the empty user password")
+    assert(PdfExtract.pages(out) === Seq(expected))
+  }
+
+  test("unresolvable /CFM (unknown crypt filter method) refuses — " +
+      "never falls back to RC4 over AES ciphertext") {
+    val pdf = PdfFixtures.encryptedPdf(lines, "aesv2")
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    // same-length corruption: /CFM /AESV2 -> /CFM /AESVX
+    val bad = s.replace("/CFM /AESV2", "/CFM /AESVX")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfCrypt.handlerFor(bad).isEmpty,
+      "unknown CFM must route to the error channel, not guess RC4")
+    assert(PdfExtract.pages(bad) === Seq.empty)
+  }
+
   test("unencrypted files are untouched: no handler, pages unchanged") {
     val plain = PdfFixtures.pdf(Seq(Seq("hello", "world")))
     assert(!PdfExtract.isEncrypted(plain))
