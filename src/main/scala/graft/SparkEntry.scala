@@ -594,7 +594,12 @@ object SparkEntry {
     // over the same pair graph. ----
     "q83_dup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairsCapped(docs, "doc_id", "text",
+      // spanning edges, not all pairs: components are edge-set
+      // invariant (see jaccardSpanningEdges proof), so the oracle —
+      // a recursive-CTE closure over the FULL pair graph — stays
+      // bit-identical while exact-dup cliques emit c-1 edges, not
+      // c(c-1)/2 (the r10 30× scale-proof quadratic)
+      val pairs = Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
         n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap)
       // idsCoverEndpoints: pairs derive from the same docs frame, and
       // doc_id is unique — the filtered-ids seeding/restriction
@@ -611,7 +616,7 @@ object SparkEntry {
     // real corpus, cross-engine. ----
     "q86_dup_clusters_star" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairsCapped(docs, "doc_id", "text",
+      val pairs = Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
         n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap)
       Dedup.connectedComponentsStar(docs.select(col("doc_id")), pairs,
           idCol = "doc_id", idsCoverEndpoints = true)
@@ -1711,7 +1716,7 @@ object SparkEntry {
     // impossible (the q74 md5 split, the q83 clusters). ----
     "q119_leakage_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairsCapped(docs, "doc_id", "text",
+      val pairs = Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
         n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap)
       Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
           idCol = "doc_id", idsCoverEndpoints = true)

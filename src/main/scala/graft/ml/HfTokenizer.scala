@@ -31,10 +31,11 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *    sentencepiece unknown-character lattice entry (min score − 10).
   *    Ids are the vocab-array indices, per the serialization.
   *
-  * Residual cut: sentencepiece `Precompiled` normalizer charsmaps
-  * (NFKC-ish) are not replayed — text is taken as-is (plus the
-  * optional lowercase normalizer); exotic normalization divergence
-  * routes to slightly different ids, never to a crash.
+  * sentencepiece `Precompiled` normalizer charsmaps (NFKC-ish) ARE
+  * replayed (r10 residual closed): the base64 blob decodes to a
+  * darts-clone trie + replacement pool and [[SpmPrecompiled]] applies
+  * longest-prefix replacement before segmentation, so
+  * NFKC-divergent text reaches the checkpoint's exact ids.
   *
   * Special tokens from `added_tokens` join the vocab; the CLS row used
   * by the encoder's pooling position is discovered from the standard
@@ -171,6 +172,22 @@ object HfTokenizer {
         case _ => false
       }
     val stripAccents = strips(root.get("normalizer"))
+    // sentencepiece Precompiled charsmap (XLM-R family): directly or
+    // inside a Sequence; the base64 blob decodes to a darts-clone trie
+    def findPrecompiled(node: JsonNode): Option[String] =
+      if (node == null) None
+      else Option(node.get("type")).map(_.asText) match {
+        case Some("Precompiled") =>
+          Option(node.get("precompiled_charsmap")).filter(!_.isNull)
+            .map(_.asText)
+        case Some("Sequence") =>
+          Option(node.get("normalizers")).toSeq
+            .flatMap(_.elements().asScala)
+            .flatMap(findPrecompiled).headOption
+        case _ => None
+      }
+    val precompiled = findPrecompiled(root.get("normalizer"))
+      .flatMap(SpmPrecompiled.fromBase64)
 
     val contPrefix = Option(model.get("continuing_subword_prefix"))
       .filter(!_.isNull).map(_.asText)
@@ -202,7 +219,7 @@ object HfTokenizer {
     }
     new HfTokenizer(kind, full, merges.zipWithIndex.toMap, byteLevel,
       addPrefixSpace, lowercase, contPrefix, unk, clsId, scores,
-      metaspace, stripAccents)
+      metaspace, stripAccents, precompiled)
   }
 
   /** Greedy lowest-rank merge loop (the standard BPE encode). */
@@ -311,7 +328,8 @@ final case class HfTokenizer(
     clsId: Option[Int],
     scores: Map[String, Double] = Map.empty,
     metaspace: String = "▁",
-    stripAccents: Boolean = false)
+    stripAccents: Boolean = false,
+    precompiled: Option[SpmPrecompiled] = None)
   extends TensorFileEmbedder.Subword {
 
   import HfTokenizer._
@@ -338,8 +356,15 @@ final case class HfTokenizer(
 
   def encodePieces(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
-    val t1 = if (lowercase) text.toLowerCase(java.util.Locale.ROOT)
-      else text
+    // sentencepiece Precompiled charsmap runs FIRST (it is the first
+    // normalizer in the XLM-R family's chain) — NFKC-ish replacements
+    // so e.g. fullwidth/compatibility forms hit vocab pieces
+    val tN = precompiled match {
+      case Some(p) => p.normalize(text)
+      case None => text
+    }
+    val t1 = if (lowercase) tN.toLowerCase(java.util.Locale.ROOT)
+      else tN
     // BertNormalizer accent stripping: NFD then drop combining marks
     // ("café" -> "cafe" — uncased checkpoints' vocabs carry no
     // accented forms, so skipping this would route them all to [UNK])

@@ -374,6 +374,105 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  private val spanningSlot = ReleaseSlot()
+
+  /** Connectivity-sufficient edge set of the capped-Jaccard pair graph
+    * (same universe/threshold semantics as [[jaccardPairsCapped]]),
+    * with pair count LINEAR — not quadratic — per exact-duplicate
+    * clique. This is the scale form the clustering composites
+    * (connected components, leakage split) consume: they only need the
+    * COMPONENTS of the pair graph, and a clique of c byte-identical
+    * docs needs c-1 spanning edges, not c(c-1)/2.
+    *
+    * Construction (components provably identical to the full graph's):
+    *  1. Contract exact classes: docs whose CAPPED shingle sets are
+    *     identical are Jaccard-1 interchangeable — J(A,X) = J(B,X) for
+    *     every X — so each class collapses to its min-id representative
+    *     and contributes star edges rep→member (each a genuine J=1 ≥ t
+    *     edge of the original graph).
+    *  2. Emit thresholded pairs among REPRESENTATIVES only, over the
+    *     per-shingle df cap computed on the FULL corpus (re-counting df
+    *     on reps would shift the capped universe and change the graph).
+    *
+    * Every emitted edge is an edge of the original thresholded graph;
+    * every original edge (X,Y) is covered by the path
+    * X—rep(X)—rep(Y)—Y since J(rep(X),rep(Y)) = J(X,Y). Hence the
+    * transitive closures — and any component labelling derived from
+    * them — are identical, and the composites stay bit-identical to
+    * their recursive-CTE oracles while the 30× worst-case duplication
+    * proof drops from quadratic to linear pair emission.
+    *
+    * Exactness note: the class key is the full sorted shingle-hash
+    * array (array equality), not a digest of it — a digest collision
+    * would silently merge distinct classes. The key shuffles once
+    * (window min); its volume is the corpus shingle volume, the same
+    * order as the explode the pair pipeline already pays. */
+  def jaccardSpanningEdges(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sh = df.select(col(idCol).as("id"),
+        shingleHashesUdf(n)(col(textCol)).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("id"), explode(col("shs")).as("h"))
+    val grouped = sh.groupBy("h")
+      .agg(graft.expr.CappedCollect.cappedCollect(col("id"), maxDocFreq)
+        .as("ids"))
+      .where(col("ids").isNotNull)
+    // kept and perDoc feed MULTIPLE branches (class grouping, the
+    // rep join, the per-shingle member lists) — persist so the
+    // shingle UDF + capped aggregation run once, not once per branch;
+    // released on the next invocation (ReleaseSlot discipline, and the
+    // RDD barrier below means the first consumer materializes
+    // everything in one pass anyway)
+    spanningSlot.releasePrevious()
+    val kept = grouped.select(col("h"), explode(col("ids")).as("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-doc capped shingle set (input hashes are sorted-distinct per
+    // doc, so sort_array reconstructs canonical set identity) + size
+    val perDoc = kept.groupBy("id")
+      .agg(sort_array(collect_list(col("h"))).as("key"),
+        count(lit(1)).cast("int").as("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    spanningSlot.set(() => { kept.unpersist(); perDoc.unpersist(); () })
+    // rep per class via hash-aggregate + equi-join on the array key
+    // (no sort — and no window constraints, which trip Spark's Union
+    // constraint rewrite downstream in the star-contraction loop)
+    val repPerKey = perDoc.groupBy("key").agg(min(col("id")).as("rep"))
+    val withRep = perDoc.join(repPerKey, "key")
+    val star = withRep.where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val reps = withRep.where(col("id") === col("rep"))
+      .select(col("id"), col("sz"))
+    // thresholded pairs among representatives, full-corpus capped
+    // universe — the jaccardPairsCapped tail verbatim
+    val byShingle = kept.join(reps, "id")
+      .groupBy("h")
+      .agg(sort_array(collect_list(struct(col("id"), col("sz"))))
+        .as("ms"))
+      .where(size(col("ms")) > 1)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    val pairs = byShingle.repartition(parts)
+      .select(explode(pairEmitUdf(idType, threshold)(col("ms"))).as("p"))
+      .select(col("p.*"))
+    val repPairs = pairs.groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double") + 1e-9, 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    val edges = star.union(repPairs)
+    // Lineage barrier (lazy — .rdd defers computation): Spark 4.1's
+    // Union constraint rewrite (UnionBase.rewriteConstraints) throws
+    // "key not found: <attr>" when the star-contraction loop's
+    // filter/aggregate constraints are derived over this plan's
+    // UDF+join lineage. The edge list is output-scale (linear in docs
+    // by construction) and every consumer (connected components, the
+    // leakage split) persists or checkpoints it immediately, so the
+    // one-pass Row conversion is noise next to pair generation.
+    df.sparkSession.createDataFrame(edges.rdd, edges.schema)
+  }
+
   /** Precomputed MinHash permutation state, hoisted OUT of the per-row
     * closure: the coefficient arrays are built once on the driver,
     * serialized into the task closure, and shared by every row a task

@@ -397,6 +397,56 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!capped.exists(p => p._1 == "d3" || p._2 == "d3"))
   }
 
+  test("jaccardSpanningEdges: components identical to the full " +
+      "jaccardPairsCapped graph; exact cliques emit linear edges") {
+    val s = initSpark()
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus =
+      // 6-member exact-dup clique (ids 10..15)
+      (10L to 15L).map(i => (i, base)) ++ Seq(
+        // near-dup chain: 20~21 and 21~22 overlap, 20~22 weaker
+        (20L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (21L, "alpha beta gamma delta epsilon zeta mu iota"),
+        (22L, "nu beta gamma delta epsilon zeta mu iota"),
+        // isolated
+        (30L, "completely unrelated text about spark planning engines"),
+        // too short for 3-shingles -> no shingles at all
+        (31L, "two words"))
+    val docs = corpus.toDF("doc_id", "text").repartition(7)
+    def components(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
+          idCol = "doc_id", idsCoverEndpoints = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.jaccardPairsCapped(docs, "doc_id", "text",
+      n = 3, threshold = 0.2, maxDocFreq = 4096)
+    val span = Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
+      n = 3, threshold = 0.2, maxDocFreq = 4096)
+    assert(components(span) === components(full),
+      "spanning edges must induce bit-identical components")
+    // the q86 path: star contraction over the same spanning edges
+    val starComp = Dedup.connectedComponentsStar(
+        docs.select(col("doc_id")), span,
+        idCol = "doc_id", idsCoverEndpoints = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starComp === components(full))
+    // the 6-clique contributes 5 star edges, not 15 pairs
+    val spanClique = span.where(col("id_a") >= 10 && col("id_b") <= 15)
+      .count()
+    val fullClique = full.where(col("id_a") >= 10 && col("id_b") <= 15)
+      .count()
+    assert(spanClique === 5L)
+    assert(fullClique === 15L)
+    // capped universe consistency: df cap computed on the FULL corpus
+    // (clique members count toward df individually) — with cap 5 the
+    // clique's own shingles (df=6) vanish, disconnecting it
+    val cappedSpan = Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
+      n = 3, threshold = 0.2, maxDocFreq = 5)
+    val cappedFull = Dedup.jaccardPairsCapped(docs, "doc_id", "text",
+      n = 3, threshold = 0.2, maxDocFreq = 5)
+    assert(components(cappedSpan) === components(cappedFull))
+  }
+
   test("cappedCollect: groups over the cap evaluate to NULL with " +
       "bounded buffers (never materialize hot posting lists); under " +
       "cap it matches collect_list as a set") {
