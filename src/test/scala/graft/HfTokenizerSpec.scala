@@ -174,6 +174,97 @@ class HfTokenizerSpec extends AnyFunSuite with SparkSuite {
     assert(tok.idOf("<unk>") === Some(0))
   }
 
+  // ---- sentencepiece Precompiled charsmap (r10 residual cut) ----
+  //
+  // Hand-built darts-clone double-array over UTF-8 byte keys: the test
+  // constructs the PUBLIC blob layout (LE uint32 trie byte-size, LE
+  // uint32 units, NUL-terminated replacement pool) with a tiny greedy
+  // placer, so the loader is exercised against the real serialization
+  // rather than a mock.
+  private def buildCharsmap(entries: Seq[(String, String)]): String = {
+    val pool = new java.io.ByteArrayOutputStream()
+    val keyVals = entries.map { case (k, v) =>
+      val off = pool.size()
+      pool.write(v.getBytes(StandardCharsets.UTF_8)); pool.write(0)
+      (k.getBytes(StandardCharsets.UTF_8), off)
+    }
+    final class N {
+      var value: Int = -1
+      val ch = scala.collection.mutable.TreeMap.empty[Int, N]
+    }
+    val root = new N
+    keyVals.foreach { case (bytes, off) =>
+      var n = root
+      bytes.foreach { b => n = n.ch.getOrElseUpdate(b & 0xFF, new N) }
+      n.value = off
+    }
+    val size = 4096
+    val units = new Array[Int](size)
+    val used = scala.collection.mutable.Set[Int](0)
+    // darts-clone traversal: nodePos ^= byte, label check, nodePos ^=
+    // offset; leaf value read at the post-offset slot (label 0)
+    def place(n: N): Int = {
+      val needed = (if (n.value >= 0) Seq(0) else Nil) ++ n.ch.keys
+      var base = 1
+      while (needed.exists(b => used(base ^ b))) base += 1
+      needed.foreach(b => used += (base ^ b))
+      if (n.value >= 0) units(base) = 0x80000000 | n.value
+      n.ch.foreach { case (c, child) =>
+        val childBase = place(child)
+        val off = (base ^ c) ^ childBase
+        units(base ^ c) = (off << 10) |
+          (if (child.value >= 0) 1 << 8 else 0) | c
+      }
+      base
+    }
+    val rootBase = place(root)
+    units(0) = rootBase << 10
+    val bb = java.nio.ByteBuffer
+      .allocate(4 + size * 4 + pool.size())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(size * 4)
+    units.foreach(bb.putInt)
+    bb.put(pool.toByteArray)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  test("SpmPrecompiled: darts-clone charsmap replay — longest-prefix " +
+      "replacement, single-codepoint passthrough, multi-codepoint keys") {
+    import graft.ml.SpmPrecompiled
+    val b64 = buildCharsmap(Seq(
+      "Ａ" -> "A", // fullwidth A (NFKC)
+      "①" -> "1", // circled one
+      "ﬁ" -> "fi", // fi ligature
+      "é" -> "é", // e + combining acute -> precomposed
+      "e" -> "e")) // prefix of the above: longest match must win
+    val spm = SpmPrecompiled.fromBase64(b64).get
+    assert(spm.normalize("Ａbc") === "Abc")
+    assert(spm.normalize("x①y") === "x1y")
+    assert(spm.normalize("ﬁn") === "fin")
+    // longest-prefix: "e" alone maps to "e", but "e"+combining-acute
+    // must take the 3-byte key, not stop at the 1-byte prefix
+    assert(spm.normalize("étude") === "étude")
+    // unmatched codepoints (multi-byte) pass through verbatim
+    assert(spm.normalize("日本 ok") === "日本 ok")
+    assert(spm.normalize("") === "")
+    assert(spm.normalize(null) === null)
+  }
+
+  test("Precompiled normalizer inside tokenizer.json drives Unigram " +
+      "to the checkpoint's exact pieces on NFKC-divergent text") {
+    val withNorm = uniJson.replace("\"normalizer\": null",
+      "\"normalizer\": {\"type\": \"Sequence\", \"normalizers\": [" +
+        "{\"type\": \"Precompiled\", \"precompiled_charsmap\": \"" +
+        buildCharsmap(Seq("ｈ" -> "h")) + "\"}]}")
+    val tok = HfTokenizer.parse(withNorm)
+    // fullwidth h normalizes to ascii h, then segments like "hello"
+    assert(tok.encodePieces("ｈello").toSeq ===
+      Seq("▁he", "ll", "o"))
+    // without the charsmap the fullwidth form is unknown
+    val tokNo = HfTokenizer.parse(uniJson)
+    assert(tokNo.encodePieces("ｈello").toSeq.head === "<unk>")
+  }
+
   test("DataFrame surface: encode emits checkpoint ids, tokenStats " +
       "computes fertility/bytes-per-token from the real tokenizer") {
     val s = initSpark()
