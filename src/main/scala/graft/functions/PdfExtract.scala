@@ -27,13 +27,21 @@ import scala.collection.mutable.ArrayBuffer
   * user password (the dominant crawl-corpus case: permissions-only
   * encryption).
   *
+  * CID/composite fonts without a /ToUnicode CMap recover through the
+  * embedded TrueType's own cmap table when the font is Identity-H
+  * with a /FontFile2 (glyph map inverted, CIDToGIDMap composed — see
+  * TrueTypeCmap; the in-engine equivalent of the reference's Tika
+  * recovery, modules/pdf_extractor.py:206-253).
+  *
   * Honest boundaries (routed to the error channel, not silently
-  * wrong): password-protected or non-Standard-handler encryption, the
-  * IMAGE codecs (DCT/CCITT/JBIG2/JPX — no text inside them by
-  * construction), and CID/composite fonts without a /ToUnicode CMap
-  * (their strings are glyph indexes, unknowable without a full font
-  * engine) — the documented cut lines for this extractor; everything
-  * below them is real parsing, not a stub.
+  * wrong): non-Standard-handler encryption, the IMAGE codecs
+  * (DCT/CCITT/JBIG2/JPX — no text inside them by construction), CID
+  * fonts with neither ToUnicode nor an embedded TrueType (CFF/Type1
+  * outlines keep their glyph names private to the CFF charset — a
+  * full font engine's job), and predefined non-Identity CMaps
+  * (Adobe-Japan1 etc. need the external registry tables) — the
+  * documented cut lines for this extractor; everything below them is
+  * real parsing, not a stub.
   */
 object PdfExtract {
 
@@ -171,17 +179,56 @@ object PdfExtract {
     }.toMap
     // font obj -> decoded ToUnicode cmap (only for fonts that have one)
     val toUniOf = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
+    def streamBodyOf(obj: Int): Option[Array[Byte]] =
+      streamByObj.get(obj).flatMap { case (sd, raw) =>
+        decodeStream(sd, raw)
+      }
+    // No-ToUnicode fallback (round 11, closes the r10 cut line): with
+    // /Encoding /Identity-H the string codes ARE CIDs, /CIDToGIDMap
+    // sends CID -> glyph, and the embedded font's OWN cmap table sends
+    // unicode -> glyph — so inverting the font cmap recovers
+    // code -> text with zero external registry data (the in-engine
+    // equivalent of the reference's Tika recovery,
+    // modules/pdf_extractor.py:206-253).
+    def identityHFallback(fd: String): Option[Map[Int, String]] = {
+      if (!fd.contains("/Type0") ||
+          !(fd.contains("/Identity-H") || fd.contains("/Identity-V")))
+        return None
+      for {
+        desc <- {
+          val dIdx = fd.indexOf("/DescendantFonts")
+          if (dIdx < 0) None
+          else RefRe.findFirstMatchIn(fd.substring(dIdx))
+            .flatMap(m => dicts.get(m.group(1).toInt))
+            .orElse(Some(fd.substring(dIdx))) // inline array of dicts
+        }
+        fdescObj <- "/FontDescriptor\\s+(\\d+)\\s+\\d+\\s+R".r
+          .findFirstMatchIn(desc).map(_.group(1).toInt)
+        fdesc <- dicts.get(fdescObj)
+        ff2 <- "/FontFile2\\s+(\\d+)\\s+\\d+\\s+R".r
+          .findFirstMatchIn(fdesc).map(_.group(1).toInt)
+        font <- streamBodyOf(ff2)
+        cidToGid = "/CIDToGIDMap\\s+(\\d+)\\s+\\d+\\s+R".r
+          .findFirstMatchIn(desc).map(_.group(1).toInt)
+          .flatMap(streamBodyOf)
+        m = TrueTypeCmap.cidToUnicode(font, cidToGid)
+        if m.nonEmpty
+      } yield m
+    }
     def cmapFor(fontObj: Int): Option[Map[Int, String]] =
       toUniOf.get(fontObj).orElse {
-        val parsed = for {
-          fd <- dicts.get(fontObj)
-          tu <- "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
-            .findFirstMatchIn(fd).map(_.group(1).toInt)
-          (sd, raw) <- streamByObj.get(tu)
-          body <- decodeStream(sd, raw)
-          m = parseToUnicode(new String(body, StandardCharsets.ISO_8859_1))
-          if m.nonEmpty
-        } yield m
+        val parsed = {
+          val viaToUni = for {
+            fd <- dicts.get(fontObj)
+            tu <- "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
+              .findFirstMatchIn(fd).map(_.group(1).toInt)
+            body <- streamBodyOf(tu)
+            m = parseToUnicode(
+              new String(body, StandardCharsets.ISO_8859_1))
+            if m.nonEmpty
+          } yield m
+          viaToUni.orElse(dicts.get(fontObj).flatMap(identityHFallback))
+        }
         parsed.foreach(toUniOf.update(fontObj, _))
         parsed
       }

@@ -89,6 +89,133 @@ object ScaleProof {
     }
   }
 
+  // ---- mutated near-dup tier (round-11 brief item 3) ----
+  //
+  // The identical-replica construction above is the worst case for
+  // pair OUTPUT but the easiest case for shingling: every replica
+  // signs identically, so LSH banding cannot miss. The mutated tier
+  // replicates `documents` with per-replica deterministic token
+  // edits (replica r gets a 2r% substitution rate, r in 1..factor-1;
+  // replica 0 stays byte-identical), producing NEAR-dup cliques whose
+  // pairwise Jaccard spans ~0.35..1.0 — the regime where banding can
+  // actually miss — and then MEASURES MinHash-LSH recall against the
+  // exact q21 pair graph per Jaccard bucket, alongside wall times for
+  // the capped verify under the same pressure.
+
+  /** Deterministic per-token substitution: replica `rep`'s token `i`
+    * of doc `docId` flips iff a seeded murmur3 uniform clears the
+    * replica's rate — no RNG state, identical corpus on every run. */
+  private def mutateUdf = udf { (text: String, docId: Long, rep: Int) =>
+    if (text == null || rep == 0) text
+    else {
+      val rate = 0.02 * rep
+      val toks = text.split(" ")
+      var i = 0
+      while (i < toks.length) {
+        val h = scala.util.hashing.MurmurHash3
+          .productHash((docId, rep, i))
+        if ((h & 0x7fffffff) / 2147483648.0 < rate)
+          toks(i) = "mut" + ((h >>> 8) & 0xffff)
+        i += 1
+      }
+      toks.mkString(" ")
+    }
+  }
+
+  /** Materialize factor× `documents` with shifted ids and mutated
+    * replica text under `outDir` (only table the near-dup tier reads). */
+  def scaleDocumentsMutated(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Unit = {
+    val base = SparkEntry.table(spark, baseDir, "documents")
+    val off = base.agg(coalesce(max(col("doc_id")), lit(0L)))
+      .head().getLong(0) + 1L
+    base
+      .withColumn("__rep",
+        explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("text",
+        mutateUdf(col("text"), col("doc_id"), col("__rep")))
+      .withColumn("doc_id", col("doc_id") + col("__rep").cast("long") * off)
+      .drop("__rep")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** LSH candidate recall against the exact q21 pair graph, bucketed
+    * by exact Jaccard (0.2 steps). Returns the JSON fragment. */
+  def nearDupRecall(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.storage.StorageLevel
+    import graft.operators.Dedup
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
+        n = 3, bands = 4)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    val perBucket = exact
+      .join(cand, Seq("id_a", "id_b"), "left")
+      .groupBy(least(floor(col("jaccard") * 5), lit(4L)).as("b"))
+      .agg(count(lit(1)).as("pairs"), count(col("hit")).as("recalled"))
+      .orderBy("b")
+      .collect()
+    exact.unpersist()
+    val buckets = perBucket.map { r =>
+      val b = r.getLong(0); val p = r.getLong(1); val c = r.getLong(2)
+      s"""{"j_lo":${fmt(b * 0.2)},"pairs":$p,"recalled":$c""" +
+        s""","recall":${fmt(if (p > 0) c.toDouble / p else 0.0)}}"""
+    }.mkString("[", ",", "]")
+    val tp = perBucket.map(_.getLong(1)).sum
+    val tc = perBucket.map(_.getLong(2)).sum
+    s""""recall_buckets":$buckets,"pairs_total":$tp""" +
+      s""","recalled_total":$tc""" +
+      s""","recall_overall":${fmt(if (tp > 0) tc.toDouble / tp else 0.0)}"""
+  }
+
+  /** The mutated tier's driver: materialize, time the near-dup
+    * queries base-vs-mutated, measure recall, write the artifact. */
+  private def runMutated(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int, timeoutSec: Int): Unit = {
+    System.err.println(s"[scaleproof] mutated ${factor}x of " +
+      s"$baseDir under $outDir (rate = 2% * replica)")
+    val t0 = System.nanoTime()
+    scaleDocumentsMutated(spark, baseDir, outDir, factor)
+    val matSec = (System.nanoTime() - t0) / 1e9
+    val names = Seq("q21_jaccard_pairs", "q70_jaccard_capped",
+      "q93_minhash_lsh_portable", "q83_dup_clusters",
+      "q119_leakage_split")
+    val rows = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val base = timed(spark, name, fn, baseDir, timeoutSec)
+      val scaled = timed(spark, name, fn, outDir, timeoutSec)
+      val ratio = for (b <- base; s <- scaled)
+        yield if (b > 0.001) s / b else -1.0
+      val line = s"""{"query":"$name"""" +
+        s""","base_sec":${base.fold(e => "\"" + e + "\"", fmt)}""" +
+        s""","scaled_sec":${scaled.fold(e => "\"" + e + "\"", fmt)}""" +
+        s""","ratio":${ratio.fold(_ => "null", fmt)}}"""
+      System.err.println(s"[scaleproof] $line")
+      line
+    }
+    System.err.println("[scaleproof] measuring LSH recall vs exact " +
+      "pairs on the mutated corpus")
+    val tR = System.nanoTime()
+    val recall = nearDupRecall(spark, outDir)
+    val recallSec = (System.nanoTime() - tR) / 1e9
+    val summary =
+      s"""{"metric":"neardup_scale_proof","factor":$factor""" +
+        s""","mutation":"2% per replica index"""" +
+        s""","materialize_sec":${fmt(matSec)}""" +
+        s""","recall_measure_sec":${fmt(recallSec)},$recall}"""
+    println(summary)
+    val body = (rows :+ summary).mkString("[", ",\n", "]")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "scale_proof_neardup.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (body + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[scaleproof] write failed: $e") }
+  }
+
   /** Time one query under a watchdog; Right(sec) or Left(reason). */
   private def timed(spark: SparkSession, name: String,
       fn: (SparkSession, String) => DataFrame, dir: String,
@@ -139,6 +266,12 @@ object ScaleProof {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (sys.env.get("SPARK_GRAFT_SCALE_MUTATED").contains("1")) {
+      runMutated(spark, baseDir, outDir, factor, timeoutSec)
+      spark.stop()
+      return
+    }
 
     System.err.println(s"[scaleproof] materializing ${factor}x of " +
       s"$baseDir under $outDir")

@@ -179,12 +179,145 @@ class PdfCidSpec extends AnyFunSuite {
   test("a CID font WITHOUT ToUnicode keeps the old cut-line behavior " +
     "(no garbage emitted for unmappable codes)") {
     val pdf = cidPdf("Any text.")
-    // strip the ToUnicode ref: the font loses its map
+    // strip the ToUnicode ref: the font loses its map (and carries no
+    // embedded FontFile2 either, so the r11 fallback finds nothing)
     val s = new String(pdf, StandardCharsets.ISO_8859_1)
       .replace("/ToUnicode 6 0 R", "")
     val got = PdfExtract.pages(
       s.getBytes(StandardCharsets.ISO_8859_1)).mkString("\n")
     assert(!got.contains("Any text."),
       "unmapped CID codes must not accidentally decode")
+  }
+
+  // ---- r11: no-ToUnicode recovery through the embedded TrueType ----
+
+  /** Minimal sfnt with a single `cmap` table (format 4, platform 3/1):
+    * unicode c -> glyph id per `uniToGid`. One segment per codepoint
+    * (delta-encoded, no glyphIdArray) plus the required 0xFFFF
+    * terminator segment. */
+  private def ttfWithCmap(uniToGid: Seq[(Int, Int)]): Array[Byte] = {
+    val segs = uniToGid.sortBy(_._1) :+ (0xffff, 0)
+    val segCount = segs.length
+    val sub = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { sub.write((v >> 8) & 0xff); sub.write(v & 0xff) }
+    u16(4) // format
+    u16(16 + 8 * segCount) // length
+    u16(0) // language
+    u16(segCount * 2)
+    u16(0); u16(0); u16(0) // searchRange/entrySelector/rangeShift (unused)
+    segs.foreach { case (c, _) => u16(c) } // endCode
+    u16(0) // reservedPad
+    segs.foreach { case (c, _) => u16(c) } // startCode
+    segs.foreach { case (c, g) => u16((g - c) & 0xffff) } // idDelta
+    segs.foreach(_ => u16(0)) // idRangeOffset
+    val subBytes = sub.toByteArray
+    val out = new ByteArrayOutputStream()
+    def o16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def o32(v: Long): Unit = { o16(((v >> 16) & 0xffff).toInt); o16((v & 0xffff).toInt) }
+    o32(0x00010000L) // sfnt version
+    o16(1); o16(0); o16(0); o16(0) // numTables=1
+    out.write("cmap".getBytes(StandardCharsets.US_ASCII))
+    o32(0L) // checksum (unchecked)
+    o32(28L) // table offset: 12 header + 16 record
+    o32(12L + subBytes.length) // table length
+    // cmap header at offset 28
+    o16(0); o16(1) // version, numTables
+    o16(3); o16(1); o32(12L) // platform 3, encoding 1, subtable offset
+    out.write(subBytes)
+    out.toByteArray
+  }
+
+  /** Type0/Identity-H WITHOUT ToUnicode, WITH an embedded FontFile2;
+    * `gidOf` maps message chars to glyph ids (= the content codes when
+    * CIDToGIDMap is Identity). Optional CIDToGIDMap stream. */
+  private def cidPdfNoToUni(message: String, gidOf: Char => Int,
+      cidToGid: Option[Array[Byte]] = None,
+      codeOf: Option[Char => Int] = None): Array[Byte] = {
+    val code = codeOf.getOrElse(gidOf)
+    val codesHex = message.map(c => f"${code(c)}%04x").mkString
+    val content = s"BT /FC 12 Tf 72 720 Td <$codesHex> Tj\nET"
+    val ttf = ttfWithCmap(
+      message.distinct.map(c => c.toInt -> gidOf(c)))
+    val cidGidEntry = cidToGid.map(_ => "/CIDToGIDMap 11 0 R")
+      .getOrElse("/CIDToGIDMap /Identity")
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/MediaBox [0 0 612 792] /Resources << /Font " +
+        "<< /FC 5 0 R >> >> >>"),
+      5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /TestCID " +
+        "/Encoding /Identity-H /DescendantFonts [8 0 R] >>"),
+      8 -> ("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /TestCID " +
+        s"/FontDescriptor 9 0 R $cidGidEntry >>"),
+      9 -> ("<< /Type /FontDescriptor /FontName /TestCID " +
+        "/FontFile2 10 0 R >>"))
+    val streamObjs = Seq(4 -> content.getBytes(StandardCharsets.ISO_8859_1),
+      10 -> ttf) ++ cidToGid.map(m => 11 -> m).toSeq
+
+    val out = new ByteArrayOutputStream()
+    out.write(bytes("%PDF-1.5\n"))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    (objs.map { case (n, d) => (n, bytes(d)) } ++
+      streamObjs.map { case (n, body) =>
+        val full = new ByteArrayOutputStream()
+        full.write(bytes(s"<< /Length ${body.length} >>\nstream\n"))
+        full.write(body)
+        full.write(bytes("\nendstream"))
+        (n, full.toByteArray)
+      }).sortBy(_._1).foreach { case (n, body) =>
+      offsets(n) = out.size()
+      out.write(bytes(s"$n 0 obj\n")); out.write(body)
+      out.write(bytes("\nendobj\n"))
+    }
+    val xrefAt = out.size()
+    val maxObj = streamObjs.map(_._1).max
+    out.write(bytes(s"xref\n0 ${maxObj + 1}\n0000000000 65535 f \n"))
+    (1 to maxObj).foreach(n =>
+      out.write(bytes(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")))
+    out.write(bytes(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  test("Type0/Identity-H with NO ToUnicode recovers text through the " +
+      "embedded TrueType cmap (inverted glyph map, Identity CIDToGIDMap)") {
+    val msg = "Galaxies rotate."
+    val alphabet = msg.distinct.sorted
+    def gid(c: Char): Int = 0x0100 + alphabet.indexOf(c)
+    val pdf = cidPdfNoToUni(msg, gid)
+    assert(PdfExtract.pages(pdf) === Seq(msg))
+  }
+
+  test("no-ToUnicode recovery follows a CIDToGIDMap STREAM " +
+      "(code -> CID -> gid -> unicode composition)") {
+    val msg = "Spin."
+    val alphabet = msg.distinct.sorted
+    def gid(c: Char): Int = 0x0100 + alphabet.indexOf(c)
+    def code(c: Char): Int = 0x0200 + alphabet.indexOf(c)
+    // stream: 2-byte BE gid per CID index; cid 0x0200+i -> gid 0x0100+i
+    val maxCid = 0x0200 + alphabet.length
+    val m = new Array[Byte](2 * (maxCid + 1))
+    alphabet.foreach { c =>
+      val cid = code(c); val g = gid(c)
+      m(2 * cid) = ((g >> 8) & 0xff).toByte
+      m(2 * cid + 1) = (g & 0xff).toByte
+    }
+    val pdf = cidPdfNoToUni(msg, gid, cidToGid = Some(m),
+      codeOf = Some(code))
+    assert(PdfExtract.pages(pdf) === Seq(msg))
+  }
+
+  test("TrueTypeCmap: format-4 parse inverts to lowest codepoint per " +
+      "glyph; junk bytes never throw") {
+    import graft.functions.TrueTypeCmap
+    val ttf = ttfWithCmap(Seq('A'.toInt -> 5, 'B'.toInt -> 6,
+      'a'.toInt -> 5)) // two codepoints -> glyph 5: lowest (A) wins
+    val g2u = TrueTypeCmap.glyphToUnicode(ttf)
+    assert(g2u(5) === 'A'.toInt)
+    assert(g2u(6) === 'B'.toInt)
+    assert(TrueTypeCmap.glyphToUnicode(Array.fill[Byte](64)(77)) ===
+      Map.empty)
+    assert(TrueTypeCmap.glyphToUnicode(null) === Map.empty)
   }
 }
