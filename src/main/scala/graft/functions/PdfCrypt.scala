@@ -19,9 +19,16 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   *  - V5 + R5/R6 — /AESV3 (AES-256-CBC), SHA-256 validation (R5) and
   *    the Algorithm-2.B hardened hash (R6)
   *
+  * User passwords are supported when supplied as data (the
+  * handlerFor overload; Algorithm 2 padding for R≤4, Algorithm 2.A
+  * UTF-8/127-byte truncation for R5/R6) — verification against /U is
+  * mandatory either way, so a wrong or missing password refuses
+  * rather than emitting garbage.
+  *
   * Out of scope (None ⇒ caller routes to the error channel exactly as
-  * before): non-empty user passwords, non-Standard filters (public-key
-  * /Adobe.PubSec), /Identity-with-embedded-crypt exotica.
+  * before): owner-password-only opening (Algorithm 7's /O path),
+  * non-Standard filters (public-key /Adobe.PubSec),
+  * /Identity-with-embedded-crypt exotica.
   *
   * RC4 is implemented inline (20 lines, public algorithm); AES goes
   * through javax.crypto which every JRE ships with AES-128; AES-256
@@ -66,15 +73,34 @@ object PdfCrypt {
     * is unencrypted, needs a real password, or uses an unsupported
     * scheme. The /U entry is always verified before returning a
     * handler — a wrong key never silently produces garbage text. */
-  def handlerFor(pdf: Array[Byte]): Option[Handler] = {
+  def handlerFor(pdf: Array[Byte]): Option[Handler] =
+    handlerFor(pdf, "")
+
+  /** [[handlerFor]] with a USER password supplied as data (round 11 —
+    * password-protected corpus files whose password rides in a side
+    * column). ISO 32000 Algorithm 2 pads the password to 32 bytes with
+    * the standard pad string (R≤4); Algorithm 2.A takes the UTF-8
+    * bytes truncated to 127 (R5/R6). Verification is unchanged: the
+    * derived key must reproduce /U (Algorithms 6/7 user-password
+    * check) or the file refuses — a wrong password never emits
+    * garbage. */
+  def handlerFor(pdf: Array[Byte], password: String): Option[Handler] = {
     if (pdf == null || pdf.length < 8) return None
     val text = new String(pdf, StandardCharsets.ISO_8859_1)
+    val pass =
+      if (password == null) Array.emptyByteArray
+      else password.getBytes(StandardCharsets.UTF_8).take(127)
     for {
       encDict <- findEncryptDict(text)
       if name(encDict, "Filter").contains("Standard")
-      h <- buildHandler(encDict, firstFileId(text))
+      h <- buildHandler(encDict, firstFileId(text), pass)
     } yield h
   }
+
+  /** Algorithm 2's 32-byte padded password (password bytes then the
+    * pad constant). */
+  private def padded(pass: Array[Byte]): Array[Byte] =
+    (pass ++ Pad).take(32)
 
   // ---- trailer / dict location ----
 
@@ -174,14 +200,14 @@ object PdfCrypt {
 
   // ---- key derivation ----
 
-  private def buildHandler(dict: String, fileId: Array[Byte])
-      : Option[Handler] = {
+  private def buildHandler(dict: String, fileId: Array[Byte],
+      pass: Array[Byte]): Option[Handler] = {
     val v = intField(dict, "V").getOrElse(0)
     val r = intField(dict, "R").getOrElse(if (v >= 2) 3 else 2)
     val o = strField(dict, "O").getOrElse(return None)
     val u = strField(dict, "U").getOrElse(return None)
     val p = intField(dict, "P").getOrElse(return None)
-    if (r >= 5) return buildV5(dict, u, r)
+    if (r >= 5) return buildV5(dict, u, r, pass)
     // stream crypt method: V4 names a crypt filter; V1/V2 are RC4.
     // The /CFM must resolve POSITIVELY — if /CF is an indirect
     // reference or the named filter's /CFM is missing/unknown, refuse
@@ -214,10 +240,10 @@ object PdfCrypt {
       if (r == 2) 5
       else math.max(5, math.min(16, intField(dict, "Length")
         .getOrElse(40) / 8))
-    // Algorithm 2: MD5(pad ‖ O ‖ P₄LE ‖ ID[0] [‖ FFFFFFFF]) then for
-    // R≥3 fifty MD5 rounds over the first n bytes
+    // Algorithm 2: MD5(paddedPass ‖ O ‖ P₄LE ‖ ID[0] [‖ FFFFFFFF])
+    // then for R≥3 fifty MD5 rounds over the first n bytes
     val md = MessageDigest.getInstance("MD5")
-    md.update(Pad)
+    md.update(padded(pass))
     md.update(o.take(32))
     md.update(Array[Byte](
       (p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
@@ -234,7 +260,7 @@ object PdfCrypt {
       }
     }
     key = key.take(nBytes)
-    // Algorithm 6: verify the empty user password against /U
+    // Algorithm 6: verify the (possibly empty) user password against /U
     val expected =
       if (r == 2) rc4(key, Pad) // Algorithm 4
       else { // Algorithm 5
@@ -254,16 +280,15 @@ object PdfCrypt {
     if (ok) Some(Handler(key, aes, r)) else None
   }
 
-  /** V5/R5/R6 (AES-256): validate the empty user password against
+  /** V5/R5/R6 (AES-256): validate the user password against
     * /U[0,32) with its validation salt /U[32,40), then recover the file
     * key by decrypting /UE with the intermediate key from the key salt
     * /U[40,48) (ISO 32000-2 Algorithms 2.A/2.B/8). */
-  private def buildV5(dict: String, u: Array[Byte], r: Int)
-      : Option[Handler] = {
+  private def buildV5(dict: String, u: Array[Byte], r: Int,
+      pass: Array[Byte]): Option[Handler] = {
     if (u.length < 48) return None
     val ue = strField(dict, "UE").getOrElse(return None)
     if (ue.length < 32) return None
-    val pass = Array.emptyByteArray
     def hash(salt: Array[Byte]): Array[Byte] =
       if (r == 5) MessageDigest.getInstance("SHA-256")
         .digest(pass ++ salt)

@@ -49,7 +49,12 @@ object PdfExtract {
     * (document order — the standard one-content-stream-per-page layout).
     * Returns empty when `pdf` is null/not a PDF/has no extractable
     * text. */
-  def pages(pdf: Array[Byte]): Seq[String] = {
+  def pages(pdf: Array[Byte]): Seq[String] = pages(pdf, "")
+
+  /** [[pages]] with a user password for password-protected files
+    * (PdfCrypt Algorithm 2/2.A derivation; wrong password ⇒ empty
+    * result, same error-channel contract as unsupported schemes). */
+  def pages(pdf: Array[Byte], password: String): Seq[String] = {
     if (pdf == null || pdf.length < 8) return Seq.empty
     val head = new String(pdf, 0, math.min(8, pdf.length),
       StandardCharsets.ISO_8859_1)
@@ -66,7 +71,7 @@ object PdfExtract {
     // routes via isEncrypted to the error channel.
     val strms =
       if (!isEncrypted(pdf)) rawStrms
-      else PdfCrypt.handlerFor(pdf) match {
+      else PdfCrypt.handlerFor(pdf, password) match {
         case None => return Seq.empty
         case Some(h) => rawStrms.flatMap {
           case (id @ Some((obj, gen)), dict, raw) =>

@@ -76,6 +76,30 @@ object PdfText {
     f(pdf)
   }
 
+  /** [[extractPages]] with a per-row USER password column (round 11 —
+    * password-protected corpus files whose password rides alongside
+    * the payload; null/empty means the empty user password). Wrong
+    * passwords yield an empty page array, so the needsPassword overload
+    * below routes them to the error channel instead of emitting
+    * garbage. */
+  def extractPages(pdf: Column, password: Column): Column = {
+    val f = udf { (bytes: Array[Byte], pass: String) =>
+      PdfExtract.pages(bytes, if (pass == null) "" else pass)
+    }
+    f(pdf, password)
+  }
+
+  /** needsPassword with a candidate password column: true only when
+    * the file stays locked even WITH the supplied password. */
+  def needsPassword(pdf: Column, password: Column): Column = {
+    val f = udf { (bytes: Array[Byte], pass: String) =>
+      PdfExtract.isEncrypted(bytes) &&
+        PdfCrypt.handlerFor(bytes,
+          if (pass == null) "" else pass).isEmpty
+    }
+    f(pdf, password)
+  }
+
   /** Encrypted-PDF predicate (declares an /Encrypt dict — the file may
     * still be extractable; see needsPassword for routing). */
   def isEncrypted(pdf: Column): Column = {

@@ -115,6 +115,50 @@ class PdfCryptSpec extends AnyFunSuite with SparkSuite {
     assert(PdfExtract.pages(bad) === Seq.empty)
   }
 
+  for (scheme <- Seq("rc4-128", "aesv2", "aesv3")) {
+    test(s"$scheme + user password: right password extracts, wrong or " +
+        "empty refuses (Algorithm 2/2.A password-as-data, round 11)") {
+      val pw = "s3cret-pâss" // non-ASCII exercises the UTF-8 path
+      val pdf = PdfFixtures.encryptedPdf(lines, scheme, pw)
+      assert(PdfExtract.isEncrypted(pdf))
+      // empty password must NOT open it
+      assert(PdfCrypt.handlerFor(pdf).isEmpty,
+        "a password-protected file must refuse the empty password")
+      assert(PdfExtract.pages(pdf) === Seq.empty)
+      // wrong password refuses
+      assert(PdfCrypt.handlerFor(pdf, "wrong").isEmpty)
+      assert(PdfExtract.pages(pdf, "wrong") === Seq.empty)
+      // right password extracts the known text end to end
+      assert(PdfCrypt.handlerFor(pdf, pw).isDefined)
+      assert(PdfExtract.pages(pdf, pw) === Seq(expected))
+    }
+  }
+
+  test("password columns: extractPages(pdf, password) decrypts per " +
+      "row; needsPassword(pdf, password) routes only still-locked rows") {
+    val s = initSpark()
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.PdfText
+    val pw = "corpus-key"
+    val locked = PdfFixtures.encryptedPdf(lines, "rc4-128", pw)
+    val open = PdfFixtures.encryptedPdf(lines, "rc4-128")
+    val df = Seq(
+      (1L, locked, pw), // right password
+      (2L, locked, "nope"), // wrong password
+      (3L, open, null.asInstanceOf[String]) // empty-password file
+    ).toDF("id", "pdf", "pass")
+    val out = df.select(col("id"),
+        PdfText.extractPages(col("pdf"), col("pass")).as("pages"),
+        PdfText.needsPassword(col("pdf"), col("pass")).as("locked"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getBoolean(2)))).toMap
+    assert(out(1L)._1 === Seq(expected) && !out(1L)._2)
+    assert(out(2L)._1 === Seq.empty && out(2L)._2,
+      "wrong password must extract nothing and flag locked")
+    assert(out(3L)._1 === Seq(expected) && !out(3L)._2)
+  }
+
   test("unencrypted files are untouched: no handler, pages unchanged") {
     val plain = PdfFixtures.pdf(Seq(Seq("hello", "world")))
     assert(!PdfExtract.isEncrypted(plain))

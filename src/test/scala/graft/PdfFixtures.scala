@@ -118,12 +118,18 @@ object PdfFixtures {
     c.doFinal(data)
   }
 
-  /** One-page encrypted PDF (empty user+owner password). `scheme`:
-    * "rc4-40" (V1/R2), "rc4-128" (V2/R3), "aesv2" (V4/R4, AES-128),
-    * "aesv3" (V5/R6, AES-256 + Algorithm 2.B). */
-  def encryptedPdf(lines: Seq[String], scheme: String): Array[Byte] = {
+  /** One-page encrypted PDF. `scheme`: "rc4-40" (V1/R2), "rc4-128"
+    * (V2/R3), "aesv2" (V4/R4, AES-128), "aesv3" (V5/R6, AES-256 +
+    * Algorithm 2.B). `userPassword` non-empty exercises the
+    * password-as-data path (owner password stays empty). */
+  def encryptedPdf(lines: Seq[String], scheme: String,
+      userPassword: String = ""): Array[Byte] = {
     import graft.functions.PdfCrypt
     def bytes(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
+    val passBytes = userPassword
+      .getBytes(StandardCharsets.UTF_8).take(127)
+    // Algorithm 2's 32-byte padded password
+    val paddedPass = (passBytes ++ PdfCrypt.Pad).take(32)
     def hex(b: Array[Byte]) = "<" + b.map(x => f"${x & 0xFF}%02x")
       .mkString + ">"
     val p = -44 // permissions word (high bits set, printing denied)
@@ -143,15 +149,17 @@ object PdfFixtures {
     // --- entries + file key ---
     val (encBody, fileKey) =
       if (r <= 4) {
-        // Algorithm 3 (O, empty owner password)
+        // Algorithm 3 (O; empty owner password, so rk derives from the
+        // pad constant, and the encrypted payload is the padded USER
+        // password)
         var ok = md5(PdfCrypt.Pad)
         if (r >= 3) (0 until 50).foreach(_ => ok = md5(ok.take(n)))
         val rk = ok.take(n)
-        var o = PdfCrypt.rc4(rk, PdfCrypt.Pad)
+        var o = PdfCrypt.rc4(rk, paddedPass)
         if (r >= 3) (1 to 19).foreach(i =>
           o = PdfCrypt.rc4(rk.map(b => (b ^ i).toByte), o))
-        // Algorithm 2 (file key, empty user password)
-        var key = md5(PdfCrypt.Pad ++ o ++ Array[Byte](
+        // Algorithm 2 (file key from the padded user password)
+        var key = md5(paddedPass ++ o ++ Array[Byte](
           (p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
           ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte) ++
           fileId)
@@ -182,8 +190,8 @@ object PdfFixtures {
           .toByte)
         val vs = Array.tabulate[Byte](8)(i => (i + 1).toByte)
         val ks = Array.tabulate[Byte](8)(i => (i + 9).toByte)
-        val u = PdfCrypt.hash2b(Array.emptyByteArray, vs) ++ vs ++ ks
-        val ue = aesEnc(PdfCrypt.hash2b(Array.emptyByteArray, ks),
+        val u = PdfCrypt.hash2b(passBytes, vs) ++ vs ++ ks
+        val ue = aesEnc(PdfCrypt.hash2b(passBytes, ks),
           new Array[Byte](16), fk, pad = false)
         val o = new Array[Byte](48) // unused on the user-password path
         val oe = new Array[Byte](32)
