@@ -9,16 +9,23 @@ import org.apache.spark.sql.types._
   * converts to mono float, and windows run a radix-2 FFT for band
   * energies — the audio analogue of Multimodal's ImageIO kernels, and
   * the features a near-dup/similarity pass over speech or music corpora
-  * keys on. Compressed codecs (MP3/AAC/Opus) have no JDK decoder; those
-  * payloads fall back to the byte-histogram stub at the call sites that
-  * accept mixed media — same honest FFI cut line as video.
+  * keys on. FLAC decodes in-engine (FlacDecode — LPC/Rice is integer
+  * arithmetic, no DSP lib needed); lossy codecs (MP3/AAC/Opus) have no
+  * JDK decoder and fall back to the byte-histogram stub at the call
+  * sites that accept mixed media — same honest FFI cut line as video.
   */
 object AudioFeatures {
 
-  /** Decode a WAV/AIFF/AU payload to (sampleRate, mono samples in
-    * [-1,1]). None when the JDK cannot parse the container/encoding. */
+  /** Decode a WAV/AIFF/AU/FLAC payload to (sampleRate, mono samples in
+    * [-1,1]). FLAC goes through the in-engine LPC/Rice decoder
+    * (FlacDecode — round 11, closes the lossless-compressed cut);
+    * PCM containers go through javax.sound. None when neither can
+    * parse the container/encoding. */
   def decodePcm(payload: Array[Byte]): Option[(Float, Array[Float])] =
     if (payload == null || payload.length < 12) None
+    else if (payload(0) == 'f' && payload(1) == 'L' &&
+        payload(2) == 'a' && payload(3) == 'C')
+      FlacDecode.decode(payload)
     else
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
