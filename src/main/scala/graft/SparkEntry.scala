@@ -836,14 +836,17 @@ object SparkEntry {
         n = 3, threshold = 0.6)
     }),
 
-    // ---- MinHash+LSH near-dup (rows-only: no cross-engine xxhash64) ----
+    // ---- MinHash+LSH near-dup — hash-checked since round 11: the
+    // scala-murmur3 signer AND Spark's bucket hash() are replayed in
+    // DuckDB SQL (MurmurOracleSql.q22) ----
     "q22_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashLshPairs(fan(s, t(s, dir, "documents")), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4)
     }),
 
-    // ---- SimHash near-dup (rows-only): 8x8-bit banding gives COMPLETE
-    // recall at hamming<=7 (pigeonhole) — radius matches the guarantee ----
+    // ---- SimHash near-dup — hash-checked since round 11
+    // (MurmurOracleSql.q23): 8x8-bit banding gives COMPLETE recall at
+    // hamming<=7 (pigeonhole) — radius matches the guarantee ----
     "q23_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(fan(s, t(s, dir, "documents")), "doc_id", "text",
         maxHamming = 7)
@@ -2028,6 +2031,14 @@ object SparkEntry {
            JOIN sz sa ON sa.doc_id = id_a
            JOIN sz sb ON sb.doc_id = id_b)
          WHERE jaccard >= 0.2""",
+
+    // q22/q23 (round 11): the engine-local scala-murmur3 signers,
+    // replayed in DuckDB SQL -- recursive-CTE stringHash walk plus (for
+    // q22) the Spark hash() bucket fold; see MurmurOracleSql. This
+    // retires the long-standing rows-only pair.
+    "q22_minhash_pairs" -> MurmurOracleSql.q22,
+    "q23_simhash_pairs" -> MurmurOracleSql.q23,
+
 
     "q75_unigram_surprisal" ->
       """WITH w AS (
