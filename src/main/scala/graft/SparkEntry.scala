@@ -11,9 +11,11 @@ import graft.operators.{Decontaminate, Dedup, ImportanceSampling,
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2
   * plus the training-data-pipeline operators (dedup / similarity / text
-  * analysis). Each query has a DuckDB oracle in `oracleSql` unless marked
-  * rows-only (cross-engine hash functions don't exist for minhash/simhash
-  * signatures).
+  * analysis). Each query has a DuckDB oracle in `oracleSql` except q38
+  * (ICU BreakIterator boundaries — quantified in ChunkerParitySpec,
+  * packing state machine hash-checked via q122); since round 11 even the
+  * scala-murmur3 signers (q22/q23) are oracled by replaying murmur3
+  * itself in SQL (MurmurOracleSql).
   *
   * Determinism discipline (FIXTURES.md): every float aggregate is rounded
   * (2-4 dp) in BOTH engines; every ranking has an integer tie-break; no
