@@ -418,34 +418,38 @@ object Dedup {
       .agg(graft.expr.CappedCollect.cappedCollect(col("id"), maxDocFreq)
         .as("ids"))
       .where(col("ids").isNotNull)
-    // kept and perDoc feed MULTIPLE branches (class grouping, the
-    // rep join, the per-shingle member lists) — persist so the
+    val kept = grouped.select(col("h"), explode(col("ids")).as("id"))
+    // per-doc capped shingle set (input hashes are sorted-distinct per
+    // doc, so sort_array reconstructs canonical set identity) + size.
+    // perDoc feeds THREE branches (class grouping, the rep join, the
+    // rep-array explode for per-shingle member lists) — persist so the
     // shingle UDF + capped aggregation run once, not once per branch;
     // released on the next invocation (ReleaseSlot discipline, and the
     // RDD barrier below means the first consumer materializes
     // everything in one pass anyway)
     spanningSlot.releasePrevious()
-    val kept = grouped.select(col("h"), explode(col("ids")).as("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // per-doc capped shingle set (input hashes are sorted-distinct per
-    // doc, so sort_array reconstructs canonical set identity) + size
     val perDoc = kept.groupBy("id")
       .agg(sort_array(collect_list(col("h"))).as("key"),
         count(lit(1)).cast("int").as("sz"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    spanningSlot.set(() => { kept.unpersist(); perDoc.unpersist(); () })
-    // rep per class via hash-aggregate + equi-join on the array key
-    // (no sort — and no window constraints, which trip Spark's Union
-    // constraint rewrite downstream in the star-contraction loop)
+    spanningSlot.set(() => { perDoc.unpersist(); () })
+    // rep per class via hash-aggregate + equi-join on the array key.
+    // Measured against the window-min alternative (one exchange+SORT
+    // of the arrays): the two hash exchanges win at sf0.1 (9.3 s vs
+    // 9.9 s for the three composite queries) — sorting array keys
+    // costs more than hashing them twice.
     val repPerKey = perDoc.groupBy("key").agg(min(col("id")).as("rep"))
     val withRep = perDoc.join(repPerKey, "key")
     val star = withRep.where(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
-    val reps = withRep.where(col("id") === col("rep"))
-      .select(col("id"), col("sz"))
     // thresholded pairs among representatives, full-corpus capped
-    // universe — the jaccardPairsCapped tail verbatim
-    val byShingle = kept.join(reps, "id")
+    // universe — the jaccardPairsCapped tail, except the per-shingle
+    // member lists come from EXPLODING the reps' own cached class-key
+    // arrays (perDoc.key IS the rep's capped shingle set), not from
+    // re-joining the exploded `kept` frame against the rep ids — one
+    // fewer shuffle join on the hot path
+    val byShingle = withRep.where(col("id") === col("rep"))
+      .select(col("id"), col("sz"), explode(col("key")).as("h"))
       .groupBy("h")
       .agg(sort_array(collect_list(struct(col("id"), col("sz"))))
         .as("ms"))
