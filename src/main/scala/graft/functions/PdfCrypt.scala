@@ -19,15 +19,17 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   *  - V5 + R5/R6 — /AESV3 (AES-256-CBC), SHA-256 validation (R5) and
   *    the Algorithm-2.B hardened hash (R6)
   *
-  * User passwords are supported when supplied as data (the
-  * handlerFor overload; Algorithm 2 padding for R≤4, Algorithm 2.A
-  * UTF-8/127-byte truncation for R5/R6) — verification against /U is
-  * mandatory either way, so a wrong or missing password refuses
-  * rather than emitting garbage.
+  * Passwords are supported when supplied as data (the handlerFor
+  * overload; Algorithm 2 padding for R≤4, Algorithm 2.A UTF-8/127-byte
+  * truncation for R5/R6). The supplied password is tried in BOTH
+  * roles, as interactive viewers do: first as the user password,
+  * then as the owner password (Algorithm 7's /O→padded-user recovery
+  * for R≤4; the /O-salt + /OE file-key path for R5/R6). Verification
+  * against /U (or the /O hash) is mandatory either way, so a wrong or
+  * missing password refuses rather than emitting garbage.
   *
   * Out of scope (None ⇒ caller routes to the error channel exactly as
-  * before): owner-password-only opening (Algorithm 7's /O path),
-  * non-Standard filters (public-key /Adobe.PubSec),
+  * before): non-Standard filters (public-key /Adobe.PubSec),
   * /Identity-with-embedded-crypt exotica.
   *
   * RC4 is implemented inline (20 lines, public algorithm); AES goes
@@ -207,7 +209,53 @@ object PdfCrypt {
     val o = strField(dict, "O").getOrElse(return None)
     val u = strField(dict, "U").getOrElse(return None)
     val p = intField(dict, "P").getOrElse(return None)
-    if (r >= 5) return buildV5(dict, u, r, pass)
+    if (r >= 5)
+      return buildV5(dict, u, r, pass)
+        .orElse(buildV5Owner(dict, u, r, pass))
+    buildR4(dict, fileId, padded(pass), o, u, p, v, r)
+      .orElse {
+        // Algorithm 7: the same supplied password tried as the OWNER
+        // password — rk from MD5(paddedOwner) (+50 rounds for R≥3)
+        // decrypts /O back into the PADDED USER password, which then
+        // must clear the normal Algorithm 6 /U check; any mismatch
+        // still refuses. This is what interactive viewers do: one
+        // password field, both roles attempted.
+        val nBytes =
+          if (r == 2) 5
+          else math.max(5, math.min(16, intField(dict, "Length")
+            .getOrElse(40) / 8))
+        var rk = MessageDigest.getInstance("MD5").digest(padded(pass))
+        if (r >= 3) {
+          var i = 0
+          while (i < 50) {
+            rk = MessageDigest.getInstance("MD5").digest(rk.take(nBytes))
+            i += 1
+          }
+        }
+        rk = rk.take(nBytes)
+        val recovered =
+          if (r == 2) rc4(rk, o.take(32))
+          else {
+            var x = o.take(32)
+            var i = 19
+            while (i >= 0) {
+              x = rc4(rk.map(b => (b ^ i).toByte), x)
+              i -= 1
+            }
+            x
+          }
+        buildR4(dict, fileId, recovered, o, u, p, v, r)
+      }
+  }
+
+  /** The R2-R4 user-password path over an ALREADY-PADDED 32-byte
+    * password block (Algorithm 2 derivation + Algorithm 6 /U
+    * verification). Shared by the direct user attempt and the
+    * Algorithm-7 owner path (whose /O decryption yields the padded
+    * user password directly). */
+  private def buildR4(dict: String, fileId: Array[Byte],
+      paddedPass: Array[Byte], o: Array[Byte], u: Array[Byte],
+      p: Int, v: Int, r: Int): Option[Handler] = {
     // stream crypt method: V4 names a crypt filter; V1/V2 are RC4.
     // The /CFM must resolve POSITIVELY — if /CF is an indirect
     // reference or the named filter's /CFM is missing/unknown, refuse
@@ -243,7 +291,7 @@ object PdfCrypt {
     // Algorithm 2: MD5(paddedPass ‖ O ‖ P₄LE ‖ ID[0] [‖ FFFFFFFF])
     // then for R≥3 fifty MD5 rounds over the first n bytes
     val md = MessageDigest.getInstance("MD5")
-    md.update(padded(pass))
+    md.update(paddedPass)
     md.update(o.take(32))
     md.update(Array[Byte](
       (p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
@@ -302,6 +350,36 @@ object PdfCrypt {
         new IvParameterSpec(new Array[Byte](16)))
       Some(Handler(c.doFinal(ue.take(32)), aes = true, r = r))
     } catch { // AES-256 unavailable in this JRE → unsupported, not wrong
+      case _: java.security.GeneralSecurityException => None
+    }
+  }
+
+  /** R5/R6 OWNER-password opening: validate against /O[0,32) with its
+    * validation salt /O[32,40) and udata = /U[0,48) (the 2.A/2.B owner
+    * forms hash the U block too), then decrypt /OE with the
+    * intermediate key from the key salt /O[40,48) to recover the same
+    * file key /UE carries (ISO 32000-2 Algorithm 9 counterpart). */
+  private def buildV5Owner(dict: String, u: Array[Byte], r: Int,
+      pass: Array[Byte]): Option[Handler] = {
+    if (u.length < 48) return None
+    val o = strField(dict, "O").getOrElse(return None)
+    if (o.length < 48) return None
+    val oe = strField(dict, "OE").getOrElse(return None)
+    if (oe.length < 32) return None
+    val udata = u.take(48)
+    def hash(salt: Array[Byte]): Array[Byte] =
+      if (r == 5) MessageDigest.getInstance("SHA-256")
+        .digest(pass ++ salt ++ udata)
+      else hash2b(pass, salt, udata)
+    if (!java.util.Arrays.equals(hash(o.slice(32, 40)), o.take(32)))
+      return None
+    val ik = hash(o.slice(40, 48))
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    try {
+      c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(ik, "AES"),
+        new IvParameterSpec(new Array[Byte](16)))
+      Some(Handler(c.doFinal(oe.take(32)), aes = true, r = r))
+    } catch {
       case _: java.security.GeneralSecurityException => None
     }
   }

@@ -34,7 +34,9 @@ import scala.collection.mutable.ArrayBuffer
   * recovery, modules/pdf_extractor.py:206-253).
   *
   * Honest boundaries (routed to the error channel, not silently
-  * wrong): non-Standard-handler encryption, the IMAGE codecs
+  * wrong): files whose password (user or owner — both roles are
+  * tried) is simply not in the data, non-Standard-handler
+  * encryption, the IMAGE codecs
   * (DCT/CCITT/JBIG2/JPX — no text inside them by construction), CID
   * fonts with neither ToUnicode nor an embedded TrueType (CFF/Type1
   * outlines keep their glyph names private to the CFF charset — a

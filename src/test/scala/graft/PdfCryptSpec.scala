@@ -119,7 +119,12 @@ class PdfCryptSpec extends AnyFunSuite with SparkSuite {
     test(s"$scheme + user password: right password extracts, wrong or " +
         "empty refuses (Algorithm 2/2.A password-as-data, round 11)") {
       val pw = "s3cret-pâss" // non-ASCII exercises the UTF-8 path
-      val pdf = PdfFixtures.encryptedPdf(lines, scheme, pw)
+      // owner password must be non-empty too: with an EMPTY owner
+      // password, Algorithm 7 correctly opens the file for anyone
+      // (the empty string is then a valid owner password) — real
+      // generators always set one when the user password is set
+      val pdf = PdfFixtures.encryptedPdf(lines, scheme, pw,
+        ownerPassword = "distinct-owner")
       assert(PdfExtract.isEncrypted(pdf))
       // empty password must NOT open it
       assert(PdfCrypt.handlerFor(pdf).isEmpty,
@@ -132,6 +137,29 @@ class PdfCryptSpec extends AnyFunSuite with SparkSuite {
       assert(PdfCrypt.handlerFor(pdf, pw).isDefined)
       assert(PdfExtract.pages(pdf, pw) === Seq(expected))
     }
+  }
+
+  for (scheme <- Seq("rc4-128", "aesv3")) {
+    test(s"$scheme owner password opens the file (Algorithm 7 / the " +
+        "/O-salt path): user-locked file, owner password recovers") {
+      val userPw = "reader-pw"
+      val ownerPw = "owner-master"
+      val pdf = PdfFixtures.encryptedPdf(lines, scheme, userPw, ownerPw)
+      // both real passwords open; empty and wrong refuse
+      assert(PdfExtract.pages(pdf, userPw) === Seq(expected))
+      assert(PdfExtract.pages(pdf, ownerPw) === Seq(expected),
+        "owner password must open via /O recovery")
+      assert(PdfCrypt.handlerFor(pdf).isEmpty)
+      assert(PdfCrypt.handlerFor(pdf, "wrong").isEmpty)
+    }
+  }
+
+  test("permissions-only file with a real owner password: empty user " +
+      "password still opens (the dominant crawl case)") {
+    val pdf = PdfFixtures.encryptedPdf(lines, "rc4-128",
+      userPassword = "", ownerPassword = "owner-master")
+    assert(PdfExtract.pages(pdf) === Seq(expected))
+    assert(PdfExtract.pages(pdf, "owner-master") === Seq(expected))
   }
 
   test("password columns: extractPages(pdf, password) decrypts per " +

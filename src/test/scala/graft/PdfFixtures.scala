@@ -120,16 +120,22 @@ object PdfFixtures {
 
   /** One-page encrypted PDF. `scheme`: "rc4-40" (V1/R2), "rc4-128"
     * (V2/R3), "aesv2" (V4/R4, AES-128), "aesv3" (V5/R6, AES-256 +
-    * Algorithm 2.B). `userPassword` non-empty exercises the
-    * password-as-data path (owner password stays empty). */
+    * Algorithm 2.B). Non-empty `userPassword` exercises the
+    * password-as-data path; non-empty `ownerPassword` additionally
+    * exercises the Algorithm-7 (R2-R4) / /O-salt (R6) owner
+    * opening. */
   def encryptedPdf(lines: Seq[String], scheme: String,
-      userPassword: String = ""): Array[Byte] = {
+      userPassword: String = "",
+      ownerPassword: String = ""): Array[Byte] = {
     import graft.functions.PdfCrypt
     def bytes(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
     val passBytes = userPassword
       .getBytes(StandardCharsets.UTF_8).take(127)
-    // Algorithm 2's 32-byte padded password
+    val ownerBytes = ownerPassword
+      .getBytes(StandardCharsets.UTF_8).take(127)
+    // Algorithm 2's 32-byte padded passwords
     val paddedPass = (passBytes ++ PdfCrypt.Pad).take(32)
+    val paddedOwner = (ownerBytes ++ PdfCrypt.Pad).take(32)
     def hex(b: Array[Byte]) = "<" + b.map(x => f"${x & 0xFF}%02x")
       .mkString + ">"
     val p = -44 // permissions word (high bits set, printing denied)
@@ -149,10 +155,9 @@ object PdfFixtures {
     // --- entries + file key ---
     val (encBody, fileKey) =
       if (r <= 4) {
-        // Algorithm 3 (O; empty owner password, so rk derives from the
-        // pad constant, and the encrypted payload is the padded USER
-        // password)
-        var ok = md5(PdfCrypt.Pad)
+        // Algorithm 3 (O: rk derives from the padded OWNER password
+        // and the encrypted payload is the padded USER password)
+        var ok = md5(paddedOwner)
         if (r >= 3) (0 until 50).foreach(_ => ok = md5(ok.take(n)))
         val rk = ok.take(n)
         var o = PdfCrypt.rc4(rk, paddedPass)
@@ -193,8 +198,13 @@ object PdfFixtures {
         val u = PdfCrypt.hash2b(passBytes, vs) ++ vs ++ ks
         val ue = aesEnc(PdfCrypt.hash2b(passBytes, ks),
           new Array[Byte](16), fk, pad = false)
-        val o = new Array[Byte](48) // unused on the user-password path
-        val oe = new Array[Byte](32)
+        // real /O//OE: owner validation/key salts, udata = U[0,48)
+        val ovs = Array.tabulate[Byte](8)(i => (i + 17).toByte)
+        val oks = Array.tabulate[Byte](8)(i => (i + 25).toByte)
+        val u48 = u.take(48)
+        val o = PdfCrypt.hash2b(ownerBytes, ovs, u48) ++ ovs ++ oks
+        val oe = aesEnc(PdfCrypt.hash2b(ownerBytes, oks, u48),
+          new Array[Byte](16), fk, pad = false)
         (s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $p " +
           s"/O ${hex(o)} /U ${hex(u)} /OE ${hex(oe)} /UE ${hex(ue)} " +
           "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
