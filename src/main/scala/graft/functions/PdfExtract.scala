@@ -31,7 +31,11 @@ import scala.collection.mutable.ArrayBuffer
   * embedded TrueType's own cmap table when the font is Identity-H
   * with a /FontFile2 (glyph map inverted, CIDToGIDMap composed — see
   * TrueTypeCmap; the in-engine equivalent of the reference's Tika
-  * recovery, modules/pdf_extractor.py:206-253).
+  * recovery, modules/pdf_extractor.py:206-253). SIMPLE fonts decode
+  * per-byte through their own tables: 1-byte ToUnicode CMaps, or
+  * /Encoding /Differences glyph names resolved via the public AGL
+  * conventions (GlyphNames) with raw-byte passthrough outside the
+  * table.
   *
   * Honest boundaries (routed to the error channel, not silently
   * wrong): files whose password (user or owner — both roles are
@@ -92,7 +96,7 @@ object PdfExtract {
       cidFontsByContentObj(text, strms, objStmDicts(objStms))
     contentStrms.flatMap { case (objNum, dict, raw) =>
       val fonts = objNum.map(_._1).flatMap(fontsByContent.get)
-        .getOrElse(Map.empty[String, Map[Int, String]])
+        .getOrElse(Map.empty[String, GlyphMap])
       decodeStream(dict, raw)
         .map(textFromContent(_, fonts)).filter(_.nonEmpty)
     }
@@ -131,16 +135,29 @@ object PdfExtract {
       }
     }.toMap
 
-  // ---- CID/Type0 font support (ToUnicode CMaps) ----
+  // ---- font decoding tables (ToUnicode CMaps / Identity-H TrueType
+  // recovery / simple-font Differences) ----
   //
   // Composite-font strings carry 2-byte GLYPH codes, not character
   // codes; without the font's /ToUnicode CMap the raw bytes are
   // garbage, which is why CID content used to route to the error
   // channel. The object-graph walk here is deliberately shallow:
   // page dict -> /Contents refs + /Resources (/Font name->obj) ->
-  // font dict -> /ToUnicode stream -> bfchar/bfrange CMap. Fonts
-  // without a ToUnicode map keep the old behavior (their codes are
-  // unknowable without a full CMap/font engine — still the cut line).
+  // font dict -> /ToUnicode stream -> bfchar/bfrange CMap.
+  //
+  // SIMPLE fonts (Type1/TrueType, 1-byte codes) get tables too
+  // (round 11): their ToUnicode CMaps key 1-byte codes — decoding
+  // them 2-bytes-at-a-time silently DROPPED their text before — and
+  // subset fonts without ToUnicode commonly remap codes via
+  // /Encoding /Differences, whose glyph names resolve through the
+  // public AGL conventions (GlyphNames). Codes outside a simple
+  // font's table keep their raw byte (base-encoding passthrough);
+  // unknown 2-byte CID codes are dropped, never garbage.
+
+  /** Per-font decode table: `width` = bytes per code (2 for
+    * Type0/CID, 1 for simple fonts), `m` = code → text. */
+  private[graft] final case class GlyphMap(width: Int,
+      m: Map[Int, String])
 
   private val ObjHeadRe = """(\d+)\s+\d+\s+obj""".r
   private val RefRe = """(\d+)\s+\d+\s+R""".r
@@ -174,18 +191,19 @@ object PdfExtract {
     ""
   }
 
-  /** content-stream objNum -> (font resource name -> CID-to-unicode
-    * map), for fonts that declare /ToUnicode. */
+  /** content-stream objNum -> (font resource name -> decode table),
+    * for fonts that declare /ToUnicode, recover through an embedded
+    * TrueType, or carry a /Differences encoding. */
   private def cidFontsByContentObj(text: String,
       strms: Seq[(Option[(Int, Int)], String, Array[Byte])],
       extraDicts: Map[Int, String] = Map.empty)
-      : Map[Int, Map[String, Map[Int, String]]] = {
+      : Map[Int, Map[String, GlyphMap]] = {
     val dicts = objectDicts(text) ++ extraDicts
     val streamByObj = strms.collect {
       case (Some((n, _)), d, raw) => n -> ((d, raw))
     }.toMap
-    // font obj -> decoded ToUnicode cmap (only for fonts that have one)
-    val toUniOf = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
+    // font obj -> decode table (fonts with no resolvable table absent)
+    val toUniOf = scala.collection.mutable.Map.empty[Int, GlyphMap]
     def streamBodyOf(obj: Int): Option[Array[Byte]] =
       streamByObj.get(obj).flatMap { case (sd, raw) =>
         decodeStream(sd, raw)
@@ -222,25 +240,62 @@ object PdfExtract {
         if m.nonEmpty
       } yield m
     }
-    def cmapFor(fontObj: Int): Option[Map[Int, String]] =
+    // /Encoding /Differences for SIMPLE fonts: [ code /name /name
+    // code /name ... ] — names resolve via the AGL conventions;
+    // unresolvable names are left out (raw-byte passthrough applies)
+    def differencesFallback(fd: String): Option[Map[Int, String]] = {
+      val encAt = fd.indexOf("/Encoding")
+      if (encAt < 0) return None
+      val encDict = {
+        val inline = balancedDictAt(fd, encAt)
+        if (inline.nonEmpty) inline
+        else RefRe.findFirstMatchIn(
+            fd.substring(encAt, math.min(fd.length, encAt + 40)))
+          .flatMap(m => dicts.get(m.group(1).toInt)).getOrElse("")
+      }
+      val dIdx = encDict.indexOf("/Differences")
+      if (dIdx < 0) return None
+      val open = encDict.indexOf('[', dIdx)
+      val close = if (open < 0) -1 else encDict.indexOf(']', open)
+      if (close < 0) return None
+      val body = encDict.substring(open + 1, close)
+      val tok = """(\d+)|/([^\s/\[\]<>()]+)""".r
+      var code = 0
+      val out = Map.newBuilder[Int, String]
+      tok.findAllMatchIn(body).foreach { m =>
+        if (m.group(1) != null) code = m.group(1).toInt
+        else {
+          GlyphNames.toText(m.group(2)).foreach(t => out += code -> t)
+          code += 1
+        }
+      }
+      val built = out.result()
+      if (built.nonEmpty) Some(built) else None
+    }
+    def cmapFor(fontObj: Int): Option[GlyphMap] =
       toUniOf.get(fontObj).orElse {
-        val parsed = {
+        val parsed = dicts.get(fontObj).flatMap { fd =>
+          // code width follows the font TYPE, not the table source:
+          // Type0 strings are 2-byte codes, simple-font strings 1-byte
+          val width = if (fd.contains("/Type0")) 2 else 1
           val viaToUni = for {
-            fd <- dicts.get(fontObj)
             tu <- "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
               .findFirstMatchIn(fd).map(_.group(1).toInt)
             body <- streamBodyOf(tu)
             m = parseToUnicode(
               new String(body, StandardCharsets.ISO_8859_1))
             if m.nonEmpty
-          } yield m
-          viaToUni.orElse(dicts.get(fontObj).flatMap(identityHFallback))
+          } yield GlyphMap(width, m)
+          viaToUni
+            .orElse(identityHFallback(fd).map(GlyphMap(2, _)))
+            .orElse(if (width == 1)
+              differencesFallback(fd).map(GlyphMap(1, _)) else None)
         }
         parsed.foreach(toUniOf.update(fontObj, _))
         parsed
       }
     val out = scala.collection.mutable
-      .Map.empty[Int, Map[String, Map[Int, String]]]
+      .Map.empty[Int, Map[String, GlyphMap]]
     dicts.foreach { case (_, d) =>
       if (d.contains("/Type") && d.contains("/Page") &&
           !d.contains("/Pages")) {
@@ -268,7 +323,7 @@ object PdfExtract {
           }
         val fIdx = resText.indexOf("/Font")
         val fonts =
-          if (fIdx < 0) Map.empty[String, Map[Int, String]]
+          if (fIdx < 0) Map.empty[String, GlyphMap]
           else "/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R".r
             .findAllMatchIn(balancedDictAt(resText, fIdx))
             .flatMap(m => cmapFor(m.group(2).toInt)
@@ -677,7 +732,7 @@ object PdfExtract {
     * carry no unicode by the font's own declaration) instead of
     * PDFDocEncoding bytes. */
   private[graft] def textFromContent(bytes: Array[Byte],
-      fonts: Map[String, Map[Int, String]] = Map.empty): String = {
+      fonts: Map[String, GlyphMap] = Map.empty): String = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val sb = new StringBuilder
     val wordGapKern = 150.0
@@ -688,22 +743,37 @@ object PdfExtract {
     var inTJArray = false
     var lastNumbers = ArrayBuffer.empty[Double]
     var lastName: String = ""
-    var currentCmap: Option[Map[Int, String]] = None
+    var currentCmap: Option[GlyphMap] = None
 
-    def decodeCid(str: String, cmap: Map[Int, String]): String = {
+    def decodeCoded(str: String, gm: GlyphMap): String = {
       val out = new StringBuilder
       var k = 0
-      while (k + 1 < str.length) {
-        val code = ((str.charAt(k) & 0xff) << 8) | (str.charAt(k + 1) & 0xff)
-        cmap.get(code).foreach(out.append)
-        k += 2
+      if (gm.width == 2) {
+        // CID codes: unmapped codes are unknowable glyph ids — drop
+        while (k + 1 < str.length) {
+          val code = ((str.charAt(k) & 0xff) << 8) |
+            (str.charAt(k + 1) & 0xff)
+          gm.m.get(code).foreach(out.append)
+          k += 2
+        }
+      } else {
+        // simple-font codes: unmapped codes keep their raw byte (the
+        // base encoding — the pre-table behavior)
+        while (k < str.length) {
+          val c = str.charAt(k) & 0xff
+          gm.m.get(c) match {
+            case Some(t) => out.append(t)
+            case None => out.append(c.toChar)
+          }
+          k += 1
+        }
       }
       out.toString
     }
     def emitShow(): Unit = {
       pendingStrings.foreach { case (str, raw) =>
         currentCmap match {
-          case Some(cm) if raw => sb.append(decodeCid(str, cm))
+          case Some(cm) if raw => sb.append(decodeCoded(str, cm))
           case _ => sb.append(str)
         }
       }

@@ -308,6 +308,104 @@ class PdfCidSpec extends AnyFunSuite {
     assert(PdfExtract.pages(pdf) === Seq(msg))
   }
 
+  /** One-page PDF with a SIMPLE (1-byte-code) font whose dict carries
+    * `fontExtra` (e.g. a /Differences encoding or a /ToUnicode ref);
+    * content shows `codes` as a hex string. */
+  private def simpleFontPdf(codes: Seq[Int], fontExtra: String,
+      extraObjs: Seq[(Int, Either[String, String])] = Seq.empty)
+      : Array[Byte] = {
+    val codesHex = codes.map(c => f"$c%02x").mkString
+    val content = s"BT /F1 12 Tf 72 720 Td <$codesHex> Tj\nET"
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/MediaBox [0 0 612 792] /Resources << /Font " +
+        "<< /F1 5 0 R >> >> >>"),
+      5 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /Sub " +
+        s"$fontExtra >>")) ++
+      extraObjs.collect { case (n, Left(d)) => n -> d }
+    val streamObjs = Seq(4 -> content) ++
+      extraObjs.collect { case (n, Right(body)) => n -> body }
+    val out = new ByteArrayOutputStream()
+    out.write(bytes("%PDF-1.5\n"))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    (objs.map { case (n, d) => (n, bytes(d)) } ++
+      streamObjs.map { case (n, body) =>
+        val b = bytes(body)
+        val full = new ByteArrayOutputStream()
+        full.write(bytes(s"<< /Length ${b.length} >>\nstream\n"))
+        full.write(b)
+        full.write(bytes("\nendstream"))
+        (n, full.toByteArray)
+      }).sortBy(_._1).foreach { case (n, body) =>
+      offsets(n) = out.size()
+      out.write(bytes(s"$n 0 obj\n")); out.write(body)
+      out.write(bytes("\nendobj\n"))
+    }
+    val xrefAt = out.size()
+    val maxObj = (objs.map(_._1) ++ streamObjs.map(_._1)).max
+    out.write(bytes(s"xref\n0 ${maxObj + 1}\n0000000000 65535 f \n"))
+    (1 to maxObj).foreach(n =>
+      out.write(bytes(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")))
+    out.write(bytes(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  test("simple font /Encoding /Differences: remapped 1-byte codes " +
+      "decode through AGL glyph names (the LaTeX-subset layout)") {
+    // code 1->/H 2->/e 3->/l 4->/o, 30->/space, 40->/uni0021 (!)
+    val enc = "/Encoding << /Type /Encoding /Differences " +
+      "[ 1 /H /e /l /o 30 /space 40 /uni0021 ] >>"
+    val pdf = simpleFontPdf(Seq(1, 2, 3, 3, 4, 30, 4, 40), enc)
+    assert(PdfExtract.pages(pdf) === Seq("Hello o!"))
+  }
+
+  test("simple font with a 1-byte ToUnicode CMap decodes per byte — " +
+      "regression: 2-byte pairing silently dropped such text") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin begincmap
+        |1 begincodespacerange <00> <ff> endcodespacerange
+        |4 beginbfchar
+        |<41> <0053>
+        |<42> <0070>
+        |<43> <0061>
+        |<44> <0072>
+        |endbfchar
+        |endcmap CMapName currentdict /CMap defineresource pop end end
+        |""".stripMargin
+    // codes 'A','B','C','D','D' -> "Spar" + r: ToUnicode remaps all
+    val pdf = simpleFontPdf(Seq(0x41, 0x42, 0x43, 0x44),
+      "/ToUnicode 6 0 R", Seq(6 -> Right(cmap)))
+    assert(PdfExtract.pages(pdf) === Seq("Spar"))
+  }
+
+  test("simple font codes OUTSIDE the Differences table keep their " +
+      "raw byte (base-encoding passthrough, never dropped)") {
+    val enc = "/Encoding << /Differences [ 1 /H ] >>"
+    // 1 -> H, then raw ASCII "i!"
+    val pdf = simpleFontPdf(Seq(1, 'i'.toInt, '!'.toInt), enc)
+    assert(PdfExtract.pages(pdf) === Seq("Hi!"))
+  }
+
+  test("GlyphNames: AGL names, uniXXXX sequences, uXXXXX codepoints, " +
+      "unknown -> None") {
+    import graft.functions.GlyphNames
+    assert(GlyphNames.toText("A") === Some("A"))
+    assert(GlyphNames.toText("comma") === Some(","))
+    assert(GlyphNames.toText("fi") === Some("ﬁ"))
+    assert(GlyphNames.toText("eacute") === Some("é"))
+    assert(GlyphNames.toText("Eacute") === Some("É"))
+    assert(GlyphNames.toText("uni0041") === Some("A"))
+    assert(GlyphNames.toText("uni00480049") === Some("HI"))
+    assert(GlyphNames.toText("u1F600") === Some("😀"))
+    assert(GlyphNames.toText("g123") === None)
+    assert(GlyphNames.toText("uniXYZW") === None)
+    assert(GlyphNames.toText("") === None)
+  }
+
   test("TrueTypeCmap: format-4 parse inverts to lowest codepoint per " +
       "glyph; junk bytes never throw") {
     import graft.functions.TrueTypeCmap
