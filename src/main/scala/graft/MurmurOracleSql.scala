@@ -134,11 +134,14 @@ sh AS MATERIALIZED (
       range(1, greatest(len(ws) - 2, 0) + 1),
       i -> array_to_string(ws[i:i+2], ' '))) AS shingle
     FROM w)),
-${stringHashCtes("sh", "shingle", 0x12345678L, 0x9abcdef0L & 0xffffffffL, Seq("doc_id"))},
-xs AS MATERIALIZED (
-  SELECT doc_id,
+ush AS MATERIALIZED (SELECT DISTINCT shingle FROM sh),
+${stringHashCtes("ush", "shingle", 0x12345678L, 0x9abcdef0L & 0xffffffffL, Seq.empty)},
+shb AS MATERIALIZED (
+  SELECT s AS shingle,
     ((((h1f * $M32::HUGEINT + h2f) - CASE WHEN h1f >= 2147483648 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) % $P31) + $P31) % $P31 AS base
   FROM fh2),
+xs AS MATERIALIZED (
+  SELECT sh.doc_id, shb.base FROM sh JOIN shb USING (shingle)),
 sig AS MATERIALIZED (
   SELECT doc_id, j, min((a::HUGEINT * base + b) % $P31)::BIGINT AS mh
   FROM xs CROSS JOIN (VALUES
@@ -191,11 +194,14 @@ sig AS MATERIALIZED (
   SELECT doc_id,
     sum(CASE WHEN v > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS usig
   FROM votes GROUP BY doc_id),
+-- wordless/null-text docs: simhashUdf assigns signature 0L and they
+-- PAIR with each other (hamming 0) — the left join keeps them
 ssig AS MATERIALIZED (
-  SELECT doc_id,
-    (usig - CASE WHEN usig >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END)::BIGINT AS sig,
-    usig
-  FROM sig),
+  SELECT d.doc_id,
+    (u2 - CASE WHEN u2 >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END)::BIGINT AS sig,
+    u2 AS usig
+  FROM (SELECT doc_id, coalesce(sig.usig, 0::HUGEINT) AS u2
+        FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sig USING (doc_id)) d),
 banded AS MATERIALIZED (
   SELECT doc_id, sig, b.band, ((usig // (1::HUGEINT << (b.band * 8))) % 256)::BIGINT AS bucket
   FROM ssig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b),

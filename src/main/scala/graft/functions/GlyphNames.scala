@@ -90,14 +90,18 @@ object GlyphNames {
           (name.length - 3) % 4 == 0 &&
           name.drop(3).forall(c => Character.digit(c, 16) >= 0)) {
         val units = name.drop(3).grouped(4)
-          .map(Integer.parseInt(_, 16).toChar).mkString
-        Some(units)
+          .map(Integer.parseInt(_, 16)).toSeq
+        // AGL: surrogate code points are not legal uniXXXX values —
+        // a lone surrogate in extracted text breaks downstream UTF-8
+        if (units.exists(u => u >= 0xd800 && u <= 0xdfff)) None
+        else Some(units.map(_.toChar).mkString)
       // uXXXX / uXXXXX / uXXXXXX — one codepoint, 4-6 hex digits
       } else if (name.startsWith("u") && name.length >= 5 &&
           name.length <= 7 &&
           name.drop(1).forall(c => Character.digit(c, 16) >= 0)) {
         val cp = Integer.parseInt(name.drop(1), 16)
-        if (cp >= 0 && cp <= 0x10ffff)
+        if (cp >= 0 && cp <= 0x10ffff &&
+            !(cp >= 0xd800 && cp <= 0xdfff))
           Some(new String(Character.toChars(cp)))
         else None
       } else None

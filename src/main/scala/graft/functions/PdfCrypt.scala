@@ -89,15 +89,24 @@ object PdfCrypt {
   def handlerFor(pdf: Array[Byte], password: String): Option[Handler] = {
     if (pdf == null || pdf.length < 8) return None
     val text = new String(pdf, StandardCharsets.ISO_8859_1)
-    val pass =
-      if (password == null) Array.emptyByteArray
-      else password.getBytes(StandardCharsets.UTF_8).take(127)
     for {
       encDict <- findEncryptDict(text)
       if name(encDict, "Filter").contains("Standard")
-      h <- buildHandler(encDict, firstFileId(text), pass)
+      h <- buildHandler(encDict, firstFileId(text), password)
     } yield h
   }
+
+  /** Revision-correct password bytes: ISO 32000-1 Algorithm 2 (R≤4)
+    * consumes Latin-1/PDFDocEncoding bytes (an Acrobat-era contract —
+    * UTF-8 here would mis-derive keys for non-ASCII passwords on real
+    * files), while Algorithm 2.A (R5/R6) specifies UTF-8 truncated to
+    * 127 bytes. Characters outside Latin-1 cannot appear in a legal
+    * R≤4 password; they map to '?' and simply fail /U verification. */
+  private def passBytes(password: String, r: Int): Array[Byte] =
+    if (password == null) Array.emptyByteArray
+    else if (r >= 5) password.getBytes(StandardCharsets.UTF_8).take(127)
+    else password.map(c => if (c.toInt <= 0xff) c.toByte else '?'.toByte)
+      .toArray
 
   /** Algorithm 2's 32-byte padded password (password bytes then the
     * pad constant). */
@@ -203,12 +212,13 @@ object PdfCrypt {
   // ---- key derivation ----
 
   private def buildHandler(dict: String, fileId: Array[Byte],
-      pass: Array[Byte]): Option[Handler] = {
+      password: String): Option[Handler] = {
     val v = intField(dict, "V").getOrElse(0)
     val r = intField(dict, "R").getOrElse(if (v >= 2) 3 else 2)
     val o = strField(dict, "O").getOrElse(return None)
     val u = strField(dict, "U").getOrElse(return None)
     val p = intField(dict, "P").getOrElse(return None)
+    val pass = passBytes(password, r)
     if (r >= 5)
       return buildV5(dict, u, r, pass)
         .orElse(buildV5Owner(dict, u, r, pass))

@@ -189,6 +189,8 @@ object HfTokenizer {
     val precompiled = findPrecompiled(root.get("normalizer"))
       .flatMap(SpmPrecompiled.fromBase64)
 
+    val maxWordChars = Option(model.get("max_input_chars_per_word"))
+      .filter(!_.isNull).map(_.asInt).getOrElse(100)
     val contPrefix = Option(model.get("continuing_subword_prefix"))
       .filter(!_.isNull).map(_.asText)
       .getOrElse(if (kind == "WordPiece") "##" else "")
@@ -219,7 +221,7 @@ object HfTokenizer {
     }
     new HfTokenizer(kind, full, merges.zipWithIndex.toMap, byteLevel,
       addPrefixSpace, lowercase, contPrefix, unk, clsId, scores,
-      metaspace, stripAccents, precompiled)
+      metaspace, stripAccents, precompiled, maxWordChars)
   }
 
   /** Greedy lowest-rank merge loop (the standard BPE encode). */
@@ -329,7 +331,8 @@ final case class HfTokenizer(
     scores: Map[String, Double] = Map.empty,
     metaspace: String = "▁",
     stripAccents: Boolean = false,
-    precompiled: Option[SpmPrecompiled] = None)
+    precompiled: Option[SpmPrecompiled] = None,
+    maxWordChars: Int = 100)
   extends TensorFileEmbedder.Subword {
 
   import HfTokenizer._
@@ -477,9 +480,10 @@ final case class HfTokenizer(
     flush()
     val unk = unkToken.getOrElse("[UNK]")
     words.result().flatMap { w =>
-      // HF WordPiece max_input_chars_per_word: words beyond 100 chars
-      // map straight to unk without attempting decomposition
-      if (w.length > 100) Array(unk)
+      // HF WordPiece max_input_chars_per_word (from the checkpoint's
+      // model section; HF default 100): longer words map straight to
+      // unk without attempting decomposition
+      if (w.length > maxWordChars) Array(unk)
       else {
         val pieces = Array.newBuilder[String]
         var start = 0

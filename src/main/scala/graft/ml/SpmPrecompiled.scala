@@ -114,8 +114,10 @@ object SpmPrecompiled {
     * empty/short blobs (legal: a checkpoint without a charsmap). */
   def fromBase64(b64: String): Option[SpmPrecompiled] = {
     if (b64 == null || b64.isEmpty) return None
-    val blob = java.util.Base64.getDecoder.decode(b64)
-    fromBlob(blob)
+    // malformed/truncated base64 degrades to "no charsmap" like every
+    // other malformed-field path (MIME decoder: tolerate line wraps)
+    try fromBlob(java.util.Base64.getMimeDecoder.decode(b64))
+    catch { case _: IllegalArgumentException => None }
   }
 
   def fromBlob(blob: Array[Byte]): Option[SpmPrecompiled] = {

@@ -108,11 +108,10 @@ object FlacDecode {
       math.min(math.max(total, 1024L), 1 << 24).toInt)
     val r = new BitReader(payload)
     r.pos = at * 8
-    val norm = (1L << (bps - 1)).toFloat
     var decoded = 0L
     var ok = true
     while (ok && (total == 0 || decoded < total) && r.remaining >= 40) {
-      ok = decodeFrame(r, channels, bps, out, norm)
+      ok = decodeFrame(r, channels, bps, out)
       if (ok) decoded = out.size.toLong
     }
     if (out.isEmpty) None
@@ -127,7 +126,7 @@ object FlacDecode {
 
   /** One frame; appends mono samples. False stops the decode loop. */
   private def decodeFrame(r: BitReader, chStream: Int, bpsStream: Int,
-      out: java.util.ArrayList[Float], norm: Float): Boolean = {
+      out: java.util.ArrayList[Float]): Boolean = {
     // sync 14 bits
     if (r.readBits(14) != 0x3ffe) return false
     r.readBit() // reserved
@@ -178,6 +177,9 @@ object FlacDecode {
       case _ => return false
     }
     if (blockSize <= 0 || blockSize > 65536) return false
+    // normalize by the FRAME's bps — frames may legally override the
+    // STREAMINFO value, and the amplitude must follow the frame
+    val norm = (1L << (bps - 1)).toFloat
     val chans = new Array[Array[Long]](channels)
     var c = 0
     while (c < channels) {
@@ -249,6 +251,7 @@ object FlacDecode {
         !r.bad
       case ft if ft >= 8 && ft <= 12 => // FIXED order 0-4
         val order = ft - 8
+        if (order > n) return None // malformed: warm-up exceeds block
         var i = 0
         while (i < order) { s(i) = r.readSigned(eff); i += 1 }
         decodeResidual(r, s, n, order) && {

@@ -255,6 +255,38 @@ class FlacSpec extends AnyFunSuite {
       s"MFCC coefficient $i diverged: ${a(i)} vs ${b(i)}"))
   }
 
+  test("a corrupt trailing frame stops the decode but KEEPS the " +
+      "frames already recovered (fixed-order overrun guard)") {
+    val samples = tone(440.0, 512, 8000)
+    val good = flacMono(samples, 8000, "fixed2", blockSize = 512)
+    // append a frame whose header says blockSize 2 but subframe type
+    // FIXED order 4 (warm-up would overrun the block array)
+    val evil = new BitW
+    evil.bits(0x3ffe, 14); evil.bit(0); evil.bit(0)
+    evil.bits(7, 4); evil.bits(0, 4); evil.bits(0, 4)
+    evil.bits(4, 3); evil.bit(0)
+    evil.bits(1, 8) // frame number 1
+    evil.bits(1, 16) // blockSize - 1 = 1 -> blockSize 2
+    val hb = evil.bytes
+    val w = new BitW
+    hb.foreach(b => w.bits(b & 0xff, 8))
+    w.bits(crc8(hb), 8)
+    w.bit(0); w.bits(12, 6); w.bit(0) // FIXED order 4 > blockSize 2
+    w.bits(0, 64) // some warm-up bits (never validly consumed)
+    // STREAMINFO total = 1024 so the decoder attempts the bad frame
+    // instead of stopping satisfied after the good one
+    val out = new ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(streamInfo(8000, 1, 16, 1024, 512))
+    out.write(java.util.Arrays.copyOfRange(good,
+      4 + 38, good.length)) // the good frame, minus marker+streaminfo
+    out.write(w.bytes)
+    val decoded = FlacDecode.decode(out.toByteArray)
+    assert(decoded.nonEmpty, "recovered frames must survive")
+    assert(decoded.get._2.length === 512,
+      "exactly the good frame's samples, nothing from the bad one")
+  }
+
   test("junk after the fLaC marker never throws") {
     val junk = "fLaC".getBytes("US-ASCII") ++
       Array.fill[Byte](256)(0x5a)

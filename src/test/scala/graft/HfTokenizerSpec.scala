@@ -131,6 +131,12 @@ class HfTokenizerSpec extends AnyFunSuite with SparkSuite {
     // 101 chars: decomposable in principle, but the HF rule
     // short-circuits to unk before attempting decomposition
     assert(tok.encodePieces("u" * 101).toSeq === Seq("[UNK]"))
+    // the limit is read from the checkpoint, not hardcoded
+    val json8 = json.replace("\"unk_token\": \"[UNK]\"",
+      "\"unk_token\": \"[UNK]\", \"max_input_chars_per_word\": 8")
+    val tok8 = HfTokenizer.parse(json8)
+    assert(tok8.encodePieces("u" * 8).length === 8)
+    assert(tok8.encodePieces("u" * 9).toSeq === Seq("[UNK]"))
   }
 
   private val uniJson =
