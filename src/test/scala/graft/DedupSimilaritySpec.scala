@@ -447,6 +447,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(components(cappedSpan) === components(cappedFull))
   }
 
+  test("simhashPairs: null/empty/whitespace-only docs share signature " +
+      "0 and pair at hamming 0 (the contract the q23 oracle replays " +
+      "with its left join)") {
+    val s = initSpark()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (3L, null.asInstanceOf[String]), (4L, ""), (5L, "   "))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((3L, 4L, 0), (3L, 5L, 0), (4L, 5L, 0)))
+  }
+
   test("cappedCollect: groups over the cap evaluate to NULL with " +
       "bounded buffers (never materialize hot posting lists); under " +
       "cap it matches collect_list as a set") {
