@@ -388,7 +388,9 @@ object AudioFeatures {
       val dur = if (rate > 0 && total > 0) total * 1000L / rate else -1L
       Some(AudioMeta("flac", dur, rate, channels))
     } else if (ascii(0, 4) == "OggS") {
-      // identification packet in the first page's payload
+      // identification packet in the first page's payload; the page
+      // header is 27 bytes + segment table — a truncated page is junk
+      if (payload.length < 27) return None
       val segs = u8(26)
       val body = 27 + segs
       var rate = 0; var channels = 0; var opusPreSkip = -1
