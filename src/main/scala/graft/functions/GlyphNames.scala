@@ -81,6 +81,22 @@ object GlyphNames {
     b.result()
   }
 
+  /** Every UTF-16 unit either non-surrogate, or part of a
+    * high-then-low pair. */
+  private def wellFormedUtf16(units: Seq[Int]): Boolean = {
+    var i = 0
+    while (i < units.length) {
+      val u = units(i)
+      if (u >= 0xd800 && u <= 0xdbff) {
+        if (i + 1 >= units.length || units(i + 1) < 0xdc00 ||
+            units(i + 1) > 0xdfff) return false
+        i += 2
+      } else if (u >= 0xdc00 && u <= 0xdfff) return false
+      else i += 1
+    }
+    true
+  }
+
   /** Resolve one glyph name; None for unknown names. */
   def toText(name: String): Option[String] = {
     if (name == null || name.isEmpty) return None
@@ -91,10 +107,11 @@ object GlyphNames {
           name.drop(3).forall(c => Character.digit(c, 16) >= 0)) {
         val units = name.drop(3).grouped(4)
           .map(Integer.parseInt(_, 16)).toSeq
-        // AGL: surrogate code points are not legal uniXXXX values —
-        // a lone surrogate in extracted text breaks downstream UTF-8
-        if (units.exists(u => u >= 0xd800 && u <= 0xdfff)) None
-        else Some(units.map(_.toChar).mkString)
+        // UNPAIRED surrogates would break downstream UTF-8; a
+        // well-formed high+low pair is a legal codepoint some
+        // non-AGL-strict fonts spell this way (uniD83DDE00) — keep it
+        if (wellFormedUtf16(units)) Some(units.map(_.toChar).mkString)
+        else None
       // uXXXX / uXXXXX / uXXXXXX — one codepoint, 4-6 hex digits
       } else if (name.startsWith("u") && name.length >= 5 &&
           name.length <= 7 &&

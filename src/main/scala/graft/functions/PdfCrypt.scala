@@ -102,7 +102,7 @@ object PdfCrypt {
     * files), while Algorithm 2.A (R5/R6) specifies UTF-8 truncated to
     * 127 bytes. Characters outside Latin-1 cannot appear in a legal
     * R≤4 password; they map to '?' and simply fail /U verification. */
-  private def passBytes(password: String, r: Int): Array[Byte] =
+  private[graft] def passBytes(password: String, r: Int): Array[Byte] =
     if (password == null) Array.emptyByteArray
     else if (r >= 5) password.getBytes(StandardCharsets.UTF_8).take(127)
     else password.map(c => if (c.toInt <= 0xff) c.toByte else '?'.toByte)

@@ -68,8 +68,11 @@ final class SpmPrecompiled private (
     best
   }
 
-  /** Replacement string at pool byte offset `v` (NUL-terminated). */
+  /** Replacement string at pool byte offset `v` (NUL-terminated).
+    * Out-of-range offsets (corrupt trie leaves) yield empty — the
+    * never-throw contract holds even when the blob is garbage. */
   private def replacementAt(v: Int): Array[Byte] = {
+    if (v < 0 || v >= pool.length) return Array.emptyByteArray
     var end = v
     while (end < pool.length && pool(end) != 0) end += 1
     java.util.Arrays.copyOfRange(pool, v, end)
@@ -115,8 +118,13 @@ object SpmPrecompiled {
   def fromBase64(b64: String): Option[SpmPrecompiled] = {
     if (b64 == null || b64.isEmpty) return None
     // malformed/truncated base64 degrades to "no charsmap" like every
-    // other malformed-field path (MIME decoder: tolerate line wraps)
-    try fromBlob(java.util.Base64.getMimeDecoder.decode(b64))
+    // other malformed-field path. Strip only WHITESPACE (line-wrapped
+    // serializations) and keep the STRICT decoder: the MIME decoder
+    // would silently drop any non-alphabet byte, letting a corrupted
+    // or URL-safe-encoded blob decode to shifted garbage and build a
+    // silently wrong normalizer — loud None beats wrong token ids
+    try fromBlob(java.util.Base64.getDecoder
+      .decode(b64.replaceAll("\\s", "")))
     catch { case _: IllegalArgumentException => None }
   }
 

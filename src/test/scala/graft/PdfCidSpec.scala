@@ -401,6 +401,14 @@ class PdfCidSpec extends AnyFunSuite {
     assert(GlyphNames.toText("uni0041") === Some("A"))
     assert(GlyphNames.toText("uni00480049") === Some("HI"))
     assert(GlyphNames.toText("u1F600") === Some("😀"))
+    // a WELL-FORMED surrogate pair spelled as two uniXXXX units is a
+    // legal codepoint (non-AGL-strict fonts do this); UNPAIRED
+    // surrogates must be rejected — they'd break downstream UTF-8
+    assert(GlyphNames.toText("uniD83DDE00") === Some("😀"))
+    assert(GlyphNames.toText("uniD800") === None)
+    assert(GlyphNames.toText("uniDC00") === None)
+    assert(GlyphNames.toText("uniDE00D83D") === None) // reversed pair
+    assert(GlyphNames.toText("uD800") === None)
     assert(GlyphNames.toText("g123") === None)
     assert(GlyphNames.toText("uniXYZW") === None)
     assert(GlyphNames.toText("") === None)

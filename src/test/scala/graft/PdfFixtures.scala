@@ -129,17 +129,15 @@ object PdfFixtures {
       ownerPassword: String = ""): Array[Byte] = {
     import graft.functions.PdfCrypt
     def bytes(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
-    // revision-correct password bytes (mirrors PdfCrypt.passBytes):
-    // Latin-1 for Algorithm 2 (R<=4), UTF-8/127 for 2.A (R5/R6)
-    def latin1(pw: String): Array[Byte] =
-      pw.map(c => if (c.toInt <= 0xff) c.toByte else '?'.toByte).toArray
-    val passBytes = userPassword
-      .getBytes(StandardCharsets.UTF_8).take(127)
-    val ownerBytes = ownerPassword
-      .getBytes(StandardCharsets.UTF_8).take(127)
+    // revision-correct password bytes come from the PRODUCTION
+    // mapping (PdfCrypt.passBytes) so the fixture cannot drift from it
+    val passBytes = PdfCrypt.passBytes(userPassword, 6)
+    val ownerBytes = PdfCrypt.passBytes(ownerPassword, 6)
     // Algorithm 2's 32-byte padded passwords (R<=4: Latin-1 bytes)
-    val paddedPass = (latin1(userPassword) ++ PdfCrypt.Pad).take(32)
-    val paddedOwner = (latin1(ownerPassword) ++ PdfCrypt.Pad).take(32)
+    val paddedPass =
+      (PdfCrypt.passBytes(userPassword, 3) ++ PdfCrypt.Pad).take(32)
+    val paddedOwner =
+      (PdfCrypt.passBytes(ownerPassword, 3) ++ PdfCrypt.Pad).take(32)
     def hex(b: Array[Byte]) = "<" + b.map(x => f"${x & 0xFF}%02x")
       .mkString + ">"
     val p = -44 // permissions word (high bits set, printing denied)
