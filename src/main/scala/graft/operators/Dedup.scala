@@ -1340,7 +1340,12 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Int = 1000, maxRounds: Int = 15,
       useStarContraction: Boolean = false): DataFrame = {
-    val pairs = jaccardPairsCapped(df, idCol, textCol, n, threshold,
+    // spanning edges, not all pairs (round 11): components only need
+    // connectivity, and the exact-class contraction keeps them
+    // IDENTICAL while exact-dup cliques emit c-1 edges instead of
+    // c(c-1)/2 — the operator-of-record gets the same scale fix the
+    // cluster queries got (see jaccardSpanningEdges' proof)
+    val pairs = jaccardSpanningEdges(df, idCol, textCol, n, threshold,
       maxDocFreq)
     // maxRounds passes through (the non-convergence error says "raise
     // maxRounds" — that advice must be followable from this entry
