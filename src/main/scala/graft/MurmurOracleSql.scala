@@ -8,9 +8,14 @@ package graft
   * Both signers hash with `scala.util.hashing.MurmurHash3.stringHash`
   * (murmur3 x86_32 over UTF-16 code units, two per round — public
   * algorithm), which DuckDB lacks; these generators REPLAY it in SQL:
-  * a recursive CTE walks each string two chars per step (corpus text
-  * is ASCII at the oracle scales, so code units == bytes and
-  * `ascii(substr(...))` reproduces `charAt`), with 32-bit wraparound
+  * a recursive CTE walks each string two chars per step. For
+  * BMP-only text DuckDB's character semantics line up exactly with
+  * UTF-16 — `length()` counts codepoints = code units and
+  * `ascii(substr(s, i, 1))` yields the codepoint = the `charAt`
+  * value — so the replay is bit-identical for ALL BMP corpora (the
+  * driver testdata is ASCII, a strict subset); only astral-plane
+  * characters (2 UTF-16 units vs 1 codepoint) would diverge, the
+  * documented boundary. 32-bit wraparound
   * arithmetic done in HUGEINT-mod-2^32 and rotations as
   * shift-and-add. The q22 LSH bucket additionally replays Spark's
   * `hash()` over the signature slice — Murmur3_x86_32 hashLong folded
