@@ -77,7 +77,7 @@ $name AS MATERIALIZED (
   SELECT $keepS, len, pos + 2, ${mix("h1", "data")}, ${mix("h2", "data")}
   FROM (
     SELECT $keepS, len, pos, h1, h2,
-      (ascii(substr(s, pos+1, 1)) * 65536 + ascii(substr(s, pos+2, 1))) AS data
+      (ascii(substr(s, pos+1, 1))::BIGINT * 65536 + ascii(substr(s, pos+2, 1))) AS data
     FROM mm WHERE pos + 1 < len) t),
 term AS MATERIALIZED (
   SELECT $keepS, len,
