@@ -72,7 +72,7 @@ object Warc {
     else parseRecords(maybeGunzip(content)).toArray
   }
 
-  private[sources] def maybeGunzip(bytes: Array[Byte]): Array[Byte] = {
+  private[graft] def maybeGunzip(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 2 ||
       (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) bytes
     else {
@@ -85,11 +85,14 @@ object Warc {
       // never silently truncated.
       val initial = math.min(bytes.length.toLong * 4L,
         (Int.MaxValue - 8).toLong).toInt
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes), 1 << 16)
       val out = new java.io.ByteArrayOutputStream(initial)
       val buf = new Array[Byte](1 << 16)
       try {
+        // the CONSTRUCTOR parses the member header and throws
+        // ZipException on a corrupt one (gzip magic + junk) — it must
+        // sit inside the same guard as the read loop
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes), 1 << 16)
         var n = in.read(buf)
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         in.close()
@@ -110,7 +113,7 @@ object Warc {
     * final records are a crash-truncation reality of crawl files —
     * records parsed so far are returned, the tail is dropped, and the
     * error channel is the caller's record-count reconciliation). */
-  private[sources] def parseRecords(bytes: Array[Byte]): Seq[Rec] = {
+  private[graft] def parseRecords(bytes: Array[Byte]): Seq[Rec] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Rec]
     var pos = 0
     var ok = true

@@ -80,4 +80,37 @@ class UntrustedBytesSpec extends AnyFunSuite {
     neverThrows(withMagic("%PDF-1.5\n".getBytes("US-ASCII")))(
       PdfExtract.pages(_, "pw"))
   }
+
+  // ---- pre-existing binary parsers, same contract (the Ogg OOB this
+  // spec caught on its first run argues for sweeping them all) ----
+
+  test("Multimodal: mp4Metadata and decodeImage on random and " +
+      "ftyp-prefixed junk") {
+    import graft.operators.Multimodal
+    neverThrows(junk)(Multimodal.mp4Metadata)
+    // a plausible box header: size 32, type ftyp
+    neverThrows(withMagic(Array[Byte](0, 0, 0, 32) ++
+      "ftypisom".getBytes("US-ASCII")))(Multimodal.mp4Metadata)
+    neverThrows(junk)(Multimodal.decodeImage)
+  }
+
+  test("PdfCrypt.handlerFor and PdfExtract.isEncrypted on junk with " +
+      "an /Encrypt marker") {
+    import graft.functions.PdfCrypt
+    neverThrows(junk)(PdfCrypt.handlerFor(_))
+    neverThrows(withMagic(
+      "%PDF-1.5\ntrailer << /Encrypt 1 0 R >>\n"
+        .getBytes("ISO-8859-1")))(b =>
+      (PdfExtract.isEncrypted(b), PdfCrypt.handlerFor(b, "x")))
+  }
+
+  test("Warc.parseRecords/maybeGunzip on random and WARC/1.0-prefixed " +
+      "junk (incl. bogus gzip magic)") {
+    import graft.sources.Warc
+    neverThrows(junk)(Warc.parseRecords)
+    neverThrows(withMagic("WARC/1.0\r\nWARC-Type: response\r\n"
+      .getBytes("US-ASCII")))(Warc.parseRecords)
+    neverThrows(withMagic(Array[Byte](0x1f, 0x8b.toByte)))(b =>
+      Warc.parseRecords(Warc.maybeGunzip(b)))
+  }
 }
