@@ -104,6 +104,26 @@ class UntrustedBytesSpec extends AnyFunSuite {
       (PdfExtract.isEncrypted(b), PdfCrypt.handlerFor(b, "x")))
   }
 
+  test("string scrapers: HtmlArticle helpers never throw on tag soup") {
+    import graft.sources.HtmlArticle
+    val soup: Gen[String] = for {
+      n <- Gen.choose(0, 200)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        (6, Gen.alphaNumChar),
+        (2, Gen.oneOf('<', '>', '"', '\'', '=', '/', '&', ';', ' ')),
+        (1, Gen.oneOf('\n', 'é', '中', '\u0000'))))
+    } yield cs.mkString
+    val prop = forAll(soup) { html =>
+      HtmlArticle.metaContentOf(html, "og:title")
+      HtmlArticle.metaContentIgnoreCase(html, "description")
+      HtmlArticle.elementByAttr(html, "div", "class", "content")
+      true
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("Warc.parseRecords/maybeGunzip on random and WARC/1.0-prefixed " +
       "junk (incl. bogus gzip magic)") {
     import graft.sources.Warc
