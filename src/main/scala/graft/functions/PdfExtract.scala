@@ -223,9 +223,20 @@ object PdfExtract {
         desc <- {
           val dIdx = fd.indexOf("/DescendantFonts")
           if (dIdx < 0) None
-          else RefRe.findFirstMatchIn(fd.substring(dIdx))
-            .flatMap(m => dicts.get(m.group(1).toInt))
-            .orElse(Some(fd.substring(dIdx))) // inline array of dicts
+          else {
+            val first = RefRe.findFirstMatchIn(fd.substring(dIdx))
+              .flatMap(m => dicts.get(m.group(1).toInt))
+              .getOrElse(fd.substring(dIdx)) // inline array of dicts
+            // "/DescendantFonts 7 0 R" where object 7 is the ARRAY
+            // "[8 0 R]": the first deref lands on array text — chase
+            // one more ref to reach the CIDFont dict itself
+            val resolved =
+              if (first.contains("/FontDescriptor")) first
+              else RefRe.findFirstMatchIn(first)
+                .flatMap(m => dicts.get(m.group(1).toInt))
+                .getOrElse(first)
+            Some(resolved)
+          }
         }
         fdescObj <- "/FontDescriptor\\s+(\\d+)\\s+\\d+\\s+R".r
           .findFirstMatchIn(desc).map(_.group(1).toInt)
@@ -246,13 +257,23 @@ object PdfExtract {
     def differencesFallback(fd: String): Option[Map[Int, String]] = {
       val encAt = fd.indexOf("/Encoding")
       if (encAt < 0) return None
-      val encDict = {
-        val inline = balancedDictAt(fd, encAt)
-        if (inline.nonEmpty) inline
-        else RefRe.findFirstMatchIn(
-            fd.substring(encAt, math.min(fd.length, encAt + 40)))
-          .flatMap(m => dicts.get(m.group(1).toInt)).getOrElse("")
-      }
+      // dispatch on what ACTUALLY follows /Encoding — an inline dict,
+      // an indirect reference, or a base-encoding name. Grabbing "the
+      // first << after /Encoding" here would capture an unrelated
+      // inline dict (e.g. /CharProcs) whenever the encoding itself is
+      // a reference or a name.
+      var j = encAt + "/Encoding".length
+      while (j < fd.length && Character.isWhitespace(fd.charAt(j)))
+        j += 1
+      val encDict =
+        if (j + 1 < fd.length && fd.charAt(j) == '<' &&
+            fd.charAt(j + 1) == '<')
+          balancedDictAt(fd, j)
+        else if (j < fd.length && fd.charAt(j).isDigit)
+          RefRe.findFirstMatchIn(fd.substring(j,
+              math.min(fd.length, j + 24)))
+            .flatMap(m => dicts.get(m.group(1).toInt)).getOrElse("")
+        else "" // base-encoding name: no Differences to read
       val dIdx = encDict.indexOf("/Differences")
       if (dIdx < 0) return None
       val open = encDict.indexOf('[', dIdx)

@@ -68,12 +68,20 @@ object TrueTypeCmap {
       }
       if (best < 0) return Map.empty
       val acc = scala.collection.mutable.Map.empty[Int, Int]
-      def put(uni: Int, gid: Int): Unit =
+      // hard work/size cap: a crafted cmap (100k max-span format-12
+      // groups, or 32k full-range format-4 segments) would otherwise
+      // drive billions of iterations / unbounded map growth on one
+      // poison row — real fonts map far below 2^17 codepoints, and
+      // best-effort means returning what was walked, not spinning
+      var budget = 1 << 17
+      def put(uni: Int, gid: Int): Unit = {
+        budget -= 1
         if (gid != 0 && uni != 0xffff)
           acc.updateWith(gid) {
             case Some(prev) => Some(math.min(prev, uni))
             case None => Some(uni)
           }
+      }
       r.u16(best) match {
         case 4 =>
           val segX2 = r.u16(best + 6)
@@ -84,14 +92,14 @@ object TrueTypeCmap {
           val rangeAt = deltaAt + segX2
           if (!r.ok(rangeAt, segX2)) return Map.empty
           var s = 0
-          while (s < seg) {
+          while (s < seg && budget > 0) {
             val end = r.u16(endAt + 2 * s)
             val start = r.u16(startAt + 2 * s)
             val delta = r.u16(deltaAt + 2 * s)
             val ro = r.u16(rangeAt + 2 * s)
             if (start <= end && end - start < 0x10000) {
               var c = start
-              while (c <= end) {
+              while (c <= end && budget > 0) {
                 val gid =
                   if (ro == 0) (c + delta) & 0xffff
                   else {
@@ -112,7 +120,7 @@ object TrueTypeCmap {
           val nGroups = r.u32(best + 12)
           if (nGroups < 0 || nGroups > 100000) return Map.empty
           var g = 0
-          while (g < nGroups) {
+          while (g < nGroups && budget > 0) {
             val at = best + 16 + 12 * g
             if (!r.ok(at, 12)) return acc.toMap
             val sc = r.u32(at).toInt
@@ -120,7 +128,9 @@ object TrueTypeCmap {
             val sg = r.u32(at + 8).toInt
             if (sc <= ec && ec - sc < 0x10000) {
               var c = sc
-              while (c <= ec) { put(c, sg + (c - sc)); c += 1 }
+              while (c <= ec && budget > 0) {
+                put(c, sg + (c - sc)); c += 1
+              }
             }
             g += 1
           }

@@ -1129,7 +1129,7 @@ object Dedup {
     * ids contract. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
       idCol: String = "id", idACol: String = "id_a",
-      idBCol: String = "id_b", maxRounds: Int = 15,
+      idBCol: String = "id_b", maxRounds: Int = 18,
       idsCoverEndpoints: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs

@@ -21,14 +21,16 @@ package graft.operators
 object FlacDecode {
 
   private final class BitReader(b: Array[Byte]) {
-    var pos = 0 // bit position
-    def remaining: Int = b.length * 8 - pos
-    def bad: Boolean = pos > b.length * 8
+    // LONG bit positions: an Int wraps at 256 MiB payloads
+    // (b.length * 8 overflow), silently failing valid large files
+    var pos = 0L // bit position
+    def remaining: Long = b.length.toLong * 8 - pos
+    def bad: Boolean = pos > b.length.toLong * 8
 
     def readBit(): Int = {
-      val byteAt = pos >>> 3
-      if (byteAt >= b.length) { pos += 1; return 0 }
-      val bit = (b(byteAt) >> (7 - (pos & 7))) & 1
+      val byteAt = (pos >>> 3).toInt
+      if (byteAt >= b.length || byteAt < 0) { pos += 1; return 0 }
+      val bit = (b(byteAt) >> (7 - (pos & 7).toInt)) & 1
       pos += 1
       bit
     }
@@ -107,7 +109,7 @@ object FlacDecode {
     val out = new java.util.ArrayList[Float](
       math.min(math.max(total, 1024L), 1 << 24).toInt)
     val r = new BitReader(payload)
-    r.pos = at * 8
+    r.pos = at.toLong * 8
     var decoded = 0L
     var ok = true
     while (ok && (total == 0 || decoded < total) && r.remaining >= 40) {

@@ -382,6 +382,39 @@ class PdfCidSpec extends AnyFunSuite {
     assert(PdfExtract.pages(pdf) === Seq("Spar"))
   }
 
+  test("/Encoding as an INDIRECT reference resolves to the real " +
+      "encoding dict — not hijacked by a later inline dict in the " +
+      "font dict") {
+    val enc = "/Encoding 7 0 R /FontMatrix [0.001 0 0 0.001 0 0] " +
+      "/CharProcs << /dummy 9 0 R >>"
+    val pdf = simpleFontPdf(Seq(1, 2, 3, 3, 4), enc,
+      Seq(7 -> Left("<< /Type /Encoding /Differences " +
+        "[ 1 /H /e /l /o ] >>")))
+    assert(PdfExtract.pages(pdf) === Seq("Hello"))
+  }
+
+  test("/DescendantFonts as an indirect reference TO the array still " +
+      "reaches the CIDFont dict (one extra deref)") {
+    val msg = "Spin."
+    val alphabet = msg.distinct.sorted
+    def gid(c: Char): Int = 0x0100 + alphabet.indexOf(c)
+    val direct = cidPdfNoToUni(msg, gid)
+    // rewrite '/DescendantFonts [8 0 R]' to '/DescendantFonts 12 0 R'
+    // plus a new object 12 holding the array — same content through
+    // one more indirection (a common writer layout)
+    val s = new String(direct, StandardCharsets.ISO_8859_1)
+    assert(s.contains("/DescendantFonts [8 0 R]"))
+    val rewritten = s.replace("/DescendantFonts [8 0 R]",
+      "/DescendantFonts 12 0 R")
+    // append object 12 before xref; PdfExtract's object walk is
+    // regex-based, so a post-xref append parses fine
+    val at = rewritten.indexOf("\nxref\n")
+    val out = rewritten.substring(0, at) +
+      "\n12 0 obj\n[8 0 R]\nendobj\n" + rewritten.substring(at)
+    assert(PdfExtract.pages(
+      out.getBytes(StandardCharsets.ISO_8859_1)) === Seq(msg))
+  }
+
   test("simple font codes OUTSIDE the Differences table keep their " +
       "raw byte (base-encoding passthrough, never dropped)") {
     val enc = "/Encoding << /Differences [ 1 /H ] >>"
