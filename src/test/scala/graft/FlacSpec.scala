@@ -255,6 +255,120 @@ class FlacSpec extends AnyFunSuite {
       s"MFCC coefficient $i diverged: ${a(i)} vs ${b(i)}"))
   }
 
+  test("mid/side stereo decorrelation reconstructs both channels " +
+      "(odd side values exercise the carried low bit)") {
+    val n = 128
+    val left = Array.tabulate(n)(i => (math.sin(0.15 * i) * 17000).toInt)
+    val right = Array.tabulate(n)(i =>
+      (math.cos(0.09 * i) * 13000).toInt + (i % 2)) // force odd sides
+    val hdr = new BitW
+    hdr.bits(0x3ffe, 14); hdr.bit(0); hdr.bit(0)
+    hdr.bits(7, 4); hdr.bits(0, 4)
+    hdr.bits(10, 4) // mid/side
+    hdr.bits(4, 3); hdr.bit(0)
+    hdr.bits(0, 8); hdr.bits(n - 1, 16)
+    val hb = hdr.bytes
+    val w = new BitW
+    hb.foreach(b => w.bits(b & 0xff, 8))
+    w.bits(crc8(hb), 8)
+    // mid = (L+R)>>1 (floor), side = L-R; decoder rebuilds the low bit
+    w.bit(0); w.bits(1, 6); w.bit(0) // verbatim mid, 16 bits
+    (0 until n).foreach { i =>
+      val mid = (left(i) + right(i)) >> 1
+      w.bits(mid.toLong & 0xffff, 16)
+    }
+    w.bit(0); w.bits(1, 6); w.bit(0) // verbatim side, 17 bits
+    (0 until n).foreach { i =>
+      val side = left(i).toLong - right(i)
+      w.bits(side & 0x1ffff, 17)
+    }
+    w.align()
+    val body = w.bytes
+    val frame = new ByteArrayOutputStream()
+    frame.write(body)
+    val c = crc16(body); frame.write((c >> 8) & 0xff); frame.write(c & 0xff)
+    val out = new ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(streamInfo(8000, 2, 16, n, n))
+    out.write(frame.toByteArray)
+    val (_, mono) = FlacDecode.decode(out.toByteArray).get
+    val expect = (0 until n).map(i =>
+      (left(i) / 32768f + right(i) / 32768f) / 2)
+    (0 until n).foreach(i =>
+      assert(math.abs(mono(i) - expect(i)) < 1e-6f,
+        s"sample $i: ${mono(i)} vs ${expect(i)}"))
+  }
+
+  test("Rice ESCAPE partitions (verbatim-coded residuals) decode " +
+      "bit-exactly") {
+    val n = 256
+    val samples = tone(300.0, n, 8000)
+    // frame with FIXED order 1 and an escaped residual partition:
+    // method 0, partition order 0, param 15 (escape), 17-bit raw
+    val hdr = new BitW
+    hdr.bits(0x3ffe, 14); hdr.bit(0); hdr.bit(0)
+    hdr.bits(7, 4); hdr.bits(0, 4); hdr.bits(0, 4)
+    hdr.bits(4, 3); hdr.bit(0)
+    hdr.bits(0, 8); hdr.bits(n - 1, 16)
+    val hb = hdr.bytes
+    val w = new BitW
+    hb.foreach(b => w.bits(b & 0xff, 8))
+    w.bits(crc8(hb), 8)
+    w.bit(0); w.bits(9, 6); w.bit(0) // FIXED order 1
+    w.bits(samples(0).toLong & 0xffff, 16)
+    w.bits(0, 2) // rice method 0
+    w.bits(0, 4) // partition order 0
+    w.bits(15, 4) // ESCAPE
+    w.bits(17, 5) // raw residual width
+    (1 until n).foreach { i =>
+      val res = samples(i).toLong - samples(i - 1)
+      w.bits(res & 0x1ffff, 17)
+    }
+    w.align()
+    val body = w.bytes
+    val frame = new ByteArrayOutputStream()
+    frame.write(body)
+    val c = crc16(body); frame.write((c >> 8) & 0xff); frame.write(c & 0xff)
+    val out = new ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(streamInfo(8000, 1, 16, n, n))
+    out.write(frame.toByteArray)
+    val (_, mono) = FlacDecode.decode(out.toByteArray).get
+    assert(mono.map(v => math.round(v * 32768f)).toSeq === samples.toSeq)
+  }
+
+  test("wasted bits: subframe decoded at reduced width then shifted " +
+      "back up") {
+    val n = 128
+    // samples all even: 1 wasted bit, stored as value >> 1 at 15 bits
+    val samples = Array.tabulate(n)(i =>
+      ((math.sin(0.2 * i) * 12000).toInt / 2) * 2)
+    val hdr = new BitW
+    hdr.bits(0x3ffe, 14); hdr.bit(0); hdr.bit(0)
+    hdr.bits(7, 4); hdr.bits(0, 4); hdr.bits(0, 4)
+    hdr.bits(4, 3); hdr.bit(0)
+    hdr.bits(0, 8); hdr.bits(n - 1, 16)
+    val hb = hdr.bytes
+    val w = new BitW
+    hb.foreach(b => w.bits(b & 0xff, 8))
+    w.bits(crc8(hb), 8)
+    w.bit(0); w.bits(1, 6) // verbatim
+    w.bit(1) // wasted-bits flag
+    w.bit(1) // unary 0 -> k = 0+1 = 1 wasted bit
+    samples.foreach(s => w.bits((s >> 1).toLong & 0x7fff, 15))
+    w.align()
+    val body = w.bytes
+    val frame = new ByteArrayOutputStream()
+    frame.write(body)
+    val c = crc16(body); frame.write((c >> 8) & 0xff); frame.write(c & 0xff)
+    val out = new ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(streamInfo(8000, 1, 16, n, n))
+    out.write(frame.toByteArray)
+    val (_, mono) = FlacDecode.decode(out.toByteArray).get
+    assert(mono.map(v => math.round(v * 32768f)).toSeq === samples.toSeq)
+  }
+
   test("a corrupt trailing frame stops the decode but KEEPS the " +
       "frames already recovered (fixed-order overrun guard)") {
     val samples = tone(440.0, 512, 8000)
