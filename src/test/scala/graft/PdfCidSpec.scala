@@ -447,6 +447,97 @@ class PdfCidSpec extends AnyFunSuite {
     assert(GlyphNames.toText("") === None)
   }
 
+  /** Minimal sfnt with a FORMAT-12 cmap subtable (platform 3/10):
+    * contiguous groups (startChar, endChar, startGlyph). */
+  private def ttfWithCmap12(groups: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val sub = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { sub.write((v >> 8) & 0xff); sub.write(v & 0xff) }
+    def u32(v: Long): Unit = { u16(((v >> 16) & 0xffff).toInt); u16((v & 0xffff).toInt) }
+    u16(12); u16(0) // format 12, reserved
+    u32(16L + 12 * groups.length) // length
+    u32(0L) // language
+    u32(groups.length.toLong)
+    groups.foreach { case (sc, ec, sg) => u32(sc); u32(ec); u32(sg) }
+    val subBytes = sub.toByteArray
+    val out = new ByteArrayOutputStream()
+    def o16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def o32(v: Long): Unit = { o16(((v >> 16) & 0xffff).toInt); o16((v & 0xffff).toInt) }
+    o32(0x00010000L); o16(1); o16(0); o16(0); o16(0)
+    out.write("cmap".getBytes(StandardCharsets.US_ASCII))
+    o32(0L); o32(28L); o32(12L + subBytes.length)
+    o16(0); o16(1)
+    o16(3); o16(10); o32(12L) // platform 3 encoding 10 (UCS-4)
+    out.write(subBytes)
+    out.toByteArray
+  }
+
+  test("TrueTypeCmap format 12: contiguous groups invert, incl. " +
+      "astral codepoints; end-to-end through a no-ToUnicode font") {
+    import graft.functions.TrueTypeCmap
+    val ttf = ttfWithCmap12(Seq(
+      ('A'.toInt, 'C'.toInt, 0x100), // A,B,C -> gid 256,257,258
+      (0x1F600, 0x1F601, 0x200))) // astral emoji -> gid 512,513
+    val g2u = TrueTypeCmap.glyphToUnicode(ttf)
+    assert(g2u(0x100) === 'A'.toInt)
+    assert(g2u(0x102) === 'C'.toInt)
+    assert(g2u(0x200) === 0x1F600)
+    // Identity CIDToGIDMap composition surfaces the astral char as a
+    // surrogate PAIR string
+    val c2u = TrueTypeCmap.cidToUnicode(ttf, None)
+    assert(c2u(0x200) === "😀")
+    // end-to-end: codes = gids through the PDF walk
+    val msg = "BAC"
+    def gid(c: Char): Int = 0x100 + (c - 'A')
+    val pdf = cidPdfNoToUni(msg, gid)
+    // swap the embedded format-4 font for the format-12 one by
+    // rebuilding with the same gid mapping
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    assert(PdfExtract.pages(cidPdfNoToUniWith(msg, gid, ttf)) === Seq(msg))
+    assert(s.nonEmpty)
+  }
+
+  /** cidPdfNoToUni variant embedding a caller-supplied font blob. */
+  private def cidPdfNoToUniWith(message: String, gidOf: Char => Int,
+      ttf: Array[Byte]): Array[Byte] = {
+    val codesHex = message.map(c => f"${gidOf(c)}%04x").mkString
+    val content = s"BT /FC 12 Tf 72 720 Td <$codesHex> Tj\nET"
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/MediaBox [0 0 612 792] /Resources << /Font " +
+        "<< /FC 5 0 R >> >> >>"),
+      5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /T12 " +
+        "/Encoding /Identity-H /DescendantFonts [8 0 R] >>"),
+      8 -> ("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /T12 " +
+        "/FontDescriptor 9 0 R /CIDToGIDMap /Identity >>"),
+      9 -> "<< /Type /FontDescriptor /FontName /T12 /FontFile2 10 0 R >>")
+    val streamObjs = Seq(
+      4 -> content.getBytes(StandardCharsets.ISO_8859_1), 10 -> ttf)
+    val out = new ByteArrayOutputStream()
+    out.write(bytes("%PDF-1.5\n"))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    (objs.map { case (n, d) => (n, bytes(d)) } ++
+      streamObjs.map { case (n, body) =>
+        val full = new ByteArrayOutputStream()
+        full.write(bytes(s"<< /Length ${body.length} >>\nstream\n"))
+        full.write(body)
+        full.write(bytes("\nendstream"))
+        (n, full.toByteArray)
+      }).sortBy(_._1).foreach { case (n, body) =>
+      offsets(n) = out.size()
+      out.write(bytes(s"$n 0 obj\n")); out.write(body)
+      out.write(bytes("\nendobj\n"))
+    }
+    val xrefAt = out.size()
+    out.write(bytes("xref\n0 11\n0000000000 65535 f \n"))
+    (1 to 10).foreach(n =>
+      out.write(bytes(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")))
+    out.write(bytes("trailer\n<< /Size 11 /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+
   test("TrueTypeCmap: format-4 parse inverts to lowest codepoint per " +
       "glyph; junk bytes never throw") {
     import graft.functions.TrueTypeCmap
