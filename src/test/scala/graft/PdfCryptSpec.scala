@@ -54,7 +54,7 @@ class PdfCryptSpec extends AnyFunSuite with SparkSuite {
   private val expected = lines.mkString("\n")
 
   for (scheme <- Seq("rc4-40", "rc4-128", "rc4-cf", "aesv2",
-      "aesv3")) {
+      "aesv3", "aesv3-r5")) {
     test(s"$scheme: encrypted fixture decrypts and extracts " +
         "known text end to end") {
       val pdf = PdfFixtures.encryptedPdf(lines, scheme)
@@ -115,7 +115,8 @@ class PdfCryptSpec extends AnyFunSuite with SparkSuite {
     assert(PdfExtract.pages(bad) === Seq.empty)
   }
 
-  for (scheme <- Seq("rc4-128", "aesv2", "aesv3")) {
+  for (scheme <- Seq("rc4-40", "rc4-128", "aesv2", "aesv3",
+      "aesv3-r5")) {
     test(s"$scheme + user password: right password extracts, wrong or " +
         "empty refuses (Algorithm 2/2.A password-as-data, round 11)") {
       val pw = "s3cret-pâss" // non-ASCII exercises the UTF-8 path
@@ -139,7 +140,7 @@ class PdfCryptSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  for (scheme <- Seq("rc4-128", "aesv3")) {
+  for (scheme <- Seq("rc4-40", "rc4-128", "aesv3", "aesv3-r5")) {
     test(s"$scheme owner password opens the file (Algorithm 7 / the " +
         "/O-salt path): user-locked file, owner password recovers") {
       val userPw = "reader-pw"

@@ -149,6 +149,7 @@ object PdfFixtures {
       case "rc4-cf" => (4, 4, 128) // V4 crypt filter with /CFM /V2
       case "aesv2" => (4, 4, 128)
       case "aesv3" => (5, 6, 256)
+      case "aesv3-r5" => (5, 5, 256) // plain SHA-256 validation
       case other => sys.error(s"unknown scheme $other")
     }
     val aes = scheme.startsWith("aes")
@@ -197,17 +198,23 @@ object PdfFixtures {
           .toByte)
         val vs = Array.tabulate[Byte](8)(i => (i + 1).toByte)
         val ks = Array.tabulate[Byte](8)(i => (i + 9).toByte)
-        val u = PdfCrypt.hash2b(passBytes, vs) ++ vs ++ ks
-        val ue = aesEnc(PdfCrypt.hash2b(passBytes, ks),
+        // R5: plain SHA-256(pass ++ salt [++ udata]); R6: Algorithm 2.B
+        def ohash(pass: Array[Byte], salt: Array[Byte],
+            udata: Array[Byte] = Array.emptyByteArray): Array[Byte] =
+          if (r == 5) java.security.MessageDigest.getInstance("SHA-256")
+            .digest(pass ++ salt ++ udata)
+          else PdfCrypt.hash2b(pass, salt, udata)
+        val u = ohash(passBytes, vs) ++ vs ++ ks
+        val ue = aesEnc(ohash(passBytes, ks),
           new Array[Byte](16), fk, pad = false)
         // real /O//OE: owner validation/key salts, udata = U[0,48)
         val ovs = Array.tabulate[Byte](8)(i => (i + 17).toByte)
         val oks = Array.tabulate[Byte](8)(i => (i + 25).toByte)
         val u48 = u.take(48)
-        val o = PdfCrypt.hash2b(ownerBytes, ovs, u48) ++ ovs ++ oks
-        val oe = aesEnc(PdfCrypt.hash2b(ownerBytes, oks, u48),
+        val o = ohash(ownerBytes, ovs, u48) ++ ovs ++ oks
+        val oe = aesEnc(ohash(ownerBytes, oks, u48),
           new Array[Byte](16), fk, pad = false)
-        (s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $p " +
+        (s"<< /Filter /Standard /V 5 /R $r /Length 256 /P $p " +
           s"/O ${hex(o)} /U ${hex(u)} /OE ${hex(oe)} /UE ${hex(ue)} " +
           "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
           "/StmF /StdCF /StrF /StdCF >>", fk)
