@@ -59,4 +59,78 @@ class ScaleProofSpec extends SparkSuite {
       .select("count").distinct().collect().map(_.getLong(0)).toSet
     assert(counts === Set(factor.toLong))
   }
+
+  test("mutated tier: replica 0 byte-identical, later replicas carry " +
+      "deterministic edits scaling with the replica index, ids shifted " +
+      "referentially") {
+    val spark = initSpark()
+    val outDir = Files.createTempDirectory("mutproof").toString
+    ScaleProof.scaleDocumentsMutated(spark, "/root/testdata/sf0.001",
+      outDir, factor = 4)
+    val base = SparkEntry.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val scaled = spark.read.parquet(s"$outDir/documents.parquet")
+    val n = base.count()
+    assert(scaled.count() === 4 * n)
+    val off = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+    // replica 0 is byte-identical to the base
+    val rep0 = scaled.where(col("doc_id") < off)
+      .select(col("doc_id"), col("text"))
+    val diff0 = rep0.join(base.select(col("doc_id"),
+        col("text").as("orig")), "doc_id")
+      .where(col("text") =!= col("orig")).count()
+    assert(diff0 === 0L, "replica 0 must be unmutated")
+    // replicas 1..3: mutation count grows with the replica index
+    // (2% * r substitution rate) and is DETERMINISTIC across runs
+    def editRate(r: Int): Double = {
+      val rep = scaled
+        .where(col("doc_id") >= r * off && col("doc_id") < (r + 1) * off)
+        .withColumn("doc_id", col("doc_id") - lit(r * off))
+        .select(col("doc_id"), col("text").as("mut"))
+      val joined = base.select(col("doc_id"), col("text")).join(rep, "doc_id")
+        .select(col("text"), col("mut")).collect()
+      val (edits, total) = joined.foldLeft((0, 0)) { case ((e, t), row) =>
+        val a = row.getString(0).split(" ")
+        val b = row.getString(1).split(" ")
+        val pairs = a.zip(b)
+        (e + pairs.count { case (x, y) => x != y }, t + pairs.length)
+      }
+      edits.toDouble / total
+    }
+    val r1 = editRate(1); val r3 = editRate(3)
+    assert(r1 > 0.005 && r1 < 0.04, s"replica-1 rate $r1 should be ~2%")
+    assert(r3 > 2 * r1, s"replica-3 rate $r3 should exceed 2x replica-1")
+    // determinism: a second materialization produces identical bytes
+    val outDir2 = Files.createTempDirectory("mutproof2").toString
+    ScaleProof.scaleDocumentsMutated(spark, "/root/testdata/sf0.001",
+      outDir2, factor = 4)
+    val again = spark.read.parquet(s"$outDir2/documents.parquet")
+    assert(scaled.select("doc_id", "text").exceptAll(
+      again.select("doc_id", "text")).isEmpty)
+  }
+
+  test("nearDupRecall: exact-dup replicas recall at 1.0 in the top " +
+      "bucket and the fragment reports consistent totals") {
+    val spark = initSpark()
+    val outDir = Files.createTempDirectory("recallproof").toString
+    // factor 2, NO mutation beyond replica index 1 (2% edits):
+    // J in-corpus spans high buckets only
+    ScaleProof.scaleDocumentsMutated(spark, "/root/testdata/sf0.001",
+      outDir, factor = 2)
+    val frag = ScaleProof.nearDupRecall(spark, outDir)
+    assert(frag.contains("\"recall_buckets\""))
+    assert(frag.contains("\"recall_overall\""))
+    // parse the totals out of the fragment
+    val pairs = "\"pairs_total\":(\\d+)".r
+      .findFirstMatchIn(frag).get.group(1).toLong
+    val recalled = "\"recalled_total\":(\\d+)".r
+      .findFirstMatchIn(frag).get.group(1).toLong
+    assert(pairs > 0L)
+    assert(recalled <= pairs)
+    // 2% single-replica edits keep most pairs at J >= 0.8 where
+    // bands=4 recall is near-complete
+    assert(recalled.toDouble / pairs > 0.5,
+      s"high-J corpus should recall most pairs ($recalled/$pairs)")
+  }
 }
+
