@@ -376,6 +376,12 @@ object Dedup {
 
   private val spanningSlot = ReleaseSlot()
 
+  /** Driver-side bound on the suspect-id IN-set the adaptive
+    * spanning-edge path collects (1M ids ≈ 8-40 MB); beyond it the
+    * all-docs class machinery runs instead — a corpus that
+    * duplication-heavy genuinely needs it. */
+  val SpanningMaxLocalSuspects: Int = 1000000
+
   /** Connectivity-sufficient edge set of the capped-Jaccard pair graph
     * (same universe/threshold semantics as [[jaccardPairsCapped]]),
     * with pair count LINEAR — not quadratic — per exact-duplicate
@@ -410,6 +416,45 @@ object Dedup {
   def jaccardSpanningEdges(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // Duplication-adaptive contraction (round 11). The exact-class
+    // machinery costs a perDoc cache plus two full shuffles of per-doc
+    // ARRAY keys (groupBy(key) + join-back) — pure overhead when the
+    // corpus has no exact dups, the common case outside dedup-stress
+    // tiers (+1.2 s per composite at sf0.1, measured). A scan-level
+    // census over xxhash64(text) finds byte-identical SUSPECTS first:
+    // it ships only (id, 8-byte digest) through one tiny shuffle and
+    // never touches the shingle pipeline.
+    //
+    // The census is ROUTING ONLY — correctness does not depend on it
+    // in either direction. Docs routed to the class machinery are
+    // grouped by their FULL capped shingle array (exact); docs NOT
+    // routed simply stay their own representatives and participate in
+    // the exact thresholded pair stage, where any >= t edge between
+    // them (including J=1 edges of a shingle-identical class the text
+    // census cannot see) is emitted directly. Mis-routing therefore
+    // costs pair-emission volume, never edges: a digest collision adds
+    // one doc to the exact grouping (harmless); a shingle-identical
+    // but byte-different class stays uncontracted (quadratic for that
+    // class only — such classes are near-dups the mutated tier covers,
+    // not the mass-duplication stress case, which IS byte-identical).
+    val suspectIds: Array[Any] = {
+      val idDg = df.select(col(idCol).as("id"),
+        xxhash64(col(textCol)).as("tdg"))
+      val dupT = idDg.groupBy("tdg").agg(count(lit(1)).as("c"))
+        .where(col("c") > lit(1L)).select("tdg")
+      idDg.join(dupT, "tdg").select("id")
+        .limit(SpanningMaxLocalSuspects + 1)
+        .collect().map(_.get(0))
+    }
+    if (suspectIds.isEmpty) {
+      // No byte-identical docs anywhere: contraction cannot remove any
+      // edge, so the spanning set IS the full capped pair graph — emit
+      // it through the proven jaccardPairsCapped plan (no perDoc
+      // cache, no array-key shuffles).
+      val edges = jaccardPairsCapped(df, idCol, textCol, n, threshold,
+        maxDocFreq).select("id_a", "id_b")
+      return df.sparkSession.createDataFrame(edges.rdd, edges.schema)
+    }
     val sh = df.select(col(idCol).as("id"),
         shingleHashesUdf(n)(col(textCol)).as("shs"))
       .where(size(col("shs")) > 0)
@@ -433,22 +478,43 @@ object Dedup {
         count(lit(1)).cast("int").as("sz"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     spanningSlot.set(() => { perDoc.unpersist(); () })
-    // rep per class via hash-aggregate + equi-join on the array key.
-    // Measured against the window-min alternative (one exchange+SORT
-    // of the arrays): the two hash exchanges win at sf0.1 (9.3 s vs
-    // 9.9 s for the three composite queries) — sorting array keys
-    // costs more than hashing them twice.
-    val repPerKey = perDoc.groupBy("key").agg(min(col("id")).as("rep"))
-    val withRep = perDoc.join(repPerKey, "key")
-    val star = withRep.where(col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val (star, reps) =
+      if (suspectIds.length <= SpanningMaxLocalSuspects) {
+        // suspect/cold split by id membership (InSet, O(1) per row
+        // from the cache); exact class machinery over suspects only
+        val inSet = col("id").isInCollection(suspectIds)
+        val hot = perDoc.where(inSet)
+        val cold = perDoc.where(!inSet)
+        val repPerKey = hot.groupBy("key").agg(min(col("id")).as("rep"))
+        val withRep = hot.join(repPerKey, "key")
+        (withRep.where(col("id") =!= col("rep"))
+           .select(col("rep").as("id_a"), col("id").as("id_b")),
+         withRep.where(col("id") === col("rep"))
+           .select(col("id"), col("key"), col("sz"))
+           .union(cold.select(col("id"), col("key"), col("sz"))))
+      } else {
+        // duplication-heavy corpus (suspects exceed the driver IN-set
+        // bound): rep per class via hash-aggregate + equi-join on the
+        // array key, over ALL docs. Measured against the window-min
+        // alternative (one exchange+SORT of the arrays): the two hash
+        // exchanges win at sf0.1 (9.3 s vs 9.9 s for the three
+        // composite queries) — sorting array keys costs more than
+        // hashing them twice.
+        val repPerKey = perDoc.groupBy("key")
+          .agg(min(col("id")).as("rep"))
+        val withRep = perDoc.join(repPerKey, "key")
+        (withRep.where(col("id") =!= col("rep"))
+           .select(col("rep").as("id_a"), col("id").as("id_b")),
+         withRep.where(col("id") === col("rep"))
+           .select(col("id"), col("key"), col("sz")))
+      }
     // thresholded pairs among representatives, full-corpus capped
     // universe — the jaccardPairsCapped tail, except the per-shingle
     // member lists come from EXPLODING the reps' own cached class-key
     // arrays (perDoc.key IS the rep's capped shingle set), not from
     // re-joining the exploded `kept` frame against the rep ids — one
     // fewer shuffle join on the hot path
-    val byShingle = withRep.where(col("id") === col("rep"))
+    val byShingle = reps
       .select(col("id"), col("sz"), explode(col("key")).as("h"))
       .groupBy("h")
       .agg(sort_array(collect_list(struct(col("id"), col("sz"))))
@@ -1091,6 +1157,75 @@ object Dedup {
       case _ => ()
     }
 
+  /** Driver-side bound (in CANONICAL edges; the symmetric frame is 2x)
+    * under which connected components are solved exactly by local
+    * union-find instead of the iterative loop. 1M edges ≈ 32-80 MB of
+    * collected rows — bounded, and in exchange the common case (a
+    * thresholded pair graph is SPARSE next to its corpus) pays one
+    * collect instead of diameter-many shuffle rounds. Above the cap
+    * the distributed loop runs; the 30x dedup-stress tier sits above
+    * it deliberately, so the scale proof keeps exercising the loop. */
+  val LocalComponentsEdgeCap: Int = 1000000
+
+  /** Exact local components for a collected symmetric edge list:
+    * union-find with the smaller root winning, so every final root is
+    * its component's MINIMUM id (the operator contract) — same labels
+    * as the distributed loop, bit for bit. Returns None when the id
+    * type has no local ordering here (caller falls back to the loop).
+    * Output rows cover every edge ENDPOINT (callers merge singletons
+    * with a left join + coalesce). */
+  private def localComponentLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      idType: org.apache.spark.sql.types.DataType,
+      edgeRows: Array[org.apache.spark.sql.Row]): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val less: Option[(Any, Any) => Boolean] = idType match {
+      case LongType =>
+        Some((a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long])
+      case IntegerType =>
+        Some((a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int])
+      case StringType => Some((a, b) =>
+        a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0)
+      case _ => None
+    }
+    less.map { lt =>
+      val parent = new java.util.HashMap[Any, Any](edgeRows.length * 2)
+      def find(x: Any): Any = {
+        var r = x
+        var p = parent.get(r)
+        while (p != null && p != r) { r = p; p = parent.get(r) }
+        var c = x // path compression
+        while (c != r) { val nxt = parent.get(c); parent.put(c, r)
+          c = nxt }
+        r
+      }
+      edgeRows.foreach { row =>
+        val a = row.get(0); val b = row.get(1)
+        if (a != null && b != null) {
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            // smaller root wins: the surviving root IS the component
+            // min, so no second min pass is needed
+            if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+      }
+      val schema = StructType(Seq(StructField("id", idType),
+        StructField("rep", idType)))
+      val out = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row](parent.size)
+      parent.keySet.forEach { k =>
+        out += org.apache.spark.sql.Row(k, find(k)); () }
+      // parallelize, not a LocalRelation: keeps up-to-cap label sets
+      // out of the logical plan text; AQE still broadcasts the join
+      // from runtime stats when small
+      val slices = math.max(1, out.length / 100000)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, slices), schema)
+    }
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise evidence (jaccardPairs / minhashLshPairs /
     * simhashPairs / embeddingNearDupPairs) into duplicate CLUSTERS a
@@ -1117,20 +1252,27 @@ object Dedup {
     * loud failure (raise maxRounds) beats a wrong survivor set.
     *
     * Pair endpoints missing from `ids` are handled: propagation runs
-    * over ids ∪ endpoints (a bridge doc filtered out of `ids` still
+    * over the edge endpoints (a bridge doc filtered out of `ids` still
     * connects its neighbors), and the output is then restricted back
-    * to `ids` — note cluster_rep can therefore be an id outside `ids`
-    * when the component min was filtered out. When the caller KNOWS
-    * every endpoint appears in `ids` AND `ids` has no duplicate rows
-    * (the common case: pairs derived from the same corpus frame), pass
-    * `idsCoverEndpoints = true` to skip the seeding union+distinct and
-    * the final restriction join — at corpus scale those are two real
-    * exchanges over corpus-sized tables bought purely for the filtered-
-    * ids contract. */
+    * to `ids` by the final merge join — note cluster_rep can therefore
+    * be an id outside `ids` when the component min was filtered out.
+    * When the caller KNOWS `ids` has no duplicate rows (the common
+    * case: pairs derived from the same corpus frame), pass
+    * `idsCoverEndpoints = true` to skip the defensive distinct.
+    *
+    * Adaptive execution (round 11): iteration is restricted to edge
+    * ENDPOINTS (a vertex with no edge never changes labels; singletons
+    * merge back through one left join), and graphs at or under
+    * `localEdgeCap` canonical edges skip the loop entirely — exact
+    * driver union-find, same labels bit for bit, one collect instead
+    * of diameter-many shuffle rounds. `maxRounds` governs the
+    * distributed loop; the local path is exact by construction, so
+    * small deep chains resolve rather than refuse. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
       idCol: String = "id", idACol: String = "id_a",
       idBCol: String = "id_b", maxRounds: Int = 18,
-      idsCoverEndpoints: Boolean = false): DataFrame = {
+      idsCoverEndpoints: Boolean = false,
+      localEdgeCap: Int = LocalComponentsEdgeCap): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .select(col(idACol).as("src"), col(idBCol).as("dst"))
@@ -1142,12 +1284,38 @@ object Dedup {
     val idsOnly =
       if (idsCoverEndpoints) ids.select(col(idCol).as("id"))
       else ids.select(col(idCol).as("id")).distinct()
-    // seed with ids ∪ endpoints: an endpoint absent from `ids` must
-    // still carry labels across (and be visible to the convergence
-    // check — an inner-join change count over `ids` alone would read
-    // an endpoint-only change as convergence)
-    var labels = (if (idsCoverEndpoints) idsOnly
-      else idsOnly.union(edges.select(col("src").as("id"))).distinct())
+    val idType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
+    // Iteration runs over edge ENDPOINTS only — a vertex with no edge
+    // never changes its label, so carrying the whole corpus through
+    // every round is pure shuffle overhead (the pair graph is sparse
+    // next to its corpus at production thresholds). Singletons merge
+    // back through one left join at the end; endpoint-only nodes
+    // (bridges filtered out of `ids`) propagate as before and drop in
+    // the same join. The count() also prices the LOCAL fast path: at
+    // or under `localEdgeCap` canonical edges the graph is solved
+    // exactly by driver union-find — one collect instead of
+    // diameter-many shuffle+checkpoint rounds.
+    val nSym = edges.count()
+    val labelsOpt: Option[DataFrame] =
+      if (nSym <= 2L * localEdgeCap)
+        localComponentLabels(ids.sparkSession, idType, edges.collect())
+      else None
+    val endpointLabels = labelsOpt.getOrElse {
+      distributedMinLabel(edges, maxRounds)
+    }
+    edges.unpersist()
+    idsOnly.join(endpointLabels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("rep"), col("id")).as("cluster_rep"))
+  }
+
+  /** The distributed min-label loop behind [[connectedComponents]]:
+    * labels every edge ENDPOINT with its component minimum. `edges`
+    * must be the symmetric (both-directions) distinct frame. */
+  private def distributedMinLabel(edges: DataFrame,
+      maxRounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var round = 0
@@ -1178,7 +1346,6 @@ object Dedup {
       converged = changed == 0L
       round += 1
     }
-    edges.unpersist()
     if (!converged) {
       // after round 1 labels is checkpoint-backed, where unpersist()
       // alone is a no-op (same dual-release as the loop body above)
@@ -1193,9 +1360,7 @@ object Dedup {
     // the final labels frame is localCheckpoint-backed; its cached RDD
     // is reclaimed by the ContextCleaner once the returned DataFrame is
     // dropped — no explicit release hook needed
-    val restricted =
-      if (idsCoverEndpoints) labels else labels.join(idsOnly, "id")
-    restricted.select(col("id").as(idCol), col("rep").as("cluster_rep"))
+    labels
   }
 
   /** Connected components in O(log n) ROUNDS via alternating
@@ -1229,7 +1394,8 @@ object Dedup {
   def connectedComponentsStar(ids: DataFrame, pairs: DataFrame,
       idCol: String = "id", idACol: String = "id_a",
       idBCol: String = "id_b", maxRounds: Int = 25,
-      idsCoverEndpoints: Boolean = false): DataFrame = {
+      idsCoverEndpoints: Boolean = false,
+      localEdgeCap: Int = LocalComponentsEdgeCap): DataFrame = {
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
@@ -1242,6 +1408,24 @@ object Dedup {
     var edges = canon(pairs.select(col(idACol).as("u"),
         col(idBCol).as("v")))
       .localCheckpoint(true)
+    val idType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
+    // same local fast path as connectedComponents (see
+    // LocalComponentsEdgeCap): union-find labels are exactly the star
+    // fixed point's (node -> component min), so the tail join below is
+    // shared verbatim
+    val localLabels: Option[DataFrame] =
+      if (edges.count() <= localEdgeCap)
+        localComponentLabels(ids.sparkSession, idType, edges.collect())
+      else None
+    if (localLabels.isDefined) {
+      releaseCheckpoint(edges)
+      val idsOnly =
+        if (idsCoverEndpoints) ids.select(col(idCol).as("id"))
+        else ids.select(col(idCol).as("id")).distinct()
+      return idsOnly.join(localLabels.get, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("rep"), col("id")).as("cluster_rep"))
+    }
     // (count, xor-of-edge-hashes) as the cheap fixed-point precheck:
     // bit_xor never overflows (ANSI mode rejects sum() of hashes) and
     // is order-independent; a signature MATCH is then confirmed with

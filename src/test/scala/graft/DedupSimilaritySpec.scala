@@ -134,7 +134,16 @@ class DedupSimilaritySpec extends SparkSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val star = Dedup.connectedComponentsStar(ids, pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got == expect && star == expect
+      // localEdgeCap = 0 exercises the distributed loops the default
+      // local fast path would otherwise shadow at this size
+      val gotLoop = Dedup.connectedComponents(ids, pairs,
+          maxRounds = 90, localEdgeCap = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val starLoop = Dedup.connectedComponentsStar(ids, pairs,
+          localEdgeCap = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expect && star == expect &&
+        gotLoop == expect && starLoop == expect
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
@@ -145,16 +154,24 @@ class DedupSimilaritySpec extends SparkSuite {
       "where min-label propagation would need diameter rounds") {
     val s = initSpark()
     import s.implicits._
-    // path graph 0-1-2-...-79: diameter 79. Min-label propagation at
-    // maxRounds=15 must refuse loudly; star contraction converges.
+    // path graph 0-1-2-...-79: diameter 79. The DISTRIBUTED min-label
+    // loop at maxRounds=15 must refuse loudly (localEdgeCap = 0 forces
+    // it); star contraction converges; and the default local fast
+    // path solves the same chain exactly without a loop at all.
     val pairs = (0L until 79L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val ids = (0L until 80L).toDF("doc_id")
-    val star = Dedup.connectedComponentsStar(ids, pairs, idCol = "doc_id")
+    val star = Dedup.connectedComponentsStar(ids, pairs, idCol = "doc_id",
+        localEdgeCap = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(star.size === 80 && star.values.forall(_ == 0L))
+    val local = Dedup.connectedComponents(ids, pairs, idCol = "doc_id",
+        maxRounds = 15, idsCoverEndpoints = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === star)
     intercept[IllegalStateException] {
       Dedup.connectedComponents(ids, pairs, idCol = "doc_id",
-        maxRounds = 15, idsCoverEndpoints = true).count()
+        maxRounds = 15, idsCoverEndpoints = true,
+        localEdgeCap = 0).count()
     }
   }
 
