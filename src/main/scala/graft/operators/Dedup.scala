@@ -376,11 +376,17 @@ object Dedup {
 
   private val spanningSlot = ReleaseSlot()
 
-  /** Driver-side bound on the suspect-id IN-set the adaptive
-    * spanning-edge path collects (1M ids ≈ 8-40 MB); beyond it the
-    * all-docs class machinery runs instead — a corpus that
-    * duplication-heavy genuinely needs it. */
+  /** Bound on the suspect-id set the adaptive spanning-edge path
+    * BROADCASTS for its semi/anti routing joins (1M ids ≈ 8-40 MB);
+    * beyond it the all-docs class machinery runs instead — a corpus
+    * that duplication-heavy genuinely needs it. */
   val SpanningMaxLocalSuspects: Int = 1000000
+
+  /** Suspect sets at or under this size route via a literal IN-set
+    * filter instead of broadcast joins — two fewer exchanges, and far
+    * below the literal count where Catalyst plan analysis and task
+    * serialization start to dominate. */
+  val SpanningInSetSuspects: Int = 1000
 
   /** Connectivity-sufficient edge set of the capped-Jaccard pair graph
     * (same universe/threshold semantics as [[jaccardPairsCapped]]),
@@ -437,16 +443,32 @@ object Dedup {
     // but byte-different class stays uncontracted (quadratic for that
     // class only — such classes are near-dups the mutated tier covers,
     // not the mass-duplication stress case, which IS byte-identical).
-    val suspectIds: Array[Any] = {
-      val idDg = df.select(col(idCol).as("id"),
+    // count() first, collect() only under the cap — a limit(cap+1)
+    // .collect() here would re-run the census lineage several times
+    // (take()'s incremental partition scale-up re-executes the join,
+    // and each attempt rebuilds the digest groupBy), which at the 30x
+    // dup-stress tier cost ~8x the whole r10 query. The slim
+    // (id, digest) frame is persisted so the text column is hashed in
+    // ONE scan no matter how many census passes read it.
+    val t0 = System.nanoTime()
+    val idDg = df.select(col(idCol).as("id"),
         xxhash64(col(textCol)).as("tdg"))
-      val dupT = idDg.groupBy("tdg").agg(count(lit(1)).as("c"))
-        .where(col("c") > lit(1L)).select("tdg")
-      idDg.join(dupT, "tdg").select("id")
-        .limit(SpanningMaxLocalSuspects + 1)
-        .collect().map(_.get(0))
-    }
-    if (suspectIds.isEmpty) {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupT = idDg.groupBy("tdg").agg(count(lit(1)).as("c"))
+      .where(col("c") > lit(1L)).select("tdg")
+    // the suspect set stays a (persisted) FRAME consumed by joins, not
+    // a driver IN-set: a collected 100k+-literal isInCollection builds
+    // plans whose analysis and per-task serialization dwarf the work
+    // being routed (multi-MiB task binaries at the 30x tier)
+    val suspects = idDg.join(dupT, "tdg").select("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSuspects = suspects.count()
+    val nDocs = idDg.count() // cache pass; prices the all-dup shortcut
+    idDg.unpersist()
+    if (sys.env.contains("SPARK_GRAFT_SPAN_DEBUG"))
+      println(f"[span-debug] t=${System.currentTimeMillis()} suspects=$nSuspects census=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (nSuspects == 0L) {
+      suspects.unpersist()
       // No byte-identical docs anywhere: contraction cannot remove any
       // edge, so the spanning set IS the full capped pair graph — emit
       // it through the proven jaccardPairsCapped plan (no perDoc
@@ -477,14 +499,37 @@ object Dedup {
       .agg(sort_array(collect_list(col("h"))).as("key"),
         count(lit(1)).cast("int").as("sz"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    spanningSlot.set(() => { perDoc.unpersist(); () })
+    spanningSlot.set(() => { perDoc.unpersist(); suspects.unpersist()
+      () })
     val (star, reps) =
-      if (suspectIds.length <= SpanningMaxLocalSuspects) {
-        // suspect/cold split by id membership (InSet, O(1) per row
-        // from the cache); exact class machinery over suspects only
-        val inSet = col("id").isInCollection(suspectIds)
-        val hot = perDoc.where(inSet)
-        val cold = perDoc.where(!inSet)
+      if (nSuspects <= SpanningMaxLocalSuspects) {
+        // suspect/cold split, cheapest routing that fits the set size:
+        //  - every doc a suspect (mass-duplication stress shape):
+        //    the joins would route nothing — skip them outright;
+        //  - small set: a literal IN-set filter (driver-collected;
+        //    kept WELL below the size where a locked-in 100k-literal
+        //    plan made analysis + task serialization dwarf the routed
+        //    work — multi-MiB task binaries at the 30x tier);
+        //  - otherwise: broadcast semi/anti joins against the
+        //    persisted frame (bounded by the cap, ≤ tens of MB).
+        // Exact class machinery then runs over suspects only.
+        val allDup = nSuspects == nDocs
+        val small =
+          if (!allDup && nSuspects <= SpanningInSetSuspects) {
+            val ids = suspects.collect().map(_.get(0)).toSeq
+            suspects.unpersist()
+            Some(col("id").isInCollection(ids))
+          } else None
+        val (hot, cold) =
+          if (allDup) {
+            suspects.unpersist()
+            (perDoc, perDoc.where(lit(false)))
+          } else small match {
+            case Some(in) => (perDoc.where(in), perDoc.where(!in))
+            case None =>
+              (perDoc.join(broadcast(suspects), Seq("id"), "left_semi"),
+               perDoc.join(broadcast(suspects), Seq("id"), "left_anti"))
+          }
         val repPerKey = hot.groupBy("key").agg(min(col("id")).as("rep"))
         val withRep = hot.join(repPerKey, "key")
         (withRep.where(col("id") =!= col("rep"))
@@ -493,7 +538,8 @@ object Dedup {
            .select(col("id"), col("key"), col("sz"))
            .union(cold.select(col("id"), col("key"), col("sz"))))
       } else {
-        // duplication-heavy corpus (suspects exceed the driver IN-set
+        suspects.unpersist() // routing joins unused on this branch
+        // duplication-heavy corpus (suspects exceed the broadcast
         // bound): rep per class via hash-aggregate + equi-join on the
         // array key, over ALL docs. Measured against the window-min
         // alternative (one exchange+SORT of the arrays): the two hash
@@ -1163,9 +1209,12 @@ object Dedup {
     * collected rows — bounded, and in exchange the common case (a
     * thresholded pair graph is SPARSE next to its corpus) pays one
     * collect instead of diameter-many shuffle rounds. Above the cap
-    * the distributed loop runs; the 30x dedup-stress tier sits above
-    * it deliberately, so the scale proof keeps exercising the loop. */
-  val LocalComponentsEdgeCap: Int = 1000000
+    * the distributed loop runs. SPARK_GRAFT_CC_LOCAL_CAP overrides (0
+    * forces the loop — scale proofs use it to publish loop-mode data
+    * points even on graphs the local path would absorb). */
+  val LocalComponentsEdgeCap: Int =
+    sys.env.get("SPARK_GRAFT_CC_LOCAL_CAP").flatMap(_.toIntOption)
+      .getOrElse(1000000)
 
   /** Exact local components for a collected symmetric edge list:
     * union-find with the smaller root winning, so every final root is
@@ -1215,6 +1264,9 @@ object Dedup {
         StructField("rep", idType)))
       val out = new scala.collection.mutable.ArrayBuffer[
         org.apache.spark.sql.Row](parent.size)
+      // find() only rewrites VALUES of existing keys (path
+      // compression) — not a structural modification, so iterating
+      // keySet while it runs is safe per the HashMap contract
       parent.keySet.forEach { k =>
         out += org.apache.spark.sql.Row(k, find(k)); () }
       // parallelize, not a LocalRelation: keeps up-to-cap label sets
@@ -1300,6 +1352,9 @@ object Dedup {
       if (nSym <= 2L * localEdgeCap)
         localComponentLabels(ids.sparkSession, idType, edges.collect())
       else None
+    if (sys.env.contains("SPARK_GRAFT_SPAN_DEBUG"))
+      println(s"[cc-debug] symEdges=$nSym mode=" +
+        (if (labelsOpt.isDefined) "local-uf" else "dist-loop"))
     val endpointLabels = labelsOpt.getOrElse {
       distributedMinLabel(edges, maxRounds)
     }
