@@ -443,23 +443,21 @@ object Dedup {
     // but byte-different class stays uncontracted (quadratic for that
     // class only — such classes are near-dups the mutated tier covers,
     // not the mass-duplication stress case, which IS byte-identical).
-    // count() first, collect() only under the cap — a limit(cap+1)
-    // .collect() here would re-run the census lineage several times
-    // (take()'s incremental partition scale-up re-executes the join,
-    // and each attempt rebuilds the digest groupBy), which at the 30x
-    // dup-stress tier cost ~8x the whole r10 query. The slim
-    // (id, digest) frame is persisted so the text column is hashed in
-    // ONE scan no matter how many census passes read it.
+    //
+    // Census mechanics: the slim (id, digest) frame is persisted so
+    // the text column is hashed in ONE scan however many census passes
+    // read it, and the suspect set is count()ed before anything is
+    // collected — a limit(cap+1).collect() here re-ran the census
+    // lineage several times (take()'s incremental partition scale-up
+    // re-executes the join, each attempt rebuilding the digest
+    // groupBy), which at the 30x dup-stress tier cost ~8x the whole
+    // r10 query.
     val t0 = System.nanoTime()
     val idDg = df.select(col(idCol).as("id"),
         xxhash64(col(textCol)).as("tdg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupT = idDg.groupBy("tdg").agg(count(lit(1)).as("c"))
       .where(col("c") > lit(1L)).select("tdg")
-    // the suspect set stays a (persisted) FRAME consumed by joins, not
-    // a driver IN-set: a collected 100k+-literal isInCollection builds
-    // plans whose analysis and per-task serialization dwarf the work
-    // being routed (multi-MiB task binaries at the 30x tier)
     val suspects = idDg.join(dupT, "tdg").select("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSuspects = suspects.count()
