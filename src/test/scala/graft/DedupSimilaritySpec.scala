@@ -464,6 +464,38 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(components(cappedSpan) === components(cappedFull))
   }
 
+  test("jaccardSpanningEdges routing tiers agree: zero-dup delegate, " +
+      "all-dup skip, and the broadcast-join tier above the IN-set " +
+      "bound all induce the capped graph's components") {
+    val s = initSpark()
+    import s.implicits._
+    def comps(docs: org.apache.spark.sql.DataFrame,
+        pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
+          idCol = "doc_id", idsCoverEndpoints = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def check(corpus: Seq[(Long, String)]): Unit = {
+      val docs = corpus.toDF("doc_id", "text").repartition(5)
+      val span = Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
+        n = 3, threshold = 0.3, maxDocFreq = 4096)
+      val full = Dedup.jaccardPairsCapped(docs, "doc_id", "text",
+        n = 3, threshold = 0.3, maxDocFreq = 4096)
+      assert(comps(docs, span) === comps(docs, full))
+    }
+    def doc(i: Long) = s"alpha$i beta$i gamma$i delta$i epsilon$i " +
+      s"zeta$i eta$i theta$i iota$i kappa$i"
+    // zero suspects: all docs distinct -> the capped-pair delegate
+    check((0L until 40L).map(i => (i, doc(i))))
+    // all-dup: EVERY doc a clique member -> routing joins skipped
+    check((0L until 40L).map(i => (i, doc(i / 4))))
+    // broadcast tier: > SpanningInSetSuspects suspect docs (1200
+    // docs in 600 exact-dup pairs) plus distinct cold docs
+    assert(Dedup.SpanningInSetSuspects < 1200)
+    val mixed = (0L until 1200L).map(i => (i, doc(i / 2))) ++
+      (2000L until 2040L).map(i => (i, doc(i)))
+    check(mixed)
+  }
+
   test("simhashPairs: null/empty/whitespace-only docs share signature " +
       "0 and pair at hamming 0 (the contract the q23 oracle replays " +
       "with its left join)") {
