@@ -1443,7 +1443,10 @@ object Dedup {
     * `connectedComponents` (one row per distinct input id,
     * cluster_rep = component min; DedupSimilaritySpec pins equality
     * on random graphs; `idsCoverEndpoints` skips the ids distinct as
-    * in connectedComponents — the singleton left join remains). */
+    * in connectedComponents — the singleton left join remains).
+    * Shares connectedComponents' local fast path: graphs at or under
+    * `localEdgeCap` canonical edges are solved by exact driver
+    * union-find instead of the contraction rounds. */
   def connectedComponentsStar(ids: DataFrame, pairs: DataFrame,
       idCol: String = "id", idACol: String = "id_a",
       idBCol: String = "id_b", maxRounds: Int = 25,
