@@ -452,6 +452,12 @@ object Dedup {
     // re-executes the join, each attempt rebuilding the digest
     // groupBy), which at the 30x dup-stress tier cost ~8x the whole
     // r10 query.
+    // release the PREVIOUS invocation's caches before persisting any
+    // of this one's (the ReleaseSlot ordering contract): on repeated
+    // identical invocations Spark's CacheManager dedupes persist() by
+    // analyzed plan, so releasing after this call's persists would
+    // uncache the very entries this call relies on
+    spanningSlot.releasePrevious()
     val t0 = System.nanoTime()
     val idDg = df.select(col(idCol).as("id"),
         xxhash64(col(textCol)).as("tdg"))
@@ -489,10 +495,9 @@ object Dedup {
     // perDoc feeds THREE branches (class grouping, the rep join, the
     // rep-array explode for per-shingle member lists) — persist so the
     // shingle UDF + capped aggregation run once, not once per branch;
-    // released on the next invocation (ReleaseSlot discipline, and the
-    // RDD barrier below means the first consumer materializes
-    // everything in one pass anyway)
-    spanningSlot.releasePrevious()
+    // released on the next invocation (ReleaseSlot discipline —
+    // releasePrevious() already ran at the top of this call, before
+    // any of this invocation's persists)
     val perDoc = kept.groupBy("id")
       .agg(sort_array(collect_list(col("h"))).as("key"),
         count(lit(1)).cast("int").as("sz"))
@@ -514,9 +519,15 @@ object Dedup {
         val allDup = nSuspects == nDocs
         val small =
           if (!allDup && nSuspects <= SpanningInSetSuspects) {
-            val ids = suspects.collect().map(_.get(0)).toSeq
+            // null-safety: drop null suspect ids and coalesce the IN
+            // to false, so the cold side (!in) NEVER drops rows — the
+            // same rows-kept semantics as the broadcast left_anti tier
+            // (null keys match nothing and stay cold)
+            val ids = suspects.collect().map(_.get(0))
+              .filter(_ != null).toSeq
             suspects.unpersist()
-            Some(col("id").isInCollection(ids))
+            Some(if (ids.isEmpty) lit(false)
+              else coalesce(col("id").isInCollection(ids), lit(false)))
           } else None
         val (hot, cold) =
           if (allDup) {
@@ -1214,28 +1225,54 @@ object Dedup {
     sys.env.get("SPARK_GRAFT_CC_LOCAL_CAP").flatMap(_.toIntOption)
       .getOrElse(1000000)
 
-  /** Exact local components for a collected symmetric edge list:
-    * union-find with the smaller root winning, so every final root is
-    * its component's MINIMUM id (the operator contract) — same labels
-    * as the distributed loop, bit for bit. Returns None when the id
-    * type has no local ordering here (caller falls back to the loop).
-    * Output rows cover every edge ENDPOINT (callers merge singletons
-    * with a left join + coalesce). */
-  private def localComponentLabels(
-      spark: org.apache.spark.sql.SparkSession,
-      idType: org.apache.spark.sql.types.DataType,
-      edgeRows: Array[org.apache.spark.sql.Row]): Option[DataFrame] = {
+  /** Local "a < b" for id values, consistent with Spark's own
+    * ordering so local union-find picks the SAME component minimum as
+    * the distributed loops. Strings compare as unsigned UTF-8 bytes —
+    * UTF8String.compareTo semantics (code-point order); JVM
+    * String.compareTo's UTF-16 code-unit order diverges on
+    * supplementary-plane ids vs U+E000..U+FFFF and would flip
+    * cluster_rep between execution modes. None = no local ordering
+    * here; callers then skip the local fast path entirely. */
+  private def localIdOrdering(
+      idType: org.apache.spark.sql.types.DataType)
+      : Option[(Any, Any) => Boolean] = {
     import org.apache.spark.sql.types._
-    val less: Option[(Any, Any) => Boolean] = idType match {
+    idType match {
       case LongType =>
         Some((a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long])
       case IntegerType =>
         Some((a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int])
-      case StringType => Some((a, b) =>
-        a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0)
+      case StringType => Some { (a, b) =>
+        val x = a.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        var c = 0
+        while (c == 0 && i < n) {
+          c = (x(i) & 0xFF) - (y(i) & 0xFF); i += 1
+        }
+        if (c != 0) c < 0 else x.length < y.length
+      }
       case _ => None
     }
-    less.map { lt =>
+  }
+
+  /** Exact local components for a collected symmetric edge list:
+    * union-find with the smaller root winning (per `lt`, which must be
+    * Spark-order-consistent — see [[localIdOrdering]]), so every final
+    * root is its component's MINIMUM id (the operator contract) — same
+    * labels as the distributed loop, bit for bit. Output rows cover
+    * every edge ENDPOINT (callers merge singletons with a left join +
+    * coalesce). */
+  private def localComponentLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      idType: org.apache.spark.sql.types.DataType,
+      lt: (Any, Any) => Boolean,
+      edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.types._
+    locally {
       val parent = new java.util.HashMap[Any, Any](edgeRows.length * 2)
       def find(x: Any): Any = {
         var r = x
@@ -1341,26 +1378,33 @@ object Dedup {
     // next to its corpus at production thresholds). Singletons merge
     // back through one left join at the end; endpoint-only nodes
     // (bridges filtered out of `ids`) propagate as before and drop in
-    // the same join. The count() also prices the LOCAL fast path: at
-    // or under `localEdgeCap` canonical edges the graph is solved
-    // exactly by driver union-find — one collect instead of
-    // diameter-many shuffle+checkpoint rounds.
-    val nSym = edges.count()
-    val labelsOpt: Option[DataFrame] =
-      if (nSym <= 2L * localEdgeCap)
-        localComponentLabels(ids.sparkSession, idType, edges.collect())
-      else None
+    // the same join. The LOCAL fast path is priced only when the id
+    // type has a Spark-order-consistent local ordering: at or under
+    // `localEdgeCap` canonical edges the graph is solved exactly by
+    // driver union-find — one collect instead of diameter-many
+    // shuffle+checkpoint rounds.
+    val labelsOpt: Option[DataFrame] = localIdOrdering(idType)
+      .filter(_ => edges.count() <= 2L * localEdgeCap)
+      .map(lt => localComponentLabels(ids.sparkSession, idType, lt,
+        edges.collect()))
     if (sys.env.contains("SPARK_GRAFT_SPAN_DEBUG"))
-      println(s"[cc-debug] symEdges=$nSym mode=" +
+      println(s"[cc-debug] mode=" +
         (if (labelsOpt.isDefined) "local-uf" else "dist-loop"))
     val endpointLabels = labelsOpt.getOrElse {
       distributedMinLabel(edges, maxRounds)
     }
     edges.unpersist()
-    idsOnly.join(endpointLabels, Seq("id"), "left")
+    mergeSingletons(idsOnly, endpointLabels, idCol)
+  }
+
+  /** Merge endpoint labels back over the full id set: ids with no
+    * edge are their own singleton cluster. Shared tail of both
+    * components variants and both execution modes. */
+  private def mergeSingletons(idsOnly: DataFrame, labels: DataFrame,
+      idCol: String): DataFrame =
+    idsOnly.join(labels, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("rep"), col("id")).as("cluster_rep"))
-  }
 
   /** The distributed min-label loop behind [[connectedComponents]]:
     * labels every edge ENDPOINT with its component minimum. `edges`
@@ -1467,20 +1511,18 @@ object Dedup {
     val idType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
     // same local fast path as connectedComponents (see
     // LocalComponentsEdgeCap): union-find labels are exactly the star
-    // fixed point's (node -> component min), so the tail join below is
-    // shared verbatim
-    val localLabels: Option[DataFrame] =
-      if (edges.count() <= localEdgeCap)
-        localComponentLabels(ids.sparkSession, idType, edges.collect())
-      else None
+    // fixed point's (node -> component min), so both modes flow into
+    // the one mergeSingletons tail
+    val localLabels: Option[DataFrame] = localIdOrdering(idType)
+      .filter(_ => edges.count() <= localEdgeCap)
+      .map(lt => localComponentLabels(ids.sparkSession, idType, lt,
+        edges.collect()))
     if (localLabels.isDefined) {
       releaseCheckpoint(edges)
       val idsOnly =
         if (idsCoverEndpoints) ids.select(col(idCol).as("id"))
         else ids.select(col(idCol).as("id")).distinct()
-      return idsOnly.join(localLabels.get, Seq("id"), "left")
-        .select(col("id").as(idCol),
-          coalesce(col("rep"), col("id")).as("cluster_rep"))
+      return mergeSingletons(idsOnly, localLabels.get, idCol)
     }
     // (count, xor-of-edge-hashes) as the cheap fixed-point precheck:
     // bit_xor never overflows (ANSI mode rejects sum() of hashes) and
@@ -1541,9 +1583,7 @@ object Dedup {
       if (idsCoverEndpoints) ids.select(col(idCol).as("id"))
       else ids.select(col(idCol).as("id")).distinct()
     val starred = edges.select(col("u").as("id"), col("v").as("rep"))
-    idsOnly.join(starred, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("rep"), col("id")).as("cluster_rep"))
+    mergeSingletons(idsOnly, starred, idCol)
   }
 
   /** The CONSUMING form of near-dup clustering: keep one survivor per

@@ -464,6 +464,33 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(components(cappedSpan) === components(cappedFull))
   }
 
+  test("components: supplementary-plane string ids get the same " +
+      "cluster_rep from local union-find and the distributed loops " +
+      "(UTF-8 byte order, not UTF-16 code-unit order)") {
+    val s = initSpark()
+    import s.implicits._
+    // U+10000 encodes as F0 90 80 80; U+E000 as EE 80 80. Spark's
+    // UTF8String binary order says U+E000 < U+10000; JVM
+    // String.compareTo says the opposite (surrogate 0xD800 < 0xE000).
+    val astral = "\ud800\udc00" // U+10000
+    val bmp = "\ue000"
+    val ids = Seq(astral, bmp, "zz").toDF("doc_id")
+    val pairs = Seq((astral, bmp)).toDF("id_a", "id_b")
+    def reps(cap: Int) =
+      Dedup.connectedComponents(ids, pairs, idCol = "doc_id",
+          localEdgeCap = cap)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = reps(Dedup.LocalComponentsEdgeCap)
+    val loop = reps(0)
+    val star = Dedup.connectedComponentsStar(ids, pairs,
+        idCol = "doc_id", localEdgeCap = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local === loop)
+    assert(local === star)
+    assert(local(astral) === bmp && local(bmp) === bmp,
+      "component min must follow Spark's UTF-8 binary order")
+  }
+
   test("jaccardSpanningEdges routing tiers agree: zero-dup delegate, " +
       "all-dup skip, and the broadcast-join tier above the IN-set " +
       "bound all induce the capped graph's components") {
