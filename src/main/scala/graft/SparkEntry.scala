@@ -1792,7 +1792,19 @@ object SparkEntry {
     // character classes are the syntax Java regex AND RE2 share. ----
     "q124_script_profile" -> ((s, dir) =>
       graft.functions.TextMetrics.scriptProfile(
-        t(s, dir, "documents"), "doc_id", "text"))
+        t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- dedupNearDup end-to-end (late round 11): the operator-of-
+    // record composition pairs → components → survivors as ONE call,
+    // hash-checked against the same recursive-CTE closure as q83 (the
+    // survivor set is exactly the ids equal to their cluster min).
+    // Pins the whole adaptive stack — census routing, spanning edges,
+    // endpoint-restricted/local-UF components, semi-join
+    // materialization — to the declarative form, cross-engine. ----
+    "q125_neardup_survivors" -> ((s, dir) =>
+      Dedup.dedupNearDup(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap)
+        .select(col("doc_id")))
   )
 
   /** q100/q101's fixed lexical query — mid-frequency corpus terms so
@@ -2492,6 +2504,14 @@ object SparkEntry {
          WHERE rn <= quota""",
 
     "q83_dup_clusters" -> DupClustersOracle,
+
+    // survivors = ids equal to their cluster min, over the SAME
+    // closure CTEs as q83 — the composition cannot drift from the
+    // clustering it materializes
+    "q125_neardup_survivors" -> (DupClustersCtes +
+      """
+       SELECT id AS doc_id FROM r GROUP BY id
+       HAVING id = min(rep)"""),
 
     // identical oracle by design: the star-contraction algorithm must
     // produce exactly the min-label clustering
