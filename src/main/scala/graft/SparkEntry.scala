@@ -1801,9 +1801,13 @@ object SparkEntry {
     // Pins the whole adaptive stack — census routing, spanning edges,
     // endpoint-restricted/local-UF components, semi-join
     // materialization — to the declarative form, cross-engine. ----
+    // maxRounds matches q83's connectedComponents default (18), so a
+    // forced-loop proof run (SPARK_GRAFT_CC_LOCAL_CAP=0) can never
+    // throw here on a diameter q83 itself converges at
     "q125_neardup_survivors" -> ((s, dir) =>
       Dedup.dedupNearDup(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap)
+          n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap,
+          maxRounds = 18)
         .select(col("doc_id")))
   )
 

@@ -1232,7 +1232,16 @@ object Dedup {
     * String.compareTo's UTF-16 code-unit order diverges on
     * supplementary-plane ids vs U+E000..U+FFFF and would flip
     * cluster_rep between execution modes. None = no local ordering
-    * here; callers then skip the local fast path entirely. */
+    * here; callers then skip the local fast path entirely.
+    *
+    * Boundary: string ids are assumed VALID UTF-8. Row.get has
+    * already decoded driver-side strings, so ids whose raw bytes are
+    * ill-formed lose those bytes to U+FFFD before this comparator
+    * (or the union-find's equality) sees them — two raw-byte-distinct
+    * ill-formed ids could merge locally where the loop keeps them
+    * apart. Every id this engine generates or ingests is valid UTF-8;
+    * a corpus that genuinely carries binary ids should use a binary
+    * or numeric id column (no local ordering → loop mode). */
   private def localIdOrdering(
       idType: org.apache.spark.sql.types.DataType)
       : Option[(Any, Any) => Boolean] = {
@@ -1272,45 +1281,43 @@ object Dedup {
       lt: (Any, Any) => Boolean,
       edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import org.apache.spark.sql.types._
-    locally {
-      val parent = new java.util.HashMap[Any, Any](edgeRows.length * 2)
-      def find(x: Any): Any = {
-        var r = x
-        var p = parent.get(r)
-        while (p != null && p != r) { r = p; p = parent.get(r) }
-        var c = x // path compression
-        while (c != r) { val nxt = parent.get(c); parent.put(c, r)
-          c = nxt }
-        r
-      }
-      edgeRows.foreach { row =>
-        val a = row.get(0); val b = row.get(1)
-        if (a != null && b != null) {
-          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) {
-            // smaller root wins: the surviving root IS the component
-            // min, so no second min pass is needed
-            if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
-          }
+    val parent = new java.util.HashMap[Any, Any](edgeRows.length * 2)
+    def find(x: Any): Any = {
+      var r = x
+      var p = parent.get(r)
+      while (p != null && p != r) { r = p; p = parent.get(r) }
+      var c = x // path compression
+      while (c != r) { val nxt = parent.get(c); parent.put(c, r)
+        c = nxt }
+      r
+    }
+    edgeRows.foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (a != null && b != null) {
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          // smaller root wins: the surviving root IS the component
+          // min, so no second min pass is needed
+          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
         }
       }
-      val schema = StructType(Seq(StructField("id", idType),
-        StructField("rep", idType)))
-      val out = new scala.collection.mutable.ArrayBuffer[
-        org.apache.spark.sql.Row](parent.size)
-      // find() only rewrites VALUES of existing keys (path
-      // compression) — not a structural modification, so iterating
-      // keySet while it runs is safe per the HashMap contract
-      parent.keySet.forEach { k =>
-        out += org.apache.spark.sql.Row(k, find(k)); () }
-      // parallelize, not a LocalRelation: keeps up-to-cap label sets
-      // out of the logical plan text; AQE still broadcasts the join
-      // from runtime stats when small
-      val slices = math.max(1, out.length / 100000)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toSeq, slices), schema)
     }
+    val schema = StructType(Seq(StructField("id", idType),
+      StructField("rep", idType)))
+    val out = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row](parent.size)
+    // find() only rewrites VALUES of existing keys (path
+    // compression) — not a structural modification, so iterating
+    // keySet while it runs is safe per the HashMap contract
+    parent.keySet.forEach { k =>
+      out += org.apache.spark.sql.Row(k, find(k)); () }
+    // parallelize, not a LocalRelation: keeps up-to-cap label sets
+    // out of the logical plan text; AQE still broadcasts the join
+    // from runtime stats when small
+    val slices = math.max(1, out.length / 100000)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, slices), schema)
   }
 
   /** Connected components over a near-dup pair graph — the step that

@@ -480,7 +480,10 @@ class DedupSimilaritySpec extends SparkSuite {
       Dedup.connectedComponents(ids, pairs, idCol = "doc_id",
           localEdgeCap = cap)
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val local = reps(Dedup.LocalComponentsEdgeCap)
+    // literal cap, not Dedup.LocalComponentsEdgeCap: that val is
+    // env-overridable (SPARK_GRAFT_CC_LOCAL_CAP=0 from a scale-proof
+    // shell would silently turn this into loop-vs-loop)
+    val local = reps(10)
     val loop = reps(0)
     val star = Dedup.connectedComponentsStar(ids, pairs,
         idCol = "doc_id", localEdgeCap = 0)
