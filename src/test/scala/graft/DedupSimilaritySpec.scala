@@ -464,6 +464,35 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(components(cappedSpan) === components(cappedFull))
   }
 
+  test("components: random STRING-id graphs agree between local " +
+      "union-find and the distributed loop (property)") {
+    val s = initSpark()
+    import s.implicits._
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      n <- Gen.choose(1, 18)
+      m <- Gen.choose(0, 24)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1),
+        Gen.choose(0, n - 1)))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    def sid(i: Int) = f"doc-$i%03d"
+    val prop = forAll(gen) { case (n, edges) =>
+      val ids = (0 until n).map(sid).toDF("id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(String, String)].toDF("id_a", "id_b")
+        else edges.map { case (a, b) => (sid(a), sid(b)) }
+          .toDF("id_a", "id_b")
+      def run(cap: Int) = Dedup.connectedComponents(ids, pairs,
+          maxRounds = 60, localEdgeCap = cap)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      run(1000) == run(0)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("components: supplementary-plane string ids get the same " +
       "cluster_rep from local union-find and the distributed loops " +
       "(UTF-8 byte order, not UTF-16 code-unit order)") {
