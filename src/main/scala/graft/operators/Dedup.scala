@@ -1252,17 +1252,14 @@ object Dedup {
       case IntegerType =>
         Some((a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int])
       case StringType => Some { (a, b) =>
-        val x = a.asInstanceOf[String]
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val y = b.asInstanceOf[String]
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val n = math.min(x.length, y.length)
-        var i = 0
-        var c = 0
-        while (c == 0 && i < n) {
-          c = (x(i) & 0xFF) - (y(i) & 0xFF); i += 1
-        }
-        if (c != 0) c < 0 else x.length < y.length
+        // Arrays.compareUnsigned = unsigned lexicographic then
+        // shorter-first — exactly UTF8String.compareTo over the
+        // encoded bytes
+        java.util.Arrays.compareUnsigned(
+          a.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
       }
       case _ => None
     }
@@ -1378,7 +1375,12 @@ object Dedup {
     val idsOnly =
       if (idsCoverEndpoints) ids.select(col(idCol).as("id"))
       else ids.select(col(idCol).as("id")).distinct()
-    val idType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
+    // id type from the EDGES frame, not `ids`: the union coerced the
+    // pair columns (e.g. Int pairs against Long ids widen to Long
+    // pre-union), and the collected values/labels schema must match
+    // what edges actually holds — deriving from `ids` would
+    // ClassCastException in the comparator on coercible-type callers
+    val idType = edges.schema(edges.schema.fieldIndex("src")).dataType
     // Iteration runs over edge ENDPOINTS only — a vertex with no edge
     // never changes its label, so carrying the whole corpus through
     // every round is pure shuffle overhead (the pair graph is sparse
@@ -1387,20 +1389,25 @@ object Dedup {
     // (bridges filtered out of `ids`) propagate as before and drop in
     // the same join. The LOCAL fast path is priced only when the id
     // type has a Spark-order-consistent local ordering: at or under
-    // `localEdgeCap` canonical edges the graph is solved exactly by
+    // `localEdgeCap` canonical edges (cap 0 = loop ALWAYS, the
+    // documented override contract) the graph is solved exactly by
     // driver union-find — one collect instead of diameter-many
-    // shuffle+checkpoint rounds.
+    // shuffle+checkpoint rounds. Only one direction per edge is
+    // collected (src < dst); union-find is undirected, and self-loops
+    // connect nothing (their nodes label themselves in the merge).
     val labelsOpt: Option[DataFrame] = localIdOrdering(idType)
-      .filter(_ => edges.count() <= 2L * localEdgeCap)
+      .filter(_ => localEdgeCap > 0 &&
+        edges.count() <= 2L * localEdgeCap)
       .map(lt => localComponentLabels(ids.sparkSession, idType, lt,
-        edges.collect()))
+        edges.where(col("src") < col("dst")).collect()))
     if (sys.env.contains("SPARK_GRAFT_SPAN_DEBUG"))
       println(s"[cc-debug] mode=" +
         (if (labelsOpt.isDefined) "local-uf" else "dist-loop"))
-    val endpointLabels = labelsOpt.getOrElse {
-      distributedMinLabel(edges, maxRounds)
-    }
-    edges.unpersist()
+    // finally: distributedMinLabel throws on non-convergence, and the
+    // corpus-scale edge cache must not outlive this call on that path
+    val endpointLabels =
+      try labelsOpt.getOrElse(distributedMinLabel(edges, maxRounds))
+      finally edges.unpersist()
     mergeSingletons(idsOnly, endpointLabels, idCol)
   }
 
@@ -1515,20 +1522,22 @@ object Dedup {
     var edges = canon(pairs.select(col(idACol).as("u"),
         col(idBCol).as("v")))
       .localCheckpoint(true)
-    val idType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
+    // id type from the canonical edge frame (coercible-type callers —
+    // see the connectedComponents note); cap 0 = loop ALWAYS
+    val idType = edges.schema(edges.schema.fieldIndex("u")).dataType
+    val idsOnly =
+      if (idsCoverEndpoints) ids.select(col(idCol).as("id"))
+      else ids.select(col(idCol).as("id")).distinct()
     // same local fast path as connectedComponents (see
     // LocalComponentsEdgeCap): union-find labels are exactly the star
     // fixed point's (node -> component min), so both modes flow into
     // the one mergeSingletons tail
     val localLabels: Option[DataFrame] = localIdOrdering(idType)
-      .filter(_ => edges.count() <= localEdgeCap)
+      .filter(_ => localEdgeCap > 0 && edges.count() <= localEdgeCap)
       .map(lt => localComponentLabels(ids.sparkSession, idType, lt,
         edges.collect()))
     if (localLabels.isDefined) {
       releaseCheckpoint(edges)
-      val idsOnly =
-        if (idsCoverEndpoints) ids.select(col(idCol).as("id"))
-        else ids.select(col(idCol).as("id")).distinct()
       return mergeSingletons(idsOnly, localLabels.get, idCol)
     }
     // (count, xor-of-edge-hashes) as the cheap fixed-point precheck:
@@ -1586,9 +1595,6 @@ object Dedup {
     // fixed point: edges are star edges (node -> component min). The
     // left join is needed in EVERY mode (star edges only cover
     // non-singleton nodes); idsCoverEndpoints skips only the distinct.
-    val idsOnly =
-      if (idsCoverEndpoints) ids.select(col(idCol).as("id"))
-      else ids.select(col(idCol).as("id")).distinct()
     val starred = edges.select(col("u").as("id"), col("v").as("rep"))
     mergeSingletons(idsOnly, starred, idCol)
   }

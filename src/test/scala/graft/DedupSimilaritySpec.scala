@@ -164,8 +164,11 @@ class DedupSimilaritySpec extends SparkSuite {
         localEdgeCap = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(star.size === 80 && star.values.forall(_ == 0L))
+    // literal cap (not the env-overridable default) so a lingering
+    // SPARK_GRAFT_CC_LOCAL_CAP=0 cannot turn this into the loop and
+    // trip the maxRounds guard
     val local = Dedup.connectedComponents(ids, pairs, idCol = "doc_id",
-        maxRounds = 15, idsCoverEndpoints = true)
+        maxRounds = 15, idsCoverEndpoints = true, localEdgeCap = 100)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(local === star)
     intercept[IllegalStateException] {
