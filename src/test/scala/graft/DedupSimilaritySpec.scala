@@ -467,6 +467,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(components(cappedSpan) === components(cappedFull))
   }
 
+  test("jaccardSpanningEdges: null/empty/short-text docs survive the " +
+      "suspect census isolated — they share digests but have no " +
+      "shingles, so no edge ever touches them") {
+    val s = initSpark()
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, base), (2L, base), // one real dup pair
+      (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]),
+      (12L, ""), (13L, ""), (14L, "two words"))
+    val docs = corpus.toDF("doc_id", "text").repartition(3)
+    val span = Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
+        n = 3, threshold = 0.2, maxDocFreq = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(span === Set((1L, 2L)),
+      "only the real dup pair may produce an edge")
+    val comps = Dedup.connectedComponents(docs.select(col("doc_id")),
+        Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
+          n = 3, threshold = 0.2, maxDocFreq = 4096),
+        idCol = "doc_id", idsCoverEndpoints = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 11L,
+      12L -> 12L, 13L -> 13L, 14L -> 14L))
+  }
+
   test("components: random STRING-id graphs agree between local " +
       "union-find and the distributed loop (property)") {
     val s = initSpark()
