@@ -254,7 +254,17 @@ object Dedup {
     * arrays instead of a count shuffle over every shared shingle.
     * Same output as jaccardPairs (pinned by spec); the economical
     * formulation for high thresholds. At low thresholds the prefix is
-    * nearly the whole set — use jaccardPairs there. */
+    * nearly the whole set — use jaccardPairs there.
+    *
+    * Domain boundary (measured at the 30x dup-stress tier): with NO
+    * df cap, mass duplication turns every prefix shingle into a
+    * stop-shingle (df = clique size x classes) and candidate emission
+    * goes quadratic per shingle — billions of pre-distinct rows that
+    * exhaust spill disk. That corpus shape belongs to
+    * [[jaccardPairsCapped]] (whose cap bounds exactly this) or the
+    * spanning-edge contraction; the prefix form's domain is sparse
+    * high-threshold corpora, where its selective prefixes are the
+    * whole point. */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame =
     jaccardPairsPrefixScoped(df, idCol, textCol, n, threshold)._1
@@ -297,11 +307,18 @@ object Dedup {
       .select(explode(pairEmitUdf(idType, threshold)(col("ms"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+    // merge-join hints: the persisted sets frame carries multi-KB
+    // shingle arrays per row, and the static planner's optimistic
+    // cached-relation stats can pick a BROADCAST build for it — a
+    // driver collect of the whole corpus's arrays (1.8 GB at the 30x
+    // tier, killed by maxResultSize; AQE cannot demote a cached-side
+    // broadcast because there is no shuffle stage to re-plan). Sort-
+    // merge keeps both sides spillable at any corpus size.
     val verified = cand
       .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"),
-        col("sz").as("sz_a")), "id_a")
+        col("sz").as("sz_a")).hint("merge"), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b"),
-        col("sz").as("sz_b")), "id_b")
+        col("sz").as("sz_b")).hint("merge"), "id_b")
       .withColumn("inter", graft.expr.VectorOps.intersectSortedLongs(
         col("shs_a"), col("shs_b")))
     val out = verified
