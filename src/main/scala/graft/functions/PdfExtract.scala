@@ -165,13 +165,15 @@ object PdfExtract {
   /** Object dict texts keyed by object number (dict area only: from
     * `N G obj` to the first `stream` or `endobj`). */
   private def objectDicts(text: String): Map[Int, String] =
-    ObjHeadRe.findAllMatchIn(text).map { m =>
+    ObjHeadRe.findAllMatchIn(text).flatMap { m =>
       val from = m.end
       val stop1 = text.indexOf("endobj", from)
       val stop2 = text.indexOf("stream", from)
       val stop = Seq(stop1, stop2).filter(_ >= 0)
         .minOption.getOrElse(text.length)
-      m.group(1).toInt -> text.substring(from, stop)
+      // toIntOption: an 11+-digit object number in a hostile PDF must
+      // skip the entry, not throw out of the extraction UDF
+      m.group(1).toIntOption.map(_ -> text.substring(from, stop))
     }.toMap
 
   /** The balanced `<< ... >>` block starting at the first `<<` at or
@@ -225,7 +227,7 @@ object PdfExtract {
           if (dIdx < 0) None
           else {
             val first = RefRe.findFirstMatchIn(fd.substring(dIdx))
-              .flatMap(m => dicts.get(m.group(1).toInt))
+              .flatMap(m => m.group(1).toIntOption.flatMap(dicts.get))
               .getOrElse(fd.substring(dIdx)) // inline array of dicts
             // "/DescendantFonts 7 0 R" where object 7 is the ARRAY
             // "[8 0 R]": the first deref lands on array text — chase
@@ -233,19 +235,19 @@ object PdfExtract {
             val resolved =
               if (first.contains("/FontDescriptor")) first
               else RefRe.findFirstMatchIn(first)
-                .flatMap(m => dicts.get(m.group(1).toInt))
+                .flatMap(m => m.group(1).toIntOption.flatMap(dicts.get))
                 .getOrElse(first)
             Some(resolved)
           }
         }
         fdescObj <- "/FontDescriptor\\s+(\\d+)\\s+\\d+\\s+R".r
-          .findFirstMatchIn(desc).map(_.group(1).toInt)
+          .findFirstMatchIn(desc).flatMap(_.group(1).toIntOption)
         fdesc <- dicts.get(fdescObj)
         ff2 <- "/FontFile2\\s+(\\d+)\\s+\\d+\\s+R".r
-          .findFirstMatchIn(fdesc).map(_.group(1).toInt)
+          .findFirstMatchIn(fdesc).flatMap(_.group(1).toIntOption)
         font <- streamBodyOf(ff2)
         cidToGid = "/CIDToGIDMap\\s+(\\d+)\\s+\\d+\\s+R".r
-          .findFirstMatchIn(desc).map(_.group(1).toInt)
+          .findFirstMatchIn(desc).flatMap(_.group(1).toIntOption)
           .flatMap(streamBodyOf)
         m = TrueTypeCmap.cidToUnicode(font, cidToGid)
         if m.nonEmpty
@@ -272,7 +274,8 @@ object PdfExtract {
         else if (j < fd.length && fd.charAt(j).isDigit)
           RefRe.findFirstMatchIn(fd.substring(j,
               math.min(fd.length, j + 24)))
-            .flatMap(m => dicts.get(m.group(1).toInt)).getOrElse("")
+            .flatMap(m => m.group(1).toIntOption.flatMap(dicts.get))
+            .getOrElse("")
         else "" // base-encoding name: no Differences to read
       val dIdx = encDict.indexOf("/Differences")
       if (dIdx < 0) return None
@@ -284,7 +287,8 @@ object PdfExtract {
       var code = 0
       val out = Map.newBuilder[Int, String]
       tok.findAllMatchIn(body).foreach { m =>
-        if (m.group(1) != null) code = m.group(1).toInt
+        if (m.group(1) != null)
+          m.group(1).toIntOption.foreach(c => code = c)
         else {
           GlyphNames.toText(m.group(2)).foreach(t => out += code -> t)
           code += 1
@@ -301,7 +305,7 @@ object PdfExtract {
           val width = if (fd.contains("/Type0")) 2 else 1
           val viaToUni = for {
             tu <- "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
-              .findFirstMatchIn(fd).map(_.group(1).toInt)
+              .findFirstMatchIn(fd).flatMap(_.group(1).toIntOption)
             body <- streamBodyOf(tu)
             m = parseToUnicode(
               new String(body, StandardCharsets.ISO_8859_1))
@@ -330,7 +334,8 @@ object PdfExtract {
               case -1 => after
               case k => after.substring(0, k)
             }
-            RefRe.findAllMatchIn(stopAt).map(_.group(1).toInt).toSeq
+            RefRe.findAllMatchIn(stopAt)
+              .flatMap(_.group(1).toIntOption).toSeq
           }
         // /Resources: inline dict or one-level indirection
         val rIdx = d.indexOf("/Resources")
@@ -340,14 +345,15 @@ object PdfExtract {
             val inline = balancedDictAt(d, rIdx)
             if (inline.nonEmpty) inline
             else RefRe.findFirstMatchIn(d.substring(rIdx))
-              .flatMap(m => dicts.get(m.group(1).toInt)).getOrElse("")
+              .flatMap(m => m.group(1).toIntOption.flatMap(dicts.get))
+              .getOrElse("")
           }
         val fIdx = resText.indexOf("/Font")
         val fonts =
           if (fIdx < 0) Map.empty[String, GlyphMap]
           else "/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R".r
             .findAllMatchIn(balancedDictAt(resText, fIdx))
-            .flatMap(m => cmapFor(m.group(2).toInt)
+            .flatMap(m => m.group(2).toIntOption.flatMap(cmapFor)
               .map(cm => m.group(1) -> cm))
             .toMap
         if (fonts.nonEmpty)
@@ -679,7 +685,10 @@ object PdfExtract {
         val objNum = ObjNumTailRe
           .findFirstMatchIn(text.substring(
             math.max(0, objAt - 24), math.min(text.length, objAt + 3)))
-          .map(m => (m.group(1).toInt, m.group(2).toInt))
+          .flatMap(m => for {
+            o <- m.group(1).toIntOption
+            g <- m.group(2).toIntOption
+          } yield (o, g))
         // a DIRECT /Length gives the exact body extent — authoritative,
         // and immune to (a) "endstream" appearing inside compressed
         // bytes and (b) a body whose own last byte is CR/LF (the
@@ -687,7 +696,7 @@ object PdfExtract {
         // tail). Indirect lengths (`/Length 5 0 R`) need the object
         // graph; those fall back to the delimiter scan.
         val directLen = DirectLengthRe.findFirstMatchIn(dict)
-          .map(_.group(1).toLong)
+          .flatMap(_.group(1).toLongOption)
         val bodyEndByLen = directLen
           .map(l => bodyStart + l)
           .filter(e => e <= pdf.length &&

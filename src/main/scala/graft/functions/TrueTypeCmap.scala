@@ -76,7 +76,11 @@ object TrueTypeCmap {
       var budget = 1 << 17
       def put(uni: Int, gid: Int): Unit = {
         budget -= 1
-        if (gid != 0 && uni != 0xffff)
+        // reject out-of-range codepoints at the source: format-12
+        // group starts come from untrusted u32().toInt, so a crafted
+        // group can pass the span guard with uni < 0 or > 0x10FFFF —
+        // storing it would make Character.toChars throw downstream
+        if (gid != 0 && uni != 0xffff && uni >= 0 && uni <= 0x10ffff)
           acc.updateWith(gid) {
             case Some(prev) => Some(math.min(prev, uni))
             case None => Some(uni)
@@ -144,7 +148,7 @@ object TrueTypeCmap {
     * composes the inverted font cmap with /CIDToGIDMap (Identity when
     * `cidToGid` is None, else the 2-byte-BE-per-CID stream). */
   def cidToUnicode(font: Array[Byte],
-      cidToGid: Option[Array[Byte]]): Map[Int, String] = {
+      cidToGid: Option[Array[Byte]]): Map[Int, String] = try {
     val g2u = glyphToUnicode(font)
     if (g2u.isEmpty) return Map.empty
     cidToGid match {
@@ -163,5 +167,7 @@ object TrueTypeCmap {
         }
         out.result()
     }
-  }
+    // same never-throws contract as glyphToUnicode: untrusted bytes
+    // yield an empty map, never an exception out of the extract UDF
+  } catch { case _: Exception => Map.empty }
 }

@@ -304,7 +304,8 @@ object FlacDecode {
     val po = r.readBits(4)
     val partitions = 1 << po
     // spec requires blockSize divisible by 2^po; the per-partition
-    // count guard below catches violations without a special case
+    // count guard catches overruns, and the idx == n check at the
+    // end rejects underruns (n >> po truncating to leave a zero tail)
     var idx = order
     var p = 0
     while (p < partitions) {
@@ -328,7 +329,7 @@ object FlacDecode {
       }
       p += 1
     }
-    !r.bad
+    idx == n && !r.bad
   }
 
   private def restoreFixed(s: Array[Long], n: Int, order: Int): Unit = {

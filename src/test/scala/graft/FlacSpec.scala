@@ -409,4 +409,56 @@ class FlacSpec extends AnyFunSuite {
     assert(FlacDecode.decode(null) === None)
     assert(FlacDecode.decode(Array[Byte](1, 2, 3)) === None)
   }
+
+  test("residual UNDERRUN (blockSize not divisible by 2^po) rejects " +
+      "the frame instead of fabricating zero residuals") {
+    val samples = tone(440.0, 512, 8000)
+    val good = flacMono(samples, 8000, "fixed2", blockSize = 512)
+    // evil frame: blockSize 7, FIXED order 1, partition order 1 —
+    // counts are (7>>1)-1=2 and (7>>1)=3, so idx ends at 6 < 7 and
+    // sample 7 would silently stay a fabricated zero residual
+    val hdr = new BitW
+    hdr.bits(0x3ffe, 14); hdr.bit(0); hdr.bit(0)
+    hdr.bits(7, 4); hdr.bits(0, 4); hdr.bits(0, 4)
+    hdr.bits(4, 3); hdr.bit(0)
+    hdr.bits(1, 8) // frame number 1
+    hdr.bits(6, 16) // blockSize - 1 = 6 -> blockSize 7
+    val hb = hdr.bytes
+    val w = new BitW
+    hb.foreach(b => w.bits(b & 0xff, 8))
+    w.bits(crc8(hb), 8)
+    w.bit(0); w.bits(9, 6); w.bit(0) // FIXED order 1
+    w.bits(100L & 0xffff, 16) // warm-up sample
+    w.bits(0, 2) // residual method 0
+    w.bits(1, 4) // partition order 1 (7 not divisible by 2)
+    val k = 4
+    def riceVals(vals: Seq[Long]): Unit = {
+      w.bits(k, 4)
+      vals.foreach { v =>
+        val zz = (v << 1) ^ (v >> 63)
+        val q = (zz >>> k).toInt
+        var i = 0
+        while (i < q) { w.bit(0); i += 1 }
+        w.bit(1)
+        w.bits(zz & ((1L << k) - 1), k)
+      }
+    }
+    riceVals(Seq(1L, 2L)) // partition 0: count 2
+    riceVals(Seq(3L, 4L, 5L)) // partition 1: count 3 -> idx = 6 < 7
+    w.align()
+    val body = w.bytes
+    val fr = new ByteArrayOutputStream()
+    fr.write(body)
+    val c = crc16(body)
+    fr.write((c >> 8) & 0xff); fr.write(c & 0xff)
+    val out = new ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(streamInfo(8000, 1, 16, 519, 512))
+    out.write(java.util.Arrays.copyOfRange(good, 4 + 38, good.length))
+    out.write(fr.toByteArray)
+    val decoded = FlacDecode.decode(out.toByteArray)
+    assert(decoded.nonEmpty, "recovered frames must survive")
+    assert(decoded.get._2.length === 512,
+      "the underrun frame must be rejected, not zero-padded")
+  }
 }

@@ -550,4 +550,56 @@ class PdfCidSpec extends AnyFunSuite {
       Map.empty)
     assert(TrueTypeCmap.glyphToUnicode(null) === Map.empty)
   }
+
+  test("TrueTypeCmap format 12: out-of-range group start codes " +
+      "(negative or > 0x10FFFF) are dropped, never stored — " +
+      "cidToUnicode must not throw on a crafted font") {
+    import graft.functions.TrueTypeCmap
+    // both hostile groups pass the span guard (sc <= ec, span < 2^16)
+    // but their codepoints are invalid for Character.toChars
+    val hostile = ttfWithCmap12Raw(Seq(
+      (0x80000000L, 0x80000005L, 0x300L), // negative as Int
+      (0x00110000L, 0x00110002L, 0x400L), // beyond U+10FFFF
+      ('A'.toLong, 'B'.toLong, 0x100L))) // one valid group survives
+    val g2u = TrueTypeCmap.glyphToUnicode(hostile)
+    assert(g2u.get(0x100) === Some('A'.toInt))
+    assert(!g2u.keys.exists(g => g >= 0x300 && g <= 0x305))
+    assert(!g2u.keys.exists(g => g >= 0x400 && g <= 0x402))
+    // the never-throws contract end-to-end
+    val c2u = TrueTypeCmap.cidToUnicode(hostile, None)
+    assert(c2u.get(0x100) === Some("A"))
+  }
+
+  /** ttfWithCmap12 variant taking raw u32 group fields, so tests can
+    * encode start codes outside the valid codepoint range. */
+  private def ttfWithCmap12Raw(
+      groups: Seq[(Long, Long, Long)]): Array[Byte] = {
+    val sub = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = {
+      sub.write((v >> 8) & 0xff); sub.write(v & 0xff)
+    }
+    def u32(v: Long): Unit = {
+      u16(((v >> 16) & 0xffff).toInt); u16((v & 0xffff).toInt)
+    }
+    u16(12); u16(0)
+    u32(16L + 12 * groups.length)
+    u32(0L)
+    u32(groups.length.toLong)
+    groups.foreach { case (sc, ec, sg) => u32(sc); u32(ec); u32(sg) }
+    val subBytes = sub.toByteArray
+    val out = new ByteArrayOutputStream()
+    def o16(v: Int): Unit = {
+      out.write((v >> 8) & 0xff); out.write(v & 0xff)
+    }
+    def o32(v: Long): Unit = {
+      o16(((v >> 16) & 0xffff).toInt); o16((v & 0xffff).toInt)
+    }
+    o32(0x00010000L); o16(1); o16(0); o16(0); o16(0)
+    out.write("cmap".getBytes(StandardCharsets.US_ASCII))
+    o32(0L); o32(28L); o32(12L + subBytes.length)
+    o16(0); o16(1)
+    o16(3); o16(10); o32(12L)
+    out.write(subBytes)
+    out.toByteArray
+  }
 }
