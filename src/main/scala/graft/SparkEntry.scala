@@ -832,7 +832,11 @@ object SparkEntry {
 
     // ---- Prefix-filtered exact jaccard (PPJoin-style — the
     // high-threshold 100-TB path; output provably equals jaccardPairs,
-    // DedupSimilaritySpec pins it) ----
+    // DedupSimilaritySpec pins it). Duplication-adaptive since round
+    // 12: byte-identical shingle sets contract to representatives
+    // before prefix generation and the output re-expands from class
+    // membership, so mass-duplicated corpora no longer blow up the
+    // candidate stage (the former 30x-tier domain boundary). ----
     "q68_jaccard_prefix" -> ((s, dir) => {
       Dedup.jaccardPairsPrefix(fan(s, t(s, dir, "documents")), "doc_id", "text",
         n = 3, threshold = 0.6)

@@ -256,38 +256,29 @@ object Dedup {
     * formulation for high thresholds. At low thresholds the prefix is
     * nearly the whole set — use jaccardPairs there.
     *
-    * Domain boundary (measured at the 30x dup-stress tier): with NO
-    * df cap, mass duplication turns every prefix shingle into a
-    * stop-shingle (df = clique size x classes) and candidate emission
-    * goes quadratic per shingle — billions of pre-distinct rows that
-    * exhaust spill disk. That corpus shape belongs to
-    * [[jaccardPairsCapped]] (whose cap bounds exactly this) or the
-    * spanning-edge contraction; the prefix form's domain is sparse
-    * high-threshold corpora, where its selective prefixes are the
-    * whole point. */
+    * Scale boundary CLOSED in round 12: mass duplication used to turn
+    * every prefix shingle into a stop-shingle (df = clique size x
+    * classes) and candidate emission went quadratic per shingle —
+    * billions of pre-distinct rows that exhausted spill disk at the
+    * 30x dup-stress tier. The operator is now DUPLICATION-ADAPTIVE:
+    * docs with byte-identical shingle sets contract to one
+    * representative before prefix generation (candidate volume
+    * quadratic per representative set, not per clique), and the
+    * output re-expands from class membership — bit-identical to the
+    * all-pairs result (intra-class pairs are J=1 by construction;
+    * J(x, y) of cross-class members equals J(rep_x, rep_y) because
+    * members share their rep's exact shingle set). */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame =
     jaccardPairsPrefixScoped(df, idCol, textCol, n, threshold)._1
 
-  /** jaccardPairsPrefix plus an explicit release hook for the internal
-    * shingle-set cache. The operator persists its shingle sets (three
-    * plan branches read them); per-query that cache is LRU-evictable and
-    * harmless, but a long-lived session running many dedup passes would
-    * accumulate pinned RDDs. Call the returned thunk AFTER the last
-    * action on the returned DataFrame — calling it earlier just makes
-    * the remaining branches recompute (correctness unaffected). */
-  def jaccardPairsPrefixScoped(df: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double)
-      : (DataFrame, () => Unit) = {
-    // persisted: three plan branches read it (prefix explode + both
-    // verify-join sides) — without the persist the shingling UDF runs
-    // over the full corpus three times. LRU-evictable; disk-spill for
-    // corpora beyond executor memory.
-    val sets = df.select(col(idCol).as("id"),
-        sortedShingleUdf(n)(col(textCol)).as("shs"))
-      .where(size(col("shs")) > 0)
-      .withColumn("sz", size(col("shs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** The PPJoin prefix -> candidate -> verify pipeline over a prepared
+    * (id, shs, sz) sets frame (persisted by the caller — three plan
+    * branches read it). Factored out so the duplication-adaptive
+    * wrapper can run the same pipeline over class representatives. */
+  private def prefixPairsOverSets(sets: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      threshold: Double): DataFrame = {
     // prefix computed against the round-slack threshold (see
     // roundSlackThreshold): a marginally longer prefix, never a
     // dropped borderline pair
@@ -301,8 +292,7 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("id"), col("sz"))))
         .as("ms"))
       .where(size(col("ms")) > 1)
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    val parts = sets.sparkSession.sessionState.conf.numShufflePartitions
     val cand = byShingle.repartition(parts)
       .select(explode(pairEmitUdf(idType, threshold)(col("ms"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
@@ -321,13 +311,152 @@ object Dedup {
         col("sz").as("sz_b")).hint("merge"), "id_b")
       .withColumn("inter", graft.expr.VectorOps.intersectSortedLongs(
         col("shs_a"), col("shs_b")))
-    val out = verified
+    verified
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double")
         + 1e-9, 4))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    (out, () => { sets.unpersist(); () })
+  }
+
+  /** All i<j member pairs of one contracted class. Members arrive
+    * sorted by sort_array (Catalyst ordering — the same order
+    * pairEmitUdf's upstream sort_array uses), so emitted pairs keep
+    * id_a < id_b under the engine's own type ordering. */
+  private def classPairUdf(idType: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types._
+    val out = ArrayType(StructType(Seq(
+      StructField("id_a", idType), StructField("id_b", idType))))
+    org.apache.spark.sql.functions.udf(
+      new org.apache.spark.sql.api.java.UDF1[scala.collection.Seq[Any],
+          Array[org.apache.spark.sql.Row]] {
+        override def call(ms: scala.collection.Seq[Any])
+            : Array[org.apache.spark.sql.Row] = {
+          val m = ms.length
+          val buf = new scala.collection.mutable.ArrayBuffer[
+            org.apache.spark.sql.Row]((m * (m - 1)) / 2)
+          var i = 0
+          while (i < m) {
+            var j = i + 1
+            while (j < m) {
+              buf += org.apache.spark.sql.Row(ms(i), ms(j)); j += 1
+            }
+            i += 1
+          }
+          buf.toArray
+        }
+      }, out)
+  }
+
+  /** jaccardPairsPrefix plus an explicit release hook for the internal
+    * caches (the shingle-set frame, and the contracted-class frame when
+    * the corpus has duplicates). Per-query the caches are LRU-evictable
+    * and harmless, but a long-lived session running many dedup passes
+    * would accumulate pinned RDDs. Call the returned thunk AFTER the
+    * last action on the returned DataFrame — calling it earlier just
+    * makes the remaining branches recompute (correctness unaffected).
+    *
+    * Duplication-adaptive contraction (round 12): the census digests
+    * xxhash64 over the SHINGLE-SET array, not over the text the way
+    * [[jaccardSpanningEdges]] does — the prefix operator persists its
+    * shingle sets anyway, so digesting the cached arrays rides a cache
+    * the pipeline already pays for (no second text scan), and it
+    * contracts strictly more (byte-different docs with identical
+    * shingle sets share a digest class too). The census is ROUTING
+    * ONLY: classes group by the FULL shingle array, so a digest
+    * collision just adds a doc to the exact grouping, and a missed
+    * class stays uncontracted (quadratic for that class only) — output
+    * is unaffected in both directions. Both census totals come from
+    * ONE aggregation job, the same job that materializes the sets
+    * cache. */
+  def jaccardPairsPrefixScoped(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double)
+      : (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    // persisted: three plan branches read it (prefix explode + both
+    // verify-join sides) — without the persist the shingling UDF runs
+    // over the full corpus three times. LRU-evictable; disk-spill for
+    // corpora beyond executor memory.
+    val sets = df.select(col(idCol).as("id"),
+        sortedShingleUdf(n)(col(textCol)).as("shs"))
+      .where(size(col("shs")) > 0)
+      .withColumn("sz", size(col("shs")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dg = sets.select(col("id"), xxhash64(col("shs")).as("dg"))
+    val classCounts = dg.groupBy("dg").agg(count(lit(1)).as("c"))
+    val tot = classCounts.agg(sum(col("c")).as("docs"),
+      sum(when(col("c") > lit(1L), col("c"))).as("sus")).first()
+    val nDocs = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val nSuspects = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    if (nSuspects == 0L) {
+      // no duplicated shingle set anywhere: contraction cannot change
+      // the candidate volume — run the plain pipeline, zero overhead
+      // beyond the census aggregation itself
+      val out = prefixPairsOverSets(sets, idType, threshold)
+      return (out, () => { sets.unpersist(); () })
+    }
+    // suspect/cold routing, same tiers as jaccardSpanningEdges:
+    //  - every doc a suspect, or too many to broadcast: group ALL docs
+    //    (the grouping is exact, routing merely skips it for cold docs);
+    //  - small set: a literal IN-set filter (driver-collected, bounded
+    //    well below where task-binary serialization dominates);
+    //  - otherwise: broadcast semi/anti joins on the slim suspect ids.
+    val (hot, cold) =
+      if (nSuspects == nDocs || nSuspects > SpanningMaxLocalSuspects)
+        (sets, sets.where(lit(false)))
+      else if (nSuspects <= SpanningInSetSuspects) {
+        val suspectIds = dg.join(classCounts.where(col("c") > lit(1L))
+            .select("dg"), "dg").select("id")
+          .collect().map(_.get(0)).filter(_ != null).toSeq
+        // null-safety: coalesce the IN to false so the cold side (!in)
+        // never drops rows — null ids match nothing and stay cold
+        val in =
+          if (suspectIds.isEmpty) lit(false)
+          else coalesce(col("id").isInCollection(suspectIds), lit(false))
+        (sets.where(in), sets.where(!in))
+      } else {
+        val suspects = dg.join(classCounts.where(col("c") > lit(1L))
+          .select("dg"), "dg").select("id")
+        (sets.join(broadcast(suspects), Seq("id"), "left_semi"),
+         sets.join(broadcast(suspects), Seq("id"), "left_anti"))
+      }
+    // exact classes: FULL sorted shingle array as the key (never the
+    // digest); rep = min member under Catalyst's own type ordering
+    val classes = hot.groupBy("shs")
+      .agg(min(col("id")).as("rep"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = classes.select(col("rep").as("id"), col("shs"),
+        size(col("shs")).as("sz"))
+      .union(cold.select(col("id"), col("shs"), col("sz")))
+    val repPairs = prefixPairsOverSets(reps, idType, threshold)
+    // re-expansion. Intra-class pairs are J=1 by construction (same
+    // round(1 + 1e-9, 4) = 1.0 the verify stage computes for identical
+    // sets). Cross pairs lift each rep pair to all member combinations
+    // via two membership joins; members of distinct classes are
+    // distinct ids, so no pair is emitted twice and least/greatest
+    // (Catalyst ordering, matching sort_array upstream of pairEmitUdf)
+    // restores the id_a < id_b canonical form.
+    val members = classes.select(col("rep"),
+      explode(col("members")).as("m"))
+    val intra = classes.where(size(col("members")) > 1)
+      .select(explode(classPairUdf(idType)(col("members"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
+    // merge hints for the same reason as the verify joins: members is
+    // slim but cached-lineage, and a static broadcast pick off
+    // optimistic cached stats cannot be demoted by AQE
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("m").as("xa"))
+        .hint("merge"), Seq("id_a"), "left")
+      .join(members.select(col("rep").as("id_b"), col("m").as("xb"))
+        .hint("merge"), Seq("id_b"), "left")
+      .withColumn("a2", coalesce(col("xa"), col("id_a")))
+      .withColumn("b2", coalesce(col("xb"), col("id_b")))
+      .select(least(col("a2"), col("b2")).as("id_a"),
+        greatest(col("a2"), col("b2")).as("id_b"), col("jaccard"))
+    val out = cross.union(intra)
+    (out, () => { sets.unpersist(); classes.unpersist(); () })
   }
 
   /** jaccardPairs with a document-frequency cap on shingles: shingles
@@ -463,12 +592,12 @@ object Dedup {
     //
     // Census mechanics: the slim (id, digest) frame is persisted so
     // the text column is hashed in ONE scan however many census passes
-    // read it, and the suspect set is count()ed before anything is
-    // collected — a limit(cap+1).collect() here re-ran the census
-    // lineage several times (take()'s incremental partition scale-up
-    // re-executes the join, each attempt rebuilding the digest
-    // groupBy), which at the 30x dup-stress tier cost ~8x the whole
-    // r10 query.
+    // read it, and both totals come from one aggregation job before
+    // anything is collected — a limit(cap+1).collect() here re-ran the
+    // census lineage several times (take()'s incremental partition
+    // scale-up re-executes the join, each attempt rebuilding the
+    // digest groupBy), which at the 30x dup-stress tier cost ~8x the
+    // whole r10 query.
     // release the PREVIOUS invocation's caches before persisting any
     // of this one's (the ReleaseSlot ordering contract): on repeated
     // identical invocations Spark's CacheManager dedupes persist() by
@@ -479,17 +608,23 @@ object Dedup {
     val idDg = df.select(col(idCol).as("id"),
         xxhash64(col(textCol)).as("tdg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupT = idDg.groupBy("tdg").agg(count(lit(1)).as("c"))
-      .where(col("c") > lit(1L)).select("tdg")
-    val suspects = idDg.join(dupT, "tdg").select("id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSuspects = suspects.count()
-    val nDocs = idDg.count() // cache pass; prices the all-dup shortcut
-    idDg.unpersist()
+    val classCounts = idDg.groupBy("tdg").agg(count(lit(1)).as("c"))
+    // ONE aggregation job yields both census totals (rounds 10-11 paid
+    // two separate count() jobs here) and fills the idDg cache the
+    // suspect join reads; `suspects` stays LAZY — the small tier
+    // collects it, the broadcast tier materializes it inside the main
+    // query (exchange reuse dedupes the two routing joins' builds),
+    // and the other tiers never compute it at all.
+    val tot = classCounts.agg(sum(col("c")).as("docs"),
+      sum(when(col("c") > lit(1L), col("c"))).as("sus")).first()
+    val nDocs = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val nSuspects = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    val suspects = idDg.join(classCounts.where(col("c") > lit(1L))
+      .select("tdg"), "tdg").select("id")
     if (sys.env.contains("SPARK_GRAFT_SPAN_DEBUG"))
       println(f"[span-debug] t=${System.currentTimeMillis()} suspects=$nSuspects census=${(System.nanoTime() - t0) / 1e9}%.2f s")
     if (nSuspects == 0L) {
-      suspects.unpersist()
+      idDg.unpersist()
       // No byte-identical docs anywhere: contraction cannot remove any
       // edge, so the spanning set IS the full capped pair graph — emit
       // it through the proven jaccardPairsCapped plan (no perDoc
@@ -519,7 +654,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("h"))).as("key"),
         count(lit(1)).cast("int").as("sz"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    spanningSlot.set(() => { perDoc.unpersist(); suspects.unpersist()
+    spanningSlot.set(() => { perDoc.unpersist(); idDg.unpersist()
       () })
     val (star, reps) =
       if (nSuspects <= SpanningMaxLocalSuspects) {
@@ -542,13 +677,13 @@ object Dedup {
             // (null keys match nothing and stay cold)
             val ids = suspects.collect().map(_.get(0))
               .filter(_ != null).toSeq
-            suspects.unpersist()
+            idDg.unpersist()
             Some(if (ids.isEmpty) lit(false)
               else coalesce(col("id").isInCollection(ids), lit(false)))
           } else None
         val (hot, cold) =
           if (allDup) {
-            suspects.unpersist()
+            idDg.unpersist()
             (perDoc, perDoc.where(lit(false)))
           } else small match {
             case Some(in) => (perDoc.where(in), perDoc.where(!in))
@@ -564,7 +699,7 @@ object Dedup {
            .select(col("id"), col("key"), col("sz"))
            .union(cold.select(col("id"), col("key"), col("sz"))))
       } else {
-        suspects.unpersist() // routing joins unused on this branch
+        idDg.unpersist() // routing joins unused on this branch
         // duplication-heavy corpus (suspects exceed the broadcast
         // bound): rep per class via hash-aggregate + equi-join on the
         // array key, over ALL docs. Measured against the window-min

@@ -392,6 +392,54 @@ class DedupSimilaritySpec extends SparkSuite {
       "release hook must unpersist the internal shingle-set cache")
   }
 
+  test("jaccardPairsPrefix is duplication-adaptive: contraction + " +
+      "re-expansion equals jaccardPairs bit-for-bit across routing " +
+      "tiers (IN-set, all-dup, broadcast), null/empty docs isolated") {
+    val s = initSpark()
+    import s.implicits._
+    def check(corpus: Seq[(Long, String)], t: Double) = {
+      val docs = corpus.toDF("doc_id", "text").repartition(5)
+      val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val full = Dedup.jaccardPairs(docs, "doc_id", "text", 3, t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(pref === full, "adaptive prefix must equal the exact path")
+      pref
+    }
+    val base =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val variant = // near-dup of base: J = 7/9 = 0.7778 on 3-shingles
+      "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    // IN-set tier: two dup classes that are near-dups of EACH OTHER,
+    // member ids interleaved so cross-expansion must re-canonicalize
+    // id_a < id_b; plus a cold doc and null/empty rows (no shingles —
+    // must never pair, exactly like the baseline)
+    val got = check(Seq(
+      (5L, base), (100L, base), // class A
+      (6L, variant), (50L, variant), // class B
+      (7L, "totally different words here entirely unrelated content"),
+      (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]),
+      (12L, ""), (13L, "")), 0.6)
+    val m = got.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((5L, 100L)) === 1.0 && m((6L, 50L)) === 1.0,
+      "intra-class pairs must score 1.0")
+    assert(Set((5L, 6L), (5L, 50L), (6L, 100L), (50L, 100L))
+      .forall(m.contains), s"cross-class expansion incomplete: $m")
+    // all-dup tier: every doc a clique member -> routing joins skipped
+    check((0L until 20L).map(i =>
+      (i, if (i < 10) base else variant)), 0.6)
+    // broadcast tier: > SpanningInSetSuspects suspect docs (1200 docs
+    // in 600 exact-dup pairs) plus distinct cold docs
+    assert(Dedup.SpanningInSetSuspects < 1200)
+    def doc(i: Long) = s"alpha$i beta$i gamma$i delta$i epsilon$i " +
+      s"zeta$i eta$i theta$i iota$i kappa$i"
+    val mixed = (0L until 1200L).map(i => (i, doc(i / 2))) ++
+      (2000L until 2040L).map(i => (i, doc(i)))
+    check(mixed, 0.6)
+  }
+
   test("jaccardPairsCapped: uncapped matches jaccardPairs; cap drops " +
       "stop-shingle pairs") {
     val s = initSpark()
