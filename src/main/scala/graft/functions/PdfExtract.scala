@@ -243,16 +243,71 @@ object PdfExtract {
         fdescObj <- "/FontDescriptor\\s+(\\d+)\\s+\\d+\\s+R".r
           .findFirstMatchIn(desc).flatMap(_.group(1).toIntOption)
         fdesc <- dicts.get(fdescObj)
-        ff2 <- "/FontFile2\\s+(\\d+)\\s+\\d+\\s+R".r
-          .findFirstMatchIn(fdesc).flatMap(_.group(1).toIntOption)
-        font <- streamBodyOf(ff2)
         cidToGid = "/CIDToGIDMap\\s+(\\d+)\\s+\\d+\\s+R".r
           .findFirstMatchIn(desc).flatMap(_.group(1).toIntOption)
           .flatMap(streamBodyOf)
-        m = TrueTypeCmap.cidToUnicode(font, cidToGid)
-        if m.nonEmpty
+        m <- {
+          val viaTrueType = for {
+            ff2 <- "/FontFile2\\s+(\\d+)\\s+\\d+\\s+R".r
+              .findFirstMatchIn(fdesc).flatMap(_.group(1).toIntOption)
+            font <- streamBodyOf(ff2)
+            tt = TrueTypeCmap.cidToUnicode(font, cidToGid)
+            if tt.nonEmpty
+          } yield tt
+          // bare-CFF descendant (/FontFile3: Type1C/CIDFontType0C) —
+          // a NAME-keyed CFF's charset maps GID -> glyph name, AGL
+          // resolves name -> text, and /CIDToGIDMap (Identity when
+          // absent) composes CID -> GID. CID-keyed CFFs (ROS present)
+          // have no glyph names, so glyphNames is empty and the raw
+          // fallthrough applies — the documented boundary.
+          def viaCff = for {
+            ff3 <- "/FontFile3\\s+(\\d+)\\s+\\d+\\s+R".r
+              .findFirstMatchIn(fdesc).flatMap(_.group(1).toIntOption)
+            cff <- streamBodyOf(ff3)
+            g2t = CffFont.glyphNames(cff).flatMap { case (gid, nm) =>
+              GlyphNames.toText(nm).map(gid -> _)
+            }
+            if g2t.nonEmpty
+            m2 = cidToGid match {
+              case None => g2t
+              case Some(mm) =>
+                val out = Map.newBuilder[Int, String]
+                var cid = 0
+                while (2 * cid + 1 < mm.length) {
+                  val gid = ((mm(2 * cid) & 0xff) << 8) |
+                    (mm(2 * cid + 1) & 0xff)
+                  g2t.get(gid).foreach(out += cid -> _)
+                  cid += 1
+                }
+                out.result()
+            }
+            if m2.nonEmpty
+          } yield m2
+          viaTrueType.orElse(viaCff)
+        }
       } yield m
     }
+    // simple (8-bit) font whose /FontDescriptor embeds a bare CFF
+    // (/FontFile3, Type1C) and whose /Encoding carries no Differences:
+    // the font's OWN encoding table (or the predefined Standard
+    // Encoding) supplies code -> GID, the charset GID -> name, AGL
+    // name -> text — the classic pdfTeX/academic shape
+    def cffSimpleFallback(fd: String): Option[Map[Int, String]] = for {
+      fdescObj <- "/FontDescriptor\\s+(\\d+)\\s+\\d+\\s+R".r
+        .findFirstMatchIn(fd).flatMap(_.group(1).toIntOption)
+      fdesc <- dicts.get(fdescObj)
+      ff3 <- "/FontFile3\\s+(\\d+)\\s+\\d+\\s+R".r
+        .findFirstMatchIn(fdesc).flatMap(_.group(1).toIntOption)
+      cff <- streamBodyOf(ff3)
+      names = CffFont.glyphNames(cff)
+      if names.nonEmpty
+      enc = CffFont.builtinEncoding(cff)
+      if enc.nonEmpty
+      m = enc.flatMap { case (code, gid) =>
+        names.get(gid).flatMap(GlyphNames.toText).map(code -> _)
+      }
+      if m.nonEmpty
+    } yield m
     // /Encoding /Differences for SIMPLE fonts: [ code /name /name
     // code /name ... ] — names resolve via the AGL conventions;
     // unresolvable names are left out (raw-byte passthrough applies)
@@ -313,8 +368,17 @@ object PdfExtract {
           } yield GlyphMap(width, m)
           viaToUni
             .orElse(identityHFallback(fd).map(GlyphMap(2, _)))
-            .orElse(if (width == 1)
-              differencesFallback(fd).map(GlyphMap(1, _)) else None)
+            .orElse(if (width == 1) {
+              // PDF 9.6.6 layering: /Differences overrides the font's
+              // built-in encoding for LISTED codes only, so the CFF
+              // base map (when present) fills the unlisted codes
+              val base = cffSimpleFallback(fd)
+              val diff = differencesFallback(fd)
+              ((base, diff) match {
+                case (Some(b), Some(d)) => Some(b ++ d)
+                case (b, d) => d.orElse(b)
+              }).map(GlyphMap(1, _))
+            } else None)
         }
         parsed.foreach(toUniOf.update(fontObj, _))
         parsed

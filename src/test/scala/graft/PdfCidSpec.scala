@@ -570,6 +570,178 @@ class PdfCidSpec extends AnyFunSuite {
     assert(c2u.get(0x100) === Some("A"))
   }
 
+  // ---- CFF (/FontFile3) fixtures ----
+
+  /** Minimal CFF blob: nGlyphs = sids.length + 1 (gid 0 = .notdef),
+    * charset format 0 over `sids`, optional format-0 Encoding giving
+    * gid i+1 the code codes(i) (absent -> predefined Standard
+    * Encoding), 1-byte dummy charstrings. Custom strings (SID >= 391)
+    * go through the String INDEX; `cidKeyed` adds a ROS operator.
+    * All Top DICT offsets use fixed-width int32 operands so the dict
+    * length is known before layout. */
+  private def cffBlob(sids: Seq[Int], codes: Option[Seq[Int]],
+      customStrings: Seq[String] = Seq.empty,
+      cidKeyed: Boolean = false): Array[Byte] = {
+    def index1(data: Array[Byte]): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      b.write(0); b.write(1) // count = 1
+      b.write(1) // offSize
+      b.write(1); b.write(1 + data.length)
+      b.write(data)
+      b.toByteArray
+    }
+    def indexN(items: Seq[Array[Byte]]): Array[Byte] = {
+      if (items.isEmpty) return Array[Byte](0, 0)
+      val b = new ByteArrayOutputStream()
+      b.write((items.length >> 8) & 0xff); b.write(items.length & 0xff)
+      b.write(1) // offSize (fixtures stay < 255 data bytes)
+      var off = 1
+      b.write(off)
+      items.foreach { it => off += it.length; b.write(off) }
+      items.foreach(b.write)
+      b.toByteArray
+    }
+    def op29(v: Int, op: Seq[Int]): Array[Byte] =
+      (Seq(29, (v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff,
+        v & 0xff) ++ op).map(_.toByte).toArray
+    val nameIdx = index1("TestFont".getBytes(StandardCharsets.US_ASCII))
+    val strIdx = indexN(customStrings.map(
+      _.getBytes(StandardCharsets.US_ASCII)))
+    val tdLen = (if (cidKeyed) 3 * 5 + 2 else 0) + 6 +
+      codes.map(_ => 6).getOrElse(0) + 6
+    val prefix = 4 + nameIdx.length + (5 + tdLen) + strIdx.length + 2
+    val charsetLen = 1 + 2 * sids.length
+    val encodingLen = codes.map(c => 2 + c.length).getOrElse(0)
+    val charsetOff = prefix
+    val encodingOff = prefix + charsetLen
+    val charstringsOff = encodingOff + encodingLen
+    val td = new ByteArrayOutputStream()
+    if (cidKeyed) { // ROS: registry SID, ordering SID, supplement
+      td.write(op29(391, Seq.empty)); td.write(op29(392, Seq.empty))
+      td.write(op29(0, Seq(12, 30)))
+    }
+    td.write(op29(charsetOff, Seq(15)))
+    codes.foreach(_ => td.write(op29(encodingOff, Seq(16))))
+    td.write(op29(charstringsOff, Seq(17)))
+    val topIdx = index1(td.toByteArray)
+    assert(topIdx.length == 5 + tdLen, "fixture Top DICT length drifted")
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](1, 0, 4, 2)) // header
+    out.write(nameIdx); out.write(topIdx); out.write(strIdx)
+    out.write(Array[Byte](0, 0)) // empty Global Subr INDEX
+    out.write(0) // charset format 0
+    sids.foreach { s => out.write((s >> 8) & 0xff); out.write(s & 0xff) }
+    codes.foreach { cs =>
+      out.write(0); out.write(cs.length) // encoding format 0, nCodes
+      cs.foreach(out.write)
+    }
+    out.write(indexN(Seq.fill(sids.length + 1)(Array[Byte](0x0e))))
+    out.toByteArray
+  }
+
+  test("CffFont: charset names resolve via standard + custom SIDs, " +
+      "format-0 encoding and the predefined Standard Encoding both " +
+      "map codes to glyphs, CID-keyed fonts expose CIDs and no " +
+      "names, junk never throws") {
+    import graft.functions.CffFont
+    // standard-string SIDs: H=41 e=70 l=77 o=80
+    val cff = cffBlob(Seq(41, 70, 77, 80), Some(Seq(72, 101, 108, 111)))
+    assert(CffFont.glyphNames(cff) ===
+      Map(1 -> "H", 2 -> "e", 3 -> "l", 4 -> "o"))
+    assert(CffFont.builtinEncoding(cff) ===
+      Map(72 -> 1, 101 -> 2, 108 -> 3, 111 -> 4))
+    assert(!CffFont.isCidKeyed(cff))
+    // Encoding op ABSENT -> Standard Encoding: ASCII code -> SID
+    // (code - 31) -> charset inverse
+    val cffStd = cffBlob(Seq(41, 70, 77, 80), None)
+    assert(CffFont.builtinEncoding(cffStd) === Map('H'.toInt -> 1,
+      'e'.toInt -> 2, 'l'.toInt -> 3, 'o'.toInt -> 4))
+    // custom SIDs through the String INDEX (AGL-resolvable uniXXXX)
+    val cffCustom = cffBlob(Seq(391, 392), Some(Seq(1, 2)),
+      customStrings = Seq("uni0041", "uni0042"))
+    assert(CffFont.glyphNames(cffCustom) ===
+      Map(1 -> "uni0041", 2 -> "uni0042"))
+    // CID-keyed: the charset IS the CID map; names are impossible
+    val cffCid = cffBlob(Seq(17, 23, 99), None, cidKeyed = true)
+    assert(CffFont.isCidKeyed(cffCid))
+    assert(CffFont.glyphNames(cffCid) === Map.empty)
+    assert(CffFont.gidToCid(cffCid) === Map(1 -> 17, 2 -> 23, 3 -> 99))
+    assert(CffFont.glyphNames(null) === Map.empty)
+    assert(CffFont.glyphNames(Array.fill[Byte](64)(42)) === Map.empty)
+    assert(CffFont.builtinEncoding(Array.fill[Byte](64)(42)) ===
+      Map.empty)
+  }
+
+  /** cidPdfNoToUniWith variant embedding a bare CFF as /FontFile3
+    * under a CIDFontType0 descendant (no ToUnicode, no TrueType). */
+  private def cidPdfCff(message: String, gidOf: Char => Int,
+      cff: Array[Byte]): Array[Byte] = {
+    val codesHex = message.map(c => f"${gidOf(c)}%04x").mkString
+    val content = s"BT /FC 12 Tf 72 720 Td <$codesHex> Tj\nET"
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/MediaBox [0 0 612 792] /Resources << /Font " +
+        "<< /FC 5 0 R >> >> >>"),
+      5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /T1C " +
+        "/Encoding /Identity-H /DescendantFonts [8 0 R] >>"),
+      8 -> ("<< /Type /Font /Subtype /CIDFontType0 /BaseFont /T1C " +
+        "/FontDescriptor 9 0 R >>"),
+      9 -> "<< /Type /FontDescriptor /FontName /T1C /FontFile3 10 0 R >>")
+    val streamObjs = Seq(
+      4 -> content.getBytes(StandardCharsets.ISO_8859_1), 10 -> cff)
+    val out = new ByteArrayOutputStream()
+    out.write(bytes("%PDF-1.5\n"))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    (objs.map { case (n, d) => (n, bytes(d)) } ++
+      streamObjs.map { case (n, body) =>
+        val full = new ByteArrayOutputStream()
+        full.write(bytes(s"<< /Length ${body.length} >>\nstream\n"))
+        full.write(body)
+        full.write(bytes("\nendstream"))
+        (n, full.toByteArray)
+      }).sortBy(_._1).foreach { case (n, body) =>
+      offsets(n) = out.size()
+      out.write(bytes(s"$n 0 obj\n")); out.write(body)
+      out.write(bytes("\nendobj\n"))
+    }
+    val xrefAt = out.size()
+    out.write(bytes("xref\n0 11\n0000000000 65535 f \n"))
+    (1 to 10).foreach(n =>
+      out.write(bytes(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")))
+    out.write(bytes("trailer\n<< /Size 11 /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  test("Type0 font with a bare name-keyed CFF (/FontFile3, no " +
+      "/ToUnicode, no TrueType): charset names + AGL recover the " +
+      "text end-to-end — the academic-publisher PDF shape") {
+    val cff = cffBlob(Seq(41, 70, 77, 80), None) // gids 1..4 = H e l o
+    val gid = Map('H' -> 1, 'e' -> 2, 'l' -> 3, 'o' -> 4)
+    assert(PdfExtract.pages(cidPdfCff("Hello", gid, cff)) ===
+      Seq("Hello"))
+  }
+
+  test("simple font with a bare CFF built-in encoding (no ToUnicode, " +
+      "no Differences) decodes through charset names; a /Differences " +
+      "overlay wins on listed codes and keeps the CFF base elsewhere") {
+    val cff = cffBlob(Seq(41, 70, 77, 80), Some(Seq(72, 101, 108, 111)))
+    val cffStr = new String(cff, StandardCharsets.ISO_8859_1)
+    val fdesc = "<< /Type /FontDescriptor /FontName /Sub " +
+      "/FontFile3 7 0 R >>"
+    val pdf = simpleFontPdf(Seq(72, 101, 108, 108, 111),
+      "/FontDescriptor 6 0 R",
+      Seq(6 -> Left(fdesc), 7 -> Right(cffStr)))
+    assert(PdfExtract.pages(pdf) === Seq("Hello"))
+    val pdf2 = simpleFontPdf(Seq(72, 101, 108, 108, 111),
+      "/FontDescriptor 6 0 R /Encoding << /Type /Encoding " +
+        "/Differences [ 72 /Z ] >>",
+      Seq(6 -> Left(fdesc), 7 -> Right(cffStr)))
+    assert(PdfExtract.pages(pdf2) === Seq("Zello"))
+  }
+
   /** ttfWithCmap12 variant taking raw u32 group fields, so tests can
     * encode start codes outside the valid codepoint range. */
   private def ttfWithCmap12Raw(

@@ -47,6 +47,16 @@ class UntrustedBytesSpec extends AnyFunSuite {
     neverThrows(junk)(b => TrueTypeCmap.cidToUnicode(b, Some(b)))
   }
 
+  test("CffFont: random bytes and CFF-header-prefixed junk") {
+    import graft.functions.CffFont
+    neverThrows(junk)(CffFont.glyphNames)
+    neverThrows(junk)(CffFont.builtinEncoding)
+    neverThrows(junk)(CffFont.gidToCid)
+    val hdr = Array[Byte](1, 0, 4, 2) // major/minor/hdrSize/offSize
+    neverThrows(withMagic(hdr))(CffFont.glyphNames)
+    neverThrows(withMagic(hdr))(CffFont.builtinEncoding)
+  }
+
   test("SpmPrecompiled: random blobs and plausible-header junk") {
     neverThrows(junk)(SpmPrecompiled.fromBlob)
     // header claiming a trie size that fits: traversal fuzzing
