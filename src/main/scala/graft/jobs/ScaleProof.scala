@@ -171,6 +171,84 @@ object ScaleProof {
       s""","recall_overall":${fmt(if (tp > 0) tc.toDouble / tp else 0.0)}"""
   }
 
+  /** q125 survivor accounting on the mutated corpus: dedupNearDup's
+    * survivor set (spanning-edge contraction -> components ->
+    * semi-join) against survivors derived independently from the
+    * ALL-PAIRS capped graph — the round-11 identity proof, re-measured
+    * where cliques are NEAR-dup (mutated), not byte-identical, so the
+    * census contraction cannot help and the thresholded pair stage
+    * carries the selection. Parameters mirror q125
+    * (threshold 0.2, df cap 4096, maxRounds 18). */
+  def survivorParity(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.storage.StorageLevel
+    import graft.operators.Dedup
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val engine = Dedup.dedupNearDup(docs, "doc_id", "text",
+        n = 3, threshold = 0.2, maxDocFreq = 4096, maxRounds = 18)
+      .select(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.jaccardPairsCapped(docs, "doc_id", "text",
+        n = 3, threshold = 0.2, maxDocFreq = 4096)
+      .select("id_a", "id_b")
+    val exact = Dedup.keepClusterSurvivors(docs,
+        Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
+          idCol = "doc_id", maxRounds = 18, idsCoverEndpoints = true),
+        "doc_id", repsPresent = true)
+      .select(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEngine = engine.count()
+    val nExact = exact.count()
+    val agree = engine.intersect(exact).count()
+    engine.unpersist(); exact.unpersist()
+    s""""q125_survivors_engine":$nEngine""" +
+      s""","q125_survivors_allpairs":$nExact""" +
+      s""","q125_survivors_agree":$agree"""
+  }
+
+  /** q112 recall on the mutated corpus: incremental-LSH candidates
+    * against the exact cross-stratum pair graph (J >= 0.2), bucketed
+    * by exact Jaccard — banding CAN miss here, so the S-curve is the
+    * measured evidence for the streaming ingest shape. */
+  def incrementalRecall(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.storage.StorageLevel
+    import graft.operators.Dedup
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val strata = docs.select(col("doc_id"),
+      (length(col("source")) === 5).as("isBatch"))
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      .join(strata.select(col("doc_id").as("id_a"),
+        col("isBatch").as("ba")), "id_a")
+      .join(strata.select(col("doc_id").as("id_b"),
+        col("isBatch").as("bb")), "id_b")
+      .where(col("ba") =!= col("bb")) // cross-stratum only
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = Dedup.minhashLshIncremental(
+        docs.where(length(col("source")) === 5),
+        docs.where(length(col("source")) === 4), "doc_id", "text")
+      .select(least(col("id_new"), col("id_old")).as("id_a"),
+        greatest(col("id_new"), col("id_old")).as("id_b"),
+        lit(1).as("hit"))
+    val perBucket = exact
+      .join(cand, Seq("id_a", "id_b"), "left")
+      .groupBy(least(floor(col("jaccard") * 5), lit(4L)).as("b"))
+      .agg(count(lit(1)).as("pairs"), count(col("hit")).as("recalled"))
+      .orderBy("b")
+      .collect()
+    exact.unpersist()
+    val buckets = perBucket.map { r =>
+      val b = r.getLong(0); val p = r.getLong(1); val c = r.getLong(2)
+      s"""{"j_lo":${fmt(b * 0.2)},"pairs":$p,"recalled":$c""" +
+        s""","recall":${fmt(if (p > 0) c.toDouble / p else 0.0)}}"""
+    }.mkString("[", ",", "]")
+    val tp = perBucket.map(_.getLong(1)).sum
+    val tc = perBucket.map(_.getLong(2)).sum
+    s""""q112_recall_buckets":$buckets,"q112_pairs_total":$tp""" +
+      s""","q112_recalled_total":$tc""" +
+      s""","q112_recall_overall":${
+        fmt(if (tp > 0) tc.toDouble / tp else 0.0)}"""
+  }
+
   /** The mutated tier's driver: materialize, time the near-dup
     * queries base-vs-mutated, measure recall, write the artifact. */
   private def runMutated(spark: SparkSession, baseDir: String,
@@ -182,7 +260,8 @@ object ScaleProof {
     val matSec = (System.nanoTime() - t0) / 1e9
     val names = Seq("q21_jaccard_pairs", "q70_jaccard_capped",
       "q93_minhash_lsh_portable", "q83_dup_clusters",
-      "q119_leakage_split")
+      "q119_leakage_split", "q112_incremental_neardup",
+      "q125_neardup_survivors")
     val rows = names.map { name =>
       val fn = SparkEntry.queries(name)
       val base = timed(spark, name, fn, baseDir, timeoutSec)
@@ -200,12 +279,19 @@ object ScaleProof {
       "pairs on the mutated corpus")
     val tR = System.nanoTime()
     val recall = nearDupRecall(spark, outDir)
+    System.err.println("[scaleproof] q112 incremental recall vs exact " +
+      "cross-stratum pairs")
+    val incr = incrementalRecall(spark, outDir)
+    System.err.println("[scaleproof] q125 survivor parity vs the " +
+      "all-pairs graph")
+    val parity = survivorParity(spark, outDir)
     val recallSec = (System.nanoTime() - tR) / 1e9
     val summary =
       s"""{"metric":"neardup_scale_proof","factor":$factor""" +
         s""","mutation":"2% per replica index"""" +
         s""","materialize_sec":${fmt(matSec)}""" +
-        s""","recall_measure_sec":${fmt(recallSec)},$recall}"""
+        s""","recall_measure_sec":${fmt(recallSec)},$recall""" +
+        s""",$incr,$parity}"""
     println(summary)
     val body = (rows :+ summary).mkString("[", ",\n", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
