@@ -105,7 +105,7 @@ object ScaleProof {
   /** Deterministic per-token substitution: replica `rep`'s token `i`
     * of doc `docId` flips iff a seeded murmur3 uniform clears the
     * replica's rate — no RNG state, identical corpus on every run. */
-  private def mutateUdf = udf { (text: String, docId: Long, rep: Int) =>
+  private[jobs] def mutateUdf = udf { (text: String, docId: Long, rep: Int) =>
     if (text == null || rep == 0) text
     else {
       val rate = 0.02 * rep

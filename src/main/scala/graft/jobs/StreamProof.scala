@@ -116,16 +116,154 @@ object StreamProof {
         s""","state_flat":${maxState <= bound && maxState > 0}}"""
     rows.foreach(r => System.err.println("[streamproof] " + r))
     println(summary)
-    val body = (lines :+ summary).mkString("[", ",\n", "]")
+    // ---- v2 (round 12): the same contracts under MUTATION — replica
+    // b's text is per-token edited at 2b% (the ScaleProof mutation),
+    // so batches carry NEAR-dup cliques instead of exact fingerprint
+    // collisions. Two measurements:
+    //  (a) curateStream flatness: mutated docs have DISTINCT
+    //      fingerprints, so dedup state is ~watermark-window batches
+    //      of rows and must still expire (flat), not ramp;
+    //  (b) NearDupStream: the banded stateful pairer's distinct pair
+    //      set must equal the batch portable-LSH pass over the same
+    //      documents (the spec-pinned parity contract, now measured
+    //      at corpus scale), its bucket state stays within
+    //      bands x docs, and its candidate recall vs the EXACT pair
+    //      graph is bucketed by true Jaccard — banding CAN miss on
+    //      mutated cliques, so the S-curve is the honest number.
+    val rawBase = SparkEntry.table(spark, baseDir, "documents")
+    val mutCurDir = s"$workDir/mut_cur" // padded: quality gates stay in
+    val mutNdDir = s"$workDir/mut_nd" // raw: near-dup structure intact
+    (0 until batches).foreach { b =>
+      val mutated = rawBase
+        .withColumn("text",
+          ScaleProof.mutateUdf(col("text"), col("doc_id"), lit(b)))
+        .withColumn("doc_id", col("doc_id") + lit(b.toLong * off))
+      mutated
+        .withColumn("text", concat_ws(" ", col("text"), lit(pad)))
+        .withColumn("ts", lit(t0).cast("timestamp") +
+          expr(s"INTERVAL ${b * 5} MINUTES"))
+        .coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append")
+        .parquet(mutCurDir)
+      mutated.coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append")
+        .parquet(mutNdDir)
+    }
+    // (a) mutated curateStream
+    val mcSchema = spark.read.parquet(mutCurDir).schema
+    val mcStream = spark.readStream.schema(mcSchema)
+      .option("maxFilesPerTrigger", "1").parquet(mutCurDir)
+    val mcQ = Curation.curateStream(mcStream, "doc_id", "text",
+        "ts", watermarkDelay = "12 minutes")
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$workDir/ckpt_mut")
+      .trigger(Trigger.AvailableNow()).start()
+    mcQ.awaitTermination()
+    val mcRows = mcQ.recentProgress.toSeq
+      .filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
+      .zipWithIndex.flatMap { case (p, i) =>
+        p.stateOperators.headOption.map(so =>
+          (i, p.numInputRows, so.numRowsTotal, so.numRowsRemoved))
+      }
+    val mcPerBatch = rawBase.count()
+    val mcMax = if (mcRows.isEmpty) 0L else mcRows.map(_._3).max
+    // mutated fingerprints are DISTINCT, so steady state is a full
+    // retention window of rows: 12min/5min delay-to-interval (2.4
+    // batches) + the one-batch watermark lag (watermark derives from
+    // the PREVIOUS batch's max event time) + commit-timing slack —
+    // measured plateau is ~6 batches (ramp to b5, then removals track
+    // inputs: 4992/3073/4099/4475/4702/4802/4898). Bound 7x per-batch
+    // rows separates that plateau from a cumulative ramp (12x), and
+    // expiry must actually be OBSERVED (removed > 0), not inferred.
+    val mcBound = 7L * mcPerBatch
+    val mcRemoved = mcRows.map(_._4).sum
+    val mcFlat = mcMax > 0 && mcMax <= mcBound && mcRemoved > 0
+    mcRows.foreach(r =>
+      System.err.println(s"[streamproof] mutated-curate $r"))
+    // (b) NearDupStream over the raw mutated batches
+    import spark.implicits._
+    import graft.streaming.NearDupStream
+    val ndSchema = spark.read.parquet(mutNdDir).schema
+    val ndDocs = spark.readStream.schema(ndSchema)
+      .option("maxFilesPerTrigger", "1").parquet(mutNdDir)
+      .select(col("doc_id").as("id"), col("text"))
+      .as[NearDupStream.StreamDoc]
+    val ndQ = NearDupStream.nearDupPairs(ndDocs)(spark)
+      .writeStream.format("memory").queryName("ndpairs")
+      .option("checkpointLocation", s"$workDir/ckpt_nd")
+      .trigger(Trigger.AvailableNow()).start()
+    ndQ.awaitTermination()
+    val ndStateRows = ndQ.recentProgress.toSeq
+      .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+    val ndStateFinal = if (ndStateRows.isEmpty) 0L else ndStateRows.max
+    val ndBound = 4L * mcPerBatch * batches // bands x docs admitted
+    import org.apache.spark.storage.StorageLevel
+    val streamPairs = spark.table("ndpairs")
+      .select(col("id_old").as("id_a"), col("id_new").as("id_b"),
+        col("est_jaccard"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mutAll = spark.read.parquet(mutNdDir)
+    val batchPairs = graft.operators.Dedup.minhashLshPairsPortable(
+        mutAll, "doc_id", "text", n = 3, bands = 4)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nStream = streamPairs.count()
+    val nBatch = batchPairs.count()
+    val onlyStream = streamPairs.exceptAll(batchPairs).count()
+    val onlyBatch = batchPairs.exceptAll(streamPairs).count()
+    val parity = nStream == nBatch && onlyStream == 0 && onlyBatch == 0
+    // recall vs the exact pair graph, bucketed by true Jaccard
+    val exact = graft.operators.Dedup.jaccardPairs(
+        mutAll, "doc_id", "text", n = 3, threshold = 0.2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perBucket = exact
+      .join(streamPairs.select(col("id_a"), col("id_b"),
+        lit(1).as("hit")), Seq("id_a", "id_b"), "left")
+      .groupBy(least(floor(col("jaccard") * 5), lit(4L)).as("b"))
+      .agg(count(lit(1)).as("pairs"), count(col("hit")).as("recalled"))
+      .orderBy("b").collect()
+    exact.unpersist(); streamPairs.unpersist(); batchPairs.unpersist()
+    def fmtD(v: Double) = f"$v%.3f"
+    val rb = perBucket.map { r =>
+      val b = r.getLong(0); val p = r.getLong(1); val c = r.getLong(2)
+      s"""{"j_lo":${fmtD(b * 0.2)},"pairs":$p,"recalled":$c""" +
+        s""","recall":${fmtD(if (p > 0) c.toDouble / p else 0.0)}}"""
+    }.mkString("[", ",", "]")
+    val tp = perBucket.map(_.getLong(1)).sum
+    val tc = perBucket.map(_.getLong(2)).sum
+    val v2 =
+      s"""{"metric":"neardup_stream_proof","batches":$batches""" +
+        s""","mutation":"2% per replica index"""" +
+        s""","mutated_curate_max_state":$mcMax""" +
+        s""","mutated_curate_bound":$mcBound""" +
+        s""","mutated_curate_flat":$mcFlat""" +
+        s""","stream_pairs":$nStream,"batch_pairs":$nBatch""" +
+        s""","only_stream":$onlyStream,"only_batch":$onlyBatch""" +
+        s""","parity":$parity""" +
+        s""","nd_state_rows_final":$ndStateFinal""" +
+        s""","nd_state_bound":$ndBound""" +
+        s""","recall_buckets":$rb,"pairs_total":$tp""" +
+        s""","recalled_total":$tc""" +
+        s""","recall_overall":${
+          fmtD(if (tp > 0) tc.toDouble / tp else 0.0)}}"""
+    System.err.println("[streamproof] " + v2)
+    val body2 = (lines ++ Seq(summary, v2)).mkString("[", ",\n", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
       "stream_proof.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (body + "\n").getBytes("UTF-8"))
+      (body2 + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       System.err.println(s"[streamproof] write failed: $e") }
     spark.stop()
     if (!(maxState <= bound && maxState > 0))
       throw new IllegalStateException(
         s"state not flat: max $maxState vs bound $bound")
+    if (!mcFlat)
+      throw new IllegalStateException(
+        s"mutated-curate state not flat: max $mcMax vs bound $mcBound")
+    if (!parity)
+      throw new IllegalStateException(
+        s"stream/batch LSH parity broken: $nStream vs $nBatch " +
+          s"(+$onlyStream/-$onlyBatch)")
   }
 }
