@@ -226,7 +226,13 @@ object CffFont {
   } catch { case _: Exception => Map.empty }
 
   /** GID -> CID for a CID-keyed CFF (the charset IS the CID map);
-    * empty for name-keyed fonts. */
+    * empty for name-keyed fonts. Parser-surface API: production
+    * extraction cannot consume it yet — a CID resolved here still
+    * needs a predefined CMap registry (UniJIS/UniGB tables, the
+    * documented CJK boundary in COVERAGE S15) to become text, so its
+    * only callers are the specs that pin charset parsing against
+    * known-answer fonts. Wire it into viaCff when/if the registry
+    * tables land. */
   def gidToCid(cff: Array[Byte]): Map[Int, Int] = try {
     skeleton(cff) match {
       case Some(s) if s.top.contains(1230) => charsetSids(s)

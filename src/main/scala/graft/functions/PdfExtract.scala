@@ -308,6 +308,44 @@ object PdfExtract {
       }
       if m.nonEmpty
     } yield m
+    // PDF 32000 9.6.6.3: when the /Encoding entry NAMES a base
+    // encoding (directly, or via /BaseEncoding inside an encoding
+    // dict), that encoding REPLACES the font's built-in table; the
+    // built-in CFF encoding only applies when no base name is given.
+    def declaredBaseEncoding(fd: String): Option[String] = {
+      val encAt = fd.indexOf("/Encoding")
+      if (encAt < 0) return None
+      var j = encAt + "/Encoding".length
+      while (j < fd.length && Character.isWhitespace(fd.charAt(j)))
+        j += 1
+      val entry =
+        if (j + 1 < fd.length && fd.charAt(j) == '<' &&
+            fd.charAt(j + 1) == '<') balancedDictAt(fd, j)
+        else if (j < fd.length && fd.charAt(j).isDigit)
+          RefRe.findFirstMatchIn(fd.substring(j,
+              math.min(fd.length, j + 24)))
+            .flatMap(m => m.group(1).toIntOption.flatMap(dicts.get))
+            .getOrElse("")
+        else fd.substring(j, math.min(fd.length, j + 24))
+      val scope =
+        if (entry.startsWith("<<") || entry.contains("/Differences")) {
+          // inside a dict only /BaseEncoding names the base
+          val b = entry.indexOf("/BaseEncoding")
+          if (b < 0) "" else entry.substring(b,
+            math.min(entry.length, b + 48))
+        } else entry
+      "/(WinAnsiEncoding|MacRomanEncoding|MacExpertEncoding)".r
+        .findFirstMatchIn(scope).map(_.group(1))
+    }
+    // a declared base encoding resolved to code -> text, for the
+    // codes where it DIFFERS from the raw Latin-1 passthrough the
+    // unmapped path already applies (so ASCII stays untouched)
+    def baseEncodingFallback(name: String): Option[Map[Int, String]] =
+      name match {
+        case "WinAnsiEncoding" => Some(PdfExtract.WinAnsiHigh)
+        case "MacRomanEncoding" => Some(PdfExtract.MacRomanHigh)
+        case _ => None // MacExpert: ornaments-only, raw passthrough
+      }
     // /Encoding /Differences for SIMPLE fonts: [ code /name /name
     // code /name ... ] — names resolve via the AGL conventions;
     // unresolvable names are left out (raw-byte passthrough applies)
@@ -369,10 +407,14 @@ object PdfExtract {
           viaToUni
             .orElse(identityHFallback(fd).map(GlyphMap(2, _)))
             .orElse(if (width == 1) {
-              // PDF 9.6.6 layering: /Differences overrides the font's
-              // built-in encoding for LISTED codes only, so the CFF
-              // base map (when present) fills the unlisted codes
-              val base = cffSimpleFallback(fd)
+              // PDF 9.6.6 layering: /Differences overrides the base
+              // for LISTED codes only. The base is the NAMED encoding
+              // when /Encoding declares one (WinAnsi/MacRoman), else
+              // the font's own built-in CFF encoding when embedded
+              val base = declaredBaseEncoding(fd) match {
+                case Some(n) => baseEncodingFallback(n)
+                case None => cffSimpleFallback(fd)
+              }
               val diff = differencesFallback(fd)
               ((base, diff) match {
                 case (Some(b), Some(d)) => Some(b ++ d)
@@ -1004,5 +1046,48 @@ object PdfExtract {
       i += 2
     }
     (sb.toString, close + 1)
+  }
+
+  /** WinAnsiEncoding (PDF 32000 Annex D) where it departs from the
+    * Latin-1 raw-byte passthrough: the 0x80–0x9F window (cp1252's
+    * typographic block — curly quotes, dashes, €, Š/Œ/Ž…). Codes
+    * ≥ 0xA0 coincide with Latin-1 and ride the unmapped path. */
+  private[graft] val WinAnsiHigh: Map[Int, String] = Map(
+    0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ",
+    0x84 -> "„", 0x85 -> "…", 0x86 -> "†",
+    0x87 -> "‡", 0x88 -> "ˆ", 0x89 -> "‰",
+    0x8a -> "Š", 0x8b -> "‹", 0x8c -> "Œ",
+    0x8e -> "Ž", 0x91 -> "‘", 0x92 -> "’",
+    0x93 -> "“", 0x94 -> "”", 0x95 -> "•",
+    0x96 -> "–", 0x97 -> "—", 0x98 -> "˜",
+    0x99 -> "™", 0x9a -> "š", 0x9b -> "›",
+    0x9c -> "œ", 0x9e -> "ž", 0x9f -> "Ÿ")
+
+  /** MacRomanEncoding (PDF 32000 Annex D) for its entire non-ASCII
+    * half, 0x80–0xFF — Mac OS Roman, with /currency (not the euro)
+    * at 0xDB per the PDF table, a no-break space at 0xCA, and 0xF0
+    * (Apple's logo glyph, outside Unicode proper) left unmapped via
+    * the NUL placeholder, which is filtered out of the map. */
+  private[graft] val MacRomanHigh: Map[Int, String] = {
+    val t = "\u00c4\u00c5\u00c7\u00c9\u00d1\u00d6\u00dc\u00e1" +
+      "\u00e0\u00e2\u00e4\u00e3\u00e5\u00e7\u00e9\u00e8" +
+      "\u00ea\u00eb\u00ed\u00ec\u00ee\u00ef\u00f1\u00f3" +
+      "\u00f2\u00f4\u00f6\u00f5\u00fa\u00f9\u00fb\u00fc" +
+      "\u2020\u00b0\u00a2\u00a3\u00a7\u2022\u00b6\u00df" +
+      "\u00ae\u00a9\u2122\u00b4\u00a8\u2260\u00c6\u00d8" +
+      "\u221e\u00b1\u2264\u2265\u00a5\u00b5\u2202\u2211" +
+      "\u220f\u03c0\u222b\u00aa\u00ba\u03a9\u00e6\u00f8" +
+      "\u00bf\u00a1\u00ac\u221a\u0192\u2248\u2206\u00ab" +
+      "\u00bb\u2026\u00a0\u00c0\u00c3\u00d5\u0152\u0153" +
+      "\u2013\u2014\u201c\u201d\u2018\u2019\u00f7\u25ca" +
+      "\u00ff\u0178\u2044\u00a4\u2039\u203a\ufb01\ufb02" +
+      "\u2021\u00b7\u201a\u201e\u2030\u00c2\u00ca\u00c1" +
+      "\u00cb\u00c8\u00cd\u00ce\u00cf\u00cc\u00d3\u00d4" +
+      "\u0000\u00d2\u00da\u00db\u00d9\u0131\u02c6\u02dc" +
+      "\u00af\u02d8\u02d9\u02da\u00b8\u02dd\u02db\u02c7"
+    (0 until 128).flatMap { i =>
+      val c = t.charAt(i)
+      if (c == '\u0000') None else Some((0x80 + i) -> c.toString)
+    }.toMap
   }
 }

@@ -449,9 +449,25 @@ object Dedup {
     // restores the id_a < id_b canonical form.
     val members = classes.select(col("rep"),
       explode(col("members")).as("m"))
-    val intra = classes.where(size(col("members")) > 1)
+    // size-gated: the shuffle-free explode materializes one
+    // m(m-1)/2-element array PER ROW, which is the fast path for
+    // ordinary clique sizes but an allocation cliff for mega-classes
+    // (m=1e5 would build 5e9 Rows in a single task). Classes past the
+    // cap stream their pairs through a self-join on rep instead —
+    // same emitted set (members are distinct and `<` is the Catalyst
+    // ordering sort_array used), spillable at any class size.
+    val smallIntra = classes.where(size(col("members")) > 1 &&
+        size(col("members")) <= IntraExplodeCap)
       .select(explode(classPairUdf(idType)(col("members"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
+    val bigMembers = classes.where(size(col("members")) > IntraExplodeCap)
+      .select(col("rep"), explode(col("members")).as("m"))
+    val bigIntra = bigMembers.select(col("rep"), col("m").as("id_a"))
+      .join(bigMembers.select(col("rep"), col("m").as("id_b"))
+        .hint("merge"), Seq("rep"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    val intra = smallIntra.union(bigIntra)
     // merge hints for the same reason as the verify joins: members is
     // slim but cached-lineage, and a static broadcast pick off
     // optimistic cached stats cannot be demoted by AQE
@@ -543,6 +559,12 @@ object Dedup {
     * below the literal count where Catalyst plan analysis and task
     * serialization start to dominate. */
   val SpanningInSetSuspects: Int = 1000
+
+  /** Largest exact-duplicate class whose intra-class J=1 pairs are
+    * emitted via the single-row explode UDF (≤ ~524k structs per
+    * row); larger classes stream their pairs through a rep-keyed
+    * self-join so one mega-clique cannot OOM a task. */
+  val IntraExplodeCap: Int = 1024
 
   /** Connectivity-sufficient edge set of the capped-Jaccard pair graph
     * (same universe/threshold semantics as [[jaccardPairsCapped]]),

@@ -742,6 +742,46 @@ class PdfCidSpec extends AnyFunSuite {
     assert(PdfExtract.pages(pdf2) === Seq("Zello"))
   }
 
+
+  test("/Encoding /WinAnsiEncoding replaces the font's built-in CFF " +
+      "encoding (PDF 9.6.6.3) and maps the cp1252 typographic block") {
+    // CFF built-in encoding maps codes 1..4 -> H e l o; with a
+    // DECLARED base encoding those built-in mappings must NOT apply
+    val cff = cffBlob(Seq(41, 70, 77, 80), Some(Seq(1, 2, 3, 4)))
+    val cffStr = new String(cff, StandardCharsets.ISO_8859_1)
+    val fdesc = "<< /Type /FontDescriptor /FontName /Sub " +
+      "/FontFile3 7 0 R >>"
+    // sanity: WITHOUT a declared encoding the built-in applies
+    val viaBuiltin = simpleFontPdf(Seq(1, 2, 3, 3, 4),
+      "/FontDescriptor 6 0 R",
+      Seq(6 -> Left(fdesc), 7 -> Right(cffStr)))
+    assert(PdfExtract.pages(viaBuiltin) === Seq("Hello"))
+    // declared WinAnsi: code 1 is NOT 'H' anymore (raw passthrough),
+    // 0x93/0x94 are the cp1252 curly quotes, ASCII rides through
+    // (the \u0001 sits mid-string: textFromContent trims the ends)
+    val declared = simpleFontPdf(Seq(0x93, 1, 0x48, 0x69, 0x94),
+      "/FontDescriptor 6 0 R /Encoding /WinAnsiEncoding",
+      Seq(6 -> Left(fdesc), 7 -> Right(cffStr)))
+    assert(PdfExtract.pages(declared) ===
+      Seq("\u201C\u0001Hi\u201D"))
+  }
+
+  test("/Encoding /MacRomanEncoding decodes the Mac OS Roman high " +
+      "half, including the no-break space and /currency at 0xDB") {
+    val pdf = simpleFontPdf(Seq(0x61, 0x8e, 0xca, 0xdb, 0xd5),
+      "/Encoding /MacRomanEncoding")
+    assert(PdfExtract.pages(pdf) ===
+      Seq("a\u00e9\u00a0\u00a4\u2019"))
+  }
+
+  test("/BaseEncoding inside an encoding dict sets the base and " +
+      "/Differences still overlays its listed codes only") {
+    val pdf = simpleFontPdf(Seq(1, 0x93, 0x5a),
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [ 1 /H ] >>")
+    assert(PdfExtract.pages(pdf) === Seq("H\u201CZ"))
+  }
+
   /** ttfWithCmap12 variant taking raw u32 group fields, so tests can
     * encode start codes outside the valid codepoint range. */
   private def ttfWithCmap12Raw(
