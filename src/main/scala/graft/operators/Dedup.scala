@@ -323,7 +323,7 @@ object Dedup {
     * sorted by sort_array (Catalyst ordering — the same order
     * pairEmitUdf's upstream sort_array uses), so emitted pairs keep
     * id_a < id_b under the engine's own type ordering. */
-  private def classPairUdf(idType: org.apache.spark.sql.types.DataType) = {
+  private[operators] def classPairUdf(idType: org.apache.spark.sql.types.DataType) = {
     import org.apache.spark.sql.types._
     val out = ArrayType(StructType(Seq(
       StructField("id_a", idType), StructField("id_b", idType))))

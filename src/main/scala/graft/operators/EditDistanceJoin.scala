@@ -61,16 +61,85 @@ object EditDistanceJoin {
   }
 
   /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) <= tau.
-    * Output: (id_a, id_b, dist). */
+    * Output: (id_a, id_b, dist).
+    *
+    * Duplication-adaptive (the q68 pattern, specialized to edit
+    * distance): an xxhash64 census routes corpora with byte-identical
+    * strings through exact-class contraction — PassJoin runs among
+    * min-id representatives only, intra-class pairs are dist=0 by
+    * construction, and cross-class pairs lift from representative
+    * pairs via membership joins (ed(X,Y) = ed(rep(X),rep(Y)) when
+    * X,Y equal their reps byte-for-byte, so the emitted set is
+    * bit-identical to the uncontracted plan's). Without the
+    * contraction, c-member duplicate cliques make the segment-block
+    * candidate set — and the Levenshtein verify — quadratic per
+    * clique: the 100× scale tier's c=100 cliques meant ~25M verify
+    * calls and a watchdog kill. Duplicate-free corpora keep the
+    * original single-pass plan (the census costs one slim agg). */
   def selfJoin(df: DataFrame, idCol: String, strCol: String, tau: Int)
       : DataFrame = {
     require(tau >= 1, "tau must be >= 1")
-    val spark = df.sparkSession
-    import spark.implicits._
 
     val base = df.select(col(idCol).cast("long").as("id"),
         col(strCol).as("s"))
       .where(col("s").isNotNull)
+
+    // census on an HLL of the hash, not the string (nothing wide
+    // shuffles). Census error in either direction is a PLAN choice,
+    // never a correctness one — the classes group by the FULL string
+    // — so ±1% HLL drift merely picks contraction a hair early/late.
+    val c = base.agg(count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(col("s")), 0.01).as("nd")).head()
+    val hasDups = c.getLong(1) < c.getLong(0)
+
+    if (!hasDups) pairsAmong(base, tau)
+    else {
+      import org.apache.spark.sql.types.LongType
+      val classes = base.groupBy("s")
+        .agg(min(col("id")).as("rep"),
+          sort_array(collect_list(col("id"))).as("members"))
+      val reps = classes.select(col("rep").as("id"), col("s"))
+      val repPairs = pairsAmong(reps, tau)
+      val members = classes.select(col("rep"),
+        explode(col("members")).as("m"))
+      // both endpoints of every rep pair ARE reps, and every rep is
+      // in its own members list — inner joins lift totally. merge
+      // hints: members is slim but behind a wide groupBy lineage,
+      // and a static broadcast pick cannot be demoted by AQE.
+      val cross = repPairs
+        .join(members.select(col("rep").as("id_a"), col("m").as("xa"))
+          .hint("merge"), Seq("id_a"))
+        .join(members.select(col("rep").as("id_b"), col("m").as("xb"))
+          .hint("merge"), Seq("id_b"))
+        .select(least(col("xa"), col("xb")).as("id_a"),
+          greatest(col("xa"), col("xb")).as("id_b"), col("dist"))
+      // intra-class dist=0 pairs, size-gated exactly like Dedup's
+      // re-expansion: explode for ordinary classes, a rep-keyed
+      // self-join past the cap so no mega-clique OOMs a task
+      val smallIntra = classes.where(size(col("members")) > 1 &&
+          size(col("members")) <= Dedup.IntraExplodeCap)
+        .select(explode(
+          Dedup.classPairUdf(LongType)(col("members"))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), lit(0).as("dist"))
+      val bigMembers = classes
+        .where(size(col("members")) > Dedup.IntraExplodeCap)
+        .select(col("rep"), explode(col("members")).as("m"))
+      val bigIntra = bigMembers.select(col("rep"), col("m").as("id_a"))
+        .join(bigMembers.select(col("rep"), col("m").as("id_b"))
+          .hint("merge"), Seq("rep"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0).as("dist"))
+      cross.unionByName(smallIntra).unionByName(bigIntra)
+    }
+  }
+
+  /** The PassJoin pipeline proper, over a (id, s) frame assumed
+    * duplicate-free (or whose duplicates the caller accepts paying
+    * for): segment index ⋈ probe substrings, candidate dedup, banded
+    * Levenshtein verify. */
+  private def pairsAmong(base: DataFrame, tau: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
 
     // ---- main path: indexed segments ⋈ probe substrings ----
     val indexSide = base.as[(Long, String)].flatMap { case (id, s) =>

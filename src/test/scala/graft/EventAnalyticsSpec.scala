@@ -110,6 +110,44 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got.toSeq === brute.toSeq)
   }
 
+  test("edit-distance PassJoin is duplication-adaptive: clique-heavy " +
+      "and dup-free corpora both match brute force exactly") {
+    val tau = 2
+    def parity(strs: Seq[(Long, String)]): Unit = {
+      val df = strs.toDF("id", "s")
+      val got = EditDistanceJoin.selfJoin(df, "id", "s", tau)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val brute = df.select(col("id").as("id_a"), col("s").as("sa"))
+        .crossJoin(df.select(col("id").as("id_b"), col("s").as("sb")))
+        .where(col("id_a") < col("id_b") &&
+          levenshtein(col("sa"), col("sb")) <= tau)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("sa"), col("sb")).as("d"))
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(brute.nonEmpty, "fixture must produce pairs")
+      assert(got.toSeq === brute.toSeq)
+    }
+    // clique-heavy: three byte-identical classes (5/3/2 members),
+    // near-strings at ed 1-2 of a clique, a short-string dup pair
+    // (degenerate bucket), and distinct fillers — the census routes
+    // this through contraction; intra pairs must come out dist=0 and
+    // cross pairs must lift to every member combination
+    parity(
+      (0L until 5L).map(i => (i, "abcabcabcabc")) ++
+        (10L until 13L).map(i => (i, "xyzxyzxyzxyz")) ++
+        Seq(20L -> "pq", 21L -> "pq", 22L -> "pr") ++
+        Seq(30L -> "abcabcabcabd", // ed 1 of the first clique
+          31L -> "abcabcabcadd", // ed 2
+          32L -> "xyzxyzxyzxy", // ed 1 of the second
+          40L -> "completely unrelated", 41L -> "another different"))
+    // dup-free: same shapes, ids baked into the strings so the
+    // census keeps the uncontracted single-pass plan
+    parity((0L until 30L).map(i =>
+      (i, s"str$i-" + ("ab" * ((i % 5) + 2).toInt))))
+  }
+
   test("heavy hitters is exact under forced MG evictions") {
     // vocab of 200 distinct tokens >> k=8 counters, zipf-skewed so
     // the threshold bites: answer == the census answer exactly
