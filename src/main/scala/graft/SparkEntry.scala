@@ -1457,11 +1457,20 @@ object SparkEntry {
     }),
 
     // ---- ntile decile binning (O-series: equal-count partitioning for
-    // stratified sampling / training-data splits) ----
+    // stratified sampling / training-data splits). A bare
+    // `ntile(10) OVER (ORDER BY ...)` window is ONE task — the whole
+    // table funnels through a single sort partition (measured 60x
+    // superlinear at the 100x tier). ScalableRank's two-phase
+    // range-partitioned rank computes the SAME ANSI ntile from a
+    // distributed sort (constant key: range boundaries split on the
+    // score, so one key still spreads over every partition). ----
     "q67_ntile_decile" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), ntile(10).over(w).as("decile"))
+      graft.operators.ScalableRank.ntileByKey(
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"))
+            .withColumn("__g", lit(0)),
+          "__g", "o_totalprice", "o_orderkey", k = 10,
+          ntileCol = "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n"))
     }),

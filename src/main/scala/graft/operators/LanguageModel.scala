@@ -525,9 +525,11 @@ object LanguageModel {
     * far off flags boilerplate floods or token-soup noise).
     *
     * Plan: one census shuffle (vocab-sized, tiny next to the corpus),
-    * a rank over the vocab (single-partition window — the vocab of
-    * even a 100 TB corpus is dimension-scale after the census, and
-    * `minCount` caps it when it isn't), then ONE one-row aggregate.
+    * a distributed rank over the vocab (ScalableRank's two-phase
+    * range-partitioned rank with a constant key — the type census of
+    * a 100 TB corpus with junk tokens is NOT dimension-scale, and a
+    * global window would funnel it through one sort task), then ONE
+    * one-row aggregate.
     *
     * Numerics (the q111 discipline): each ln is computed once on an
     * INTEGER argument — identical in both engines — and immediately
@@ -539,15 +541,21 @@ object LanguageModel {
     * (n_types, slope_6, intercept_6). */
   def zipfFit(docs: DataFrame, textCol: String,
       minCount: Long = 1L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val census = docs
       .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
         w => length(w) > 0)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
-    val ranked = census
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("w").asc)))
+    // rank over the TYPE census — at corpus scale the census itself is
+    // huge (types grow with corpus junk), so the global `row_number()
+    // OVER (ORDER BY cnt DESC, w)` window (one task) becomes the
+    // bottleneck. ScalableRank's range-partitioned rank computes the
+    // identical total order distributed; cnt DESC rides as -cnt ASC.
+    val ranked = ScalableRank.rankByKey(
+        census.withColumn("__g", lit(0))
+          .withColumn("__negcnt", -col("cnt")),
+        "__g", "__negcnt", "w", rankCol = "rank")
+      .select(col("w"), (-col("__negcnt")).as("cnt"), col("rank"))
     val dec = "decimal(38,0)"
     val fp: Column => Column =
       c => floor(log(c.cast("double")) * 1e6 + 0.5).cast(dec)

@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Exact global per-key ranking WITHOUT per-key window partitions —
   * the scale primitive behind CCNet-style percentile bucketing
@@ -61,6 +61,30 @@ object ScalableRank {
       idCol: String, k: Int, ntileCol: String = "ntile",
       partitions: Int = 0): DataFrame = {
     require(k >= 1, s"ntile needs k >= 1, got $k")
+    rankCore(df, keyCol, scoreCol, idCol, ntileCol, partitions, Some(k))
+  }
+
+  /** `row_number() OVER (PARTITION BY keyCol ORDER BY scoreCol, idCol)`
+    * through the same two-phase range-partitioned machinery — the
+    * scale-safe form of a global (or per-key) dense ordering. A
+    * CONSTANT `keyCol` gives the global total order: range
+    * partitioning splits on (key, score, id), so a single key still
+    * spreads across every partition by score, where the window form
+    * would funnel the whole input through one task. Descending
+    * orders: negate the score (callers own the transform, keeping
+    * this core ascending-only and bit-identical to the window form).
+    * Output rank is LONG (global ranks overflow int at ~2.1B rows). */
+  def rankByKey(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, rankCol: String = "rank",
+      partitions: Int = 0): DataFrame =
+    rankCore(df, keyCol, scoreCol, idCol, rankCol, partitions, None)
+
+  /** Shared two-phase core: `kOpt = Some(k)` folds the rank into the
+    * ANSI ntile bucket (int column); `None` emits the rank itself
+    * (long column). */
+  private def rankCore(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, outCol: String, partitions: Int,
+      kOpt: Option[Int]): DataFrame = {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
@@ -115,8 +139,9 @@ object ScalableRank {
     }
     val bTotals = spark.sparkContext.broadcast(totals)
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    val kk = k
-    // pass 2: assign rank = prefix offset + position, fold into ntile
+    val kk = kOpt
+    // pass 2: assign rank = prefix offset + position; fold into the
+    // ntile bucket when k is given, emit the raw rank otherwise
     val outRdd = rdd.mapPartitionsWithIndex { case (pid, it) =>
       val tot = bTotals.value
       val off = bOffsets.value
@@ -128,11 +153,17 @@ object ScalableRank {
         if (!started || kv != cur) { cur = kv; started = true; local = 0L }
         local += 1
         val rank = off((pid, kv)) + local
-        Row.fromSeq(r.toSeq :+ ansiNtile(rank, tot(kv), kk))
+        val v: Any = kk match {
+          case Some(k) => ansiNtile(rank, tot(kv), k)
+          case None => rank
+        }
+        Row.fromSeq(r.toSeq :+ v)
       }
     }
     val schema = StructType(sorted.schema.fields :+
-      StructField(ntileCol, IntegerType, nullable = false))
+      StructField(outCol,
+        if (kOpt.isDefined) IntegerType else LongType,
+        nullable = false))
     spark.createDataFrame(outRdd, schema)
   }
 

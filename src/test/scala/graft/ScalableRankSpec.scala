@@ -52,6 +52,39 @@ class ScalableRankSpec extends SparkSuite {
     assert(asSet(fast) === asSet(windowForm(df, 3)))
   }
 
+  test("rankByKey equals window row_number on randomized skewed data, " +
+      "and a CONSTANT key gives the global order distributed") {
+    val s = initSpark()
+    import s.implicits._
+    val rnd = new scala.util.Random(9341)
+    val rows = (0L until 2500L).map { i =>
+      val key = if (rnd.nextInt(10) < 6) "big" else s"k${rnd.nextInt(5)}"
+      (key, rnd.nextInt(4).toLong, i)
+    }
+    val df = rows.toDF("k", "s", "id")
+    val winKeyed = df.select(col("k"), col("s"), col("id"),
+      row_number().over(Window.partitionBy("k")
+        .orderBy(col("s").asc, col("id").asc)).cast("long").as("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val fastKeyed = ScalableRank.rankByKey(df, "k", "s", "id",
+        partitions = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(fastKeyed === winKeyed)
+    // constant key = global total order; desc score rides as negation
+    val g = df.withColumn("g", lit(0)).withColumn("neg", -col("s"))
+    val winGlobal = df.select(col("id"),
+      row_number().over(Window.orderBy(col("s").desc, col("id").asc))
+        .cast("long").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fastGlobal = ScalableRank.rankByKey(g, "g", "neg", "id",
+        partitions = 9)
+      .select(col("id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fastGlobal === winGlobal)
+  }
+
   test("ansiNtile matches the standard tile-size law: first n mod k " +
       "tiles get ceil(n/k) rows") {
     for (n <- 1L to 40L; k <- Seq(1, 2, 3, 5, 8, 40, 41)) {
