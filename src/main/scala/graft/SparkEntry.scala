@@ -1465,11 +1465,10 @@ object SparkEntry {
     // distributed sort (constant key: range boundaries split on the
     // score, so one key still spreads over every partition). ----
     "q67_ntile_decile" -> ((s, dir) => {
-      graft.operators.ScalableRank.ntileByKey(
+      graft.operators.ScalableRank.globalNtile(
           t(s, dir, "orders")
-            .select(col("o_orderkey"), col("o_totalprice"))
-            .withColumn("__g", lit(0)),
-          "__g", "o_totalprice", "o_orderkey", k = 10,
+            .select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", "o_orderkey", k = 10,
           ntileCol = "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n"))

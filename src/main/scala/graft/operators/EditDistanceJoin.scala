@@ -60,11 +60,13 @@ object EditDistanceJoin {
     out
   }
 
+  private val selfJoinSlot = ReleaseSlot()
+
   /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) <= tau.
     * Output: (id_a, id_b, dist).
     *
     * Duplication-adaptive (the q68 pattern, specialized to edit
-    * distance): an xxhash64 census routes corpora with byte-identical
+    * distance): an exact census routes corpora with byte-identical
     * strings through exact-class contraction — PassJoin runs among
     * min-id representatives only, intra-class pairs are dist=0 by
     * construction, and cross-class pairs lift from representative
@@ -75,29 +77,58 @@ object EditDistanceJoin {
     * candidate set — and the Levenshtein verify — quadratic per
     * clique: the 100× scale tier's c=100 cliques meant ~25M verify
     * calls and a watchdog kill. Duplicate-free corpora keep the
-    * original single-pass plan (the census costs one slim agg). */
+    * original single-pass plan (the census costs one slim agg over
+    * the persisted base, which the main job then rides).
+    *
+    * The contraction's bit-identity proof assumes ids identify rows;
+    * if the census finds REPEATED ids (a degenerate input — every
+    * real caller keys by document id), the class membership joins
+    * would re-emit self-pairs and multiplicities that pairsAmong's
+    * `id_l =!= id_r` + dropDuplicates guards remove, so such inputs
+    * keep the original uncontracted plan verbatim instead — identical
+    * behavior to the pre-adaptive operator, with its documented
+    * quadratic-per-clique boundary. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String, tau: Int)
       : DataFrame = {
     require(tau >= 1, "tau must be >= 1")
 
+    // release the PREVIOUS invocation's caches before persisting this
+    // one's (ReleaseSlot ordering contract — persist-then-swap would
+    // let the cache-manager dedupe drop the entry we rely on).
+    selfJoinSlot.releasePrevious()
     val base = df.select(col(idCol).cast("long").as("id"),
         col(strCol).as("s"))
       .where(col("s").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // census on an HLL of the hash, not the string (nothing wide
-    // shuffles). Census error in either direction is a PLAN choice,
-    // never a correctness one — the classes group by the FULL string
-    // — so ±1% HLL drift merely picks contraction a hair early/late.
+    // EXACT census (one slim agg; strings never shuffle — only their
+    // xxhash64 and the id do, via the Expand the two DISTINCTs plan).
+    // Exact beats the earlier HLL here twice over: a dup-free corpus
+    // can never flip into paying the contraction shuffle on estimator
+    // noise, and a sub-noise duplication level (1e6 dups in 1e9 rows
+    // hides inside HLL rsd) can never route a clique-bearing corpus
+    // into the quadratic plan. The census job also materializes the
+    // persisted base, so the upstream pipeline runs ONCE (pairsAmong
+    // alone reads base three times).
     val c = base.agg(count(lit(1)).as("n"),
-      approx_count_distinct(xxhash64(col("s")), 0.01).as("nd")).head()
-    val hasDups = c.getLong(1) < c.getLong(0)
+      count_distinct(xxhash64(col("s"))).as("nd"),
+      count_distinct(col("id")).as("nids")).head()
+    val n = c.getLong(0)
+    val hasDups = c.getLong(1) < n
+    val idsUnique = c.getLong(2) == n
 
-    if (!hasDups) pairsAmong(base, tau)
-    else {
+    if (!hasDups || !idsUnique) {
+      selfJoinSlot.set(() => { base.unpersist(false); () })
+      pairsAmong(base, tau)
+    } else {
       import org.apache.spark.sql.types.LongType
       val classes = base.groupBy("s")
         .agg(min(col("id")).as("rep"),
           sort_array(collect_list(col("id"))).as("members"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      selfJoinSlot.set(() => {
+        base.unpersist(false); classes.unpersist(false); ()
+      })
       val reps = classes.select(col("rep").as("id"), col("s"))
       val repPairs = pairsAmong(reps, tau)
       val members = classes.select(col("rep"),

@@ -549,13 +549,10 @@ object LanguageModel {
     // rank over the TYPE census — at corpus scale the census itself is
     // huge (types grow with corpus junk), so the global `row_number()
     // OVER (ORDER BY cnt DESC, w)` window (one task) becomes the
-    // bottleneck. ScalableRank's range-partitioned rank computes the
-    // identical total order distributed; cnt DESC rides as -cnt ASC.
-    val ranked = ScalableRank.rankByKey(
-        census.withColumn("__g", lit(0))
-          .withColumn("__negcnt", -col("cnt")),
-        "__g", "__negcnt", "w", rankCol = "rank")
-      .select(col("w"), (-col("__negcnt")).as("cnt"), col("rank"))
+    // bottleneck. ScalableRank.globalRank computes the identical
+    // total order distributed (desc=true negates the score inside).
+    val ranked = ScalableRank.globalRank(
+      census, "cnt", "w", rankCol = "rank", desc = true)
     val dec = "decimal(38,0)"
     val fp: Column => Column =
       c => floor(log(c.cast("double")) * 1e6 + 0.5).cast(dec)

@@ -79,6 +79,42 @@ object ScalableRank {
       partitions: Int = 0): DataFrame =
     rankCore(df, keyCol, scoreCol, idCol, rankCol, partitions, None)
 
+  /** Global (un-keyed) total-order rank: `row_number() OVER (ORDER BY
+    * scoreCol [DESC], idCol)` without the single window task. Encodes
+    * the constant-key recipe once — a synthetic `lit(0)` key (range
+    * boundaries split on the score, so the one "group" still spreads
+    * over every partition) and descending order as score negation
+    * (`desc = true` requires a numeric, NON-NULL score: `-NULL` is
+    * NULL and would sort first, where the window form's DESC default
+    * puts nulls last). Output: (idCol, scoreCol, rankCol) — the
+    * synthetic columns never escape. */
+  def globalRank(df: DataFrame, scoreCol: String, idCol: String,
+      rankCol: String = "rank", desc: Boolean = false,
+      partitions: Int = 0): DataFrame =
+    globalCore(df, scoreCol, idCol, rankCol, desc, partitions, None)
+
+  /** Global (un-keyed) ANSI `ntile(k) OVER (ORDER BY scoreCol [DESC],
+    * idCol)` through the same constant-key two-phase machinery; same
+    * null contract as [[globalRank]]. */
+  def globalNtile(df: DataFrame, scoreCol: String, idCol: String,
+      k: Int, ntileCol: String = "ntile", desc: Boolean = false,
+      partitions: Int = 0): DataFrame = {
+    require(k >= 1, s"ntile needs k >= 1, got $k")
+    globalCore(df, scoreCol, idCol, ntileCol, desc, partitions, Some(k))
+  }
+
+  private def globalCore(df: DataFrame, scoreCol: String, idCol: String,
+      outCol: String, desc: Boolean, partitions: Int,
+      kOpt: Option[Int]): DataFrame = {
+    val score = if (desc) (-col(scoreCol)).as("__score")
+      else col(scoreCol).as("__score")
+    val prepped = df.select(lit(0).as("__g"), score, col(idCol))
+    rankCore(prepped, "__g", "__score", idCol, outCol, partitions, kOpt)
+      .select(col(idCol),
+        (if (desc) -col("__score") else col("__score")).as(scoreCol),
+        col(outCol))
+  }
+
   /** Shared two-phase core: `kOpt = Some(k)` folds the rank into the
     * ANSI ntile bucket (int column); `None` emits the rank itself
     * (long column). */

@@ -148,6 +148,25 @@ class EventAnalyticsSpec extends SparkSuite {
       (i, s"str$i-" + ("ab" * ((i % 5) + 2).toInt))))
   }
 
+  test("edit-distance PassJoin with REPEATED ids keeps the uncontracted " +
+      "plan: distinct pairs, no self-pairs (review r12 probe)") {
+    // dup strings AND dup ids: the census sees hasDups but NOT
+    // ids-unique, so contraction must NOT fire (its membership-join
+    // lift would emit (1,1) self-pairs and duplicated rows). Each
+    // id's rows are byte-identical so every candidate row-pair for a
+    // given (id_a,id_b) verifies to the same distance — the expected
+    // set is the distinct brute-force answer.
+    val tau = 1
+    val strs = Seq(1L -> "aaaa", 1L -> "aaaa", 2L -> "aaaa",
+      3L -> "aaab", 3L -> "aaab")
+    val df = strs.toDF("id", "s")
+    val got = EditDistanceJoin.selfJoin(df, "id", "s", tau)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)),
+      "repeated-id input must yield the distinct no-self-pair set")
+  }
+
   test("heavy hitters is exact under forced MG evictions") {
     // vocab of 200 distinct tokens >> k=8 counters, zipf-skewed so
     // the threshold bites: answer == the census answer exactly

@@ -85,6 +85,37 @@ class ScalableRankSpec extends SparkSuite {
     assert(fastGlobal === winGlobal)
   }
 
+  test("globalRank/globalNtile wrappers equal the bare window forms, " +
+      "asc and desc, and leak no synthetic columns") {
+    val s = initSpark()
+    import s.implicits._
+    val rnd = new scala.util.Random(777)
+    val df = (0L until 800L).map(i => (rnd.nextInt(6).toLong, i))
+      .toDF("s", "id")
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) col("s").desc else col("s").asc
+      val winRank = df.select(col("id"),
+        row_number().over(Window.orderBy(ord, col("id").asc))
+          .cast("long").as("r"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fr = ScalableRank.globalRank(df, "s", "id", rankCol = "r",
+        desc = desc, partitions = 7)
+      assert(fr.columns.toSeq === Seq("id", "s", "r"),
+        "synthetic columns must not escape")
+      assert(fr.select(col("id"), col("r")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === winRank,
+        s"globalRank desc=$desc")
+      val winNt = df.select(col("id"),
+        ntile(7).over(Window.orderBy(ord, col("id").asc)).as("nt"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val fn = ScalableRank.globalNtile(df, "s", "id", 7,
+        ntileCol = "nt", desc = desc, partitions = 7)
+      assert(fn.select(col("id"), col("nt")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet === winNt,
+        s"globalNtile desc=$desc")
+    }
+  }
+
   test("ansiNtile matches the standard tile-size law: first n mod k " +
       "tiles get ceil(n/k) rows") {
     for (n <- 1L to 40L; k <- Seq(1, 2, 3, 5, 8, 40, 41)) {
