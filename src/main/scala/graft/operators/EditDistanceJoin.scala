@@ -77,8 +77,8 @@ object EditDistanceJoin {
     * candidate set — and the Levenshtein verify — quadratic per
     * clique: the 100× scale tier's c=100 cliques meant ~25M verify
     * calls and a watchdog kill. Duplicate-free corpora keep the
-    * original single-pass plan (the census costs one slim agg over
-    * the persisted base, which the main job then rides).
+    * original single-pass unpersisted plan — their only overhead is
+    * ONE single-distinct census agg over the slim (id, s) projection.
     *
     * The contraction's bit-identity proof assumes ids identify rows;
     * if the census finds REPEATED ids (a degenerate input — every
@@ -96,28 +96,44 @@ object EditDistanceJoin {
     // one's (ReleaseSlot ordering contract — persist-then-swap would
     // let the cache-manager dedupe drop the entry we rely on).
     selfJoinSlot.releasePrevious()
-    val base = df.select(col(idCol).cast("long").as("id"),
+    val slim = df.select(col(idCol).cast("long").as("id"),
         col(strCol).as("s"))
       .where(col("s").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // EXACT census (one slim agg; strings never shuffle — only their
-    // xxhash64 and the id do, via the Expand the two DISTINCTs plan).
-    // Exact beats the earlier HLL here twice over: a dup-free corpus
-    // can never flip into paying the contraction shuffle on estimator
-    // noise, and a sub-noise duplication level (1e6 dups in 1e9 rows
-    // hides inside HLL rsd) can never route a clique-bearing corpus
-    // into the quadratic plan. The census job also materializes the
-    // persisted base, so the upstream pipeline runs ONCE (pairsAmong
-    // alone reads base three times).
-    val c = base.agg(count(lit(1)).as("n"),
-      count_distinct(xxhash64(col("s"))).as("nd"),
-      count_distinct(col("id")).as("nids")).head()
+    // EXACT census, staged so the dup-free common case pays the least:
+    // a SINGLE-distinct agg (two-stage partial aggregate — no Expand
+    // row doubling) over the unpersisted slim projection. Strings
+    // never shuffle — only their xxhash64 does. Exact beats the
+    // earlier HLL here twice over: a dup-free corpus can never flip
+    // into paying the contraction shuffle on estimator noise, and a
+    // sub-noise duplication level (1e6 dups in 1e9 rows hides inside
+    // HLL rsd) can never route a clique-bearing corpus into the
+    // quadratic plan.
+    val c = slim.agg(count(lit(1)).as("n"),
+      count_distinct(xxhash64(col("s"))).as("nd")).head()
     val n = c.getLong(0)
     val hasDups = c.getLong(1) < n
-    val idsUnique = c.getLong(2) == n
 
-    if (!hasDups || !idsUnique) {
+    if (!hasDups) {
+      // Duplicate-free: the original single-pass plan over the
+      // UNPERSISTED base — pairsAmong's three reads are three
+      // column-pruned scans of a cheap projection, cheaper than a
+      // persist round-trip at toy scale and a wash at 100× (the
+      // contraction branch below is where a cache earns its keep).
+      selfJoinSlot.set(() => ())
+      return pairsAmong(slim, tau)
+    }
+
+    val base = slim
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ids-unique gate, checked only once contraction is actually on
+    // the table (dup-free corpora skip this job entirely); the agg
+    // also materializes the base cache the branches below ride —
+    // pairsAmong alone reads base three times.
+    val idsUnique =
+      base.agg(count_distinct(col("id")).as("nids")).head().getLong(0) == n
+
+    if (!idsUnique) {
       selfJoinSlot.set(() => { base.unpersist(false); () })
       pairsAmong(base, tau)
     } else {
