@@ -87,7 +87,16 @@ object EditDistanceJoin {
     * `id_l =!= id_r` + dropDuplicates guards remove, so such inputs
     * keep the original uncontracted plan verbatim instead — identical
     * behavior to the pre-adaptive operator, with its documented
-    * quadratic-per-clique boundary. */
+    * quadratic-per-clique boundary.
+    *
+    * Input contract: `df` must be DETERMINISTIC under re-execution —
+    * the census, the index side, and the probe side each re-read the
+    * caller's lineage on the dup-free path (a persist pins a snapshot
+    * only on the contraction path, where it pays for itself). A
+    * caller whose frame derives from sampling / rand / shuffle-order-
+    * dependent expressions, or whose lineage is expensive enough that
+    * ~4 column-pruned re-reads beat a cache, should persist `df`
+    * itself before calling. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String, tau: Int)
       : DataFrame = {
     require(tau >= 1, "tau must be >= 1")
@@ -120,7 +129,8 @@ object EditDistanceJoin {
       // column-pruned scans of a cheap projection, cheaper than a
       // persist round-trip at toy scale and a wash at 100× (the
       // contraction branch below is where a cache earns its keep).
-      selfJoinSlot.set(() => ())
+      // No cache registered: releasePrevious() already cleared the
+      // slot, and this path pins nothing.
       return pairsAmong(slim, tau)
     }
 
@@ -129,9 +139,14 @@ object EditDistanceJoin {
     // ids-unique gate, checked only once contraction is actually on
     // the table (dup-free corpora skip this job entirely); the agg
     // also materializes the base cache the branches below ride —
-    // pairsAmong alone reads base three times.
-    val idsUnique =
-      base.agg(count_distinct(col("id")).as("nids")).head().getLong(0) == n
+    // pairsAmong alone reads base three times. Both sides of the
+    // uniqueness comparison come from THIS one job over the pinned
+    // snapshot (never the earlier census job's n), so a row-count
+    // drift between the two executions can't slip repeated-id data
+    // past the gate.
+    val g = base.agg(count(lit(1)).as("nb"),
+      count_distinct(col("id")).as("nids")).head()
+    val idsUnique = g.getLong(1) == g.getLong(0)
 
     if (!idsUnique) {
       selfJoinSlot.set(() => { base.unpersist(false); () })
