@@ -79,8 +79,14 @@ object TrueTypeCmap {
         // reject out-of-range codepoints at the source: format-12
         // group starts come from untrusted u32().toInt, so a crafted
         // group can pass the span guard with uni < 0 or > 0x10FFFF —
-        // storing it would make Character.toChars throw downstream
-        if (gid != 0 && uni != 0xffff && uni >= 0 && uni <= 0x10ffff)
+        // storing it would make Character.toChars throw downstream.
+        // Surrogates (U+D800-U+DFFF) are excluded too: toChars does
+        // NOT throw for them, it returns a lone surrogate char, and
+        // the extracted string would be ill-formed UTF-16 (silently
+        // mangled to U+FFFD at every UTF-8 boundary downstream)
+        if (gid != 0 && uni != 0xffff &&
+            (uni >= 0 && uni < 0xd800 ||
+             uni > 0xdfff && uni <= 0x10ffff))
           acc.updateWith(gid) {
             case Some(prev) => Some(math.min(prev, uni))
             case None => Some(uni)

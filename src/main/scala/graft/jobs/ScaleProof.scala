@@ -152,23 +152,9 @@ object ScaleProof {
     val cand = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
         n = 3, bands = 4)
       .select(col("id_a"), col("id_b"), lit(1).as("hit"))
-    val perBucket = exact
-      .join(cand, Seq("id_a", "id_b"), "left")
-      .groupBy(least(floor(col("jaccard") * 5), lit(4L)).as("b"))
-      .agg(count(lit(1)).as("pairs"), count(col("hit")).as("recalled"))
-      .orderBy("b")
-      .collect()
+    val json = recallJson(exact, cand)
     exact.unpersist()
-    val buckets = perBucket.map { r =>
-      val b = r.getLong(0); val p = r.getLong(1); val c = r.getLong(2)
-      s"""{"j_lo":${fmt(b * 0.2)},"pairs":$p,"recalled":$c""" +
-        s""","recall":${fmt(if (p > 0) c.toDouble / p else 0.0)}}"""
-    }.mkString("[", ",", "]")
-    val tp = perBucket.map(_.getLong(1)).sum
-    val tc = perBucket.map(_.getLong(2)).sum
-    s""""recall_buckets":$buckets,"pairs_total":$tp""" +
-      s""","recalled_total":$tc""" +
-      s""","recall_overall":${fmt(if (tp > 0) tc.toDouble / tp else 0.0)}"""
+    json
   }
 
   /** q125 survivor accounting on the mutated corpus: dedupNearDup's
@@ -229,24 +215,9 @@ object ScaleProof {
       .select(least(col("id_new"), col("id_old")).as("id_a"),
         greatest(col("id_new"), col("id_old")).as("id_b"),
         lit(1).as("hit"))
-    val perBucket = exact
-      .join(cand, Seq("id_a", "id_b"), "left")
-      .groupBy(least(floor(col("jaccard") * 5), lit(4L)).as("b"))
-      .agg(count(lit(1)).as("pairs"), count(col("hit")).as("recalled"))
-      .orderBy("b")
-      .collect()
+    val json = recallJson(exact, cand, keyPrefix = "q112_")
     exact.unpersist()
-    val buckets = perBucket.map { r =>
-      val b = r.getLong(0); val p = r.getLong(1); val c = r.getLong(2)
-      s"""{"j_lo":${fmt(b * 0.2)},"pairs":$p,"recalled":$c""" +
-        s""","recall":${fmt(if (p > 0) c.toDouble / p else 0.0)}}"""
-    }.mkString("[", ",", "]")
-    val tp = perBucket.map(_.getLong(1)).sum
-    val tc = perBucket.map(_.getLong(2)).sum
-    s""""q112_recall_buckets":$buckets,"q112_pairs_total":$tp""" +
-      s""","q112_recalled_total":$tc""" +
-      s""","q112_recall_overall":${
-        fmt(if (tp > 0) tc.toDouble / tp else 0.0)}"""
+    json
   }
 
   /** The mutated tier's driver: materialize, time the near-dup
@@ -332,7 +303,38 @@ object ScaleProof {
     res
   }
 
-  private def fmt(v: Double) = f"$v%.3f"
+  private[jobs] def fmt(v: Double) = f"$v%.3f"
+
+  /** Shared recall accounting: the exact thresholded pair graph
+    * LEFT-joined with candidate hits, bucketed by exact Jaccard
+    * (0.2 steps, top bucket J >= 0.8), rendered as the four
+    * `keyPrefix`-ed JSON fields every recall artifact carries.
+    * `candHits` must be (id_a, id_b, hit) with id_a < id_b in the
+    * same canonical order as `exact`. ONE implementation — the
+    * S-curve's bucket edges, the zero-pair guard, and the rounding
+    * must never drift between the batch, incremental, and streaming
+    * proofs. */
+  private[jobs] def recallJson(exact: DataFrame, candHits: DataFrame,
+      keyPrefix: String = ""): String = {
+    val perBucket = exact
+      .join(candHits, Seq("id_a", "id_b"), "left")
+      .groupBy(least(floor(col("jaccard") * 5), lit(4L)).as("b"))
+      .agg(count(lit(1)).as("pairs"), count(col("hit")).as("recalled"))
+      .orderBy("b")
+      .collect()
+    val buckets = perBucket.map { r =>
+      val b = r.getLong(0); val p = r.getLong(1); val c = r.getLong(2)
+      s"""{"j_lo":${fmt(b * 0.2)},"pairs":$p,"recalled":$c""" +
+        s""","recall":${fmt(if (p > 0) c.toDouble / p else 0.0)}}"""
+    }.mkString("[", ",", "]")
+    val tp = perBucket.map(_.getLong(1)).sum
+    val tc = perBucket.map(_.getLong(2)).sum
+    s""""${keyPrefix}recall_buckets":$buckets""" +
+      s""","${keyPrefix}pairs_total":$tp""" +
+      s""","${keyPrefix}recalled_total":$tc""" +
+      s""","${keyPrefix}recall_overall":${
+        fmt(if (tp > 0) tc.toDouble / tp else 0.0)}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption

@@ -212,25 +212,16 @@ object StreamProof {
     val onlyStream = streamPairs.exceptAll(batchPairs).count()
     val onlyBatch = batchPairs.exceptAll(streamPairs).count()
     val parity = nStream == nBatch && onlyStream == 0 && onlyBatch == 0
-    // recall vs the exact pair graph, bucketed by true Jaccard
+    // recall vs the exact pair graph, bucketed by true Jaccard —
+    // the SAME accounting as the batch/incremental tiers
+    // (ScaleProof.recallJson), so the S-curves are comparable by
+    // construction
     val exact = graft.operators.Dedup.jaccardPairs(
         mutAll, "doc_id", "text", n = 3, threshold = 0.2)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val perBucket = exact
-      .join(streamPairs.select(col("id_a"), col("id_b"),
-        lit(1).as("hit")), Seq("id_a", "id_b"), "left")
-      .groupBy(least(floor(col("jaccard") * 5), lit(4L)).as("b"))
-      .agg(count(lit(1)).as("pairs"), count(col("hit")).as("recalled"))
-      .orderBy("b").collect()
+    val recallFields = ScaleProof.recallJson(exact,
+      streamPairs.select(col("id_a"), col("id_b"), lit(1).as("hit")))
     exact.unpersist(); streamPairs.unpersist(); batchPairs.unpersist()
-    def fmtD(v: Double) = f"$v%.3f"
-    val rb = perBucket.map { r =>
-      val b = r.getLong(0); val p = r.getLong(1); val c = r.getLong(2)
-      s"""{"j_lo":${fmtD(b * 0.2)},"pairs":$p,"recalled":$c""" +
-        s""","recall":${fmtD(if (p > 0) c.toDouble / p else 0.0)}}"""
-    }.mkString("[", ",", "]")
-    val tp = perBucket.map(_.getLong(1)).sum
-    val tc = perBucket.map(_.getLong(2)).sum
     val v2 =
       s"""{"metric":"neardup_stream_proof","batches":$batches""" +
         s""","mutation":"2% per replica index"""" +
@@ -242,10 +233,7 @@ object StreamProof {
         s""","parity":$parity""" +
         s""","nd_state_rows_final":$ndStateFinal""" +
         s""","nd_state_bound":$ndBound""" +
-        s""","recall_buckets":$rb,"pairs_total":$tp""" +
-        s""","recalled_total":$tc""" +
-        s""","recall_overall":${
-          fmtD(if (tp > 0) tc.toDouble / tp else 0.0)}}"""
+        s""",$recallFields}"""
     System.err.println("[streamproof] " + v2)
     val body2 = (lines ++ Seq(summary, v2)).mkString("[", ",\n", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
@@ -265,5 +253,13 @@ object StreamProof {
       throw new IllegalStateException(
         s"stream/batch LSH parity broken: $nStream vs $nBatch " +
           s"(+$onlyStream/-$onlyBatch)")
+    // enforce the near-dup state bound the artifact records — the
+    // other three contracts all throw, and a retention regression
+    // (state ramping cumulatively past bands x admitted docs) must
+    // fail the proof loudly, not just skew a JSON field
+    if (!(ndStateFinal <= ndBound && ndStateFinal > 0L))
+      throw new IllegalStateException(
+        s"near-dup state out of bounds: final $ndStateFinal vs " +
+          s"bound $ndBound")
   }
 }

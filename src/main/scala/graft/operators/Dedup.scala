@@ -349,12 +349,15 @@ object Dedup {
   }
 
   /** jaccardPairsPrefix plus an explicit release hook for the internal
-    * caches (the shingle-set frame, and the contracted-class frame when
-    * the corpus has duplicates). Per-query the caches are LRU-evictable
-    * and harmless, but a long-lived session running many dedup passes
-    * would accumulate pinned RDDs. Call the returned thunk AFTER the
-    * last action on the returned DataFrame — calling it earlier just
-    * makes the remaining branches recompute (correctness unaffected).
+    * caches (the shingle-set frame, and the contracted-class +
+    * suspect frames when the corpus has duplicates). Call the
+    * returned thunk AFTER the last action on the returned DataFrame —
+    * calling it earlier just makes the remaining branches recompute
+    * (correctness unaffected). A module ReleaseSlot ALSO frees the
+    * previous invocation's caches on each call (double-unpersist is
+    * idempotent), so callers of the bare jaccardPairsPrefix — which
+    * discards the thunk — pin at most one invocation's frames, never
+    * an unbounded history.
     *
     * Duplication-adaptive contraction (round 12): the census digests
     * xxhash64 over the SHINGLE-SET array, not over the text the way
@@ -374,6 +377,12 @@ object Dedup {
       : (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    // release the PREVIOUS invocation's caches before persisting this
+    // one's (the ReleaseSlot ordering contract): callers of the bare
+    // jaccardPairsPrefix discard the returned thunk, and the adaptive
+    // path can pin up to three frames per call — without the slot a
+    // long-lived session accumulates them across invocations.
+    prefixSlot.releasePrevious()
     // persisted: three plan branches read it (prefix explode + both
     // verify-join sides) — without the persist the shingling UDF runs
     // over the full corpus three times. LRU-evictable; disk-spill for
@@ -394,7 +403,26 @@ object Dedup {
       // the candidate volume — run the plain pipeline, zero overhead
       // beyond the census aggregation itself
       val out = prefixPairsOverSets(sets, idType, threshold)
-      return (out, () => { sets.unpersist(); () })
+      val rel = () => { sets.unpersist(); () }
+      prefixSlot.set(rel)
+      return (out, rel)
+    }
+    // ids-unique gate (same contract as EditDistanceJoin.selfJoin):
+    // the re-expansion's bit-identity proof assumes ids identify rows
+    // — a repeated id makes the membership lift emit per-OCCURRENCE
+    // multiplicities and classPairUdf emit self-pairs the uncontracted
+    // plan never produces. Such degenerate inputs keep the original
+    // plan verbatim (documented quadratic-per-clique boundary). The
+    // agg reads the persisted sets snapshot the census just
+    // materialized, so both sides of the comparison describe the same
+    // execution.
+    val idsUnique = sets.agg(count_distinct(col("id")).as("nids"))
+      .head().getLong(0) == nDocs
+    if (!idsUnique) {
+      val out = prefixPairsOverSets(sets, idType, threshold)
+      val rel = () => { sets.unpersist(); () }
+      prefixSlot.set(rel)
+      return (out, rel)
     }
     // suspect/cold routing, same tiers as jaccardSpanningEdges:
     //  - every doc a suspect, or too many to broadcast: group ALL docs
@@ -481,9 +509,13 @@ object Dedup {
       .select(least(col("a2"), col("b2")).as("id_a"),
         greatest(col("a2"), col("b2")).as("id_b"), col("jaccard"))
     val out = cross.union(intra)
-    (out, () => { sets.unpersist(); classes.unpersist()
-      suspectsCache.foreach(_.unpersist()); () })
+    val rel = () => { sets.unpersist(); classes.unpersist()
+      suspectsCache.foreach(_.unpersist()); () }
+    prefixSlot.set(rel)
+    (out, rel)
   }
+
+  private val prefixSlot = ReleaseSlot()
 
   /** jaccardPairs with a document-frequency cap on shingles: shingles
     * shared by more than `maxDocFreq` documents are EXCLUDED from both

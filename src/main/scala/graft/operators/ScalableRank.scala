@@ -71,8 +71,11 @@ object ScalableRank {
     * partitioning splits on (key, score, id), so a single key still
     * spreads across every partition by score, where the window form
     * would funnel the whole input through one task. Descending
-    * orders: negate the score (callers own the transform, keeping
-    * this core ascending-only and bit-identical to the window form).
+    * orders: prefer [[globalRank]]/[[globalNtile]]'s `desc` flag
+    * (engine DESC order, correct over the full value domain); a
+    * caller-side score negation is only order-reversing for finite,
+    * non-MinValue numerics (fine for the non-negative counts zipfFit
+    * feeds it, wrong for NaN or Long.MinValue).
     * Output rank is LONG (global ranks overflow int at ~2.1B rows). */
   def rankByKey(df: DataFrame, keyCol: String, scoreCol: String,
       idCol: String, rankCol: String = "rank",
@@ -83,11 +86,13 @@ object ScalableRank {
     * scoreCol [DESC], idCol)` without the single window task. Encodes
     * the constant-key recipe once — a synthetic `lit(0)` key (range
     * boundaries split on the score, so the one "group" still spreads
-    * over every partition) and descending order as score negation
-    * (`desc = true` requires a numeric, NON-NULL score: `-NULL` is
-    * NULL and would sort first, where the window form's DESC default
-    * puts nulls last). Output: (idCol, scoreCol, rankCol) — the
-    * synthetic columns never escape. */
+    * over every partition). `desc = true` sorts with the engine's own
+    * DESC order (desc_nulls_last — the window form's DESC default),
+    * never by negating the score: negation flips NaN to itself (NaN
+    * would sort to the wrong end) and wraps MinValue integers, so it
+    * is not order-reversing over the full value domain. Output:
+    * (idCol, scoreCol, rankCol) — the synthetic columns never
+    * escape. */
   def globalRank(df: DataFrame, scoreCol: String, idCol: String,
       rankCol: String = "rank", desc: Boolean = false,
       partitions: Int = 0): DataFrame =
@@ -106,13 +111,11 @@ object ScalableRank {
   private def globalCore(df: DataFrame, scoreCol: String, idCol: String,
       outCol: String, desc: Boolean, partitions: Int,
       kOpt: Option[Int]): DataFrame = {
-    val score = if (desc) (-col(scoreCol)).as("__score")
-      else col(scoreCol).as("__score")
-    val prepped = df.select(lit(0).as("__g"), score, col(idCol))
-    rankCore(prepped, "__g", "__score", idCol, outCol, partitions, kOpt)
-      .select(col(idCol),
-        (if (desc) -col("__score") else col("__score")).as(scoreCol),
-        col(outCol))
+    val prepped = df.select(lit(0).as("__g"),
+      col(scoreCol).as("__score"), col(idCol))
+    rankCore(prepped, "__g", "__score", idCol, outCol, partitions, kOpt,
+        scoreDesc = desc)
+      .select(col(idCol), col("__score").as(scoreCol), col(outCol))
   }
 
   /** Shared two-phase core: `kOpt = Some(k)` folds the rank into the
@@ -120,10 +123,12 @@ object ScalableRank {
     * (long column). */
   private def rankCore(df: DataFrame, keyCol: String, scoreCol: String,
       idCol: String, outCol: String, partitions: Int,
-      kOpt: Option[Int]): DataFrame = {
+      kOpt: Option[Int], scoreDesc: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    val scoreOrder =
+      if (scoreDesc) col(scoreCol).desc else col(scoreCol).asc
     val proj = df.select(col(keyCol), col(scoreCol), col(idCol))
     // The input pipeline (often an expensive scoring query) is read
     // THREE times: range-boundary sampling, shuffle write, and — only
@@ -133,9 +138,9 @@ object ScalableRank {
     lastRelease.swap(() => { proj.unpersist(); () }) // release first
     proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sorted = proj
-      .repartitionByRange(p, col(keyCol).asc, col(scoreCol).asc,
+      .repartitionByRange(p, col(keyCol).asc, scoreOrder,
         col(idCol).asc)
-      .sortWithinPartitions(col(keyCol).asc, col(scoreCol).asc,
+      .sortWithinPartitions(col(keyCol).asc, scoreOrder,
         col(idCol).asc)
     // ONE RDD object for both passes: the second job's stages up to
     // the range exchange are skipped (shuffle files are reused), so

@@ -377,19 +377,29 @@ class DedupSimilaritySpec extends SparkSuite {
   }
 
   test("jaccardPairsPrefixScoped releases its shingle-set cache via the " +
-      "returned hook (long-lived sessions must not accumulate pinned " +
-      "RDDs)") {
+      "returned hook, and the module slot keeps discarded-thunk " +
+      "invocations from accumulating pinned RDDs") {
     val s = initSpark()
     val real = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val before = s.sparkContext.getPersistentRDDs.size
     val (pairs, release) =
       Dedup.jaccardPairsPrefixScoped(real, "doc_id", "text", 3, 0.6)
     pairs.count() // materialize: the persist is live now
-    assert(s.sparkContext.getPersistentRDDs.size > before,
+    val during = s.sparkContext.getPersistentRDDs.size
+    assert(during > 0,
       "expected the operator's internal persist to be registered")
     release()
-    assert(s.sparkContext.getPersistentRDDs.size === before,
+    assert(s.sparkContext.getPersistentRDDs.size < during,
       "release hook must unpersist the internal shingle-set cache")
+    // bare-jaccardPairsPrefix callers DISCARD the thunk: the module
+    // ReleaseSlot must free each previous invocation's caches, so
+    // repeated calls hold the pinned count flat instead of growing it
+    // (UDF closures differ per call, so CacheManager never dedupes
+    // these persists on its own)
+    Dedup.jaccardPairsPrefix(real, "doc_id", "text", 3, 0.6).count()
+    val afterFirst = s.sparkContext.getPersistentRDDs.size
+    Dedup.jaccardPairsPrefix(real, "doc_id", "text", 3, 0.6).count()
+    assert(s.sparkContext.getPersistentRDDs.size === afterFirst,
+      "slot must release the previous invocation's caches")
   }
 
   test("jaccardPairsPrefix is duplication-adaptive: contraction + " +
@@ -438,6 +448,23 @@ class DedupSimilaritySpec extends SparkSuite {
     val mixed = (0L until 1200L).map(i => (i, doc(i / 2))) ++
       (2000L until 2040L).map(i => (i, doc(i)))
     check(mixed, 0.6)
+    // repeated-id gate: duplicated doc ids break the re-expansion's
+    // bit-identity proof (membership lifts per OCCURRENCE, and
+    // classPairUdf emits exactly ONE intra-class row), so such
+    // degenerate inputs must keep the r11 uncontracted plan verbatim.
+    // The two plans are distinguishable by multiplicity: two rows
+    // sharing id=5 give the legacy verify join 2x2 = 4 (5,5,1.0)
+    // combinations, where the contraction would collapse the class
+    // [5,5] to a single self-pair row.
+    val dup = Seq((5L, base), (5L, base),
+        (7L, "totally different words here entirely unrelated"))
+      .toDF("doc_id", "text").repartition(3)
+    val selfRows = Dedup.jaccardPairsPrefix(dup, "doc_id", "text", 3, 0.6)
+      .where(col("id_a") === 5L && col("id_b") === 5L).collect()
+    assert(selfRows.length === 4 &&
+      selfRows.forall(_.getDouble(2) === 1.0),
+      "repeated-id input must route through the uncontracted plan " +
+        s"(legacy 4-combination signature), got ${selfRows.toSeq}")
   }
 
   test("jaccardPairsCapped: uncapped matches jaccardPairs; cap drops " +

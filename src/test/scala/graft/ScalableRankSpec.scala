@@ -116,6 +116,33 @@ class ScalableRankSpec extends SparkSuite {
     }
   }
 
+  test("globalRank desc is the engine's DESC order over the full " +
+      "double domain: NaN and null scores rank exactly like the " +
+      "window form (a score negation would misplace both)") {
+    val s = initSpark()
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    val df = (0L until 400L).map { i =>
+      val sc: java.lang.Double =
+        if (i % 97 == 0) Double.NaN
+        else if (i % 101 == 0) null
+        else rnd.nextDouble() * 10 - 5
+      (sc, i)
+    }.toDF("s", "id")
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) col("s").desc else col("s").asc
+      val win = df.select(col("id"),
+        row_number().over(Window.orderBy(ord, col("id").asc))
+          .cast("long").as("r"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fast = ScalableRank.globalRank(df, "s", "id", rankCol = "r",
+        desc = desc, partitions = 7)
+        .select(col("id"), col("r"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast === win, s"NaN/null domain, desc=$desc")
+    }
+  }
+
   test("ansiNtile matches the standard tile-size law: first n mod k " +
       "tiles get ceil(n/k) rows") {
     for (n <- 1L to 40L; k <- Seq(1, 2, 3, 5, 8, 40, 41)) {
