@@ -314,7 +314,7 @@ object ScaleProof {
     * S-curve's bucket edges, the zero-pair guard, and the rounding
     * must never drift between the batch, incremental, and streaming
     * proofs. */
-  private[jobs] def recallJson(exact: DataFrame, candHits: DataFrame,
+  private[graft] def recallJson(exact: DataFrame, candHits: DataFrame,
       keyPrefix: String = ""): String = {
     val perBucket = exact
       .join(candHits, Seq("id_a", "id_b"), "left")

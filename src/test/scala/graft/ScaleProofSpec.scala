@@ -109,6 +109,38 @@ class ScaleProofSpec extends SparkSuite {
       again.select("doc_id", "text")).isEmpty)
   }
 
+  test("recallJson pins the shared recall accounting: 0.2 bucket " +
+      "edges, top-bucket cap at J>=0.8, zero-miss and full-miss " +
+      "buckets, keyPrefix rendering") {
+    val s = initSpark()
+    import s.implicits._
+    // one pair per designed bucket: floor(j*5) capped at 4
+    val exact = Seq(
+      (1L, 2L, 0.25), // bucket 1 (j_lo 0.2)
+      (3L, 4L, 0.40), // bucket 2 — edge value lands UP, not down
+      (5L, 6L, 0.79), // bucket 3
+      (7L, 8L, 0.80), // bucket 4 — the designed operating point
+      (9L, 10L, 1.0)  // bucket 4 — floor(5.0) must cap at 4
+    ).toDF("id_a", "id_b", "jaccard")
+    val cand = Seq((3L, 4L), (7L, 8L), (9L, 10L))
+      .toDF("id_a", "id_b").withColumn("hit", lit(1))
+    val json = "{" + ScaleProof.recallJson(exact, cand, "t_") + "}"
+    val parsed = com.fasterxml.jackson.databind.json.JsonMapper
+      .builder().build().readTree(json)
+    assert(parsed.get("t_pairs_total").asLong === 5L)
+    assert(parsed.get("t_recalled_total").asLong === 3L)
+    val buckets = parsed.get("t_recall_buckets")
+    assert(buckets.size() === 4, s"4 occupied buckets, got $buckets")
+    def bucket(jLo: Double) = (0 until buckets.size()).map(buckets.get)
+      .find(b => math.abs(b.get("j_lo").asDouble - jLo) < 1e-9).get
+    assert(bucket(0.2).get("recall").asDouble === 0.0) // full miss
+    assert(bucket(0.4).get("recall").asDouble === 1.0) // edge went up
+    assert(bucket(0.6).get("recall").asDouble === 0.0)
+    assert(bucket(0.8).get("pairs").asLong === 2L &&
+      bucket(0.8).get("recall").asDouble === 1.0,
+      "J=0.80 and J=1.0 must both land in the capped top bucket")
+  }
+
   test("nearDupRecall: exact-dup replicas recall at 1.0 in the top " +
       "bucket and the fragment reports consistent totals") {
     val spark = initSpark()
