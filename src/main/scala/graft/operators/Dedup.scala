@@ -392,6 +392,12 @@ object Dedup {
       .where(size(col("shs")) > 0)
       .withColumn("sz", size(col("shs")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // hook registered IMMEDIATELY after the persist, before any
+    // action that can throw (census, ids gate): an exception between
+    // persist and set() would otherwise orphan the cache for the
+    // session lifetime — every later releasePrevious() a no-op on it.
+    // Branches below overwrite with fuller hooks as more frames pin.
+    prefixSlot.set(() => { sets.unpersist(); () })
     val dg = sets.select(col("id"), xxhash64(col("shs")).as("dg"))
     val classCounts = dg.groupBy("dg").agg(count(lit(1)).as("c"))
     val tot = classCounts.agg(sum(col("c")).as("docs"),
@@ -451,6 +457,8 @@ object Dedup {
             .select("dg"), "dg").select("id")
           .persist(StorageLevel.MEMORY_AND_DISK)
         suspectsCache = Some(suspects)
+        prefixSlot.set(() => { sets.unpersist(); suspects.unpersist()
+          () })
         // materialize before the main query — the concurrent semi/anti
         // broadcast builds would otherwise race past the lazy cache
         // and each re-scan the array-heavy sets cache
@@ -464,6 +472,9 @@ object Dedup {
       .agg(min(col("id")).as("rep"),
         sort_array(collect_list(col("id"))).as("members"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val rel = () => { sets.unpersist(); classes.unpersist()
+      suspectsCache.foreach(_.unpersist()); () }
+    prefixSlot.set(rel)
     val reps = classes.select(col("rep").as("id"), col("shs"),
         size(col("shs")).as("sz"))
       .union(cold.select(col("id"), col("shs"), col("sz")))
@@ -509,9 +520,6 @@ object Dedup {
       .select(least(col("a2"), col("b2")).as("id_a"),
         greatest(col("a2"), col("b2")).as("id_b"), col("jaccard"))
     val out = cross.union(intra)
-    val rel = () => { sets.unpersist(); classes.unpersist()
-      suspectsCache.foreach(_.unpersist()); () }
-    prefixSlot.set(rel)
     (out, rel)
   }
 
@@ -672,6 +680,10 @@ object Dedup {
     val idDg = df.select(col(idCol).as("id"),
         xxhash64(col(textCol)).as("tdg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hook registered before the census action can throw (watchdog
+    // job-group cancel, OOM): an exception between persist and the
+    // full set() at perDoc would otherwise orphan this cache forever
+    spanningSlot.set(() => { idDg.unpersist(); () })
     val classCounts = idDg.groupBy("tdg").agg(count(lit(1)).as("c"))
     // ONE aggregation job yields both census totals (rounds 10-11 paid
     // two separate count() jobs here) and fills the idDg cache the
@@ -691,6 +703,8 @@ object Dedup {
     val suspects = idDg.join(classCounts.where(col("c") > lit(1L))
       .select("tdg"), "tdg").select("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spanningSlot.set(() => { suspects.unpersist(); idDg.unpersist()
+      () })
     if (sys.env.contains("SPARK_GRAFT_SPAN_DEBUG"))
       println(f"[span-debug] t=${System.currentTimeMillis()} suspects=$nSuspects census=${(System.nanoTime() - t0) / 1e9}%.2f s")
     if (nSuspects == 0L) {

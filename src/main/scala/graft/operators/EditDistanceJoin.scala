@@ -136,6 +136,10 @@ object EditDistanceJoin {
 
     val base = slim
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hook registered before the gate action can throw — an exception
+    // between persist and a branch's set() would orphan the cache;
+    // the contraction branch overwrites with the fuller hook
+    selfJoinSlot.set(() => { base.unpersist(false); () })
     // ids-unique gate, checked only once contraction is actually on
     // the table (dup-free corpora skip this job entirely); the agg
     // also materializes the base cache the branches below ride —

@@ -550,7 +550,9 @@ object LanguageModel {
     // huge (types grow with corpus junk), so the global `row_number()
     // OVER (ORDER BY cnt DESC, w)` window (one task) becomes the
     // bottleneck. ScalableRank.globalRank computes the identical
-    // total order distributed (desc=true negates the score inside).
+    // total order distributed (desc=true rides the engine's own DESC
+    // sort order — counts are non-null here, and the window form's
+    // desc_nulls_last default would match even if they weren't).
     val ranked = ScalableRank.globalRank(
       census, "cnt", "w", rankCol = "rank", desc = true)
     val dec = "decimal(38,0)"
