@@ -809,10 +809,15 @@ object SparkEntry {
     }),
 
     // ---- n-gram Jaccard near-dup pairs (exact set similarity).
-    // SMALL-CORPUS form: cost is Σ df² over shingle document frequency,
-    // so a corpus-scale stop-shingle makes one task quadratic. The
-    // deploy-at-scale exact forms are q70 (df-capped) and q68 (prefix-
-    // filtered); the approximate one is q22 (MinHash+LSH). ----
+    // Cost is Σ df² over shingle document frequency — a NATURAL
+    // corpus-scale stop-shingle still makes one task quadratic (the
+    // df-capped q70 / prefix q68 / MinHash q22 forms are the deploy
+    // defaults for that regime). Duplication-adaptive since round 13:
+    // byte-identical shingle sets contract to representatives before
+    // co-occurrence pair generation and the output re-expands from
+    // class membership (bit-identical, AdaptivePairsSpec), so MASS
+    // DUPLICATION — the df driver the 100x tier stresses — no longer
+    // multiplies every df by the clique size. ----
     "q21_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.2)
@@ -852,7 +857,11 @@ object SparkEntry {
 
     // ---- SimHash near-dup — hash-checked since round 11
     // (MurmurOracleSql.q23): 8x8-bit banding gives COMPLETE recall at
-    // hamming<=7 (pigeonhole) — radius matches the guarantee ----
+    // hamming<=7 (pigeonhole) — radius matches the guarantee.
+    // Duplication-adaptive since round 13: identical signatures
+    // contract to one rep before banding (a d-member byte-identical
+    // clique lands whole in EVERY band bucket — d²/2 candidates per
+    // band was the 100x timeout), re-expansion bit-identical. ----
     "q23_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(fan(s, t(s, dir, "documents")), "doc_id", "text",
         maxHamming = 7)
@@ -1158,7 +1167,12 @@ object SparkEntry {
     // variant stays in Dedup for spec/throughput use). Runs on documents
     // — the random `embeddings` table has no pair above cosine 0.52, so
     // it can't demonstrate the operator; document texts share vocabulary
-    // and yield real near-dup structure. ----
+    // and yield real near-dup structure. Duplication-adaptive since
+    // round 13: identical feature vectors contract to one rep before
+    // the LSH-bucket self-join (a byte-identical clique shares one
+    // bucket — d²/2 integer-dot verifies per clique was the 100x
+    // timeout), re-expansion bit-identical (intra cos = 1.0 exactly:
+    // the verify's 4-dp round absorbs the sqrt ulp). ----
     "q44_embedding_neardup" -> ((s, dir) => {
       graft.operators.Dedup.embeddingNearDupPairsPortable(
         fan(s, t(s, dir, "documents")), "doc_id", "text", threshold = 0.8)

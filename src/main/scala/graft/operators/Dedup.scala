@@ -192,19 +192,56 @@ object Dedup {
     * co-occurrence, not N^2. Skew note: a shingle shared by d documents
     * contributes d^2/2 pairs in ANY exact formulation — at corpus scale,
     * cap df (drop stop-shingles, documented semantics change) or use
-    * minhashLshPairs, which is the designed 100-TB path. */
+    * minhashLshPairs, which is the designed 100-TB path.
+    *
+    * DUPLICATION-ADAPTIVE since round 13 (the q68/q115 census pattern,
+    * closing the last 100x-tier boundary): docs with byte-identical
+    * shingle sets contract to one representative before co-occurrence
+    * pair generation — under mass duplication every shingle's df
+    * multiplies by the clique size and the per-shingle d^2/2 emission
+    * goes quadratic PER CLIQUE, which is what used to exhaust spill
+    * disk at the 100x tier. The contracted output re-expands from
+    * class membership, bit-identical to the all-pairs result
+    * (intra-class pairs are J = round(1 + 1e-9, 4) = 1.0 by
+    * construction; cross-class scores equal the rep pair's because
+    * members share their rep's exact shingle set). Dup-free corpora
+    * pay ONE single-distinct census agg and keep the original
+    * unpersisted plan. Same input contract as
+    * [[EditDistanceJoin.selfJoin]]: `df` must be deterministic under
+    * re-execution, and repeated ids keep the uncontracted plan
+    * verbatim (the ids-unique gate). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
+    // Jaccard's codomain is (0, 1]: outside it the score filter is
+    // vacuous/empty AND the contraction's intra-class J=1.0 emission
+    // would disagree with an uncontracted threshold > 1 filter.
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1]; got $threshold")
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
     // Row-local shingle set (distinct 64-bit hashes — smaller shuffle
-    // payload than strings, collision odds ~1e-8 at corpus scale) with
-    // the set SIZE attached to every exploded row: carrying sz through
-    // the pipeline eliminates the separate per-doc size aggregation and
-    // the two size joins of the naive formulation (6 exchanges -> 2).
-    val sh = df.select(col(idCol).as("id"),
+    // payload than strings, collision odds ~1e-8 at corpus scale),
+    // sorted ascending so identical sets are identical ARRAYS — the
+    // canonical grouping key the contraction needs.
+    val slim = df.select(col(idCol).as("id"),
         shingleHashesUdf(n)(col(textCol)).as("shs"))
       .where(size(col("shs")) > 0)
-      .select(col("id"), size(col("shs")).as("sz"),
-        explode(col("shs")).as("h"))
+      .withColumn("sz", size(col("shs")))
+    adaptiveSelfPairs(slim, "id", Seq("shs"), xxhash64(col("shs")),
+      sets => jaccardPairsOverSets(sets, idType, threshold),
+      lit(1.0), "jaccard", pairsSlot)
+  }
+
+  /** The exact co-occurrence pipeline over a prepared (id, shs, sz)
+    * sets frame — jaccardPairs' original plan, factored so the
+    * duplication-adaptive wrapper can run it over class
+    * representatives. */
+  private def jaccardPairsOverSets(sets: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      threshold: Double): DataFrame = {
+    // carrying sz through the pipeline eliminates the separate per-doc
+    // size aggregation and the two size joins of the naive formulation
+    // (6 exchanges -> 2)
+    val sh = sets.select(col("id"), col("sz"), explode(col("shs")).as("h"))
     // pair generation via per-shingle member lists + map-side
     // combination explode — one shuffle on shingle hash, pairs never
     // re-shuffle the shingle rows (an equivalent self-join doubles the
@@ -216,8 +253,7 @@ object Dedup {
     // re-spread before the pair explosion: AQE coalesces the (small)
     // per-shingle aggregate into few partitions, which would serialize
     // the (large) exploded pair stream through one task
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    val parts = sets.sparkSession.sessionState.conf.numShufflePartitions
     val pairs = byShingle.repartition(parts)
       .select(explode(pairEmitUdf(idType, threshold)(col("ms"))).as("p"))
       .select(col("p.*"))
@@ -375,6 +411,13 @@ object Dedup {
   def jaccardPairsPrefixScoped(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double)
       : (DataFrame, () => Unit) = {
+    // Jaccard's codomain is (0, 1]: a threshold outside it makes the
+    // prefix length formula meaningless below and — worse — silently
+    // breaks the contraction's bit-identity above (intra-class pairs
+    // are emitted at 1.0 unconditionally, which a verify stage with
+    // threshold > 1 would have filtered). Reject, don't guess.
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1]; got $threshold")
     import org.apache.spark.storage.StorageLevel
     val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
     // release the PREVIOUS invocation's caches before persisting this
@@ -524,6 +567,123 @@ object Dedup {
   }
 
   private val prefixSlot = ReleaseSlot()
+
+  /** Duplication-adaptive self-pair harness — the q68/q115 census →
+    * contract → verify-among-reps → re-expand pattern, generalized
+    * for every exact pair emitter whose score is INVARIANT under
+    * byte-identical contraction (J of identical shingle sets, hamming
+    * of identical signatures, cosine of identical vectors).
+    *
+    * `slim` is the operator's prepared per-doc frame: an `idCol`
+    * column plus the exact contraction key columns (`keyCols`) plus
+    * any derived payload columns (functions of the key — carried via
+    * first() through the class agg). `digest` is a cheap census proxy
+    * for the key (xxhash64 of the array, or the key itself when it is
+    * already a scalar): a digest COLLISION can only route a dup-free
+    * corpus into the contraction path (classes then group by the FULL
+    * key, so the output is unaffected) — never the reverse, because
+    * identical keys always share a digest. `core` runs the operator's
+    * original pipeline over a slim-shaped frame and must return
+    * (id_a, id_b, `scoreName`) with id_a < id_b canonical order.
+    * `intraScore` is the constant the uncontracted plan provably
+    * computes for two rows with identical keys.
+    *
+    * Staging mirrors EditDistanceJoin.selfJoin: a dup-free corpus
+    * pays ONE single-distinct agg over the unpersisted slim
+    * projection (arrays never shuffle — only the digest does) and
+    * keeps the original plan with nothing pinned; the contraction
+    * path persists slim, re-checks ids-unique on the SAME pinned
+    * snapshot (repeated ids break the membership lift's bit-identity
+    * proof — such degenerate inputs keep the uncontracted plan
+    * verbatim), and re-expands through size-gated membership joins.
+    *
+    * Input contract (same as selfJoin): `slim`'s lineage must be
+    * deterministic under re-execution — the census and the dup-free
+    * plan each re-read it. Nondeterministic or expensive inputs
+    * should be persisted by the caller. */
+  private[operators] def adaptiveSelfPairs(slim: DataFrame, idCol: String,
+      keyCols: Seq[String], digest: Column,
+      core: DataFrame => DataFrame, intraScore: Column,
+      scoreName: String, slot: ReleaseSlot): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val idType = slim.schema(slim.schema.fieldIndex(idCol)).dataType
+    slot.releasePrevious()
+    val c = slim.agg(count(lit(1)).as("n"),
+      count_distinct(digest).as("nd")).head()
+    val n = c.getLong(0)
+    val hasDups = c.getLong(1) < n
+    if (!hasDups) return core(slim)
+    val base = slim.persist(StorageLevel.MEMORY_AND_DISK)
+    // hook registered IMMEDIATELY after the persist (release-slot
+    // exception-window contract): the ids gate below can throw
+    slot.set(() => { base.unpersist(false); () })
+    // ids-unique gate over the pinned snapshot — both sides of the
+    // comparison from THIS job, never the earlier census's n
+    val g = base.agg(count(lit(1)).as("nb"),
+      count_distinct(col(idCol)).as("nids")).head()
+    if (g.getLong(1) != g.getLong(0)) return core(base)
+    val payload = slim.columns
+      .filterNot(c0 => c0 == idCol || keyCols.contains(c0))
+    val aggs =
+      Seq(min(col(idCol)).as("rep"),
+        sort_array(collect_list(col(idCol))).as("members")) ++
+        payload.map(p => first(col(p)).as(p))
+    // exact classes: the FULL key, never the digest; rep = min member
+    // under Catalyst's own type ordering (matches sort_array, least/
+    // greatest, and classPairUdf's i<j emission)
+    val classes = base.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    slot.set(() => {
+      base.unpersist(false); classes.unpersist(false); ()
+    })
+    val reps = classes.select(slim.columns.toIndexedSeq.map {
+      case c0 if c0 == idCol => col("rep").as(idCol)
+      case other             => col(other)
+    }: _*)
+    val repPairs = core(reps)
+    // cast the intra constant to the score's EXACT type so the union
+    // never widens the operator's declared schema
+    val scoreType = repPairs.schema(
+      repPairs.schema.fieldIndex(scoreName)).dataType
+    val intraLit = intraScore.cast(scoreType).as(scoreName)
+    val members = classes.select(col("rep"),
+      explode(col("members")).as("m"))
+    // group-all contraction: every id is in exactly one members list,
+    // so the lifts are INNER joins. merge hints: members is slim but
+    // behind cached wide lineage, and a static broadcast pick off
+    // optimistic cached stats cannot be demoted by AQE.
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("m").as("xa"))
+        .hint("merge"), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("m").as("xb"))
+        .hint("merge"), Seq("id_b"))
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col(scoreName))
+    // intra-class pairs at the invariant constant, size-gated exactly
+    // like the q68 re-expansion: row-local explode for ordinary
+    // classes, a rep-keyed self-join past the cap so no mega-clique
+    // materializes m(m-1)/2 rows in one task
+    val smallIntra = classes.where(size(col("members")) > 1 &&
+        size(col("members")) <= IntraExplodeCap)
+      .select(explode(classPairUdf(idType)(col("members"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), intraLit)
+    val bigMembers = classes.where(size(col("members")) > IntraExplodeCap)
+      .select(col("rep"), explode(col("members")).as("m"))
+    val bigIntra = bigMembers.select(col("rep"), col("m").as("id_a"))
+      .join(bigMembers.select(col("rep"), col("m").as("id_b"))
+        .hint("merge"), Seq("rep"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), intraLit)
+    cross.unionByName(smallIntra).unionByName(bigIntra)
+  }
+
+  /** Release slots for the round-13 adaptive pair emitters (one
+    * in-flight invocation per operator per JVM — the ReleaseSlot
+    * concurrency contract). */
+  private val pairsSlot = ReleaseSlot()
+  private val simhashPairsSlot = ReleaseSlot()
+  private val portableEmbSlot = ReleaseSlot()
 
   /** jaccardPairs with a document-frequency cap on shingles: shingles
     * shared by more than `maxDocFreq` documents are EXCLUDED from both
@@ -1236,11 +1396,36 @@ object Dedup {
     * Output: (id_a, id_b, cos) with cos >= threshold. */
   def embeddingNearDupPairsPortable(df: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8): DataFrame = {
+    // cosine's codomain here is [-1, 1]; a threshold above 1 would
+    // disagree with the contraction's intra-class cos=1.0 emission
+    require(threshold <= 1.0,
+      s"cosine threshold must be <= 1.0; got $threshold")
+    // DUPLICATION-ADAPTIVE since round 13 (the q68/q115 census
+    // pattern): byte-identical docs share a feature VECTOR, land whole
+    // in one LSH bucket, and the bucket self-join emits d^2/2 verify
+    // rows per clique — the former 100x-tier timeout. Contraction key
+    // is the integer vector itself (sig and norm2 are functions of it,
+    // carried as payload): cross-class cosines equal the rep pair's
+    // exactly, and intra-class pairs verify in the uncontracted plan
+    // at round(norm2/(sqrt(norm2)*sqrt(norm2)) + 1e-9, 4) — within
+    // 2 ulp of 1.0 before the +1e-9 nudge, so the 4-dp round is
+    // EXACTLY 1.0, the lit the re-expansion emits. Zero-norm docs are
+    // filtered before the census, matching the original plan.
     val sigd = df.select(col(idCol).as("id"),
         portableEmbUdf(col(textCol)).as("e"))
       .select(col("id"), col("e.sig").as("sig"), col("e.vec").as("vec"),
         col("e.norm2").as("norm2"))
       .where(col("norm2") > 0L)
+    adaptiveSelfPairs(sigd, "id", Seq("vec"), xxhash64(col("vec")),
+      s => portableEmbPairsOverSigs(s, threshold),
+      lit(1.0), "cos", portableEmbSlot)
+  }
+
+  /** The LSH-bucketed candidate + exact-integer-cosine verify over a
+    * prepared (id, sig, vec, norm2) frame — the portable operator's
+    * original plan, factored for the duplication-adaptive wrapper. */
+  private def portableEmbPairsOverSigs(sigd: DataFrame,
+      threshold: Double): DataFrame = {
     val cand = sigd.as("a").join(sigd.as("b"),
       col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
     cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -1316,7 +1501,9 @@ object Dedup {
 
   private[graft] final case class PortableEmb(sig: Int, vec: Seq[Long], norm2: Long)
 
-  private val portableEmbUdf =
+  // private[graft]: the contraction spec brute-forces all-pairs
+  // cosines from the same signer to validate bucket + re-expansion
+  private[graft] val portableEmbUdf =
     org.apache.spark.sql.functions.udf { (text: String) =>
       val dim = PortableEmbDim
       val vec = new Array[Long](dim)
@@ -1392,13 +1579,34 @@ object Dedup {
     * under-recalling. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    require(maxHamming <= 7,
-      s"simhash banding guarantees recall only to hamming 7 (8x8-bit " +
-        s"bands); got maxHamming=$maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"simhash banding guarantees recall only to hamming 0..7 (8x8-bit " +
+        s"bands; negative radii would also break the contraction's " +
+        s"intra-class hamming=0 emission); got maxHamming=$maxHamming")
+    // DUPLICATION-ADAPTIVE since round 13 (the q68/q115 census
+    // pattern): under mass duplication a clique of d byte-identical
+    // docs lands whole in EVERY band bucket, so candidate emission
+    // goes d^2/2 per band — the former 100x-tier timeout. Docs with
+    // identical SIGNATURES (strictly more than byte-identical docs)
+    // contract to one rep; hamming(x, y) = hamming(rep_x, rep_y)
+    // because members share their rep's signature exactly, and
+    // intra-class pairs verify at hamming 0 <= maxHamming in the
+    // uncontracted plan (same sig -> every band agrees -> candidate).
+    // The signature IS the census digest — already a scalar.
+    val sh = simhash(df, idCol, textCol)
+    adaptiveSelfPairs(sh, "id", Seq("simhash"), col("simhash"),
+      sigs => simhashPairsOverSigs(sigs, maxHamming),
+      lit(0), "hamming", simhashPairsSlot)
+  }
+
+  /** The band-blocked candidate + popcount-verify pipeline over a
+    * prepared (id, simhash) frame — simhashPairs' original plan,
+    * factored for the duplication-adaptive wrapper. */
+  private def simhashPairsOverSigs(sh: DataFrame,
+      maxHamming: Int): DataFrame = {
     val nBands = if (maxHamming <= 3) 4 else 8
     val width = 64 / nBands
     val mask = (1L << width) - 1
-    val sh = simhash(df, idCol, textCol)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width).bitwiseAND(mask).as("bucket"))

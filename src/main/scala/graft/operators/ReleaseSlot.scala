@@ -17,6 +17,20 @@ package graft.operators
   * (the one-copy-per-round checkpoint loops in Dedup release their
   * OWN superseded rounds synchronously instead, where no external
   * reader can exist).
+  *
+  * CONCURRENCY CONTRACT: slots are JVM-wide singletons, one per
+  * operator — the design assumes AT MOST ONE in-flight invocation of
+  * a given operator per JVM (the batch-pipeline execution model,
+  * where a driver runs queries sequentially). Two concurrent
+  * invocations of the same operator (multi-session JVM, parallel job
+  * submission) release each other's live caches mid-query: never a
+  * wrong result (persist-backed frames recompute from deterministic
+  * lineage), but each query degrades to recompute-only, and for a
+  * NONDETERMINISTIC input frame the recompute widens the window in
+  * which an adaptive operator's routing decision (census) and its
+  * executed plan read different snapshots — such callers must
+  * persist their input themselves (the documented input contract of
+  * every adaptive operator) or serialize invocations per operator.
   */
 final class ReleaseSlot private () {
   private val last =

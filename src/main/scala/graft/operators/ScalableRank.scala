@@ -111,6 +111,16 @@ object ScalableRank {
   private def globalCore(df: DataFrame, scoreCol: String, idCol: String,
       outCol: String, desc: Boolean, partitions: Int,
       kOpt: Option[Int]): DataFrame = {
+    // the synthetic key/score names are internal but the prepped
+    // select and the output re-select both resolve by NAME: an idCol
+    // named like a synthetic (duplicate column in prepped) or equal to
+    // scoreCol (duplicate column in the output) would yield ambiguous
+    // resolution, not a wrong-but-silent rank — reject up front
+    require(idCol != scoreCol,
+      s"globalRank/globalNtile need distinct id and score columns; " +
+        s"both were '$idCol'")
+    require(idCol != "__g" && idCol != "__score",
+      s"idCol '$idCol' collides with an internal synthetic column")
     val prepped = df.select(lit(0).as("__g"),
       col(scoreCol).as("__score"), col(idCol))
     rankCore(prepped, "__g", "__score", idCol, outCol, partitions, kOpt,

@@ -162,4 +162,22 @@ class ScalableRankSpec extends SparkSuite {
       }
     }
   }
+
+  test("globalRank/globalNtile reject id/score column collisions with " +
+      "the internal synthetics (ambiguous resolution, not silent ranks)") {
+    val s = initSpark()
+    import s.implicits._
+    val df = Seq((1L, 2.0)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      ScalableRank.globalRank(df.withColumnRenamed("id", "__g"),
+        "score", "__g")
+    }
+    intercept[IllegalArgumentException] {
+      ScalableRank.globalRank(df.withColumnRenamed("id", "__score"),
+        "score", "__score")
+    }
+    intercept[IllegalArgumentException] {
+      ScalableRank.globalNtile(df, "score", "score", k = 4)
+    }
+  }
 }

@@ -164,5 +164,90 @@ class ScaleProofSpec extends SparkSuite {
     assert(recalled.toDouble / pairs > 0.5,
       s"high-J corpus should recall most pairs ($recalled/$pairs)")
   }
-}
 
+  test("edit-mutated tier (q115): replica 0 unchanged; every later " +
+      "replica is exactly ONE substitution inside the first 20 chars " +
+      "(q115's 24-char join window); replicas of one doc pairwise " +
+      "distinct; deterministic") {
+    val spark = initSpark()
+    val outDir = Files.createTempDirectory("editmut").toString
+    ScaleProof.scaleDocumentsEditMutated(spark, "/root/testdata/sf0.001",
+      outDir, factor = 25)
+    val base = SparkEntry.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val off = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val scaled = spark.read.parquet(s"$outDir/documents.parquet")
+    assert(scaled.count() === base.count() * 25)
+    val joined = scaled
+      .withColumn("rep", (col("doc_id") / off).cast("int"))
+      .withColumn("base_id", col("doc_id") % off)
+      .join(base.select(col("doc_id").as("base_id"),
+        col("text").as("orig")), "base_id")
+      .select("rep", "text", "orig").collect()
+    assert(joined.length === base.count() * 25,
+      "every replica must join its base doc")
+    joined.foreach { r =>
+      val rep = r.getInt(0); val t = r.getString(1); val o = r.getString(2)
+      assert(t.length === o.length, "substitution never changes length")
+      val diffs = t.zip(o).count { case (a, b) => a != b }
+      if (rep == 0) assert(diffs === 0, "replica 0 must be unmutated")
+      else {
+        assert(diffs === 1, s"replica $rep must differ by EXACTLY one " +
+          s"char (edit distance 1, replica pairs <= 2 = q115 tau)")
+        val pos = t.zip(o).indexWhere { case (a, b) => a != b }
+        assert(pos < 20, s"edit at $pos must sit inside the join window")
+      }
+    }
+    // no two replicas of one doc coincide -> the census cannot
+    // contract the clique; the PassJoin blocking carries it
+    val collided = scaled.withColumn("base_id", col("doc_id") % off)
+      .groupBy("base_id")
+      .agg(count_distinct(col("text")).as("d"), count(lit(1)).as("n"))
+      .where(col("d") =!= col("n")).count()
+    assert(collided === 0L,
+      "replicas of one doc must be pairwise distinct strings")
+    // determinism across materializations
+    val outDir2 = Files.createTempDirectory("editmut2").toString
+    ScaleProof.scaleDocumentsEditMutated(spark, "/root/testdata/sf0.001",
+      outDir2, factor = 25)
+    assert(scaled.select("doc_id", "text").exceptAll(
+      spark.read.parquet(s"$outDir2/documents.parquet")
+        .select("doc_id", "text")).isEmpty)
+  }
+
+  test("annRecall: q25-vs-q24 fragment reports 5 exact pairs per " +
+      "probe and a recall in [0, 1]") {
+    val spark = initSpark()
+    val frag = "{" + ScaleProof.annRecall(spark, "/root/testdata/sf0.001") + "}"
+    val parsed = com.fasterxml.jackson.databind.json.JsonMapper
+      .builder().build().readTree(frag)
+    val pairs = parsed.get("q25_ann_pairs_total").asLong
+    val recalled = parsed.get("q25_ann_recalled_total").asLong
+    val recall = parsed.get("q25_ann_recall_at_5").asDouble
+    assert(pairs === 50L, "10 probes x k=5 exact pairs")
+    assert(recalled >= 0L && recalled <= pairs)
+    assert(math.abs(recall - recalled.toDouble / pairs) < 1e-3)
+  }
+
+  test("nearDupRecall carries BOTH MinHash signers against one exact " +
+      "graph: unprefixed portable fields plus q22_-prefixed fast-" +
+      "signer fields") {
+    val spark = initSpark()
+    val outDir = Files.createTempDirectory("recallq22").toString
+    ScaleProof.scaleDocumentsMutated(spark, "/root/testdata/sf0.001",
+      outDir, factor = 2)
+    val frag = ScaleProof.nearDupRecall(spark, outDir)
+    assert(frag.contains("\"recall_buckets\"") &&
+      frag.contains("\"q22_recall_buckets\""))
+    val p = "\"q22_pairs_total\":(\\d+)".r
+      .findFirstMatchIn(frag).get.group(1).toLong
+    val p0 = "\"pairs_total\":(\\d+)".r
+      .findFirstMatchIn(frag).get.group(1).toLong
+    assert(p === p0, "both signers must be measured against the SAME " +
+      "exact pair graph")
+    val c22 = "\"q22_recalled_total\":(\\d+)".r
+      .findFirstMatchIn(frag).get.group(1).toLong
+    assert(c22 > 0L && c22 <= p,
+      "fast-signer recall must be measured, bounded by the graph")
+  }
+}
