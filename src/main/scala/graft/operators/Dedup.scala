@@ -226,7 +226,9 @@ object Dedup {
         shingleHashesUdf(n)(col(textCol)).as("shs"))
       .where(size(col("shs")) > 0)
       .withColumn("sz", size(col("shs")))
-    adaptiveSelfPairs(slim, "id", Seq("shs"), xxhash64(col("shs")),
+    adaptiveSelfPairs(
+      df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("dg")),
+      slim, "id", Seq("shs"),
       sets => jaccardPairsOverSets(sets, idType, threshold),
       lit(1.0), "jaccard", pairsSlot)
   }
@@ -577,51 +579,123 @@ object Dedup {
     * `slim` is the operator's prepared per-doc frame: an `idCol`
     * column plus the exact contraction key columns (`keyCols`) plus
     * any derived payload columns (functions of the key — carried via
-    * first() through the class agg). `digest` is a cheap census proxy
-    * for the key (xxhash64 of the array, or the key itself when it is
-    * already a scalar): a digest COLLISION can only route a dup-free
-    * corpus into the contraction path (classes then group by the FULL
-    * key, so the output is unaffected) — never the reverse, because
-    * identical keys always share a digest. `core` runs the operator's
-    * original pipeline over a slim-shaped frame and must return
-    * (id_a, id_b, `scoreName`) with id_a < id_b canonical order.
-    * `intraScore` is the constant the uncontracted plan provably
-    * computes for two rows with identical keys.
+    * first() through the class agg). `census` is a SEPARATE cheap
+    * (`idCol`, dg) frame over the operator's raw input whose `dg`
+    * column fingerprints each row BEFORE the operator's (expensive)
+    * signing UDF runs — in practice xxhash64 of the raw text, a native
+    * codegen'd scan. The census is ROUTING-ONLY in both directions:
+    * a digest collision (or byte-different rows that happen to share
+    * an exact key) routes a corpus into the contraction path, where
+    * classes group by the FULL key and singleton classes reproduce
+    * the uncontracted output; a census that finds no dups keeps the
+    * original plan, which is exact regardless. What the census MUST
+    * catch for the scale protection to engage is byte-identical
+    * replication — mass duplication, the regime that kills the
+    * quadratic emitters — and any row-level fingerprint does.
+    * Censusing raw bytes instead of derived keys is deliberate: the
+    * derived-key census (first cut of round 13) re-ran the signing
+    * UDF just to answer "any dups?", doubling every dup-free
+    * corpus's dominant cost; the raw scan answers it for the price
+    * of a hash pass (same-window A/B in COVERAGE.md's perf log).
+    *
+    * `core` runs the operator's original pipeline over a slim-shaped
+    * frame and must return (id_a, id_b, `scoreName`) with id_a < id_b
+    * canonical order. `intraScore` is the constant the uncontracted
+    * plan provably computes for two rows with identical keys.
     *
     * Staging mirrors EditDistanceJoin.selfJoin: a dup-free corpus
-    * pays ONE single-distinct agg over the unpersisted slim
-    * projection (arrays never shuffle — only the digest does) and
-    * keeps the original plan with nothing pinned; the contraction
-    * path persists slim, re-checks ids-unique on the SAME pinned
-    * snapshot (repeated ids break the membership lift's bit-identity
-    * proof — such degenerate inputs keep the uncontracted plan
-    * verbatim), and re-expands through size-gated membership joins.
+    * pays ONE hash-scan census agg and keeps the original plan with
+    * nothing pinned. The contraction path pins the (id, dg) census —
+    * 16 bytes a row — and answers the ids gate and suspect
+    * identification from that snapshot (repeated ids break the
+    * membership lift's bit-identity proof — such degenerate inputs
+    * keep the uncontracted plan verbatim); the HEAVY slim frame is
+    * persisted only on the tiers that re-read it wholesale
+    * (broadcast-suspects, group-all), never on the IN-set tier where
+    * the id predicate pushes below the signing UDF and the plan
+    * keeps the original cost shape. Re-expansion flows through
+    * size-gated membership joins.
     *
-    * Input contract (same as selfJoin): `slim`'s lineage must be
+    * Input contract (same as selfJoin): the input's lineage must be
     * deterministic under re-execution — the census and the dup-free
     * plan each re-read it. Nondeterministic or expensive inputs
     * should be persisted by the caller. */
-  private[operators] def adaptiveSelfPairs(slim: DataFrame, idCol: String,
-      keyCols: Seq[String], digest: Column,
+  private[operators] def adaptiveSelfPairs(census: DataFrame,
+      slim: DataFrame, idCol: String,
+      keyCols: Seq[String],
       core: DataFrame => DataFrame, intraScore: Column,
       scoreName: String, slot: ReleaseSlot): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val idType = slim.schema(slim.schema.fieldIndex(idCol)).dataType
     slot.releasePrevious()
-    val c = slim.agg(count(lit(1)).as("n"),
-      count_distinct(digest).as("nd")).head()
-    val n = c.getLong(0)
-    val hasDups = c.getLong(1) < n
-    if (!hasDups) return core(slim)
-    val base = slim.persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = census.groupBy("dg").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("c") > lit(1L), col("c"))).as("sus")).head()
+    val n = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val nSuspects = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    if (nSuspects == 0L) return core(slim)
+    // contraction engaged: pin the CENSUS (two scalar columns — the
+    // cheapest snapshot that answers both the ids gate and suspect
+    // identification without re-scanning the raw input), never the
+    // operator frame unless a tier below actually re-reads it
+    val cen = census.persist(StorageLevel.MEMORY_AND_DISK)
     // hook registered IMMEDIATELY after the persist (release-slot
     // exception-window contract): the ids gate below can throw
-    slot.set(() => { base.unpersist(false); () })
-    // ids-unique gate over the pinned snapshot — both sides of the
-    // comparison from THIS job, never the earlier census's n
-    val g = base.agg(count(lit(1)).as("nb"),
+    slot.set(() => { cen.unpersist(false); () })
+    // ids-unique gate over the pinned census snapshot — uniqueness
+    // over the RAW rows implies uniqueness over the (possibly
+    // filtered) slim frame; a raw-level repeat conservatively keeps
+    // the uncontracted plan, exactly the documented degenerate
+    // boundary. The agg also materializes the census cache.
+    val g = cen.agg(count(lit(1)).as("nb"),
       count_distinct(col(idCol)).as("nids")).head()
-    if (g.getLong(1) != g.getLong(0)) return core(base)
+    if (g.getLong(1) != g.getLong(0)) return core(slim)
+    // suspect/cold routing, the q68 tiers: contraction only has to
+    // touch members of DUPLICATED census classes — on a lightly
+    // duplicated corpus (the realistic steady state after upstream
+    // hygiene) everything else must flow through the original plan
+    // untouched, not pay a groupBy on a multi-KB key. Small suspect
+    // sets ride a literal IN filter over the UNPERSISTED slim frame
+    // (the id predicate pushes below the signing UDF, so hot/cold
+    // scans sign only what they keep — the original plan's cost
+    // shape); large ones persist slim and broadcast semi/anti joins;
+    // mass duplication groups everything (grouping is exact either
+    // way — routing only decides WHO).
+    val dupIds = cen
+      .join(cen.groupBy("dg").agg(count(lit(1)).as("c"))
+        .where(col("c") > lit(1L)).select("dg"), "dg")
+      .select(col(idCol))
+    var heavyCaches: List[DataFrame] = Nil
+    val (hot, cold) =
+      if (nSuspects == n || nSuspects > SpanningMaxLocalSuspects) {
+        val base = slim.persist(StorageLevel.MEMORY_AND_DISK)
+        heavyCaches = List(base)
+        slot.set(() => { cen.unpersist(false); base.unpersist(false)
+          () })
+        (base, base.where(lit(false)))
+      } else if (nSuspects <= SpanningInSetSuspects) {
+        val suspectIds = dupIds.collect().map(_.get(0))
+          .filter(_ != null).toSeq
+        // null-safety: coalesce the IN to false so the cold side
+        // (!in) never drops rows — null ids match nothing, stay cold
+        val in =
+          if (suspectIds.isEmpty) lit(false)
+          else coalesce(col(idCol).isInCollection(suspectIds),
+            lit(false))
+        (slim.where(in), slim.where(!in))
+      } else {
+        val suspects = dupIds.persist(StorageLevel.MEMORY_AND_DISK)
+        val base = slim.persist(StorageLevel.MEMORY_AND_DISK)
+        heavyCaches = List(base, suspects)
+        slot.set(() => { cen.unpersist(false); base.unpersist(false)
+          suspects.unpersist(); () })
+        // materialize before the main query — two concurrent
+        // broadcast builds would race past the lazy cache and each
+        // recompute the census lineage
+        suspects.count()
+        (base.join(broadcast(suspects), Seq(idCol), "left_semi"),
+         base.join(broadcast(suspects), Seq(idCol), "left_anti"))
+      }
     val payload = slim.columns
       .filterNot(c0 => c0 == idCol || keyCols.contains(c0))
     val aggs =
@@ -631,16 +705,15 @@ object Dedup {
     // exact classes: the FULL key, never the digest; rep = min member
     // under Catalyst's own type ordering (matches sort_array, least/
     // greatest, and classPairUdf's i<j emission)
-    val classes = base.groupBy(keyCols.map(col): _*)
+    val classes = hot.groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    slot.set(() => {
-      base.unpersist(false); classes.unpersist(false); ()
-    })
+    val pinned = cen :: classes :: heavyCaches
+    slot.set(() => { pinned.foreach(_.unpersist(false)); () })
     val reps = classes.select(slim.columns.toIndexedSeq.map {
       case c0 if c0 == idCol => col("rep").as(idCol)
       case other             => col(other)
-    }: _*)
+    }: _*).union(cold)
     val repPairs = core(reps)
     // cast the intra constant to the score's EXACT type so the union
     // never widens the operator's declared schema
@@ -649,17 +722,30 @@ object Dedup {
     val intraLit = intraScore.cast(scoreType).as(scoreName)
     val members = classes.select(col("rep"),
       explode(col("members")).as("m"))
-    // group-all contraction: every id is in exactly one members list,
-    // so the lifts are INNER joins. merge hints: members is slim but
-    // behind cached wide lineage, and a static broadcast pick off
-    // optimistic cached stats cannot be demoted by AQE.
+    // lifts are LEFT joins with identity coalesce: a cold endpoint is
+    // its own lift (it was never grouped). Join strategy is TIERED
+    // like the routing: on the suspect tiers the members frame is
+    // bounded by the suspect count (two scalar columns — megabytes at
+    // the 1M cap), so an EXPLICIT broadcast keeps the pair stream
+    // un-sorted and un-shuffled (a merge hint here forced two full
+    // sorts of the operator's entire output — dominated the lift on
+    // lightly-duplicated corpora); on the group-all tier members
+    // spans the corpus, so sort-merge keeps both sides spillable
+    // (and the hint matters: a static broadcast pick off optimistic
+    // cached stats cannot be demoted by AQE).
+    val liftBroadcastable =
+      nSuspects < n && nSuspects <= SpanningMaxLocalSuspects
+    def liftSide(as: String, out: String) = {
+      val m = members.select(col("rep").as(as), col("m").as(out))
+      if (liftBroadcastable) broadcast(m) else m.hint("merge")
+    }
     val cross = repPairs
-      .join(members.select(col("rep").as("id_a"), col("m").as("xa"))
-        .hint("merge"), Seq("id_a"))
-      .join(members.select(col("rep").as("id_b"), col("m").as("xb"))
-        .hint("merge"), Seq("id_b"))
-      .select(least(col("xa"), col("xb")).as("id_a"),
-        greatest(col("xa"), col("xb")).as("id_b"), col(scoreName))
+      .join(liftSide("id_a", "xa"), Seq("id_a"), "left")
+      .join(liftSide("id_b", "xb"), Seq("id_b"), "left")
+      .withColumn("a2", coalesce(col("xa"), col("id_a")))
+      .withColumn("b2", coalesce(col("xb"), col("id_b")))
+      .select(least(col("a2"), col("b2")).as("id_a"),
+        greatest(col("a2"), col("b2")).as("id_b"), col(scoreName))
     // intra-class pairs at the invariant constant, size-gated exactly
     // like the q68 re-expansion: row-local explode for ordinary
     // classes, a rep-keyed self-join past the cap so no mega-clique
@@ -1416,7 +1502,9 @@ object Dedup {
       .select(col("id"), col("e.sig").as("sig"), col("e.vec").as("vec"),
         col("e.norm2").as("norm2"))
       .where(col("norm2") > 0L)
-    adaptiveSelfPairs(sigd, "id", Seq("vec"), xxhash64(col("vec")),
+    adaptiveSelfPairs(
+      df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("dg")),
+      sigd, "id", Seq("vec"),
       s => portableEmbPairsOverSigs(s, threshold),
       lit(1.0), "cos", portableEmbSlot)
   }
@@ -1592,9 +1680,10 @@ object Dedup {
     // because members share their rep's signature exactly, and
     // intra-class pairs verify at hamming 0 <= maxHamming in the
     // uncontracted plan (same sig -> every band agrees -> candidate).
-    // The signature IS the census digest — already a scalar.
     val sh = simhash(df, idCol, textCol)
-    adaptiveSelfPairs(sh, "id", Seq("simhash"), col("simhash"),
+    adaptiveSelfPairs(
+      df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("dg")),
+      sh, "id", Seq("simhash"),
       sigs => simhashPairsOverSigs(sigs, maxHamming),
       lit(0), "hamming", simhashPairsSlot)
   }

@@ -68,6 +68,22 @@ class AdaptivePairsSpec extends SparkSuite {
     assert(!m.keySet.exists(p => Set(7L, 10L, 12L)(p._1) ||
       Set(7L, 10L, 12L)(p._2)),
       s"cold/null/empty docs must never pair: $m")
+    // all-dup tier (nSuspects == n): routing joins skipped, everything
+    // grouped — must still match the uncontracted reference
+    val s = initSpark()
+    import s.implicits._
+    val allDup = (0L until 20L).map(i =>
+        (i, if (i < 10) base else variant))
+      .toDF("doc_id", "text").repartition(5)
+    val a = Dedup.jaccardPairs(allDup, "doc_id", "text", 3, 0.6)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val r = Dedup.jaccardPairsCapped(allDup, "doc_id", "text", 3, 0.6,
+        maxDocFreq = 1000000)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a === r, "all-dup tier diverges from the uncontracted " +
+      "reference")
   }
 
   test("jaccardPairs repeated-id gate keeps the legacy co-occurrence " +
