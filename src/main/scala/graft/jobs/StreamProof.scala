@@ -222,6 +222,74 @@ object StreamProof {
     val recallFields = ScaleProof.recallJson(exact,
       streamPairs.select(col("id_a"), col("id_b"), lit(1).as("hit")))
     exact.unpersist(); streamPairs.unpersist(); batchPairs.unpersist()
+    // ---- v3 (round 13): the streaming PassJoin fuzzy matcher over an
+    // EDIT-mutated corpus — replica b's text gets ONE deterministic
+    // character substitution inside q115's 24-char join window
+    // (ScaleProof.editMutateUdf), so clique members are 1-2 edits
+    // apart (inside tau=2) but never byte-identical: no census
+    // contraction anywhere, the segment blocking itself carries both
+    // the batch reference and the stream. Contracts: distinct
+    // (id_a, id_b, dist) parity with EditDistanceJoin.selfJoin over
+    // the same strings, and state bounded by the corpus's distinct
+    // (block, role, id) entry count.
+    import graft.streaming.EditDistanceStream
+    val edBatches = math.min(batches, 6)
+    val edDir = s"$workDir/mut_ed"
+    (0 until edBatches).foreach { b =>
+      rawBase
+        .withColumn("text",
+          ScaleProof.editMutateUdf(col("text"), col("doc_id"), lit(b)))
+        .withColumn("doc_id", col("doc_id") + lit(b.toLong * off))
+        .select(col("doc_id").as("id"),
+          substring(col("text"), 1, 24).as("s"))
+        .coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append")
+        .parquet(edDir)
+    }
+    val edTau = 2
+    // proof cap: the corpus's hottest segment class (a common 8-char
+    // prefix x replicas) exceeds the production default, and a
+    // truncated block would break parity by design — the artifact
+    // records the bound the run actually needed
+    val edCap = 65536
+    val edSchema = spark.read.parquet(edDir).schema
+    val edStream = spark.readStream.schema(edSchema)
+      .option("maxFilesPerTrigger", "1").parquet(edDir)
+      .as[EditDistanceStream.StreamStr]
+    val edQ = EditDistanceStream.editPairs(edStream, edTau, edCap)(spark)
+      .writeStream.format("memory").queryName("edpairs")
+      .option("checkpointLocation", s"$workDir/ckpt_ed")
+      .trigger(Trigger.AvailableNow()).start()
+    edQ.awaitTermination()
+    val edStateFinal = edQ.recentProgress.toSeq
+      .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    val edAll = spark.read.parquet(edDir)
+    val edEntryBound = edAll.as[EditDistanceStream.StreamStr]
+      .flatMap(EditDistanceStream.entriesFor(_, edTau))
+      .select(col("bkey"), col("isIndex"), col("id")).distinct().count()
+    val edStreamPairs = spark.table("edpairs").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edBatchPairs = graft.operators.EditDistanceJoin.selfJoin(
+        edAll, "id", "s", edTau)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edNStream = edStreamPairs.count()
+    val edNBatch = edBatchPairs.count()
+    val edOnlyStream = edStreamPairs.exceptAll(edBatchPairs).count()
+    val edOnlyBatch = edBatchPairs.exceptAll(edStreamPairs).count()
+    val edParity = edNStream == edNBatch &&
+      edOnlyStream == 0 && edOnlyBatch == 0
+    edStreamPairs.unpersist(); edBatchPairs.unpersist()
+    val v3 =
+      s"""{"metric":"editdist_stream_proof","batches":$edBatches""" +
+        s""","mutation":"1 char per replica inside the join window"""" +
+        s""","tau":$edTau""" +
+        s""","stream_pairs":$edNStream,"batch_pairs":$edNBatch""" +
+        s""","only_stream":$edOnlyStream,"only_batch":$edOnlyBatch""" +
+        s""","parity":$edParity""" +
+        s""","state_rows_final":$edStateFinal""" +
+        s""","state_entry_bound":$edEntryBound}"""
+    System.err.println("[streamproof] " + v3)
     val v2 =
       s"""{"metric":"neardup_stream_proof","batches":$batches""" +
         s""","mutation":"2% per replica index"""" +
@@ -235,7 +303,7 @@ object StreamProof {
         s""","nd_state_bound":$ndBound""" +
         s""",$recallFields}"""
     System.err.println("[streamproof] " + v2)
-    val body2 = (lines ++ Seq(summary, v2)).mkString("[", ",\n", "]")
+    val body2 = (lines ++ Seq(summary, v2, v3)).mkString("[", ",\n", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
       "stream_proof.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -261,5 +329,13 @@ object StreamProof {
       throw new IllegalStateException(
         s"near-dup state out of bounds: final $ndStateFinal vs " +
           s"bound $ndBound")
+    if (!edParity)
+      throw new IllegalStateException(
+        s"edit-distance stream/batch parity broken: $edNStream vs " +
+          s"$edNBatch (+$edOnlyStream/-$edOnlyBatch)")
+    if (!(edStateFinal > 0L && edStateFinal <= edEntryBound))
+      throw new IllegalStateException(
+        s"edit-distance stream state out of bounds: $edStateFinal " +
+          s"vs $edEntryBound")
   }
 }

@@ -44,7 +44,7 @@ object EditDistanceJoin {
   /** PassJoin segment layout for length l with tau+1 slots: the first
     * `(tau+1) - l % (tau+1)` slots get floor(l/(tau+1)) chars, the
     * rest one more — (start 1-based, length) per slot. */
-  private def segments(l: Int, tau: Int): Array[(Int, Int)] = {
+  private[graft] def segments(l: Int, tau: Int): Array[(Int, Int)] = {
     val k = tau + 1
     val base = l / k
     val longer = l % k
@@ -61,6 +61,53 @@ object EditDistanceJoin {
   }
 
   private val selfJoinSlot = ReleaseSlot()
+
+  /** Banded unit-cost Levenshtein with early abandon — the LOCAL twin
+    * of Spark's 3-arg `levenshtein(l, r, tau)` expression (same
+    * contract: the distance when <= tau, -1 past it; parity pinned by
+    * spec against the engine expression, boundary values included).
+    * Exists for executors that verify candidates OUTSIDE a Column
+    * context — the streaming PassJoin matcher's per-group fold —
+    * where constructing a one-row DataFrame per candidate would cost
+    * a plan per pair. O(tau * max(n, m)) via a 2tau+1 diagonal band. */
+  private[graft] def boundedLevenshtein(a: String, b: String,
+      tau: Int): Int = {
+    val n = a.length; val m = b.length
+    if (math.abs(n - m) > tau) return -1
+    if (n == 0) return m // <= tau via the guard above
+    if (m == 0) return n
+    val inf = tau + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    while (j <= math.min(m, tau)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      // first column is a genuine cell only while it sits in the band
+      if (i <= tau) cur(0) = i
+      var rowMin = cur(0)
+      val lo = math.max(1, i - tau)
+      val hi = math.min(m, i + tau)
+      j = lo
+      while (j <= hi) {
+        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        val del = prev(j) + 1
+        val ins = cur(j - 1) + 1
+        var v = if (sub < del) sub else del
+        if (ins < v) v = ins
+        if (v > inf) v = inf // clamp: keeps the band's sentinels finite
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > tau) return -1 // early abandon: band exhausted
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(m) <= tau) prev(m) else -1
+  }
 
   /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) <= tau.
     * Output: (id_a, id_b, dist).
