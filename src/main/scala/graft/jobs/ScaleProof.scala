@@ -122,10 +122,14 @@ object ScaleProof {
     }
   }
 
-  /** Materialize factor× `documents` with shifted ids and mutated
-    * replica text under `outDir` (only table the near-dup tier reads). */
-  def scaleDocumentsMutated(spark: SparkSession, baseDir: String,
-      outDir: String, factor: Int): Unit = {
+  /** Shared replicated-documents materializer: factor× rows, shifted
+    * ids, replica text produced by `mutation(text, doc_id, rep)` —
+    * ONE implementation so the token-substitution and char-edit tiers
+    * can't drift on the offset/replica/write mechanics. */
+  private def writeMutatedDocuments(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int,
+      mutation: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Unit = {
     val base = SparkEntry.table(spark, baseDir, "documents")
     val off = base.agg(coalesce(max(col("doc_id")), lit(0L)))
       .head().getLong(0) + 1L
@@ -133,12 +137,19 @@ object ScaleProof {
       .withColumn("__rep",
         explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("text",
-        mutateUdf(col("text"), col("doc_id"), col("__rep")))
+        mutation(col("text"), col("doc_id"), col("__rep")))
       .withColumn("doc_id", col("doc_id") + col("__rep").cast("long") * off)
       .drop("__rep")
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
+
+  /** Materialize factor× `documents` with shifted ids and mutated
+    * replica text under `outDir` (only table the near-dup tier reads). */
+  def scaleDocumentsMutated(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Unit =
+    writeMutatedDocuments(spark, baseDir, outDir, factor,
+      (t, id, rep) => mutateUdf(t, id, rep))
 
   /** LSH candidate recall against the exact q21 pair graph, bucketed
     * by exact Jaccard (0.2 steps). Since round 13, BOTH MinHash
@@ -263,14 +274,21 @@ object ScaleProof {
     * VERIFY, but no clique member is byte-identical, so the census
     * contraction that carries the identical-replica tiers cannot
     * help: this corpus exercises the PassJoin blocking itself. */
-  private[jobs] def editMutateUdf = udf { (text: String, docId: Long,
+  private[graft] def editMutateUdf = udf { (text: String, docId: Long,
       rep: Int) =>
     if (text == null || rep == 0) text
     else {
       val pos = (rep - 1) % 20
-      if (text.length <= pos) text
+      if (text.length <= pos) text // short doc: recorded by the tier's
+      // rows-vs-distinct_keys census, never asserted away
       else {
-        val band = ((rep - 1) / 20) % 13
+        // non-wrapping band: every replica index gets a distinct
+        // (pos, letter-pair) cell, so two replicas of one doc can
+        // never coincide at ANY factor (a band wrap would alias
+        // replica r with r + 20*13*2). Bands past 'z' walk into
+        // adjacent printable codepoints — determinism and
+        // distinctness are the contract here, not prettiness.
+        val band = (rep - 1) / 20
         val cand = ('a' + band * 2).toChar
         val c = if (text.charAt(pos) == cand) (cand + 1).toChar else cand
         text.substring(0, pos) + c + text.substring(pos + 1)
@@ -281,20 +299,9 @@ object ScaleProof {
   /** Materialize factor× `documents` with shifted ids and one-char
     * edited replica text (see [[editMutateUdf]]). */
   def scaleDocumentsEditMutated(spark: SparkSession, baseDir: String,
-      outDir: String, factor: Int): Unit = {
-    val base = SparkEntry.table(spark, baseDir, "documents")
-    val off = base.agg(coalesce(max(col("doc_id")), lit(0L)))
-      .head().getLong(0) + 1L
-    base
-      .withColumn("__rep",
-        explode(sequence(lit(0), lit(factor - 1))))
-      .withColumn("text",
-        editMutateUdf(col("text"), col("doc_id"), col("__rep")))
-      .withColumn("doc_id", col("doc_id") + col("__rep").cast("long") * off)
-      .drop("__rep")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-  }
+      outDir: String, factor: Int): Unit =
+    writeMutatedDocuments(spark, baseDir, outDir, factor,
+      (t, id, rep) => editMutateUdf(t, id, rep))
 
   /** q115 on the edit-mutated corpus (round-12 verdict item 6): the
     * identical-replica tiers are contraction's BEST case, so they

@@ -710,6 +710,12 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pinned = cen :: classes :: heavyCaches
     slot.set(() => { pinned.foreach(_.unpersist(false)); () })
+    // materialize before the main query for the same reason as the
+    // suspects cache above: the two broadcast lift builds and the
+    // intra branches all read `classes` concurrently, and lazy
+    // persists lose that race — each build would recompute the hot
+    // scan + signing + groupBy lineage instead of reading the cache
+    classes.count()
     val reps = classes.select(slim.columns.toIndexedSeq.map {
       case c0 if c0 == idCol => col("rep").as(idCol)
       case other             => col(other)

@@ -70,8 +70,14 @@ object EditDistanceJoin {
     * context — the streaming PassJoin matcher's per-group fold —
     * where constructing a one-row DataFrame per candidate would cost
     * a plan per pair. O(tau * max(n, m)) via a 2tau+1 diagonal band. */
-  private[graft] def boundedLevenshtein(a: String, b: String,
+  private[graft] def boundedLevenshtein(aStr: String, bStr: String,
       tau: Int): Int = {
+    // CODE POINTS, not UTF-16 units: the engine expression counts
+    // Unicode code points, so a supplementary character (emoji, rare
+    // CJK) is ONE edit — a charAt-based DP would count two and
+    // silently break the parity contract on astral-plane text
+    val a = aStr.codePoints().toArray
+    val b = bStr.codePoints().toArray
     val n = a.length; val m = b.length
     if (math.abs(n - m) > tau) return -1
     if (n == 0) return m // <= tau via the guard above
@@ -92,7 +98,7 @@ object EditDistanceJoin {
       val hi = math.min(m, i + tau)
       j = lo
       while (j <= hi) {
-        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
         val del = prev(j) + 1
         val ins = cur(j - 1) + 1
         var v = if (sub < del) sub else del
@@ -112,199 +118,138 @@ object EditDistanceJoin {
   /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) <= tau.
     * Output: (id_a, id_b, dist).
     *
-    * Duplication-adaptive (the q68 pattern, specialized to edit
-    * distance): an exact census routes corpora with byte-identical
-    * strings through exact-class contraction — PassJoin runs among
-    * min-id representatives only, intra-class pairs are dist=0 by
-    * construction, and cross-class pairs lift from representative
-    * pairs via membership joins (ed(X,Y) = ed(rep(X),rep(Y)) when
-    * X,Y equal their reps byte-for-byte, so the emitted set is
-    * bit-identical to the uncontracted plan's). Without the
-    * contraction, c-member duplicate cliques make the segment-block
-    * candidate set — and the Levenshtein verify — quadratic per
-    * clique: the 100× scale tier's c=100 cliques meant ~25M verify
-    * calls and a watchdog kill. Duplicate-free corpora keep the
-    * original single-pass unpersisted plan — their only overhead is
-    * ONE single-distinct census agg over the slim (id, s) projection.
+    * DUPLICATION-ADAPTIVE via [[Dedup.adaptiveSelfPairs]] (round 13
+    * consolidated the hand-rolled r12 contraction onto the shared
+    * harness — one implementation of census/gate/routing/re-expansion
+    * across the whole pair-emitter family, and this operator gained
+    * the suspect tiers with it: a lightly-duplicated corpus now
+    * contracts ONLY the duplicated strings through an IN-set or
+    * broadcast filter instead of group-by-ing the entire corpus).
+    * Census = xxhash64 over the raw string (routing-only in both
+    * directions); classes key on the exact string; intra-class pairs
+    * are dist=0 by construction and cross-class pairs lift from
+    * representative pairs (ed(X,Y) = ed(rep(X),rep(Y)) when X,Y equal
+    * their reps byte-for-byte) — the emitted set is bit-identical to
+    * the uncontracted plan's. Without contraction, c-member duplicate
+    * cliques make the segment-block candidate set — and the
+    * Levenshtein verify — quadratic per clique: the 100× tier's c=100
+    * cliques meant ~25M verify calls and a watchdog kill.
+    * Duplicate-free corpora keep the original single-pass unpersisted
+    * plan; their only overhead is one hash-scan census agg.
     *
-    * The contraction's bit-identity proof assumes ids identify rows;
-    * if the census finds REPEATED ids (a degenerate input — every
-    * real caller keys by document id), the class membership joins
-    * would re-emit self-pairs and multiplicities that pairsAmong's
-    * `id_l =!= id_r` + dropDuplicates guards remove, so such inputs
-    * keep the original uncontracted plan verbatim instead — identical
-    * behavior to the pre-adaptive operator, with its documented
-    * quadratic-per-clique boundary.
+    * Repeated ids (a degenerate input — every real caller keys by
+    * document id) keep the uncontracted plan verbatim: the membership
+    * lift's bit-identity proof assumes ids identify rows, and
+    * pairsAmong's `id_l =!= id_r` + dropDuplicates guards preserve
+    * the pre-adaptive behavior exactly. The ids gate is now over the
+    * RAW rows (null strings included), which is strictly more
+    * conservative than the r12 slim-level gate.
     *
     * Input contract: `df` must be DETERMINISTIC under re-execution —
     * the census, the index side, and the probe side each re-read the
     * caller's lineage on the dup-free path (a persist pins a snapshot
-    * only on the contraction path, where it pays for itself). A
-    * caller whose frame derives from sampling / rand / shuffle-order-
+    * only on the contraction tiers that re-read wholesale). A caller
+    * whose frame derives from sampling / rand / shuffle-order-
     * dependent expressions, or whose lineage is expensive enough that
     * ~4 column-pruned re-reads beat a cache, should persist `df`
     * itself before calling. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String, tau: Int)
       : DataFrame = {
     require(tau >= 1, "tau must be >= 1")
-
-    // release the PREVIOUS invocation's caches before persisting this
-    // one's (ReleaseSlot ordering contract — persist-then-swap would
-    // let the cache-manager dedupe drop the entry we rely on).
-    selfJoinSlot.releasePrevious()
     val slim = df.select(col(idCol).cast("long").as("id"),
         col(strCol).as("s"))
       .where(col("s").isNotNull)
-
-    // EXACT census, staged so the dup-free common case pays the least:
-    // a SINGLE-distinct agg (two-stage partial aggregate — no Expand
-    // row doubling) over the unpersisted slim projection. Strings
-    // never shuffle — only their xxhash64 does. Exact beats the
-    // earlier HLL here twice over: a dup-free corpus can never flip
-    // into paying the contraction shuffle on estimator noise, and a
-    // sub-noise duplication level (1e6 dups in 1e9 rows hides inside
-    // HLL rsd) can never route a clique-bearing corpus into the
-    // quadratic plan.
-    val c = slim.agg(count(lit(1)).as("n"),
-      count_distinct(xxhash64(col("s"))).as("nd")).head()
-    val n = c.getLong(0)
-    val hasDups = c.getLong(1) < n
-
-    if (!hasDups) {
-      // Duplicate-free: the original single-pass plan over the
-      // UNPERSISTED base — pairsAmong's three reads are three
-      // column-pruned scans of a cheap projection, cheaper than a
-      // persist round-trip at toy scale and a wash at 100× (the
-      // contraction branch below is where a cache earns its keep).
-      // No cache registered: releasePrevious() already cleared the
-      // slot, and this path pins nothing.
-      return pairsAmong(slim, tau)
-    }
-
-    val base = slim
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // hook registered before the gate action can throw — an exception
-    // between persist and a branch's set() would orphan the cache;
-    // the contraction branch overwrites with the fuller hook
-    selfJoinSlot.set(() => { base.unpersist(false); () })
-    // ids-unique gate, checked only once contraction is actually on
-    // the table (dup-free corpora skip this job entirely); the agg
-    // also materializes the base cache the branches below ride —
-    // pairsAmong alone reads base three times. Both sides of the
-    // uniqueness comparison come from THIS one job over the pinned
-    // snapshot (never the earlier census job's n), so a row-count
-    // drift between the two executions can't slip repeated-id data
-    // past the gate.
-    val g = base.agg(count(lit(1)).as("nb"),
-      count_distinct(col("id")).as("nids")).head()
-    val idsUnique = g.getLong(1) == g.getLong(0)
-
-    if (!idsUnique) {
-      selfJoinSlot.set(() => { base.unpersist(false); () })
-      pairsAmong(base, tau)
-    } else {
-      import org.apache.spark.sql.types.LongType
-      val classes = base.groupBy("s")
-        .agg(min(col("id")).as("rep"),
-          sort_array(collect_list(col("id"))).as("members"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      selfJoinSlot.set(() => {
-        base.unpersist(false); classes.unpersist(false); ()
-      })
-      val reps = classes.select(col("rep").as("id"), col("s"))
-      val repPairs = pairsAmong(reps, tau)
-      val members = classes.select(col("rep"),
-        explode(col("members")).as("m"))
-      // both endpoints of every rep pair ARE reps, and every rep is
-      // in its own members list — inner joins lift totally. merge
-      // hints: members is slim but behind a wide groupBy lineage,
-      // and a static broadcast pick cannot be demoted by AQE.
-      val cross = repPairs
-        .join(members.select(col("rep").as("id_a"), col("m").as("xa"))
-          .hint("merge"), Seq("id_a"))
-        .join(members.select(col("rep").as("id_b"), col("m").as("xb"))
-          .hint("merge"), Seq("id_b"))
-        .select(least(col("xa"), col("xb")).as("id_a"),
-          greatest(col("xa"), col("xb")).as("id_b"), col("dist"))
-      // intra-class dist=0 pairs, size-gated exactly like Dedup's
-      // re-expansion: explode for ordinary classes, a rep-keyed
-      // self-join past the cap so no mega-clique OOMs a task
-      val smallIntra = classes.where(size(col("members")) > 1 &&
-          size(col("members")) <= Dedup.IntraExplodeCap)
-        .select(explode(
-          Dedup.classPairUdf(LongType)(col("members"))).as("p"))
-        .select(col("p.id_a"), col("p.id_b"), lit(0).as("dist"))
-      val bigMembers = classes
-        .where(size(col("members")) > Dedup.IntraExplodeCap)
-        .select(col("rep"), explode(col("members")).as("m"))
-      val bigIntra = bigMembers.select(col("rep"), col("m").as("id_a"))
-        .join(bigMembers.select(col("rep"), col("m").as("id_b"))
-          .hint("merge"), Seq("rep"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), lit(0).as("dist"))
-      cross.unionByName(smallIntra).unionByName(bigIntra)
-    }
+    Dedup.adaptiveSelfPairs(
+      df.select(col(idCol).cast("long").as("id"),
+        xxhash64(col(strCol)).as("dg")),
+      slim, "id", Seq("s"),
+      sets => pairsAmong(sets, tau),
+      lit(0), "dist", selfJoinSlot)
   }
 
   /** The PassJoin pipeline proper, over a (id, s) frame assumed
     * duplicate-free (or whose duplicates the caller accepts paying
     * for): segment index ⋈ probe substrings, candidate dedup, banded
     * Levenshtein verify. */
+  /** The PassJoin pipeline proper, over a (id, s) frame assumed
+    * duplicate-free (or whose duplicates the caller accepts paying
+    * for): segment index ⋈ probe substrings on the shared block-key
+    * enumeration ([[blockEntries]] — ONE implementation for this
+    * batch plan AND the streaming matcher, so the two can never
+    * drift), candidate dedup, banded Levenshtein verify. The
+    * degenerate short bucket (both sides length <= tau) rides the
+    * same equality join through its dedicated "S" key — the former
+    * explicit cross join, expressed as block discipline (PlanSpec
+    * still asserts no CartesianProduct anywhere in the q115 plan). */
   private def pairsAmong(base: DataFrame, tau: Int): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-
-    // ---- main path: indexed segments ⋈ probe substrings ----
-    val indexSide = base.as[(Long, String)].flatMap { case (id, s) =>
-      val l = s.length
-      if (l < tau + 1) Iterator.empty
-      else segments(l, tau).iterator.zipWithIndex.map {
-        case ((start, len), slot) =>
-          (slot, l, s.substring(start - 1, start - 1 + len), id, s)
-      }
-    }.toDF("slot", "src_len", "seg", "id_l", "s_l")
-
-    val probeSide = base.as[(Long, String)].flatMap { case (id, t) =>
-      val m = t.length
-      for {
-        l <- (math.max(tau + 1, m - tau) to (m + tau)).iterator
-        ((start, len), slot) <- segments(l, tau).iterator.zipWithIndex
-        q <- math.max(1, start - tau) to
-          math.min(m - len + 1, start + tau)
-        // multi-match-aware window: with shift = q-start and
-        // delta = m-l, the edits BEFORE the segment must absorb
-        // |shift| alignment drift and the edits AFTER must absorb
-        // |delta-shift| — both from the same budget of tau ops, so
-        // |shift| + |delta-shift| <= tau or the candidate can't verify
-        if math.abs(q - start) + math.abs((m - l) - (q - start)) <= tau
-      } yield (slot, l, t.substring(q - 1, q - 1 + len), id, t)
-    }.toDF("slot", "src_len", "seg", "id_r", "s_r")
-
-    val main = indexSide.join(probeSide, Seq("slot", "src_len", "seg"))
+    val entries = base.as[(Long, String)].flatMap { case (id, s) =>
+      blockEntries(id, s, tau)
+    }.toDF("bkey", "is_index", "id", "s")
+    val idx = entries.where(col("is_index"))
+      .select(col("bkey"), col("id").as("id_l"), col("s").as("s_l"))
+    val prb = entries.where(!col("is_index"))
+      .select(col("bkey"), col("id").as("id_r"), col("s").as("s_r"))
+    val main = idx.join(prb, Seq("bkey"))
       .where(col("id_l") =!= col("id_r"))
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"),
         col("s_l"), col("s_r"))
-
-    // ---- degenerate bucket: both sides shorter than tau+1 ----
-    val shorts = base.where(length(col("s")) <= tau)
-    val shortPairs = shorts.select(col("id").as("id_a"),
-        col("s").as("s_l"))
-      .crossJoin(shorts.select(col("id").as("id_b"), col("s").as("s_r")))
-      .where(col("id_a") < col("id_b"))
-
-    // dedup BEFORE the DP verify: a pair found via several segment
-    // slots (or both discovery directions) would otherwise pay the
+    // dedup BEFORE the DP verify: a pair found via several block keys
+    // (or both discovery directions) would otherwise pay the
     // Levenshtein once per candidate row. Which row survives is
     // immaterial — levenshtein is symmetric, so every row of a
     // (id_a, id_b) group verifies to the same distance.
     main
-      .unionByName(shortPairs)
       .dropDuplicates("id_a", "id_b")
       // 3-arg levenshtein = banded DP with early abandon at tau
       // (O(tau*n) per pair instead of O(n^2)); -1 marks "past tau"
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_l"), col("s_r"), tau).as("dist"))
       .where(col("dist") >= 0)
+  }
+
+  /** The PassJoin block-key enumeration for one string: its tau+1
+    * INDEX segments (when length >= tau+1), its multi-match-aware
+    * PROBE substrings against every candidate source length in
+    * [m-tau, m+tau], and — for strings of length <= tau — the
+    * degenerate "S" key in BOTH roles (the short-bucket cross
+    * pairing as block discipline). Key format "slot:len:segment" is
+    * injective: slot and len are decimal (no colons), so the first
+    * two fields parse unambiguously whatever bytes the segment
+    * holds. ONE implementation, shared verbatim by the batch join
+    * and [[graft.streaming.EditDistanceStream]] — the stream-vs-
+    * batch parity contract depends on the two sides enumerating
+    * identically, so divergence must be impossible, not merely
+    * tested. Returns (bkey, isIndex, id, s). */
+  private[graft] def blockEntries(id: Long, s: String,
+      tau: Int): Seq[(String, Boolean, Long, String)] = {
+    if (s == null) return Seq.empty
+    val m = s.length
+    val idx =
+      if (m < tau + 1) Seq.empty
+      else segments(m, tau).iterator.zipWithIndex.map {
+        case ((start, len), slot) =>
+          (s"$slot:$m:" + s.substring(start - 1, start - 1 + len),
+            true, id, s)
+      }.toSeq
+    val prb = (for {
+      l <- (math.max(tau + 1, m - tau) to (m + tau)).iterator
+      ((start, len), slot) <- segments(l, tau).iterator.zipWithIndex
+      q <- (math.max(1, start - tau) to
+        math.min(m - len + 1, start + tau)).iterator
+      // multi-match-aware window: with shift = q-start and
+      // delta = m-l, the edits BEFORE the segment must absorb
+      // |shift| alignment drift and the edits AFTER must absorb
+      // |delta-shift| — both from the same budget of tau ops, so
+      // |shift| + |delta-shift| <= tau or the candidate can't verify
+      if math.abs(q - start) + math.abs((m - l) - (q - start)) <= tau
+    } yield (s"$slot:$l:" + s.substring(q - 1, q - 1 + len),
+      false, id, s)).toSeq
+    val short =
+      if (m <= tau) Seq(("S", true, id, s), ("S", false, id, s))
+      else Seq.empty
+    idx ++ prb ++ short
   }
 }

@@ -121,6 +121,10 @@ object ScalableRank {
         s"both were '$idCol'")
     require(idCol != "__g" && idCol != "__score",
       s"idCol '$idCol' collides with an internal synthetic column")
+    require(outCol != idCol && outCol != scoreCol &&
+      outCol != "__g" && outCol != "__score",
+      s"output column '$outCol' collides with the id/score/internal " +
+        s"columns")
     val prepped = df.select(lit(0).as("__g"),
       col(scoreCol).as("__score"), col(idCol))
     rankCore(prepped, "__g", "__score", idCol, outCol, partitions, kOpt,

@@ -29,12 +29,18 @@ import graft.operators.EditDistanceJoin
   * of the batch short-bucket cross join.
   *
   * State per block key holds the (id, string) lists of its first
-  * `MaxBlock` index members and probe members (first-seen kept, the
-  * NearDupStream convention; an overflowing block is a degenerate
-  * boilerplate segment, and every overflow arrival was already
-  * verified against the survivors before being dropped from state).
-  * Memory is O(blocks x MaxBlock x string length), independent of
-  * stream length for non-degenerate corpora.
+  * `maxBlock` index members and probe members (first-seen kept, the
+  * NearDupStream convention). Memory is O(blocks x maxBlock x string
+  * length), independent of stream length for non-degenerate corpora.
+  * THE CAP IS A RECALL BOUNDARY, stated plainly: an overflow arrival
+  * is verified against the stored survivors but not stored, so a pair
+  * between TWO post-overflow arrivals of the same block is found only
+  * if they share some OTHER non-overflowed block key — the batch
+  * parity contract below holds unconditionally only while no block
+  * exceeds the cap. Size the cap to the corpus's hottest segment
+  * class (StreamProof's sf0.1 proof raises it to 65536 and records
+  * the bound the run actually needed); the default suits streams
+  * whose boilerplate segments are pre-deduplicated upstream.
   *
   * Candidates verify INSIDE the fold with
   * [[EditDistanceJoin.boundedLevenshtein]] (the local twin of the
@@ -43,8 +49,9 @@ import graft.operators.EditDistanceJoin
   * through several block keys is emitted once per key with identical
   * distances; the parity contract is therefore on the DISTINCT
   * (id_a, id_b, dist) set over any stream prefix, which must equal
-  * the batch selfJoin over the same strings — the same contract
-  * NearDupStream pins for the LSH tier. Replayed ids (at-least-once
+  * the batch selfJoin over the same strings whenever no block
+  * overflows its cap — the same contract NearDupStream pins for the
+  * LSH tier. Replayed ids (at-least-once
   * sources) are skipped per key and role: exactly-once pairing on
   * top of at-least-once delivery. */
 object EditDistanceStream {
@@ -65,37 +72,15 @@ object EditDistanceStream {
   /** First-seen per-role membership cap (see scaladoc above). */
   val MaxBlock = 256
 
-  /** The batch operator's index+probe enumeration for one string —
-    * the SAME segment layout and multi-match-aware probe window as
-    * pairsAmong, plus the degenerate short key in both roles. */
-  private[graft] def entriesFor(d: StreamStr, tau: Int): Seq[BlockEntry] = {
-    if (d.s == null) return Seq.empty
-    val m = d.s.length
-    val idx =
-      if (m < tau + 1) Seq.empty
-      else EditDistanceJoin.segments(m, tau).iterator.zipWithIndex.map {
-        case ((start, len), slot) =>
-          BlockEntry(s"$slot:$m:" + d.s.substring(start - 1, start - 1 + len),
-            isIndex = true, d.id, d.s)
-      }.toSeq
-    val prb = (for {
-      l <- (math.max(tau + 1, m - tau) to (m + tau)).iterator
-      ((start, len), slot) <- EditDistanceJoin.segments(l, tau)
-        .iterator.zipWithIndex
-      q <- (math.max(1, start - tau) to
-        math.min(m - len + 1, start + tau)).iterator
-      // the pairsAmong shift/delta budget: edits before the segment
-      // absorb |shift|, edits after absorb |delta - shift|
-      if math.abs(q - start) + math.abs((m - l) - (q - start)) <= tau
-    } yield BlockEntry(s"$slot:$l:" + d.s.substring(q - 1, q - 1 + len),
-      isIndex = false, d.id, d.s)).toSeq
-    val short =
-      if (m <= tau)
-        Seq(BlockEntry("S", isIndex = true, d.id, d.s),
-          BlockEntry("S", isIndex = false, d.id, d.s))
-      else Seq.empty
-    idx ++ prb ++ short
-  }
+  /** The batch operator's block-key enumeration, verbatim:
+    * [[EditDistanceJoin.blockEntries]] IS the single implementation
+    * (segment layout, probe window, shift/delta budget, short key) —
+    * the parity contract depends on the two sides enumerating
+    * identically, so the stream only re-shapes the shared tuples. */
+  private[graft] def entriesFor(d: StreamStr, tau: Int): Seq[BlockEntry] =
+    EditDistanceJoin.blockEntries(d.id, d.s, tau).map {
+      case (bkey, isIdx, id, s) => BlockEntry(bkey, isIdx, id, s)
+    }
 
   /** Fold one block's micro-batch arrivals: each new entry verifies
     * against every OPPOSITE-role member already present (state ∪

@@ -39,6 +39,17 @@ class EditDistanceStreamSpec extends SparkSuite {
     assert(EditDistanceJoin.boundedLevenshtein("", "ab", 2) === 2)
     assert(EditDistanceJoin.boundedLevenshtein("", "abc", 2) === -1)
     assert(EditDistanceJoin.boundedLevenshtein("", "", 2) === 0)
+    // code points, not UTF-16 units: one astral substitution is ONE
+    // edit in the engine expression — the local twin must agree
+    val emoji = "\uD83D\uDE00" // U+1F600, two chars, one code point
+    val engineAstral = Seq((emoji + "ab", "xab"), (emoji, "a"))
+      .toDF("l", "r")
+      .select(levenshtein(col("l"), col("r"), 2)).collect()
+      .map(_.getInt(0)).toSeq
+    assert(Seq(
+      EditDistanceJoin.boundedLevenshtein(emoji + "ab", "xab", 2),
+      EditDistanceJoin.boundedLevenshtein(emoji, "a", 2)) === engineAstral,
+      "astral-plane strings must count code points like the engine")
   }
 
   test("stream-vs-batch pair parity on a designed corpus: exact dups, " +

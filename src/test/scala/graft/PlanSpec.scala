@@ -382,9 +382,11 @@ class PlanSpec extends SparkSuite {
     val joins = plan.linesIterator
       .filter(l => l.contains("Join") || l.contains("CartesianProduct"))
       .mkString("\n")
-    // main path: equality join keyed on (slot, src_len, seg)
-    assert(plan.contains("slot#"),
-      "segment-keyed equality join missing:\n" + joins)
+    // main path: equality join keyed on the PassJoin block key
+    // (slot:len:segment — the enumeration shared with the streaming
+    // matcher since round 13)
+    assert(plan.contains("bkey#"),
+      "block-keyed equality join missing:\n" + joins)
     assert(!plan.contains("CartesianProduct"),
       "corpus-sized cartesian crept in:\n" + joins)
   }

@@ -179,5 +179,11 @@ class ScalableRankSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       ScalableRank.globalNtile(df, "score", "score", k = 4)
     }
+    intercept[IllegalArgumentException] {
+      ScalableRank.globalRank(df, "score", "id", rankCol = "__score")
+    }
+    intercept[IllegalArgumentException] {
+      ScalableRank.globalRank(df, "score", "id", rankCol = "id")
+    }
   }
 }

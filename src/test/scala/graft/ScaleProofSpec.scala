@@ -215,6 +215,22 @@ class ScaleProofSpec extends SparkSuite {
         .select("doc_id", "text")).isEmpty)
   }
 
+  test("editMutateUdf: replicas of one doc stay pairwise distinct far " +
+      "past the letter-band range (no band wrap aliasing)") {
+    val s = initSpark()
+    import s.implicits._
+    val text = "a" * 24
+    val reps = (0 until 600).map(r => (text, 7L, r)).toDF(
+      "text", "doc_id", "rep")
+    val out = reps.select(graft.jobs.ScaleProof.editMutateUdf(
+        col("text"), col("doc_id"), col("rep")).as("t"))
+      .collect().map(_.getString(0))
+    assert(out.distinct.length === 600,
+      "600 replicas must be 600 distinct strings")
+    assert(out.forall(_.length === 24), "substitution preserves length")
+    assert(out.count(_ == text) === 1, "only replica 0 is unmutated")
+  }
+
   test("annRecall: q25-vs-q24 fragment reports 5 exact pairs per " +
       "probe and a recall in [0, 1]") {
     val spark = initSpark()
