@@ -258,6 +258,44 @@ class AdaptivePairsSpec extends SparkSuite {
     }
   }
 
+  test("randomized corpora: adaptive jaccardPairs equals the " +
+      "uncontracted capped reference across duplication patterns, " +
+      "nulls, empties, and thresholds (seeded, 6 draws)") {
+    val s = initSpark()
+    import s.implicits._
+    val rnd = new scala.util.Random(1313)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(): String =
+      (0 until 4 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    (1 to 6).foreach { draw =>
+      // distinct base docs, then a random duplication pattern: some
+      // docs replicated 2-9x, plus nulls and empties sprinkled in
+      val bases = (0 until 12).map(_ => doc()).distinct
+      var id = 0L
+      val rows = bases.flatMap { t =>
+        val copies = 1 + (if (rnd.nextBoolean()) rnd.nextInt(8) else 0)
+        (0 until copies).map { _ => id += 1; (id, t) }
+      } ++ (0 until rnd.nextInt(3)).map { _ =>
+        id += 1; (id, if (rnd.nextBoolean()) null else "")
+      }
+      val docs = rnd.shuffle(rows).toDF("doc_id", "text")
+        .repartition(1 + rnd.nextInt(6))
+      val t = Seq(0.25, 0.5, 0.8)(rnd.nextInt(3))
+      val adaptive = Dedup.jaccardPairs(docs, "doc_id", "text", 3, t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val ref = Dedup.jaccardPairsCapped(docs, "doc_id", "text", 3, t,
+          maxDocFreq = 1000000)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(adaptive === ref,
+        s"draw $draw (t=$t) diverged;\n adaptive=${adaptive.take(20)}" +
+          s"\n ref=${ref.take(20)}")
+    }
+  }
+
   // ---- cache hygiene across all three ----
 
   test("adaptive pair emitters pin nothing on dup-free corpora and " +
