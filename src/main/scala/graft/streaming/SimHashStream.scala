@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+import graft.operators.Dedup
+
+/** Streaming SimHash near-dup matcher — the continuous form of
+  * [[graft.operators.Dedup.simhashPairs]], completing the streaming
+  * surface's banded family (exact = Curation, MinHash-LSH =
+  * NearDupStream, edit distance = EditDistanceStream). The batch
+  * operator's band buckets ARE the state, exactly the NearDupStream
+  * pattern: a 64-bit signature splits into equal-width bands
+  * (4×16-bit at maxHamming ≤ 3, 8×8-bit at 4..7 — the same pigeonhole
+  * radii as batch), a doc lands in one bucket per band, and two docs
+  * are candidates iff they share a bucket; verify is the exact
+  * popcount of the XOR, kept iff ≤ maxHamming.
+  *
+  * One signer implementation: [[Dedup.simhashSignature]], the batch
+  * UDF's body — null/word-free docs sign 0L and DO pair with each
+  * other at hamming 0, matching the batch plan's semantics.
+  *
+  * State per band bucket is the (id, simhash) list of its first-seen
+  * members, capped at [[MaxBucket]] (the NearDupStream overflow
+  * semantics: an overflow doc is checked against the survivors, then
+  * dropped from state — recall against later arrivals is lost only
+  * for degenerate boilerplate buckets, stated plainly rather than
+  * hidden). Memory is O(buckets × MaxBucket × (8B id + 8B sig)),
+  * independent of stream length for non-degenerate corpora — a
+  * SMALLER footprint than NearDupStream's (one long per sig, not 16).
+  *
+  * Emission: a pair is scored once per SHARED band; cross-band
+  * repeats carry identical hammings — consumers dedup on
+  * (id_new, id_old) with a batch `distinct`, the idempotent-upsert
+  * convention shared by the whole streaming family.
+  *
+  * Parity contract (spec-pinned): the distinct canonicalized
+  * (min id, max id, hamming) set over any stream prefix equals batch
+  * [[Dedup.simhashPairs]] over the same documents. */
+object SimHashStream {
+
+  final case class StreamDoc(id: Long, text: String)
+
+  /** One signed document in one of its band buckets. */
+  final case class BandedSig(bkey: String, id: Long, simhash: Long)
+
+  final case class HammingPair(id_new: Long, id_old: Long, hamming: Int)
+
+  /** Bucket membership: ids + signatures of the first-seen docs. */
+  final case class BucketState(ids: Seq[Long], sigs: Seq[Long])
+
+  /** First-seen bucket membership cap (see scaladoc above). */
+  val MaxBucket = 64
+
+  /** Fold one bucket's micro-batch arrivals: each new doc verifies
+    * against every doc already in the bucket (state ∪
+    * earlier-in-batch), then joins the bucket if it has room. A doc
+    * id already present is an at-least-once replay and is skipped —
+    * exactly-once pairing on top of at-least-once delivery. Arrivals
+    * sort by id so pairing is deterministic under Spark's unordered
+    * group iterator. */
+  def pairBucket(maxHamming: Int)(bkey: String,
+      docs: Iterator[BandedSig], state: GroupState[BucketState])
+      : Iterator[HammingPair] = {
+    var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
+    var sigs = state.getOption.map(_.sigs).getOrElse(Seq.empty)
+    val seen = scala.collection.mutable.HashSet[Long](ids: _*)
+    val out = Seq.newBuilder[HammingPair]
+    var grew = false
+    docs.toSeq.sortBy(_.id).foreach { d =>
+      if (!seen(d.id)) {
+        var i = 0
+        while (i < ids.length) {
+          val h = java.lang.Long.bitCount(d.simhash ^ sigs(i))
+          if (h <= maxHamming) out += HammingPair(d.id, ids(i), h)
+          i += 1
+        }
+        if (ids.length < MaxBucket) {
+          ids = ids :+ d.id
+          sigs = sigs :+ d.simhash
+          grew = true
+        }
+        seen += d.id
+      }
+    }
+    if (grew) state.update(BucketState(ids, sigs))
+    out.result().iterator
+  }
+
+  /** Wire a document stream into the banded stateful verifier. Band
+    * geometry matches batch [[Dedup.simhashPairs]] exactly, so the
+    * pigeonhole recall guarantee (complete up to hamming bands-1, and
+    * in practice to the verify radius via multi-band agreement) is
+    * the batch one. */
+  def hammingPairs(docs: Dataset[StreamDoc], maxHamming: Int = 7)(
+      implicit spark: SparkSession): Dataset[HammingPair] = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"simhash banding guarantees recall only to hamming 0..7; " +
+        s"got maxHamming=$maxHamming")
+    import spark.implicits._
+    val nBands = if (maxHamming <= 3) 4 else 8
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
+    val banded = docs.flatMap { d =>
+      val sig = Dedup.simhashSignature(d.text)
+      (0 until nBands).map { b =>
+        val bucket = (sig >>> (b * width)) & mask
+        BandedSig(s"$b:$bucket", d.id, sig)
+      }
+    }
+    banded.groupByKey(_.bkey)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(pairBucket(maxHamming))
+  }
+}

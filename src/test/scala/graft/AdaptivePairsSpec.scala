@@ -197,6 +197,178 @@ class AdaptivePairsSpec extends SparkSuite {
     }
   }
 
+  // ---- q22: fast-signer MinHash-LSH (routed round 14) ----
+
+  /** Uncontracted reference for minhashLshPairs: the same banding
+    * pipeline built inline from the operator's public signer — no
+    * contraction anywhere (the q44-test pattern). */
+  private def lshReference(docs: org.apache.spark.sql.DataFrame,
+      shingleN: Int, numHashes: Int, bands: Int) = {
+    val rowsPerBand = numHashes / bands
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text",
+        shingleN, numHashes)
+      .where(size(col("sig")) === numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
+          .as("bucket"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val matches = size(filter(
+      zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
+    cand.join(sig.select(col("id").as("id_a"), col("sig").as("a_sig")),
+        "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("b_sig")),
+        "id_b")
+      .withColumn("est_jaccard",
+        round(matches.cast("double") / numHashes + 1e-9, 4))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  test("minhashLshPairs is duplication-adaptive: contraction + " +
+      "re-expansion equals the inline uncontracted banding pipeline " +
+      "bit-for-bit on duplicated corpora; intra est 1.0; all-dup tier") {
+    val docs = dupCorpus
+    val adaptive = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ref = lshReference(docs, 3, 16, 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(adaptive === ref,
+      s"adaptive minhashLshPairs diverges from the uncontracted " +
+        s"reference:\n got $adaptive\n exp $ref")
+    val m = adaptive.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m((5L, 100L)) === 1.0 && m((6L, 50L)) === 1.0,
+      s"intra-class pairs must estimate exactly 1.0: $m")
+    // all-dup tier (nSuspects == n): group-all branch
+    val s = initSpark()
+    import s.implicits._
+    val allDup = (0L until 20L).map(i =>
+        (i, if (i < 10) base else variant))
+      .toDF("doc_id", "text").repartition(5)
+    val a = Dedup.minhashLshPairs(allDup, "doc_id", "text", 3, 16, 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val r2 = lshReference(allDup, 3, 16, 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a === r2,
+      "all-dup tier diverges from the uncontracted reference")
+  }
+
+  test("minhashLshPairs repeated-id gate keeps the legacy banded plan " +
+      "(per-occurrence verify multiplicity, no self pair)") {
+    val s = initSpark()
+    import s.implicits._
+    // two rows share id=5 AND the text (identical signature, so the
+    // banding always candidates them against id 7); the legacy verify
+    // join emits one row per id-5 sig OCCURRENCE, the contraction
+    // would emit exactly one lifted row plus an intra (5,5)
+    val dup = Seq((5L, base), (5L, base), (7L, base))
+      .toDF("doc_id", "text").repartition(3)
+    val rows = Dedup.minhashLshPairs(dup, "doc_id", "text", 3, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(!rows.contains((5L, 5L)),
+      s"legacy plan never emits self pairs; contraction leaked: $rows")
+    assert(rows.count(_ == (5L, 7L)) === 2,
+      s"legacy verify joins emit one row per id-5 occurrence: $rows")
+  }
+
+  // ---- q93: portable MinHash-LSH (routed round 14) ----
+
+  /** Uncontracted reference for minhashLshPairsPortable: the same
+    * bkey banding + matching-count verify built inline from the
+    * operator's public relational signer. */
+  private def portableLshReference(docs: org.apache.spark.sql.DataFrame,
+      bands: Int) = {
+    val k = 16 // PortableMinhashCoeffs.length, part of the contract
+    val rows = k / bands
+    val sig = Dedup.minhashSignaturesPortable(docs, "doc_id", "text", 3)
+    val banded = sig
+      .withColumn("band", floor(col("j") / rows).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("j"), col("minhash")))),
+        s => s.getField("minhash").cast("string")), ",").as("bkey"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("band", "bkey"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sa = sig.select(col("id").as("id_a"), col("j"),
+      col("minhash").as("ma"))
+    val sb = sig.select(col("id").as("id_b"), col("j"),
+      col("minhash").as("mb"))
+    cand.join(sa, "id_a")
+      .join(sb, Seq("id_b", "j"))
+      .groupBy("id_a", "id_b")
+      .agg(count(when(col("ma") === col("mb"), 1)).as("matches"))
+      .select(col("id_a"), col("id_b"),
+        round(col("matches").cast("double") / k + 1e-9, 4)
+          .as("est_jaccard"))
+  }
+
+  test("minhashLshPairsPortable is duplication-adaptive: equals the " +
+      "inline uncontracted bkey pipeline bit-for-bit on duplicated " +
+      "corpora; intra est 1.0; all-dup tier") {
+    val docs = dupCorpus
+    val adaptive = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
+        n = 3, bands = 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ref = portableLshReference(docs, 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(adaptive === ref,
+      s"adaptive minhashLshPairsPortable diverges from the " +
+        s"uncontracted reference:\n got $adaptive\n exp $ref")
+    val m = adaptive.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m((5L, 100L)) === 1.0 && m((6L, 50L)) === 1.0,
+      s"intra-class pairs must estimate exactly 1.0: $m")
+    val s = initSpark()
+    import s.implicits._
+    val allDup = (0L until 20L).map(i =>
+        (i, if (i < 10) base else variant))
+      .toDF("doc_id", "text").repartition(5)
+    val a = Dedup.minhashLshPairsPortable(allDup, "doc_id", "text", 3, 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val r2 = portableLshReference(allDup, 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a === r2,
+      "all-dup tier diverges from the uncontracted reference")
+  }
+
+  test("minhashLshPairsPortable repeated-id gate keeps the legacy " +
+      "relational plan (merged groupBy(id, band) bkey — no pairs at " +
+      "all for a doubled doc)") {
+    val s = initSpark()
+    import s.implicits._
+    // two rows share id=5 and the text: the legacy plan's
+    // groupBy(id, band) merges BOTH occurrences' sig rows into one
+    // 2k-value bkey that matches nothing (id 7's bkey has k values),
+    // so the output is EMPTY; the contraction would instead emit
+    // (5,7) at 1.0 plus an intra row — any pair here means the gate
+    // failed to keep the legacy plan
+    val dup = Seq((5L, base), (5L, base), (7L, base))
+      .toDF("doc_id", "text").repartition(3)
+    val rows = Dedup.minhashLshPairsPortable(dup, "doc_id", "text", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.isEmpty,
+      s"legacy merged-bkey plan emits nothing for repeated ids; " +
+        s"contraction leaked: $rows")
+  }
+
   // ---- q44: portable embedding cosine ----
 
   test("embeddingNearDupPairsPortable is duplication-adaptive: equals " +
@@ -307,12 +479,17 @@ class AdaptivePairsSpec extends SparkSuite {
     Dedup.jaccardPairs(real, "doc_id", "text", 3, 0.6).count()
     Dedup.simhashPairs(real, "doc_id", "text", 7).count()
     Dedup.embeddingNearDupPairsPortable(real, "doc_id", "text").count()
+    Dedup.minhashLshPairs(real, "doc_id", "text", 3, 16, 4).count()
+    Dedup.minhashLshPairsPortable(real, "doc_id", "text", 3, 4).count()
     val before = s.sparkContext.getPersistentRDDs.size
     // sf0.001 documents are all-distinct: the dup-free path must not
-    // persist anything new
+    // persist anything new (q93's core owns ONE relational-signature
+    // cache by design, swapped per invocation — flat, not zero)
     Dedup.jaccardPairs(real, "doc_id", "text", 3, 0.6).count()
     Dedup.simhashPairs(real, "doc_id", "text", 7).count()
     Dedup.embeddingNearDupPairsPortable(real, "doc_id", "text").count()
+    Dedup.minhashLshPairs(real, "doc_id", "text", 3, 16, 4).count()
+    Dedup.minhashLshPairsPortable(real, "doc_id", "text", 3, 4).count()
     assert(s.sparkContext.getPersistentRDDs.size === before,
       "dup-free invocations must pin no caches")
     // duplicated corpus: caches pin, and the module slot releases the

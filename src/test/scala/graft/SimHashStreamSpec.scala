@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Dedup
+import graft.streaming.SimHashStream
+import graft.streaming.SimHashStream.StreamDoc
+
+/** Streaming SimHash matcher (round-14, closing the streaming
+  * surface's last banded form): the distinct canonicalized
+  * (min id, max id, hamming) set over any stream prefix must equal
+  * batch Dedup.simhashPairs over the same documents — the
+  * NearDupStream/EditDistanceStream parity contract applied to the
+  * SimHash tier — with bounded state. */
+class SimHashStreamSpec extends SparkSuite {
+
+  private def canon(t: (Long, Long, Int)): (Long, Long, Int) =
+    (math.min(t._1, t._2), math.max(t._1, t._2), t._3)
+
+  test("stream-vs-batch pair parity on a designed corpus: exact dups, " +
+      "null/empty zero-signature docs, cross-batch discovery, " +
+      "at-least-once replay — with bounded state") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: org.apache.spark.sql.SparkSession = s
+    val base =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val variant =
+      "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val b1 = Seq(
+      StreamDoc(1L, base),
+      StreamDoc(2L, variant),
+      StreamDoc(3L, "totally different words here entirely unrelated"),
+      StreamDoc(4L, null))
+    val b2 = Seq(
+      StreamDoc(10L, base), // exact dup of 1, later batch
+      StreamDoc(11L, ""), // zero signature: pairs doc 4 at hamming 0
+      StreamDoc(12L, variant)) // exact dup of 2, cross-batch
+    val input = MemoryStream[StreamDoc](s)
+    val query = SimHashStream.hammingPairs(input.toDS(), maxHamming = 7)
+      .writeStream.format("memory").queryName("simhash_pairs")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      input.addData(b1.head) // at-least-once replay of doc 1
+      query.processAllAvailable()
+      val streamSet =
+        s.sql("SELECT id_new, id_old, hamming FROM simhash_pairs")
+          .collect().map(r => canon((r.getLong(0), r.getLong(1),
+            r.getInt(2)))).toSet
+      val batchSet = Dedup.simhashPairs(
+          (b1 ++ b2).map(d => (d.id, d.text)).toDF("doc_id", "text"),
+          "doc_id", "text", maxHamming = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(streamSet === batchSet,
+        s"stream=$streamSet\nbatch=$batchSet")
+      assert(Set((1L, 10L, 0), (2L, 12L, 0), (4L, 11L, 0))
+        .subsetOf(streamSet), streamSet.toString)
+      // bounded state: at most one state row per distinct band bucket
+      // the corpus occupies
+      val maxBuckets = (b1 ++ b2).flatMap { d =>
+        val sig = graft.operators.Dedup.simhashSignature(d.text)
+        (0 until 8).map(b => (b, (sig >>> (b * 8)) & 0xffL))
+      }.distinct.size
+      val stateRows = query.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateRows > 0 && stateRows <= maxBuckets,
+        s"state rows $stateRows vs bound $maxBuckets")
+    } finally query.stop()
+  }
+
+  test("randomized stream-vs-batch parity with heavy duplication " +
+      "(3 batches, 60 docs from a 6-doc pool — every bucket collides)") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: org.apache.spark.sql.SparkSession = s
+    val rnd = new scala.util.Random(1414)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val pool = (0 until 6).map(_ =>
+      (0 until 5 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val docs = (0 until 60).map(i =>
+      StreamDoc(i.toLong, pool(rnd.nextInt(pool.size))))
+    val batches = docs.grouped(20).toSeq
+    val input = MemoryStream[StreamDoc](s)
+    val query = SimHashStream.hammingPairs(input.toDS(), maxHamming = 3)
+      .writeStream.format("memory").queryName("simhash_pairs_rnd")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*); query.processAllAvailable()
+      }
+      val streamSet =
+        s.sql("SELECT id_new, id_old, hamming FROM simhash_pairs_rnd")
+          .collect().map(r => canon((r.getLong(0), r.getLong(1),
+            r.getInt(2)))).toSet
+      val batchSet = Dedup.simhashPairs(
+          docs.map(d => (d.id, d.text)).toDF("doc_id", "text"),
+          "doc_id", "text", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(streamSet === batchSet,
+        s"missing=${(batchSet -- streamSet).take(10)} " +
+          s"extra=${(streamSet -- batchSet).take(10)}")
+      assert(streamSet.nonEmpty, "degenerate fixture: no pairs at all")
+    } finally query.stop()
+  }
+
+  test("hammingPairs rejects radii outside 0..7 (the batch guard)") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: org.apache.spark.sql.SparkSession = s
+    val input = MemoryStream[StreamDoc](s)
+    intercept[IllegalArgumentException] {
+      SimHashStream.hammingPairs(input.toDS(), maxHamming = 8)
+    }
+    intercept[IllegalArgumentException] {
+      SimHashStream.hammingPairs(input.toDS(), maxHamming = -1)
+    }
+  }
+}
