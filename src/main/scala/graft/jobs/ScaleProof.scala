@@ -396,6 +396,173 @@ object ScaleProof {
       System.err.println(s"[scaleproof] write failed: $e") }
   }
 
+  // ---- round-14 diagnostics tier (verdict items 2-4) ----
+
+  /** q91 SemDeDup cost decomposition (round-14 verdict item 2): the
+    * 100× ratio 120.6 is decomposed into its three plan stages —
+    * k-means centroid build (iterative, driver-coordinated), map-side
+    * assignment, and the cluster-local pair join — timed separately
+    * over the SAME persisted assignment the operator uses, plus the
+    * cluster-size census that decides whether the pair join has a
+    * clique term (Σ|c|² is its candidate volume) and the
+    * identical-vector census that decides whether the adaptive
+    * contraction could engage. Parameters mirror q91 verbatim
+    * (eps 0.97, stride 20, iters 2). */
+  def q91Decomposition(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.storage.StorageLevel
+    import graft.operators.Similarity
+    import graft.expr.VectorOps.cosineF32
+    val emb = SparkEntry.table(spark, dir, "embeddings")
+    val t0 = System.nanoTime()
+    val cents = Similarity.kMeansCentroids(emb, stride = 20, iters = 2,
+      "vec_id", "embedding")
+    val nCents = cents.count()
+    val tKmeans = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val assigned = Similarity.assignToCentroids(emb, cents,
+        "vec_id", "embedding")
+      .where(col("centroid_id").isNotNull)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("centroid_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nAssigned = assigned.count()
+    val tAssign = (System.nanoTime() - t1) / 1e9
+    // candidate-volume census: Σ|c|² is exactly the cluster-local
+    // join's pre-filter row count (including the rid<id half dropped
+    // by the predicate)
+    val cs = assigned.groupBy("centroid_id").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("k"), sum(col("c") * col("c")).as("c2"),
+        max(col("c")).as("cmax")).head()
+    // identical-vector census: the contraction lever, if one is needed
+    val cq = assigned.groupBy("vec").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("maxclique"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dupes"))
+      .head()
+    val t2 = System.nanoTime()
+    val right = assigned.select(col("centroid_id"),
+      col("id").as("rid"), col("vec").as("rvec"))
+    val nDropped = assigned.join(right, "centroid_id")
+      .where(col("rid") < col("id") &&
+        cosineF32(col("vec"), col("rvec")) >= lit(0.97))
+      .select("id").distinct().count()
+    val tJoin = (System.nanoTime() - t2) / 1e9
+    assigned.unpersist()
+    s"""{"metric":"q91_decomposition","rows":$nAssigned""" +
+      s""","kmeans_sec":${fmt(tKmeans)},"assign_sec":${fmt(tAssign)}""" +
+      s""","pair_join_sec":${fmt(tJoin)},"centroids":$nCents""" +
+      s""","clusters":${cs.getLong(0)},"sum_c2":${cs.getLong(1)}""" +
+      s""","max_cluster":${cs.getLong(2)}""" +
+      s""","max_vec_clique":${cq.getLong(0)}""" +
+      s""","dup_vec_rows":${cq.getLong(1)},"dropped":$nDropped}"""
+  }
+
+  /** q23 100× window-variance decomposition (round-14 verdict item 4):
+    * three same-window repetitions of the full query, plus isolated
+    * timings of its two raw-scan-bound stages (the xxhash64 census agg
+    * and the signing pass) repeated three times each — if the spread
+    * lives in the probes, it is scan/box noise; if only in the full
+    * query, it is the contracted banding/verify term. */
+  def q23VarianceProbe(spark: SparkSession, dir: String,
+      timeoutSec: Int): String = {
+    import graft.operators.Dedup
+    val fn = SparkEntry.queries("q23_simhash_pairs")
+    def t3(body: => Unit): Seq[Double] = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val full = (1 to 3).map(_ =>
+      timed(spark, "q23_var", fn, dir, timeoutSec))
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val census = t3 {
+      docs.select(xxhash64(col("text")).as("dg"))
+        .groupBy("dg").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")), sum(when(col("c") > lit(1L), col("c"))))
+        .head(); ()
+    }
+    val signing = t3 {
+      Dedup.simhash(docs, "doc_id", "text")
+        .agg(count(col("simhash"))).head(); ()
+    }
+    def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
+    s"""{"metric":"q23_variance","full_sec":${arr(full.map(
+        _.getOrElse(-1.0)))}""" +
+      s""","census_sec":${arr(census)},"signing_sec":${arr(signing)}}"""
+  }
+
+  /** IVF recall on a CLUSTERED fixture (round-14 verdict item 3): the
+    * i.i.d.-random testdata embeddings have no cluster structure to
+    * prune by, so r13's recall@5 = 0.26 was the honest floor but said
+    * nothing about the operator's value claim. This fixture is a
+    * deterministic mixture of Gaussians — 25 cluster means, unit-scale
+    * coordinates, within-cluster σ = 0.05, every draw derived from
+    * murmur3 Box-Muller so the corpus is identical on every run — and
+    * recall@5 vs brute force is recorded at nProbe 1/2/4 plus
+    * nProbe = centroid count, which must recover brute force exactly
+    * (no bucket left unprobed). */
+  def annRecallClustered(spark: SparkSession): String = {
+    import graft.operators.Similarity
+    val clusters = 25
+    val dim = 64
+    val n = 20000
+    val stride = 200 // n/stride = 100 sampled centroids, ~4 per cluster
+    def unif(h: Int): Double = ((h & 0x7fffffff) + 0.5) / 2147483648.0
+    def gauss(seed: (Int, Int, Int)): Double = {
+      val h1 = scala.util.hashing.MurmurHash3.productHash(seed)
+      val h2 = scala.util.hashing.MurmurHash3.productHash((seed, 7))
+      math.sqrt(-2.0 * math.log(unif(h1))) *
+        math.cos(2.0 * math.Pi * unif(h2))
+    }
+    val mkVec = udf { (id: Long) =>
+      val c = (id % clusters).toInt
+      Array.tabulate(dim) { j =>
+        (gauss((c, j, 1)) + 0.05 * gauss((id.toInt, j, 2))).toFloat
+      }
+    }
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      mkVec(col("id")).as("embedding"))
+    val probes = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, probes, k = 5)
+      .select(col("q_id"), col("c_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = brute.count()
+    val points = Seq(1, 2, 4, n / stride).map { nProbe =>
+      val ivf = Similarity.ivfTopK(emb, probes, k = 5,
+          stride = stride, nProbe = nProbe)
+        .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+      val c = brute.join(ivf, Seq("q_id", "c_id"), "left")
+        .agg(count(col("hit"))).head().getLong(0)
+      s"""{"nprobe":$nProbe,"recall":${
+        fmt(if (total > 0) c.toDouble / total else 0.0)}}"""
+    }
+    brute.unpersist()
+    s"""{"metric":"ann_recall_clustered","clusters":$clusters""" +
+      s""","dim":$dim,"rows":$n,"stride":$stride""" +
+      s""","pairs_total":$total,"points":${
+        points.mkString("[", ",", "]")}}"""
+  }
+
+  /** Diagnostics driver: q91 decomposition + q23 variance over an
+    * ALREADY-MATERIALIZED scaled dir (pass the factor-less main's
+    * outDir), plus the clustered ANN fixture (corpus-independent). */
+  private def runDiagnostics(spark: SparkSession, outDir: String,
+      timeoutSec: Int): Unit = {
+    System.err.println(s"[scaleproof] diagnostics over $outDir")
+    val rows = Seq(
+      { val r = q91Decomposition(spark, outDir)
+        System.err.println(s"[scaleproof] $r"); r },
+      { val r = q23VarianceProbe(spark, outDir, timeoutSec)
+        System.err.println(s"[scaleproof] $r"); r },
+      { val r = annRecallClustered(spark)
+        System.err.println(s"[scaleproof] $r"); r })
+    val body = rows.mkString("[", ",\n", "]")
+    println(body)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "scale_proof_diag.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (body + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[scaleproof] write failed: $e") }
+  }
+
   /** Time one query under a watchdog; Right(sec) or Left(reason). */
   private def timed(spark: SparkSession, name: String,
       fn: (SparkSession, String) => DataFrame, dir: String,
@@ -480,6 +647,15 @@ object ScaleProof {
 
     if (sys.env.get("SPARK_GRAFT_SCALE_MUTATED").contains("1")) {
       runMutated(spark, baseDir, outDir, factor, timeoutSec)
+      spark.stop()
+      return
+    }
+
+    // SPARK_GRAFT_SCALE_DIAG=1: run the round-14 diagnostics over an
+    // already-materialized scaled dir (outDir) instead of the timing
+    // sweep — q91 decomposition, q23 variance, clustered ANN recall
+    if (sys.env.get("SPARK_GRAFT_SCALE_DIAG").contains("1")) {
+      runDiagnostics(spark, outDir, timeoutSec)
       spark.stop()
       return
     }

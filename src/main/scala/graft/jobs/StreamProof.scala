@@ -280,6 +280,65 @@ object StreamProof {
     val edParity = edNStream == edNBatch &&
       edOnlyStream == 0 && edOnlyBatch == 0
     edStreamPairs.unpersist(); edBatchPairs.unpersist()
+    // ---- v4 (round 14): the streaming SimHash matcher over the SAME
+    // token-substitution-mutated corpus as the LSH tier — replicas are
+    // near-dups whose signatures differ in a few bits, the regime the
+    // hamming radius exists for. Contracts (the family's standard
+    // pair): distinct canonicalized (id, id, hamming) parity with
+    // batch simhashPairs over the same documents, and state bounded
+    // by the corpus's distinct (band, bucket) count.
+    import graft.streaming.SimHashStream
+    val shStream = spark.readStream.schema(ndSchema)
+      .option("maxFilesPerTrigger", "1").parquet(mutNdDir)
+      .select(col("doc_id").as("id"), col("text"))
+      .as[SimHashStream.StreamDoc]
+    val shMaxHamming = 7
+    // proof cap: 8-bit bands have only 256 buckets, so occupancy is
+    // corpus/256 per band — far past the production default; a
+    // truncated bucket breaks parity by design (the EditDistanceStream
+    // cap convention: the artifact records the bound the run needed)
+    val shCap = 1 << 20
+    val shQ = SimHashStream.hammingPairs(shStream, shMaxHamming,
+      shCap)(spark)
+      .writeStream.format("memory").queryName("shpairs")
+      .option("checkpointLocation", s"$workDir/ckpt_sh")
+      .trigger(Trigger.AvailableNow()).start()
+    shQ.awaitTermination()
+    val shStateFinal = shQ.recentProgress.toSeq
+      .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    val shBucketBound = mutAll
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, text) =>
+        val sig = graft.operators.Dedup.simhashSignature(text)
+        (0 until 8).map(b => (b, (sig >>> (b * 8)) & 0xffL))
+      }.distinct().count()
+    val shStreamPairs = spark.table("shpairs")
+      .select(least(col("id_new"), col("id_old")).as("id_a"),
+        greatest(col("id_new"), col("id_old")).as("id_b"),
+        col("hamming"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shBatchPairs = graft.operators.Dedup.simhashPairs(
+        mutAll, "doc_id", "text", shMaxHamming)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shNStream = shStreamPairs.count()
+    val shNBatch = shBatchPairs.count()
+    val shOnlyStream = shStreamPairs.exceptAll(shBatchPairs).count()
+    val shOnlyBatch = shBatchPairs.exceptAll(shStreamPairs).count()
+    val shParity = shNStream == shNBatch &&
+      shOnlyStream == 0 && shOnlyBatch == 0
+    shStreamPairs.unpersist(); shBatchPairs.unpersist()
+    val v4 =
+      s"""{"metric":"simhash_stream_proof","batches":$batches""" +
+        s""","mutation":"2% per replica index"""" +
+        s""","max_hamming":$shMaxHamming""" +
+        s""","stream_pairs":$shNStream,"batch_pairs":$shNBatch""" +
+        s""","only_stream":$shOnlyStream,"only_batch":$shOnlyBatch""" +
+        s""","parity":$shParity""" +
+        s""","state_rows_final":$shStateFinal""" +
+        s""","state_bucket_bound":$shBucketBound}"""
+    System.err.println("[streamproof] " + v4)
     val v3 =
       s"""{"metric":"editdist_stream_proof","batches":$edBatches""" +
         s""","mutation":"1 char per replica inside the join window"""" +
@@ -303,7 +362,8 @@ object StreamProof {
         s""","nd_state_bound":$ndBound""" +
         s""",$recallFields}"""
     System.err.println("[streamproof] " + v2)
-    val body2 = (lines ++ Seq(summary, v2, v3)).mkString("[", ",\n", "]")
+    val body2 = (lines ++ Seq(summary, v2, v3, v4))
+      .mkString("[", ",\n", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
       "stream_proof.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -337,5 +397,13 @@ object StreamProof {
       throw new IllegalStateException(
         s"edit-distance stream state out of bounds: $edStateFinal " +
           s"vs $edEntryBound")
+    if (!shParity)
+      throw new IllegalStateException(
+        s"simhash stream/batch parity broken: $shNStream vs " +
+          s"$shNBatch (+$shOnlyStream/-$shOnlyBatch)")
+    if (!(shStateFinal > 0L && shStateFinal <= shBucketBound))
+      throw new IllegalStateException(
+        s"simhash stream state out of bounds: $shStateFinal vs " +
+          s"$shBucketBound")
   }
 }

@@ -628,28 +628,49 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     val idType = slim.schema(slim.schema.fieldIndex(idCol)).dataType
     slot.releasePrevious()
-    val tot = census.groupBy("dg").agg(count(lit(1)).as("c"))
-      .agg(sum(col("c")).as("n"),
-        sum(when(col("c") > lit(1L), col("c"))).as("sus")).head()
-    val n = if (tot.isNullAt(0)) 0L else tot.getLong(0)
-    val nSuspects = if (tot.isNullAt(1)) 0L else tot.getLong(1)
-    if (nSuspects == 0L) return core(slim)
-    // contraction engaged: pin the CENSUS (two scalar columns — the
-    // cheapest snapshot that answers both the ids gate and suspect
-    // identification without re-scanning the raw input), never the
-    // operator frame unless a tier below actually re-reads it
+    // FUSED census + ids gate (round-14 verdict item 5, A/B-adopted):
+    // persist first, then ONE action answers the duplication census
+    // AND the ids-unique gate via a crossJoin of the two single-row
+    // aggregates over the cached (id, dg) frame — the cache's
+    // block-level locking means one raw-text scan builds the blocks
+    // and the second subtree reads them, where the unfused form's
+    // contraction path scanned the raw input TWICE (census agg, then
+    // gate materializing the cache) with a driver round-trip between.
+    // Same-window A/B (COVERAGE.md round-14 perf log): trio total
+    // 8.11-8.36 → 7.29-7.95 s at sf0.1; at corpus scale the saving is
+    // a whole raw scan per contraction-engaged query. The dup-free
+    // path now writes the (16-byte-a-row) census cache it immediately
+    // releases — bounded by a <2%-of-scan overhead, priced in the
+    // same log.
+    //
+    // The gate must stay GLOBAL (count_distinct over ALL ids, a
+    // second grouping — why this is a two-subtree action, not one
+    // single-grouping aggregation): with only per-class uniqueness,
+    // an id repeated across two census classes — same id, different
+    // bytes — lets a lifted rep pair expand through the repeated id
+    // into a (x, x) self-pair the legacy plan can never emit. A
+    // raw-level repeat conservatively keeps the uncontracted plan,
+    // exactly the documented degenerate boundary; uniqueness over the
+    // RAW rows implies uniqueness over the (possibly filtered) slim
+    // frame.
     val cen = census.persist(StorageLevel.MEMORY_AND_DISK)
     // hook registered IMMEDIATELY after the persist (release-slot
-    // exception-window contract): the ids gate below can throw
+    // exception-window contract): the fused action below can throw
     slot.set(() => { cen.unpersist(false); () })
-    // ids-unique gate over the pinned census snapshot — uniqueness
-    // over the RAW rows implies uniqueness over the (possibly
-    // filtered) slim frame; a raw-level repeat conservatively keeps
-    // the uncontracted plan, exactly the documented degenerate
-    // boundary. The agg also materializes the census cache.
-    val g = cen.agg(count(lit(1)).as("nb"),
-      count_distinct(col(idCol)).as("nids")).head()
-    if (g.getLong(1) != g.getLong(0)) return core(slim)
+    val stats = cen.groupBy("dg").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("c") > lit(1L), col("c"))).as("sus"))
+    val gate = cen.agg(count(lit(1)).as("nb"),
+      count_distinct(col(idCol)).as("nids"))
+    val tot = stats.crossJoin(gate).head()
+    val n = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val nSuspects = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    // dup-free / repeated-id early exits release the census pin at
+    // once — nothing downstream reads it
+    if (nSuspects == 0L) { slot.releasePrevious(); return core(slim) }
+    if (tot.getLong(3) != tot.getLong(2)) {
+      slot.releasePrevious(); return core(slim)
+    }
     // suspect/cold routing, the q68 tiers: contraction only has to
     // touch members of DUPLICATED census classes — on a lightly
     // duplicated corpus (the realistic steady state after upstream
@@ -1207,9 +1228,20 @@ object Dedup {
 
   /** The band bucket-join + matching-fraction verify over a prepared
     * (id, sig) frame — minhashLshPairs' original plan, factored for
-    * the duplication-adaptive wrapper. */
-  private def minhashLshPairsOverSigs(sig: DataFrame, numHashes: Int,
+    * the duplication-adaptive wrapper. The signature frame is
+    * persisted across its four plan reads (banded self-join sides +
+    * two verify joins — Catalyst does not dedupe common subtrees
+    * across a self-join, so each read re-ran the signing UDF, and on
+    * the contraction path the recomputed unit grows to the cold
+    * branch's filter-plus-signing lineage; same-window A/B in
+    * COVERAGE.md's round-14 perf log) and released when the next
+    * invocation swaps it out. */
+  private def minhashLshPairsOverSigs(sigIn: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
+    val sig = sigIn
+    // release-BEFORE-persist (the pageRankFixed ordering)
+    lastFastLshRelease.swap(() => { sig.unpersist(); () })
+    sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -1389,6 +1421,7 @@ object Dedup {
   }
 
   private val lastPortableLshRelease = ReleaseSlot()
+  private val lastFastLshRelease = ReleaseSlot()
 
   /** INCREMENTAL near-dup — [[minhashLshPairsPortable]]'s production
     * shape at 100 TB, the MinHash analogue of [[dedupIncremental]]: a

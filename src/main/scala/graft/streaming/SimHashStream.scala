@@ -50,7 +50,15 @@ object SimHashStream {
   /** Bucket membership: ids + signatures of the first-seen docs. */
   final case class BucketState(ids: Seq[Long], sigs: Seq[Long])
 
-  /** First-seen bucket membership cap (see scaladoc above). */
+  /** Default first-seen bucket membership cap (see scaladoc above).
+    * UNLIKE NearDupStream's minhash band keys (a huge keyspace where
+    * only near-dups collide), SimHash bands have only 2^width buckets
+    * (256 at the 8×8-bit geometry), so expected occupancy is
+    * corpus/256 per band and a long-running stream should size
+    * `maxBucket` to the corpus it expects — the cap trades memory for
+    * recall against later arrivals, and a truncated bucket breaks
+    * batch parity by design (the StreamProof run records the bound it
+    * actually needed, the EditDistanceStream cap convention). */
   val MaxBucket = 64
 
   /** Fold one bucket's micro-batch arrivals: each new doc verifies
@@ -60,7 +68,7 @@ object SimHashStream {
     * exactly-once pairing on top of at-least-once delivery. Arrivals
     * sort by id so pairing is deterministic under Spark's unordered
     * group iterator. */
-  def pairBucket(maxHamming: Int)(bkey: String,
+  def pairBucket(maxHamming: Int, maxBucket: Int)(bkey: String,
       docs: Iterator[BandedSig], state: GroupState[BucketState])
       : Iterator[HammingPair] = {
     var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
@@ -76,7 +84,7 @@ object SimHashStream {
           if (h <= maxHamming) out += HammingPair(d.id, ids(i), h)
           i += 1
         }
-        if (ids.length < MaxBucket) {
+        if (ids.length < maxBucket) {
           ids = ids :+ d.id
           sigs = sigs :+ d.simhash
           grew = true
@@ -93,7 +101,8 @@ object SimHashStream {
     * pigeonhole recall guarantee (complete up to hamming bands-1, and
     * in practice to the verify radius via multi-band agreement) is
     * the batch one. */
-  def hammingPairs(docs: Dataset[StreamDoc], maxHamming: Int = 7)(
+  def hammingPairs(docs: Dataset[StreamDoc], maxHamming: Int = 7,
+      maxBucket: Int = MaxBucket)(
       implicit spark: SparkSession): Dataset[HammingPair] = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"simhash banding guarantees recall only to hamming 0..7; " +
@@ -111,6 +120,6 @@ object SimHashStream {
     }
     banded.groupByKey(_.bkey)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(pairBucket(maxHamming))
+        GroupStateTimeout.NoTimeout)(pairBucket(maxHamming, maxBucket))
   }
 }

@@ -483,7 +483,7 @@ class AdaptivePairsSpec extends SparkSuite {
     Dedup.minhashLshPairsPortable(real, "doc_id", "text", 3, 4).count()
     val before = s.sparkContext.getPersistentRDDs.size
     // sf0.001 documents are all-distinct: the dup-free path must not
-    // persist anything new (q93's core owns ONE relational-signature
+    // persist anything new (the q22/q93 cores each own ONE signature
     // cache by design, swapped per invocation — flat, not zero)
     Dedup.jaccardPairs(real, "doc_id", "text", 3, 0.6).count()
     Dedup.simhashPairs(real, "doc_id", "text", 7).count()

@@ -111,6 +111,33 @@ class SimHashStreamSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("maxBucket overflow semantics: an overflowing arrival is " +
+      "checked against the survivors, then dropped from state — " +
+      "recall against later arrivals is lost exactly there") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: org.apache.spark.sql.SparkSession = s
+    val base = "alpha beta gamma delta epsilon"
+    val input = MemoryStream[StreamDoc](s)
+    val query = SimHashStream.hammingPairs(input.toDS(),
+        maxHamming = 7, maxBucket = 1)
+      .writeStream.format("memory").queryName("simhash_pairs_cap")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamDoc(1L, base), StreamDoc(2L, base))
+      query.processAllAvailable()
+      input.addData(StreamDoc(3L, base))
+      query.processAllAvailable()
+      val got =
+        s.sql("SELECT id_new, id_old, hamming FROM simhash_pairs_cap")
+          .collect().map(r => canon((r.getLong(0), r.getLong(1),
+            r.getInt(2)))).toSet
+      // doc 2 overflowed every bucket (cap 1, doc 1 holds the slot):
+      // it paired against the survivor but doc 3 can no longer see it
+      assert(got === Set((1L, 2L, 0), (1L, 3L, 0)), got.toString)
+    } finally query.stop()
+  }
+
   test("hammingPairs rejects radii outside 0..7 (the batch guard)") {
     val s = initSpark()
     import s.implicits._
