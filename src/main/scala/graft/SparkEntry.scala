@@ -2212,9 +2212,11 @@ object SparkEntry {
            JOIN base q ON q.vec_id = p.q_id
            JOIN base cb ON cb.vec_id = a.c_id
            WHERE a.c_id != p.q_id)
-         SELECT q_id, c_id, round(s + 1e-9, 4) AS score, rank FROM (
-           SELECT q_id, c_id, s, row_number() OVER (
-             PARTITION BY q_id ORDER BY s DESC, c_id ASC) AS rank
+         SELECT q_id, c_id, score, rank FROM (
+           SELECT q_id, c_id, round(s + 1e-9, 4) AS score,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY round(s + 1e-9, 4) DESC, c_id ASC) AS rank
            FROM scored) t
          WHERE rank <= 5""",
 
@@ -2833,7 +2835,10 @@ object SparkEntry {
     // IVF top-k: stride-sampled centroids (vec_id % 20 = 0), nearest-
     // centroid assignment and nProbe=3 probing by RAW cosine with the
     // (score DESC, id ASC) tie-break, then the q24 scoring pattern over
-    // probed buckets only. All cosines are index-ordered double sums —
+    // probed buckets only — final ranking on the ROUNDED score like
+    // q24 (round 14 unified the tie-break contract: raw-double ranking
+    // diverged from brute force at 4-dp-tied rank boundaries on
+    // clustered corpora). All cosines are index-ordered double sums —
     // the same numeric contract q24 already hash-matches on.
     "q25_ivf_topk" ->
       """WITH cents AS (
@@ -2872,9 +2877,11 @@ object SparkEntry {
            JOIN base q ON q.vec_id = p.q_id
            JOIN base cb ON cb.vec_id = a.c_id
            WHERE a.c_id != p.q_id)
-         SELECT q_id, c_id, round(s + 1e-9, 4) AS score, rank FROM (
-           SELECT q_id, c_id, s, row_number() OVER (
-             PARTITION BY q_id ORDER BY s DESC, c_id ASC) AS rank
+         SELECT q_id, c_id, score, rank FROM (
+           SELECT q_id, c_id, round(s + 1e-9, 4) AS score,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY round(s + 1e-9, 4) DESC, c_id ASC) AS rank
            FROM scored) t
          WHERE rank <= 5""",
 

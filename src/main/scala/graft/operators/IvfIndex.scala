@@ -59,22 +59,24 @@ object IvfIndex {
         idCol, vecCol)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         col("centroid_id"))
-    // rank on the RAW score, round only for display — the exact
-    // contract of Similarity.ivfTopK, so index-vs-in-memory results
-    // are comparable row-for-row
+    // rank on the ROUNDED score (4 dp) with id tie-break — the exact
+    // contract of Similarity.ivfTopK/bruteForceTopK (unified in round
+    // 14: raw-double ranking diverged from brute force at 4-dp-tied
+    // rank boundaries on clustered corpora), so index-vs-in-memory
+    // results are comparable row-for-row
     val scored = vectors
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         col("centroid_id"))
       .join(broadcast(probes), "centroid_id")
       .where(col("c_id") =!= col("q_id"))
-      .withColumn("score",
-        graft.expr.VectorOps.cosineF32(col("q_vec"), col("c_vec")))
+      .withColumn("score", round(
+        graft.expr.VectorOps.cosineF32(col("q_vec"), col("c_vec"))
+          + 1e-9, 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("c_id"),
-        round(col("score") + 1e-9, 4).as("score"), col("rank"))
+      .select(col("q_id"), col("c_id"), col("score"), col("rank"))
   }
 
   /** True when the executed plan pruned the vectors scan with a runtime

@@ -304,15 +304,23 @@ object Similarity {
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("centroid_id",
         explode(probesCol(cents, nProbe, col("q_vec"))))
+    // rank on the ROUNDED score (4 dp) with id tie-break — the
+    // bruteForceTopK contract, NOT the raw double: under tight
+    // clusters many candidates share a 4-dp score at the rank-k
+    // boundary, and raw-double ordering there made full-probe IVF
+    // disagree with brute force (round-14 clustered-fixture finding:
+    // nProbe = all buckets read recall 0.84, not 1.0). With one
+    // contract, nProbe = centroid count recovers brute force exactly
+    // on ANY corpus.
     val scored = probes.join(assigned, "centroid_id")
       .where(col("c_id") =!= col("q_id"))
-      .withColumn("score", cosineF32(col("q_vec"), col("c_vec")))
+      .withColumn("score",
+        round(cosineF32(col("q_vec"), col("c_vec")) + 1e-9, 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("c_id"),
-        round(col("score") + 1e-9, 4).as("score"), col("rank"))
+      .select(col("q_id"), col("c_id"), col("score"), col("rank"))
   }
 
   /** Random-hyperplane LSH signature: sign bit of the dot product against

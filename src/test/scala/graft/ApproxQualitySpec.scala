@@ -62,6 +62,38 @@ class ApproxQualitySpec extends SparkSuite {
       s"full-probe IVF diverged from brute force: $allHits/$total")
   }
 
+  test("full-probe IVF equals brute force row-for-row on a CLUSTERED " +
+      "fixture (round 14: raw-double ranking diverged from brute at " +
+      "4-dp-tied rank boundaries — the regime uniform vectors never " +
+      "enter; one rounded-rank contract now)") {
+    val s = initSpark()
+    import s.implicits._
+    // deterministic mixture of Gaussians: 5 tight clusters whose
+    // members tie at 4 dp near the rank-k boundary
+    def unif(h: Int): Double = ((h & 0x7fffffff) + 0.5) / 2147483648.0
+    def gauss(seed: (Int, Int, Int)): Double = {
+      val h1 = scala.util.hashing.MurmurHash3.productHash(seed)
+      val h2 = scala.util.hashing.MurmurHash3.productHash((seed, 7))
+      math.sqrt(-2.0 * math.log(unif(h1))) *
+        math.cos(2.0 * math.Pi * unif(h2))
+    }
+    val emb = (0L until 500L).map { id =>
+      val c = (id % 5).toInt
+      (id, Array.tabulate(16)(j =>
+        (gauss((c, j, 1)) + 0.02 * gauss((id.toInt, j, 2))).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val all = Similarity.ivfTopK(emb, q, k = 5, stride = 50, nProbe = 10)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(all === bf,
+      s"full-probe IVF must equal brute force exactly;\n ivf=${
+        all.take(10).toSeq}\n bf=${bf.take(10).toSeq}")
+  }
+
   test("product quantization: 16x compression holds a recall floor") {
     val s = initSpark()
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
