@@ -307,11 +307,14 @@ object StreamProof {
     val shStateFinal = shQ.recentProgress.toSeq
       .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
+    // bound via the stream's OWN band enumeration (one implementation
+    // — an inline re-derivation here would desync when the radius
+    // changes the band width)
     val shBucketBound = mutAll
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (_, text) =>
-        val sig = graft.operators.Dedup.simhashSignature(text)
-        (0 until 8).map(b => (b, (sig >>> (b * 8)) & 0xffL))
+        SimHashStream.bandKeys(
+          graft.operators.Dedup.simhashSignature(text), shMaxHamming)
       }.distinct().count()
     val shStreamPairs = spark.table("shpairs")
       .select(least(col("id_new"), col("id_old")).as("id_a"),

@@ -96,6 +96,23 @@ object SimHashStream {
     out.result().iterator
   }
 
+  /** The radius-dependent band keys of one signature — ONE
+    * enumeration shared by the stream wiring, the StreamProof state
+    * bound, and the spec (the EditDistanceStream.entriesFor
+    * precedent: a proof bound that re-implements the geometry inline
+    * silently desyncs when the radius changes the band width).
+    * Geometry matches batch [[Dedup.simhashPairs]] exactly: 4×16-bit
+    * bands at maxHamming ≤ 3, 8×8-bit at 4..7. */
+  def bandKeys(sig: Long, maxHamming: Int): Seq[String] = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"simhash banding guarantees recall only to hamming 0..7; " +
+        s"got maxHamming=$maxHamming")
+    val nBands = if (maxHamming <= 3) 4 else 8
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
+    (0 until nBands).map(b => s"$b:${(sig >>> (b * width)) & mask}")
+  }
+
   /** Wire a document stream into the banded stateful verifier. Band
     * geometry matches batch [[Dedup.simhashPairs]] exactly, so the
     * pigeonhole recall guarantee (complete up to hamming bands-1, and
@@ -108,15 +125,9 @@ object SimHashStream {
       s"simhash banding guarantees recall only to hamming 0..7; " +
         s"got maxHamming=$maxHamming")
     import spark.implicits._
-    val nBands = if (maxHamming <= 3) 4 else 8
-    val width = 64 / nBands
-    val mask = (1L << width) - 1
     val banded = docs.flatMap { d =>
       val sig = Dedup.simhashSignature(d.text)
-      (0 until nBands).map { b =>
-        val bucket = (sig >>> (b * width)) & mask
-        BandedSig(s"$b:$bucket", d.id, sig)
-      }
+      bandKeys(sig, maxHamming).map(k => BandedSig(k, d.id, sig))
     }
     banded.groupByKey(_.bkey)
       .flatMapGroupsWithState(OutputMode.Append,

@@ -61,11 +61,12 @@ class SimHashStreamSpec extends SparkSuite {
       assert(Set((1L, 10L, 0), (2L, 12L, 0), (4L, 11L, 0))
         .subsetOf(streamSet), streamSet.toString)
       // bounded state: at most one state row per distinct band bucket
-      // the corpus occupies
-      val maxBuckets = (b1 ++ b2).flatMap { d =>
-        val sig = graft.operators.Dedup.simhashSignature(d.text)
-        (0 until 8).map(b => (b, (sig >>> (b * 8)) & 0xffL))
-      }.distinct.size
+      // the corpus occupies (the stream's own enumeration — one
+      // implementation)
+      val maxBuckets = (b1 ++ b2).flatMap(d =>
+        SimHashStream.bandKeys(
+          graft.operators.Dedup.simhashSignature(d.text), 7))
+        .distinct.size
       val stateRows = query.lastProgress.stateOperators
         .map(_.numRowsTotal).sum
       assert(stateRows > 0 && stateRows <= maxBuckets,
