@@ -66,9 +66,14 @@ object NearDupStream {
     * pairing on top of at-least-once delivery. */
   def pairBucket(bkey: String, docs: Iterator[BandedDoc],
       state: GroupState[BucketState]): Iterator[NearDupPair] = {
-    var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
-    var sigs = state.getOption.map(_.sigs).getOrElse(Seq.empty)
-    val seen = scala.collection.mutable.HashSet[Long](ids: _*)
+    // index into ARRAYS, never the state's Seq (a restored Seq is a
+    // List with O(i) apply — the SimHashStream round-14 lesson;
+    // bounded here by MaxBucket, fixed for the shared shape anyway)
+    val st = state.getOption
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    val sigs = new scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    st.foreach { s => ids ++= s.ids; sigs ++= s.sigs }
+    val seen = scala.collection.mutable.HashSet[Long](ids.toSeq: _*)
     val out = Seq.newBuilder[NearDupPair]
     var grew = false
     docs.toSeq.sortBy(_.id).foreach { d =>
@@ -79,14 +84,14 @@ object NearDupStream {
           i += 1
         }
         if (ids.length < MaxBucket) {
-          ids = ids :+ d.id
-          sigs = sigs :+ d.sig
+          ids += d.id
+          sigs += d.sig
           grew = true
         }
         seen += d.id
       }
     }
-    if (grew) state.update(BucketState(ids, sigs))
+    if (grew) state.update(BucketState(ids.toSeq, sigs.toSeq))
     out.result().iterator
   }
 

@@ -71,9 +71,17 @@ object SimHashStream {
   def pairBucket(maxHamming: Int, maxBucket: Int)(bkey: String,
       docs: Iterator[BandedSig], state: GroupState[BucketState])
       : Iterator[HammingPair] = {
-    var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
-    var sigs = state.getOption.map(_.sigs).getOrElse(Seq.empty)
-    val seen = scala.collection.mutable.HashSet[Long](ids: _*)
+    // index into ARRAYS, never the state's Seq: a restored Seq is a
+    // List, whose apply is O(i) — with SimHash's 256-buckets-a-band
+    // occupancy (thousands of members per bucket at proof scale) the
+    // linear-seq indexing turned the per-bucket fold cubic and
+    // stalled the round-14 proof chain for an hour before it was
+    // caught in a thread dump
+    val st = state.getOption
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    val sigs = new scala.collection.mutable.ArrayBuffer[Long]()
+    st.foreach { s => ids ++= s.ids; sigs ++= s.sigs }
+    val seen = scala.collection.mutable.HashSet[Long](ids.toSeq: _*)
     val out = Seq.newBuilder[HammingPair]
     var grew = false
     docs.toSeq.sortBy(_.id).foreach { d =>
@@ -85,14 +93,14 @@ object SimHashStream {
           i += 1
         }
         if (ids.length < maxBucket) {
-          ids = ids :+ d.id
-          sigs = sigs :+ d.simhash
+          ids += d.id
+          sigs += d.simhash
           grew = true
         }
         seen += d.id
       }
     }
-    if (grew) state.update(BucketState(ids, sigs))
+    if (grew) state.update(BucketState(ids.toSeq, sigs.toSeq))
     out.result().iterator
   }
 
