@@ -468,6 +468,78 @@ class AdaptivePairsSpec extends SparkSuite {
     }
   }
 
+  test("CROSS-CLASS repeated id keeps the legacy plan (the round-14 " +
+      "fusion counterexample: per-class uniqueness is NOT enough — a " +
+      "repeated id spanning two census classes would lift a (x, x) " +
+      "self-pair; the GLOBAL gate must catch it)") {
+    val s = initSpark()
+    import s.implicits._
+    // id 5 carries base (duplicated with id 100 → a suspect class)
+    // AND variant (cold) — ids are unique WITHIN each census class,
+    // so only the global count_distinct gate can reject this corpus
+    val docs = Seq((5L, base), (100L, base), (5L, variant), (7L, cold))
+      .toDF("doc_id", "text").repartition(3)
+    // frame-join operators: legacy candidate joins filter a.id < b.id,
+    // so NO self-pair can appear unless the contraction's intra
+    // emission leaked through the gate
+    Seq(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4),
+      Dedup.simhashPairs(docs, "doc_id", "text", 7)).foreach { out =>
+      val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(!pairs.contains((5L, 5L)),
+        s"a (5,5) self-pair means the contraction ran despite the " +
+          s"cross-class repeated id: ${pairs.toSeq}")
+    }
+    // jaccard's legacy emitter works over per-shingle member LISTS
+    // (its own documented degenerate algebra — the per-occurrence
+    // double-count of the existing repeated-id test), so the gate
+    // signature is that algebra verbatim: ONE grouped (5,100) row at
+    // a double-counted score no true Jaccard can reach. A contraction
+    // leak would instead lift rep pairs through class membership and
+    // emit true J <= 1.0 values.
+    val a = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .where(col("id_a") === 5L && col("id_b") === 100L)
+      .collect().map(r => r.getDouble(2)).toSeq
+    assert(a.length === 1 && a.head > 1.0,
+      s"legacy double-counted (5,100) row expected (one row, " +
+        s"score > 1.0), got $a")
+  }
+
+  test("randomized corpora: adaptive minhashLshPairs equals the inline " +
+      "uncontracted banding pipeline across duplication patterns " +
+      "(seeded, 4 draws)") {
+    val s = initSpark()
+    import s.implicits._
+    val rnd = new scala.util.Random(1414)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def doc(): String =
+      (0 until 5 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    (1 to 4).foreach { draw =>
+      val bases = (0 until 10).map(_ => doc()).distinct
+      var id = 0L
+      val rows = bases.flatMap { t =>
+        val copies = 1 + (if (rnd.nextBoolean()) rnd.nextInt(7) else 0)
+        (0 until copies).map { _ => id += 1; (id, t) }
+      } ++ (0 until rnd.nextInt(3)).map { _ =>
+        id += 1; (id, if (rnd.nextBoolean()) null else "")
+      }
+      val docs = rnd.shuffle(rows).toDF("doc_id", "text")
+        .repartition(1 + rnd.nextInt(5))
+      val adaptive = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          3, 16, 4)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val ref = lshReference(docs, 3, 16, 4)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(adaptive === ref,
+        s"draw $draw diverged;\n adaptive=${adaptive.take(15)}" +
+          s"\n ref=${ref.take(15)}")
+    }
+  }
+
   // ---- cache hygiene across all three ----
 
   test("adaptive pair emitters pin nothing on dup-free corpora and " +
