@@ -1834,7 +1834,21 @@ object SparkEntry {
       Dedup.dedupNearDup(t(s, dir, "documents"), "doc_id", "text",
           n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap,
           maxRounds = 18)
-        .select(col("doc_id")))
+        .select(col("doc_id"))),
+
+    // ---- Capped centroid selection with the cap ENGAGED (round 15).
+    // q25/q76/q91 carry the MaxCentroids formula in their oracles, but
+    // at test SFs n/stride sits under the default cap, so the
+    // greatest() branch they exercise is the plain stride. Here
+    // stride=1 + maxCentroids=16 force effStride = ceil(n/16) (32 at
+    // sf0.01, 125 at sf0.1) — the capped branch's integer arithmetic,
+    // centroid selection, and the full IVF rank contract are all
+    // hash-checked cross-engine. ----
+    "q126_ivf_capped" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+        stride = 1, nProbe = 2, maxCentroids = 16)
+    })
   )
 
   /** q100/q101's fixed lexical query — mid-frequency corpus terms so
@@ -1851,6 +1865,63 @@ object SparkEntry {
     * 3-gram in 4096+ docs is a stop phrase). q70 pins the BITING
     * semantics of the same generator (cap 10 < max df). */
   private val ClusterPairDfCap = 4096
+
+  /** ONE oracle definition for the IVF top-k rank contract (q25 and
+    * the cap-engaged q126 differ only in these constants): capped
+    * effective-stride centroid selection (greatest + exact-integer
+    * ceil-div, mirroring [[graft.operators.Similarity.effectiveStride]]),
+    * raw-cosine assignment/probing with the (score DESC, id ASC)
+    * tie-break, final ranking on the ROUNDED 4-dp score (the unified
+    * q24 contract). All cosines are index-ordered double sums. */
+  private def ivfTopKOracleSql(stride: Int, nProbe: Int,
+      maxCentroids: Int, k: Int): String =
+    s"""WITH estride AS (
+           SELECT greatest($stride,
+             (count(*) + ${maxCentroids - 1}) // $maxCentroids) AS es
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS cid, embedding AS cvec
+           FROM embeddings WHERE vec_id % (SELECT es FROM estride) = 0),
+         base AS (SELECT vec_id, embedding FROM embeddings),
+         ascore AS (
+           SELECT b.vec_id, c.cid,
+             list_sum(list_transform(list_zip(b.embedding, c.cvec),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.cvec,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+           FROM base b CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id AS c_id, cid AS centroid_id FROM (
+             SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+             FROM ascore) t WHERE rn = 1),
+         probes AS (
+           SELECT q_id, cid AS centroid_id FROM (
+             SELECT a.vec_id AS q_id, a.cid, row_number() OVER (
+               PARTITION BY a.vec_id ORDER BY a.s DESC, a.cid ASC) AS rn
+             FROM ascore a WHERE a.vec_id < 10) t WHERE rn <= $nProbe),
+         scored AS (
+           SELECT p.q_id, a.c_id,
+             list_sum(list_transform(list_zip(q.embedding, cb.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(cb.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+           FROM probes p
+           JOIN assigned a ON a.centroid_id = p.centroid_id
+           JOIN base q ON q.vec_id = p.q_id
+           JOIN base cb ON cb.vec_id = a.c_id
+           WHERE a.c_id != p.q_id)
+         SELECT q_id, c_id, score, rank FROM (
+           SELECT q_id, c_id, round(s + 1e-9, 4) AS score,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY round(s + 1e-9, 4) DESC, c_id ASC) AS rank
+           FROM scored) t
+         WHERE rank <= $k"""
 
   /** The fast-plan queries share their relational twins' oracles BY
     * REFERENCE — same semantics, different plan, one SQL definition
@@ -2832,58 +2903,24 @@ object SparkEntry {
            FROM s)
          WHERE rank <= 5""",
 
-    // IVF top-k: stride-sampled centroids (vec_id % 20 = 0), nearest-
-    // centroid assignment and nProbe=3 probing by RAW cosine with the
-    // (score DESC, id ASC) tie-break, then the q24 scoring pattern over
-    // probed buckets only — final ranking on the ROUNDED score like
-    // q24 (round 14 unified the tie-break contract: raw-double ranking
-    // diverged from brute force at 4-dp-tied rank boundaries on
-    // clustered corpora). All cosines are index-ordered double sums —
-    // the same numeric contract q24 already hash-matches on.
-    "q25_ivf_topk" ->
-      """WITH cents AS (
-           SELECT vec_id AS cid, embedding AS cvec
-           FROM embeddings WHERE vec_id % 20 = 0),
-         base AS (SELECT vec_id, embedding FROM embeddings),
-         ascore AS (
-           SELECT b.vec_id, c.cid,
-             list_sum(list_transform(list_zip(b.embedding, c.cvec),
-               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(b.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                * sqrt(list_sum(list_transform(c.cvec,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
-           FROM base b CROSS JOIN cents c),
-         assigned AS (
-           SELECT vec_id AS c_id, cid AS centroid_id FROM (
-             SELECT vec_id, cid, row_number() OVER (
-               PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-             FROM ascore) t WHERE rn = 1),
-         probes AS (
-           SELECT q_id, cid AS centroid_id FROM (
-             SELECT a.vec_id AS q_id, a.cid, row_number() OVER (
-               PARTITION BY a.vec_id ORDER BY a.s DESC, a.cid ASC) AS rn
-             FROM ascore a WHERE a.vec_id < 10) t WHERE rn <= 3),
-         scored AS (
-           SELECT p.q_id, a.c_id,
-             list_sum(list_transform(list_zip(q.embedding, cb.embedding),
-               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(q.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                * sqrt(list_sum(list_transform(cb.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
-           FROM probes p
-           JOIN assigned a ON a.centroid_id = p.centroid_id
-           JOIN base q ON q.vec_id = p.q_id
-           JOIN base cb ON cb.vec_id = a.c_id
-           WHERE a.c_id != p.q_id)
-         SELECT q_id, c_id, score, rank FROM (
-           SELECT q_id, c_id, round(s + 1e-9, 4) AS score,
-             row_number() OVER (
-               PARTITION BY q_id
-               ORDER BY round(s + 1e-9, 4) DESC, c_id ASC) AS rank
-           FROM scored) t
-         WHERE rank <= 5""",
+    // IVF top-k: stride-sampled centroids at the CAPPED effective
+    // stride (greatest(20, ceil-div(count, MaxCentroids)) — exact
+    // integer arithmetic, so the round-15 centroid cap replays
+    // cross-engine), nearest-centroid assignment and nProbe=3 probing
+    // by RAW cosine with the (score DESC, id ASC) tie-break, then the
+    // q24 scoring pattern over probed buckets only — final ranking on
+    // the ROUNDED score like q24 (round 14 unified the tie-break
+    // contract: raw-double ranking diverged from brute force at
+    // 4-dp-tied rank boundaries on clustered corpora). All cosines are
+    // index-ordered double sums — the same numeric contract q24
+    // already hash-matches on.
+    "q25_ivf_topk" -> ivfTopKOracleSql(stride = 20, nProbe = 3,
+      maxCentroids = graft.operators.Similarity.MaxCentroids, k = 5),
+
+    // the SAME oracle definition with the cap constants that make the
+    // greatest() branch bite at every test SF (see the q126 query body)
+    "q126_ivf_capped" -> ivfTopKOracleSql(stride = 1, nProbe = 2,
+      maxCentroids = 16, k = 5),
 
     "q26_embedding_stats" ->
       """SELECT label, count(*) AS n,

@@ -540,6 +540,94 @@ object ScaleProof {
         points.mkString("[", ",", "]")}}"""
   }
 
+  /** Round-15 capped-centroid curve (verdict items 1-2, 5): the cap
+    * claim — index-build cost ≈ linear in n once k is a constant —
+    * is invisible at a single factor, so this mode measures the two
+    * stages the r14 decomposition blamed (k-means build, map-side
+    * assignment) at factors 1, 30 AND 100 over scaled `embeddings`
+    * tables, with the q91/q76 parameters (stride 20). Each row records
+    * (factor, rows, eff_stride, centroids, kmeans_sec, assign_sec).
+    * Also: an UNCAPPED k-means A/B at 30× (quantifies what the cap
+    * buys without re-paying the known 100× blow-up — r14 measured
+    * that at 43.3+21.0 s) and an IVF-PQ probe row at 100× (the
+    * memory-bounded composite a 100-TB deployment would actually run,
+    * now on the same capped centroid path). */
+  def runIvfCurve(spark: SparkSession, baseDir: String,
+      workRoot: String): Unit = {
+    import graft.operators.{ProductQuantizer, Similarity}
+    val iters = 2
+    def embeddingsOnly(outDir: String, factor: Int): DataFrame = {
+      val base = SparkEntry.table(spark, baseDir, "embeddings")
+      val off = base.agg(coalesce(max(col("vec_id")), lit(0L)))
+        .head().getLong(0) + 1L
+      base.withColumn("__rep",
+          explode(sequence(lit(0L), lit(factor - 1L))))
+        .withColumn("vec_id", col("vec_id") + col("__rep") * off)
+        .drop("__rep")
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      SparkEntry.table(spark, outDir, "embeddings")
+    }
+    def stages(emb: DataFrame, maxCentroids: Int): (Long, Long, Long,
+        Double, Double) = {
+      val n = emb.count()
+      val es = Similarity.effectiveStride(n, 20, maxCentroids)
+      val t0 = System.nanoTime()
+      val cents = Similarity.kMeansCentroids(emb, stride = 20,
+        iters = iters, maxCentroids = maxCentroids)
+      val k = cents.count()
+      val tK = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      Similarity.assignToCentroids(emb, cents)
+        .where(col("centroid_id").isNotNull).count()
+      val tA = (System.nanoTime() - t1) / 1e9
+      (n, es, k, tK, tA)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
+    val dirs = Seq(1, 30, 100).map { f =>
+      val dir = s"$workRoot/ivf_x$f"
+      val emb = embeddingsOnly(dir, f)
+      val (n, es, k, tK, tA) = stages(emb, Similarity.MaxCentroids)
+      val line = s"""{"metric":"ivf_capped_curve","factor":$f""" +
+        s""","rows":$n,"eff_stride":$es,"centroids":$k""" +
+        s""","kmeans_sec":${fmt(tK)},"assign_sec":${fmt(tA)}}"""
+      System.err.println(s"[scaleproof] $line")
+      rows += line
+      (f, dir, emb)
+    }
+    // uncapped A/B at 30x: the pre-cap design's cost at the same data
+    val emb30 = dirs.find(_._1 == 30).get._3
+    val (n30, es30, k30, tK30, tA30) = stages(emb30, Int.MaxValue)
+    val ab = s"""{"metric":"ivf_uncapped_ab","factor":30""" +
+      s""","rows":$n30,"eff_stride":$es30,"centroids":$k30""" +
+      s""","kmeans_sec":${fmt(tK30)},"assign_sec":${fmt(tA30)}}"""
+    System.err.println(s"[scaleproof] $ab")
+    rows += ab
+    // IVF-PQ at 100x: train (driver-bounded sample), encode + probe
+    val emb100 = dirs.find(_._1 == 100).get._3
+    val tP0 = System.nanoTime()
+    val pq = ProductQuantizer.train(emb100, "embedding", m = 16,
+      k = 16, sampleStride = 20)
+    val tTrain = (System.nanoTime() - tP0) / 1e9
+    val tP1 = System.nanoTime()
+    val pqRows = Similarity.ivfPqTopK(emb100,
+      emb100.where(col("vec_id") < 10), k = 5, stride = 20,
+      nProbe = 3, pq).count()
+    val tPq = (System.nanoTime() - tP1) / 1e9
+    val pqLine = s"""{"metric":"ivfpq_capped_100x","rows_out":$pqRows""" +
+      s""","train_sec":${fmt(tTrain)},"probe_sec":${fmt(tPq)}}"""
+    System.err.println(s"[scaleproof] $pqLine")
+    rows += pqLine
+    val body = rows.mkString("[", ",\n", "]")
+    println(body)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "scale_proof_ivf.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (body + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[scaleproof] write failed: $e") }
+  }
+
   /** Diagnostics driver: q91 decomposition + q23 variance over an
     * ALREADY-MATERIALIZED scaled dir (pass the factor-less main's
     * outDir), plus the clustered ANN fixture (corpus-independent). */
@@ -656,6 +744,14 @@ object ScaleProof {
     // sweep — q91 decomposition, q23 variance, clustered ANN recall
     if (sys.env.get("SPARK_GRAFT_SCALE_DIAG").contains("1")) {
       runDiagnostics(spark, outDir, timeoutSec)
+      spark.stop()
+      return
+    }
+
+    // SPARK_GRAFT_SCALE_IVF=1: the round-15 capped-centroid curve
+    // (factors 1/30/100 over embeddings-only scaled dirs under outDir)
+    if (sys.env.get("SPARK_GRAFT_SCALE_IVF").contains("1")) {
+      runIvfCurve(spark, baseDir, outDir)
       spark.stop()
       return
     }

@@ -309,14 +309,29 @@ object StreamProof {
       .foldLeft(0L)(math.max)
     // bound via the stream's OWN band enumeration (one implementation
     // — an inline re-derivation here would desync when the radius
-    // changes the band width)
-    val shBucketBound = mutAll
+    // changes the band width); the SAME enumeration also yields the
+    // max per-bucket occupancy (round-14 advice: the artifact must
+    // show how far the run sat above the production default cap of
+    // 64, so `maxBucket` can be sized from data, not guessed)
+    val shBandKeys = mutAll
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (_, text) =>
         SimHashStream.bandKeys(
           graft.operators.Dedup.simhashSignature(text), shMaxHamming)
-      }.distinct().count()
-    val shStreamPairs = spark.table("shpairs")
+      }
+    val shOcc = shBandKeys.groupBy(col("value"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"))
+      .head()
+    val shBucketBound = shOcc.getLong(0)
+    val shMaxOccupancy = shOcc.getLong(1)
+    // overflow markers (hamming -1) are a disjoint channel: count them
+    // for the artifact, exclude them from pair parity — at the proof
+    // cap there must be none
+    val shRaw = spark.table("shpairs")
+    val shOverflowMarkers = shRaw.where(col("hamming") < 0).count()
+    val shStreamPairs = shRaw
+      .where(col("hamming") >= 0)
       .select(least(col("id_new"), col("id_old")).as("id_a"),
         greatest(col("id_new"), col("id_old")).as("id_b"),
         col("hamming"))
@@ -340,7 +355,11 @@ object StreamProof {
         s""","only_stream":$shOnlyStream,"only_batch":$shOnlyBatch""" +
         s""","parity":$shParity""" +
         s""","state_rows_final":$shStateFinal""" +
-        s""","state_bucket_bound":$shBucketBound}"""
+        s""","state_bucket_bound":$shBucketBound""" +
+        s""","max_bucket_occupancy":$shMaxOccupancy""" +
+        s""","proof_cap":$shCap,"default_cap":${
+          SimHashStream.MaxBucket}""" +
+        s""","overflow_markers":$shOverflowMarkers}"""
     System.err.println("[streamproof] " + v4)
     val v3 =
       s"""{"metric":"editdist_stream_proof","batches":$edBatches""" +
@@ -408,5 +427,11 @@ object StreamProof {
       throw new IllegalStateException(
         s"simhash stream state out of bounds: $shStateFinal vs " +
           s"$shBucketBound")
+    // the proof cap is chosen to never truncate — a marker here means
+    // the parity number was computed over a lossy run
+    if (shOverflowMarkers != 0L)
+      throw new IllegalStateException(
+        s"simhash proof run truncated buckets: $shOverflowMarkers " +
+          s"overflow markers at cap $shCap")
   }
 }

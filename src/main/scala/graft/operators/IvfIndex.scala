@@ -31,9 +31,10 @@ object IvfIndex {
     * vec_id so the per-bucket files carry tight min/max id stats. */
   def build(corpus: DataFrame, dir: String, stride: Int,
       iters: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      maxCentroids: Int = Similarity.MaxCentroids): Unit = {
     val cents = Similarity.kMeansCentroids(corpus, stride, iters,
-      idCol, vecCol)
+      idCol, vecCol, maxCentroids)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     Similarity.assignToCentroids(corpus, cents, idCol, vecCol)
       .where(col("centroid_id").isNotNull)
@@ -169,7 +170,8 @@ object IvfIndex {
     * snapshots). Returns the published version. */
   def buildVersioned(corpus: DataFrame, dir: String, stride: Int,
       iters: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Long = {
+      vecCol: String = "embedding",
+      maxCentroids: Int = Similarity.MaxCentroids): Long = {
     val (fs, root) = hfs(dir)
     fs.mkdirs(root)
     var v = {
@@ -192,7 +194,8 @@ object IvfIndex {
           new org.apache.hadoop.fs.Path(s"$dir/v_$v/_CLAIM")) => v += 1
       }
     }
-    build(corpus, s"$dir/v_$v", stride, iters, idCol, vecCol)
+    build(corpus, s"$dir/v_$v", stride, iters, idCol, vecCol,
+      maxCentroids)
     fs.create(markerPath(dir, v), false).close()
     v
   }

@@ -31,7 +31,9 @@ import graft.expr.VectorOps.cosineF32
   *
   * 100-TB notes: both join sides shuffle once on centroid_id; a skewed
   * (hot) cluster concentrates quadratic work in one task — the fix is
-  * MORE centroids (smaller stride), which is also what recall wants;
+  * MORE centroids (raise `maxCentroids`, the paper's 110k-cluster
+  * knob; k stays a constant independent of n, see
+  * [[Similarity.MaxCentroids]]), which is also what recall wants;
   * [[Skew]]'s salted patterns do not apply because the predicate needs
   * the full cluster co-located. Null embeddings carry no semantic
   * evidence and are excluded from the output (callers union them back
@@ -44,11 +46,11 @@ object SemDedup {
     * 0.9-0.99); `stride`/`iters` parameterize the k-means exactly as
     * [[Similarity.kMeansCentroids]]. */
   def semDedup(corpus: DataFrame, eps: Double, stride: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCentroids: Int = Similarity.MaxCentroids): DataFrame = {
     require(eps > 0.0 && eps <= 1.0, s"eps must be in (0, 1], got $eps")
     val cents = Similarity.kMeansCentroids(corpus, stride, iters,
-      idCol, vecCol)
+      idCol, vecCol, maxCentroids)
     // assigned twice below (join left side + survivor base) — persist
     // so the centroid-nearest expression (dim × centroids work per
     // row) runs once per row, not three times
@@ -81,8 +83,10 @@ object SemDedup {
   def dedupSemantic(corpus: DataFrame, eps: Double, stride: Int,
       iters: Int, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      keepNullVectors: Boolean = true): DataFrame = {
-    val keep = semDedup(corpus, eps, stride, iters, idCol, vecCol)
+      keepNullVectors: Boolean = true,
+      maxCentroids: Int = Similarity.MaxCentroids): DataFrame = {
+    val keep = semDedup(corpus, eps, stride, iters, idCol, vecCol,
+        maxCentroids)
       .where(col("keep")).select(col(idCol))
     val survivors = corpus.join(keep, Seq(idCol), "left_semi")
     if (keepNullVectors)

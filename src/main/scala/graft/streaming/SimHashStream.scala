@@ -33,7 +33,10 @@ import graft.operators.Dedup
   * Emission: a pair is scored once per SHARED band; cross-band
   * repeats carry identical hammings — consumers dedup on
   * (id_new, id_old) with a batch `distinct`, the idempotent-upsert
-  * convention shared by the whole streaming family.
+  * convention shared by the whole streaming family. A doc arriving at
+  * a FULL bucket additionally emits an [[SimHashStream.OverflowId]]
+  * marker row (hamming -1), so cap truncation is observable in the
+  * output stream itself.
   *
   * Parity contract (spec-pinned): the distinct canonicalized
   * (min id, max id, hamming) set over any stream prefix equals batch
@@ -47,6 +50,17 @@ object SimHashStream {
 
   final case class HammingPair(id_new: Long, id_old: Long, hamming: Int)
 
+  /** `id_old` of an overflow MARKER row: `(id, OverflowId, -1)` means
+    * doc `id` arrived at a full bucket and was verified against the
+    * survivors but NOT retained — recall against later arrivals is
+    * lost for that doc in that band. Emitted (once per overflowing
+    * band) so cap truncation is an observable stream fact, not a
+    * scaladoc footnote (round-14 advice): a consumer alerts on ANY
+    * marker, or counts them to size `maxBucket`. Real pairs always
+    * carry `hamming >= 0` and `id_old >= 0` — filter
+    * `hamming >= 0` to consume pairs only. */
+  val OverflowId: Long = -1L
+
   /** Bucket membership: ids + signatures of the first-seen docs. */
   final case class BucketState(ids: Seq[Long], sigs: Seq[Long])
 
@@ -58,8 +72,27 @@ object SimHashStream {
     * `maxBucket` to the corpus it expects — the cap trades memory for
     * recall against later arrivals, and a truncated bucket breaks
     * batch parity by design (the StreamProof run records the bound it
-    * actually needed, the EditDistanceStream cap convention). */
+    * actually needed AND the max per-bucket occupancy it observed, the
+    * EditDistanceStream cap convention). Truncation is observable at
+    * runtime via [[OverflowId]] marker rows; size the cap up-front
+    * with [[maxBucketFor]] when the corpus scale is known. */
   val MaxBucket = 64
+
+  /** Cap sized from an expected corpus: uniform signatures spread
+    * ~expectedDocs / 2^bandWidth docs into each of a band's buckets,
+    * so the cap is that occupancy with 8x headroom for skew (floored
+    * at [[MaxBucket]]) — boilerplate-heavy corpora concentrate far
+    * past uniform, and the [[OverflowId]] markers report when even
+    * this bound truncates. Use as `hammingPairs(docs, r,
+    * maxBucketFor(expected, r))`. */
+  def maxBucketFor(expectedDocs: Long, maxHamming: Int): Int = {
+    require(expectedDocs >= 0, s"expectedDocs: $expectedDocs")
+    val nBands = if (maxHamming <= 3) 4 else 8
+    val buckets = 1L << (64 / nBands).min(31)
+    val uniform = (expectedDocs + buckets - 1) / buckets
+    math.max(MaxBucket.toLong, uniform * 8L)
+      .min(Int.MaxValue.toLong).toInt
+  }
 
   /** Fold one bucket's micro-batch arrivals: each new doc verifies
     * against every doc already in the bucket (state ∪
@@ -96,6 +129,10 @@ object SimHashStream {
           ids += d.id
           sigs += d.simhash
           grew = true
+        } else {
+          // cap truncation must be visible at runtime, not only in
+          // the scaladoc: one marker row per overflowing band
+          out += HammingPair(d.id, OverflowId, -1)
         }
         seen += d.id
       }

@@ -332,4 +332,104 @@ class ApproxQualitySpec extends SparkSuite {
     assert(a === b, "3-way vs 17-way partitioning must agree bitwise")
     assert(a === c, "distributed vs single-partition must agree bitwise")
   }
+
+  // ---- round 15: the centroid cap (k independent of corpus size) ----
+
+  test("effectiveStride: exact-integer ceil-div, floor at the plain " +
+      "stride — the formula the oracle CTE replays") {
+    // cap not binding: plain stride wins
+    assert(Similarity.effectiveStride(500, 20, 1000) === 20L)
+    // cap binding: ceil(500/16) = 32
+    assert(Similarity.effectiveStride(500, 1, 16) === 32L)
+    // exact divisor: no off-by-one (ceil(480/16) = 30)
+    assert(Similarity.effectiveStride(480, 1, 16) === 30L)
+    // the 100x shape that motivated the cap: 200k rows, stride 20,
+    // cap 1000 -> stride 200, k bounded at ~1000 instead of 10,000
+    assert(Similarity.effectiveStride(200000, 20, 1000) === 200L)
+    // empty corpus degenerates to the plain stride (no div-by-zero)
+    assert(Similarity.effectiveStride(0, 20, 1000) === 20L)
+  }
+
+  test("capped sampleCentroids == plain sampleCentroids at the " +
+      "effective stride, and the count respects the cap") {
+    val s = initSpark()
+    val emb = s.read.parquet(s"$dir/embeddings.parquet") // 500 rows
+    val capped = Similarity.sampleCentroids(emb, stride = 1,
+        maxCentroids = 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val plain = Similarity.sampleCentroids(emb, stride = 32)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(capped === plain,
+      "cap must reduce to a plain stride of effectiveStride(n)")
+    assert(capped.length <= 16,
+      s"dense-id centroid count ${capped.length} exceeds the cap")
+    assert(capped.nonEmpty)
+  }
+
+  test("capped k-means: centroid count bounded, bitwise deterministic " +
+      "across partitionings, and capped full-probe IVF still equals " +
+      "brute force row-for-row") {
+    val s = initSpark()
+    import s.implicits._
+    // the clustered fixture from the rank-contract test: ties at 4 dp
+    // are exactly where a capped-vs-uncapped contract drift would show
+    def unif(h: Int): Double = ((h & 0x7fffffff) + 0.5) / 2147483648.0
+    def gauss(seed: (Int, Int, Int)): Double = {
+      val h1 = scala.util.hashing.MurmurHash3.productHash(seed)
+      val h2 = scala.util.hashing.MurmurHash3.productHash((seed, 7))
+      math.sqrt(-2.0 * math.log(unif(h1))) *
+        math.cos(2.0 * math.Pi * unif(h2))
+    }
+    val emb = (0L until 500L).map { id =>
+      val c = (id % 5).toInt
+      (id, Array.tabulate(16)(j =>
+        (gauss((c, j, 1)) + 0.02 * gauss((id.toInt, j, 2))).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    def km(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Float])] =
+      Similarity.kMeansCentroids(df, stride = 1, iters = 2,
+          maxCentroids = 10)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+    val a = km(emb.repartition(7))
+    val b = km(emb.coalesce(1))
+    assert(a === b, "capped k-means must stay bitwise deterministic")
+    assert(a.length <= 10, s"k-means kept ${a.length} centroids, cap 10")
+    // capped IVF at full probe = brute force (the unified rank
+    // contract survives the cap)
+    val q = emb.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val capIvf = Similarity.ivfTopK(emb, q, k = 5, stride = 1,
+        nProbe = 10, maxCentroids = 10)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(capIvf === bf,
+      "capped full-probe IVF must equal brute force exactly")
+  }
+
+  test("capped SemDedup: duplicate recall unchanged by the cap " +
+      "(planted near-identical pairs are found at capped k)") {
+    val s = initSpark()
+    import s.implicits._
+    // 200 base vectors + 20 planted eps-duplicates of the first 20
+    def unif(h: Int): Double = ((h & 0x7fffffff) + 0.5) / 2147483648.0
+    val base = (0L until 200L).map { id =>
+      (id, Array.tabulate(16)(j => (unif(
+        scala.util.hashing.MurmurHash3.productHash((id, j))) - 0.5)
+        .toFloat).toSeq)
+    }
+    val dups = (0L until 20L).map { id =>
+      (1000L + id, base(id.toInt)._2.map(v => v * 1.000001f).toSeq)
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val keep = graft.operators.SemDedup.semDedup(emb, eps = 0.99,
+        stride = 1, iters = 1, maxCentroids = 8)
+      .where(!col("keep")).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    // every planted duplicate must be dropped (its lower-id original
+    // shares the cluster: identical direction => same nearest centroid)
+    assert(keep.toSeq === (0L until 20L).map(1000L + _),
+      s"capped SemDedup missed planted duplicates: ${keep.toSeq}")
+  }
 }

@@ -129,14 +129,34 @@ class SimHashStreamSpec extends SparkSuite {
       query.processAllAvailable()
       input.addData(StreamDoc(3L, base))
       query.processAllAvailable()
-      val got =
+      val rows =
         s.sql("SELECT id_new, id_old, hamming FROM simhash_pairs_cap")
-          .collect().map(r => canon((r.getLong(0), r.getLong(1),
-            r.getInt(2)))).toSet
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       // doc 2 overflowed every bucket (cap 1, doc 1 holds the slot):
       // it paired against the survivor but doc 3 can no longer see it
+      val got = rows.filter(_._3 >= 0).map(canon).toSet
       assert(got === Set((1L, 2L, 0), (1L, 3L, 0)), got.toString)
+      // ...and the truncation is OBSERVABLE (round-14 advice): both
+      // overflowing arrivals emitted marker rows, the retained doc none
+      val overflowed = rows.filter(_._3 < 0)
+      assert(overflowed.forall(m =>
+          m._2 === SimHashStream.OverflowId && m._3 === -1),
+        s"malformed markers: ${overflowed.toSeq}")
+      assert(overflowed.map(_._1).toSet === Set(2L, 3L),
+        s"expected overflow markers for docs 2 and 3: ${overflowed.toSeq}")
     } finally query.stop()
+  }
+
+  test("maxBucketFor sizes the cap from an expected corpus: uniform " +
+      "occupancy x8 headroom, floored at the default") {
+    // 8x8 geometry: 256 buckets/band; 1M docs -> ~3907/bucket uniform
+    assert(SimHashStream.maxBucketFor(1000000L, 7) === 3907 * 8)
+    // tiny corpus: floor at the production default
+    assert(SimHashStream.maxBucketFor(1000L, 7) ===
+      SimHashStream.MaxBucket)
+    // 4x16 geometry: 65536 buckets/band — the same 1M docs spread
+    // ~16/bucket, so the cap stays near the default
+    assert(SimHashStream.maxBucketFor(1000000L, 3) === 16 * 8)
   }
 
   test("hammingPairs rejects radii outside 0..7 (the batch guard)") {
