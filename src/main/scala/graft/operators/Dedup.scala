@@ -1219,8 +1219,21 @@ object Dedup {
     // drop shingle-less docs (empty signature) — see minhashUdf scaladoc
     val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
       .where(size(col("sig")) === numHashes)
+    // ONE raw-text scan (round-15 A/B, verdict item 6): the signature
+    // frame persists BEFORE routing and the census rides it as
+    // xxhash64(sig) instead of a second xxhash64(text) pass over raw
+    // bytes. Routing is at least as sharp — the contraction key IS the
+    // signature, so sig-equal classes are exactly what contraction can
+    // lift, and bit-identity holds for the strictly larger class set
+    // (equal signatures => equal band buckets and a k/k = 1.0
+    // estimate, the scaladoc's function-of-the-signature argument).
+    // The ids gate now checks uniqueness over exactly the slim rows
+    // the re-expansion lifts (ids dropped with empty signatures never
+    // band, so they cannot forge a self-pair).
+    lastFastLshSigRelease.swap(() => { sig.unpersist(); () })
+    sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     adaptiveSelfPairs(
-      df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("dg")),
+      sig.select(col("id"), xxhash64(col("sig")).as("dg")),
       sig, "id", Seq("sig"),
       s => minhashLshPairsOverSigs(s, numHashes, bands),
       lit(1.0), "est_jaccard", lshPairsSlot)
@@ -1375,8 +1388,14 @@ object Dedup {
     val slim = df.select(col(idCol).as("id"),
         portableMinhashUdf(n)(col(textCol)).as("sigarr"))
       .where(size(col("sigarr")) > 0)
+    // one raw-text scan: census rides the persisted signature frame as
+    // xxhash64(sigarr) — see minhashLshPairs (the same round-15 A/B;
+    // here the signing pass is the md5 portable signer, the most
+    // expensive scan in the query, so sharing it matters more)
+    lastPortableLshSigRelease.swap(() => { slim.unpersist(); () })
+    slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     adaptiveSelfPairs(
-      df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("dg")),
+      slim.select(col("id"), xxhash64(col("sigarr")).as("dg")),
       slim, "id", Seq("sigarr"),
       s => portableLshPairsOverSigArrays(s, bands),
       lit(1.0), "est_jaccard", portableLshPairsSlot)
@@ -1422,6 +1441,10 @@ object Dedup {
 
   private val lastPortableLshRelease = ReleaseSlot()
   private val lastFastLshRelease = ReleaseSlot()
+  // pre-routing signature caches (the census rides these; released
+  // when the next invocation of the owning emitter swaps them out)
+  private val lastPortableLshSigRelease = ReleaseSlot()
+  private val lastFastLshSigRelease = ReleaseSlot()
 
   /** INCREMENTAL near-dup — [[minhashLshPairsPortable]]'s production
     * shape at 100 TB, the MinHash analogue of [[dedupIncremental]]: a
