@@ -102,7 +102,8 @@ object Curation {
     // release-BEFORE-persist (the pageRankFixed ordering): on identical
     // lineage the cache manager dedupes persist() into the previous
     // entry, and releasing it afterwards would drop THIS call's cache
-    lastNearDupRelease.swap(() => { base.unpersist(); () })
+    lastNearDupRelease.swap(base.sparkSession,
+      () => { base.unpersist(); () })
     base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.dedupNearDup(base, idCol, textCol,
         n = shingleN, threshold = nearDupThreshold,

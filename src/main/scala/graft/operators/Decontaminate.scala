@@ -89,7 +89,7 @@ object Decontaminate {
     // the previous bc broadcast is droppable the same early way (a
     // late reader re-fetches or recomputes, never wrong).
     val bloom = {
-      lastBloomRelease.releasePrevious()
+      lastBloomRelease.releasePrevious(te.sparkSession)
       te.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       te.stat.bloomFilter("shingle", expectedTestShingles, fpp)
     }
@@ -106,7 +106,8 @@ object Decontaminate {
     // unpersist (not destroy): a still-unevaluated previous result can
     // re-fetch an unpersisted broadcast from the driver on demand,
     // where destroy() would fail its tasks — recompute, never wrong
-    lastBloomRelease.set(() => { te.unpersist(); bc.unpersist(); () })
+    lastBloomRelease.set(te.sparkSession,
+      () => { te.unpersist(); bc.unpersist(); () })
     out
   }
 

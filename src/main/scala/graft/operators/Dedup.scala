@@ -427,7 +427,7 @@ object Dedup {
     // jaccardPairsPrefix discard the returned thunk, and the adaptive
     // path can pin up to three frames per call — without the slot a
     // long-lived session accumulates them across invocations.
-    prefixSlot.releasePrevious()
+    prefixSlot.releasePrevious(df.sparkSession)
     // persisted: three plan branches read it (prefix explode + both
     // verify-join sides) — without the persist the shingling UDF runs
     // over the full corpus three times. LRU-evictable; disk-spill for
@@ -442,7 +442,7 @@ object Dedup {
     // persist and set() would otherwise orphan the cache for the
     // session lifetime — every later releasePrevious() a no-op on it.
     // Branches below overwrite with fuller hooks as more frames pin.
-    prefixSlot.set(() => { sets.unpersist(); () })
+    prefixSlot.set(df.sparkSession, () => { sets.unpersist(); () })
     val dg = sets.select(col("id"), xxhash64(col("shs")).as("dg"))
     val classCounts = dg.groupBy("dg").agg(count(lit(1)).as("c"))
     val tot = classCounts.agg(sum(col("c")).as("docs"),
@@ -455,7 +455,7 @@ object Dedup {
       // beyond the census aggregation itself
       val out = prefixPairsOverSets(sets, idType, threshold)
       val rel = () => { sets.unpersist(); () }
-      prefixSlot.set(rel)
+      prefixSlot.set(df.sparkSession, rel)
       return (out, rel)
     }
     // ids-unique gate (same contract as EditDistanceJoin.selfJoin):
@@ -472,7 +472,7 @@ object Dedup {
     if (!idsUnique) {
       val out = prefixPairsOverSets(sets, idType, threshold)
       val rel = () => { sets.unpersist(); () }
-      prefixSlot.set(rel)
+      prefixSlot.set(df.sparkSession, rel)
       return (out, rel)
     }
     // suspect/cold routing, same tiers as jaccardSpanningEdges:
@@ -502,8 +502,8 @@ object Dedup {
             .select("dg"), "dg").select("id")
           .persist(StorageLevel.MEMORY_AND_DISK)
         suspectsCache = Some(suspects)
-        prefixSlot.set(() => { sets.unpersist(); suspects.unpersist()
-          () })
+        prefixSlot.set(df.sparkSession,
+          () => { sets.unpersist(); suspects.unpersist(); () })
         // materialize before the main query — the concurrent semi/anti
         // broadcast builds would otherwise race past the lazy cache
         // and each re-scan the array-heavy sets cache
@@ -519,7 +519,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val rel = () => { sets.unpersist(); classes.unpersist()
       suspectsCache.foreach(_.unpersist()); () }
-    prefixSlot.set(rel)
+    prefixSlot.set(df.sparkSession, rel)
     val reps = classes.select(col("rep").as("id"), col("shs"),
         size(col("shs")).as("sz"))
       .union(cold.select(col("id"), col("shs"), col("sz")))
@@ -626,8 +626,9 @@ object Dedup {
       core: DataFrame => DataFrame, intraScore: Column,
       scoreName: String, slot: ReleaseSlot): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val sess = slim.sparkSession
     val idType = slim.schema(slim.schema.fieldIndex(idCol)).dataType
-    slot.releasePrevious()
+    slot.releasePrevious(sess)
     // FUSED census + ids gate (round-14 verdict item 5, A/B-adopted):
     // persist first, then ONE action answers the duplication census
     // AND the ids-unique gate via a crossJoin of the two single-row
@@ -656,7 +657,7 @@ object Dedup {
     val cen = census.persist(StorageLevel.MEMORY_AND_DISK)
     // hook registered IMMEDIATELY after the persist (release-slot
     // exception-window contract): the fused action below can throw
-    slot.set(() => { cen.unpersist(false); () })
+    slot.set(sess, () => { cen.unpersist(false); () })
     val stats = cen.groupBy("dg").agg(count(lit(1)).as("c"))
       .agg(sum(col("c")).as("n"),
         sum(when(col("c") > lit(1L), col("c"))).as("sus"))
@@ -667,9 +668,11 @@ object Dedup {
     val nSuspects = if (tot.isNullAt(1)) 0L else tot.getLong(1)
     // dup-free / repeated-id early exits release the census pin at
     // once — nothing downstream reads it
-    if (nSuspects == 0L) { slot.releasePrevious(); return core(slim) }
+    if (nSuspects == 0L) {
+      slot.releasePrevious(sess); return core(slim)
+    }
     if (tot.getLong(3) != tot.getLong(2)) {
-      slot.releasePrevious(); return core(slim)
+      slot.releasePrevious(sess); return core(slim)
     }
     // suspect/cold routing, the q68 tiers: contraction only has to
     // touch members of DUPLICATED census classes — on a lightly
@@ -691,8 +694,8 @@ object Dedup {
       if (nSuspects == n || nSuspects > SpanningMaxLocalSuspects) {
         val base = slim.persist(StorageLevel.MEMORY_AND_DISK)
         heavyCaches = List(base)
-        slot.set(() => { cen.unpersist(false); base.unpersist(false)
-          () })
+        slot.set(sess, () => { cen.unpersist(false)
+          base.unpersist(false); () })
         (base, base.where(lit(false)))
       } else if (nSuspects <= SpanningInSetSuspects) {
         val suspectIds = dupIds.collect().map(_.get(0))
@@ -708,8 +711,8 @@ object Dedup {
         val suspects = dupIds.persist(StorageLevel.MEMORY_AND_DISK)
         val base = slim.persist(StorageLevel.MEMORY_AND_DISK)
         heavyCaches = List(base, suspects)
-        slot.set(() => { cen.unpersist(false); base.unpersist(false)
-          suspects.unpersist(); () })
+        slot.set(sess, () => { cen.unpersist(false)
+          base.unpersist(false); suspects.unpersist(); () })
         // materialize before the main query — two concurrent
         // broadcast builds would race past the lazy cache and each
         // recompute the census lineage
@@ -730,7 +733,7 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pinned = cen :: classes :: heavyCaches
-    slot.set(() => { pinned.foreach(_.unpersist(false)); () })
+    slot.set(sess, () => { pinned.foreach(_.unpersist(false)); () })
     // materialize before the main query for the same reason as the
     // suspects cache above: the two broadcast lift builds and the
     // intra branches all read `classes` concurrently, and lazy
@@ -954,7 +957,7 @@ object Dedup {
     // identical invocations Spark's CacheManager dedupes persist() by
     // analyzed plan, so releasing after this call's persists would
     // uncache the very entries this call relies on
-    spanningSlot.releasePrevious()
+    spanningSlot.releasePrevious(df.sparkSession)
     val t0 = System.nanoTime()
     val idDg = df.select(col(idCol).as("id"),
         xxhash64(col(textCol)).as("tdg"))
@@ -962,7 +965,7 @@ object Dedup {
     // hook registered before the census action can throw (watchdog
     // job-group cancel, OOM): an exception between persist and the
     // full set() at perDoc would otherwise orphan this cache forever
-    spanningSlot.set(() => { idDg.unpersist(); () })
+    spanningSlot.set(df.sparkSession, () => { idDg.unpersist(); () })
     val classCounts = idDg.groupBy("tdg").agg(count(lit(1)).as("c"))
     // ONE aggregation job yields both census totals (rounds 10-11 paid
     // two separate count() jobs here) and fills the idDg cache the
@@ -982,8 +985,8 @@ object Dedup {
     val suspects = idDg.join(classCounts.where(col("c") > lit(1L))
       .select("tdg"), "tdg").select("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    spanningSlot.set(() => { suspects.unpersist(); idDg.unpersist()
-      () })
+    spanningSlot.set(df.sparkSession,
+      () => { suspects.unpersist(); idDg.unpersist(); () })
     if (sys.env.contains("SPARK_GRAFT_SPAN_DEBUG"))
       println(f"[span-debug] t=${System.currentTimeMillis()} suspects=$nSuspects census=${(System.nanoTime() - t0) / 1e9}%.2f s")
     if (nSuspects == 0L) {
@@ -1017,8 +1020,8 @@ object Dedup {
       .agg(sort_array(collect_list(col("h"))).as("key"),
         count(lit(1)).cast("int").as("sz"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    spanningSlot.set(() => { perDoc.unpersist(); suspects.unpersist()
-      idDg.unpersist(); () })
+    spanningSlot.set(df.sparkSession, () => { perDoc.unpersist()
+      suspects.unpersist(); idDg.unpersist(); () })
     val (star, reps) =
       if (nSuspects <= SpanningMaxLocalSuspects) {
         // suspect/cold split, cheapest routing that fits the set size:
@@ -1230,7 +1233,8 @@ object Dedup {
     // The ids gate now checks uniqueness over exactly the slim rows
     // the re-expansion lifts (ids dropped with empty signatures never
     // band, so they cannot forge a self-pair).
-    lastFastLshSigRelease.swap(() => { sig.unpersist(); () })
+    lastFastLshSigRelease.swap(sig.sparkSession,
+      () => { sig.unpersist(); () })
     sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     adaptiveSelfPairs(
       sig.select(col("id"), xxhash64(col("sig")).as("dg")),
@@ -1253,7 +1257,8 @@ object Dedup {
       bands: Int): DataFrame = {
     val sig = sigIn
     // release-BEFORE-persist (the pageRankFixed ordering)
-    lastFastLshRelease.swap(() => { sig.unpersist(); () })
+    lastFastLshRelease.swap(sig.sparkSession,
+      () => { sig.unpersist(); () })
     sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
@@ -1392,7 +1397,8 @@ object Dedup {
     // xxhash64(sigarr) — see minhashLshPairs (the same round-15 A/B;
     // here the signing pass is the md5 portable signer, the most
     // expensive scan in the query, so sharing it matters more)
-    lastPortableLshSigRelease.swap(() => { slim.unpersist(); () })
+    lastPortableLshSigRelease.swap(slim.sparkSession,
+      () => { slim.unpersist(); () })
     slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     adaptiveSelfPairs(
       slim.select(col("id"), xxhash64(col("sigarr")).as("dg")),
@@ -1413,7 +1419,8 @@ object Dedup {
     val sig = slim.select(col("id"),
       posexplode(col("sigarr")).as(Seq("j", "minhash")))
     // release-BEFORE-persist (the pageRankFixed ordering)
-    lastPortableLshRelease.swap(() => { sig.unpersist(); () })
+    lastPortableLshRelease.swap(sig.sparkSession,
+      () => { sig.unpersist(); () })
     sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig
       .withColumn("band", floor(col("j") / rows).cast("int"))
@@ -1483,7 +1490,7 @@ object Dedup {
     val sigS = minhashSignaturesPortable(snapshot, idCol, textCol, n)
     // release previous call's caches BEFORE persisting (cache-manager
     // dedupe on identical lineage — the Graph.pageRankFixed ordering)
-    lastIncrementalLshRelease.swap(
+    lastIncrementalLshRelease.swap(sigB.sparkSession,
       () => { sigB.unpersist(); sigS.unpersist(); () })
     sigB.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigS.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

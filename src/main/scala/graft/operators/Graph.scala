@@ -106,7 +106,8 @@ object Graph {
     // the existing entry, so releasing prev AFTER registering would
     // silently drop THIS call's cache too (ReleaseSlot contract:
     // recomputable persist only, so worst case is a slow recompute).
-    lastRelease.swap(() => { edgesDeg.unpersist(); () })
+    lastRelease.swap(edgesDeg.sparkSession,
+      () => { edgesDeg.unpersist(); () })
     edgesDeg.persist()
 
     var ranks = edgesDeg.select(col("__src").as("node_id")).distinct()

@@ -55,15 +55,12 @@ object LanguageModel {
     * registers fresh and every rep runs steady-state. Unpersisting a
     * table another in-flight query still references only forces a
     * recompute, never a wrong result. */
-  private val lastRelease =
-    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+  private val lastRelease = ReleaseSlot()
 
   /** Release the previous fire-and-forget invocation's tables; call
     * BEFORE building (and persisting) the new ones. */
-  private def releasePrevious(): Unit = {
-    val prev = lastRelease.getAndSet(null)
-    if (prev != null) prev()
-  }
+  private def releasePrevious(docs: DataFrame): Unit =
+    lastRelease.releasePrevious(docs.sparkSession)
 
   /** Degenerate-corpus result: the scorers' shared empty frame (id
     * type follows the input; ONE definition so the three relational
@@ -82,10 +79,10 @@ object LanguageModel {
 
   def unigramSurprisal(docs: DataFrame, idCol: String,
       textCol: String, minCount: Long = 1L): DataFrame = {
-    releasePrevious()
+    releasePrevious(docs)
     val (df, release) =
       unigramSurprisalScoped(docs, idCol, textCol, minCount)
-    lastRelease.set(release)
+    lastRelease.set(docs.sparkSession, release)
     df
   }
 
@@ -150,10 +147,10 @@ object LanguageModel {
   def bigramSurprisalBackoff(docs: DataFrame, idCol: String,
       textCol: String, minCount: Long = 2L, backoff: Double = 0.4)
       : DataFrame = {
-    releasePrevious()
+    releasePrevious(docs)
     val (df, release) = bigramSurprisalBackoffScoped(docs, idCol,
       textCol, minCount, backoff)
-    lastRelease.set(release)
+    lastRelease.set(docs.sparkSession, release)
     df
   }
 
@@ -245,10 +242,10 @@ object LanguageModel {
   def kneserNeySurprisal(docs: DataFrame, idCol: String,
       textCol: String, minCount: Long = 2L, discount: Double = 0.75)
       : DataFrame = {
-    releasePrevious()
+    releasePrevious(docs)
     val (df, release) = kneserNeySurprisalScoped(docs, idCol, textCol,
       minCount, discount)
-    lastRelease.set(release)
+    lastRelease.set(docs.sparkSession, release)
     df
   }
 

@@ -138,7 +138,8 @@ object Mixing {
     val survivors = joined
       .where(hashRankValue(col(idCol)) < col("__t"))
     // release-BEFORE-persist (the pageRankFixed ordering)
-    lastQuotaRelease.swap(() => { survivors.unpersist(); () })
+    lastQuotaRelease.swap(survivors.sparkSession,
+      () => { survivors.unpersist(); () })
     survivors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val got = survivors.groupBy(stratumCol).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

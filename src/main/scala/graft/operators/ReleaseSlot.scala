@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
+
 /** The fire-and-forget cache-release slot shared by every operator
   * whose returned frame still reads an internally-persisted dataset
   * lazily: the cache cannot be freed inside the call (the caller has
@@ -18,26 +20,37 @@ package graft.operators
   * OWN superseded rounds synchronously instead, where no external
   * reader can exist).
   *
-  * CONCURRENCY CONTRACT: slots are JVM-wide singletons, one per
-  * operator — the design assumes AT MOST ONE in-flight invocation of
-  * a given operator per JVM (the batch-pipeline execution model,
-  * where a driver runs queries sequentially). Two concurrent
-  * invocations of the same operator (multi-session JVM, parallel job
-  * submission) release each other's live caches mid-query: never a
-  * wrong result (persist-backed frames recompute from deterministic
-  * lineage), but each query degrades to recompute-only, and for a
-  * NONDETERMINISTIC input frame the recompute widens the window in
-  * which an adaptive operator's routing decision (census) and its
-  * executed plan read different snapshots — such callers must
-  * persist their input themselves (the documented input contract of
-  * every adaptive operator) or serialize invocations per operator.
+  * CONCURRENCY CONTRACT (enforced per session since round 15): hooks
+  * are keyed by the OWNING [[SparkSession]] — a JVM fronting several
+  * sessions (multi-tenant server, test harness with `newSession()`
+  * sandboxes) can run the same operator concurrently from different
+  * sessions without releasing each other's live caches; each session
+  * pins at most one copy per operator and its entry dies with the
+  * session (weak keys — a stopped, unreferenced session's hook
+  * becomes unreachable together with the caches it would have
+  * dropped). WITHIN one session the at-most-one-in-flight-per-
+  * operator assumption of the batch-pipeline model remains: two
+  * concurrent same-session invocations release each other's caches
+  * mid-query — never a wrong result (persist-backed frames recompute
+  * from deterministic lineage), but each query degrades to
+  * recompute-only, and for a NONDETERMINISTIC input frame the
+  * recompute widens the window in which an adaptive operator's
+  * routing decision (census) and its executed plan read different
+  * snapshots — such callers must persist their input themselves (the
+  * documented input contract of every adaptive operator) or
+  * serialize same-session invocations per operator.
   */
 final class ReleaseSlot private () {
-  private val last =
-    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+  // WeakHashMap, not ConcurrentHashMap: slot traffic is one put per
+  // operator INVOCATION (not per row), so a short synchronized block
+  // costs nothing, and weak keys are load-bearing — a strong key would
+  // pin every ephemeral session (and its hook's captured frames) for
+  // the JVM lifetime. Hooks run OUTSIDE the lock: unpersist() can
+  // block on the cache manager.
+  private val last = new java.util.WeakHashMap[SparkSession, () => Unit]()
 
   /** Register this invocation's release hook and run the previous
-    * one (if any).
+    * one (if any) registered by the SAME session.
     *
     * ORDERING CONTRACT (round 10): call this BEFORE the new
     * invocation's `persist()`. Spark's cache manager dedupes
@@ -46,21 +59,22 @@ final class ReleaseSlot private () {
     * hook then drops the very entry this call is relying on —
     * alternating cache hits with full recomputes across repeated
     * invocations (the q75/q84 bench-spread pathology). */
-  def swap(release: () => Unit): Unit = {
-    val prev = last.getAndSet(release)
+  def swap(spark: SparkSession, release: () => Unit): Unit = {
+    val prev = synchronized { last.put(spark, release) }
     if (prev != null) prev()
   }
 
-  /** Run the previous hook (if any) without registering a new one —
-    * the release-first half when the new hook's frame is not built
-    * yet; pair with [[set]]. */
-  def releasePrevious(): Unit = {
-    val prev = last.getAndSet(null)
+  /** Run the previous hook (if any) of this session without
+    * registering a new one — the release-first half when the new
+    * hook's frame is not built yet; pair with [[set]]. */
+  def releasePrevious(spark: SparkSession): Unit = {
+    val prev = synchronized { last.remove(spark) }
     if (prev != null) prev()
   }
 
   /** Register this invocation's hook (after [[releasePrevious]]). */
-  def set(release: () => Unit): Unit = last.set(release)
+  def set(spark: SparkSession, release: () => Unit): Unit =
+    synchronized { last.put(spark, release); () }
 }
 
 object ReleaseSlot {

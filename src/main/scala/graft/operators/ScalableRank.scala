@@ -149,7 +149,8 @@ object ScalableRank {
     // if a later stage retries — recompute. Persist it; released when
     // the next invocation swaps the slot (recomputable, so a racing
     // reader worst-cases into a recompute, never a wrong result).
-    lastRelease.swap(() => { proj.unpersist(); () }) // release first
+    lastRelease.swap(proj.sparkSession,
+      () => { proj.unpersist(); () }) // release first
     proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sorted = proj
       .repartitionByRange(p, col(keyCol).asc, scoreOrder,

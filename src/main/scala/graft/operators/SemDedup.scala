@@ -60,7 +60,8 @@ object SemDedup {
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         col("centroid_id"))
     // release-BEFORE-persist (the pageRankFixed ordering)
-    lastRelease.swap(() => { assigned.unpersist(); () })
+    lastRelease.swap(assigned.sparkSession,
+      () => { assigned.unpersist(); () })
     assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val right = assigned.select(col("centroid_id"),
       col("id").as("rid"), col("vec").as("rvec"))

@@ -41,8 +41,7 @@ object SequencePack {
   /** Previous invocation's persisted base table, released on the next
     * call (LanguageModel precedent: unpersisting a frame a running
     * query still references only forces recompute, never wrongness). */
-  private val lastRelease =
-    new java.util.concurrent.atomic.AtomicReference[() => Unit]()
+  private val lastRelease = ReleaseSlot()
 
   def packOrder(docs: DataFrame, idCol: String, tokensCol: String,
       seqLen: Long, groupWidth: Long = 1000000L): DataFrame = {
@@ -57,8 +56,8 @@ object SequencePack {
       .withColumn("__bucket", expr(s"id DIV $groupWidth"))
     // release-BEFORE-persist (the pageRankFixed ordering: releasing
     // after would drop this call's cache-manager-deduped entry)
-    val prev = lastRelease.getAndSet(() => { base.unpersist(); () })
-    if (prev != null) prev()
+    lastRelease.swap(base.sparkSession,
+      () => { base.unpersist(); () })
     base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketSums = base.groupBy("__bucket")
       .agg(sum("toks").as("__bsum"))

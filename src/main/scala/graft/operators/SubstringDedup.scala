@@ -112,7 +112,8 @@ object SubstringDedup {
     val wins = windowed(df, idCol, textCol, n)
       .select(col("id"), col("pos"), md5(col("w")).as("f"))
     // release-BEFORE-persist (the pageRankFixed ordering)
-    lastRemovalRelease.swap(() => { wins.unpersist(); () })
+    lastRemovalRelease.swap(wins.sparkSession,
+      () => { wins.unpersist(); () })
     wins.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first occurrence per fingerprint: min (id, pos) lexicographic —
     // min(struct) partial-aggregates map-side (the argmax/q32 shape)
