@@ -488,6 +488,56 @@ object ScaleProof {
       s""","census_sec":${arr(census)},"signing_sec":${arr(signing)}}"""
   }
 
+  /** q125/q119 steady-state probe (round 15): after the IVF-family fix
+    * these two composites became the 100× suite's slowest rows (57.4 /
+    * 42.5 s in the adopted window) — but the same binary's other window
+    * read q125 at 25.0 s, the q23-class cross-window swing, and unlike
+    * q22/q95/q91 no standalone repetitions bounded their warm band.
+    * Three full-query reps each, plus the shared composition decomposed
+    * into its three plan stages — spanning-edge emission (census +
+    * contraction + rep pairs), connected components over the PERSISTED
+    * edge set, survivor merge — timed once each over the same scaled
+    * corpus with q125's exact parameters (n=3, t=0.2, dfCap=4096,
+    * maxRounds=18). If the full-query spread sits above flat stage
+    * sums, the tail is scheduling/GC, not a plan term; if a stage
+    * carries it, that stage is the lever. */
+  def q125Decomposition(spark: SparkSession, dir: String,
+      timeoutSec: Int): String = {
+    import org.apache.spark.storage.StorageLevel
+    import graft.operators.Dedup
+    val full125 = (1 to 3).map(_ => timed(spark, "q125_var",
+      SparkEntry.queries("q125_neardup_survivors"), dir, timeoutSec))
+    val full119 = (1 to 3).map(_ => timed(spark, "q119_var",
+      SparkEntry.queries("q119_leakage_split"), dir, timeoutSec))
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val t0 = System.nanoTime()
+    val edges = Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
+        n = 3, threshold = 0.2, maxDocFreq = 4096)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    val tSpan = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val clusters = Dedup.connectedComponents(docs.select(col("doc_id")),
+        edges, idCol = "doc_id", maxRounds = 18,
+        idsCoverEndpoints = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRows = clusters.count()
+    val tCc = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val nSurv = Dedup.keepClusterSurvivors(docs, clusters, "doc_id",
+      repsPresent = true).count()
+    val tSurv = (System.nanoTime() - t2) / 1e9
+    edges.unpersist(); clusters.unpersist()
+    def arr(xs: Seq[Either[String, Double]]) =
+      xs.map(_.fold(e => "\"" + e + "\"", fmt)).mkString("[", ",", "]")
+    s"""{"metric":"q125_q119_decomposition"""" +
+      s""","q125_full_sec":${arr(full125)}""" +
+      s""","q119_full_sec":${arr(full119)}""" +
+      s""","edges":$nEdges,"spanning_sec":${fmt(tSpan)}""" +
+      s""","cc_rows":$nRows,"components_sec":${fmt(tCc)}""" +
+      s""","survivors":$nSurv,"survivor_sec":${fmt(tSurv)}}"""
+  }
+
   /** IVF recall on a CLUSTERED fixture (round-14 verdict item 3): the
     * i.i.d.-random testdata embeddings have no cluster structure to
     * prune by, so r13's recall@5 = 0.26 was the honest floor but said
@@ -628,9 +678,10 @@ object ScaleProof {
       System.err.println(s"[scaleproof] write failed: $e") }
   }
 
-  /** Diagnostics driver: q91 decomposition + q23 variance over an
-    * ALREADY-MATERIALIZED scaled dir (pass the factor-less main's
-    * outDir), plus the clustered ANN fixture (corpus-independent). */
+  /** Diagnostics driver: q91 decomposition + q23 variance + the
+    * q125/q119 steady-state probe over an ALREADY-MATERIALIZED scaled
+    * dir (pass the factor-less main's outDir), plus the clustered ANN
+    * fixture (corpus-independent). */
   private def runDiagnostics(spark: SparkSession, outDir: String,
       timeoutSec: Int): Unit = {
     System.err.println(s"[scaleproof] diagnostics over $outDir")
@@ -638,6 +689,8 @@ object ScaleProof {
       { val r = q91Decomposition(spark, outDir)
         System.err.println(s"[scaleproof] $r"); r },
       { val r = q23VarianceProbe(spark, outDir, timeoutSec)
+        System.err.println(s"[scaleproof] $r"); r },
+      { val r = q125Decomposition(spark, outDir, timeoutSec)
         System.err.println(s"[scaleproof] $r"); r },
       { val r = annRecallClustered(spark)
         System.err.println(s"[scaleproof] $r"); r })
