@@ -91,7 +91,21 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries (sentinel -1) must not deflate the headline sum
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    // Window calibration (round-16 bench protocol): the median min-time
+    // of five constant-cost scan queries whose plans never change
+    // round-to-round — their median moves ONLY with the machine window
+    // (CPU contention, page cache, thermal state), so two runs compare
+    // as ratio-to-calibration instead of raw seconds. Round 15's 74.9 s
+    // driver window vs the builder's 56.8 s needed manual per-query
+    // forensics to attribute; this field makes the window factor a
+    // first-class artifact value (calibration_now / calibration_then).
+    val calibQueries = Seq("q12_octet_len", "q13_normalize_ws",
+      "q14_word_count", "q16_reading_duration", "q19_fingerprint")
+    val calibration = {
+      val xs = calibQueries.flatMap(results.get).filter(_ >= 0).sorted
+      if (xs.isEmpty) -1.0 else xs(xs.size / 2)
+    }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"calibration_sec":${fmt(calibration)}}"""
     println(line)
     // also persist the summary: the driver's stdout tail-capture
     // truncated 13 of 75 per-query times in round 4 — the artifact
@@ -117,6 +131,8 @@ object Bench {
       if (good.size >= 2 && good.min > 0) Some(good.max / good.min) else None
     }.foldLeft(0.0)(_ max _)
     val fileLine = line.dropRight(1) +
+      s""","calibration_queries":${calibQueries.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")}""" +
       s""","max_spread":${fmt(maxSpread)},"spread":$spreadJson,"reps_sec":$repsJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_summary.json")

@@ -439,13 +439,45 @@ object ScaleProof {
         coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dupes"))
       .head()
     val t2 = System.nanoTime()
-    val right = assigned.select(col("centroid_id"),
-      col("id").as("rid"), col("vec").as("rvec"))
-    val nDropped = assigned.join(right, "centroid_id")
-      .where(col("rid") < col("id") &&
-        cosineF32(col("vec"), col("rvec")) >= lit(0.97))
-      .select("id").distinct().count()
+    def pairDrops(frame: DataFrame): DataFrame = {
+      val right = frame.select(col("centroid_id"),
+        col("id").as("rid"), col("vec").as("rvec"))
+      frame.join(right, "centroid_id")
+        .where(col("rid") < col("id") &&
+          cosineF32(col("vec"), col("rvec")) >= lit(0.97))
+        .select("id").distinct()
+    }
+    val nDropped = pairDrops(assigned).count()
     val tJoin = (System.nanoTime() - t2) / 1e9
+    // round-16 A/B: the duplication-adaptive contraction SemDedup now
+    // applies (identical vectors contract to their min-id rep before
+    // the centroid_id self-join) — same stage, measured over the SAME
+    // persisted assignment. contracted_sum_c2 is the pair join's
+    // candidate volume AFTER contraction (the Σ|c|² term over class
+    // representatives); contracted_keep_false must equal `dropped`
+    // plus nothing — non-rep members are keep=false by construction,
+    // so it is the cross-check that the contracted path computes the
+    // identical drop set.
+    val t3 = System.nanoTime()
+    val sd = coalesce(cosineF32(col("vec"), col("vec")) >= lit(0.97),
+      lit(false))
+    val base = assigned.where(sd).groupBy("vec")
+      .agg(min(col("id")).as("id"), min(col("centroid_id"))
+        .as("centroid_id"))
+      .select(col("id"), col("vec"), col("centroid_id"))
+      .unionByName(assigned.where(!sd))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cs2 = base.groupBy("centroid_id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("c2"),
+        coalesce(max(col("c")), lit(0L)).as("cmax"),
+        coalesce(sum(col("c")), lit(0L)).as("n")).head()
+    val tContract = (System.nanoTime() - t3) / 1e9
+    val t4 = System.nanoTime()
+    val repDropped = pairDrops(base).count()
+    val others = assigned.select(col("id"))
+      .join(base.select("id"), Seq("id"), "left_anti").count()
+    val tJoinC = (System.nanoTime() - t4) / 1e9
+    base.unpersist()
     assigned.unpersist()
     s"""{"metric":"q91_decomposition","rows":$nAssigned""" +
       s""","kmeans_sec":${fmt(tKmeans)},"assign_sec":${fmt(tAssign)}""" +
@@ -453,7 +485,13 @@ object ScaleProof {
       s""","clusters":${cs.getLong(0)},"sum_c2":${cs.getLong(1)}""" +
       s""","max_cluster":${cs.getLong(2)}""" +
       s""","max_vec_clique":${cq.getLong(0)}""" +
-      s""","dup_vec_rows":${cq.getLong(1)},"dropped":$nDropped}"""
+      s""","dup_vec_rows":${cq.getLong(1)},"dropped":$nDropped""" +
+      s""","contracted_rows":${cs2.getLong(2)}""" +
+      s""","contracted_sum_c2":${cs2.getLong(0)}""" +
+      s""","contracted_max_cluster":${cs2.getLong(1)}""" +
+      s""","contract_sec":${fmt(tContract)}""" +
+      s""","contracted_pair_join_sec":${fmt(tJoinC)}""" +
+      s""","contracted_keep_false":${repDropped + others}}"""
   }
 
   /** q23 100× window-variance decomposition (round-14 verdict item 4):
@@ -461,9 +499,19 @@ object ScaleProof {
     * timings of its two raw-scan-bound stages (the xxhash64 census agg
     * and the signing pass) repeated three times each — if the spread
     * lives in the probes, it is scan/box noise; if only in the full
-    * query, it is the contracted banding/verify term. */
+    * query, it is the contracted banding/verify term.
+    *
+    * Round 16 (verdict item 2): the stages INSIDE the warm band are
+    * now named too — over a persisted signature frame, the contraction
+    * groupBy (classes on the exact simhash key), the band-blocked
+    * candidate emission (pre-verify distinct volume), and the full
+    * banded join + popcount verify over the contracted reps (the
+    * operator's own simhashPairsOverSigs, q23's maxHamming = 7). The
+    * full query's residual above census + signing + contraction +
+    * core is the lift/re-expansion term. */
   def q23VarianceProbe(spark: SparkSession, dir: String,
       timeoutSec: Int): String = {
+    import org.apache.spark.storage.StorageLevel
     import graft.operators.Dedup
     val fn = SparkEntry.queries("q23_simhash_pairs")
     def t3(body: => Unit): Seq[Double] = (1 to 3).map { _ =>
@@ -482,10 +530,47 @@ object ScaleProof {
       Dedup.simhash(docs, "doc_id", "text")
         .agg(count(col("simhash"))).head(); ()
     }
+    // stage decomposition over a persisted signature frame (what the
+    // group-all tier re-reads from cache): contraction, candidate
+    // emission, core (candidates + verify)
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSigs = sh.count()
+    val tC0 = System.nanoTime()
+    val reps = sh.groupBy("simhash").agg(min(col("id")).as("id"))
+      .select(col("id"), col("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nReps = reps.count()
+    val tContract = (System.nanoTime() - tC0) / 1e9
+    // candidate volume: the 8x8-bit band blocking's distinct pre-
+    // verify pair count over the contracted reps (maxHamming 7 -> 8
+    // bands), inlined because the fused core never materializes it
+    val tK0 = System.nanoTime()
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"), shiftright(col("simhash"), b * 8)
+        .bitwiseAND(255L).as("bucket"))
+    }
+    val banded = reps.select(col("id"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val nCand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    val tCand = (System.nanoTime() - tK0) / 1e9
+    val tV0 = System.nanoTime()
+    val nPairs = Dedup.simhashPairsOverSigs(reps, 7).count()
+    val tCore = (System.nanoTime() - tV0) / 1e9
+    reps.unpersist(); sh.unpersist()
     def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
     s"""{"metric":"q23_variance","full_sec":${arr(full.map(
         _.getOrElse(-1.0)))}""" +
-      s""","census_sec":${arr(census)},"signing_sec":${arr(signing)}}"""
+      s""","census_sec":${arr(census)},"signing_sec":${arr(signing)}""" +
+      s""","sigs":$nSigs,"reps":$nReps""" +
+      s""","contract_sec":${fmt(tContract)}""" +
+      s""","candidates":$nCand,"candidate_sec":${fmt(tCand)}""" +
+      s""","rep_pairs":$nPairs,"core_sec":${fmt(tCore)}}"""
   }
 
   /** q125/q119 steady-state probe (round 15): after the IVF-family fix
@@ -510,32 +595,46 @@ object ScaleProof {
     val full119 = (1 to 3).map(_ => timed(spark, "q119_var",
       SparkEntry.queries("q119_leakage_split"), dir, timeoutSec))
     val docs = SparkEntry.table(spark, dir, "documents")
-    val t0 = System.nanoTime()
-    val edges = Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
-        n = 3, threshold = 0.2, maxDocFreq = 4096)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = edges.count()
-    val tSpan = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val clusters = Dedup.connectedComponents(docs.select(col("doc_id")),
-        edges, idCol = "doc_id", maxRounds = 18,
-        idsCoverEndpoints = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nRows = clusters.count()
-    val tCc = (System.nanoTime() - t1) / 1e9
-    val t2 = System.nanoTime()
-    val nSurv = Dedup.keepClusterSurvivors(docs, clusters, "doc_id",
-      repsPresent = true).count()
-    val tSurv = (System.nanoTime() - t2) / 1e9
-    edges.unpersist(); clusters.unpersist()
-    def arr(xs: Seq[Either[String, Double]]) =
-      xs.map(_.fold(e => "\"" + e + "\"", fmt)).mkString("[", ",", "]")
-    s"""{"metric":"q125_q119_decomposition"""" +
-      s""","q125_full_sec":${arr(full125)}""" +
-      s""","q119_full_sec":${arr(full119)}""" +
-      s""","edges":$nEdges,"spanning_sec":${fmt(tSpan)}""" +
-      s""","cc_rows":$nRows,"components_sec":${fmt(tCc)}""" +
-      s""","survivors":$nSurv,"survivor_sec":${fmt(tSurv)}}"""
+    // stage timings carry the watchdog too (ADVICE r15): a hung or
+    // failing stage must record -1.0 and let the later diagnostics
+    // rows still write, and the persisted frames must release on ANY
+    // exit — hence stage() + try/finally. -1.0 is the same sentinel
+    // q23_variance uses, so the arrays stay homogeneous doubles.
+    def stage(name: String)(body: => Long): (Long, Double) = {
+      val r = timedBody(spark, name, timeoutSec)(body)
+      r.fold(_ => (-1L, -1.0), identity)
+    }
+    var edges: DataFrame = null
+    var clusters: DataFrame = null
+    try {
+      edges = Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
+          n = 3, threshold = 0.2, maxDocFreq = 4096)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (nEdges, tSpan) = stage("q125_spanning")(edges.count())
+      val (nRows, tCc) = stage("q125_components") {
+        clusters = Dedup.connectedComponents(docs.select(col("doc_id")),
+            edges, idCol = "doc_id", maxRounds = 18,
+            idsCoverEndpoints = true)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        clusters.count()
+      }
+      val (nSurv, tSurv) = stage("q125_survivors") {
+        if (clusters == null) -1L
+        else Dedup.keepClusterSurvivors(docs, clusters, "doc_id",
+          repsPresent = true).count()
+      }
+      def arr(xs: Seq[Either[String, Double]]) =
+        xs.map(_.fold(_ => "-1.0", fmt)).mkString("[", ",", "]")
+      s"""{"metric":"q125_q119_decomposition"""" +
+        s""","q125_full_sec":${arr(full125)}""" +
+        s""","q119_full_sec":${arr(full119)}""" +
+        s""","edges":$nEdges,"spanning_sec":${fmt(tSpan)}""" +
+        s""","cc_rows":$nRows,"components_sec":${fmt(tCc)}""" +
+        s""","survivors":$nSurv,"survivor_sec":${fmt(tSurv)}}"""
+    } finally {
+      if (edges != null) edges.unpersist()
+      if (clusters != null) clusters.unpersist()
+    }
   }
 
   /** IVF recall on a CLUSTERED fixture (round-14 verdict item 3): the
@@ -685,15 +784,19 @@ object ScaleProof {
   private def runDiagnostics(spark: SparkSession, outDir: String,
       timeoutSec: Int): Unit = {
     System.err.println(s"[scaleproof] diagnostics over $outDir")
+    // one probe failing must not abort the others (ADVICE r15): each
+    // row catches to an error record and the artifact always writes
+    def row(name: String)(body: => String): String = {
+      val r = try body catch { case e: Throwable =>
+        s"""{"metric":"$name","error":"${e.getClass.getSimpleName}"}""" }
+      System.err.println(s"[scaleproof] $r"); r
+    }
     val rows = Seq(
-      { val r = q91Decomposition(spark, outDir)
-        System.err.println(s"[scaleproof] $r"); r },
-      { val r = q23VarianceProbe(spark, outDir, timeoutSec)
-        System.err.println(s"[scaleproof] $r"); r },
-      { val r = q125Decomposition(spark, outDir, timeoutSec)
-        System.err.println(s"[scaleproof] $r"); r },
-      { val r = annRecallClustered(spark)
-        System.err.println(s"[scaleproof] $r"); r })
+      row("q91_decomposition")(q91Decomposition(spark, outDir)),
+      row("q23_variance")(q23VarianceProbe(spark, outDir, timeoutSec)),
+      row("q125_q119_decomposition")(
+        q125Decomposition(spark, outDir, timeoutSec)),
+      row("ann_recall_clustered")(annRecallClustered(spark)))
     val body = rows.mkString("[", ",\n", "]")
     println(body)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
@@ -704,10 +807,14 @@ object ScaleProof {
       System.err.println(s"[scaleproof] write failed: $e") }
   }
 
-  /** Time one query under a watchdog; Right(sec) or Left(reason). */
-  private def timed(spark: SparkSession, name: String,
-      fn: (SparkSession, String) => DataFrame, dir: String,
-      timeoutSec: Int): Either[String, Double] = {
+  /** Watchdog-guarded action: run `body` under a cancellable job
+    * group; Right((result, sec)) or Left("timeout" | exception name).
+    * The single watchdog implementation behind both the full-query
+    * sweep ([[timed]]) and the diagnostics stage timings (ADVICE r15:
+    * stages used to run unguarded, so a hang aborted the whole
+    * diagnostics artifact). */
+  private def timedBody(spark: SparkSession, name: String,
+      timeoutSec: Int)(body: => Long): Either[String, (Long, Double)] = {
     val group = s"scaleproof-$name"
     spark.sparkContext.setJobGroup(group, name,
       interruptOnCancel = true)
@@ -720,19 +827,25 @@ object ScaleProof {
     watchdog.setDaemon(true)
     watchdog.start()
     val t0 = System.nanoTime()
-    val res =
-      try { fn(spark, dir).count(); Right((System.nanoTime() - t0) / 1e9) }
-      catch {
-        case e: Throwable =>
-          val timedOut = (System.nanoTime() - t0) / 1e9 >= timeoutSec
-          Left(if (timedOut) "timeout" else
-            e.getClass.getSimpleName)
-      } finally {
-        done = true
-        spark.sparkContext.clearJobGroup()
-      }
-    res
+    try {
+      val n = body
+      Right((n, (System.nanoTime() - t0) / 1e9))
+    } catch {
+      case e: Throwable =>
+        val timedOut = (System.nanoTime() - t0) / 1e9 >= timeoutSec
+        Left(if (timedOut) "timeout" else e.getClass.getSimpleName)
+    } finally {
+      done = true
+      spark.sparkContext.clearJobGroup()
+    }
   }
+
+  /** Time one query under a watchdog; Right(sec) or Left(reason). */
+  private def timed(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => DataFrame, dir: String,
+      timeoutSec: Int): Either[String, Double] =
+    timedBody(spark, name, timeoutSec)(fn(spark, dir).count())
+      .map(_._2)
 
   private[jobs] def fmt(v: Double) = f"$v%.3f"
 

@@ -294,11 +294,19 @@ object StreamProof {
       .as[SimHashStream.StreamDoc]
     val shMaxHamming = 7
     // proof cap: 8-bit bands have only 256 buckets, so occupancy is
-    // corpus/256 per band — far past the production default; a
-    // truncated bucket breaks parity by design (the EditDistanceStream
-    // cap convention: the artifact records the bound the run needed)
+    // corpus/256 per band; a truncated bucket breaks parity by design
+    // (the EditDistanceStream cap convention: the artifact records the
+    // bound the run needed). The proof asserts PARITY, so it runs at a
+    // known-non-truncating explicit cap — and ALSO records the cap the
+    // production entry point would have derived for this corpus
+    // (maxBucketFor at the measured doc count) plus whether that
+    // derived cap would have truncated here, so the artifact grades
+    // the round-16 corpus-derived default against real occupancy.
     val shCap = 1 << 20
-    val shQ = SimHashStream.hammingPairs(shStream, shMaxHamming,
+    val shDocCount = mutAll.count()
+    val shDerivedCap = SimHashStream.maxBucketFor(shDocCount,
+      shMaxHamming)
+    val shQ = SimHashStream.hammingPairsCapped(shStream, shMaxHamming,
       shCap)(spark)
       .writeStream.format("memory").queryName("shpairs")
       .option("checkpointLocation", s"$workDir/ckpt_sh")
@@ -357,8 +365,11 @@ object StreamProof {
         s""","state_rows_final":$shStateFinal""" +
         s""","state_bucket_bound":$shBucketBound""" +
         s""","max_bucket_occupancy":$shMaxOccupancy""" +
-        s""","proof_cap":$shCap,"default_cap":${
+        s""","proof_cap":$shCap,"cap_floor":${
           SimHashStream.MaxBucket}""" +
+        s""","docs":$shDocCount,"derived_cap":$shDerivedCap""" +
+        s""","derived_cap_would_truncate":${
+          shMaxOccupancy > shDerivedCap}""" +
         s""","overflow_markers":$shOverflowMarkers}"""
     System.err.println("[streamproof] " + v4)
     val v3 =

@@ -1836,8 +1836,10 @@ object Dedup {
 
   /** The band-blocked candidate + popcount-verify pipeline over a
     * prepared (id, simhash) frame — simhashPairs' original plan,
-    * factored for the duplication-adaptive wrapper. */
-  private def simhashPairsOverSigs(sh: DataFrame,
+    * factored for the duplication-adaptive wrapper ([[graft]]-visible
+    * so ScaleProof's q23 stage probe times THIS implementation, not a
+    * reconstruction that could drift). */
+  private[graft] def simhashPairsOverSigs(sh: DataFrame,
       maxHamming: Int): DataFrame = {
     val nBands = if (maxHamming <= 3) 4 else 8
     val width = 64 / nBands

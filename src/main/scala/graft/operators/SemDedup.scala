@@ -29,15 +29,37 @@ import graft.expr.VectorOps.cosineF32
   * function and the plan is one self-join). Exactly reproducible across
   * partitionings and engines.
   *
-  * 100-TB notes: both join sides shuffle once on centroid_id; a skewed
-  * (hot) cluster concentrates quadratic work in one task — the fix is
-  * MORE centroids (raise `maxCentroids`, the paper's 110k-cluster
-  * knob; k stays a constant independent of n, see
-  * [[Similarity.MaxCentroids]]), which is also what recall wants;
-  * [[Skew]]'s salted patterns do not apply because the predicate needs
-  * the full cluster co-located. Null embeddings carry no semantic
-  * evidence and are excluded from the output (callers union them back
-  * under their own policy).
+  * DUPLICATION-ADAPTIVE (round 16, the q44/q68 census discipline):
+  * byte-identical embeddings are equidistant to every centroid and land
+  * whole in ONE cluster at ANY centroid count — raising `maxCentroids`
+  * (the skew knob for merely-dense regions) provably cannot split an
+  * exact-duplicate clique, so without contraction a d-member clique
+  * pays d² candidate rows in the pair join (measured at the 100×
+  * mass-dup tier: 1.81B candidates, max clique 13,200). Identical
+  * vectors have a provably in-ball cosine, so every non-min-id member
+  * of a duplicate class drops for any eps and only the min-id
+  * representative needs to compete in the |c|² term. A one-scan census
+  * over the persisted assignment (xxhash64 of the vector — routing
+  * only; the contraction groups by the FULL vector, so a digest
+  * collision costs a wasted groupBy, never correctness) decides the
+  * path: a dup-free corpus keeps the original plan verbatim, a
+  * duplicated one contracts classes to representatives and re-expands
+  * non-reps as keep=false through an id-keyed anti join (no per-class
+  * arrays — clique size never materializes in a single row or task).
+  *
+  * 100-TB notes: both join sides shuffle once on centroid_id; a merely
+  * DENSE (non-identical) hot cluster's fix is MORE centroids (raise
+  * `maxCentroids`, the paper's 110k-cluster knob; k stays a constant
+  * independent of n, see [[Similarity.MaxCentroids]]), which is also
+  * what recall wants — while an exact-DUPLICATE hot cluster is immune
+  * to k by construction and is exactly what the census contraction
+  * absorbs (the class groupBy shuffles the vector payload once; its
+  * key cardinality is the distinct-vector count, and the pair join's
+  * Σ|c|² term runs over representatives, i.e. distinct vectors, not
+  * raw rows). [[Skew]]'s salted patterns do not apply because the
+  * in-ball predicate needs the full cluster co-located. Null
+  * embeddings carry no semantic evidence and are excluded from the
+  * output (callers union them back under their own policy).
   */
 object SemDedup {
 
@@ -49,29 +71,98 @@ object SemDedup {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxCentroids: Int = Similarity.MaxCentroids): DataFrame = {
     require(eps > 0.0 && eps <= 1.0, s"eps must be in (0, 1], got $eps")
+    val sess = corpus.sparkSession
     val cents = Similarity.kMeansCentroids(corpus, stride, iters,
       idCol, vecCol, maxCentroids)
-    // assigned twice below (join left side + survivor base) — persist
-    // so the centroid-nearest expression (dim × centroids work per
-    // row) runs once per row, not three times
+    // assigned is read several times below (census, both join sides,
+    // survivor base) — persist so the centroid-nearest expression
+    // (dim × centroids work per row) runs once per row
     val assigned = Similarity.assignToCentroids(corpus, cents,
         idCol, vecCol)
       .where(col("centroid_id").isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         col("centroid_id"))
-    // release-BEFORE-persist (the pageRankFixed ordering)
-    lastRelease.swap(assigned.sparkSession,
-      () => { assigned.unpersist(); () })
+    // release-BEFORE-persist (the pageRankFixed ordering); the census
+    // action below can throw, so the hook is registered immediately
+    lastRelease.releasePrevious(sess)
     assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val right = assigned.select(col("centroid_id"),
+    lastRelease.set(sess, () => { assigned.unpersist(); () })
+    // fused duplication census + ids gate (the adaptiveSelfPairs
+    // shape): ONE action over the cached assignment answers "any
+    // duplicated vectors?" and "ids unique?". Repeated raw ids keep
+    // the uncontracted plan — the anti-join re-expansion collapses a
+    // repeated id's rows where the original plan emits one output row
+    // per input row (same degenerate boundary adaptiveSelfPairs
+    // documents).
+    val cen = assigned.select(col("id"), xxhash64(col("vec")).as("dg"))
+    val stats = cen.groupBy("dg").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > lit(1L), col("c"))), lit(0L))
+        .as("sus"))
+    val gate = cen.agg(count(lit(1)).as("nb"),
+      count_distinct(col("id")).as("nids"))
+    val tot = stats.crossJoin(gate).head()
+    val contractable =
+      tot.getLong(0) > 0L && tot.getLong(1) == tot.getLong(2)
+    if (!contractable) {
+      return pairKeep(assigned, eps).select(col("id").as(idCol),
+        col("centroid_id"), col("keep"))
+    }
+    // Contraction pre-pass. Eligibility is the row-local predicate the
+    // original plan would evaluate for an identical pair — cosineF32
+    // is a deterministic function of its operands, so computing it on
+    // (vec, vec) decides EXACTLY whether the uncontracted plan drops a
+    // class's non-rep members: eps at the float boundary of 1.0 and
+    // degenerate zero/NaN vectors route to the uncontracted side and
+    // keep their original semantics verbatim (null-cosine rows — null
+    // vec elements — likewise, via the coalesce).
+    val sd = coalesce(cosineF32(col("vec"), col("vec")) >= lit(eps),
+      lit(false))
+    val reps = assigned.where(sd)
+      .groupBy("vec")
+      .agg(min(col("id")).as("id"), min(col("centroid_id"))
+        .as("centroid_id"))
+      .select(col("id"), col("vec"), col("centroid_id"))
+    // base = class representatives + rows contraction must not touch.
+    // Read three times by pairKeep and once by the re-expansion —
+    // persist, and widen the release hook to cover it.
+    val base = reps.unionByName(assigned.where(!sd))
+    base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastRelease.set(sess,
+      () => { assigned.unpersist(); base.unpersist(); () })
+    // Why this is exact: all members of a vec class share every cosine
+    // (to centroids and to any third vector), hence share centroid_id
+    // — so (1) a non-rep member m is dropped by the original plan (its
+    // rep is a lower-id cluster-mate within eps, by the sd gate) and
+    // is emitted keep=false here; (2) a base row x is dropped by the
+    // original plan iff some lower-id row y in its cluster is in-ball,
+    // and y's class rep — with rep.id <= y.id < x.id and the same
+    // cosine to x — witnesses the same drop among representatives, so
+    // the contracted pair join computes the identical keep bit.
+    val repKeep = pairKeep(base, eps)
+    // id-keyed anti join, deliberately NOT a per-class member array:
+    // a collect_list re-expansion puts the largest clique in one
+    // aggregation buffer, exactly the skew contraction neutralizes.
+    val others = assigned.select(col("id"), col("centroid_id"))
+      .join(base.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("centroid_id"), lit(false).as("keep"))
+    repKeep.unionByName(others)
+      .select(col("id").as(idCol), col("centroid_id"), col("keep"))
+  }
+
+  /** The cluster-confined epsilon-ball keep computation over a
+    * prepared (id, vec, centroid_id) frame — the operator's original
+    * plan, factored so the dup-free and contracted paths share it.
+    * Returns (id, centroid_id, keep). */
+  private def pairKeep(frame: DataFrame, eps: Double): DataFrame = {
+    val right = frame.select(col("centroid_id"),
       col("id").as("rid"), col("vec").as("rvec"))
-    val dropped = assigned.join(right, "centroid_id")
+    val dropped = frame.join(right, "centroid_id")
       .where(col("rid") < col("id") &&
         cosineF32(col("vec"), col("rvec")) >= lit(eps))
       .select("id").distinct()
-    assigned
+    frame
       .join(dropped.withColumn("__dup", lit(true)), Seq("id"), "left")
-      .select(col("id").as(idCol), col("centroid_id"),
+      .select(col("id"), col("centroid_id"),
         col("__dup").isNull.as("keep"))
   }
 

@@ -22,13 +22,15 @@ import graft.operators.Dedup
   * other at hamming 0, matching the batch plan's semantics.
   *
   * State per band bucket is the (id, simhash) list of its first-seen
-  * members, capped at [[MaxBucket]] (the NearDupStream overflow
-  * semantics: an overflow doc is checked against the survivors, then
-  * dropped from state — recall against later arrivals is lost only
-  * for degenerate boilerplate buckets, stated plainly rather than
-  * hidden). Memory is O(buckets × MaxBucket × (8B id + 8B sig)),
-  * independent of stream length for non-degenerate corpora — a
-  * SMALLER footprint than NearDupStream's (one long per sig, not 16).
+  * members, capped at [[maxBucketFor]](expectedDocs, maxHamming) — a
+  * cap DERIVED from the caller's stated corpus scale (the
+  * NearDupStream overflow semantics: an overflow doc is checked
+  * against the survivors, then dropped from state — recall against
+  * later arrivals is lost only for degenerate boilerplate buckets,
+  * stated plainly rather than hidden). Memory is
+  * O(buckets × cap × (8B id + 8B sig)), independent of stream length
+  * for non-degenerate corpora — a SMALLER footprint than
+  * NearDupStream's (one long per sig, not 16).
   *
   * Emission: a pair is scored once per SHARED band; cross-band
   * repeats carry identical hammings — consumers dedup on
@@ -64,18 +66,22 @@ object SimHashStream {
   /** Bucket membership: ids + signatures of the first-seen docs. */
   final case class BucketState(ids: Seq[Long], sigs: Seq[Long])
 
-  /** Default first-seen bucket membership cap (see scaladoc above).
-    * UNLIKE NearDupStream's minhash band keys (a huge keyspace where
-    * only near-dups collide), SimHash bands have only 2^width buckets
-    * (256 at the 8×8-bit geometry), so expected occupancy is
-    * corpus/256 per band and a long-running stream should size
-    * `maxBucket` to the corpus it expects — the cap trades memory for
-    * recall against later arrivals, and a truncated bucket breaks
-    * batch parity by design (the StreamProof run records the bound it
-    * actually needed AND the max per-bucket occupancy it observed, the
-    * EditDistanceStream cap convention). Truncation is observable at
-    * runtime via [[OverflowId]] marker rows; size the cap up-front
-    * with [[maxBucketFor]] when the corpus scale is known. */
+  /** FLOOR of the derived bucket cap (no longer a caller-facing
+    * default — round-16 fix of the round-15 finding that a constant 64
+    * sat ~250× under the proof corpus's measured occupancy). UNLIKE
+    * NearDupStream's minhash band keys (a huge keyspace where only
+    * near-dups collide), SimHash bands have only 2^width buckets (256
+    * at the 8×8-bit geometry), so expected occupancy is corpus/256 per
+    * band and the cap must scale with the corpus: [[hammingPairs]] now
+    * REQUIRES `expectedDocs` and derives the cap via [[maxBucketFor]];
+    * an explicit cap (memory-constrained deployments, proof harnesses)
+    * goes through [[hammingPairsCapped]], stated rather than
+    * defaulted. The cap trades memory for recall against later
+    * arrivals, and a truncated bucket breaks batch parity by design
+    * (the StreamProof run records the bound it actually needed AND the
+    * max per-bucket occupancy it observed, the EditDistanceStream cap
+    * convention). Truncation stays observable at runtime via
+    * [[OverflowId]] marker rows. */
   val MaxBucket = 64
 
   /** Cap sized from an expected corpus: uniform signatures spread
@@ -162,9 +168,25 @@ object SimHashStream {
     * geometry matches batch [[Dedup.simhashPairs]] exactly, so the
     * pigeonhole recall guarantee (complete up to hamming bands-1, and
     * in practice to the verify radius via multi-band agreement) is
-    * the batch one. */
-  def hammingPairs(docs: Dataset[StreamDoc], maxHamming: Int = 7,
-      maxBucket: Int = MaxBucket)(
+    * the batch one.
+    *
+    * The bucket cap is DERIVED from `expectedDocs` (see
+    * [[maxBucketFor]]): callers state the corpus scale they expect
+    * instead of inheriting a constant that silently truncates on real
+    * corpora; [[OverflowId]] markers still report when even the
+    * derived bound is exceeded. An explicit cap goes through
+    * [[hammingPairsCapped]]. */
+  def hammingPairs(docs: Dataset[StreamDoc], expectedDocs: Long,
+      maxHamming: Int = 7)(
+      implicit spark: SparkSession): Dataset[HammingPair] =
+    hammingPairsCapped(docs, maxHamming,
+      maxBucketFor(expectedDocs, maxHamming))
+
+  /** [[hammingPairs]] with an EXPLICIT bucket cap — for memory-bounded
+    * deployments and proof harnesses; the cap is a stated decision,
+    * never a default. */
+  def hammingPairsCapped(docs: Dataset[StreamDoc], maxHamming: Int,
+      maxBucket: Int)(
       implicit spark: SparkSession): Dataset[HammingPair] = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"simhash banding guarantees recall only to hamming 0..7; " +

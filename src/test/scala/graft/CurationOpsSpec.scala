@@ -438,4 +438,87 @@ class CurationOpsSpec extends SparkSuite {
       iters = 2).select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept === keep.filter(_._2).keySet)
   }
+
+  test("semDedup contraction is output-identical to the uncontracted " +
+      "plan on a mass-duplicated corpus") {
+    val s = initSpark()
+    import s.implicits._
+    import graft.expr.VectorOps.cosineF32
+    import graft.operators.Similarity
+    // steps 0.8/0.5 rad: pairwise cosine of two base directions is
+    // (cos(0.8d) + cos(0.5d))/2 <= 0.892 for all d in 1..39 — every
+    // cross-direction pair is safely OUTSIDE eps = 0.97, so the only
+    // epsilon-duplicates are the planted identical replicas
+    def unit(i: Int): Array[Float] = {
+      val a = math.cos(0.8 * i); val b = math.sin(0.8 * i)
+      val c = math.cos(0.5 * i + 2); val d = math.sin(0.5 * i + 2)
+      val n = math.sqrt(a * a + b * b + c * c + d * d)
+      Array((a / n).toFloat, (b / n).toFloat, (c / n).toFloat,
+        (d / n).toFloat)
+    }
+    // 40 base directions, each replicated 5x under shifted ids — every
+    // row is in a 5-member identical clique, the contraction's
+    // mass-duplication regime (identical vectors land in one cluster
+    // at ANY centroid count)
+    val rows = for (i <- 0 until 40; r <- 0 until 5)
+      yield ((100L * r + i), unit(i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val (eps, stride, iters) = (0.97, 10, 2)
+    val out = SemDedup.semDedup(emb, eps, stride, iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    // the uncontracted plan, inlined verbatim (the pre-round-16 form)
+    val cents = Similarity.kMeansCentroids(emb, stride, iters,
+      "vec_id", "embedding")
+    val assigned = Similarity.assignToCentroids(emb, cents,
+        "vec_id", "embedding")
+      .where(col("centroid_id").isNotNull)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("centroid_id"))
+      .persist()
+    val right = assigned.select(col("centroid_id"),
+      col("id").as("rid"), col("vec").as("rvec"))
+    val dropped = assigned.join(right, "centroid_id")
+      .where(col("rid") < col("id") &&
+        cosineF32(col("vec"), col("rvec")) >= lit(eps))
+      .select("id").distinct()
+    val legacy = assigned
+      .join(dropped.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("centroid_id"), col("__dup").isNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assigned.unpersist()
+    assert(out === legacy)
+    // and the headline semantics: exactly one survivor per clique, the
+    // min id (replica 0's id = i)
+    val keep = out.collect { case (id, _, k) if k => id }
+    assert(keep.size === 40)
+    assert(keep.forall(_ < 100L))
+  }
+
+  test("semDedup degenerate boundaries: identical zero vectors are " +
+      "not epsilon-duplicates and stay kept") {
+    val s = initSpark()
+    import s.implicits._
+    def unit(i: Int): Array[Float] = {
+      val a = math.cos(0.2 * i); val b = math.sin(0.2 * i)
+      Array(a.toFloat, b.toFloat, 0f, 0f)
+    }
+    // two identical all-zero vectors (cosine 0/0 -> 0.0 by the
+    // cosineF32 contract, below any eps) among ordinary distinct rows
+    // PLUS one ordinary identical pair so the census engages the
+    // contraction path — the zero rows must route uncontracted
+    val rows = (0 until 20).map(i => (i.toLong, unit(i))) ++
+      Seq((50L, Array(0f, 0f, 0f, 0f)), (51L, Array(0f, 0f, 0f, 0f)),
+        (60L, unit(3)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val keep = SemDedup.semDedup(emb, eps = 0.99, stride = 5, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep.size === 23)
+    // zero vectors: cosine 0.0 < eps on both the self-gate and the
+    // pair predicate — both survive, exactly as the uncontracted plan
+    assert(keep(50L) && keep(51L))
+    // the ordinary identical pair contracts: min id survives
+    assert(keep(3L) && !keep(60L))
+  }
 }

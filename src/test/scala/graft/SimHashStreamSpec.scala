@@ -37,7 +37,8 @@ class SimHashStreamSpec extends SparkSuite {
       StreamDoc(11L, ""), // zero signature: pairs doc 4 at hamming 0
       StreamDoc(12L, variant)) // exact dup of 2, cross-batch
     val input = MemoryStream[StreamDoc](s)
-    val query = SimHashStream.hammingPairs(input.toDS(), maxHamming = 7)
+    val query = SimHashStream.hammingPairs(input.toDS(),
+        expectedDocs = 7, maxHamming = 7)
       .writeStream.format("memory").queryName("simhash_pairs")
       .outputMode("append").start()
     try {
@@ -89,7 +90,8 @@ class SimHashStreamSpec extends SparkSuite {
       StreamDoc(i.toLong, pool(rnd.nextInt(pool.size))))
     val batches = docs.grouped(20).toSeq
     val input = MemoryStream[StreamDoc](s)
-    val query = SimHashStream.hammingPairs(input.toDS(), maxHamming = 3)
+    val query = SimHashStream.hammingPairs(input.toDS(),
+        expectedDocs = 60, maxHamming = 3)
       .writeStream.format("memory").queryName("simhash_pairs_rnd")
       .outputMode("append").start()
     try {
@@ -120,7 +122,7 @@ class SimHashStreamSpec extends SparkSuite {
     implicit val spark: org.apache.spark.sql.SparkSession = s
     val base = "alpha beta gamma delta epsilon"
     val input = MemoryStream[StreamDoc](s)
-    val query = SimHashStream.hammingPairs(input.toDS(),
+    val query = SimHashStream.hammingPairsCapped(input.toDS(),
         maxHamming = 7, maxBucket = 1)
       .writeStream.format("memory").queryName("simhash_pairs_cap")
       .outputMode("append").start()
@@ -165,10 +167,12 @@ class SimHashStreamSpec extends SparkSuite {
     implicit val spark: org.apache.spark.sql.SparkSession = s
     val input = MemoryStream[StreamDoc](s)
     intercept[IllegalArgumentException] {
-      SimHashStream.hammingPairs(input.toDS(), maxHamming = 8)
+      SimHashStream.hammingPairs(input.toDS(), expectedDocs = 10,
+        maxHamming = 8)
     }
     intercept[IllegalArgumentException] {
-      SimHashStream.hammingPairs(input.toDS(), maxHamming = -1)
+      SimHashStream.hammingPairs(input.toDS(), expectedDocs = 10,
+        maxHamming = -1)
     }
   }
 }
