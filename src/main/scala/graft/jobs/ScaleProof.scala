@@ -922,6 +922,7 @@ object ScaleProof {
       return
     }
 
+
     System.err.println(s"[scaleproof] materializing ${factor}x of " +
       s"$baseDir under $outDir")
     val tMat0 = System.nanoTime()

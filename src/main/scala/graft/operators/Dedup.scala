@@ -1062,29 +1062,13 @@ object Dedup {
               (perDoc.join(broadcast(suspects), Seq("id"), "left_semi"),
                perDoc.join(broadcast(suspects), Seq("id"), "left_anti"))
           }
-        val repPerKey = hot.groupBy("key").agg(min(col("id")).as("rep"))
-        val withRep = hot.join(repPerKey, "key")
-        (withRep.where(col("id") =!= col("rep"))
-           .select(col("rep").as("id_a"), col("id").as("id_b")),
-         withRep.where(col("id") === col("rep"))
-           .select(col("id"), col("key"), col("sz"))
-           .union(cold.select(col("id"), col("key"), col("sz"))))
+        val (st, rp) = classStarReps(hot)
+        (st, rp.union(cold.select(col("id"), col("key"), col("sz"))))
       } else {
         suspects.unpersist(); idDg.unpersist() // routing unused here
         // duplication-heavy corpus (suspects exceed the broadcast
-        // bound): rep per class via hash-aggregate + equi-join on the
-        // array key, over ALL docs. Measured against the window-min
-        // alternative (one exchange+SORT of the arrays): the two hash
-        // exchanges win at sf0.1 (9.3 s vs 9.9 s for the three
-        // composite queries) — sorting array keys costs more than
-        // hashing them twice.
-        val repPerKey = perDoc.groupBy("key")
-          .agg(min(col("id")).as("rep"))
-        val withRep = perDoc.join(repPerKey, "key")
-        (withRep.where(col("id") =!= col("rep"))
-           .select(col("rep").as("id_a"), col("id").as("id_b")),
-         withRep.where(col("id") === col("rep"))
-           .select(col("id"), col("key"), col("sz")))
+        // bound): rep per class over ALL docs (see classStarReps).
+        classStarReps(perDoc)
       }
     // thresholded pairs among representatives, full-corpus capped
     // universe — the jaccardPairsCapped tail, except the per-shingle
@@ -1119,6 +1103,34 @@ object Dedup {
     // leakage split) persists or checkpoints it immediately, so the
     // one-pass Row conversion is noise next to pair generation.
     df.sparkSession.createDataFrame(edges.rdd, edges.schema)
+  }
+
+  /** Exact-class star edges + representative frame over a prepared
+    * (id, key, sz) frame: rep = min id per full-array key (window min
+    * over the key partition); star edges rep→member for every non-rep
+    * member; reps keep (id, key, sz).
+    *
+    * ONE exchange of the array key, adopted in the round-16 A/B over
+    * the r11 two-hash-exchange form (groupBy(key){min} + equi-join
+    * back): at the 100× mass-dup tier the window form reads
+    * q83 13.2→8.1 s, q86 9.5→7.6, q119 10.9→8.1, q125 13.4→10.5 warm
+    * (25-35% off the quartet), and at sf0.1 it is a wash — the r11
+    * measurement that picked the join form predates the suspect-tier
+    * routing, under which toy-scale corpora never ship a large frame
+    * through here at all. The collect_list single-exchange alternative
+    * timed the same but buffers O(clique) ids in one aggregation row
+    * (the 2 GB-row boundary the engine avoids elsewhere); WindowExec's
+    * per-group buffer spills (ExternalAppendOnlyUnsafeRowBuffer), so
+    * a mega-clique degrades to disk instead of dying. A serialized
+    * perDoc cache was also measured: better than legacy, dominated by
+    * this plan fix — declined with data (COVERAGE.md round-16 log). */
+  private def classStarReps(hot: DataFrame): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    val withRep = hot.withColumn("rep", min(col("id")).over(w))
+    (withRep.where(col("id") =!= col("rep"))
+       .select(col("rep").as("id_a"), col("id").as("id_b")),
+     withRep.where(col("id") === col("rep"))
+       .select(col("id"), col("key"), col("sz")))
   }
 
   /** Precomputed MinHash permutation state, hoisted OUT of the per-row
