@@ -44,6 +44,20 @@ object VectorAgg {
       QuantizedVectorSum(ColumnBridge.expression(vec), scale)
         .toAggregateExpression())
 
+  /** Weighted form: each row contributes `w × quantize(x_i)` to
+    * `sums(i)` and `w` to `counts(i)` — BIT-IDENTICAL to summing `w`
+    * copies of the row, because the per-row quantization is computed
+    * FIRST and long multiplication/addition are exact (the
+    * duplication-contraction lemma kMeansCentroids' round-16 adaptive
+    * path rests on). A null or non-positive weight contributes
+    * nothing. */
+  def quantizedSumCountWeighted(vec: Column, scale: Double,
+      weight: Column): Column =
+    ColumnBridge.column(
+      QuantizedVectorSum(ColumnBridge.expression(vec), scale,
+        weight = ColumnBridge.expression(weight))
+        .toAggregateExpression())
+
   /** HALF_UP away from zero — the rounding of Spark's `round()` that
     * the 2xdim column form used (`sum(round(x * scale).cast("long"))`).
     * `math.round` is half-up toward +infinity, which differs on
@@ -63,7 +77,9 @@ object VectorAgg {
 }
 
 case class QuantizedVectorSum(child: Expression, scale: Double,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0,
+    weight: Expression =
+      org.apache.spark.sql.catalyst.expressions.Literal(1L))
     extends TypedImperativeAggregate[VectorAgg.Buf] {
 
   override def createAggregationBuffer(): VectorAgg.Buf =
@@ -73,17 +89,31 @@ case class QuantizedVectorSum(child: Expression, scale: Double,
       : VectorAgg.Buf = {
     val v = child.eval(input)
     if (v != null) {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      buf.ensure(n)
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          buf.sums(i) += VectorAgg.roundHalfAwayFromZero(
-            arr.getFloat(i).toDouble * scale)
-          buf.counts(i) += 1L
+      // weight multiplies AFTER per-row quantization (w × q exact in
+      // long arithmetic) so a weight-w row is bit-identical to w
+      // unweighted copies; the unweighted default (literal 1) makes
+      // this path byte-equal to the pre-round-16 form
+      val wv = weight.eval(input)
+      val w = wv match {
+        case null       => 0L
+        case x: Long    => x
+        case x: Int     => x.toLong
+        case other      => throw new IllegalStateException(
+          s"quantized_vector_sum weight must be integral, got $other")
+      }
+      if (w > 0L) {
+        val arr = v.asInstanceOf[ArrayData]
+        val n = arr.numElements()
+        buf.ensure(n)
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) {
+            buf.sums(i) += w * VectorAgg.roundHalfAwayFromZero(
+              arr.getFloat(i).toDouble * scale)
+            buf.counts(i) += w
+          }
+          i += 1
         }
-        i += 1
       }
     }
     buf
@@ -122,10 +152,12 @@ case class QuantizedVectorSum(child: Expression, scale: Double,
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    (child.dataType, weight.dataType) match {
+      case (ArrayType(FloatType, _), LongType | IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"quantizedSumCount requires array<float>, got $other")
+        s"quantizedSumCount requires (array<float>, integral weight), " +
+          s"got $other")
     }
 
   override def dataType: DataType = StructType(Seq(
@@ -134,10 +166,10 @@ case class QuantizedVectorSum(child: Expression, scale: Double,
     StructField("counts", ArrayType(LongType, containsNull = false),
       nullable = false)))
   override def nullable: Boolean = false
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(child, weight)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): QuantizedVectorSum =
-    copy(child = newChildren.head)
+    copy(child = newChildren(0), weight = newChildren(1))
   override def withNewMutableAggBufferOffset(newOffset: Int)
       : QuantizedVectorSum = copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int)

@@ -110,7 +110,25 @@ object Similarity {
     * error is <=2^-25 per element — orders below any centroid-movement
     * tolerance (ApproxQualitySpec's recall floor pins quality). The
     * long sum saturates only past 2^38 rows per cluster per unit
-    * coordinate range — far beyond a realistic cluster. */
+    * coordinate range — far beyond a realistic cluster (weighted or
+    * not: the contracted path's w×q mass equals the raw rows' total).
+    *
+    * DUPLICATION-ADAPTIVE (round 16): Lloyd's per-row contribution is
+    * exactly linear — a row contributes quantize(x_i) to its cluster's
+    * sums and 1 to its counts, so m byte-identical rows contribute
+    * m × quantize(x_i) and m, both EXACT in long arithmetic — and the
+    * assignment is a pure function of the vector, so identical rows
+    * always land in the same cluster. A one-scan census (xxhash64 of
+    * the vector — routing-only; the contraction groups by the FULL
+    * vector) therefore lets a duplicated corpus run every iteration
+    * over (distinct vector, multiplicity) pairs with the weighted
+    * aggregate, producing BIT-IDENTICAL centroids to the raw-row plan
+    * the DuckDB oracle replays, while the per-iteration scan drops
+    * from n rows to the distinct-vector count (100× mass-dup tier:
+    * 200k → 2k rows per iteration). Dup-free corpora keep the raw
+    * plan with nothing persisted. The stride-sampled INIT always
+    * reads raw rows — the sampled set is id-determined, not
+    * vector-determined. */
   def kMeansCentroids(corpus: DataFrame, stride: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxCentroids: Int = MaxCentroids): DataFrame = {
@@ -121,9 +139,27 @@ object Similarity {
         s"$idCol is divisible by stride=$stride")
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
     val scale = (1L << 24).toDouble
+    val dupRows = corpus
+      .groupBy(xxhash64(col(vecCol)).as("dg")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > lit(1L), col("c"))), lit(0L)))
+      .head().getLong(0)
+    // contracted iteration input, persisted across the iters loop and
+    // released synchronously before return (every loop action fully
+    // materializes, so no lazy reader can outlive the call)
+    val contracted: Option[DataFrame] =
+      if (dupRows == 0L) None
+      else {
+        val d = corpus.select(col(vecCol)).groupBy(vecCol)
+          .agg(count(lit(1)).as("__w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        Some(d)
+      }
+    val iterFrame = contracted.getOrElse(corpus)
+    try {
     (0 until iters).foreach { _ =>
-      val assigned = corpus.withColumn("centroid_id",
-        nearestCol(corpus, cents, col(vecCol)))
+      val assigned = iterFrame.withColumn("centroid_id",
+        nearestCol(iterFrame, cents, col(vecCol)))
       // O(1) per-cluster lookup for the mean recompute below — the
       // earlier cents.find(_._1 == cid) was O(k) per cluster, O(k²)
       // per iteration of pure driver time
@@ -140,11 +176,15 @@ object Similarity {
       // null embeddings assign to NO bucket (null centroid_id): drop
       // that group before collecting — getLong on a null key would NPE
       // the driver
+      val sumAgg =
+        if (contracted.isDefined)
+          graft.expr.VectorAgg
+            .quantizedSumCountWeighted(col(vecCol), scale, col("__w"))
+        else graft.expr.VectorAgg.quantizedSumCount(col(vecCol), scale)
       val means = assigned
         .where(col("centroid_id").isNotNull)
         .groupBy("centroid_id")
-        .agg(graft.expr.VectorAgg
-          .quantizedSumCount(col(vecCol), scale).as("sc"))
+        .agg(sumAgg.as("sc"))
         .select(col("centroid_id"), col("sc.sums"), col("sc.counts"))
         .collect()
         .map { r =>
@@ -164,6 +204,7 @@ object Similarity {
         (cid, means.getOrElse(cid, old))
       }
     }
+    } finally contracted.foreach(_.unpersist())
     val rows = cents.map { case (cid, v) => (cid, v) }.toSeq
     val spark = corpus.sparkSession
     import spark.implicits._

@@ -408,6 +408,71 @@ class ApproxQualitySpec extends SparkSuite {
       "capped full-probe IVF must equal brute force exactly")
   }
 
+  test("duplication-contracted k-means is bit-identical to the raw-row " +
+      "Lloyd (weighted fixed-point sums = m copies exactly)") {
+    val s = initSpark()
+    import s.implicits._
+    import org.apache.spark.sql.DataFrame
+    def unif(h: Int): Double = ((h & 0x7fffffff) + 0.5) / 2147483648.0
+    // 40 distinct directions, each replicated 1..7 times (ids dense so
+    // the stride sampling picks a deterministic mix of replicas), plus
+    // a ragged short vector and a null-element vector — the per-
+    // coordinate-support semantics must survive contraction too
+    val rows = (0L until 160L).map { id =>
+      val dir = (id % 40).toInt
+      (id, Array.tabulate(8)(j => (unif(
+        scala.util.hashing.MurmurHash3.productHash((dir, j))) - 0.5)
+        .toFloat).toSeq.map(Option(_)))
+    } ++ Seq(
+      (200L, Seq(Option(0.3f), Option(-0.2f))), // short vector
+      (201L, Seq(Option(0.3f), Option(-0.2f))), // its exact duplicate
+      (202L, Seq(Option(0.1f), None, Option(0.4f))) // null element
+    )
+    val emb = rows.toDF("vec_id", "embedding")
+    val (stride, iters, maxC) = (3, 2, 12)
+    val got = Similarity.kMeansCentroids(emb, stride, iters,
+        maxCentroids = maxC)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    // the raw-row Lloyd, inlined with the pre-round-16 plan's exact
+    // algebra: assignment via the public assignToCentroids, unweighted
+    // quantized sums, the same empty-cluster / per-coordinate-support
+    // retention and descale order
+    val scale = (1L << 24).toDouble
+    var cents: Seq[(Long, Seq[Float])] =
+      Similarity.sampleCentroids(emb, stride, maxCentroids = maxC)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val dim = cents.head._2.length
+    (0 until iters).foreach { _ =>
+      val centsDf = cents.toDF("centroid_id", "centroid_vec")
+        .select(col("centroid_id"), col("centroid_vec")
+          .cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)).as("centroid_vec"))
+      val centMap = cents.toMap
+      val means = Similarity.assignToCentroids(emb, centsDf)
+        .where(col("centroid_id").isNotNull)
+        .groupBy("centroid_id")
+        .agg(graft.expr.VectorAgg
+          .quantizedSumCount(col("embedding"), scale).as("sc"))
+        .select(col("centroid_id"), col("sc.sums"), col("sc.counts"))
+        .collect()
+        .map { r =>
+          val cid = r.getLong(0)
+          val sums = r.getSeq[Long](1); val counts = r.getSeq[Long](2)
+          val old = centMap.getOrElse(cid, Seq.fill(dim)(0.0f))
+          (cid, (0 until dim).map { i =>
+            if (i >= counts.length || counts(i) == 0L) old(i)
+            else (sums(i) / scale / counts(i)).toFloat
+          }: Seq[Float])
+        }.toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, means.getOrElse(cid, old)) }
+    }
+    val legacy = cents.sortBy(_._1)
+    assert(got === legacy,
+      "contracted k-means diverged from the raw-row Lloyd")
+  }
+
   test("capped SemDedup: duplicate recall unchanged by the cap " +
       "(planted near-identical pairs are found at capped k)") {
     val s = initSpark()
