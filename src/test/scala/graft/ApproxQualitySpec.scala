@@ -408,6 +408,36 @@ class ApproxQualitySpec extends SparkSuite {
       "capped full-probe IVF must equal brute force exactly")
   }
 
+  test("weighted quantizedSumCount equals the unweighted aggregate " +
+      "over the expanded multiset (the contraction lemma, unit form)") {
+    val s = initSpark()
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    // ragged vectors with nulls, negatives, exact halves (the
+    // half-away-from-zero rounding edge), and multiplicities 1..5
+    val distinctRows = (0 until 25).map { i =>
+      val dim = 1 + rnd.nextInt(6)
+      val vec = Seq.tabulate(dim) { j =>
+        if (rnd.nextInt(8) == 0) None
+        else Some((rnd.nextInt(2001) - 1000) / 128.0f) // exact halves at scale
+      }
+      (vec, 1L + rnd.nextInt(5))
+    }
+    val weighted = distinctRows.toDF("v", "w")
+      .agg(graft.expr.VectorAgg
+        .quantizedSumCountWeighted(col("v"), (1L << 24).toDouble,
+          col("w")).as("sc"))
+      .select(col("sc.sums"), col("sc.counts")).head()
+    val expanded = distinctRows
+      .flatMap { case (v, w) => Seq.fill(w.toInt)(Tuple1(v)) }
+      .toDF("v").repartition(5)
+      .agg(graft.expr.VectorAgg
+        .quantizedSumCount(col("v"), (1L << 24).toDouble).as("sc"))
+      .select(col("sc.sums"), col("sc.counts")).head()
+    assert(weighted.getSeq[Long](0) === expanded.getSeq[Long](0))
+    assert(weighted.getSeq[Long](1) === expanded.getSeq[Long](1))
+  }
+
   test("duplication-contracted k-means is bit-identical to the raw-row " +
       "Lloyd (weighted fixed-point sums = m copies exactly)") {
     val s = initSpark()
