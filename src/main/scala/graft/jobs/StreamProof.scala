@@ -41,6 +41,17 @@ object StreamProof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // memory-sink streaming queries cannot recover from a previous
+    // run's checkpoints — a reused workDir failed with "does not
+    // support recovering from checkpoint location" — so stale proof
+    // state is wiped up front (the proof re-materializes everything
+    // under workDir anyway; nothing there is an input)
+    {
+      val root = new org.apache.hadoop.fs.Path(workDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(root)) { fs.delete(root, true); () }
+    }
+
     val srcDir = s"$workDir/in"
     // The driver's synthetic corpus fails Curation's Gopher gate by
     // construction (no English stopwords), which would starve the
