@@ -45,11 +45,31 @@ object StreamProof {
     // run's checkpoints — a reused workDir failed with "does not
     // support recovering from checkpoint location" — so stale proof
     // state is wiped up front (the proof re-materializes everything
-    // under workDir anyway; nothing there is an input)
+    // under workDir anyway; nothing there is an input). GUARDED
+    // (round-16 advice): the recursive delete refuses a workDir that
+    // contains/equals the input baseDir, and an EXISTING directory is
+    // wiped only if it carries the marker file a previous proof run
+    // wrote — a mistyped path pointing at real data fails loudly
+    // instead of being destroyed.
     {
-      val root = new org.apache.hadoop.fs.Path(workDir)
+      val marker = ".graft_streamproof"
+      val work = java.nio.file.Paths.get(workDir).toAbsolutePath
+        .normalize()
+      val base = java.nio.file.Paths.get(baseDir).toAbsolutePath
+        .normalize()
+      require(!base.startsWith(work),
+        s"refusing to wipe $work: it contains the input $base")
+      val root = new org.apache.hadoop.fs.Path(work.toString)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(root)) { fs.delete(root, true); () }
+      if (fs.exists(root) && fs.listStatus(root).nonEmpty) {
+        require(fs.exists(new org.apache.hadoop.fs.Path(root, marker)),
+          s"refusing to wipe $work: no $marker from a previous " +
+            s"StreamProof run — pass a dedicated (or empty) work dir")
+        fs.delete(root, true)
+        ()
+      }
+      fs.mkdirs(root)
+      fs.create(new org.apache.hadoop.fs.Path(root, marker)).close()
     }
 
     val srcDir = s"$workDir/in"
@@ -304,21 +324,22 @@ object StreamProof {
       .select(col("doc_id").as("id"), col("text"))
       .as[SimHashStream.StreamDoc]
     val shMaxHamming = 7
-    // proof cap: 8-bit bands have only 256 buckets, so occupancy is
-    // corpus/256 per band; a truncated bucket breaks parity by design
-    // (the EditDistanceStream cap convention: the artifact records the
-    // bound the run needed). The proof asserts PARITY, so it runs at a
-    // known-non-truncating explicit cap — and ALSO records the cap the
-    // production entry point would have derived for this corpus
-    // (maxBucketFor at the measured doc count) plus whether that
-    // derived cap would have truncated here, so the artifact grades
-    // the round-16 corpus-derived default against real occupancy.
-    val shCap = 1 << 20
+    // Round 17: the proof runs the PRODUCTION entry point at its own
+    // DERIVED cap — the round-16 run had to use an explicit 2^20 cap
+    // because member-counted bucket state truncated at the derived
+    // bound (derived 1,880 vs 16,151 members in the hottest bucket);
+    // with class-contracted state the cap's unit is distinct
+    // signatures per bucket, which this corpus keeps far under the
+    // derived bound, so parity at the derived cap IS the graded
+    // claim. The artifact records both occupancies (members — the old
+    // truncating unit — and distinct signature classes — the unit the
+    // cap now bounds) and derived_cap_would_truncate compares the cap
+    // against the unit it actually caps.
     val shDocCount = mutAll.count()
     val shDerivedCap = SimHashStream.maxBucketFor(shDocCount,
       shMaxHamming)
-    val shQ = SimHashStream.hammingPairsCapped(shStream, shMaxHamming,
-      shCap)(spark)
+    val shQ = SimHashStream.hammingPairsFor(shStream, shDocCount,
+      shMaxHamming)(spark)
       .writeStream.format("memory").queryName("shpairs")
       .option("checkpointLocation", s"$workDir/ckpt_sh")
       .trigger(Trigger.AvailableNow()).start()
@@ -332,18 +353,24 @@ object StreamProof {
     // max per-bucket occupancy (round-14 advice: the artifact must
     // show how far the run sat above the production default cap of
     // 64, so `maxBucket` can be sized from data, not guessed)
-    val shBandKeys = mutAll
+    val shSigs = mutAll
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (_, text) =>
-        SimHashStream.bandKeys(
-          graft.operators.Dedup.simhashSignature(text), shMaxHamming)
-      }
+      .map { case (_, text) =>
+        graft.operators.Dedup.simhashSignature(text) }
+    val shBandKeys = shSigs.flatMap(
+      SimHashStream.bandKeys(_, shMaxHamming))
     val shOcc = shBandKeys.groupBy(col("value"))
       .agg(count(lit(1)).as("c"))
       .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"))
       .head()
     val shBucketBound = shOcc.getLong(0)
     val shMaxOccupancy = shOcc.getLong(1)
+    // class occupancy: distinct signatures per bucket — the unit the
+    // contracted state's cap bounds (round 17)
+    val shMaxClasses = shSigs.distinct()
+      .flatMap(SimHashStream.bandKeys(_, shMaxHamming))
+      .groupBy(col("value")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
     // overflow markers (hamming -1) are a disjoint channel: count them
     // for the artifact, exclude them from pair parity — at the proof
     // cap there must be none
@@ -376,11 +403,11 @@ object StreamProof {
         s""","state_rows_final":$shStateFinal""" +
         s""","state_bucket_bound":$shBucketBound""" +
         s""","max_bucket_occupancy":$shMaxOccupancy""" +
-        s""","proof_cap":$shCap,"cap_floor":${
-          SimHashStream.MaxBucket}""" +
+        s""","max_bucket_classes":$shMaxClasses""" +
+        s""","cap_floor":${SimHashStream.MaxBucket}""" +
         s""","docs":$shDocCount,"derived_cap":$shDerivedCap""" +
         s""","derived_cap_would_truncate":${
-          shMaxOccupancy > shDerivedCap}""" +
+          shMaxClasses > shDerivedCap}""" +
         s""","overflow_markers":$shOverflowMarkers}"""
     System.err.println("[streamproof] " + v4)
     val v3 =
@@ -449,11 +476,17 @@ object StreamProof {
       throw new IllegalStateException(
         s"simhash stream state out of bounds: $shStateFinal vs " +
           s"$shBucketBound")
-    // the proof cap is chosen to never truncate — a marker here means
-    // the parity number was computed over a lossy run
+    // the run executes at the production-DERIVED cap (round 17) — a
+    // marker means the derived bound truncated real signature
+    // diversity and the parity number was computed over a lossy run
     if (shOverflowMarkers != 0L)
       throw new IllegalStateException(
         s"simhash proof run truncated buckets: $shOverflowMarkers " +
-          s"overflow markers at cap $shCap")
+          s"overflow markers at derived cap $shDerivedCap")
+    if (shMaxClasses > shDerivedCap)
+      throw new IllegalStateException(
+        s"derived cap $shDerivedCap under measured class occupancy " +
+          s"$shMaxClasses — the maxBucketFor model is wrong for this " +
+          s"corpus shape")
   }
 }

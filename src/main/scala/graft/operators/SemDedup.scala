@@ -72,37 +72,44 @@ object SemDedup {
       maxCentroids: Int = Similarity.MaxCentroids): DataFrame = {
     require(eps > 0.0 && eps <= 1.0, s"eps must be in (0, 1], got $eps")
     val sess = corpus.sparkSession
-    val cents = Similarity.kMeansCentroids(corpus, stride, iters,
-      idCol, vecCol, maxCentroids)
-    // assigned is read several times below (census, both join sides,
-    // survivor base) — persist so the centroid-nearest expression
-    // (dim × centroids work per row) runs once per row
-    val assigned = Similarity.assignToCentroids(corpus, cents,
-        idCol, vecCol)
-      .where(col("centroid_id").isNotNull)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        col("centroid_id"))
-    // release-BEFORE-persist (the pageRankFixed ordering); the census
-    // action below can throw, so the hook is registered immediately
-    lastRelease.releasePrevious(sess)
-    assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lastRelease.set(sess, () => { assigned.unpersist(); () })
-    // fused duplication census + ids gate (the adaptiveSelfPairs
-    // shape): ONE action over the cached assignment answers "any
-    // duplicated vectors?" and "ids unique?". Repeated raw ids keep
-    // the uncontracted plan — the anti-join re-expansion collapses a
-    // repeated id's rows where the original plan emits one output row
-    // per input row (same degenerate boundary adaptiveSelfPairs
-    // documents).
-    val cen = assigned.select(col("id"), xxhash64(col("vec")).as("dg"))
+    // ONE fused duplication census + ids gate for the WHOLE call
+    // chain (round-16 verdict item 4: semDedup and kMeansCentroids
+    // each censused the same vectors — two xxhash64 scans per query;
+    // now one action, BEFORE the k-means build, threads its verdict
+    // into both consumers). Computed over the raw corpus's non-null
+    // vectors, which is exactly the assignment's row domain (a
+    // non-null vector always gets a centroid), so the gate covers the
+    // same rows the post-assignment census covered. Repeated raw ids
+    // keep the uncontracted plan — the anti-join re-expansion
+    // collapses a repeated id's rows where the original plan emits
+    // one output row per input row (same degenerate boundary
+    // adaptiveSelfPairs documents).
+    val cen = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), xxhash64(col(vecCol)).as("dg"))
     val stats = cen.groupBy("dg").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(when(col("c") > lit(1L), col("c"))), lit(0L))
         .as("sus"))
     val gate = cen.agg(count(lit(1)).as("nb"),
       count_distinct(col("id")).as("nids"))
     val tot = stats.crossJoin(gate).head()
+    val dupRows = tot.getLong(0)
     val contractable =
-      tot.getLong(0) > 0L && tot.getLong(1) == tot.getLong(2)
+      dupRows > 0L && tot.getLong(1) == tot.getLong(2)
+    val cents = Similarity.kMeansCentroidsCensused(corpus, stride,
+      iters, idCol, vecCol, maxCentroids, knownDupRows = Some(dupRows))
+    // assigned is read several times below (both join sides, survivor
+    // base) — persist so the centroid-nearest expression (dim ×
+    // centroids work per row) runs once per row
+    val assigned = Similarity.assignToCentroids(corpus, cents,
+        idCol, vecCol)
+      .where(col("centroid_id").isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col("centroid_id"))
+    // release-BEFORE-persist (the pageRankFixed ordering); the hook is
+    // registered immediately — any later action can throw
+    lastRelease.releasePrevious(sess)
+    assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastRelease.set(sess, () => { assigned.unpersist(); () })
     if (!contractable) {
       return pairKeep(assigned, eps).select(col("id").as(idCol),
         col("centroid_id"), col("keep"))
@@ -112,9 +119,15 @@ object SemDedup {
     // is a deterministic function of its operands, so computing it on
     // (vec, vec) decides EXACTLY whether the uncontracted plan drops a
     // class's non-rep members: eps at the float boundary of 1.0 and
-    // degenerate zero/NaN vectors route to the uncontracted side and
-    // keep their original semantics verbatim (null-cosine rows — null
-    // vec elements — likewise, via the coalesce).
+    // degenerate zero vectors (cosine 0.0 < eps) route to the
+    // uncontracted side; NaN-bearing vectors have cosineF32(v,v) = NaN,
+    // which under Spark's NaN-as-largest ordering satisfies NaN >= eps
+    // and takes the CONTRACTED side — still exact, because the pair
+    // join's predicate applies the same NaN semantics to every pair a
+    // class member participates in, so dropping non-reps and competing
+    // via the rep reproduces the uncontracted keep bits (spec-pinned
+    // NaN case, round 17). Null-cosine rows — null vec elements —
+    // route uncontracted via the coalesce.
     val sd = coalesce(cosineF32(col("vec"), col("vec")) >= lit(eps),
       lit(false))
     val reps = assigned.where(sd)

@@ -131,7 +131,25 @@ object Similarity {
     * vector-determined. */
   def kMeansCentroids(corpus: DataFrame, stride: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxCentroids: Int = MaxCentroids): DataFrame = {
+      maxCentroids: Int = MaxCentroids): DataFrame =
+    kMeansCentroidsCensused(corpus, stride, iters, idCol, vecCol,
+      maxCentroids, knownDupRows = None)
+
+  /** [[kMeansCentroids]] with the duplication census THREADED IN
+    * (round-16 verdict item 4 / advice): SemDedup.semDedup already
+    * runs a one-scan xxhash64 census over the same vectors for its
+    * own contraction gate, and the standalone entry point above ran a
+    * second identical scan per call — pure waste on the shared path.
+    * `knownDupRows = Some(d)` is the caller's census verdict (rows
+    * belonging to duplicated non-null vector classes); None keeps the
+    * self-censusing behavior. The verdict is ROUTING-ONLY: either
+    * path produces bit-identical centroids (the weighted-sum lemma,
+    * ApproxQualitySpec), so a stale or conservative count costs only
+    * the iteration input's shape, never correctness — pinned by the
+    * forced-path equality spec. */
+  private[graft] def kMeansCentroidsCensused(corpus: DataFrame,
+      stride: Int, iters: Int, idCol: String, vecCol: String,
+      maxCentroids: Int, knownDupRows: Option[Long]): DataFrame = {
     var cents = collectCentroids(
       sampleCentroids(corpus, stride, idCol, vecCol, maxCentroids))
     require(cents.nonEmpty,
@@ -139,10 +157,16 @@ object Similarity {
         s"$idCol is divisible by stride=$stride")
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
     val scale = (1L << 24).toDouble
-    val dupRows = corpus
+    // census over NON-NULL vectors only (round 17): null embeddings
+    // assign to no cluster, so their duplication cannot make the
+    // contracted iteration any smaller — counting them (the round-16
+    // form) routed a "dups are all nulls" corpus into a contraction
+    // that buys nothing. Routing-only either way (see the scaladoc).
+    val dupRows = knownDupRows.getOrElse(corpus
+      .where(col(vecCol).isNotNull)
       .groupBy(xxhash64(col(vecCol)).as("dg")).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(when(col("c") > lit(1L), col("c"))), lit(0L)))
-      .head().getLong(0)
+      .head().getLong(0))
     // contracted iteration input, persisted across the iters loop and
     // released synchronously before return (every loop action fully
     // materializes, so no lazy reader can outlive the call)

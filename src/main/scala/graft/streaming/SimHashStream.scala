@@ -21,24 +21,43 @@ import graft.operators.Dedup
   * UDF's body — null/word-free docs sign 0L and DO pair with each
   * other at hamming 0, matching the batch plan's semantics.
   *
-  * State per band bucket is the (id, simhash) list of its first-seen
-  * members, capped at [[maxBucketFor]](expectedDocs, maxHamming) — a
-  * cap DERIVED from the caller's stated corpus scale (the
-  * NearDupStream overflow semantics: an overflow doc is checked
-  * against the survivors, then dropped from state — recall against
-  * later arrivals is lost only for degenerate boilerplate buckets,
-  * stated plainly rather than hidden). Memory is
-  * O(buckets × cap × (8B id + 8B sig)), independent of stream length
-  * for non-degenerate corpora — a SMALLER footprint than
-  * NearDupStream's (one long per sig, not 16).
+  * DUPLICATION-CONTRACTED STATE (round 17 — the batch emitters'
+  * census discipline crossing the batch/stream boundary): bucket
+  * state groups members by DISTINCT SIGNATURE —
+  * [[BucketState.classes]] holds one [[SigClass]] (signature + the
+  * ids bearing it) per distinct signature. Byte-identical texts
+  * produce byte-identical signatures, so a mass-duplication clique
+  * occupies ONE class: the per-arrival verify popcounts against
+  * distinct signatures only (one XOR per class, then an id-loop only
+  * on classes within the radius — that loop is the output the query
+  * asks for, the batch re-expansion shape), and [[maxBucketFor]]'s
+  * cap bounds distinct-signature CLASSES, which replica corpora do
+  * not inflate — the round-16 proof corpus's hottest bucket held
+  * 16,151 members across ~160 signatures, so the derived cap (1,880)
+  * that truncated under member-counted state is ~12× of headroom
+  * under class-counted state. Memory per bucket is one (signature,
+  * Seq header) per class — the cap's unit — plus one 8-byte id per
+  * retained member: the id payload is NOT distinct-bound, but it is
+  * exactly the information exact pair re-expansion requires (an
+  * arriving duplicate must pair with EVERY earlier clique member to
+  * keep batch parity), so it is output-necessitated, the same
+  * output-volume-bound judgment as batch q23's re-expansion. A
+  * deployment that can tolerate lossy re-expansion would sample ids
+  * per class — that variant is deliberately NOT offered: silent
+  * truncation of pairs is the failure mode this family refuses.
+  *
+  * Cap semantics under contraction: an arrival whose signature
+  * matches an existing class ALWAYS joins it (duplication never
+  * consumes cap); an arrival with a NEW signature at a full bucket is
+  * verified against the retained classes, then dropped from state
+  * with an [[OverflowId]] marker row (hamming -1) — recall against
+  * later arrivals is lost only for genuinely distinct signatures past
+  * the cap, observable in the output stream itself.
   *
   * Emission: a pair is scored once per SHARED band; cross-band
   * repeats carry identical hammings — consumers dedup on
   * (id_new, id_old) with a batch `distinct`, the idempotent-upsert
-  * convention shared by the whole streaming family. A doc arriving at
-  * a FULL bucket additionally emits an [[SimHashStream.OverflowId]]
-  * marker row (hamming -1), so cap truncation is observable in the
-  * output stream itself.
+  * convention shared by the whole streaming family.
   *
   * Parity contract (spec-pinned): the distinct canonicalized
   * (min id, max id, hamming) set over any stream prefix equals batch
@@ -53,44 +72,54 @@ object SimHashStream {
   final case class HammingPair(id_new: Long, id_old: Long, hamming: Int)
 
   /** `id_old` of an overflow MARKER row: `(id, OverflowId, -1)` means
-    * doc `id` arrived at a full bucket and was verified against the
-    * survivors but NOT retained — recall against later arrivals is
-    * lost for that doc in that band. Emitted (once per overflowing
-    * band) so cap truncation is an observable stream fact, not a
-    * scaladoc footnote (round-14 advice): a consumer alerts on ANY
-    * marker, or counts them to size `maxBucket`. Real pairs always
-    * carry `hamming >= 0` and `id_old >= 0` — filter
+    * doc `id` arrived with a NEW signature at a bucket already holding
+    * `maxBucket` signature classes and was verified against the
+    * retained classes but NOT retained — recall against later
+    * arrivals is lost for that doc in that band. Emitted (once per
+    * overflowing band) so cap truncation is an observable stream
+    * fact, not a scaladoc footnote (round-14 advice): a consumer
+    * alerts on ANY marker, or counts them to size `maxBucket`. Real
+    * pairs always carry `hamming >= 0` and `id_old >= 0` — filter
     * `hamming >= 0` to consume pairs only. */
   val OverflowId: Long = -1L
 
-  /** Bucket membership: ids + signatures of the first-seen docs. */
-  final case class BucketState(ids: Seq[Long], sigs: Seq[Long])
+  /** One distinct signature's members within a bucket: `ids` holds
+    * every retained doc bearing `sig`, in arrival order (min-id first
+    * within a micro-batch — the fold sorts arrivals by id). */
+  final case class SigClass(sig: Long, ids: Seq[Long])
 
-  /** FLOOR of the derived bucket cap (no longer a caller-facing
-    * default — round-16 fix of the round-15 finding that a constant 64
-    * sat ~250× under the proof corpus's measured occupancy). UNLIKE
-    * NearDupStream's minhash band keys (a huge keyspace where only
-    * near-dups collide), SimHash bands have only 2^width buckets (256
-    * at the 8×8-bit geometry), so expected occupancy is corpus/256 per
-    * band and the cap must scale with the corpus: [[hammingPairs]] now
-    * REQUIRES `expectedDocs` and derives the cap via [[maxBucketFor]];
-    * an explicit cap (memory-constrained deployments, proof harnesses)
-    * goes through [[hammingPairsCapped]], stated rather than
-    * defaulted. The cap trades memory for recall against later
-    * arrivals, and a truncated bucket breaks batch parity by design
-    * (the StreamProof run records the bound it actually needed AND the
-    * max per-bucket occupancy it observed, the EditDistanceStream cap
-    * convention). Truncation stays observable at runtime via
-    * [[OverflowId]] marker rows. */
+  /** Bucket membership, grouped by distinct signature (round 17):
+    * the cap counts `classes`, never members — see the object doc. */
+  final case class BucketState(classes: Seq[SigClass])
+
+  /** FLOOR of the derived bucket cap. UNLIKE NearDupStream's minhash
+    * band keys (a huge keyspace where only near-dups collide), SimHash
+    * bands have only 2^width buckets (256 at the 8×8-bit geometry), so
+    * expected occupancy is corpus/256 per band and the cap must scale
+    * with the corpus: [[hammingPairsFor]] REQUIRES `expectedDocs` and
+    * derives the cap via [[maxBucketFor]]; an explicit cap
+    * (memory-constrained deployments, proof harnesses) goes through
+    * [[hammingPairsCapped]], stated rather than defaulted. The cap
+    * bounds DISTINCT SIGNATURE CLASSES per bucket (round 17), so it
+    * trades memory for recall against later arrivals only on corpora
+    * whose distinct-signature diversity exceeds it — mass duplication
+    * no longer spends cap — and a truncated bucket breaks batch parity
+    * by design (the StreamProof run records the bound it actually
+    * needed AND the max per-bucket class occupancy it observed, the
+    * EditDistanceStream cap convention). Truncation stays observable
+    * at runtime via [[OverflowId]] marker rows. */
   val MaxBucket = 64
 
   /** Cap sized from an expected corpus: uniform signatures spread
     * ~expectedDocs / 2^bandWidth docs into each of a band's buckets,
     * so the cap is that occupancy with 8x headroom for skew (floored
-    * at [[MaxBucket]]) — boilerplate-heavy corpora concentrate far
-    * past uniform, and the [[OverflowId]] markers report when even
-    * this bound truncates. Use as `hammingPairs(docs, r,
-    * maxBucketFor(expected, r))`. */
+    * at [[MaxBucket]]). The unit it bounds is distinct signature
+    * CLASSES (round 17), for which docs-per-bucket is a conservative
+    * ceiling — distinct signatures ≤ docs, with the gap widest
+    * exactly on the boilerplate-heavy corpora that used to truncate
+    * member-counted state. [[OverflowId]] markers still report if
+    * even this bound is exceeded by genuine signature diversity. Use
+    * via `hammingPairsFor(docs, expected, r)`. */
   def maxBucketFor(expectedDocs: Long, maxHamming: Int): Int = {
     require(expectedDocs >= 0, s"expectedDocs: $expectedDocs")
     val nBands = if (maxHamming <= 3) 4 else 8
@@ -100,9 +129,15 @@ object SimHashStream {
       .min(Int.MaxValue.toLong).toInt
   }
 
-  /** Fold one bucket's micro-batch arrivals: each new doc verifies
-    * against every doc already in the bucket (state ∪
-    * earlier-in-batch), then joins the bucket if it has room. A doc
+  /** Fold one bucket's micro-batch arrivals: each new doc XORs
+    * against every distinct SIGNATURE already in the bucket (state ∪
+    * earlier-in-batch) — one popcount per class — and emits a pair
+    * with every member of each class within the radius (the exact
+    * re-expansion batch parity requires; that id-loop is output
+    * volume, not verify cost). A doc whose signature matches a
+    * retained class joins it unconditionally; a new signature claims
+    * a class slot if the bucket holds fewer than `maxBucket` classes,
+    * else emits an overflow marker and is dropped from state. A doc
     * id already present is an at-least-once replay and is skipped —
     * exactly-once pairing on top of at-least-once delivery. Arrivals
     * sort by id so pairing is deterministic under Spark's unordered
@@ -112,28 +147,48 @@ object SimHashStream {
       : Iterator[HammingPair] = {
     // index into ARRAYS, never the state's Seq: a restored Seq is a
     // List, whose apply is O(i) — with SimHash's 256-buckets-a-band
-    // occupancy (thousands of members per bucket at proof scale) the
-    // linear-seq indexing turned the per-bucket fold cubic and
-    // stalled the round-14 proof chain for an hour before it was
-    // caught in a thread dump
+    // occupancy the linear-seq indexing turned the per-bucket fold
+    // cubic and stalled the round-14 proof chain for an hour before
+    // it was caught in a thread dump. Members copy into per-class
+    // ArrayBuffers so the duplicate-join append is O(1).
     val st = state.getOption
-    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
     val sigs = new scala.collection.mutable.ArrayBuffer[Long]()
-    st.foreach { s => ids ++= s.ids; sigs ++= s.sigs }
-    val seen = scala.collection.mutable.HashSet[Long](ids.toSeq: _*)
+    val members =
+      new scala.collection.mutable.ArrayBuffer[
+        scala.collection.mutable.ArrayBuffer[Long]]()
+    val seen = scala.collection.mutable.HashSet[Long]()
+    st.foreach(_.classes.foreach { c =>
+      sigs += c.sig
+      val m = new scala.collection.mutable.ArrayBuffer[Long](c.ids.size)
+      c.ids.foreach { id => m += id; seen += id }
+      members += m
+    })
     val out = Seq.newBuilder[HammingPair]
     var grew = false
     docs.toSeq.sortBy(_.id).foreach { d =>
       if (!seen(d.id)) {
+        var matched = -1
         var i = 0
-        while (i < ids.length) {
+        while (i < sigs.length) {
           val h = java.lang.Long.bitCount(d.simhash ^ sigs(i))
-          if (h <= maxHamming) out += HammingPair(d.id, ids(i), h)
+          if (h <= maxHamming) {
+            val ms = members(i)
+            var j = 0
+            while (j < ms.length) {
+              out += HammingPair(d.id, ms(j), h)
+              j += 1
+            }
+          }
+          if (h == 0) matched = i
           i += 1
         }
-        if (ids.length < maxBucket) {
-          ids += d.id
+        if (matched >= 0) {
+          // duplicate signature: joins its class — never spends cap
+          members(matched) += d.id
+          grew = true
+        } else if (sigs.length < maxBucket) {
           sigs += d.simhash
+          members += scala.collection.mutable.ArrayBuffer(d.id)
           grew = true
         } else {
           // cap truncation must be visible at runtime, not only in
@@ -143,7 +198,8 @@ object SimHashStream {
         seen += d.id
       }
     }
-    if (grew) state.update(BucketState(ids.toSeq, sigs.toSeq))
+    if (grew) state.update(BucketState(
+      sigs.indices.map(i => SigClass(sigs(i), members(i).toSeq))))
     out.result().iterator
   }
 
@@ -175,16 +231,24 @@ object SimHashStream {
     * instead of inheriting a constant that silently truncates on real
     * corpora; [[OverflowId]] markers still report when even the
     * derived bound is exceeded. An explicit cap goes through
-    * [[hammingPairsCapped]]. */
-  def hammingPairs(docs: Dataset[StreamDoc], expectedDocs: Long,
+    * [[hammingPairsCapped]].
+    *
+    * Named `hammingPairsFor` (not `hammingPairs`) deliberately
+    * (round-16 advice): the pre-round-16 `hammingPairs(docs,
+    * maxHamming)` took the radius as its second positional parameter,
+    * and re-typing that slot to `expectedDocs: Long` let stale
+    * positional calls compile via Int-to-Long widening into a
+    * silently different band geometry. The new name makes the
+    * migration compile-breaking for every external caller. */
+  def hammingPairsFor(docs: Dataset[StreamDoc], expectedDocs: Long,
       maxHamming: Int = 7)(
       implicit spark: SparkSession): Dataset[HammingPair] =
     hammingPairsCapped(docs, maxHamming,
       maxBucketFor(expectedDocs, maxHamming))
 
-  /** [[hammingPairs]] with an EXPLICIT bucket cap — for memory-bounded
-    * deployments and proof harnesses; the cap is a stated decision,
-    * never a default. */
+  /** [[hammingPairsFor]] with an EXPLICIT class cap — for
+    * memory-bounded deployments and proof harnesses; the cap is a
+    * stated decision, never a default. */
   def hammingPairsCapped(docs: Dataset[StreamDoc], maxHamming: Int,
       maxBucket: Int)(
       implicit spark: SparkSession): Dataset[HammingPair] = {

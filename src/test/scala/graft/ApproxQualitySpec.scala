@@ -501,6 +501,18 @@ class ApproxQualitySpec extends SparkSuite {
     val legacy = cents.sortBy(_._1)
     assert(got === legacy,
       "contracted k-means diverged from the raw-row Lloyd")
+    // the threaded census verdict is ROUTING-ONLY (round 17: SemDedup
+    // passes its own census into kMeansCentroidsCensused): forcing
+    // either path on the same duplicated corpus must be bit-identical
+    // — a wrong/stale count may cost iteration-input shape, never
+    // centroids
+    def forced(dups: Option[Long]) =
+      Similarity.kMeansCentroidsCensused(emb, stride, iters,
+          "vec_id", "embedding", maxC, knownDupRows = dups)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+    assert(forced(Some(0L)) === got, "forced raw path diverged")
+    assert(forced(Some(99L)) === got, "forced contracted path diverged")
   }
 
   test("capped SemDedup: duplicate recall unchanged by the cap " +

@@ -462,7 +462,17 @@ class CurationOpsSpec extends SparkSuite {
     // at ANY centroid count)
     val rows = for (i <- 0 until 40; r <- 0 until 5)
       yield ((100L * r + i), unit(i))
-    val emb = rows.toDF("vec_id", "embedding")
+    // NaN-bearing identical pair (round-17 advice pin): cosineF32(v,v)
+    // is NaN, which under Spark's NaN-as-largest ordering satisfies
+    // NaN >= eps, so the class takes the CONTRACTED path — exact
+    // because the pair join applies the same NaN semantics, asserted
+    // against the inlined uncontracted plan below rather than a
+    // hand-derived keep set. Ids 901/903: above every ordinary id (so
+    // they can never flip an ordinary keep bit via rid < id) and not
+    // divisible by the stride (never sampled as centroids).
+    val nanRows = Seq((901L, Array(Float.NaN, 1f, 0f, 0f)),
+      (903L, Array(Float.NaN, 1f, 0f, 0f)))
+    val emb = (rows ++ nanRows).toDF("vec_id", "embedding")
     val (eps, stride, iters) = (0.97, 10, 2)
     val out = SemDedup.semDedup(emb, eps, stride, iters)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
@@ -489,11 +499,20 @@ class CurationOpsSpec extends SparkSuite {
       .toSet
     assigned.unpersist()
     assert(out === legacy)
-    // and the headline semantics: exactly one survivor per clique, the
-    // min id (replica 0's id = i)
-    val keep = out.collect { case (id, _, k) if k => id }
-    assert(keep.size === 40)
-    assert(keep.forall(_ < 100L))
+    // and the headline semantics: exactly one ORDINARY survivor per
+    // clique, the min id (replica 0's id = i) — the NaN pair's keep
+    // bits are pinned by the parity assertion above (they depend on
+    // which cluster the NaN rows land in, a tie-broken detail both
+    // plans share), but they can never alter an ordinary row's bit
+    val ordinaryKeep = out.collect { case (id, _, k) if k && id < 500L => id }
+    assert(ordinaryKeep.size === 40)
+    assert(ordinaryKeep.forall(_ < 100L))
+    // at most one NaN survivor: the pair is one identical class, so
+    // whichever plan semantics apply, 903 can only survive if 901 does
+    val nanKeep = out.collect { case (id, _, k) if id > 500L => id -> k }
+      .toMap
+    assert(nanKeep.keySet === Set(901L, 903L))
+    assert(nanKeep(901L) || !nanKeep(903L))
   }
 
   test("semDedup degenerate boundaries: identical zero vectors are " +

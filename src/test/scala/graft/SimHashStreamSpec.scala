@@ -37,7 +37,7 @@ class SimHashStreamSpec extends SparkSuite {
       StreamDoc(11L, ""), // zero signature: pairs doc 4 at hamming 0
       StreamDoc(12L, variant)) // exact dup of 2, cross-batch
     val input = MemoryStream[StreamDoc](s)
-    val query = SimHashStream.hammingPairs(input.toDS(),
+    val query = SimHashStream.hammingPairsFor(input.toDS(),
         expectedDocs = 7, maxHamming = 7)
       .writeStream.format("memory").queryName("simhash_pairs")
       .outputMode("append").start()
@@ -90,7 +90,7 @@ class SimHashStreamSpec extends SparkSuite {
       StreamDoc(i.toLong, pool(rnd.nextInt(pool.size))))
     val batches = docs.grouped(20).toSeq
     val input = MemoryStream[StreamDoc](s)
-    val query = SimHashStream.hammingPairs(input.toDS(),
+    val query = SimHashStream.hammingPairsFor(input.toDS(),
         expectedDocs = 60, maxHamming = 3)
       .writeStream.format("memory").queryName("simhash_pairs_rnd")
       .outputMode("append").start()
@@ -114,14 +114,16 @@ class SimHashStreamSpec extends SparkSuite {
     } finally query.stop()
   }
 
-  test("maxBucket overflow semantics: an overflowing arrival is " +
-      "checked against the survivors, then dropped from state — " +
-      "recall against later arrivals is lost exactly there") {
+  test("duplicate arrivals never spend cap and re-expand against the " +
+      "whole clique (stream form of the batch contraction), with " +
+      "state one row per bucket regardless of clique size") {
     val s = initSpark()
     import s.implicits._
     implicit val spark: org.apache.spark.sql.SparkSession = s
     val base = "alpha beta gamma delta epsilon"
     val input = MemoryStream[StreamDoc](s)
+    // cap 1: a member-counted cap would truncate at the second doc —
+    // the round-16 weak finding; the class-counted cap must not
     val query = SimHashStream.hammingPairsCapped(input.toDS(),
         maxHamming = 7, maxBucket = 1)
       .writeStream.format("memory").queryName("simhash_pairs_cap")
@@ -131,26 +133,70 @@ class SimHashStreamSpec extends SparkSuite {
       query.processAllAvailable()
       input.addData(StreamDoc(3L, base))
       query.processAllAvailable()
+      // a LATER duplicate still pairs with every earlier clique
+      // member (the batch re-expansion semantics, spec-pinned)
+      input.addData(StreamDoc(5L, base))
+      query.processAllAvailable()
       val rows =
         s.sql("SELECT id_new, id_old, hamming FROM simhash_pairs_cap")
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-      // doc 2 overflowed every bucket (cap 1, doc 1 holds the slot):
-      // it paired against the survivor but doc 3 can no longer see it
       val got = rows.filter(_._3 >= 0).map(canon).toSet
-      assert(got === Set((1L, 2L, 0), (1L, 3L, 0)), got.toString)
-      // ...and the truncation is OBSERVABLE (round-14 advice): both
-      // overflowing arrivals emitted marker rows, the retained doc none
-      val overflowed = rows.filter(_._3 < 0)
-      assert(overflowed.forall(m =>
-          m._2 === SimHashStream.OverflowId && m._3 === -1),
-        s"malformed markers: ${overflowed.toSeq}")
-      assert(overflowed.map(_._1).toSet === Set(2L, 3L),
-        s"expected overflow markers for docs 2 and 3: ${overflowed.toSeq}")
+      assert(got === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0),
+        (1L, 5L, 0), (2L, 5L, 0), (3L, 5L, 0)), got.toString)
+      assert(rows.forall(_._3 >= 0),
+        s"no marker may fire for duplicates: ${rows.toSeq}")
+      // state stays ONE row per occupied bucket (one class in each) —
+      // bounded by base's band keys, not by the 4 retained members
+      val stateRows = query.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateRows ===
+        SimHashStream.bandKeys(Dedup.simhashSignature(base), 7)
+          .distinct.size.toLong,
+        s"state rows $stateRows")
     } finally query.stop()
   }
 
-  test("maxBucketFor sizes the cap from an expected corpus: uniform " +
-      "occupancy x8 headroom, floored at the default") {
+  test("pairBucket fold semantics (unit): a NEW signature at a full " +
+      "bucket verifies against retained classes, marks, and is " +
+      "dropped; duplicates join their class; replays are skipped") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.SimHashStream.{BandedSig, BucketState}
+    def fold(st: Option[BucketState], docs: Seq[BandedSig])
+        : (Seq[(Long, Long, Int)], Option[BucketState]) = {
+      val gs = TestGroupState.create[BucketState](
+        org.apache.spark.api.java.Optional.fromNullable(st.orNull),
+        GroupStateTimeout.NoTimeout, 0L,
+        org.apache.spark.api.java.Optional.empty[Long](),
+        false)
+      val out = SimHashStream.pairBucket(maxHamming = 3, maxBucket = 1)(
+        "0:42", docs.iterator, gs).toSeq
+        .map(p => (p.id_new, p.id_old, p.hamming))
+      (out, if (gs.exists) Some(gs.get) else st)
+    }
+    val sigA = 0xF0F0L
+    val sigB = sigA ^ 3L // hamming 2: inside the radius, not a dup
+    // batch 1: 1 claims the class, 2 joins it (h=0 pair), 3's new
+    // signature finds the bucket full — verified (pairs at h=2 with
+    // BOTH members), marked, dropped
+    val (out1, st1) = fold(None, Seq(
+      BandedSig("0:42", 2L, sigA), BandedSig("0:42", 1L, sigA),
+      BandedSig("0:42", 3L, sigB)))
+    assert(out1.toSet === Set((2L, 1L, 0), (3L, 1L, 2), (3L, 2L, 2),
+      (3L, SimHashStream.OverflowId, -1)), out1.toString)
+    assert(st1.get.classes.map(c => (c.sig, c.ids)) ===
+      Seq((sigA, Seq(1L, 2L))), st1.toString)
+    // batch 2: a later duplicate (4) re-expands against the whole
+    // clique and joins it; 3 is GONE from state (recall lost exactly
+    // there — it does not pair again); a replay of 1 emits nothing
+    val (out2, st2) = fold(st1, Seq(
+      BandedSig("0:42", 4L, sigA), BandedSig("0:42", 1L, sigA)))
+    assert(out2.toSet === Set((4L, 1L, 0), (4L, 2L, 0)), out2.toString)
+    assert(st2.get.classes.map(c => (c.sig, c.ids)) ===
+      Seq((sigA, Seq(1L, 2L, 4L))), st2.toString)
+  }
+
+  test("maxBucketFor sizes the class cap from an expected corpus: " +
+      "uniform occupancy x8 headroom, floored at the default") {
     // 8x8 geometry: 256 buckets/band; 1M docs -> ~3907/bucket uniform
     assert(SimHashStream.maxBucketFor(1000000L, 7) === 3907 * 8)
     // tiny corpus: floor at the production default
@@ -161,17 +207,17 @@ class SimHashStreamSpec extends SparkSuite {
     assert(SimHashStream.maxBucketFor(1000000L, 3) === 16 * 8)
   }
 
-  test("hammingPairs rejects radii outside 0..7 (the batch guard)") {
+  test("hammingPairsFor rejects radii outside 0..7 (the batch guard)") {
     val s = initSpark()
     import s.implicits._
     implicit val spark: org.apache.spark.sql.SparkSession = s
     val input = MemoryStream[StreamDoc](s)
     intercept[IllegalArgumentException] {
-      SimHashStream.hammingPairs(input.toDS(), expectedDocs = 10,
+      SimHashStream.hammingPairsFor(input.toDS(), expectedDocs = 10,
         maxHamming = 8)
     }
     intercept[IllegalArgumentException] {
-      SimHashStream.hammingPairs(input.toDS(), expectedDocs = 10,
+      SimHashStream.hammingPairsFor(input.toDS(), expectedDocs = 10,
         maxHamming = -1)
     }
   }
