@@ -1661,8 +1661,10 @@ object Dedup {
 
   /** The LSH-bucketed candidate + exact-integer-cosine verify over a
     * prepared (id, sig, vec, norm2) frame — the portable operator's
-    * original plan, factored for the duplication-adaptive wrapper. */
-  private def portableEmbPairsOverSigs(sigd: DataFrame,
+    * original plan, factored for the duplication-adaptive wrapper.
+    * private[graft]: ScaleProof's q44 decomposition times this core
+    * in isolation (the q23 simhashPairsOverSigs precedent). */
+  private[graft] def portableEmbPairsOverSigs(sigd: DataFrame,
       threshold: Double): DataFrame = {
     val cand = sigd.as("a").join(sigd.as("b"),
       col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
