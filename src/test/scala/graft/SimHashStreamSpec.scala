@@ -195,16 +195,26 @@ class SimHashStreamSpec extends SparkSuite {
       Seq((sigA, Seq(1L, 2L, 4L))), st2.toString)
   }
 
-  test("maxBucketFor sizes the class cap from an expected corpus: " +
-      "uniform occupancy x8 headroom, floored at the default") {
-    // 8x8 geometry: 256 buckets/band; 1M docs -> ~3907/bucket uniform
-    assert(SimHashStream.maxBucketFor(1000000L, 7) === 3907 * 8)
+  test("maxBucketFor derives the class cap as the stated corpus " +
+      "size itself: classes <= docs is a theorem, occupancy models " +
+      "were measured wrong") {
+    // distinct signature classes in a bucket can never exceed the
+    // documents that produced them, so the cap = expectedDocs never
+    // truncates within stated scale (StreamProof measured real band
+    // skew at 8-81x past the old uniform model on BOTH proof shapes)
+    assert(SimHashStream.maxBucketFor(1000000L, 7) === 1000000)
+    // geometry-independent: the radius no longer changes the bound
+    assert(SimHashStream.maxBucketFor(1000000L, 3) === 1000000)
     // tiny corpus: floor at the production default
-    assert(SimHashStream.maxBucketFor(1000L, 7) ===
+    assert(SimHashStream.maxBucketFor(10L, 7) ===
       SimHashStream.MaxBucket)
-    // 4x16 geometry: 65536 buckets/band — the same 1M docs spread
-    // ~16/bucket, so the cap stays near the default
-    assert(SimHashStream.maxBucketFor(1000000L, 3) === 16 * 8)
+    // clamped to Int range for huge stated scales
+    assert(SimHashStream.maxBucketFor(Long.MaxValue, 7) ===
+      Int.MaxValue)
+    // the radius guard still applies at derivation time
+    intercept[IllegalArgumentException] {
+      SimHashStream.maxBucketFor(1000L, 8)
+    }
   }
 
   test("hammingPairsFor rejects radii outside 0..7 (the batch guard)") {
