@@ -89,9 +89,26 @@ object Similarity {
     * centroids exist for. */
   def sampleCentroids(corpus: DataFrame, stride: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxCentroids: Int = MaxCentroids): DataFrame = {
-    val es = effectiveStride(corpus.count(), stride, maxCentroids)
-    corpus.where(pmod(col(idCol), lit(es)) === 0)
+      maxCentroids: Int = MaxCentroids): DataFrame =
+    sampleCentroidsOver(corpus, corpus, stride, idCol, vecCol,
+      maxCentroids)
+
+  /** [[sampleCentroids]] whose stride FILTER reads `scanFrame` — the
+    * corpus possibly wrapped in an `observe()` census (see
+    * [[kMeansCentroidsCensused]]) — while the stride-widening count
+    * reads the bare `countFrame`. The split matters: an Observation
+    * completes with the FIRST action on its plan, so the count (a
+    * metadata-cheap parquet job) must not consume the observation
+    * that belongs to the full sampling scan. The stride filter stays
+    * ABOVE the CollectMetrics barrier (Catalyst does not push
+    * predicates through it — behavior-asserted in ApproxQualitySpec:
+    * the observed count equals the full corpus, not the sample), so
+    * the observation sees every corpus row. */
+  private[graft] def sampleCentroidsOver(scanFrame: DataFrame,
+      countFrame: DataFrame, stride: Int, idCol: String,
+      vecCol: String, maxCentroids: Int): DataFrame = {
+    val es = effectiveStride(countFrame.count(), stride, maxCentroids)
+    scanFrame.where(pmod(col(idCol), lit(es)) === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
   }
 
@@ -118,9 +135,11 @@ object Similarity {
     * sums and 1 to its counts, so m byte-identical rows contribute
     * m × quantize(x_i) and m, both EXACT in long arithmetic — and the
     * assignment is a pure function of the vector, so identical rows
-    * always land in the same cluster. A one-scan census (xxhash64 of
-    * the vector — routing-only; the contraction groups by the FULL
-    * vector) therefore lets a duplicated corpus run every iteration
+    * always land in the same cluster. A ZERO-JOB census (round 17:
+    * an observe() riding the init sampling scan — xxhash64 +
+    * approx_count_distinct, routing-only; the contraction groups by
+    * the FULL vector) therefore lets a duplicated corpus run every
+    * iteration
     * over (distinct vector, multiplicity) pairs with the weighted
     * aggregate, producing BIT-IDENTICAL centroids to the raw-row plan
     * the DuckDB oracle replays, while the per-iteration scan drops
@@ -135,43 +154,83 @@ object Similarity {
     kMeansCentroidsCensused(corpus, stride, iters, idCol, vecCol,
       maxCentroids, knownDupRows = None)
 
-  /** [[kMeansCentroids]] with the duplication census THREADED IN
-    * (round-16 verdict item 4 / advice): SemDedup.semDedup already
-    * runs a one-scan xxhash64 census over the same vectors for its
-    * own contraction gate, and the standalone entry point above ran a
-    * second identical scan per call — pure waste on the shared path.
-    * `knownDupRows = Some(d)` is the caller's census verdict (rows
-    * belonging to duplicated non-null vector classes); None keeps the
-    * self-censusing behavior. The verdict is ROUTING-ONLY: either
-    * path produces bit-identical centroids (the weighted-sum lemma,
-    * ApproxQualitySpec), so a stale or conservative count costs only
-    * the iteration input's shape, never correctness — pinned by the
-    * forced-path equality spec. */
+  /** Relative-error target for the free-rider duplication census:
+    * `approx_count_distinct`'s HLL++ rsd. 2% keeps the sketch tiny
+    * while the contraction verdict only asks "is a MATERIAL fraction
+    * of the corpus duplicated" — see [[kMeansCentroidsCensused]]. */
+  private val CensusRsd = 0.02
+
+  /** [[kMeansCentroids]] with the duplication census decision
+    * exposed. `knownDupRows = Some(d)` is a caller's own verdict
+    * (contract iff d > 0 — SemDedup's spec pins both forced paths);
+    * `None` self-censuses at ZERO extra jobs (round-16 verdict item
+    * 4 / advice, closing the "every call pays a census scan even
+    * dup-free" waste): an `observe()` on the init sampling scan —
+    * which already reads every corpus row, the stride filter being
+    * un-pushable — collects exact non-null count and an HLL++
+    * distinct-hash estimate as free-rider metrics, and the build
+    * contracts iff the estimated duplicated-row mass clears a noise
+    * floor (nb − approx_distinct > nb/10 + 64, i.e. ~10% of the
+    * corpus, far above the 3×rsd HLL band). The approximate verdict
+    * is SAFE here in a way it would not be for SemDedup's pair join:
+    * a missed contraction costs at most `iters` raw-row scans
+    * (linear, the pre-round-16 plan), never a quadratic pair term —
+    * and a spurious contraction only reshapes the iteration input,
+    * because either path produces BIT-IDENTICAL centroids (the
+    * weighted-sum lemma + forced-path equality, ApproxQualitySpec).
+    * Mass-duplication shapes (the 100× replica tier: 200k rows, 2k
+    * distinct) clear the floor by orders of magnitude; dup-free and
+    * trace-duplication corpora (every driver sf tier) route raw with
+    * no census job at all. */
   private[graft] def kMeansCentroidsCensused(corpus: DataFrame,
       stride: Int, iters: Int, idCol: String, vecCol: String,
-      maxCentroids: Int, knownDupRows: Option[Long]): DataFrame = {
-    var cents = collectCentroids(
-      sampleCentroids(corpus, stride, idCol, vecCol, maxCentroids))
+      maxCentroids: Int, knownDupRows: Option[Long]): DataFrame =
+    kMeansCentroidsObserved(corpus, stride, iters, idCol, vecCol,
+      maxCentroids, knownDupRows)._1
+
+  /** [[kMeansCentroidsCensused]] that ALSO hands the caller the
+    * free-rider census it collected — `Some((nb, approxDistinct))`
+    * over non-null vectors when self-censusing, `None` when the
+    * caller supplied the verdict. SemDedup uses the EXACT `nb` to
+    * size its own contraction-gate decision without any extra job. */
+  private[graft] def kMeansCentroidsObserved(corpus: DataFrame,
+      stride: Int, iters: Int, idCol: String, vecCol: String,
+      maxCentroids: Int, knownDupRows: Option[Long])
+      : (DataFrame, Option[(Long, Long)]) = {
+    // census over NON-NULL vectors only (round 17): null embeddings
+    // assign to no cluster, so their duplication cannot make the
+    // contracted iteration any smaller.
+    val obs = knownDupRows match {
+      case Some(_) => None
+      case None => Some(org.apache.spark.sql.Observation())
+    }
+    val scan = obs.map(o => corpus.observe(o,
+        count(when(col(vecCol).isNotNull, lit(1))).as("nb"),
+        approx_count_distinct(when(col(vecCol).isNotNull,
+          xxhash64(col(vecCol))), CensusRsd).as("andg")))
+      .getOrElse(corpus)
+    var cents = collectCentroids(sampleCentroidsOver(scan, corpus,
+      stride, idCol, vecCol, maxCentroids))
     require(cents.nonEmpty,
       s"kMeansCentroids: no centroids sampled — corpus is empty or no " +
         s"$idCol is divisible by stride=$stride")
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
     val scale = (1L << 24).toDouble
-    // census over NON-NULL vectors only (round 17): null embeddings
-    // assign to no cluster, so their duplication cannot make the
-    // contracted iteration any smaller — counting them (the round-16
-    // form) routed a "dups are all nulls" corpus into a contraction
-    // that buys nothing. Routing-only either way (see the scaladoc).
-    val dupRows = knownDupRows.getOrElse(corpus
-      .where(col(vecCol).isNotNull)
-      .groupBy(xxhash64(col(vecCol)).as("dg")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(when(col("c") > lit(1L), col("c"))), lit(0L)))
-      .head().getLong(0))
+    // the sampling collect above completed the observation
+    val census: Option[(Long, Long)] = obs.map { o =>
+      val m = o.get
+      (m("nb").asInstanceOf[Long], m("andg").asInstanceOf[Long])
+    }
+    val shouldContract = knownDupRows match {
+      case Some(d) => d > 0L
+      case None =>
+        census.exists { case (nb, andg) => nb - andg > nb / 10L + 64L }
+    }
     // contracted iteration input, persisted across the iters loop and
     // released synchronously before return (every loop action fully
     // materializes, so no lazy reader can outlive the call)
     val contracted: Option[DataFrame] =
-      if (dupRows == 0L) None
+      if (!shouldContract) None
       else {
         val d = corpus.select(col(vecCol)).groupBy(vecCol)
           .agg(count(lit(1)).as("__w"))
@@ -232,11 +291,12 @@ object Similarity {
     val rows = cents.map { case (cid, v) => (cid, v) }.toSeq
     val spark = corpus.sparkSession
     import spark.implicits._
-    rows.toDF("centroid_id", "centroid_vec")
+    val df = rows.toDF("centroid_id", "centroid_vec")
       .select(col("centroid_id"),
         col("centroid_vec").cast(
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType)).as("centroid_vec"))
+    (df, census)
   }
 
   /** IVF-PQ top-k: bucket pruning (IVF) over PQ-coded vectors with ADC

@@ -501,11 +501,12 @@ class ApproxQualitySpec extends SparkSuite {
     val legacy = cents.sortBy(_._1)
     assert(got === legacy,
       "contracted k-means diverged from the raw-row Lloyd")
-    // the threaded census verdict is ROUTING-ONLY (round 17: SemDedup
-    // passes its own census into kMeansCentroidsCensused): forcing
-    // either path on the same duplicated corpus must be bit-identical
-    // — a wrong/stale count may cost iteration-input shape, never
-    // centroids
+    // the census verdict is ROUTING-ONLY (round 17: the public entry
+    // self-censuses via a free-rider observation on the init sampling
+    // scan, and this corpus's 74% duplicated mass clears the
+    // contraction floor): forcing either path on the same duplicated
+    // corpus must be bit-identical — a wrong/stale/approximate
+    // verdict may cost iteration-input shape, never centroids
     def forced(dups: Option[Long]) =
       Similarity.kMeansCentroidsCensused(emb, stride, iters,
           "vec_id", "embedding", maxC, knownDupRows = dups)
@@ -513,6 +514,32 @@ class ApproxQualitySpec extends SparkSuite {
         .sortBy(_._1).toSeq
     assert(forced(Some(0L)) === got, "forced raw path diverged")
     assert(forced(Some(99L)) === got, "forced contracted path diverged")
+  }
+
+  test("k-means self-census rides the init sampling scan: the stride " +
+      "filter stays above CollectMetrics, so the observation sees " +
+      "every row, not the sample") {
+    val s = initSpark()
+    import s.implicits._
+    val emb = (0L until 97L).map(id => (id, Seq(id.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val obs = org.apache.spark.sql.Observation()
+    val watched = emb.observe(obs,
+      count(when(col("embedding").isNotNull, lit(1))).as("nb"),
+      approx_count_distinct(when(col("embedding").isNotNull,
+        xxhash64(col("embedding"))), 0.02).as("andg"))
+    val sampled = Similarity.sampleCentroidsOver(
+      watched, emb, stride = 10, "vec_id", "embedding", 1000)
+    // 0,10,...,90 pass the stride filter
+    assert(sampled.collect().length === 10)
+    // if Catalyst pushed the filter below CollectMetrics, the census
+    // would read 10 — the zero-job contraction verdict depends on it
+    // seeing the FULL corpus
+    assert(obs.get("nb") === 97L)
+    // dup-free corpus: the distinct estimate sits within the HLL band
+    // of nb, far under the contraction floor (nb/10 + 64)
+    val andg = obs.get("andg").asInstanceOf[Long]
+    assert(97L - andg <= 97L / 10L + 64L)
   }
 
   test("capped SemDedup: duplicate recall unchanged by the cap " +

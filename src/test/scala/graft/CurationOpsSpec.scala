@@ -474,9 +474,19 @@ class CurationOpsSpec extends SparkSuite {
       (903L, Array(Float.NaN, 1f, 0f, 0f)))
     val emb = (rows ++ nanRows).toDF("vec_id", "embedding")
     val (eps, stride, iters) = (0.97, 10, 2)
-    val out = SemDedup.semDedup(emb, eps, stride, iters)
+    // gateFloor = 0 forces the contraction machinery on this toy
+    // corpus (the production floor would route it through the
+    // uncontracted plan — see the routing parity assertion below)
+    val out = SemDedup.semDedupGated(emb, eps, stride, iters,
+        "vec_id", "embedding", Similarity.MaxCentroids, gateFloor = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
       .toSet
+    // the GateFloor skip is routing-only: the public (floored) entry
+    // must emit the same keep bits the forced contraction does
+    val floored = SemDedup.semDedup(emb, eps, stride, iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(floored === out)
     // the uncontracted plan, inlined verbatim (the pre-round-16 form)
     val cents = Similarity.kMeansCentroids(emb, stride, iters,
       "vec_id", "embedding")
@@ -526,12 +536,16 @@ class CurationOpsSpec extends SparkSuite {
     // two identical all-zero vectors (cosine 0/0 -> 0.0 by the
     // cosineF32 contract, below any eps) among ordinary distinct rows
     // PLUS one ordinary identical pair so the census engages the
-    // contraction path — the zero rows must route uncontracted
+    // contraction path (gateFloor = 0: the production floor would
+    // route this toy corpus uncontracted) — the zero rows must route
+    // uncontracted WITHIN the contraction
     val rows = (0 until 20).map(i => (i.toLong, unit(i))) ++
       Seq((50L, Array(0f, 0f, 0f, 0f)), (51L, Array(0f, 0f, 0f, 0f)),
         (60L, unit(3)))
     val emb = rows.toDF("vec_id", "embedding")
-    val keep = SemDedup.semDedup(emb, eps = 0.99, stride = 5, iters = 2)
+    val keep = SemDedup.semDedupGated(emb, eps = 0.99, stride = 5,
+        iters = 2, "vec_id", "embedding",
+        graft.operators.Similarity.MaxCentroids, gateFloor = 0L)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(keep.size === 23)
     // zero vectors: cosine 0.0 < eps on both the self-gate and the
