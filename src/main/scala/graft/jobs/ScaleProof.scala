@@ -517,8 +517,15 @@ object ScaleProof {
     def t3(body: => Unit): Seq[Double] = (1 to 3).map { _ =>
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    val full = (1 to 3).map(_ =>
-      timed(spark, "q23_var", fn, dir, timeoutSec))
+    // full reps capture the query's output cardinality too (round 17
+    // — the residual's "output-volume-bound" attribution becomes a
+    // ratio read off the artifact, not hand-derived from rep_pairs ×
+    // clique sizes)
+    val fullR = (1 to 3).map(_ => timedBody(spark, "q23_var",
+      timeoutSec)(fn(spark, dir).count()))
+    val full = fullR.map(_.map(_._2))
+    val fullRows = fullR.collectFirst { case Right((n, _)) => n }
+      .getOrElse(-1L)
     val docs = SparkEntry.table(spark, dir, "documents")
     val census = t3 {
       docs.select(xxhash64(col("text")).as("dg"))
@@ -566,6 +573,7 @@ object ScaleProof {
     def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
     s"""{"metric":"q23_variance","full_sec":${arr(full.map(
         _.getOrElse(-1.0)))}""" +
+      s""","full_rows":$fullRows""" +
       s""","census_sec":${arr(census)},"signing_sec":${arr(signing)}""" +
       s""","sigs":$nSigs,"reps":$nReps""" +
       s""","contract_sec":${fmt(tContract)}""" +
@@ -586,14 +594,20 @@ object ScaleProof {
     * volume), and the bucket join + exact-integer-cosine verify over
     * the contracted reps (the operator's portableEmbPairsOverSigs).
     * The full query's residual above census + signing + contract +
-    * core is the lift/re-expansion term. */
+    * core is the lift/re-expansion term — `full_rows` records the
+    * query's ACTUAL output cardinality (captured from the timed
+    * reps' own count, zero extra work) so "output-volume-bound" is a
+    * ratio a reader computes from the artifact, not an argument. */
   def q44Decomposition(spark: SparkSession, dir: String,
       timeoutSec: Int): String = {
     import org.apache.spark.storage.StorageLevel
     import graft.operators.Dedup
     val fn = SparkEntry.queries("q44_embedding_neardup")
-    val full = (1 to 3).map(_ =>
-      timed(spark, "q44_var", fn, dir, timeoutSec))
+    val fullR = (1 to 3).map(_ => timedBody(spark, "q44_var",
+      timeoutSec)(fn(spark, dir).count()))
+    val full = fullR.map(_.map(_._2))
+    val fullRows = fullR.collectFirst { case Right((n, _)) => n }
+      .getOrElse(-1L)
     val docs = SparkEntry.table(spark, dir, "documents")
     def t3(body: => Unit): Seq[Double] = (1 to 3).map { _ =>
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
@@ -643,6 +657,7 @@ object ScaleProof {
     s"""{"metric":"q44_decomposition","full_sec":${arr(full.map(
         _.getOrElse(-1.0)))}""" +
       s""","full_err":${errArr(full)}""" +
+      s""","full_rows":$fullRows""" +
       s""","census_sec":${arr(census)},"signing_sec":${arr(signing)}""" +
       s""","sigs":$nSigs,"reps":$nReps""" +
       s""","contract_sec":${fmt(tContract)}""" +
