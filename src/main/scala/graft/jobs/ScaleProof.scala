@@ -1085,6 +1085,22 @@ object ScaleProof {
       .flatMap(_.trim.toIntOption).getOrElse(10)
     val warmRows = if (warmN <= 0) Nil else {
       def minOf3(name: String): (Seq[Either[String, Double]], Double) = {
+        // cache-clear + GC fence BEFORE each query's rep block (the
+        // bench protocol's fence): the pass runs straight after the
+        // 126-query sweep in the same JVM, and without the fence the
+        // sweep's lingering persists inflated warm bounds up to 2.6x
+        // over the same queries probed standalone (round 17: q119
+        // un-fenced warm 25.8 s; fenced 18.0 s; fresh-JVM standalone
+        // min-of-4 on the same dir and binary 9.8 s). The fenced
+        // number is therefore an IN-SWEEP-JVM warm upper bound — the
+        // residual above a fresh-JVM probe is accumulated JVM debt
+        // (code cache, cleaner backlog, heap shape), not a plan term;
+        // cross-round comparisons go through the calibration row
+        // below, which carries the same debt. Reps after the first
+        // re-read whatever the query itself caches — that re-warming
+        // IS the warm band being measured.
+        spark.catalog.clearCache()
+        System.gc()
         val reps = (1 to 3).map(_ => timed(spark, s"warm_$name",
           SparkEntry.queries(name), outDir, timeoutSec))
         val good = reps.collect { case Right(s) => s }

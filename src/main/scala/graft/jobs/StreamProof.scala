@@ -229,7 +229,14 @@ object StreamProof {
     val ndStateFinal = if (ndStateRows.isEmpty) 0L else ndStateRows.max
     val ndBound = 4L * mcPerBatch * batches // bands x docs admitted
     import org.apache.spark.storage.StorageLevel
-    val streamPairs = spark.table("ndpairs")
+    // markers (est_jaccard -1.0, round 17) are a disjoint channel:
+    // count for the artifact, exclude from parity — the mutated
+    // corpus's per-bucket class diversity sits under the cap, so any
+    // marker is a lost-recall bug and throws below
+    val ndRaw = spark.table("ndpairs")
+    val ndOverflowMarkers = ndRaw.where(col("est_jaccard") < 0).count()
+    val streamPairs = ndRaw
+      .where(col("est_jaccard") >= 0)
       .select(col("id_old").as("id_a"), col("id_new").as("id_b"),
         col("est_jaccard"))
       .distinct()
@@ -475,6 +482,80 @@ object StreamProof {
     val repParity = repNStream == repNBatch &&
       repOnlyStream == 0 && repOnlyBatch == 0
     repStreamPairs.unpersist(); repBatchPairs.unpersist()
+    // ---- v6 (round 17): NearDupStream over the SAME replica corpus
+    // at its DEFAULT class cap — the LSH tier's contraction proof.
+    // Byte-identical texts produce byte-identical minhash signatures,
+    // so every replica clique is ONE class per shared bucket: the
+    // default cap (64 classes) holds wherever the BASE corpus's
+    // per-bucket signature diversity holds, regardless of replication
+    // depth — under the pre-round-17 member-counted state the 10-deep
+    // cliques here would have silently saturated first-seen buckets
+    // (no markers existed on this tier). Contracts: exact pair parity
+    // with the batch portable-LSH pass, ZERO markers, measured class
+    // occupancy under the default cap, and state rows = the corpus's
+    // distinct (band, bucket) count via the wiring's own bandKeysFor.
+    val rnStream = spark.readStream.schema(ndSchema)
+      .option("maxFilesPerTrigger", "1").parquet(repDir)
+      .select(col("doc_id").as("id"), col("text"))
+      .as[NearDupStream.StreamDoc]
+    val rnQ = NearDupStream.nearDupPairs(rnStream)(spark)
+      .writeStream.format("memory").queryName("rnpairs")
+      .option("checkpointLocation", s"$workDir/ckpt_rn")
+      .trigger(Trigger.AvailableNow()).start()
+    rnQ.awaitTermination()
+    val rnStateFinal = rnQ.recentProgress.toSeq
+      .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    val rnSigs = repAll
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (_, t) =>
+        graft.operators.Dedup.portableSignature(t, 3).toSeq }
+    val rnOcc = rnSigs
+      .flatMap(NearDupStream.bandKeysFor(_, 4))
+      .groupBy(col("value")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"))
+      .head()
+    val rnBucketBound = rnOcc.getLong(0)
+    val rnMaxOccupancy = rnOcc.getLong(1)
+    val rnMaxClasses = rnSigs.distinct()
+      .flatMap(NearDupStream.bandKeysFor(_, 4))
+      .groupBy(col("value")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val rnRaw = spark.table("rnpairs")
+    val rnOverflowMarkers = rnRaw.where(col("est_jaccard") < 0).count()
+    val rnStreamPairs = rnRaw
+      .where(col("est_jaccard") >= 0)
+      .select(least(col("id_new"), col("id_old")).as("id_a"),
+        greatest(col("id_new"), col("id_old")).as("id_b"),
+        col("est_jaccard"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rnBatchPairs = graft.operators.Dedup.minhashLshPairsPortable(
+        repAll, "doc_id", "text", n = 3, bands = 4)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("est_jaccard"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rnNStream = rnStreamPairs.count()
+    val rnNBatch = rnBatchPairs.count()
+    val rnOnlyStream = rnStreamPairs.exceptAll(rnBatchPairs).count()
+    val rnOnlyBatch = rnBatchPairs.exceptAll(rnStreamPairs).count()
+    val rnParity = rnNStream == rnNBatch &&
+      rnOnlyStream == 0 && rnOnlyBatch == 0
+    rnStreamPairs.unpersist(); rnBatchPairs.unpersist()
+    val v6 =
+      s"""{"metric":"neardup_replica_stream_proof"""" +
+        s""","batches":$batches,"mutation":"none (exact replicas)"""" +
+        s""","stream_pairs":$rnNStream,"batch_pairs":$rnNBatch""" +
+        s""","only_stream":$rnOnlyStream,"only_batch":$rnOnlyBatch""" +
+        s""","parity":$rnParity""" +
+        s""","state_rows_final":$rnStateFinal""" +
+        s""","state_bucket_bound":$rnBucketBound""" +
+        s""","max_bucket_occupancy":$rnMaxOccupancy""" +
+        s""","max_bucket_classes":$rnMaxClasses""" +
+        s""","class_cap":${NearDupStream.MaxBucket}""" +
+        s""","overflow_markers":$rnOverflowMarkers}"""
+    System.err.println("[streamproof] " + v6)
     val v5 =
       s"""{"metric":"simhash_replica_stream_proof"""" +
         s""","batches":$batches,"mutation":"none (exact replicas)"""" +
@@ -529,9 +610,10 @@ object StreamProof {
         s""","parity":$parity""" +
         s""","nd_state_rows_final":$ndStateFinal""" +
         s""","nd_state_bound":$ndBound""" +
+        s""","nd_overflow_markers":$ndOverflowMarkers""" +
         s""",$recallFields}"""
     System.err.println("[streamproof] " + v2)
-    val body2 = (lines ++ Seq(summary, v2, v3, v4, v5))
+    val body2 = (lines ++ Seq(summary, v2, v3, v4, v5, v6))
       .mkString("[", ",\n", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
       "stream_proof.json")
@@ -605,5 +687,32 @@ object StreamProof {
       throw new IllegalStateException(
         s"replica simhash stream state out of bounds: $repStateFinal " +
           s"vs $repBucketBound")
+    // v2 mutated LSH tier: the corpus's per-bucket class diversity
+    // sits under the default cap, so any marker is a lost-recall bug
+    if (ndOverflowMarkers != 0L)
+      throw new IllegalStateException(
+        s"mutated near-dup run truncated buckets: $ndOverflowMarkers " +
+          s"overflow markers at class cap ${NearDupStream.MaxBucket}")
+    // v6 replica LSH contracts (round 17): parity at the default
+    // class cap, zero markers, class occupancy under the cap (the
+    // contraction claim — replicas add no distinct signatures), and
+    // state rows = the corpus's bucket count
+    if (!rnParity)
+      throw new IllegalStateException(
+        s"replica near-dup stream/batch parity broken: $rnNStream " +
+          s"vs $rnNBatch (+$rnOnlyStream/-$rnOnlyBatch)")
+    if (rnOverflowMarkers != 0L)
+      throw new IllegalStateException(
+        s"replica near-dup run truncated at class cap " +
+          s"${NearDupStream.MaxBucket}: $rnOverflowMarkers markers")
+    if (rnMaxClasses > NearDupStream.MaxBucket)
+      throw new IllegalStateException(
+        s"class cap ${NearDupStream.MaxBucket} under measured class " +
+          s"occupancy $rnMaxClasses on the replica corpus — " +
+          s"contraction failed to absorb byte-identical replicas")
+    if (!(rnStateFinal > 0L && rnStateFinal <= rnBucketBound))
+      throw new IllegalStateException(
+        s"replica near-dup stream state out of bounds: $rnStateFinal " +
+          s"vs $rnBucketBound")
   }
 }

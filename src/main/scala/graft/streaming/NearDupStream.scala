@@ -16,13 +16,36 @@ import graft.operators.Dedup
   * stateful operator by band key makes the state lookup the candidate
   * search.
   *
-  * State per band bucket is the (id, signature) list of its members,
-  * capped at `maxBucket` (first-seen kept — the dedup-keep-first
-  * convention; an overflowing bucket is a degenerate band — think
-  * boilerplate-identical docs — and every overflow doc was already
-  * checked against the survivors before being dropped from state).
-  * Memory is O(buckets × maxBucket × 16 longs), independent of stream
-  * length for non-degenerate corpora.
+  * DUPLICATION-CONTRACTED STATE (round 17 — the SimHashStream
+  * discipline applied across the banded family): bucket state groups
+  * members by DISTINCT SIGNATURE, one [[SigClass]] (signature + the
+  * ids bearing it) per class. Byte-identical texts produce
+  * byte-identical minhash signatures, so a mass-duplication clique
+  * occupies ONE class: an arriving duplicate joins its class
+  * unconditionally (duplication never spends cap) and pairs with
+  * every earlier clique member at est_jaccard 1.0 — the exact
+  * re-expansion batch parity requires — while per-arrival scoring is
+  * one signature comparison per CLASS (the same distinct-bound work
+  * the batch LSH join pays for that bucket; the id-loop inside a
+  * matching class is the output the query asks for). The pair output
+  * is a pure function of the two signatures, so contraction by
+  * signature is EXACT for this operator's semantics, not just for
+  * byte-identical texts.
+  *
+  * Cap semantics under contraction: [[MaxBucket]] bounds distinct
+  * signature CLASSES per bucket. UNLIKE SimHashStream's 2^width
+  * band keyspace, minhash band keys live in a huge keyspace where
+  * only near-duplicates (and exact duplicates, now contracted)
+  * collide — genuine class diversity past the cap means a degenerate
+  * band (boilerplate-similar, non-identical docs). An arrival with a
+  * NEW signature at a full bucket is scored against the retained
+  * classes, then dropped from state with an [[OverflowId]] MARKER row
+  * (est_jaccard -1.0) — round 17: truncation used to be silent here;
+  * the family's rule is that recall loss must be observable in the
+  * output stream itself. Memory per bucket is one signature per class
+  * plus one 8-byte id per retained member — the id payload is
+  * output-necessitated (exact re-expansion), the q23 output-volume
+  * judgment.
   *
   * Emission: a pair is scored ONCE per shared band (same micro-batch
   * or later); cross-band repeats of the same pair are emitted per
@@ -48,72 +71,145 @@ object NearDupStream {
   final case class NearDupPair(id_new: Long, id_old: Long,
     est_jaccard: Double)
 
-  /** Bucket membership: ids + signatures of the first-seen docs. */
-  final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  /** `id_old` of an overflow MARKER row: `(id, OverflowId, -1.0)`
+    * means doc `id` arrived with a NEW signature at a bucket already
+    * holding [[MaxBucket]] signature classes and was scored against
+    * the retained classes but NOT retained — recall against later
+    * arrivals is lost for that doc in that band. Real pairs always
+    * carry `est_jaccard >= 0` and `id_old >= 0` — filter
+    * `est_jaccard >= 0` to consume pairs only. */
+  val OverflowId: Long = -1L
 
-  private def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+  /** One distinct signature's members within a bucket: `ids` holds
+    * every retained doc bearing `sig`, in arrival order. */
+  final case class SigClass(sig: Seq[Long], ids: Seq[Long])
+
+  /** Bucket membership, grouped by distinct signature (round 17):
+    * the cap counts `classes`, never members — see the object doc. */
+  final case class BucketState(classes: Seq[SigClass])
+
+  /** Matching positions between two equal-length signatures. */
+  private def matchCount(a: Seq[Long], b: Seq[Long]): Int = {
     var m = 0
     var j = 0
     while (j < a.length) { if (a(j) == b(j)) m += 1; j += 1 }
-    BigDecimal(m.toDouble / a.length + 1e-9)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    m
   }
 
-  /** Fold one bucket's micro-batch arrivals: each new doc pairs with
-    * every doc already in the bucket (state ∪ earlier-in-batch), then
-    * joins the bucket if it has room. A doc id already present is a
-    * replay (at-least-once source) and is skipped — exactly-once
-    * pairing on top of at-least-once delivery. */
-  def pairBucket(bkey: String, docs: Iterator[BandedDoc],
+  private def estFor(m: Int, len: Int): Double =
+    BigDecimal(m.toDouble / len + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Fold one bucket's micro-batch arrivals: each new doc scores one
+    * signature comparison per distinct CLASS already in the bucket
+    * (state ∪ earlier-in-batch) and emits a pair with every member of
+    * each class (est is a pure function of the two signatures, so all
+    * members of a class share it). A doc whose signature matches a
+    * retained class bit-for-bit joins it unconditionally; a new
+    * signature claims a class slot if the bucket holds fewer than
+    * [[MaxBucket]] classes, else emits an overflow marker and is
+    * dropped from state. A doc id already present is an at-least-once
+    * replay and is skipped — exactly-once pairing on top of
+    * at-least-once delivery. */
+  def pairBucket(maxBucket: Int)(bkey: String,
+      docs: Iterator[BandedDoc],
       state: GroupState[BucketState]): Iterator[NearDupPair] = {
     // index into ARRAYS, never the state's Seq (a restored Seq is a
-    // List with O(i) apply — the SimHashStream round-14 lesson;
-    // bounded here by MaxBucket, fixed for the shared shape anyway)
+    // List with O(i) apply — the SimHashStream round-14 lesson);
+    // members copy into per-class ArrayBuffers so the duplicate-join
+    // append is O(1)
     val st = state.getOption
-    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
     val sigs = new scala.collection.mutable.ArrayBuffer[Seq[Long]]()
-    st.foreach { s => ids ++= s.ids; sigs ++= s.sigs }
-    val seen = scala.collection.mutable.HashSet[Long](ids.toSeq: _*)
+    val members =
+      new scala.collection.mutable.ArrayBuffer[
+        scala.collection.mutable.ArrayBuffer[Long]]()
+    val seen = scala.collection.mutable.HashSet[Long]()
+    st.foreach(_.classes.foreach { c =>
+      sigs += c.sig
+      val m = new scala.collection.mutable.ArrayBuffer[Long](c.ids.size)
+      c.ids.foreach { id => m += id; seen += id }
+      members += m
+    })
     val out = Seq.newBuilder[NearDupPair]
     var grew = false
     docs.toSeq.sortBy(_.id).foreach { d =>
       if (!seen(d.id)) {
+        var matched = -1
         var i = 0
-        while (i < ids.length) {
-          out += NearDupPair(d.id, ids(i), estJaccard(d.sig, sigs(i)))
+        while (i < sigs.length) {
+          val mc = matchCount(d.sig, sigs(i))
+          val est = estFor(mc, d.sig.length)
+          val ms = members(i)
+          var j = 0
+          while (j < ms.length) {
+            out += NearDupPair(d.id, ms(j), est)
+            j += 1
+          }
+          // class membership needs BIT equality of the signatures,
+          // not est == 1.0 (the rounded estimate is for consumers)
+          if (mc == d.sig.length && sigs(i).length == d.sig.length)
+            matched = i
           i += 1
         }
-        if (ids.length < MaxBucket) {
-          ids += d.id
-          sigs += d.sig
+        if (matched >= 0) {
+          // duplicate signature: joins its class — never spends cap
+          members(matched) += d.id
           grew = true
+        } else if (sigs.length < maxBucket) {
+          sigs += d.sig
+          members += scala.collection.mutable.ArrayBuffer(d.id)
+          grew = true
+        } else {
+          // cap truncation must be visible at runtime (round 17 —
+          // it used to be silent here): one marker per overflowing
+          // band
+          out += NearDupPair(d.id, OverflowId, -1.0)
         }
         seen += d.id
       }
     }
-    if (grew) state.update(BucketState(ids.toSeq, sigs.toSeq))
+    if (grew) state.update(BucketState(
+      sigs.indices.map(i => SigClass(sigs(i), members(i).toSeq))))
     out.result().iterator
   }
 
-  /** First-seen bucket membership cap (see scaladoc above). */
+  /** First-seen signature-CLASS cap per bucket (see scaladoc above). */
   val MaxBucket = 64
 
-  /** Wire a document stream into the banded stateful pairer. */
+  /** Wire a document stream into the banded stateful pairer at the
+    * default class cap. */
   def nearDupPairs(docs: Dataset[StreamDoc], n: Int = 3,
       bands: Int = 4)(implicit spark: SparkSession)
+      : Dataset[NearDupPair] =
+    nearDupPairsCapped(docs, n, bands, MaxBucket)
+
+  /** The band keys of one signature — ONE enumeration shared by the
+    * stream wiring and the StreamProof state bound (the
+    * SimHashStream.bandKeys precedent: a proof bound that
+    * re-implements the banding inline silently desyncs when the
+    * geometry changes). Empty signatures (word-free docs) land in no
+    * bucket, exactly as the wiring's flatMap. */
+  def bandKeysFor(sig: Seq[Long], bands: Int): Seq[String] = {
+    val rows = 16 / bands
+    if (sig.isEmpty) Seq.empty
+    else (0 until bands).map { b =>
+      s"$b:" + sig.slice(b * rows, (b + 1) * rows).mkString(",")
+    }
+  }
+
+  /** [[nearDupPairs]] with an EXPLICIT class cap — memory-bounded
+    * deployments and proof harnesses state the cap instead of
+    * inheriting the default (the hammingPairsCapped convention). */
+  def nearDupPairsCapped(docs: Dataset[StreamDoc], n: Int,
+      bands: Int, maxBucket: Int)(implicit spark: SparkSession)
       : Dataset[NearDupPair] = {
     import spark.implicits._
-    val rows = 16 / bands
     val banded = docs.flatMap { d =>
-      val sig = Dedup.portableSignature(d.text, n)
-      if (sig.isEmpty) Seq.empty[BandedDoc]
-      else (0 until bands).map { b =>
-        val band = sig.slice(b * rows, (b + 1) * rows)
-        BandedDoc(s"$b:" + band.mkString(","), d.id, sig.toSeq)
-      }
+      val sig = Dedup.portableSignature(d.text, n).toSeq
+      bandKeysFor(sig, bands).map(k => BandedDoc(k, d.id, sig))
     }
     banded.groupByKey(_.bkey)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(pairBucket)
+        GroupStateTimeout.NoTimeout)(pairBucket(maxBucket))
   }
 }

@@ -488,4 +488,88 @@ class StreamingSpec extends SparkSuite {
       assert(raw110 >= 1 && raw110 <= 4, s"raw emissions: $raw110")
     } finally query.stop()
   }
+
+  test("near-dup duplicate arrivals never spend cap and re-expand " +
+      "against the whole clique (the SimHashStream contraction " +
+      "crossing the LSH tier), with state one class per bucket") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: org.apache.spark.sql.SparkSession = s
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.StreamDoc
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val input = MemoryStream[StreamDoc](s)
+    // cap 1: a member-counted cap would stop retaining at the second
+    // replica — the shape round 17 contracts
+    val query = NearDupStream.nearDupPairsCapped(input.toDS(),
+        n = 3, bands = 4, maxBucket = 1)
+      .writeStream.format("memory").queryName("nd_pairs_cap")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamDoc(1L, base), StreamDoc(2L, base))
+      query.processAllAvailable()
+      input.addData(StreamDoc(3L, base))
+      query.processAllAvailable()
+      input.addData(StreamDoc(5L, base))
+      query.processAllAvailable()
+      val rows = s.sql(
+        "SELECT id_new, id_old, est_jaccard FROM nd_pairs_cap")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val got = rows.filter(_._3 >= 0)
+        .map(t => (math.min(t._1, t._2), math.max(t._1, t._2), t._3))
+        .toSet
+      assert(got === Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0),
+        (1L, 5L, 1.0), (2L, 5L, 1.0), (3L, 5L, 1.0)), got.toString)
+      assert(rows.forall(_._3 >= 0),
+        s"no marker may fire for duplicates: ${rows.toSeq}")
+      // one class per occupied bucket: state rows = the doc's band
+      // count, independent of the 4 retained clique members
+      val stateRows = query.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateRows === 4L, s"state rows $stateRows")
+    } finally query.stop()
+  }
+
+  test("near-dup pairBucket fold (unit): a NEW signature at a full " +
+      "bucket scores against retained classes, marks, and is " +
+      "dropped; duplicates join their class; replays are skipped") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.{BandedDoc, BucketState}
+    def fold(st: Option[BucketState], docs: Seq[BandedDoc])
+        : (Seq[(Long, Long, Double)], Option[BucketState]) = {
+      val gs = TestGroupState.create[BucketState](
+        org.apache.spark.api.java.Optional.fromNullable(st.orNull),
+        GroupStateTimeout.NoTimeout, 0L,
+        org.apache.spark.api.java.Optional.empty[Long](),
+        false)
+      val out = NearDupStream.pairBucket(maxBucket = 1)(
+        "0:k", docs.iterator, gs).toSeq
+        .map(p => (p.id_new, p.id_old, p.est_jaccard))
+      (out, if (gs.exists) Some(gs.get) else st)
+    }
+    val sigA: Seq[Long] = Seq.tabulate(16)(i => i.toLong)
+    val sigB: Seq[Long] = sigA.updated(0, 99L) // 15/16 match = 0.9375
+    // batch 1: 1 claims the class, 2 joins it (est 1.0), 3's new
+    // signature finds the bucket full — scored against both members
+    // at 0.9375, marked, dropped
+    val (out1, st1) = fold(None, Seq(
+      BandedDoc("0:k", 2L, sigA), BandedDoc("0:k", 1L, sigA),
+      BandedDoc("0:k", 3L, sigB)))
+    assert(out1.toSet === Set((2L, 1L, 1.0), (3L, 1L, 0.9375),
+      (3L, 2L, 0.9375),
+      (3L, NearDupStream.OverflowId, -1.0)), out1.toString)
+    assert(st1.get.classes.map(c => (c.sig, c.ids)) ===
+      Seq((sigA, Seq(1L, 2L))), st1.toString)
+    // batch 2: a later duplicate (4) re-expands against the whole
+    // clique and joins it; 3 is GONE from state (recall lost exactly
+    // there, marker-recorded); a replay of 1 emits nothing
+    val (out2, st2) = fold(st1, Seq(
+      BandedDoc("0:k", 4L, sigA), BandedDoc("0:k", 1L, sigA)))
+    assert(out2.toSet === Set((4L, 1L, 1.0), (4L, 2L, 1.0)),
+      out2.toString)
+    assert(st2.get.classes.map(c => (c.sig, c.ids)) ===
+      Seq((sigA, Seq(1L, 2L, 4L))), st2.toString)
+  }
 }
