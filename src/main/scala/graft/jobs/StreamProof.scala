@@ -306,7 +306,12 @@ object StreamProof {
     val edEntryBound = edAll.as[EditDistanceStream.StreamStr]
       .flatMap(EditDistanceStream.entriesFor(_, edTau))
       .select(col("bkey"), col("isIndex"), col("id")).distinct().count()
-    val edStreamPairs = spark.table("edpairs").distinct()
+    // markers (dist -1, round 17) are a disjoint channel: count for
+    // the artifact, exclude from parity — at the stated proof cap
+    // there must be none (thrown on below)
+    val edRawTbl = spark.table("edpairs")
+    val edOverflowMarkers = edRawTbl.where(col("dist") < 0).count()
+    val edStreamPairs = edRawTbl.where(col("dist") >= 0).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edBatchPairs = graft.operators.EditDistanceJoin.selfJoin(
         edAll, "id", "s", edTau)
@@ -556,6 +561,92 @@ object StreamProof {
         s""","class_cap":${NearDupStream.MaxBucket}""" +
         s""","overflow_markers":$rnOverflowMarkers}"""
     System.err.println("[streamproof] " + v6)
+    // ---- v7 (round 17): EditDistanceStream over a byte-identical
+    // replica corpus at a cap sized from the BASE corpus ALONE — the
+    // PassJoin tier's contraction proof in its cleanest form: under
+    // the pre-round-17 member-counted state, any cap independent of
+    // replication depth eventually truncates (6-deep replicas of a
+    // 4-deep base prefix class = 24 members against a base-sized
+    // cap); under class-contracted state, replication adds NO
+    // distinct strings, so a cap measured on the unreplicated corpus
+    // holds at any depth. Contracts: exact pair parity with batch
+    // selfJoin (whose census contraction handles the cliques on its
+    // side), ZERO markers, and measured replica class occupancy equal
+    // to the base bound.
+    val edRepDir = s"$workDir/rep_ed"
+    (0 until edBatches).foreach { b =>
+      rawBase
+        .withColumn("doc_id", col("doc_id") + lit(b.toLong * off))
+        .select(col("doc_id").as("id"),
+          substring(col("text"), 1, 24).as("s"))
+        .coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append")
+        .parquet(edRepDir)
+    }
+    val edRepAll = spark.read.parquet(edRepDir)
+    val edBaseClasses = rawBase
+      .select(col("doc_id").as("id"),
+        substring(col("text"), 1, 24).as("s"))
+      .as[EditDistanceStream.StreamStr]
+      .flatMap(EditDistanceStream.entriesFor(_, edTau))
+      .select(col("bkey"), col("isIndex"), col("s")).distinct()
+      .groupBy("bkey", "isIndex").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val edRepCap = math.max(
+      graft.streaming.EditDistanceStream.MaxBlock.toLong, edBaseClasses)
+      .min(Int.MaxValue.toLong).toInt
+    val edRepStream = spark.readStream.schema(edSchema)
+      .option("maxFilesPerTrigger", "1").parquet(edRepDir)
+      .as[EditDistanceStream.StreamStr]
+    val erQ = EditDistanceStream.editPairs(edRepStream, edTau,
+        edRepCap)(spark)
+      .writeStream.format("memory").queryName("erpairs")
+      .option("checkpointLocation", s"$workDir/ckpt_er")
+      .trigger(Trigger.AvailableNow()).start()
+    erQ.awaitTermination()
+    val erStateFinal = erQ.recentProgress.toSeq
+      .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    val erEntries = edRepAll.as[EditDistanceStream.StreamStr]
+      .flatMap(EditDistanceStream.entriesFor(_, edTau))
+    val erBlockBound = erEntries.select("bkey").distinct().count()
+    val erMaxMembers = erEntries
+      .select(col("bkey"), col("isIndex"), col("id")).distinct()
+      .groupBy("bkey", "isIndex").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val erMaxClasses = erEntries
+      .select(col("bkey"), col("isIndex"), col("s")).distinct()
+      .groupBy("bkey", "isIndex").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val erRaw = spark.table("erpairs")
+    val erOverflowMarkers = erRaw.where(col("dist") < 0).count()
+    val erStreamPairs = erRaw.where(col("dist") >= 0).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val erBatchPairs = graft.operators.EditDistanceJoin.selfJoin(
+        edRepAll, "id", "s", edTau)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val erNStream = erStreamPairs.count()
+    val erNBatch = erBatchPairs.count()
+    val erOnlyStream = erStreamPairs.exceptAll(erBatchPairs).count()
+    val erOnlyBatch = erBatchPairs.exceptAll(erStreamPairs).count()
+    val erParity = erNStream == erNBatch &&
+      erOnlyStream == 0 && erOnlyBatch == 0
+    erStreamPairs.unpersist(); erBatchPairs.unpersist()
+    val v7 =
+      s"""{"metric":"editdist_replica_stream_proof"""" +
+        s""","batches":$edBatches""" +
+        s""","mutation":"none (exact replicas)","tau":$edTau""" +
+        s""","stream_pairs":$erNStream,"batch_pairs":$erNBatch""" +
+        s""","only_stream":$erOnlyStream,"only_batch":$erOnlyBatch""" +
+        s""","parity":$erParity""" +
+        s""","state_rows_final":$erStateFinal""" +
+        s""","state_block_bound":$erBlockBound""" +
+        s""","max_role_members":$erMaxMembers""" +
+        s""","max_role_classes":$erMaxClasses""" +
+        s""","base_class_bound":$edBaseClasses""" +
+        s""","cap":$edRepCap""" +
+        s""","overflow_markers":$erOverflowMarkers}"""
+    System.err.println("[streamproof] " + v7)
     val v5 =
       s"""{"metric":"simhash_replica_stream_proof"""" +
         s""","batches":$batches,"mutation":"none (exact replicas)"""" +
@@ -597,7 +688,8 @@ object StreamProof {
         s""","only_stream":$edOnlyStream,"only_batch":$edOnlyBatch""" +
         s""","parity":$edParity""" +
         s""","state_rows_final":$edStateFinal""" +
-        s""","state_entry_bound":$edEntryBound}"""
+        s""","state_entry_bound":$edEntryBound""" +
+        s""","overflow_markers":$edOverflowMarkers}"""
     System.err.println("[streamproof] " + v3)
     val v2 =
       s"""{"metric":"neardup_stream_proof","batches":$batches""" +
@@ -613,7 +705,7 @@ object StreamProof {
         s""","nd_overflow_markers":$ndOverflowMarkers""" +
         s""",$recallFields}"""
     System.err.println("[streamproof] " + v2)
-    val body2 = (lines ++ Seq(summary, v2, v3, v4, v5, v6))
+    val body2 = (lines ++ Seq(summary, v2, v3, v4, v5, v6, v7))
       .mkString("[", ",\n", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
       "stream_proof.json")
@@ -714,5 +806,30 @@ object StreamProof {
       throw new IllegalStateException(
         s"replica near-dup stream state out of bounds: $rnStateFinal " +
           s"vs $rnBucketBound")
+    // v3 edit-mutated tier: the stated proof cap must never truncate
+    if (edOverflowMarkers != 0L)
+      throw new IllegalStateException(
+        s"edit-distance proof run truncated blocks: " +
+          s"$edOverflowMarkers overflow markers at cap $edCap")
+    // v7 replica PassJoin contracts (round 17): parity at a cap sized
+    // from the BASE corpus alone, zero markers, and replica class
+    // occupancy equal to the base bound (replication adds no classes)
+    if (!erParity)
+      throw new IllegalStateException(
+        s"replica edit-distance stream/batch parity broken: " +
+          s"$erNStream vs $erNBatch (+$erOnlyStream/-$erOnlyBatch)")
+    if (erOverflowMarkers != 0L)
+      throw new IllegalStateException(
+        s"replica edit-distance run truncated at base-sized cap " +
+          s"$edRepCap: $erOverflowMarkers markers")
+    if (erMaxClasses > edBaseClasses)
+      throw new IllegalStateException(
+        s"replica class occupancy $erMaxClasses exceeds the base " +
+          s"bound $edBaseClasses — contraction failed to absorb " +
+          s"byte-identical replicas")
+    if (!(erStateFinal > 0L && erStateFinal <= erBlockBound))
+      throw new IllegalStateException(
+        s"replica edit-distance stream state out of bounds: " +
+          s"$erStateFinal vs $erBlockBound")
   }
 }

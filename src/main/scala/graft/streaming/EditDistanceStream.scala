@@ -28,19 +28,27 @@ import graft.operators.EditDistanceJoin
   * ride a dedicated degenerate key as both roles, the streaming twin
   * of the batch short-bucket cross join.
   *
-  * State per block key holds the (id, string) lists of its first
-  * `maxBlock` index members and probe members (first-seen kept, the
-  * NearDupStream convention). Memory is O(blocks x maxBlock x string
-  * length), independent of stream length for non-degenerate corpora.
-  * THE CAP IS A RECALL BOUNDARY, stated plainly: an overflow arrival
-  * is verified against the stored survivors but not stored, so a pair
-  * between TWO post-overflow arrivals of the same block is found only
-  * if they share some OTHER non-overflowed block key — the batch
-  * parity contract below holds unconditionally only while no block
-  * exceeds the cap. Size the cap to the corpus's hottest segment
-  * class (StreamProof's sf0.1 proof raises it to 65536 and records
-  * the bound the run actually needed); the default suits streams
-  * whose boilerplate segments are pre-deduplicated upstream.
+  * State per block key holds its index and probe members GROUPED BY
+  * DISTINCT STRING (round 17 — the banded family's contraction
+  * discipline): one [[StrClass]] per distinct string per role, so a
+  * mass-duplication clique occupies one class, an arriving duplicate
+  * joins its class past any cap, and the per-arrival verify is one
+  * boundedLevenshtein per opposite-role CLASS — the distance is a
+  * pure function of the two strings, so contraction is EXACT for
+  * this operator's semantics outright. THE CAP — `maxBlock` distinct
+  * string classes per role, first-seen kept — IS A RECALL BOUNDARY,
+  * stated plainly: an overflow arrival is verified against the
+  * stored classes but not stored, and since round 17 it emits an
+  * [[OverflowId]] MARKER row (dist -1) so truncation is an
+  * observable stream fact; the batch parity contract below holds
+  * unconditionally only while no (block, role)'s distinct-string
+  * diversity exceeds the cap. Size the cap to the corpus's hottest
+  * segment class (StreamProof's sf0.1 proof states 65536 — its
+  * edit-MUTATED strings are pairwise distinct, so classes ≈ members
+  * there — and records the bound the run actually needed; the
+  * REPLICA tier runs at the production default, where contraction
+  * absorbs replication entirely); the default suits streams whose
+  * boilerplate segments are pre-deduplicated upstream.
   *
   * Candidates verify INSIDE the fold with
   * [[EditDistanceJoin.boundedLevenshtein]] (the local twin of the
@@ -65,11 +73,33 @@ object EditDistanceStream {
 
   final case class EditPair(id_a: Long, id_b: Long, dist: Int)
 
-  /** Block membership, both roles (ids aligned with strings). */
-  final case class BlockState(idxIds: Seq[Long], idxStrs: Seq[String],
-    prbIds: Seq[Long], prbStrs: Seq[String])
+  /** `id_b` of an overflow MARKER row: `(id, OverflowId, -1)` means
+    * `id` arrived with a NEW string at a (block, role) already
+    * holding `maxBlock` string classes and was verified against the
+    * opposite role's retained classes but NOT retained — recall
+    * against later opposite-role arrivals is lost for that id in
+    * that block. Round 17: truncation used to be silent here. Real
+    * pairs always carry `dist >= 0` — filter on it to consume pairs
+    * only. */
+  val OverflowId: Long = -1L
 
-  /** First-seen per-role membership cap (see scaladoc above). */
+  /** One distinct string's members within a (block, role): `ids`
+    * holds every retained entry bearing `s`, in arrival order. */
+  final case class StrClass(s: String, ids: Seq[Long])
+
+  /** Block membership, both roles, grouped by DISTINCT STRING
+    * (round 17 — the banded family's contraction discipline):
+    * byte-identical strings produce identical block entries and
+    * identical edit distances, so a mass-duplication clique occupies
+    * ONE class per role; an arriving duplicate joins its class past
+    * any cap, the per-arrival verify runs ONE boundedLevenshtein per
+    * opposite-role CLASS (the distance is a pure function of the two
+    * strings — re-expanding the verdict over a class's ids is output
+    * volume, not verify cost), and the cap bounds distinct-string
+    * classes per role. */
+  final case class BlockState(idx: Seq[StrClass], prb: Seq[StrClass])
+
+  /** First-seen per-role string-CLASS cap (see scaladoc above). */
   val MaxBlock = 256
 
   /** The batch operator's block-key enumeration, verbatim:
@@ -82,47 +112,84 @@ object EditDistanceStream {
       case (bkey, isIdx, id, s) => BlockEntry(bkey, isIdx, id, s)
     }
 
-  /** Fold one block's micro-batch arrivals: each new entry verifies
-    * against every OPPOSITE-role member already present (state ∪
-    * earlier-in-batch), then joins its role's list if it has room.
-    * Arrivals fold in (id, role) order so pairing is deterministic
-    * under Spark's unordered group iterator. */
+  /** Fold one block's micro-batch arrivals: each new entry runs ONE
+    * boundedLevenshtein per OPPOSITE-role string class already
+    * present (state ∪ earlier-in-batch) and emits the verdict against
+    * every member of in-distance classes (skipping its own id — a
+    * doc's index and probe entries meet in its own blocks), then
+    * joins its role's matching class (duplication never spends cap)
+    * or claims a new class slot; a new string at a full role emits an
+    * overflow marker and is dropped from state. Arrivals fold in
+    * (id, role) order so pairing is deterministic under Spark's
+    * unordered group iterator; replayed (id, role) entries are
+    * skipped — exactly-once pairing over at-least-once delivery. */
   def pairBlock(tau: Int, maxBlock: Int)(bkey: String,
       entries: Iterator[BlockEntry],
       state: GroupState[BlockState]): Iterator[EditPair] = {
-    val st = state.getOption.getOrElse(
-      BlockState(Seq.empty, Seq.empty, Seq.empty, Seq.empty))
-    var idxIds = st.idxIds; var idxStrs = st.idxStrs
-    var prbIds = st.prbIds; var prbStrs = st.prbStrs
-    val seenIdx = scala.collection.mutable.HashSet[Long](idxIds: _*)
-    val seenPrb = scala.collection.mutable.HashSet[Long](prbIds: _*)
+    // per-role parallel arrays of (string, member ids); index into
+    // ArrayBuffers, never a restored Seq (the round-14 lesson)
+    final class Role {
+      val strs = new scala.collection.mutable.ArrayBuffer[String]()
+      val members = new scala.collection.mutable.ArrayBuffer[
+        scala.collection.mutable.ArrayBuffer[Long]]()
+      val seen = scala.collection.mutable.HashSet[Long]()
+      def load(cs: Seq[StrClass]): Unit = cs.foreach { c =>
+        strs += c.s
+        val m = new scala.collection.mutable.ArrayBuffer[Long](c.ids.size)
+        c.ids.foreach { id => m += id; seen += id }
+        members += m
+      }
+      def classes: Seq[StrClass] =
+        strs.indices.map(i => StrClass(strs(i), members(i).toSeq))
+    }
+    val idx = new Role; val prb = new Role
+    state.getOption.foreach { s => idx.load(s.idx); prb.load(s.prb) }
     val out = Seq.newBuilder[EditPair]
     var grew = false
     entries.toSeq.sortBy(e => (e.id, !e.isIndex)).foreach { e =>
-      val seen = if (e.isIndex) seenIdx else seenPrb
-      if (!seen(e.id)) {
-        val (oIds, oStrs) =
-          if (e.isIndex) (prbIds, prbStrs) else (idxIds, idxStrs)
+      val (mine, other) = if (e.isIndex) (idx, prb) else (prb, idx)
+      if (!mine.seen(e.id)) {
+        var matched = -1
         var i = 0
-        while (i < oIds.length) {
-          if (oIds(i) != e.id) {
-            val d = EditDistanceJoin.boundedLevenshtein(e.s, oStrs(i), tau)
-            if (d >= 0)
-              out += EditPair(math.min(e.id, oIds(i)),
-                math.max(e.id, oIds(i)), d)
+        while (i < other.strs.length) {
+          val d = EditDistanceJoin.boundedLevenshtein(e.s,
+            other.strs(i), tau)
+          if (d >= 0) {
+            val ms = other.members(i)
+            var j = 0
+            while (j < ms.length) {
+              if (ms(j) != e.id)
+                out += EditPair(math.min(e.id, ms(j)),
+                  math.max(e.id, ms(j)), d)
+              j += 1
+            }
           }
           i += 1
         }
-        val roomIn = if (e.isIndex) idxIds else prbIds
-        if (roomIn.length < maxBlock) {
-          if (e.isIndex) { idxIds = idxIds :+ e.id; idxStrs = idxStrs :+ e.s }
-          else { prbIds = prbIds :+ e.id; prbStrs = prbStrs :+ e.s }
-          grew = true
+        // class membership in OUR role needs exact string equality —
+        // scanned separately from the opposite-role verify loop
+        i = 0
+        while (matched < 0 && i < mine.strs.length) {
+          if (mine.strs(i) == e.s) matched = i
+          i += 1
         }
-        seen += e.id
+        if (matched >= 0) {
+          // duplicate string: joins its class — never spends cap
+          mine.members(matched) += e.id
+          grew = true
+        } else if (mine.strs.length < maxBlock) {
+          mine.strs += e.s
+          mine.members += scala.collection.mutable.ArrayBuffer(e.id)
+          grew = true
+        } else {
+          // cap truncation must be visible at runtime (round 17 —
+          // it used to be silent here)
+          out += EditPair(e.id, OverflowId, -1)
+        }
+        mine.seen += e.id
       }
     }
-    if (grew) state.update(BlockState(idxIds, idxStrs, prbIds, prbStrs))
+    if (grew) state.update(BlockState(idx.classes, prb.classes))
     out.result().iterator
   }
 

@@ -139,4 +139,81 @@ class EditDistanceStreamSpec extends SparkSuite {
       assert(streamSet.nonEmpty, "degenerate fixture: no pairs at all")
     } finally query.stop()
   }
+
+  test("duplicate strings never spend cap and re-expand against the " +
+      "whole clique (the banded-family contraction at the PassJoin " +
+      "tier), with per-role class-counted state") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: org.apache.spark.sql.SparkSession = s
+    val base = "abcdefghijklmnop"
+    val input = MemoryStream[StreamStr](s)
+    // maxBlock 1: a member-counted cap would stop retaining at the
+    // second replica — the shape round 17 contracts
+    val query = EditDistanceStream.editPairs(input.toDS(), tau = 2,
+        maxBlock = 1)
+      .writeStream.format("memory").queryName("edit_pairs_cap")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamStr(1L, base), StreamStr(2L, base))
+      query.processAllAvailable()
+      input.addData(StreamStr(3L, base))
+      query.processAllAvailable()
+      input.addData(StreamStr(5L, base))
+      query.processAllAvailable()
+      val rows = s.sql("SELECT id_a, id_b, dist FROM edit_pairs_cap")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val got = rows.filter(_._3 >= 0).toSet
+      assert(got === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0),
+        (1L, 5L, 0), (2L, 5L, 0), (3L, 5L, 0)), got.toString)
+      assert(rows.forall(_._3 >= 0),
+        s"no marker may fire for duplicates: ${rows.toSeq}")
+    } finally query.stop()
+  }
+
+  test("pairBlock fold (unit): a NEW string at a full role verifies " +
+      "against the opposite role, marks, and is dropped; duplicates " +
+      "join their class; replays are skipped per role") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout,
+      TestGroupState}
+    import graft.streaming.EditDistanceStream.{BlockEntry, BlockState}
+    def fold(st: Option[BlockState], es: Seq[BlockEntry])
+        : (Seq[(Long, Long, Int)], Option[BlockState]) = {
+      val gs = TestGroupState.create[BlockState](
+        org.apache.spark.api.java.Optional.fromNullable(st.orNull),
+        GroupStateTimeout.NoTimeout, 0L,
+        org.apache.spark.api.java.Optional.empty[Long](),
+        false)
+      val out = EditDistanceStream.pairBlock(tau = 2, maxBlock = 1)(
+        "k", es.iterator, gs).toSeq
+        .map(p => (p.id_a, p.id_b, p.dist))
+      (out, if (gs.exists) Some(gs.get) else st)
+    }
+    val a = "abcdefgh"
+    val b = "abcdefgX" // dist 1 of a
+    val c = "zzzzzzzz" // outside tau of both
+    // batch 1: 1's index claims the index class; 2's probe (same
+    // string) pairs with it at dist 0 and claims the probe class;
+    // 3's probe (dist-1 string) pairs with index member 1, then finds
+    // the probe role full — marked, dropped
+    val (out1, st1) = fold(None, Seq(
+      BlockEntry("k", true, 1L, a), BlockEntry("k", false, 2L, a),
+      BlockEntry("k", false, 3L, b)))
+    assert(out1.toSet === Set((1L, 2L, 0), (1L, 3L, 1),
+      (3L, EditDistanceStream.OverflowId, -1)), out1.toString)
+    assert(st1.get.idx.map(x => (x.s, x.ids)) === Seq((a, Seq(1L))))
+    assert(st1.get.prb.map(x => (x.s, x.ids)) === Seq((a, Seq(2L))))
+    // batch 2: 4's probe duplicates the probe class's string — joins
+    // it past the full cap (never spends cap) after pairing with
+    // index member 1; 5's index with an out-of-tau string pairs with
+    // nothing, and the index role is full — marked, dropped; a replay
+    // of 2's probe emits nothing
+    val (out2, st2) = fold(st1, Seq(
+      BlockEntry("k", false, 4L, a), BlockEntry("k", true, 5L, c),
+      BlockEntry("k", false, 2L, a)))
+    assert(out2.toSet === Set((1L, 4L, 0),
+      (5L, EditDistanceStream.OverflowId, -1)), out2.toString)
+    assert(st2.get.prb.map(x => (x.s, x.ids)) === Seq((a, Seq(2L, 4L))))
+    assert(st2.get.idx.map(x => (x.s, x.ids)) === Seq((a, Seq(1L))))
+  }
 }
