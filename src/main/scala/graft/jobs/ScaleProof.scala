@@ -539,46 +539,69 @@ object ScaleProof {
     }
     // stage decomposition over a persisted signature frame (what the
     // group-all tier re-reads from cache): contraction, candidate
-    // emission, core (candidates + verify)
-    val sh = Dedup.simhash(docs, "doc_id", "text")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nSigs = sh.count()
-    val tC0 = System.nanoTime()
-    val reps = sh.groupBy("simhash").agg(min(col("id")).as("id"))
-      .select(col("id"), col("simhash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nReps = reps.count()
-    val tContract = (System.nanoTime() - tC0) / 1e9
-    // candidate volume: the 8x8-bit band blocking's distinct pre-
-    // verify pair count over the contracted reps (maxHamming 7 -> 8
-    // bands), inlined because the fused core never materializes it
-    val tK0 = System.nanoTime()
-    val bandCols = (0 until 8).map { b =>
-      struct(lit(b).as("band"), shiftright(col("simhash"), b * 8)
-        .bitwiseAND(255L).as("bucket"))
+    // emission, core (candidates + verify). Stages ride timedBody and
+    // the persisted frames release on ANY exit (the q125/q44
+    // discipline — round 17).
+    def stage(name: String)(body: => Long): (Long, Double, String) = {
+      val r = timedBody(spark, name, timeoutSec)(body)
+      r.fold(e => (-1L, -1.0, "\"" + e + "\""),
+        { case (n, s) => (n, s, "null") })
     }
-    val banded = reps.select(col("id"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val nCand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id"), col("b.id")).distinct().count()
-    val tCand = (System.nanoTime() - tK0) / 1e9
-    val tV0 = System.nanoTime()
-    val nPairs = Dedup.simhashPairsOverSigs(reps, 7).count()
-    val tCore = (System.nanoTime() - tV0) / 1e9
-    reps.unpersist(); sh.unpersist()
-    def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
-    s"""{"metric":"q23_variance","full_sec":${arr(full.map(
-        _.getOrElse(-1.0)))}""" +
-      s""","full_rows":$fullRows""" +
-      s""","census_sec":${arr(census)},"signing_sec":${arr(signing)}""" +
-      s""","sigs":$nSigs,"reps":$nReps""" +
-      s""","contract_sec":${fmt(tContract)}""" +
-      s""","candidates":$nCand,"candidate_sec":${fmt(tCand)}""" +
-      s""","rep_pairs":$nPairs,"core_sec":${fmt(tCore)}}"""
+    var sh: DataFrame = null
+    var reps: DataFrame = null
+    try {
+      sh = Dedup.simhash(docs, "doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (nSigs, tMat, eMat) = stage("q23_sigframe")(sh.count())
+      val (nReps, tContract, eContract) = stage("q23_contract") {
+        reps = sh.groupBy("simhash").agg(min(col("id")).as("id"))
+          .select(col("id"), col("simhash"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        reps.count()
+      }
+      // candidate volume: the 8x8-bit band blocking's distinct pre-
+      // verify pair count over the contracted reps (maxHamming 7 -> 8
+      // bands), inlined because the fused core never materializes it
+      val (nCand, tCand, eCand) = stage("q23_candidates") {
+        if (reps == null) -1L
+        else {
+          val bandCols = (0 until 8).map { b =>
+            struct(lit(b).as("band"), shiftright(col("simhash"), b * 8)
+              .bitwiseAND(255L).as("bucket"))
+          }
+          val banded = reps.select(col("id"),
+              explode(array(bandCols: _*)).as("bb"))
+            .select(col("id"), col("bb.band"), col("bb.bucket"))
+          banded.as("a").join(banded.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket") &&
+                col("a.id") < col("b.id"))
+            .select(col("a.id"), col("b.id")).distinct().count()
+        }
+      }
+      val (nPairs, tCore, eCore) = stage("q23_core") {
+        if (reps == null) -1L
+        else Dedup.simhashPairsOverSigs(reps, 7).count()
+      }
+      def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
+      s"""{"metric":"q23_variance","full_sec":${arr(full.map(
+          _.getOrElse(-1.0)))}""" +
+        s""","full_err":${errArr(full)}""" +
+        s""","full_rows":$fullRows""" +
+        s""","census_sec":${arr(census)}""" +
+        s""","signing_sec":${arr(signing)}""" +
+        s""","sigs":$nSigs,"sig_materialize_sec":${fmt(tMat)}""" +
+        s""","sig_materialize_err":$eMat""" +
+        s""","reps":$nReps,"contract_sec":${fmt(tContract)}""" +
+        s""","contract_err":$eContract""" +
+        s""","candidates":$nCand,"candidate_sec":${fmt(tCand)}""" +
+        s""","candidate_err":$eCand""" +
+        s""","rep_pairs":$nPairs,"core_sec":${fmt(tCore)}""" +
+        s""","core_err":$eCore}"""
+    } finally {
+      if (reps != null) reps.unpersist()
+      if (sh != null) sh.unpersist()
+    }
   }
 
   /** q44 embedding-near-dup warm-band decomposition (round-16 verdict
@@ -609,10 +632,21 @@ object ScaleProof {
     val fullRows = fullR.collectFirst { case Right((n, _)) => n }
       .getOrElse(-1L)
     val docs = SparkEntry.table(spark, dir, "documents")
-    def t3(body: => Unit): Seq[Double] = (1 to 3).map { _ =>
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    // every stage rides timedBody (watchdog + -1.0 sentinel + err
+    // reason) and the persisted frames release on ANY exit — the
+    // q125Decomposition discipline (a hung candidate join must not
+    // stall the diagnostics run or steal cache from the later rows)
+    def stage(name: String)(body: => Long): (Long, Double, String) = {
+      val r = timedBody(spark, name, timeoutSec)(body)
+      r.fold(e => (-1L, -1.0, "\"" + e + "\""),
+        { case (n, s) => (n, s, "null") })
     }
-    val census = t3 {
+    def stage3(name: String)(body: => Unit)
+        : Seq[Either[String, Double]] =
+      (1 to 3).map(_ => timedBody(spark, name, timeoutSec) {
+        body; 0L
+      }.map(_._2))
+    val census = stage3("q44_census") {
       val cen = docs.select(col("doc_id").as("id"),
         xxhash64(col("text")).as("dg"))
       val stats = cen.groupBy("dg").agg(count(lit(1)).as("c"))
@@ -620,49 +654,64 @@ object ScaleProof {
       val gate = cen.agg(count(lit(1)), count_distinct(col("id")))
       stats.crossJoin(gate).head(); ()
     }
-    val signing = t3 {
+    val signing = stage3("q44_signing") {
       docs.select(Dedup.portableEmbUdf(col("text")).as("e"))
         .agg(count(col("e.sig"))).head(); ()
     }
     // stage decomposition over a persisted signature frame (what the
     // operator's group-all tier re-reads from cache)
-    val sigd = docs.select(col("doc_id").as("id"),
-        Dedup.portableEmbUdf(col("text")).as("e"))
-      .select(col("id"), col("e.sig").as("sig"), col("e.vec").as("vec"),
-        col("e.norm2").as("norm2"))
-      .where(col("norm2") > 0L)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nSigs = sigd.count()
-    val tC0 = System.nanoTime()
-    val reps = sigd.groupBy("vec")
-      .agg(min(col("id")).as("id"), first(col("sig")).as("sig"),
-        first(col("norm2")).as("norm2"))
-      .select(col("id"), col("sig"), col("vec"), col("norm2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nReps = reps.count()
-    val tContract = (System.nanoTime() - tC0) / 1e9
-    // candidate volume: the 8-bit signature bucket blocking's
-    // pre-verify pair count over the contracted reps, inlined because
-    // the fused core never materializes it
-    val tK0 = System.nanoTime()
-    val nCand = reps.select(col("sig"), col("id").as("ida"))
-      .join(reps.select(col("sig"), col("id").as("idb")), "sig")
-      .where(col("ida") < col("idb")).count()
-    val tCand = (System.nanoTime() - tK0) / 1e9
-    val tV0 = System.nanoTime()
-    val nPairs = Dedup.portableEmbPairsOverSigs(reps, 0.8).count()
-    val tCore = (System.nanoTime() - tV0) / 1e9
-    reps.unpersist(); sigd.unpersist()
-    def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
-    s"""{"metric":"q44_decomposition","full_sec":${arr(full.map(
-        _.getOrElse(-1.0)))}""" +
-      s""","full_err":${errArr(full)}""" +
-      s""","full_rows":$fullRows""" +
-      s""","census_sec":${arr(census)},"signing_sec":${arr(signing)}""" +
-      s""","sigs":$nSigs,"reps":$nReps""" +
-      s""","contract_sec":${fmt(tContract)}""" +
-      s""","candidates":$nCand,"candidate_sec":${fmt(tCand)}""" +
-      s""","rep_pairs":$nPairs,"core_sec":${fmt(tCore)}}"""
+    var sigd: DataFrame = null
+    var reps: DataFrame = null
+    try {
+      sigd = docs.select(col("doc_id").as("id"),
+          Dedup.portableEmbUdf(col("text")).as("e"))
+        .select(col("id"), col("e.sig").as("sig"),
+          col("e.vec").as("vec"), col("e.norm2").as("norm2"))
+        .where(col("norm2") > 0L)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (nSigs, tMat, eMat) = stage("q44_sigframe")(sigd.count())
+      val (nReps, tContract, eContract) = stage("q44_contract") {
+        reps = sigd.groupBy("vec")
+          .agg(min(col("id")).as("id"), first(col("sig")).as("sig"),
+            first(col("norm2")).as("norm2"))
+          .select(col("id"), col("sig"), col("vec"), col("norm2"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        reps.count()
+      }
+      // candidate volume: the 8-bit signature bucket blocking's
+      // pre-verify pair count over the contracted reps, inlined
+      // because the fused core never materializes it
+      val (nCand, tCand, eCand) = stage("q44_candidates") {
+        if (reps == null) -1L
+        else reps.select(col("sig"), col("id").as("ida"))
+          .join(reps.select(col("sig"), col("id").as("idb")), "sig")
+          .where(col("ida") < col("idb")).count()
+      }
+      val (nPairs, tCore, eCore) = stage("q44_core") {
+        if (reps == null) -1L
+        else Dedup.portableEmbPairsOverSigs(reps, 0.8).count()
+      }
+      def arr(xs: Seq[Either[String, Double]]) =
+        xs.map(_.fold(_ => "-1.0", fmt)).mkString("[", ",", "]")
+      s"""{"metric":"q44_decomposition","full_sec":${arr(full)}""" +
+        s""","full_err":${errArr(full)}""" +
+        s""","full_rows":$fullRows""" +
+        s""","census_sec":${arr(census)}""" +
+        s""","census_err":${errArr(census)}""" +
+        s""","signing_sec":${arr(signing)}""" +
+        s""","signing_err":${errArr(signing)}""" +
+        s""","sigs":$nSigs,"sig_materialize_sec":${fmt(tMat)}""" +
+        s""","sig_materialize_err":$eMat""" +
+        s""","reps":$nReps,"contract_sec":${fmt(tContract)}""" +
+        s""","contract_err":$eContract""" +
+        s""","candidates":$nCand,"candidate_sec":${fmt(tCand)}""" +
+        s""","candidate_err":$eCand""" +
+        s""","rep_pairs":$nPairs,"core_sec":${fmt(tCore)}""" +
+        s""","core_err":$eCore}"""
+    } finally {
+      if (reps != null) reps.unpersist()
+      if (sigd != null) sigd.unpersist()
+    }
   }
 
   /** q125/q119 steady-state probe (round 15): after the IVF-family fix

@@ -53,17 +53,33 @@ object StreamProof {
     // instead of being destroyed.
     {
       val marker = ".graft_streamproof"
-      val work = java.nio.file.Paths.get(workDir).toAbsolutePath
-        .normalize()
-      val base = java.nio.file.Paths.get(baseDir).toAbsolutePath
-        .normalize()
-      require(!base.startsWith(work),
-        s"refusing to wipe $work: it contains the input $base")
-      val root = new org.apache.hadoop.fs.Path(work.toString)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      // the containment check and the recursive delete must agree on
+      // path semantics: both go through the Hadoop FileSystem and
+      // compare FULLY QUALIFIED URIs (a java.nio comparison would
+      // mangle a scheme-qualified baseDir like file:///… into a
+      // relative path and wave the guard through — review finding,
+      // round 17)
+      val conf = spark.sessionState.newHadoopConf()
+      val workP = new org.apache.hadoop.fs.Path(workDir)
+      val fs = workP.getFileSystem(conf)
+      val root = fs.makeQualified(workP)
+      val baseP = new org.apache.hadoop.fs.Path(baseDir)
+      val baseQ = baseP.getFileSystem(conf).makeQualified(baseP)
+      def within(child: org.apache.hadoop.fs.Path,
+          parent: org.apache.hadoop.fs.Path): Boolean = {
+        val cu = child.toUri; val pu = parent.toUri
+        java.util.Objects.equals(cu.getScheme, pu.getScheme) &&
+          java.util.Objects.equals(cu.getAuthority, pu.getAuthority) && {
+            val cp = cu.getPath.stripSuffix("/") + "/"
+            val pp = pu.getPath.stripSuffix("/") + "/"
+            cp.startsWith(pp)
+          }
+      }
+      require(!within(baseQ, root),
+        s"refusing to wipe $root: it contains the input $baseQ")
       if (fs.exists(root) && fs.listStatus(root).nonEmpty) {
         require(fs.exists(new org.apache.hadoop.fs.Path(root, marker)),
-          s"refusing to wipe $work: no $marker from a previous " +
+          s"refusing to wipe $root: no $marker from a previous " +
             s"StreamProof run — pass a dedicated (or empty) work dir")
         fs.delete(root, true)
         ()
@@ -370,24 +386,25 @@ object StreamProof {
     // max per-bucket occupancy (round-14 advice: the artifact must
     // show how far the run sat above the production default cap of
     // 64, so `maxBucket` can be sized from data, not guessed)
-    val shSigs = mutAll
+    // ONE scan for all three occupancy numbers (review finding,
+    // round 17 — the two-job form signed the corpus twice): per
+    // bucket, member rows AND distinct signatures (the unit the
+    // contracted state's cap bounds) from the same (bkey, sig) pairs
+    val shOcc = mutAll
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (_, text) =>
         graft.operators.Dedup.simhashSignature(text) }
-    val shBandKeys = shSigs.flatMap(
-      SimHashStream.bandKeys(_, shMaxHamming))
-    val shOcc = shBandKeys.groupBy(col("value"))
-      .agg(count(lit(1)).as("c"))
-      .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"))
+      .flatMap(s =>
+        SimHashStream.bandKeys(s, shMaxHamming).map(k => (k, s)))
+      .toDF("bkey", "sig")
+      .groupBy("bkey")
+      .agg(count(lit(1)).as("c"), count_distinct(col("sig")).as("k"))
+      .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"),
+        max(col("k")).as("classes"))
       .head()
     val shBucketBound = shOcc.getLong(0)
     val shMaxOccupancy = shOcc.getLong(1)
-    // class occupancy: distinct signatures per bucket — the unit the
-    // contracted state's cap bounds (round 17)
-    val shMaxClasses = shSigs.distinct()
-      .flatMap(SimHashStream.bandKeys(_, shMaxHamming))
-      .groupBy(col("value")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val shMaxClasses = shOcc.getLong(2)
     // overflow markers (hamming -1) are a disjoint channel: count them
     // for the artifact, exclude them from pair parity — at the proof
     // cap there must be none
@@ -453,21 +470,21 @@ object StreamProof {
     val repStateFinal = repQ.recentProgress.toSeq
       .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
-    val repSigs = repAll
+    val repOcc = repAll
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (_, text) =>
         graft.operators.Dedup.simhashSignature(text) }
-    val repOcc = repSigs.flatMap(
-        SimHashStream.bandKeys(_, shMaxHamming))
-      .groupBy(col("value")).agg(count(lit(1)).as("c"))
-      .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"))
+      .flatMap(s =>
+        SimHashStream.bandKeys(s, shMaxHamming).map(k => (k, s)))
+      .toDF("bkey", "sig")
+      .groupBy("bkey")
+      .agg(count(lit(1)).as("c"), count_distinct(col("sig")).as("k"))
+      .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"),
+        max(col("k")).as("classes"))
       .head()
     val repBucketBound = repOcc.getLong(0)
     val repMaxOccupancy = repOcc.getLong(1)
-    val repMaxClasses = repSigs.distinct()
-      .flatMap(SimHashStream.bandKeys(_, shMaxHamming))
-      .groupBy(col("value")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val repMaxClasses = repOcc.getLong(2)
     val repRaw = spark.table("reppairs")
     val repOverflowMarkers = repRaw.where(col("hamming") < 0).count()
     val repStreamPairs = repRaw
@@ -511,21 +528,20 @@ object StreamProof {
     val rnStateFinal = rnQ.recentProgress.toSeq
       .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
-    val rnSigs = repAll
+    val rnOcc = repAll
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (_, t) =>
         graft.operators.Dedup.portableSignature(t, 3).toSeq }
-    val rnOcc = rnSigs
-      .flatMap(NearDupStream.bandKeysFor(_, 4))
-      .groupBy(col("value")).agg(count(lit(1)).as("c"))
-      .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"))
+      .flatMap(s => NearDupStream.bandKeysFor(s, 4).map(k => (k, s)))
+      .toDF("bkey", "sig")
+      .groupBy("bkey")
+      .agg(count(lit(1)).as("c"), count_distinct(col("sig")).as("k"))
+      .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"),
+        max(col("k")).as("classes"))
       .head()
     val rnBucketBound = rnOcc.getLong(0)
     val rnMaxOccupancy = rnOcc.getLong(1)
-    val rnMaxClasses = rnSigs.distinct()
-      .flatMap(NearDupStream.bandKeysFor(_, 4))
-      .groupBy(col("value")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val rnMaxClasses = rnOcc.getLong(2)
     val rnRaw = spark.table("rnpairs")
     val rnOverflowMarkers = rnRaw.where(col("est_jaccard") < 0).count()
     val rnStreamPairs = rnRaw
@@ -607,17 +623,19 @@ object StreamProof {
     val erStateFinal = erQ.recentProgress.toSeq
       .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
       .foldLeft(0L)(math.max)
-    val erEntries = edRepAll.as[EditDistanceStream.StreamStr]
+    // ONE scan for blocks + per-role member/class maxima (the same
+    // review finding as the SimHash occupancy jobs)
+    val erOcc = edRepAll.as[EditDistanceStream.StreamStr]
       .flatMap(EditDistanceStream.entriesFor(_, edTau))
-    val erBlockBound = erEntries.select("bkey").distinct().count()
-    val erMaxMembers = erEntries
-      .select(col("bkey"), col("isIndex"), col("id")).distinct()
-      .groupBy("bkey", "isIndex").agg(count(lit(1)).as("c"))
-      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
-    val erMaxClasses = erEntries
-      .select(col("bkey"), col("isIndex"), col("s")).distinct()
-      .groupBy("bkey", "isIndex").agg(count(lit(1)).as("c"))
-      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+      .groupBy("bkey", "isIndex")
+      .agg(count_distinct(col("id")).as("m"),
+        count_distinct(col("s")).as("k"))
+      .agg(count_distinct(col("bkey")).as("blocks"),
+        max(col("m")).as("members"), max(col("k")).as("classes"))
+      .head()
+    val erBlockBound = erOcc.getLong(0)
+    val erMaxMembers = erOcc.getLong(1)
+    val erMaxClasses = erOcc.getLong(2)
     val erRaw = spark.table("erpairs")
     val erOverflowMarkers = erRaw.where(col("dist") < 0).count()
     val erStreamPairs = erRaw.where(col("dist") >= 0).distinct()

@@ -96,7 +96,11 @@ object EditDistanceStream {
     * opposite-role CLASS (the distance is a pure function of the two
     * strings — re-expanding the verdict over a class's ids is output
     * volume, not verify cost), and the cap bounds distinct-string
-    * classes per role. */
+    * classes per role.
+    * CHECKPOINT BREAK: the round-17 contraction changed this state
+    * encoding (four parallel Seqs → two arrays of classes) — restart
+    * pre-round-17 queries from a fresh checkpoint (replay reproduces
+    * the output exactly; pairs are idempotent-upsert). */
   final case class BlockState(idx: Seq[StrClass], prb: Seq[StrClass])
 
   /** First-seen per-role string-CLASS cap (see scaladoc above). */
@@ -133,7 +137,17 @@ object EditDistanceStream {
       val members = new scala.collection.mutable.ArrayBuffer[
         scala.collection.mutable.ArrayBuffer[Long]]()
       val seen = scala.collection.mutable.HashSet[Long]()
+      // O(1) own-class lookup for the duplicate-join decision — a
+      // linear string-equality scan per arrival would be O(classes ×
+      // strlen) of pure added work on top of the opposite-role verify
+      val index = scala.collection.mutable.HashMap[String, Int]()
+      def add(s: String, id: Long): Unit = {
+        index(s) = strs.length
+        strs += s
+        members += scala.collection.mutable.ArrayBuffer(id)
+      }
       def load(cs: Seq[StrClass]): Unit = cs.foreach { c =>
+        index(c.s) = strs.length
         strs += c.s
         val m = new scala.collection.mutable.ArrayBuffer[Long](c.ids.size)
         c.ids.foreach { id => m += id; seen += id }
@@ -167,19 +181,14 @@ object EditDistanceStream {
           i += 1
         }
         // class membership in OUR role needs exact string equality —
-        // scanned separately from the opposite-role verify loop
-        i = 0
-        while (matched < 0 && i < mine.strs.length) {
-          if (mine.strs(i) == e.s) matched = i
-          i += 1
-        }
+        // O(1) via the role's hash index
+        matched = mine.index.getOrElse(e.s, -1)
         if (matched >= 0) {
           // duplicate string: joins its class — never spends cap
           mine.members(matched) += e.id
           grew = true
         } else if (mine.strs.length < maxBlock) {
-          mine.strs += e.s
-          mine.members += scala.collection.mutable.ArrayBuffer(e.id)
+          mine.add(e.s, e.id)
           grew = true
         } else {
           // cap truncation must be visible at runtime (round 17 —

@@ -85,7 +85,11 @@ object NearDupStream {
   final case class SigClass(sig: Seq[Long], ids: Seq[Long])
 
   /** Bucket membership, grouped by distinct signature (round 17):
-    * the cap counts `classes`, never members — see the object doc. */
+    * the cap counts `classes`, never members — see the object doc.
+    * CHECKPOINT BREAK: the round-17 contraction changed this state
+    * encoding (parallel id/signature Seqs → one array of classes) —
+    * restart pre-round-17 queries from a fresh checkpoint (replay
+    * reproduces the output exactly; pairs are idempotent-upsert). */
   final case class BucketState(classes: Seq[SigClass])
 
   /** Matching positions between two equal-length signatures. */
@@ -203,6 +207,9 @@ object NearDupStream {
   def nearDupPairsCapped(docs: Dataset[StreamDoc], n: Int,
       bands: Int, maxBucket: Int)(implicit spark: SparkSession)
       : Dataset[NearDupPair] = {
+    // a cap < 1 retains nothing and emits only markers — a stated
+    // decision must still be a sane one (the editPairs guard)
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     import spark.implicits._
     val banded = docs.flatMap { d =>
       val sig = Dedup.portableSignature(d.text, n).toSeq

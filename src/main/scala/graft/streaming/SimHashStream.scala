@@ -94,7 +94,13 @@ object SimHashStream {
   final case class SigClass(sig: Long, ids: Seq[Long])
 
   /** Bucket membership, grouped by distinct signature (round 17):
-    * the cap counts `classes`, never members — see the object doc. */
+    * the cap counts `classes`, never members — see the object doc.
+    * CHECKPOINT BREAK: the round-17 contraction changed this state
+    * encoding (parallel id/signature Seqs → one array of classes) —
+    * a query restarted from a pre-round-17 checkpoint fails state
+    * schema validation; re-ingest from a fresh checkpoint (the
+    * operator is deterministic and pairs are idempotent-upsert, so a
+    * replay reproduces the output exactly). */
   final case class BucketState(classes: Seq[SigClass])
 
   /** FLOOR of the derived bucket cap. UNLIKE NearDupStream's minhash
@@ -276,6 +282,9 @@ object SimHashStream {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"simhash banding guarantees recall only to hamming 0..7; " +
         s"got maxHamming=$maxHamming")
+    // a cap < 1 retains nothing and emits only markers — a stated
+    // decision must still be a sane one (the editPairs guard)
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     import spark.implicits._
     val banded = docs.flatMap { d =>
       val sig = Dedup.simhashSignature(d.text)
