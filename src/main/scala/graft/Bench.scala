@@ -105,7 +105,61 @@ object Bench {
       val xs = calibQueries.flatMap(results.get).filter(_ >= 0).sorted
       if (xs.isEmpty) -1.0 else xs(xs.size / 2)
     }
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"calibration_sec":${fmt(calibration)}}"""
+    // Fenced warm pass over the heaviest queries (round 18 — the
+    // ScaleProof warm discipline folded into the bench): the sweep's
+    // min-of-reps still rides whatever JVM/page-cache state the
+    // preceding 125 queries left behind, which is exactly why the
+    // same binary read 53.3/62.8/72.6 s across three round-17
+    // windows — a ±30% band that hides real ~10% regressions. The
+    // heavy queries dominate that band (top 10 ≈ half the total), so
+    // each gets a cache-clear + GC fence and three MORE reps after
+    // the full sweep, when the JVM is as warm as it will ever be;
+    // the min over those is the window-robust per-query number.
+    // `robust_total_sec` (sweep mins with the top-N replaced by their
+    // fenced warm mins) is the headline to compare across rounds; the
+    // fenced calibration row scales out whatever window residue
+    // remains. SPARK_GRAFT_BENCH_WARM sets N (default 10; 0
+    // disables).
+    val warmN = sys.env.get("SPARK_GRAFT_BENCH_WARM")
+      .flatMap(_.trim.toIntOption).getOrElse(10)
+    val fnByName = ordered.toMap
+    def fencedMinOf3(name: String): (Seq[(Double, Boolean)], Double) = {
+      spark.catalog.clearCache()
+      System.gc()
+      val timed = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fnByName(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val good = timed.collect { case (t, true) => t }
+      (timed, if (good.nonEmpty) good.min else -1.0)
+    }
+    val warmNames = results.toSeq.filter(_._2 >= 0)
+      .sortBy(-_._2).take(warmN).map(_._1)
+    val warmDetailed = warmNames.map { name =>
+      val (timed, best) = fencedMinOf3(name)
+      System.err.println(s"bench warm $name reps=[" +
+        timed.map { case (t, ok) =>
+          f"$t%.3f" + (if (ok) "" else "(FAILED)") }.mkString(",") +
+        s"] min=${fmt(best)}")
+      (name, timed, best)
+    }
+    val warmMins = warmDetailed.map { case (n, _, b) => n -> b }.toMap
+    val warmCalibration = if (warmN <= 0) -1.0 else {
+      val xs = calibQueries.filter(fnByName.contains)
+        .map(fencedMinOf3(_)._2).filter(_ >= 0).sorted
+      if (xs.isEmpty) -1.0 else xs(xs.size / 2)
+    }
+    // sweep mins with the warm set's fenced mins substituted (a warm
+    // pass that FAILED all reps keeps the sweep number — a transient
+    // must not deflate the robust headline)
+    val robustTotal = results.toSeq.filter(_._2 >= 0).map {
+      case (n, sweepMin) =>
+        warmMins.get(n).filter(_ >= 0).getOrElse(sweepMin)
+    }.sum
+    val warmTopTotal = warmDetailed.map(_._3).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"calibration_sec":${fmt(calibration)},"warm_top_n":${warmDetailed.length},"warm_total_top_sec":${fmt(warmTopTotal)},"robust_total_sec":${fmt(robustTotal)},"warm_calibration_sec":${fmt(warmCalibration)}}"""
     println(line)
     // also persist the summary: the driver's stdout tail-capture
     // truncated 13 of 75 per-query times in round 4 — the artifact
@@ -130,10 +184,15 @@ object Bench {
       val good = timed.collect { case (t, true) => t }
       if (good.size >= 2 && good.min > 0) Some(good.max / good.min) else None
     }.foldLeft(0.0)(_ max _)
+    val warmJson = warmDetailed.map { case (name, timed, best) =>
+      "\"" + name + "\":{\"reps_sec\":[" + timed.map { case (t, ok) =>
+        if (ok) fmt(t) else fmt(-t)
+      }.mkString(",") + s"],\"min_sec\":${fmt(best)}}"
+    }.mkString("{", ",", "}")
     val fileLine = line.dropRight(1) +
       s""","calibration_queries":${calibQueries.map("\"" + _ + "\"")
         .mkString("[", ",", "]")}""" +
-      s""","max_spread":${fmt(maxSpread)},"spread":$spreadJson,"reps_sec":$repsJson}"""
+      s""","max_spread":${fmt(maxSpread)},"spread":$spreadJson,"warm":$warmJson,"reps_sec":$repsJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_summary.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -559,6 +559,14 @@ object ScaleProof {
           .persist(StorageLevel.MEMORY_AND_DISK)
         reps.count()
       }
+      // a contract-stage timeout leaves `reps` ASSIGNED (the watchdog
+      // cancels the count, not the assignment), so the null guards on
+      // the later stages would wave the hung plan through for up to
+      // two more timeout windows — drop the frame on ANY stage
+      // failure (ADVICE r17)
+      if (eContract != "null" && reps != null) {
+        reps.unpersist(); reps = null
+      }
       // candidate volume: the 8x8-bit band blocking's distinct pre-
       // verify pair count over the contracted reps (maxHamming 7 -> 8
       // bands), inlined because the fused core never materializes it
@@ -677,6 +685,12 @@ object ScaleProof {
           .select(col("id"), col("sig"), col("vec"), col("norm2"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         reps.count()
+      }
+      // same guard as q23: a timed-out contract leaves reps assigned,
+      // and re-attempting the hung plan in the candidate/core stages
+      // costs two more timeout windows (ADVICE r17)
+      if (eContract != "null" && reps != null) {
+        reps.unpersist(); reps = null
       }
       // candidate volume: the 8-bit signature bucket blocking's
       // pre-verify pair count over the contracted reps, inlined
@@ -942,7 +956,8 @@ object ScaleProof {
     * but nonzero): for the strictest single-query bound, probe one
     * prefix per invocation. */
   private def runProbe(spark: SparkSession, outDir: String,
-      timeoutSec: Int, prefixes: Seq[String]): Unit = {
+      timeoutSec: Int, prefixes: Seq[String],
+      sourceJson: String): Unit = {
     System.err.println(
       s"[scaleproof] fresh-JVM probe over $outDir: " +
         prefixes.mkString(","))
@@ -975,7 +990,7 @@ object ScaleProof {
       else calibMins(calibMins.size / 2)
     val summary =
       s"""{"metric":"scale_proof_probe","reps":$reps""" +
-        s""","queries":${names.length}""" +
+        s""","queries":${names.length}$sourceJson""" +
         s""","calibration_sec":${fmt(calib)}}"""
     System.err.println(s"[scaleproof] $summary")
     val body = (rows :+ summary).mkString("[", ",\n", "]")
@@ -986,6 +1001,31 @@ object ScaleProof {
       (body + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       System.err.println(s"[scaleproof] write failed: $e") }
+  }
+
+  /** The probe set for `SPARK_GRAFT_SCALE_PROBE=auto`: the top-N
+    * queries of a prior sweep artifact by its own warm min-of-3
+    * (`warm_min_sec` rows — the fenced in-sweep warm pass), falling
+    * back to raw `scaled_sec` sweep rows when the artifact carries no
+    * warm pass (e.g. a SPARK_GRAFT_SCALE_WARM=0 run). Line-oriented
+    * regex extraction, deliberately: the artifact is this binary's
+    * own one-row-per-line output, and a JSON library is not on the
+    * classpath. Timed-out entries (quoted reasons / -1 sentinels)
+    * never rank. */
+  private[graft] def autoProbeTargets(sweepFile: String,
+      topN: Int): Seq[String] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(sweepFile)), "UTF-8")
+    def ranked(re: scala.util.matching.Regex): Seq[(String, Double)] =
+      re.findAllMatchIn(text)
+        .map(m => (m.group(1), m.group(2).toDouble))
+        .filter(_._2 >= 0).toSeq
+    val warm = ranked(
+      """"query":"([^"]+)",.*"warm_min_sec":(-?[0-9.]+)""".r)
+    val rows = if (warm.nonEmpty) warm
+      else ranked(
+        """"query":"([^"]+)",.*"scaled_sec":(-?[0-9.]+)""".r)
+    rows.sortBy(-_._2).take(topN).map(_._1)
   }
 
   private def runDiagnostics(spark: SparkSession, outDir: String,
@@ -1131,11 +1171,32 @@ object ScaleProof {
     // too. Per named query prefix: SPARK_GRAFT_SCALE_PROBE_REPS reps
     // (default 4 — rep 1 doubles as codegen warm-up), min over reps,
     // plus the calibration row; writes to SPARK_GRAFT_SCALE_OUT.
+    // SPARK_GRAFT_SCALE_PROBE=auto (round 18, verdict item 5): the
+    // probe set used to be hand-named prefixes, which can silently
+    // drift from the actual outlier set as rounds move the warm
+    // band. `auto` reads the prior sweep artifact
+    // (SPARK_GRAFT_SCALE_SWEEP, default the committed 100x
+    // all-queries file) and probes its top-N warm queries
+    // (SPARK_GRAFT_SCALE_PROBE_TOPN, default 6) mechanically; the
+    // probe artifact records the source so a reader can verify the
+    // set was derived, not picked.
     val probePrefixes = sys.env.get("SPARK_GRAFT_SCALE_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
     if (probePrefixes.isDefined) {
-      runProbe(spark, outDir, timeoutSec, probePrefixes.get)
+      if (probePrefixes.get == Seq("auto")) {
+        val sweepFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_SWEEP",
+          "scale_proof_x100_all.json")
+        val topN = sys.env.get("SPARK_GRAFT_SCALE_PROBE_TOPN")
+          .flatMap(_.trim.toIntOption).getOrElse(6)
+        val targets = autoProbeTargets(sweepFile, topN)
+        require(targets.nonEmpty,
+          s"auto probe found no timed queries in $sweepFile")
+        runProbe(spark, outDir, timeoutSec, targets,
+          s""","probe_source":"auto","sweep_file":"$sweepFile"""" +
+            s""","top_n":$topN""")
+      } else runProbe(spark, outDir, timeoutSec, probePrefixes.get,
+        ""","probe_source":"named"""")
       spark.stop()
       return
     }

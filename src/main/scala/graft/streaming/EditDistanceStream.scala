@@ -42,13 +42,17 @@ import graft.operators.EditDistanceJoin
   * [[OverflowId]] MARKER row (dist -1) so truncation is an
   * observable stream fact; the batch parity contract below holds
   * unconditionally only while no (block, role)'s distinct-string
-  * diversity exceeds the cap. Size the cap to the corpus's hottest
-  * segment class (StreamProof's sf0.1 proof states 65536 — its
-  * edit-MUTATED strings are pairwise distinct, so classes ≈ members
-  * there — and records the bound the run actually needed; the
-  * REPLICA tier runs at the production default, where contraction
-  * absorbs replication entirely); the default suits streams whose
-  * boilerplate segments are pre-deduplicated upstream.
+  * diversity exceeds the cap. Since round 18 the production entry
+  * point [[editPairsFor]] DERIVES the cap from stated corpus scale
+  * via [[maxBlockFor]] (classes ≤ distinct strings ≤ docs — the
+  * SimHashStream theorem verbatim, so the derived cap never
+  * truncates within stated scale; the pre-round-18 default
+  * `MaxBlock = 256` was a headroom constant of exactly the species
+  * the round-17 skew measurements discredited, and survives only as
+  * the floor); a deployment that must bound per-block state below
+  * the corpus's real diversity states that through
+  * [[editPairsCapped]], and the proofs record the bound each run
+  * actually needed.
   *
   * Candidates verify INSIDE the fold with
   * [[EditDistanceJoin.boundedLevenshtein]] (the local twin of the
@@ -97,14 +101,36 @@ object EditDistanceStream {
     * strings — re-expanding the verdict over a class's ids is output
     * volume, not verify cost), and the cap bounds distinct-string
     * classes per role.
-    * CHECKPOINT BREAK: the round-17 contraction changed this state
-    * encoding (four parallel Seqs → two arrays of classes) — restart
-    * pre-round-17 queries from a fresh checkpoint (replay reproduces
-    * the output exactly; pairs are idempotent-upsert). */
-  final case class BlockState(idx: Seq[StrClass], prb: Seq[StrClass])
+    * `ver` is the [[StateVersion]] stamp (round 18): checked on
+    * restore, named error on mismatch. CHECKPOINT BREAK: adding the
+    * stamp changed the state schema (as the round-17 contraction did
+    * before it) — restart pre-round-18 queries from a fresh
+    * checkpoint (replay reproduces the output exactly; pairs are
+    * idempotent-upsert). */
+  final case class BlockState(ver: Int, idx: Seq[StrClass],
+    prb: Seq[StrClass])
 
-  /** First-seen per-role string-CLASS cap (see scaladoc above). */
+  /** FLOOR of the derived per-role string-class cap (round 18: a
+    * headroom constant survives only as a floor, never a default). */
   val MaxBlock = 256
+
+  /** Cap sized from an expected corpus: `expectedDocs` itself
+    * (floored at [[MaxBlock]], clamped to Int) — the classes-≤-docs
+    * theorem at the PassJoin tier: a (block, role)'s class count is
+    * its distinct-string count, and distinct strings cannot exceed
+    * the documents that produced them, so the derived cap never
+    * truncates within stated scale regardless of how hot a shared
+    * segment class runs (the proofs' worst case — a common 8-char
+    * prefix × replicas — is exactly the shape that outgrew any
+    * constant). Cost stays bounded by the contraction, not the cap:
+    * per-arrival verify is one boundedLevenshtein per opposite-role
+    * CLASS, and state carries one string per class plus the
+    * output-necessitated member ids. */
+  def maxBlockFor(expectedDocs: Long): Int = {
+    require(expectedDocs >= 0, s"expectedDocs: $expectedDocs")
+    math.max(MaxBlock.toLong, expectedDocs)
+      .min(Int.MaxValue.toLong).toInt
+  }
 
   /** The batch operator's block-key enumeration, verbatim:
     * [[EditDistanceJoin.blockEntries]] IS the single implementation
@@ -157,7 +183,10 @@ object EditDistanceStream {
         strs.indices.map(i => StrClass(strs(i), members(i).toSeq))
     }
     val idx = new Role; val prb = new Role
-    state.getOption.foreach { s => idx.load(s.idx); prb.load(s.prb) }
+    state.getOption.foreach { s =>
+      StateVersion.check("EditDistanceStream", s.ver)
+      idx.load(s.idx); prb.load(s.prb)
+    }
     val out = Seq.newBuilder[EditPair]
     var grew = false
     entries.toSeq.sortBy(e => (e.id, !e.isIndex)).foreach { e =>
@@ -198,13 +227,37 @@ object EditDistanceStream {
         mine.seen += e.id
       }
     }
-    if (grew) state.update(BlockState(idx.classes, prb.classes))
+    if (grew) state.update(BlockState(StateVersion.Current,
+      idx.classes, prb.classes))
     out.result().iterator
   }
 
-  /** Wire a string stream into the block-keyed stateful matcher. */
-  def editPairs(docs: Dataset[StreamStr], tau: Int,
-      maxBlock: Int = MaxBlock)(
+  /** Wire a string stream into the block-keyed stateful matcher —
+    * the PRODUCTION entry point (round 18): callers state the corpus
+    * scale they expect and the per-role class cap derives via
+    * [[maxBlockFor]] (never truncates within stated scale — the
+    * classes-≤-docs theorem), replacing the pre-round-18 defaulted
+    * constant. Named `editPairsFor` (not `editPairs`) so the
+    * migration is compile-breaking for every external caller — the
+    * hammingPairsFor convention.
+    *
+    * CONSUMER CONTRACT: the output is pairs PLUS in-band
+    * [[OverflowId]] marker rows (dist -1) — filter `dist >= 0` to
+    * consume pairs; alert on anything else. Marker counts are
+    * at-least-once EVENT counts (a replayed overflow arrival
+    * re-marks — overflowed arrivals are deliberately not persisted),
+    * so count distinct ids where exact truncated-doc counts
+    * matter. */
+  def editPairsFor(docs: Dataset[StreamStr], tau: Int,
+      expectedDocs: Long)(
+      implicit spark: SparkSession): Dataset[EditPair] =
+    editPairsCapped(docs, tau, maxBlockFor(expectedDocs))
+
+  /** [[editPairsFor]] with an EXPLICIT per-role class cap — for
+    * memory-bounded deployments and proof harnesses; the cap is a
+    * stated decision, never a default. */
+  def editPairsCapped(docs: Dataset[StreamStr], tau: Int,
+      maxBlock: Int)(
       implicit spark: SparkSession): Dataset[EditPair] = {
     import spark.implicits._
     require(tau >= 1, "tau must be >= 1")

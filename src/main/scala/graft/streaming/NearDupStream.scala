@@ -32,20 +32,29 @@ import graft.operators.Dedup
   * signature is EXACT for this operator's semantics, not just for
   * byte-identical texts.
   *
-  * Cap semantics under contraction: [[MaxBucket]] bounds distinct
-  * signature CLASSES per bucket. UNLIKE SimHashStream's 2^width
-  * band keyspace, minhash band keys live in a huge keyspace where
-  * only near-duplicates (and exact duplicates, now contracted)
-  * collide — genuine class diversity past the cap means a degenerate
-  * band (boilerplate-similar, non-identical docs). An arrival with a
-  * NEW signature at a full bucket is scored against the retained
-  * classes, then dropped from state with an [[OverflowId]] MARKER row
-  * (est_jaccard -1.0) — round 17: truncation used to be silent here;
-  * the family's rule is that recall loss must be observable in the
-  * output stream itself. Memory per bucket is one signature per class
-  * plus one 8-byte id per retained member — the id payload is
-  * output-necessitated (exact re-expansion), the q23 output-volume
-  * judgment.
+  * Cap semantics under contraction: the cap bounds distinct
+  * signature CLASSES per bucket, and since round 18 the production
+  * entry point [[nearDupPairsFor]] DERIVES it from stated corpus
+  * scale via [[maxBucketFor]] — the SimHashStream theorem verbatim:
+  * a bucket's class count is its distinct-signature count, which can
+  * never exceed the distinct documents that produced them, so the
+  * derived cap never truncates within stated scale, regardless of
+  * skew. (The pre-round-18 default was the headroom constant
+  * `MaxBucket = 64` — exactly the species of guess the round-17
+  * proofs discredited for SimHash with 8-81× measured skew: minhash
+  * band keys do live in a huge keyspace where only near-dups
+  * collide, but "a degenerate boilerplate band never carries more
+  * than 64 genuinely distinct near-dup families" was still a model,
+  * and models eventually lose recall silently — the failure mode
+  * this family refuses. [[MaxBucket]] survives only as the derived
+  * cap's floor.) An arrival with a NEW signature at a full bucket is
+  * scored against the retained classes, then dropped from state with
+  * an [[OverflowId]] MARKER row (est_jaccard -1.0) — round 17:
+  * truncation used to be silent here; the family's rule is that
+  * recall loss must be observable in the output stream itself.
+  * Memory per bucket is one signature per class plus one 8-byte id
+  * per retained member — the id payload is output-necessitated
+  * (exact re-expansion), the q23 output-volume judgment.
   *
   * Emission: a pair is scored ONCE per shared band (same micro-batch
   * or later); cross-band repeats of the same pair are emitted per
@@ -86,11 +95,13 @@ object NearDupStream {
 
   /** Bucket membership, grouped by distinct signature (round 17):
     * the cap counts `classes`, never members — see the object doc.
-    * CHECKPOINT BREAK: the round-17 contraction changed this state
-    * encoding (parallel id/signature Seqs → one array of classes) —
-    * restart pre-round-17 queries from a fresh checkpoint (replay
-    * reproduces the output exactly; pairs are idempotent-upsert). */
-  final case class BucketState(classes: Seq[SigClass])
+    * `ver` is the [[StateVersion]] stamp (round 18): checked on
+    * restore, named error on mismatch. CHECKPOINT BREAK: adding the
+    * stamp changed the state schema (as the round-17 contraction did
+    * before it) — restart pre-round-18 queries from a fresh
+    * checkpoint (replay reproduces the output exactly; pairs are
+    * idempotent-upsert). */
+  final case class BucketState(ver: Int, classes: Seq[SigClass])
 
   /** Matching positions between two equal-length signatures. */
   private def matchCount(a: Seq[Long], b: Seq[Long]): Int = {
@@ -123,6 +134,7 @@ object NearDupStream {
     // members copy into per-class ArrayBuffers so the duplicate-join
     // append is O(1)
     val st = state.getOption
+    st.foreach(s => StateVersion.check("NearDupStream", s.ver))
     val sigs = new scala.collection.mutable.ArrayBuffer[Seq[Long]]()
     val members =
       new scala.collection.mutable.ArrayBuffer[
@@ -172,20 +184,59 @@ object NearDupStream {
         seen += d.id
       }
     }
-    if (grew) state.update(BucketState(
+    if (grew) state.update(BucketState(StateVersion.Current,
       sigs.indices.map(i => SigClass(sigs(i), members(i).toSeq))))
     out.result().iterator
   }
 
-  /** First-seen signature-CLASS cap per bucket (see scaladoc above). */
+  /** FLOOR of the derived signature-class cap (see the object doc:
+    * a headroom constant survives only as a floor, never a default —
+    * round 18, the SimHashStream convention). */
   val MaxBucket = 64
 
-  /** Wire a document stream into the banded stateful pairer at the
-    * default class cap. */
-  def nearDupPairs(docs: Dataset[StreamDoc], n: Int = 3,
-      bands: Int = 4)(implicit spark: SparkSession)
+  /** Cap sized from an expected corpus: `expectedDocs` itself
+    * (floored at [[MaxBucket]], clamped to Int) — the round-17
+    * SimHashStream theorem applied verbatim to the LSH tier: a
+    * bucket's class count is its distinct-minhash-signature count,
+    * distinct signatures cannot exceed the distinct texts that
+    * produced them, and distinct texts cannot exceed the documents —
+    * so for any corpus within its stated scale this cap NEVER
+    * truncates, regardless of how degenerate (boilerplate-similar)
+    * a band gets. What bounds cost is not this cap but the
+    * contraction: state is ≤ bands × (distinct signatures + retained
+    * member ids) whatever the cap says, and per-arrival scoring is
+    * one signature comparison per distinct class — the same
+    * distinct-bound work the batch LSH join pays for that bucket. A
+    * deployment that must bound per-bucket state BELOW the corpus's
+    * real signature diversity states that decision through
+    * [[nearDupPairsCapped]]. */
+  def maxBucketFor(expectedDocs: Long): Int = {
+    require(expectedDocs >= 0, s"expectedDocs: $expectedDocs")
+    math.max(MaxBucket.toLong, expectedDocs)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
+  /** Wire a document stream into the banded stateful pairer — the
+    * PRODUCTION entry point (round 18): callers state the corpus
+    * scale they expect and the class cap derives via [[maxBucketFor]]
+    * (never truncates within stated scale — the classes-≤-docs
+    * theorem), replacing the pre-round-18 defaulted constant whose
+    * species the round-17 skew measurements discredited. Named
+    * `nearDupPairsFor` (not `nearDupPairs`) so the migration is
+    * compile-breaking for every external caller — the
+    * hammingPairsFor convention.
+    *
+    * CONSUMER CONTRACT: the output is pairs PLUS in-band
+    * [[OverflowId]] marker rows (est_jaccard -1.0) — filter
+    * `est_jaccard >= 0` to consume pairs; alert on anything else.
+    * Marker counts are at-least-once EVENT counts (a replayed
+    * overflow arrival re-marks — overflowed arrivals are
+    * deliberately not persisted), so count distinct ids where exact
+    * truncated-doc counts matter. */
+  def nearDupPairsFor(docs: Dataset[StreamDoc], expectedDocs: Long,
+      n: Int = 3, bands: Int = 4)(implicit spark: SparkSession)
       : Dataset[NearDupPair] =
-    nearDupPairsCapped(docs, n, bands, MaxBucket)
+    nearDupPairsCapped(docs, n, bands, maxBucketFor(expectedDocs))
 
   /** The band keys of one signature — ONE enumeration shared by the
     * stream wiring and the StreamProof state bound (the

@@ -95,13 +95,15 @@ object SimHashStream {
 
   /** Bucket membership, grouped by distinct signature (round 17):
     * the cap counts `classes`, never members — see the object doc.
-    * CHECKPOINT BREAK: the round-17 contraction changed this state
-    * encoding (parallel id/signature Seqs → one array of classes) —
-    * a query restarted from a pre-round-17 checkpoint fails state
-    * schema validation; re-ingest from a fresh checkpoint (the
-    * operator is deterministic and pairs are idempotent-upsert, so a
-    * replay reproduces the output exactly). */
-  final case class BucketState(classes: Seq[SigClass])
+    * `ver` is the [[StateVersion]] stamp (round 18): the fold checks
+    * it on restore and fails fast with a named error on mismatch, so
+    * the NEXT encoding change is detected instead of becoming a
+    * checkpoint-deserialization surprise. CHECKPOINT BREAK: adding
+    * the stamp itself changed the state schema (as the round-17
+    * contraction did before it) — restart pre-round-18 queries from
+    * a fresh checkpoint (replay reproduces the output exactly; pairs
+    * are idempotent-upsert). */
+  final case class BucketState(ver: Int, classes: Seq[SigClass])
 
   /** FLOOR of the derived bucket cap. UNLIKE NearDupStream's minhash
     * band keys (a huge keyspace where only near-dups collide), SimHash
@@ -141,9 +143,16 @@ object SimHashStream {
     * member ids) whatever the cap says (each signature lives in one
     * class per band), and per-arrival verify is one XOR per distinct
     * signature in the bucket — the same distinct-bound work the batch
-    * banded join pays for that bucket. A deployment that must bound
-    * per-bucket verify/state BELOW the corpus's real signature
-    * diversity states that decision through [[hammingPairsCapped]].
+    * banded join pays for that bucket. OPERATIONAL COROLLARY: a hot
+    * bucket's per-arrival verify latency scales with the corpus's
+    * signature DIVERSITY landing there (the v4 proof's hot bucket ran
+    * ~12.6k popcounts per arrival inside a single-threaded group
+    * fold) — monitor micro-batch durations; a creeping batch time
+    * with flat input volume means a bucket's class count is growing,
+    * and the remedy is a stated cap, not a bigger cluster. A
+    * deployment that must bound per-bucket verify/state BELOW the
+    * corpus's real signature diversity states that decision through
+    * [[hammingPairsCapped]].
     * `maxHamming` is retained in the signature deliberately: the cap
     * is geometry-independent now, but callers sizing caps per radius
     * keep a stable call shape. */
@@ -179,6 +188,7 @@ object SimHashStream {
     // it was caught in a thread dump. Members copy into per-class
     // ArrayBuffers so the duplicate-join append is O(1).
     val st = state.getOption
+    st.foreach(s => StateVersion.check("SimHashStream", s.ver))
     val sigs = new scala.collection.mutable.ArrayBuffer[Long]()
     val members =
       new scala.collection.mutable.ArrayBuffer[
@@ -225,7 +235,7 @@ object SimHashStream {
         seen += d.id
       }
     }
-    if (grew) state.update(BucketState(
+    if (grew) state.update(BucketState(StateVersion.Current,
       sigs.indices.map(i => SigClass(sigs(i), members(i).toSeq))))
     out.result().iterator
   }
@@ -259,6 +269,15 @@ object SimHashStream {
     * corpora; [[OverflowId]] markers still report when even the
     * derived bound is exceeded. An explicit cap goes through
     * [[hammingPairsCapped]].
+    *
+    * CONSUMER CONTRACT: the output is pairs PLUS in-band
+    * [[OverflowId]] marker rows (hamming -1) — a consumer that
+    * aggregates without filtering `hamming >= 0` ingests markers as
+    * pairs (a min/avg goes negative). Filter `hamming >= 0` for
+    * pairs; alert on anything else. Marker counts are at-least-once
+    * EVENT counts (a replayed overflow arrival re-marks — overflowed
+    * arrivals are deliberately not persisted), so count distinct ids
+    * where exact truncated-doc counts matter.
     *
     * Named `hammingPairsFor` (not `hammingPairs`) deliberately
     * (round-16 advice): the pre-round-16 `hammingPairs(docs,

@@ -70,7 +70,9 @@ class EditDistanceStreamSpec extends SparkSuite {
       StreamStr(12L, "a"), // short: dist 1 of doc 4
       StreamStr(13L, "abX")) // len tau+1: main path vs short doc 4
     val input = MemoryStream[StreamStr](s)
-    val query = EditDistanceStream.editPairs(input.toDS(), tau)
+    // the production entry: stated corpus scale, derived class cap
+    val query = EditDistanceStream.editPairsFor(input.toDS(), tau,
+        expectedDocs = 8)
       .writeStream.format("memory").queryName("edit_pairs")
       .outputMode("append").start()
     try {
@@ -119,7 +121,8 @@ class EditDistanceStreamSpec extends SparkSuite {
     }
     val batches = docs.grouped(30).toSeq
     val input = MemoryStream[StreamStr](s)
-    val query = EditDistanceStream.editPairs(input.toDS(), tau)
+    val query = EditDistanceStream.editPairsFor(input.toDS(), tau,
+        expectedDocs = 90)
       .writeStream.format("memory").queryName("edit_pairs_rnd")
       .outputMode("append").start()
     try {
@@ -150,8 +153,8 @@ class EditDistanceStreamSpec extends SparkSuite {
     val input = MemoryStream[StreamStr](s)
     // maxBlock 1: a member-counted cap would stop retaining at the
     // second replica — the shape round 17 contracts
-    val query = EditDistanceStream.editPairs(input.toDS(), tau = 2,
-        maxBlock = 1)
+    val query = EditDistanceStream.editPairsCapped(input.toDS(),
+        tau = 2, maxBlock = 1)
       .writeStream.format("memory").queryName("edit_pairs_cap")
       .outputMode("append").start()
     try {
@@ -215,5 +218,41 @@ class EditDistanceStreamSpec extends SparkSuite {
       (5L, EditDistanceStream.OverflowId, -1)), out2.toString)
     assert(st2.get.prb.map(x => (x.s, x.ids)) === Seq((a, Seq(2L, 4L))))
     assert(st2.get.idx.map(x => (x.s, x.ids)) === Seq((a, Seq(1L))))
+  }
+
+  test("maxBlockFor derives the per-role class cap as the stated " +
+      "corpus size itself (classes <= distinct strings <= docs), " +
+      "floored at the old default and clamped to Int") {
+    assert(EditDistanceStream.maxBlockFor(1000000L) === 1000000)
+    assert(EditDistanceStream.maxBlockFor(10L) ===
+      EditDistanceStream.MaxBlock)
+    assert(EditDistanceStream.maxBlockFor(Long.MaxValue) ===
+      Int.MaxValue)
+    intercept[IllegalArgumentException] {
+      EditDistanceStream.maxBlockFor(-1L)
+    }
+  }
+
+  test("a restored state with a stale version stamp fails fast with " +
+      "the named error (round-18 checkpoint guard)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout,
+      TestGroupState}
+    import graft.streaming.{StateVersion => SV}
+    import graft.streaming.EditDistanceStream.{BlockEntry, BlockState,
+      StrClass}
+    val stale = BlockState(SV.Current - 1,
+      Seq(StrClass("abcdefgh", Seq(1L))), Seq.empty)
+    val gs = TestGroupState.create[BlockState](
+      org.apache.spark.api.java.Optional.of(stale),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](),
+      false)
+    val e = intercept[IllegalStateException] {
+      EditDistanceStream.pairBlock(tau = 2, maxBlock = 64)(
+        "k", Iterator(BlockEntry("k", false, 2L, "abcdefgh")), gs)
+        .toSeq
+    }
+    assert(e.getMessage.contains("state version"), e.getMessage)
+    assert(e.getMessage.contains("EditDistanceStream"), e.getMessage)
   }
 }

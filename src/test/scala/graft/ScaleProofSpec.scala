@@ -109,6 +109,39 @@ class ScaleProofSpec extends SparkSuite {
       again.select("doc_id", "text")).isEmpty)
   }
 
+  test("autoProbeTargets ranks by the sweep artifact's own warm " +
+      "mins, skips timed-out entries, and falls back to scaled_sec " +
+      "when no warm pass ran (the probe set cannot drift from the " +
+      "outlier set)") {
+    val f = Files.createTempFile("sweep", ".json")
+    // the harness's own artifact shape: sweep rows, warm rows, summary
+    Files.write(f, Seq(
+      """[{"query":"q01_a","base_sec":0.1,"scaled_sec":2.0,"ratio":20.0},""",
+      """{"query":"q02_b","base_sec":0.1,"scaled_sec":9.0,"ratio":90.0},""",
+      """{"query":"q03_c","base_sec":0.1,"scaled_sec":"timeout","ratio":null},""",
+      """{"query":"q04_d","base_sec":0.1,"scaled_sec":5.0,"ratio":50.0},""",
+      """{"query":"q02_b","sweep_sec":9.0,"warm_reps_sec":[8.0,7.5,7.7],"warm_reps_err":[null,null,null],"warm_min_sec":7.500},""",
+      """{"query":"q04_d","sweep_sec":5.0,"warm_reps_sec":[9.9,9.8,9.7],"warm_reps_err":[null,null,null],"warm_min_sec":9.700},""",
+      """{"query":"q01_a","sweep_sec":2.0,"warm_reps_sec":[-1.0],"warm_reps_err":["timeout"],"warm_min_sec":-1.000},""",
+      """{"metric":"scale_proof","factor":100}]""").mkString("\n")
+      .getBytes("UTF-8"))
+    // warm rows present: ranked by warm_min_sec (q04 9.7 > q02 7.5),
+    // the all-failed warm row (-1) never ranks
+    assert(ScaleProof.autoProbeTargets(f.toString, 2) ===
+      Seq("q04_d", "q02_b"))
+    assert(ScaleProof.autoProbeTargets(f.toString, 1) === Seq("q04_d"))
+    // no warm rows: fall back to scaled_sec, timeouts skipped
+    val f2 = Files.createTempFile("sweep2", ".json")
+    Files.write(f2, Seq(
+      """[{"query":"q01_a","base_sec":0.1,"scaled_sec":2.0,"ratio":20.0},""",
+      """{"query":"q02_b","base_sec":0.1,"scaled_sec":"timeout","ratio":null},""",
+      """{"query":"q04_d","base_sec":0.1,"scaled_sec":5.0,"ratio":50.0},""",
+      """{"metric":"scale_proof","factor":100}]""").mkString("\n")
+      .getBytes("UTF-8"))
+    assert(ScaleProof.autoProbeTargets(f2.toString, 5) ===
+      Seq("q04_d", "q01_a"))
+  }
+
   test("recallJson pins the shared recall accounting: 0.2 bucket " +
       "edges, top-bucket cap at J>=0.8, zero-miss and full-miss " +
       "buckets, keyPrefix rendering") {

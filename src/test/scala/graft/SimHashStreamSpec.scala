@@ -195,6 +195,31 @@ class SimHashStreamSpec extends SparkSuite {
       Seq((sigA, Seq(1L, 2L, 4L))), st2.toString)
   }
 
+  test("a restored state with a stale version stamp fails fast with " +
+      "the named error, not a wrong-behavior restore (round-18 " +
+      "checkpoint guard)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout,
+      TestGroupState}
+    import graft.streaming.{StateVersion => SV}
+    import graft.streaming.SimHashStream.{BandedSig, BucketState,
+      SigClass}
+    // a synthetically down-versioned state: same schema, older stamp
+    val stale = BucketState(SV.Current - 1,
+      Seq(SigClass(42L, Seq(1L))))
+    val gs = TestGroupState.create[BucketState](
+      org.apache.spark.api.java.Optional.of(stale),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](),
+      false)
+    val e = intercept[IllegalStateException] {
+      SimHashStream.pairBucket(maxHamming = 3, maxBucket = 64)(
+        "0:42", Iterator(BandedSig("0:42", 2L, 42L)), gs).toSeq
+    }
+    assert(e.getMessage.contains("state version"), e.getMessage)
+    assert(e.getMessage.contains("SimHashStream"), e.getMessage)
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+  }
+
   test("maxBucketFor derives the class cap as the stated corpus " +
       "size itself: classes <= docs is a theorem, occupancy models " +
       "were measured wrong") {

@@ -451,7 +451,9 @@ class StreamingSpec extends SparkSuite {
       StreamDoc(10L, base + " one"), // exact dup of doc 1, later batch
       StreamDoc(11L, "nothing in common with anything else at all"))
     val input = MemoryStream[StreamDoc](s)
-    val query = NearDupStream.nearDupPairs(input.toDS())
+    // the production entry: stated corpus scale, derived class cap
+    val query = NearDupStream.nearDupPairsFor(input.toDS(),
+        expectedDocs = 5)
       .writeStream.format("memory").queryName("neardup_pairs")
       .outputMode("append").start()
     try {
@@ -571,5 +573,40 @@ class StreamingSpec extends SparkSuite {
       out2.toString)
     assert(st2.get.classes.map(c => (c.sig, c.ids)) ===
       Seq((sigA, Seq(1L, 2L, 4L))), st2.toString)
+  }
+
+  test("near-dup maxBucketFor derives the class cap as the stated " +
+      "corpus size itself (classes <= distinct signatures <= docs), " +
+      "floored at the old default and clamped to Int") {
+    import graft.streaming.NearDupStream
+    assert(NearDupStream.maxBucketFor(1000000L) === 1000000)
+    assert(NearDupStream.maxBucketFor(10L) === NearDupStream.MaxBucket)
+    assert(NearDupStream.maxBucketFor(Long.MaxValue) === Int.MaxValue)
+    intercept[IllegalArgumentException] {
+      NearDupStream.maxBucketFor(-1L)
+    }
+  }
+
+  test("near-dup restored state with a stale version stamp fails " +
+      "fast with the named error (round-18 checkpoint guard)") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.{StateVersion => SV}
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.{BandedDoc, BucketState,
+      SigClass}
+    val sig: Seq[Long] = Seq.tabulate(16)(_.toLong)
+    val stale = BucketState(SV.Current - 1,
+      Seq(SigClass(sig, Seq(1L))))
+    val gs = TestGroupState.create[BucketState](
+      org.apache.spark.api.java.Optional.of(stale),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](),
+      false)
+    val e = intercept[IllegalStateException] {
+      NearDupStream.pairBucket(maxBucket = 64)(
+        "0:k", Iterator(BandedDoc("0:k", 2L, sig)), gs).toSeq
+    }
+    assert(e.getMessage.contains("state version"), e.getMessage)
+    assert(e.getMessage.contains("NearDupStream"), e.getMessage)
   }
 }
