@@ -324,6 +324,13 @@ object StreamProof {
     val recallFields = ScaleProof.recallJson(exact,
       streamPairs.select(col("id_a"), col("id_b"), lit(1).as("hit")))
     exact.unpersist(); streamPairs.unpersist(); batchPairs.unpersist()
+    // drop each tier's memory-sink table once its analysis is done
+    // (round 18): the memory sink holds every emitted pair ON THE
+    // DRIVER, and seven tiers' sinks alive at once (the replica
+    // tiers emit millions of rows) put the 8g default heap within
+    // OOM range of the late tiers' LocalTableScan copies — measured
+    // this round: the run died in exactly that copy before the drops
+    spark.catalog.dropTempView("ndpairs")
     // ---- v3 (round 13): the streaming PassJoin fuzzy matcher over an
     // EDIT-mutated corpus — replica b's text gets ONE deterministic
     // character substitution inside q115's 24-char join window
@@ -400,6 +407,7 @@ object StreamProof {
     val edParity = edNStream == edNBatch &&
       edOnlyStream == 0 && edOnlyBatch == 0
     edStreamPairs.unpersist(); edBatchPairs.unpersist()
+    spark.catalog.dropTempView("edpairs")
     // ---- v4 (round 14): the streaming SimHash matcher over the SAME
     // token-substitution-mutated corpus as the LSH tier — replicas are
     // near-dups whose signatures differ in a few bits, the regime the
@@ -486,6 +494,7 @@ object StreamProof {
     val shParity = shNStream == shNBatch &&
       shOnlyStream == 0 && shOnlyBatch == 0
     shStreamPairs.unpersist(); shBatchPairs.unpersist()
+    spark.catalog.dropTempView("shpairs")
     // ---- v5 (round 17): the REPLICA corpus — byte-identical replicas
     // of every document, the mass-duplication shape all batch emitters
     // contract — run through the PRODUCTION entry point at its own
@@ -561,6 +570,7 @@ object StreamProof {
     val repParity = repNStream == repNBatch &&
       repOnlyStream == 0 && repOnlyBatch == 0
     repStreamPairs.unpersist(); repBatchPairs.unpersist()
+    spark.catalog.dropTempView("reppairs")
     // ---- v6 (round 17; round 18 moved it to the production entry at
     // the DERIVED cap): NearDupStream over the SAME replica corpus —
     // the LSH tier's contraction proof. Byte-identical texts produce
@@ -626,6 +636,7 @@ object StreamProof {
     val rnParity = rnNStream == rnNBatch &&
       rnOnlyStream == 0 && rnOnlyBatch == 0
     rnStreamPairs.unpersist(); rnBatchPairs.unpersist()
+    spark.catalog.dropTempView("rnpairs")
     val v6 =
       s"""{"metric":"neardup_replica_stream_proof"""" +
         s""","batches":$batches,"mutation":"none (exact replicas)"""" +
@@ -722,6 +733,7 @@ object StreamProof {
     val erParity = erNStream == erNBatch &&
       erOnlyStream == 0 && erOnlyBatch == 0
     erStreamPairs.unpersist(); erBatchPairs.unpersist()
+    spark.catalog.dropTempView("erpairs")
     val v7 =
       s"""{"metric":"editdist_replica_stream_proof"""" +
         s""","batches":$edBatches""" +
