@@ -33,12 +33,30 @@ object StreamProof {
       else "/tmp/graft_streamproof"
     val batches = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_STREAM_STORE=rocksdb (round 18): run every tier
+    // under the production-grade RocksDB state store instead of the
+    // default HDFS-backed in-memory maps. The measured 10^9-doc
+    // state ceilings (SCALE_r18 §2) assume a store that spills —
+    // this mode makes "the operators run under RocksDB" a proof
+    // output rather than a compatibility claim, and the artifact
+    // records which store produced its numbers (memoryUsedBytes
+    // semantics differ: RocksDB reports its own memory accounting,
+    // so bytes are comparable within a store, not across).
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STREAM_STORE",
+      "hdfs") match {
+      case "rocksdb" => "rocksdb"
+      case _ => "hdfs"
+    }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (stateStore == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // memory-sink streaming queries cannot recover from a previous
@@ -177,6 +195,7 @@ object StreamProof {
     val bound = 4L * perBatchDistinct
     val summary =
       s"""{"metric":"stream_proof","batches":${rows.length}""" +
+        s""","state_store":"$stateStore"""" +
         s""","per_batch_distinct":$perBatchDistinct""" +
         s""","max_state_rows":$maxState""" +
         s""","max_state_bytes":$maxStateBytes""" +
@@ -639,6 +658,7 @@ object StreamProof {
     spark.catalog.dropTempView("rnpairs")
     val v6 =
       s"""{"metric":"neardup_replica_stream_proof"""" +
+        s""","state_store":"$stateStore"""" +
         s""","batches":$batches,"mutation":"none (exact replicas)"""" +
         s""","stream_pairs":$rnNStream,"batch_pairs":$rnNBatch""" +
         s""","only_stream":$rnOnlyStream,"only_batch":$rnOnlyBatch""" +
@@ -736,6 +756,7 @@ object StreamProof {
     spark.catalog.dropTempView("erpairs")
     val v7 =
       s"""{"metric":"editdist_replica_stream_proof"""" +
+        s""","state_store":"$stateStore"""" +
         s""","batches":$edBatches""" +
         s""","mutation":"none (exact replicas)","tau":$edTau""" +
         s""","stream_pairs":$erNStream,"batch_pairs":$erNBatch""" +
@@ -756,6 +777,7 @@ object StreamProof {
     System.err.println("[streamproof] " + v7)
     val v5 =
       s"""{"metric":"simhash_replica_stream_proof"""" +
+        s""","state_store":"$stateStore"""" +
         s""","batches":$batches,"mutation":"none (exact replicas)"""" +
         s""","max_hamming":$shMaxHamming""" +
         s""","stream_pairs":$repNStream,"batch_pairs":$repNBatch""" +
@@ -775,6 +797,7 @@ object StreamProof {
     System.err.println("[streamproof] " + v5)
     val v4 =
       s"""{"metric":"simhash_stream_proof","batches":$batches""" +
+        s""","state_store":"$stateStore"""" +
         s""","mutation":"2% per replica index"""" +
         s""","max_hamming":$shMaxHamming""" +
         s""","stream_pairs":$shNStream,"batch_pairs":$shNBatch""" +
@@ -795,6 +818,7 @@ object StreamProof {
     System.err.println("[streamproof] " + v4)
     val v3 =
       s"""{"metric":"editdist_stream_proof","batches":$edBatches""" +
+        s""","state_store":"$stateStore"""" +
         s""","mutation":"1 char per replica inside the join window"""" +
         s""","tau":$edTau""" +
         s""","stream_pairs":$edNStream,"batch_pairs":$edNBatch""" +
@@ -814,6 +838,7 @@ object StreamProof {
     System.err.println("[streamproof] " + v3)
     val v2 =
       s"""{"metric":"neardup_stream_proof","batches":$batches""" +
+        s""","state_store":"$stateStore"""" +
         s""","mutation":"2% per replica index"""" +
         s""","mutated_curate_max_state":$mcMax""" +
         s""","mutated_curate_max_state_bytes":$mcMaxBytes""" +
