@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,9 +32,45 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // Watchdog-guarded rep — ONE implementation behind the warm-up,
+    // the sweep, and the fenced warm pass (round-18 review): a hung
+    // query used to block an unguarded count() forever and lose the
+    // WHOLE artifact — the exact regression the bench exists to
+    // catch. The job group is cancelled after
+    // SPARK_GRAFT_BENCH_TIMEOUT seconds (default 120, an order of
+    // magnitude above any sf0.1 query) and the rep records as failed
+    // (-1 sentinel downstream), the ScaleProof.timedBody discipline.
+    val timeoutSec = sys.env.get("SPARK_GRAFT_BENCH_TIMEOUT")
+      .flatMap(_.trim.toIntOption).getOrElse(120).max(1)
+    def timedRep(label: String)(body: => Unit): (Double, Boolean) = {
+      val group = s"bench-$label"
+      spark.sparkContext.setJobGroup(group, label,
+        interruptOnCancel = true)
+      @volatile var done = false
+      val watchdog = new Thread(() => {
+        val deadline = System.nanoTime() + timeoutSec * 1000000000L
+        while (!done && System.nanoTime() < deadline) Thread.sleep(200)
+        if (!done) spark.sparkContext.cancelJobGroup(group)
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
+      val t0 = System.nanoTime()
+      val ok =
+        try { body; true }
+        catch { case _: Throwable => false }
+        finally { done = true; spark.sparkContext.clearJobGroup() }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    def timedReps(name: String, fn: (SparkSession, String) => DataFrame,
+        n: Int): Seq[(Double, Boolean)] =
+      (0 until n).map(_ =>
+        timedRep(name) { fn(spark, sfDir).count(); () })
+    def repsStr(timed: Seq[(Double, Boolean)]): String =
+      timed.map { case (t, ok) =>
+        f"$t%.3f" + (if (ok) "" else "(FAILED)") }.mkString(",")
     val warmDir = "/root/testdata/sf0.001"
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    ordered.foreach { case (name, fn) =>
+      timedRep(s"$name-warmup") { fn(spark, warmDir).count(); () }
     }
     // Repeated-min measurement: each query runs `reps` times back-to-back
     // and reports the minimum. A single-shot pass conflates engine
@@ -57,7 +93,7 @@ object Bench {
       // first-execution JIT for the replanned stages — round 9 saw
       // spreads of 2.3-2.8 on q108/q84 from exactly that. Warming at
       // sfDir makes every timed rep a steady-state measurement.
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      timedRep(s"$name-rewarm") { fn(spark, sfDir).count(); () }
       // GC fence: garbage from the previous query's executions (and
       // the warm rep above) otherwise lands as a collection pause
       // inside a RANDOM later query's timed rep — q123 measured spread
@@ -68,14 +104,8 @@ object Bench {
       // instantly, and letting its near-zero elapsed time into the min
       // would report a transiently failing query as fast. All-failed =>
       // sentinel -1 (visible in the artifact, never mistaken for speed).
-      val timed = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      System.err.println(s"bench $name reps=[" + timed.map { case (t, ok) =>
-        f"$t%.3f" + (if (ok) "" else "(FAILED)") }.mkString(",") + "]")
+      val timed = timedReps(name, fn, reps)
+      System.err.println(s"bench $name reps=[" + repsStr(timed) + "]")
       (name, timed)
     }
     val results = detailed.map { case (name, timed) =>
@@ -126,12 +156,7 @@ object Bench {
     def fencedMinOf3(name: String): (Seq[(Double, Boolean)], Double) = {
       spark.catalog.clearCache()
       System.gc()
-      val timed = (0 until 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fnByName(name)(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
+      val timed = timedReps(s"$name-warm", fnByName(name), 3)
       val good = timed.collect { case (t, true) => t }
       (timed, if (good.nonEmpty) good.min else -1.0)
     }
@@ -139,9 +164,7 @@ object Bench {
       .sortBy(-_._2).take(warmN).map(_._1)
     val warmDetailed = warmNames.map { name =>
       val (timed, best) = fencedMinOf3(name)
-      System.err.println(s"bench warm $name reps=[" +
-        timed.map { case (t, ok) =>
-          f"$t%.3f" + (if (ok) "" else "(FAILED)") }.mkString(",") +
+      System.err.println(s"bench warm $name reps=[" + repsStr(timed) +
         s"] min=${fmt(best)}")
       (name, timed, best)
     }

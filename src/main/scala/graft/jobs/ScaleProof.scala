@@ -1004,28 +1004,34 @@ object ScaleProof {
   }
 
   /** The probe set for `SPARK_GRAFT_SCALE_PROBE=auto`: the top-N
-    * queries of a prior sweep artifact by its own warm min-of-3
-    * (`warm_min_sec` rows — the fenced in-sweep warm pass), falling
-    * back to raw `scaled_sec` sweep rows when the artifact carries no
-    * warm pass (e.g. a SPARK_GRAFT_SCALE_WARM=0 run). Line-oriented
-    * regex extraction, deliberately: the artifact is this binary's
-    * own one-row-per-line output, and a JSON library is not on the
-    * classpath. Timed-out entries (quoted reasons / -1 sentinels)
-    * never rank. */
+    * queries of a prior sweep artifact, ranked by its own warm
+    * min-of-3 (`warm_min_sec` rows — the fenced in-sweep warm pass)
+    * where that succeeded, by the raw `scaled_sec` sweep time
+    * otherwise — a PER-QUERY fallback, not a whole-artifact one: a
+    * query whose three fenced warm reps all failed (warm -1) is
+    * exactly the outlier the probe must not drop, so it ranks by its
+    * sweep time instead of vanishing (review finding, round 18).
+    * Line-oriented regex extraction, deliberately: the artifact is
+    * this binary's own one-row-per-line output, and a JSON library
+    * is not on the classpath. Entries with no successful timing
+    * anywhere (quoted reasons / -1 sentinels on both rows) never
+    * rank. */
   private[graft] def autoProbeTargets(sweepFile: String,
       topN: Int): Seq[String] = {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(sweepFile)), "UTF-8")
-    def ranked(re: scala.util.matching.Regex): Seq[(String, Double)] =
+    def extract(re: scala.util.matching.Regex): Map[String, Double] =
       re.findAllMatchIn(text)
         .map(m => (m.group(1), m.group(2).toDouble))
-        .filter(_._2 >= 0).toSeq
-    val warm = ranked(
+        .filter(_._2 >= 0).toMap
+    val warm = extract(
       """"query":"([^"]+)",.*"warm_min_sec":(-?[0-9.]+)""".r)
-    val rows = if (warm.nonEmpty) warm
-      else ranked(
-        """"query":"([^"]+)",.*"scaled_sec":(-?[0-9.]+)""".r)
-    rows.sortBy(-_._2).take(topN).map(_._1)
+    val sweep = extract(
+      """"query":"([^"]+)",.*"scaled_sec":(-?[0-9.]+)""".r)
+    (warm.keySet ++ sweep.keySet).toSeq
+      .map(q => (q, warm.getOrElse(q, sweep.getOrElse(q, -1.0))))
+      .filter(_._2 >= 0)
+      .sortBy(-_._2).take(topN).map(_._1)
   }
 
   private def runDiagnostics(spark: SparkSession, outDir: String,
@@ -1192,8 +1198,12 @@ object ScaleProof {
         val targets = autoProbeTargets(sweepFile, topN)
         require(targets.nonEmpty,
           s"auto probe found no timed queries in $sweepFile")
+        // the path is operator input — escape it so a quote or
+        // backslash cannot corrupt the artifact's JSON
+        val sweepJson = sweepFile.replace("\\", "\\\\")
+          .replace("\"", "\\\"")
         runProbe(spark, outDir, timeoutSec, targets,
-          s""","probe_source":"auto","sweep_file":"$sweepFile"""" +
+          s""","probe_source":"auto","sweep_file":"$sweepJson"""" +
             s""","top_n":$topN""")
       } else runProbe(spark, outDir, timeoutSec, probePrefixes.get,
         ""","probe_source":"named"""")

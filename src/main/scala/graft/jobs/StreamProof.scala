@@ -43,10 +43,13 @@ object StreamProof {
     // semantics differ: RocksDB reports its own memory accounting,
     // so bytes are comparable within a store, not across).
     val stateStore = sys.env.getOrElse("SPARK_GRAFT_STREAM_STORE",
-      "hdfs") match {
-      case "rocksdb" => "rocksdb"
-      case _ => "hdfs"
-    }
+      "hdfs")
+    // unknown values fail fast: a typo (RocksDB, rocks-db) silently
+    // proving the DEFAULT store would be the worst outcome — the
+    // artifact would look like the rocksdb evidence without being it
+    require(stateStore == "hdfs" || stateStore == "rocksdb",
+      s"SPARK_GRAFT_STREAM_STORE must be 'hdfs' or 'rocksdb', " +
+        s"got '$stateStore'")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -193,13 +196,22 @@ object StreamProof {
     val maxState = if (stateCounts.isEmpty) 0L else stateCounts.max
     val maxStateBytes = rows.map(_._6).foldLeft(0L)(math.max)
     val bound = 4L * perBatchDistinct
+    // bytes-per-row from the SAME batch (max over per-batch ratios)
+    // — max-bytes / max-rows across DIFFERENT batches would be a
+    // mixed quotient when the store's accounting ramps while rows
+    // stay flat (review finding, round 18; RocksDB does exactly that)
+    val bytesPerRow = rows.collect {
+      case (_, _, r, _, _, b) if r > 0 && b > 0 => b.toDouble / r
+    }
+    val maxBytesPerRow = if (bytesPerRow.isEmpty) "-1.0"
+      else f"${bytesPerRow.max}%.1f"
     val summary =
       s"""{"metric":"stream_proof","batches":${rows.length}""" +
         s""","state_store":"$stateStore"""" +
         s""","per_batch_distinct":$perBatchDistinct""" +
         s""","max_state_rows":$maxState""" +
         s""","max_state_bytes":$maxStateBytes""" +
-        s""","state_bytes_per_row":${perDoc(maxStateBytes, maxState)}""" +
+        s""","state_bytes_per_row":$maxBytesPerRow""" +
         s""","flat_bound":$bound""" +
         s""","state_flat":${maxState <= bound && maxState > 0}}"""
     rows.foreach(r => System.err.println("[streamproof] " + r))
@@ -272,6 +284,32 @@ object StreamProof {
     // (b) NearDupStream over the raw mutated batches
     import spark.implicits._
     import graft.streaming.NearDupStream
+    // ONE implementation of the per-bucket occupancy scan (round-18
+    // review: four near-verbatim signer→bandKeys→groupBy→max copies
+    // can silently diverge): per bucket, member rows AND distinct
+    // signature classes (the unit the contracted caps bound) from the
+    // same (bkey, sig) pairs — the signature stringified injectively
+    // so one row shape serves both signers. Returns
+    // (buckets, maxOccupancy, maxClasses).
+    def bucketOccupancy(docs: org.apache.spark.sql.DataFrame,
+        keyed: String => Seq[(String, String)]): (Long, Long, Long) = {
+      val r = docs
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (_, t) => keyed(t) }
+        .toDF("bkey", "sig")
+        .groupBy("bkey")
+        .agg(count(lit(1)).as("c"), count_distinct(col("sig")).as("k"))
+        .agg(count(lit(1)).as("buckets"),
+          coalesce(max(col("c")), lit(0L)).as("occ"),
+          coalesce(max(col("k")), lit(0L)).as("classes"))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // the LSH wiring's own signer + banding (NearDupStream defaults)
+    val lshKeys: String => Seq[(String, String)] = { t =>
+      val s = graft.operators.Dedup.portableSignature(t, 3).toSeq
+      NearDupStream.bandKeysFor(s, 4).map(k => (k, s.mkString(",")))
+    }
     val ndSchema = spark.read.parquet(mutNdDir).schema
     val ndDocs = spark.readStream.schema(ndSchema)
       .option("maxFilesPerTrigger", "1").parquet(mutNdDir)
@@ -312,19 +350,8 @@ object StreamProof {
     // max distinct-signature classes per bucket, the unit the derived
     // cap bounds; recorded so derived_cap_would_truncate is a read,
     // not a claim, and so the old constant's margin is visible
-    val ndOcc = mutAll
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (_, t) =>
-        graft.operators.Dedup.portableSignature(t, 3).toSeq }
-      .flatMap(s => NearDupStream.bandKeysFor(s, 4).map(k => (k, s)))
-      .toDF("bkey", "sig")
-      .groupBy("bkey")
-      .agg(count(lit(1)).as("c"), count_distinct(col("sig")).as("k"))
-      .agg(coalesce(max(col("c")), lit(0L)).as("occ"),
-        coalesce(max(col("k")), lit(0L)).as("classes"))
-      .head()
-    val ndMaxOccupancy = ndOcc.getLong(0)
-    val ndMaxClasses = ndOcc.getLong(1)
+    val (_, ndMaxOccupancy, ndMaxClasses) =
+      bucketOccupancy(mutAll, lshKeys)
     val batchPairs = graft.operators.Dedup.minhashLshPairsPortable(
         mutAll, "doc_id", "text", n = 3, bands = 4)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -476,21 +503,13 @@ object StreamProof {
     // round 17 — the two-job form signed the corpus twice): per
     // bucket, member rows AND distinct signatures (the unit the
     // contracted state's cap bounds) from the same (bkey, sig) pairs
-    val shOcc = mutAll
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (_, text) =>
-        graft.operators.Dedup.simhashSignature(text) }
-      .flatMap(s =>
-        SimHashStream.bandKeys(s, shMaxHamming).map(k => (k, s)))
-      .toDF("bkey", "sig")
-      .groupBy("bkey")
-      .agg(count(lit(1)).as("c"), count_distinct(col("sig")).as("k"))
-      .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"),
-        max(col("k")).as("classes"))
-      .head()
-    val shBucketBound = shOcc.getLong(0)
-    val shMaxOccupancy = shOcc.getLong(1)
-    val shMaxClasses = shOcc.getLong(2)
+    // the SimHash wiring's own signer + radius-dependent banding
+    val shKeys: String => Seq[(String, String)] = { t =>
+      val s = graft.operators.Dedup.simhashSignature(t)
+      SimHashStream.bandKeys(s, shMaxHamming).map(k => (k, s.toString))
+    }
+    val (shBucketBound, shMaxOccupancy, shMaxClasses) =
+      bucketOccupancy(mutAll, shKeys)
     // overflow markers (hamming -1) are a disjoint channel: count them
     // for the artifact, exclude them from pair parity — at the proof
     // cap there must be none
@@ -555,21 +574,8 @@ object StreamProof {
       .trigger(Trigger.AvailableNow()).start()
     repQ.awaitTermination()
     val (repStateFinal, repStateBytes) = stateStats(repQ)
-    val repOcc = repAll
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (_, text) =>
-        graft.operators.Dedup.simhashSignature(text) }
-      .flatMap(s =>
-        SimHashStream.bandKeys(s, shMaxHamming).map(k => (k, s)))
-      .toDF("bkey", "sig")
-      .groupBy("bkey")
-      .agg(count(lit(1)).as("c"), count_distinct(col("sig")).as("k"))
-      .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"),
-        max(col("k")).as("classes"))
-      .head()
-    val repBucketBound = repOcc.getLong(0)
-    val repMaxOccupancy = repOcc.getLong(1)
-    val repMaxClasses = repOcc.getLong(2)
+    val (repBucketBound, repMaxOccupancy, repMaxClasses) =
+      bucketOccupancy(repAll, shKeys)
     val repRaw = spark.table("reppairs")
     val repOverflowMarkers = repRaw.where(col("hamming") < 0).count()
     val repStreamPairs = repRaw
@@ -619,20 +625,8 @@ object StreamProof {
       .trigger(Trigger.AvailableNow()).start()
     rnQ.awaitTermination()
     val (rnStateFinal, rnStateBytes) = stateStats(rnQ)
-    val rnOcc = repAll
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (_, t) =>
-        graft.operators.Dedup.portableSignature(t, 3).toSeq }
-      .flatMap(s => NearDupStream.bandKeysFor(s, 4).map(k => (k, s)))
-      .toDF("bkey", "sig")
-      .groupBy("bkey")
-      .agg(count(lit(1)).as("c"), count_distinct(col("sig")).as("k"))
-      .agg(count(lit(1)).as("buckets"), max(col("c")).as("occ"),
-        max(col("k")).as("classes"))
-      .head()
-    val rnBucketBound = rnOcc.getLong(0)
-    val rnMaxOccupancy = rnOcc.getLong(1)
-    val rnMaxClasses = rnOcc.getLong(2)
+    val (rnBucketBound, rnMaxOccupancy, rnMaxClasses) =
+      bucketOccupancy(repAll, lshKeys)
     val rnRaw = spark.table("rnpairs")
     val rnOverflowMarkers = rnRaw.where(col("est_jaccard") < 0).count()
     val rnStreamPairs = rnRaw

@@ -125,11 +125,16 @@ class ScaleProofSpec extends SparkSuite {
       """{"query":"q01_a","sweep_sec":2.0,"warm_reps_sec":[-1.0],"warm_reps_err":["timeout"],"warm_min_sec":-1.000},""",
       """{"metric":"scale_proof","factor":100}]""").mkString("\n")
       .getBytes("UTF-8"))
-    // warm rows present: ranked by warm_min_sec (q04 9.7 > q02 7.5),
-    // the all-failed warm row (-1) never ranks
+    // warm rows present: ranked by warm_min_sec (q04 9.7 > q02 7.5);
+    // the all-failed warm query (q01, warm -1) falls back to its OWN
+    // sweep time (2.0) instead of vanishing — the outlier the probe
+    // must not drop; the timed-out sweep row (q03) has no timing
+    // anywhere and never ranks
     assert(ScaleProof.autoProbeTargets(f.toString, 2) ===
       Seq("q04_d", "q02_b"))
     assert(ScaleProof.autoProbeTargets(f.toString, 1) === Seq("q04_d"))
+    assert(ScaleProof.autoProbeTargets(f.toString, 5) ===
+      Seq("q04_d", "q02_b", "q01_a"))
     // no warm rows: fall back to scaled_sec, timeouts skipped
     val f2 = Files.createTempFile("sweep2", ".json")
     Files.write(f2, Seq(
