@@ -32,42 +32,37 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-    // Watchdog-guarded rep — ONE implementation behind the warm-up,
-    // the sweep, and the fenced warm pass (round-18 review): a hung
-    // query used to block an unguarded count() forever and lose the
-    // WHOLE artifact — the exact regression the bench exists to
-    // catch. The job group is cancelled after
-    // SPARK_GRAFT_BENCH_TIMEOUT seconds (default 120, an order of
-    // magnitude above any sf0.1 query) and the rep records as failed
-    // (-1 sentinel downstream), the ScaleProof.timedBody discipline.
+    // Watchdog-guarded rep — the SHARED ScaleProof.timedBody behind
+    // the warm-up, the sweep, and the fenced warm pass (round-18
+    // review, twice over: a hung query used to block an unguarded
+    // count() forever and lose the WHOLE artifact, and the first fix
+    // re-implemented the watchdog instead of sharing it). The job
+    // group is cancelled after SPARK_GRAFT_BENCH_TIMEOUT seconds
+    // (default 120, an order of magnitude above any sf0.1 query) and
+    // the rep records as failed (-1 sentinel downstream) WITH its
+    // reason ("timeout" vs the exception class) — a 120 s hang and an
+    // instant analysis error are different regressions.
     val timeoutSec = sys.env.get("SPARK_GRAFT_BENCH_TIMEOUT")
       .flatMap(_.trim.toIntOption).getOrElse(120).max(1)
-    def timedRep(label: String)(body: => Unit): (Double, Boolean) = {
-      val group = s"bench-$label"
-      spark.sparkContext.setJobGroup(group, label,
-        interruptOnCancel = true)
-      @volatile var done = false
-      val watchdog = new Thread(() => {
-        val deadline = System.nanoTime() + timeoutSec * 1000000000L
-        while (!done && System.nanoTime() < deadline) Thread.sleep(200)
-        if (!done) spark.sparkContext.cancelJobGroup(group)
-      })
-      watchdog.setDaemon(true)
-      watchdog.start()
+    def timedRep(label: String)(body: => Unit)
+        : (Double, Boolean, String) = {
       val t0 = System.nanoTime()
-      val ok =
-        try { body; true }
-        catch { case _: Throwable => false }
-        finally { done = true; spark.sparkContext.clearJobGroup() }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      graft.jobs.ScaleProof.timedBody(spark, label, timeoutSec) {
+        body; 0L
+      } match {
+        case Right((_, sec)) => (sec, true, null)
+        case Left(reason) =>
+          ((System.nanoTime() - t0) / 1e9, false, reason)
+      }
     }
     def timedReps(name: String, fn: (SparkSession, String) => DataFrame,
-        n: Int): Seq[(Double, Boolean)] =
+        n: Int): Seq[(Double, Boolean, String)] =
       (0 until n).map(_ =>
         timedRep(name) { fn(spark, sfDir).count(); () })
-    def repsStr(timed: Seq[(Double, Boolean)]): String =
-      timed.map { case (t, ok) =>
-        f"$t%.3f" + (if (ok) "" else "(FAILED)") }.mkString(",")
+    def repsStr(timed: Seq[(Double, Boolean, String)]): String =
+      timed.map { case (t, ok, reason) =>
+        f"$t%.3f" + (if (ok) "" else s"(FAILED:$reason)") }
+        .mkString(",")
     val warmDir = "/root/testdata/sf0.001"
     ordered.foreach { case (name, fn) =>
       timedRep(s"$name-warmup") { fn(spark, warmDir).count(); () }
@@ -109,7 +104,7 @@ object Bench {
       (name, timed)
     }
     val results = detailed.map { case (name, timed) =>
-      val good = timed.collect { case (t, true) => t }
+      val good = timed.collect { case (t, true, _) => t }
       name -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
     // 3-decimal values: the driver captures this line from a bounded
@@ -153,11 +148,12 @@ object Bench {
     val warmN = sys.env.get("SPARK_GRAFT_BENCH_WARM")
       .flatMap(_.trim.toIntOption).getOrElse(10)
     val fnByName = ordered.toMap
-    def fencedMinOf3(name: String): (Seq[(Double, Boolean)], Double) = {
+    def fencedMinOf3(name: String)
+        : (Seq[(Double, Boolean, String)], Double) = {
       spark.catalog.clearCache()
       System.gc()
       val timed = timedReps(s"$name-warm", fnByName(name), 3)
-      val good = timed.collect { case (t, true) => t }
+      val good = timed.collect { case (t, true, _) => t }
       (timed, if (good.nonEmpty) good.min else -1.0)
     }
     val warmNames = results.toSeq.filter(_._2 >= 0)
@@ -169,9 +165,18 @@ object Bench {
       (name, timed, best)
     }
     val warmMins = warmDetailed.map { case (n, _, b) => n -> b }.toMap
-    val warmCalibration = if (warmN <= 0) -1.0 else {
-      val xs = calibQueries.filter(fnByName.contains)
-        .map(fencedMinOf3(_)._2).filter(_ >= 0).sorted
+    // the fenced calibration reps are first-class rows too (round-18
+    // review: they used to vanish into the median, leaving no per-rep
+    // data to separate a contaminated rep from a real window shift)
+    val calibDetailed = if (warmN <= 0) Nil
+      else calibQueries.filter(fnByName.contains).map { name =>
+        val (timed, best) = fencedMinOf3(name)
+        System.err.println(s"bench warm-calib $name reps=[" +
+          repsStr(timed) + s"] min=${fmt(best)}")
+        (name, timed, best)
+      }
+    val warmCalibration = {
+      val xs = calibDetailed.map(_._3).filter(_ >= 0).sorted
       if (xs.isEmpty) -1.0 else xs(xs.size / 2)
     }
     // sweep mins with the warm set's fenced mins substituted (a warm
@@ -194,28 +199,39 @@ object Bench {
     // stderr: spread >~2 on a trivial query = noisy box, not a plan
     // regression.
     val repsJson = detailed.map { case (name, timed) =>
-      "\"" + name + "\":[" + timed.map { case (t, ok) =>
+      "\"" + name + "\":[" + timed.map { case (t, ok, _) =>
         if (ok) fmt(t) else fmt(-t) // negative = failed rep, magnitude kept
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // failure REASONS, only for queries that had any (usually empty):
+    // a -1 sentinel alone cannot distinguish a 120 s hang from an
+    // instant analysis error (round-18 review)
+    val repErrsJson = detailed
+      .filter { case (_, timed) => timed.exists(!_._2) }
+      .map { case (name, timed) =>
+        "\"" + name + "\":[" + timed.map { case (_, ok, reason) =>
+          if (ok) "null" else "\"" + reason + "\""
+        }.mkString(",") + "]"
+      }.mkString("{", ",", "}")
     val spreadJson = detailed.map { case (name, timed) =>
-      val good = timed.collect { case (t, true) => t }
+      val good = timed.collect { case (t, true, _) => t }
       val sp = if (good.size >= 2 && good.min > 0) good.max / good.min else -1.0
       "\"" + name + "\":" + fmt(sp)
     }.mkString("{", ",", "}")
     val maxSpread = detailed.flatMap { case (_, timed) =>
-      val good = timed.collect { case (t, true) => t }
+      val good = timed.collect { case (t, true, _) => t }
       if (good.size >= 2 && good.min > 0) Some(good.max / good.min) else None
     }.foldLeft(0.0)(_ max _)
-    val warmJson = warmDetailed.map { case (name, timed, best) =>
-      "\"" + name + "\":{\"reps_sec\":[" + timed.map { case (t, ok) =>
-        if (ok) fmt(t) else fmt(-t)
-      }.mkString(",") + s"],\"min_sec\":${fmt(best)}}"
-    }.mkString("{", ",", "}")
+    val warmJson = (warmDetailed ++ calibDetailed)
+      .map { case (name, timed, best) =>
+        "\"" + name + "\":{\"reps_sec\":[" + timed.map { case (t, ok, _) =>
+          if (ok) fmt(t) else fmt(-t)
+        }.mkString(",") + s"],\"min_sec\":${fmt(best)}}"
+      }.mkString("{", ",", "}")
     val fileLine = line.dropRight(1) +
       s""","calibration_queries":${calibQueries.map("\"" + _ + "\"")
         .mkString("[", ",", "]")}""" +
-      s""","max_spread":${fmt(maxSpread)},"spread":$spreadJson,"warm":$warmJson,"reps_sec":$repsJson}"""
+      s""","max_spread":${fmt(maxSpread)},"spread":$spreadJson,"warm":$warmJson,"rep_errs":$repErrsJson,"reps_sec":$repsJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_summary.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -1062,15 +1062,23 @@ object ScaleProof {
       System.err.println(s"[scaleproof] write failed: $e") }
   }
 
+  /** Monotonic suffix for watchdog job-group names: reusing one name
+    * across back-to-back reps lets a STALE watchdog (its rep finished
+    * right at the deadline, the `!done` check raced the finally) fire
+    * cancelJobGroup into the NEXT rep's jobs and record a healthy rep
+    * as failed (review finding, round 18) — a unique group per
+    * invocation makes the stale cancel a no-op. */
+  private val groupSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Watchdog-guarded action: run `body` under a cancellable job
     * group; Right((result, sec)) or Left("timeout" | exception name).
-    * The single watchdog implementation behind both the full-query
-    * sweep ([[timed]]) and the diagnostics stage timings (ADVICE r15:
-    * stages used to run unguarded, so a hang aborted the whole
-    * diagnostics artifact). */
-  private def timedBody(spark: SparkSession, name: String,
+    * The single watchdog implementation behind the full-query sweep
+    * ([[timed]]), the diagnostics stage timings (ADVICE r15: stages
+    * used to run unguarded, so a hang aborted the whole diagnostics
+    * artifact), and — since round 18 — graft.Bench's reps. */
+  private[graft] def timedBody(spark: SparkSession, name: String,
       timeoutSec: Int)(body: => Long): Either[String, (Long, Double)] = {
-    val group = s"scaleproof-$name"
+    val group = s"scaleproof-$name-${groupSeq.incrementAndGet()}"
     spark.sparkContext.setJobGroup(group, name,
       interruptOnCancel = true)
     @volatile var done = false

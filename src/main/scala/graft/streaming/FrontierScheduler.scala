@@ -33,8 +33,13 @@ object FrontierScheduler {
   final case class ScheduledFetch(host: String, url: String,
       fetch_seq: Long, fetch_at_ms: Long)
 
-  /** (last assigned seq, last assigned fetch time). */
-  final case class HostSched(seq: Long, last_at_ms: Long)
+  /** (last assigned seq, last assigned fetch time). `ver` is the
+    * [[StateVersion]] stamp (round 18 — a schedule restored under
+    * changed `last_at_ms` semantics would silently produce wrong
+    * fetch times; the stamp makes that a named error instead).
+    * CHECKPOINT BREAK: adding the stamp changed this state schema —
+    * restart pre-round-18 frontier queries from a fresh checkpoint. */
+  final case class HostSched(ver: Int, seq: Long, last_at_ms: Long)
 
   /** Fold one host's micro-batch arrivals into its schedule: first
     * fetch ever is at t=0, each subsequent fetch is the previous
@@ -42,8 +47,10 @@ object FrontierScheduler {
     * from the next fetch — the robots refresh semantics). */
   def scheduleHost(host: String, urls: Iterator[FrontierUrl],
       state: GroupState[HostSched]): Iterator[ScheduledFetch] = {
-    var seq = state.getOption.map(_.seq).getOrElse(0L)
-    var last = state.getOption.map(_.last_at_ms).getOrElse(0L)
+    val st = state.getOption
+    st.foreach(s => StateVersion.check("FrontierScheduler", s.ver))
+    var seq = st.map(_.seq).getOrElse(0L)
+    var last = st.map(_.last_at_ms).getOrElse(0L)
     val out = Seq.newBuilder[ScheduledFetch]
     urls.toSeq.sortBy(_.url).foreach { u =>
       val at = if (seq == 0L) 0L else last + u.delay_ms
@@ -51,7 +58,8 @@ object FrontierScheduler {
       out += ScheduledFetch(host, u.url, seq, at)
       last = at
     }
-    if (seq > 0L) state.update(HostSched(seq, last))
+    if (seq > 0L)
+      state.update(HostSched(StateVersion.Current, seq, last))
     out.result().iterator
   }
 

@@ -27,6 +27,17 @@ object StateMachine {
   case class DocState(document_id: String, current_step: String,
       operation_order: Long)
 
+  /** PERSISTED form of [[DocState]] — the output row type stays
+    * unstamped, the state store carries the [[StateVersion]] stamp
+    * (round 18): a restored state from a foreign encoding fails fast
+    * with a named error instead of silently misapplying transition
+    * legality. CHECKPOINT BREAK: introducing the stamped state class
+    * changed the state schema — restart pre-round-18 state-machine
+    * queries from a fresh checkpoint (the ledger replay reproduces
+    * the states exactly; T5 at-least-once semantics). */
+  case class DocStateStored(ver: Int, document_id: String,
+      current_step: String, operation_order: Long)
+
   /** Legal forward transitions (reference T1 transition writers:
     * document_collector.py:167-182, document_vectorizer.py:100-118,
     * document_classifier.py:172-192, keywords_extractor.py:111-120,
@@ -60,8 +71,11 @@ object StateMachine {
     * events older than the held state are ignored (at-least-once
     * upstream, T5). */
   def updateDocState(docId: String, events: Iterator[LedgerEvent],
-      state: GroupState[DocState]): Iterator[DocState] = {
-    var current = state.getOption
+      state: GroupState[DocStateStored]): Iterator[DocState] = {
+    val st = state.getOption
+    st.foreach(s => StateVersion.check("StateMachine", s.ver))
+    var current = st.map(s =>
+      DocState(s.document_id, s.current_step, s.operation_order))
     val out = Seq.newBuilder[DocState]
     events.toSeq.sortBy(_.operation_order).foreach { e =>
       if (current.forall(_.operation_order < e.operation_order)) {
@@ -70,7 +84,9 @@ object StateMachine {
         out += next
       }
     }
-    current.foreach(state.update)
+    current.foreach(c => state.update(DocStateStored(
+      StateVersion.Current, c.document_id, c.current_step,
+      c.operation_order)))
     out.result().iterator
   }
 

@@ -15,11 +15,16 @@ package graft.streaming
   * error instead of a deserialization surprise three stack frames
   * inside Spark.
   *
-  * Version lineage (shared by SimHashStream / NearDupStream /
-  * EditDistanceStream, whose encodings have moved in lockstep):
+  * Version lineage (shared by ALL five custom-state operators —
+  * SimHashStream / NearDupStream / EditDistanceStream, whose
+  * encodings have moved in lockstep, plus FrontierScheduler and
+  * StateMachine, stamped in the same round so the restore-path
+  * guarantee is uniform; the built-in stateful operators —
+  * dropDuplicates, windowed aggs, interval joins — carry Spark's own
+  * state schema versioning):
   * 1 = parallel id/signature Seqs (rounds 10-16, unstamped);
   * 2 = distinct-class contraction (round 17, unstamped);
-  * 3 = stamped classes (round 18 — the first encoding that can
+  * 3 = stamped state (round 18 — the first encoding that can
   * DETECT its successors). */
 object StateVersion {
 
