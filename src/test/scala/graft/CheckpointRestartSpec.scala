@@ -67,6 +67,52 @@ class CheckpointRestartSpec extends SparkSuite {
     assert(pairs.contains((10L, 1L, 0)), pairs.toString)
   }
 
+  test("SimHashStream: the restart round-trip also holds under the " +
+      "RocksDB state store (its checkpoint format is its own — " +
+      "changelog + snapshot files, not the HDFS store's delta maps)") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: SparkSession = s
+    import SimHashStream.StreamDoc
+    val dir = Files.createTempDirectory("sh_rocks_restart").toString
+    val base =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    addFile(s, s"$dir/in", Seq(StreamDoc(1L, base),
+      StreamDoc(2L, "totally different words here entirely unrelated")))
+    val schema = s.read.parquet(s"$dir/in").schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+          .as[StreamDoc]
+        val q = SimHashStream.hammingPairsFor(stream,
+            expectedDocs = 10, maxHamming = 7)
+          .writeStream.format("parquet")
+          .option("path", s"$dir/out")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      run()
+      addFile(s, s"$dir/in", Seq(StreamDoc(10L, base)))
+      run()
+      val pairs = s.read.schema(
+          "id_new BIGINT, id_old BIGINT, hamming INT")
+        .parquet(s"$dir/out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(pairs.contains((10L, 1L, 0)), pairs.toString)
+    } finally prev match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+  }
+
   test("NearDupStream: stamped BucketState (Seq-signature classes) " +
       "round-trips a real checkpoint restart") {
     val s = initSpark()
