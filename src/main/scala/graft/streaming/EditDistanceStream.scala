@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode}
 
@@ -267,4 +268,17 @@ object EditDistanceStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(pairBlock(tau, maxBlock))
   }
+
+  /** Pairs-only view of an [[editPairsFor]] output: drops the
+    * [[OverflowId]] marker rows so downstream aggregates can't ingest
+    * a sentinel as a pair. Column-predicate filter (not a typed
+    * lambda) so the stream plan stays in codegen. */
+  def pairsOnly(out: Dataset[EditPair]): Dataset[EditPair] =
+    out.filter(col("dist") >= 0)
+
+  /** Marker-only view: the overflow EVENTS (at-least-once — a
+    * replayed overflow arrival re-marks; count distinct `id_a` where
+    * exact truncated-doc counts matter). Alert on any row. */
+  def markersOnly(out: Dataset[EditPair]): Dataset[EditPair] =
+    out.filter(col("dist") < 0)
 }

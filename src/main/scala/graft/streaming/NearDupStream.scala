@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode}
 
@@ -270,4 +271,17 @@ object NearDupStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(pairBucket(maxBucket))
   }
+
+  /** Pairs-only view of a [[nearDupPairsFor]] output: drops the
+    * [[OverflowId]] marker rows so downstream aggregates can't ingest
+    * a sentinel as a pair. Column-predicate filter (not a typed
+    * lambda) so the stream plan stays in codegen. */
+  def pairsOnly(out: Dataset[NearDupPair]): Dataset[NearDupPair] =
+    out.filter(col("est_jaccard") >= 0)
+
+  /** Marker-only view: the overflow EVENTS (at-least-once — a
+    * replayed overflow arrival re-marks; count distinct `id_new`
+    * where exact truncated-doc counts matter). Alert on any row. */
+  def markersOnly(out: Dataset[NearDupPair]): Dataset[NearDupPair] =
+    out.filter(col("est_jaccard") < 0)
 }

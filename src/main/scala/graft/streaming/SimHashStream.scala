@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode}
 
@@ -313,4 +314,17 @@ object SimHashStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(pairBucket(maxHamming, maxBucket))
   }
+
+  /** Pairs-only view of a [[hammingPairsFor]] output: drops the
+    * [[OverflowId]] marker rows so downstream aggregates can't ingest
+    * a sentinel as a pair. Column-predicate filter (not a typed
+    * lambda) so the stream plan stays in codegen. */
+  def pairsOnly(out: Dataset[HammingPair]): Dataset[HammingPair] =
+    out.filter(col("hamming") >= 0)
+
+  /** Marker-only view: the overflow EVENTS (at-least-once — a
+    * replayed overflow arrival re-marks; count distinct `id_new`
+    * where exact truncated-doc counts matter). Alert on any row. */
+  def markersOnly(out: Dataset[HammingPair]): Dataset[HammingPair] =
+    out.filter(col("hamming") < 0)
 }

@@ -255,4 +255,16 @@ class EditDistanceStreamSpec extends SparkSuite {
     assert(e.getMessage.contains("state version"), e.getMessage)
     assert(e.getMessage.contains("EditDistanceStream"), e.getMessage)
   }
+  test("pairsOnly/markersOnly split an output into disjoint covering " +
+      "views (the sentinel filter, packaged)") {
+    import graft.streaming.EditDistanceStream.EditPair
+    val s = initSpark()
+    import s.implicits._
+    val out = Seq(EditPair(1L, 2L, 1),
+      EditPair(3L, EditDistanceStream.OverflowId, -1)).toDS()
+    assert(EditDistanceStream.pairsOnly(out).collect().toSet ===
+      Set(EditPair(1L, 2L, 1)))
+    assert(EditDistanceStream.markersOnly(out).collect().toSet ===
+      Set(EditPair(3L, EditDistanceStream.OverflowId, -1)))
+  }
 }

@@ -242,6 +242,45 @@ class SimHashStreamSpec extends SparkSuite {
     }
   }
 
+  test("pairsOnly/markersOnly split a stream output into disjoint " +
+      "covering views — and pairsOnly composes INTO the streaming " +
+      "plan (column predicate, not a typed lambda)") {
+    val s = initSpark()
+    import s.implicits._
+    implicit val spark: org.apache.spark.sql.SparkSession = s
+    val base = "alpha beta gamma delta epsilon"
+    val other = "totally different words here entirely unrelated"
+    val input = MemoryStream[StreamDoc](s)
+    // cap 1 + two distinct signatures sharing no bucket semantics:
+    // doc 3's new signature overflows wherever it collides, so the
+    // raw output carries BOTH pairs and markers
+    val raw = SimHashStream.hammingPairsCapped(input.toDS(),
+      maxHamming = 7, maxBucket = 1)
+    val query = SimHashStream.pairsOnly(raw)
+      .writeStream.format("memory").queryName("simhash_pairs_only")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamDoc(1L, base), StreamDoc(2L, base),
+        StreamDoc(3L, other))
+      query.processAllAvailable()
+      input.addData(StreamDoc(4L, other)) // overflow: bucket holds base
+      query.processAllAvailable()
+      val sunk =
+        s.sql("SELECT id_new, id_old, hamming FROM simhash_pairs_only")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(sunk.nonEmpty && sunk.forall(_._3 >= 0),
+        s"markers leaked through pairsOnly: ${sunk.toSeq}")
+    } finally query.stop()
+    // batch form: the two views partition the output exactly
+    import graft.streaming.SimHashStream.HammingPair
+    val out = Seq(HammingPair(2L, 1L, 0),
+      HammingPair(3L, SimHashStream.OverflowId, -1)).toDS()
+    assert(SimHashStream.pairsOnly(out).collect().toSet ===
+      Set(HammingPair(2L, 1L, 0)))
+    assert(SimHashStream.markersOnly(out).collect().toSet ===
+      Set(HammingPair(3L, SimHashStream.OverflowId, -1)))
+  }
+
   test("hammingPairsFor rejects radii outside 0..7 (the batch guard)") {
     val s = initSpark()
     import s.implicits._

@@ -609,4 +609,17 @@ class StreamingSpec extends SparkSuite {
     assert(e.getMessage.contains("state version"), e.getMessage)
     assert(e.getMessage.contains("NearDupStream"), e.getMessage)
   }
+  test("near-dup pairsOnly/markersOnly split an output into disjoint " +
+      "covering views (the sentinel filter, packaged)") {
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.NearDupPair
+    val s = initSpark()
+    import s.implicits._
+    val out = Seq(NearDupPair(2L, 1L, 1.0),
+      NearDupPair(3L, NearDupStream.OverflowId, -1.0)).toDS()
+    assert(NearDupStream.pairsOnly(out).collect().toSet ===
+      Set(NearDupPair(2L, 1L, 1.0)))
+    assert(NearDupStream.markersOnly(out).collect().toSet ===
+      Set(NearDupPair(3L, NearDupStream.OverflowId, -1.0)))
+  }
 }
