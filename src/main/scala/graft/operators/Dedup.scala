@@ -445,8 +445,18 @@ object Dedup {
     prefixSlot.set(df.sparkSession, () => { sets.unpersist(); () })
     val dg = sets.select(col("id"), xxhash64(col("shs")).as("dg"))
     val classCounts = dg.groupBy("dg").agg(count(lit(1)).as("c"))
-    val tot = classCounts.agg(sum(col("c")).as("docs"),
-      sum(when(col("c") > lit(1L), col("c"))).as("sus")).first()
+    // FUSED census + ids gate (round 18 — the adaptiveSelfPairs
+    // pattern backported): ONE action over the just-persisted sets
+    // cache answers the duplication census AND the ids-unique gate,
+    // where the r12 form paid a second driver round-trip (head()) for
+    // the gate on every duplicated corpus. The gate must stay GLOBAL
+    // (count_distinct over ALL ids): with only per-class uniqueness an
+    // id repeated across two census classes could lift into a (x, x)
+    // self-pair the legacy plan never emits.
+    val stats = classCounts.agg(sum(col("c")).as("docs"),
+      sum(when(col("c") > lit(1L), col("c"))).as("sus"))
+    val gate = sets.agg(count_distinct(col("id")).as("nids"))
+    val tot = stats.crossJoin(gate).head()
     val nDocs = if (tot.isNullAt(0)) 0L else tot.getLong(0)
     val nSuspects = if (tot.isNullAt(1)) 0L else tot.getLong(1)
     if (nSuspects == 0L) {
@@ -467,8 +477,7 @@ object Dedup {
     // agg reads the persisted sets snapshot the census just
     // materialized, so both sides of the comparison describe the same
     // execution.
-    val idsUnique = sets.agg(count_distinct(col("id")).as("nids"))
-      .head().getLong(0) == nDocs
+    val idsUnique = tot.getLong(2) == nDocs
     if (!idsUnique) {
       val out = prefixPairsOverSets(sets, idType, threshold)
       val rel = () => { sets.unpersist(); () }
@@ -520,6 +529,13 @@ object Dedup {
     val rel = () => { sets.unpersist(); classes.unpersist()
       suspectsCache.foreach(_.unpersist()); () }
     prefixSlot.set(df.sparkSession, rel)
+    // materialize before the main query (round 18 — the
+    // adaptiveSelfPairs discipline backported): the two lift builds,
+    // both intra branches, and the reps union all read `classes`
+    // concurrently, and a lazy persist loses that race — each branch
+    // would recompute the hot scan + class groupBy lineage instead of
+    // reading the cache. One tiny job (suspect-bounded rows).
+    classes.count()
     val reps = classes.select(col("rep").as("id"), col("shs"),
         size(col("shs")).as("sz"))
       .union(cold.select(col("id"), col("shs"), col("sz")))
@@ -533,6 +549,22 @@ object Dedup {
     // restores the id_a < id_b canonical form.
     val members = classes.select(col("rep"),
       explode(col("members")).as("m"))
+    // lift join strategy TIERED like the routing (round 18 — the
+    // adaptiveSelfPairs tiering backported; its A/B note: a merge hint
+    // here forced two full sorts of the operator's ENTIRE pair output,
+    // dominating the lift on lightly-duplicated corpora): on the
+    // suspect tiers `members` is bounded by the suspect count (two
+    // scalar columns — megabytes at the 1M cap), so an explicit
+    // broadcast keeps the pair stream un-sorted and un-shuffled; on
+    // the group-all tier members spans the corpus, so sort-merge keeps
+    // both sides spillable (the hint matters: a static broadcast pick
+    // off optimistic cached stats cannot be demoted by AQE).
+    val liftBroadcastable =
+      nSuspects < nDocs && nSuspects <= SpanningMaxLocalSuspects
+    def liftSide(as: String, out: String) = {
+      val m = members.select(col("rep").as(as), col("m").as(out))
+      if (liftBroadcastable) broadcast(m) else m.hint("merge")
+    }
     // size-gated: the shuffle-free explode materializes one
     // m(m-1)/2-element array PER ROW, which is the fast path for
     // ordinary clique sizes but an allocation cliff for mega-classes
@@ -552,14 +584,9 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     val intra = smallIntra.union(bigIntra)
-    // merge hints for the same reason as the verify joins: members is
-    // slim but cached-lineage, and a static broadcast pick off
-    // optimistic cached stats cannot be demoted by AQE
     val cross = repPairs
-      .join(members.select(col("rep").as("id_a"), col("m").as("xa"))
-        .hint("merge"), Seq("id_a"), "left")
-      .join(members.select(col("rep").as("id_b"), col("m").as("xb"))
-        .hint("merge"), Seq("id_b"), "left")
+      .join(liftSide("id_a", "xa"), Seq("id_a"), "left")
+      .join(liftSide("id_b", "xb"), Seq("id_b"), "left")
       .withColumn("a2", coalesce(col("xa"), col("id_a")))
       .withColumn("b2", coalesce(col("xb"), col("id_b")))
       .select(least(col("a2"), col("b2")).as("id_a"),
@@ -1865,16 +1892,23 @@ object Dedup {
     val banded = sh.select(col("id"), col("simhash"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band"), col("bb.bucket"))
-    val cand = banded.as("a").join(banded.as("b"),
+    // verify BEFORE the distinct (round 18, guide §2.3 "shuffle fewer
+    // bytes"): the popcount is row-local and both signatures are
+    // already in the join output, so filtering to hamming <= max
+    // before the dedup exchange ships only VERIFIED pairs (54k at the
+    // 100x tier) instead of every raw candidate (5.4M there — a 100x
+    // cut in distinct-exchange volume). hamming is a pure function of
+    // the pair (one signature per id), so distinct over
+    // (id_a, id_b, hamming) equals distinct over the pair — same rows,
+    // same schema, and a pair found in several bands still collapses.
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.simhash").as("sh_a"),
-        col("b.id").as("id_b"), col("b.simhash").as("sh_b"))
-      .distinct()
-    cand.withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs above `threshold`, LSH-bucketed by
