@@ -605,9 +605,12 @@ object SparkEntry {
         n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap)
       // idsCoverEndpoints: pairs derive from the same docs frame, and
       // doc_id is unique — the filtered-ids seeding/restriction
-      // exchanges would be pure overhead here
+      // exchanges would be pure overhead here. pairsCanonical: the
+      // spanning-edge contract (id_a < id_b, duplicate-free) makes the
+      // symmetric-union distinct a no-op exchange — skipped (round 18).
       Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
-          idCol = "doc_id", idsCoverEndpoints = true)
+          idCol = "doc_id", idsCoverEndpoints = true,
+          pairsCanonical = true)
         .withColumn("keep", col("doc_id") === col("cluster_rep"))
     }),
 
@@ -621,7 +624,8 @@ object SparkEntry {
       val pairs = Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
         n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap)
       Dedup.connectedComponentsStar(docs.select(col("doc_id")), pairs,
-          idCol = "doc_id", idsCoverEndpoints = true)
+          idCol = "doc_id", idsCoverEndpoints = true,
+          pairsCanonical = true)
         .withColumn("keep", col("doc_id") === col("cluster_rep"))
     }),
 
@@ -1750,7 +1754,8 @@ object SparkEntry {
       val pairs = Dedup.jaccardSpanningEdges(docs, "doc_id", "text",
         n = 3, threshold = 0.2, maxDocFreq = ClusterPairDfCap)
       Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
-          idCol = "doc_id", idsCoverEndpoints = true)
+          idCol = "doc_id", idsCoverEndpoints = true,
+          pairsCanonical = true)
         .select(col("doc_id"), col("cluster_rep"),
           Mixing.assignSplit(col("cluster_rep"), 0.8, 0.1)
             .as("split"))

@@ -222,7 +222,8 @@ object ScaleProof {
       .select("id_a", "id_b")
     val exact = Dedup.keepClusterSurvivors(docs,
         Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
-          idCol = "doc_id", maxRounds = 18, idsCoverEndpoints = true),
+          idCol = "doc_id", maxRounds = 18, idsCoverEndpoints = true,
+          pairsCanonical = true),
         "doc_id", repsPresent = true)
       .select(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -773,7 +774,7 @@ object ScaleProof {
       val (nRows, tCc, eCc) = stage("q125_components") {
         clusters = Dedup.connectedComponents(docs.select(col("doc_id")),
             edges, idCol = "doc_id", maxRounds = 18,
-            idsCoverEndpoints = true)
+            idsCoverEndpoints = true, pairsCanonical = true)
           .persist(StorageLevel.MEMORY_AND_DISK)
         clusters.count()
       }

@@ -2097,12 +2097,24 @@ object Dedup {
       idCol: String = "id", idACol: String = "id_a",
       idBCol: String = "id_b", maxRounds: Int = 18,
       idsCoverEndpoints: Boolean = false,
-      localEdgeCap: Int = LocalComponentsEdgeCap): DataFrame = {
+      localEdgeCap: Int = LocalComponentsEdgeCap,
+      pairsCanonical: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs
+    // pairsCanonical (round 18, guide §2.4 "a distinct on data that is
+    // already unique"): when the caller GUARANTEES the pair frame is
+    // duplicate-free with id_a < id_b on every row (the spanning-edge
+    // emitters' contract: star edges are rep < member, rep pairs are
+    // sort_array-ordered and groupBy-deduped), the symmetric union
+    // cannot collide either (src < dst rows never equal src > dst
+    // rows), so the distinct is a full corpus-scale exchange + agg
+    // spent proving a no-op. Labels are unaffected either way —
+    // union-find and min-label are idempotent under duplicate edges —
+    // so a caller mis-declaring canonicity costs only the fan-out the
+    // distinct would have removed, never a wrong cluster.
+    val symmetric = pairs
       .select(col(idACol).as("src"), col(idBCol).as("dst"))
       .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
-      .distinct()
+    val edges = (if (pairsCanonical) symmetric else symmetric.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     // distinct: a duplicated input id must not fan out the final
     // restriction join (contract: one output row per distinct id)
@@ -2243,7 +2255,8 @@ object Dedup {
       idCol: String = "id", idACol: String = "id_a",
       idBCol: String = "id_b", maxRounds: Int = 25,
       idsCoverEndpoints: Boolean = false,
-      localEdgeCap: Int = LocalComponentsEdgeCap): DataFrame = {
+      localEdgeCap: Int = LocalComponentsEdgeCap,
+      pairsCanonical: Boolean = false): DataFrame = {
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
@@ -2253,8 +2266,17 @@ object Dedup {
     // round's plan references the previous round's SEVERAL times (sym
     // union, two groupBy-min joins), so un-truncated lineage grows
     // ~4x per round and plan analysis explodes exponentially
-    var edges = canon(pairs.select(col(idACol).as("u"),
-        col(idBCol).as("v")))
+    //
+    // pairsCanonical (round 18): a duplicate-free id_a < id_b pair
+    // frame (the spanning-edge contract — see connectedComponents) is
+    // ALREADY canon's output up to the u/v orientation (canon keeps
+    // u > v), so the initial full-corpus distinct exchange is a no-op
+    // — a straight column swap replaces it. The loop's own canon
+    // distincts stay: contraction rounds genuinely create duplicates.
+    var edges = (if (pairsCanonical)
+        pairs.select(col(idBCol).as("u"), col(idACol).as("v"))
+      else canon(pairs.select(col(idACol).as("u"),
+        col(idBCol).as("v"))))
       .localCheckpoint(true)
     // id type from the canonical edge frame (coercible-type callers —
     // see the connectedComponents note); cap 0 = loop ALWAYS
@@ -2378,15 +2400,17 @@ object Dedup {
     // maxRounds" — that advice must be followable from this entry
     // point), and useStarContraction switches to the O(log n)
     // algorithm for corpora with deep transitive dup chains
+    // pairsCanonical: spanning edges are duplicate-free with
+    // id_a < id_b by construction (see connectedComponents' note)
     val clusters =
       if (useStarContraction)
         connectedComponentsStar(df.select(col(idCol)), pairs,
           idCol = idCol, maxRounds = maxRounds,
-          idsCoverEndpoints = true)
+          idsCoverEndpoints = true, pairsCanonical = true)
       else
         connectedComponents(df.select(col(idCol)), pairs,
           idCol = idCol, maxRounds = maxRounds,
-          idsCoverEndpoints = true)
+          idsCoverEndpoints = true, pairsCanonical = true)
     // repsPresent: clusters were built with idsCoverEndpoints over the
     // same frame, so every representative is a present row
     keepClusterSurvivors(df, clusters, idCol, repsPresent = true)

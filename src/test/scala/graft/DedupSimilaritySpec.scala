@@ -150,6 +150,44 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("pairsCanonical skips the symmetric distinct without changing " +
+      "labels (both variants, both execution modes)") {
+    val s = initSpark()
+    import s.implicits._
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(0, 30)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1),
+        Gen.choose(0, n - 1)))
+    } yield (n,
+      // canonicalize the way the spanning emitters guarantee:
+      // id_a < id_b per row, duplicate-free, no self-loops
+      edges.collect { case (a, b) if a != b =>
+        (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct)
+    val prop = forAll(gen) { case (n, edges) =>
+      val ids = (0 until n).map(_.toLong).toDF("id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val base = m(Dedup.connectedComponents(ids, pairs, maxRounds = 90))
+      m(Dedup.connectedComponents(ids, pairs, maxRounds = 90,
+        pairsCanonical = true)) == base &&
+      m(Dedup.connectedComponents(ids, pairs, maxRounds = 90,
+        localEdgeCap = 0, pairsCanonical = true)) == base &&
+      m(Dedup.connectedComponentsStar(ids, pairs,
+        pairsCanonical = true)) == base &&
+      m(Dedup.connectedComponentsStar(ids, pairs, localEdgeCap = 0,
+        pairsCanonical = true)) == base
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("star contraction resolves a deep chain in O(log n) rounds " +
       "where min-label propagation would need diameter rounds") {
     val s = initSpark()
