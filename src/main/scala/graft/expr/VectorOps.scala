@@ -43,6 +43,27 @@ object VectorOps {
     ColumnBridge.column(SortedLongIntersect(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 
+  /** Integer dot product of two long arrays — the codegen'd form of
+    * `aggregate(zip_with(a, b, (x, y) => x * y), 0L, (acc, x) => acc + x)`
+    * on the q44/q121 portable embedding verify path (HOF lambdas
+    * evaluate interpreted per element — the class-doc rationale, here
+    * over 64-long vectors per CANDIDATE PAIR). Exact integer sum,
+    * identical value to the HOF on equal-length null-free arrays (the
+    * signer emits fixed-width primitive arrays). */
+  def dotLongs(a: Column, b: Column): Column =
+    ColumnBridge.column(DotLongs(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  /** Count of positions where two long arrays hold EQUAL values — the
+    * codegen'd form of the q22/q93 matching-minhash count
+    * (`size(filter(zip_with(a, b, _ === _), identity))` / the
+    * relational `count(when(ma === mb, 1))`): both sides are j-ordered
+    * fixed-width signatures, so positional equality IS the match
+    * count. */
+  def countEqualLongs(a: Column, b: Column): Column =
+    ColumnBridge.column(CountEqualLongs(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
   def intersectSorted(a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements(); val m = b.numElements()
     var i = 0; var j = 0; var c = 0
@@ -99,6 +120,28 @@ object VectorOps {
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val denom = math.sqrt(normSq(a)) * math.sqrt(normSq(b))
     if (denom == 0.0) 0.0 else dot(a, b) / denom
+  }
+
+  def dotLongsKernel(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  def countEqualLongsKernel(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
   }
 }
 
@@ -190,5 +233,47 @@ case class DotF32(left: Expression, right: Expression)
       (a, b) => s"graft.expr.VectorOps.dot($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+abstract class LongArrayBinaryExpression extends BinaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"requires two array<bigint> inputs, got $other")
+    }
+}
+
+case class DotLongs(left: Expression, right: Expression)
+    extends LongArrayBinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotLongsKernel(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expr.VectorOps.dotLongsKernel($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotLongs =
+    copy(left = newLeft, right = newRight)
+}
+
+case class CountEqualLongs(left: Expression, right: Expression)
+    extends LongArrayBinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.countEqualLongsKernel(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expr.VectorOps.countEqualLongsKernel($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CountEqualLongs =
     copy(left = newLeft, right = newRight)
 }

@@ -1283,46 +1283,45 @@ object Dedup {
   }
 
   /** The band bucket-join + matching-fraction verify over a prepared
-    * (id, sig) frame — minhashLshPairs' original plan, factored for
-    * the duplication-adaptive wrapper. The signature frame is
-    * persisted across its four plan reads (banded self-join sides +
-    * two verify joins — Catalyst does not dedupe common subtrees
-    * across a self-join, so each read re-ran the signing UDF, and on
-    * the contraction path the recomputed unit grows to the cold
-    * branch's filter-plus-signing lineage; same-window A/B in
-    * COVERAGE.md's round-14 perf log) and released when the next
-    * invocation swaps it out. */
+    * (id, sig) frame — minhashLshPairs' core, factored for the
+    * duplication-adaptive wrapper. Since round 18 the verify is INLINE
+    * (signatures ride the band rows into the bucket join), so the
+    * frame is read exactly once and the round-14 internal persist —
+    * which existed because the old shape read it four times (self-join
+    * sides + two post-distinct verify joins) — is gone with the joins
+    * it served. */
   private def minhashLshPairsOverSigs(sigIn: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
     val sig = sigIn
-    // release-BEFORE-persist (the pageRankFixed ordering)
-    lastFastLshRelease.swap(sig.sparkSession,
-      () => { sig.unpersist(); () })
-    sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
           .as("bucket"))
     }
-    val banded = sig.select(col("id"),
+    // INLINE verify (round 18, guide §2.3/§2.4): the signatures ride
+    // the band rows into the bucket self-join, so the matching-minhash
+    // fraction is computed IN the join stage — the two post-distinct
+    // verify joins (and the internal persist of the signature frame
+    // they re-read, plus their sorts of the candidate stream at scale)
+    // are gone; the signature frame is now read exactly once. The
+    // match count is a codegen'd positional-equality scan (the
+    // zip_with/filter HOF evaluated interpreted per element).
+    // est_jaccard is a function of the pair (one signature per id —
+    // the adaptive wrapper's ids gate), so distinct over
+    // (id_a, id_b, est_jaccard) equals the old distinct over the pair,
+    // and a pair found in several bands still collapses to one row.
+    val banded = sig.select(col("id"), col("sig"),
         explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val cand = banded.as("a").join(banded.as("b"),
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(graft.expr.VectorOps
+          .countEqualLongs(col("a.sig"), col("b.sig"))
+          .cast("double") / numHashes + 1e-9, 4).as("est_jaccard"))
       .distinct()
-    // verify: estimated jaccard = matching minhash fraction
-    val matches = size(filter(
-      zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
-    cand.join(sig.select(col("id").as("id_a"), col("sig").as("a_sig")),
-        "id_a")
-      .join(sig.select(col("id").as("id_b"), col("sig").as("b_sig")),
-        "id_b")
-      .withColumn("est_jaccard",
-        round(matches.cast("double") / numHashes + 1e-9, 4))
-      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** CROSS-ENGINE-portable MinHash signatures — the oracle-able signer.
@@ -1404,11 +1403,10 @@ object Dedup {
     * engine-local hash — band equality IS row-set equality, so there
     * are no bucket collisions to diverge on), candidates = pairs
     * agreeing on >= 1 band, estimate = matching-minhash fraction.
-    * Plan: row-local signatures, one groupBy to band keys, the
-    * band-bucket self-join, then the signature re-join scores each
-    * candidate — the q22 shape with every primitive replayable in SQL.
-    * The signature frame is persisted across its three reads and
-    * released when the next invocation swaps it out.
+    * Plan: row-local signatures, row-local band keys (array slices of
+    * the j-ordered signature), the band-bucket self-join with the
+    * matching-fraction verify computed inline — the q22 shape with
+    * every primitive replayable in SQL.
     *
     * DUPLICATION-ADAPTIVE since round 14, closing the round-13
     * verdict's last quadratic-per-clique shape (this was the suite's
@@ -1455,34 +1453,37 @@ object Dedup {
       bands: Int): DataFrame = {
     val k = PortableMinhashCoeffs.length
     val rows = k / bands
-    val sig = slim.select(col("id"),
-      posexplode(col("sigarr")).as(Seq("j", "minhash")))
-    // release-BEFORE-persist (the pageRankFixed ordering)
-    lastPortableLshRelease.swap(sig.sparkSession,
-      () => { sig.unpersist(); () })
-    sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig
-      .withColumn("band", floor(col("j") / rows).cast("int"))
-      .groupBy(col("id"), col("band"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("j"), col("minhash")))),
-        s => s.getField("minhash").cast("string")), ",").as("bkey"))
-    val cand = banded.as("a")
+    // ROW-LOCAL band keys (round 18): the signature array is already
+    // j-ordered (posexplode indices), so each band key — the band's
+    // minhashes joined in j order — is a straight slice of the array.
+    // The relational explode + groupBy form paid a corpus-sized
+    // exchange, a per-group array_sort, and a persisted (id, j,
+    // minhash) frame just to reassemble exactly these slices. Band-key
+    // STRINGS are byte-identical to the old form's, so candidates (and
+    // the oracle's replay) are unchanged.
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array_join(transform(slice(col("sigarr"), b * rows + 1, rows),
+          m => m.cast("string")), ",").as("bkey"))
+    }
+    // INLINE verify, same move as minhashLshPairsOverSigs: signatures
+    // ride the band rows, the matching count is a codegen'd
+    // positional-equality scan (equal to the relational
+    // count(when(ma === mb, 1)) because both arrays are j-ordered),
+    // and the two 16x-fanout verify joins + their groupBy are gone.
+    // est_jaccard is a function of the pair, so distinct over the
+    // triple equals the old distinct over the pair.
+    val banded = slim.select(col("id"), col("sigarr"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sigarr"), col("bb.band"), col("bb.bkey"))
+    banded.as("a")
       .join(banded.as("b"), Seq("band", "bkey"))
       .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(graft.expr.VectorOps
+          .countEqualLongs(col("a.sigarr"), col("b.sigarr"))
+          .cast("double") / k + 1e-9, 4).as("est_jaccard"))
       .distinct()
-    val sa = sig.select(col("id").as("id_a"), col("j"),
-      col("minhash").as("ma"))
-    val sb = sig.select(col("id").as("id_b"), col("j"),
-      col("minhash").as("mb"))
-    cand.join(sa, "id_a")
-      .join(sb, Seq("id_b", "j"))
-      .groupBy("id_a", "id_b")
-      .agg(count(when(col("ma") === col("mb"), 1)).as("matches"))
-      .select(col("id_a"), col("id_b"),
-        round(col("matches").cast("double") / k + 1e-9, 4)
-          .as("est_jaccard"))
   }
 
   private val lastPortableLshRelease = ReleaseSlot()
@@ -1695,9 +1696,13 @@ object Dedup {
       threshold: Double): DataFrame = {
     val cand = sigd.as("a").join(sigd.as("b"),
       col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+    // codegen'd integer dot (round 18): the aggregate(zip_with(...))
+    // HOF evaluated its lambda interpreted per ELEMENT — 64 boxed
+    // steps per candidate pair on the query's hottest expression.
+    // Exact same integer sum (fixed-width null-free arrays).
     cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        aggregate(zip_with(col("a.vec"), col("b.vec"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).as("num"),
+        graft.expr.VectorOps.dotLongs(col("a.vec"), col("b.vec"))
+          .as("num"),
         col("a.norm2").as("n2a"), col("b.norm2").as("n2b"))
       .select(col("id_a"), col("id_b"),
         round(col("num").cast("double")
@@ -1733,8 +1738,10 @@ object Dedup {
       .select(col("sig"), col("vec").as("evec"), col("norm2").as("en2"))
     val hits = t.join(broadcast(ev), "sig")
       .select(col("id"),
-        round(aggregate(zip_with(col("vec"), col("evec"), (x, y) => x * y),
-          lit(0L), (acc, p) => acc + p).cast("double")
+        // codegen'd integer dot — same rationale and exact-sum
+        // equivalence as portableEmbPairsOverSigs (round 18)
+        round(graft.expr.VectorOps.dotLongs(col("vec"), col("evec"))
+          .cast("double")
           / (sqrt(col("norm2")) * sqrt(col("en2"))) + 1e-9, 4).as("cos"))
       .where(col("cos") >= threshold)
       .groupBy("id").agg(max(col("cos")).as("max_eval_cos"))

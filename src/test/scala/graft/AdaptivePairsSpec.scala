@@ -265,22 +265,26 @@ class AdaptivePairsSpec extends SparkSuite {
       "all-dup tier diverges from the uncontracted reference")
   }
 
-  test("minhashLshPairs repeated-id gate keeps the legacy banded plan " +
-      "(per-occurrence verify multiplicity, no self pair)") {
+  test("minhashLshPairs repeated-id gate keeps the uncontracted banded " +
+      "plan (no self pair; occurrence fan-out collapses in the distinct)") {
     val s = initSpark()
     import s.implicits._
     // two rows share id=5 AND the text (identical signature, so the
-    // banding always candidates them against id 7); the legacy verify
-    // join emits one row per id-5 sig OCCURRENCE, the contraction
-    // would emit exactly one lifted row plus an intra (5,5)
+    // banding always candidates them against id 7). The gate must keep
+    // the UNCONTRACTED plan: engaged contraction would put both id-5
+    // rows in one class and emit an intra (5,5) self-pair. Since the
+    // round-18 inline verify, the uncontracted plan computes
+    // est_jaccard in the band join and dedups (id_a, id_b, est), so
+    // the id-5 occurrence fan-out the old post-distinct verify joins
+    // produced (two identical (5,7) rows) collapses to one row.
     val dup = Seq((5L, base), (5L, base), (7L, base))
       .toDF("doc_id", "text").repartition(3)
     val rows = Dedup.minhashLshPairs(dup, "doc_id", "text", 3, 16, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(!rows.contains((5L, 5L)),
-      s"legacy plan never emits self pairs; contraction leaked: $rows")
-    assert(rows.count(_ == (5L, 7L)) === 2,
-      s"legacy verify joins emit one row per id-5 occurrence: $rows")
+      s"uncontracted plan never emits self pairs; contraction leaked: $rows")
+    assert(rows === Seq((5L, 7L)),
+      s"uncontracted inline-verify plan emits the deduped pair once: $rows")
   }
 
   // ---- q93: portable MinHash-LSH (routed round 14) ----
@@ -349,24 +353,27 @@ class AdaptivePairsSpec extends SparkSuite {
       "all-dup tier diverges from the uncontracted reference")
   }
 
-  test("minhashLshPairsPortable repeated-id gate keeps the legacy " +
-      "relational plan (merged groupBy(id, band) bkey — no pairs at " +
-      "all for a doubled doc)") {
+  test("minhashLshPairsPortable repeated-id gate keeps the uncontracted " +
+      "banded plan (no self pair; each occurrence bands individually)") {
     val s = initSpark()
     import s.implicits._
-    // two rows share id=5 and the text: the legacy plan's
-    // groupBy(id, band) merges BOTH occurrences' sig rows into one
-    // 2k-value bkey that matches nothing (id 7's bkey has k values),
-    // so the output is EMPTY; the contraction would instead emit
-    // (5,7) at 1.0 plus an intra row — any pair here means the gate
-    // failed to keep the legacy plan
+    // two rows share id=5 and the text. The gate must keep the
+    // UNCONTRACTED plan: engaged contraction would class both id-5
+    // rows together and emit an intra (5,5) self-pair. Since round
+    // 18's row-local banding, each occurrence bands individually (the
+    // old relational groupBy(id, band) merged both occurrences' sig
+    // rows into one 2k-value bkey that matched NOTHING — a doubled doc
+    // silently lost every pair), so the uncontracted plan now emits
+    // the genuine (5,7) candidate once (the distinct collapses the
+    // occurrence fan-out).
     val dup = Seq((5L, base), (5L, base), (7L, base))
       .toDF("doc_id", "text").repartition(3)
     val rows = Dedup.minhashLshPairsPortable(dup, "doc_id", "text", 3, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(rows.isEmpty,
-      s"legacy merged-bkey plan emits nothing for repeated ids; " +
-        s"contraction leaked: $rows")
+    assert(!rows.contains((5L, 5L)),
+      s"uncontracted plan never emits self pairs; contraction leaked: $rows")
+    assert(rows === Seq((5L, 7L)),
+      s"uncontracted row-local banding emits the deduped pair once: $rows")
   }
 
   // ---- q44: portable embedding cosine ----
