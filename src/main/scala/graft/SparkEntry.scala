@@ -50,14 +50,26 @@ object SparkEntry {
     t(s, dir, name)
 
   /** Fan a thin scan out to all cores before a CPU-heavy per-row stage
-    * (chunking, embedding, MMR, shingling). The testdata parquet is one
-    * row group per table, so the scan itself is a single task; without
-    * this the per-doc UDF work runs single-threaded. Same discipline as
-    * the reference's Argo pod fan-out (SURVEY R6, repartition(15)) — the
-    * shuffled payload is the raw text, tiny next to the compute it
-    * unlocks. Round-robin keeps sizes even regardless of key skew. */
-  private def fan(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sessionState.conf.numShufflePartitions)
+    * (chunking, embedding, MMR, shingling, tokenizing). The testdata
+    * parquet is one row group per table, so the scan itself is a single
+    * task; without this the per-doc UDF work runs single-threaded. Same
+    * discipline as the reference's Argo pod fan-out (SURVEY R6,
+    * repartition(15)) — the shuffled payload is the raw text, tiny next
+    * to the compute it unlocks. Round-robin keeps sizes even regardless
+    * of key skew.
+    *
+    * SCALE-ADAPTIVE since round 18: the repartition is inserted only
+    * when the scan's natural parallelism is below the session's — at
+    * corpus scale the input has thousands of splits and an
+    * unconditional repartition would be a pure full-corpus shuffle
+    * (the guide's accidental-exchange class), while on the one-row-
+    * group bench corpus it remains the fan-out it always was. The
+    * probe reads the planned partition count (no job runs). */
+  private def fan(s: SparkSession, df: DataFrame): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= parts) df
+    else df.repartition(parts)
+  }
 
   /** Floor seconds from the nanos-long `ts` column. DIV = integer
     * division — double division would lose ns precision at 1e18. */
@@ -471,7 +483,7 @@ object SparkEntry {
     // default minCount=2 left the backoff branch with ZERO rows at
     // sf0.1, an oracle that could not catch a broken backoff). ----
     "q77_bigram_backoff" -> ((s, dir) => {
-      LanguageModel.bigramSurprisalBackoff(t(s, dir, "documents"),
+      LanguageModel.bigramSurprisalBackoff(fan(s, t(s, dir, "documents")),
           "doc_id", "text", minCount = 21L)
         .withColumnRenamed("id", "doc_id")
     }),
@@ -553,16 +565,29 @@ object SparkEntry {
       val tmp = System.getProperty("java.io.tmpdir") + s"/graft_bw_$disc"
       val ordersTbl = s"bw_orders_$disc"
       val customerTbl = s"bw_customer_$disc"
-      BucketedWarehouse.writeBucketed(
-        t(s, dir, "orders").select(col("o_custkey").as("custkey"),
-          col("o_totalprice")),
-        ordersTbl, "custkey", buckets = 16,
-        path = Some(s"$tmp/orders"))
-      BucketedWarehouse.writeBucketed(
-        t(s, dir, "customer").select(col("c_custkey").as("custkey"),
-          col("c_name")),
-        customerTbl, "custkey", buckets = 16,
-        path = Some(s"$tmp/customer"))
+      // the two table writes are INDEPENDENT jobs — overlap them from
+      // two driver threads (guide §2.6) so the smaller write's tasks
+      // back-fill cores the larger one leaves idle; failures propagate
+      val writes: Seq[() => Unit] = Seq(
+        () => BucketedWarehouse.writeBucketed(
+          t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+            col("o_totalprice")),
+          ordersTbl, "custkey", buckets = 16,
+          path = Some(s"$tmp/orders")),
+        () => BucketedWarehouse.writeBucketed(
+          t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+            col("c_name")),
+          customerTbl, "custkey", buckets = 16,
+          path = Some(s"$tmp/customer")))
+      val errs =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = writes.map { w =>
+        val th = new Thread(() =>
+          try w() catch { case e: Throwable => errs.add(e) })
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
       // broadcast disabled in a CHILD session: newSession() shares the
       // SparkContext and catalog (the bucketed tables are visible) but
       // carries its OWN conf, so concurrent queries on `s` keep their
@@ -657,7 +682,9 @@ object SparkEntry {
     // `buckets` rows regardless of corpus size — broadcast-safe at
     // 100 TB by construction. ----
     "q84_dsir_weights" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // fan: the hashed-gram UDF + explode otherwise runs inside the
+      // one-task scan stage (round 18; profile: 0.78 s single-task job)
+      val docs = fan(s, t(s, dir, "documents"))
       ImportanceSampling.dsirScore(docs,
           docs.where(col("source") === "src0"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
@@ -683,7 +710,7 @@ object SparkEntry {
     // tallies. n = 13 shares the q78 contamination width. ----
     "q88_dup_substrings" -> ((s, dir) => {
       SubstringDedup.duplicatedWindowStats(
-        t(s, dir, "documents"), "doc_id", "text", n = 13)
+        fan(s, t(s, dir, "documents")), "doc_id", "text", n = 13)
     }),
 
     // ---- Lexical diversity (type-token profile): distinct-word and
@@ -771,7 +798,7 @@ object SparkEntry {
     // broadcast bloom of the (small) test side, so the shuffle never
     // carries the corpus. ----
     "q89_bloom_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = fan(s, t(s, dir, "documents"))
       Decontaminate.contaminationPairsBloom(
         docs.where(pmod(col("doc_id"), lit(2)) === 0),
         docs.where(pmod(col("doc_id"), lit(2)) === 1),
@@ -1503,7 +1530,7 @@ object SparkEntry {
     "q100_bm25_topk" -> ((s, dir) => {
       import graft.operators.Retrieval
       Retrieval.rankBy(
-        Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Retrieval.bm25(fan(s, t(s, dir, "documents")), "doc_id", "text",
           BmQueryTerms),
         Seq(col("score_fp6").desc, col("doc_id").asc), topN = 50)
     }),
@@ -1551,7 +1578,7 @@ object SparkEntry {
     // probability, not raw frequency. minCount=21 shared with q77 so
     // both the discounted and the continuation branches bite. ----
     "q103_kneser_ney" -> ((s, dir) => {
-      LanguageModel.kneserNeySurprisal(t(s, dir, "documents"),
+      LanguageModel.kneserNeySurprisal(fan(s, t(s, dir, "documents")),
           "doc_id", "text", minCount = 21L)
         .withColumnRenamed("id", "doc_id")
     }),
@@ -1641,7 +1668,7 @@ object SparkEntry {
     // side partial top-k), not a full sort window. ----
     "q109_tfidf_terms" -> ((s, dir) =>
       graft.operators.Retrieval.tfIdfTopTerms(
-        t(s, dir, "documents"), "doc_id", "text", k = 3)),
+        fan(s, t(s, dir, "documents")), "doc_id", "text", k = 3)),
 
     // ---- Temperature-scaled mixture (mT5/Pile alpha=0.5): quotas
     // derive from the DATA (count^alpha, micro-unit-quantized so the

@@ -18,11 +18,26 @@ object BucketedWarehouse {
   /** Write `df` as a bucketed, sorted table. Same (bucket count, key)
     * across tables = co-located joins. `path` makes the table external
     * (files live there instead of spark.sql.warehouse.dir — bucketing
-    * metadata stays in the session catalog either way). */
+    * metadata stays in the session catalog either way).
+    *
+    * `distribute` (round 18, default on — the Iceberg
+    * write.distribution-mode=hash discipline from the optimization
+    * guide §6): pre-partition the input by the bucket hash so each
+    * write task holds exactly one bucket and writes exactly one file.
+    * Without it every input task writes a file per bucket it touches —
+    * tasks x buckets files at corpus scale (the many-small-files
+    * failure), and on the one-row-group bench corpus the whole
+    * sort-and-write ran inside a single task. repartition(buckets, key)
+    * uses the same murmur3 HashPartitioning as the bucket spec, so the
+    * file CONTENTS are identical to the undistributed write. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int = 64, mode: SaveMode = SaveMode.Overwrite,
-      path: Option[String] = None): Unit = {
-    val w = df.write
+      path: Option[String] = None, distribute: Boolean = true): Unit = {
+    val src =
+      if (distribute)
+        df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      else df
+    val w = src.write
       .mode(mode)
       .bucketBy(buckets, key)
       .sortBy(key)
