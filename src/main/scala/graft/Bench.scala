@@ -189,6 +189,17 @@ object Bench {
     val warmTopTotal = warmDetailed.map(_._3).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"calibration_sec":${fmt(calibration)},"warm_top_n":${warmDetailed.length},"warm_total_top_sec":${fmt(warmTopTotal)},"robust_total_sec":${fmt(robustTotal)},"warm_calibration_sec":${fmt(warmCalibration)}}"""
     println(line)
+    // COMPACT summary as the LAST stdout line (round-18 verdict item 1):
+    // the full line above carries the 126-entry per-query map (~3.5 KB),
+    // but the driver captures only a bounded stdout tail, so in every
+    // round so far the tail began MID-LINE and the artifact recorded
+    // parsed:null — no per-query PERF table was ever computed from it.
+    // This line stays under ~300 chars (headline fields only, no
+    // per-query map) so the tail always holds one complete parseable
+    // JSON object; the full map remains on the line above and in the
+    // summary artifact file. Same measurement, same fields — a second
+    // print of already-computed values, not a methodology change.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"calibration_sec":${fmt(calibration)},"warm_top_n":${warmDetailed.length},"warm_total_top_sec":${fmt(warmTopTotal)},"robust_total_sec":${fmt(robustTotal)},"warm_calibration_sec":${fmt(warmCalibration)}}""")
     // also persist the summary: the driver's stdout tail-capture
     // truncated 13 of 75 per-query times in round 4 — the artifact
     // should never depend on tail length. The FILE form additionally

@@ -63,11 +63,24 @@ object SparkEntry {
     * corpus scale the input has thousands of splits and an
     * unconditional repartition would be a pure full-corpus shuffle
     * (the guide's accidental-exchange class), while on the one-row-
-    * group bench corpus it remains the fan-out it always was. The
-    * probe reads the planned partition count (no job runs). */
+    * group bench corpus it remains the fan-out it always was.
+    *
+    * The probe reads the FileScan leaves' planned split counts from
+    * the physical plan (round 19, ADVICE r18): the previous
+    * `df.rdd.getNumPartitions` was job-free only for bare scans —
+    * under AQE, `.rdd` on a plan containing exchanges or subqueries
+    * eagerly materializes every upstream query stage. Reading the
+    * scan nodes' file-split math keeps the probe plan-time-only for
+    * ANY input frame (a non-file leaf, e.g. a local relation,
+    * conservatively counts as parallelism 1 and keeps the fan). */
   private def fan(s: SparkSession, df: DataFrame): DataFrame = {
     val parts = s.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= parts) df
+    val scanParts = df.queryExecution.sparkPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDD.getNumPartitions
+      case _ => 1
+    }.sum
+    if (scanParts >= parts) df
     else df.repartition(parts)
   }
 
@@ -582,12 +595,24 @@ object SparkEntry {
       val errs =
         new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val threads = writes.map { w =>
+        // NonFatal only (ADVICE r18): an OutOfMemoryError must kill
+        // the JVM, not be queued and re-wrapped
         val th = new Thread(() =>
-          try w() catch { case e: Throwable => errs.add(e) })
+          try w() catch {
+            case scala.util.control.NonFatal(e) => errs.add(e)
+          })
         th.start(); th
       }
       threads.foreach(_.join())
-      if (!errs.isEmpty) throw errs.peek()
+      if (!errs.isEmpty) {
+        // re-throw from the DRIVER thread with the worker failure as
+        // cause (keeps this stack context); any second failure is
+        // recorded as suppressed instead of silently dropped
+        val ex = new RuntimeException(
+          "q81_colocated_join: bucketed write failed", errs.poll())
+        while (!errs.isEmpty) ex.addSuppressed(errs.poll())
+        throw ex
+      }
       // broadcast disabled in a CHILD session: newSession() shares the
       // SparkContext and catalog (the bucketed tables are visible) but
       // carries its OWN conf, so concurrent queries on `s` keep their
@@ -1529,8 +1554,14 @@ object SparkEntry {
     // on the 50-row result. ----
     "q100_bm25_topk" -> ((s, dir) => {
       import graft.operators.Retrieval
+      // NOT fanned (round 19): the round-18 fan() here was a
+      // driver-measured regression (0.647 -> 0.891 s) — bm25's per-row
+      // work is a split + IN-filter + explode into an immediate partial
+      // aggregation, the exact shape the r18 reverts (q75/q101/q111/
+      // q116/q117/q118) identified as too cheap to amortize the extra
+      // round-robin exchange.
       Retrieval.rankBy(
-        Retrieval.bm25(fan(s, t(s, dir, "documents")), "doc_id", "text",
+        Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
           BmQueryTerms),
         Seq(col("score_fp6").desc, col("doc_id").asc), topN = 50)
     }),
@@ -1666,9 +1697,12 @@ object SparkEntry {
     // so the per-doc ranking is integer with a term tie-break; the
     // per-doc top-k goes through the bounded-heap TopK aggregate (map-
     // side partial top-k), not a full sort window. ----
+    // NOT fanned (round 19): the round-18 fan() read flat in the
+    // driver's window (0.948 -> 0.968 s) — same cheap split+explode+
+    // partial-agg shape as q100; the exchange buys nothing.
     "q109_tfidf_terms" -> ((s, dir) =>
       graft.operators.Retrieval.tfIdfTopTerms(
-        fan(s, t(s, dir, "documents")), "doc_id", "text", k = 3)),
+        t(s, dir, "documents"), "doc_id", "text", k = 3)),
 
     // ---- Temperature-scaled mixture (mT5/Pile alpha=0.5): quotas
     // derive from the DATA (count^alpha, micro-unit-quantized so the

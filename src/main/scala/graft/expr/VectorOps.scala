@@ -237,14 +237,21 @@ case class DotF32(left: Expression, right: Expression)
 }
 
 abstract class LongArrayBinaryExpression extends BinaryExpression {
+  // containsNull=false REQUIRED (ADVICE r18): the kernels read every
+  // slot with ArrayData.getLong, which silently yields 0 for a null
+  // element where the HOF forms these expressions replaced would have
+  // null-propagated. All intended producers (the fixed-width signer
+  // UDFs) emit primitive Array[Long] = containsNull=false; reject the
+  // rest at analysis time instead of mis-evaluating at runtime.
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-          .TypeCheckFailure(s"requires two array<bigint> inputs, got $other")
+          .TypeCheckFailure("requires two array<bigint> inputs with " +
+            s"non-nullable elements, got $other")
     }
 }
 

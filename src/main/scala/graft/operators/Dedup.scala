@@ -19,6 +19,37 @@ import graft.functions.TextMetrics
   */
 object Dedup {
 
+  /** Plan-time scan parallelism of a frame: the FileScan leaves'
+    * planned split counts (no job runs; non-file leaves — local
+    * relations, cached frames — conservatively count 1). The same
+    * probe as SparkEntry.fan(): used to decide whether a defensive
+    * re-spread repartition is a fan-out (one-row-group bench corpus)
+    * or a pure accidental full-stream shuffle (multi-split corpus at
+    * scale, guide §2.2/§2.4). */
+  private def scanParallelism(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDD.getNumPartitions
+      case _ => 1
+    }.sum
+
+  /** Re-spread a post-aggregation frame ahead of a fan-out explode —
+    * but ONLY when the corpus is small enough that AQE's coalescing
+    * would otherwise serialize the exploded stream through a handful
+    * of tasks (round 19, the fan() gate applied to the q21/q70
+    * emitters): on a multi-split corpus the aggregate's own shuffle
+    * already lands on the session's partition count, and the
+    * unconditional repartition was a full re-shuffle of the
+    * shingle-level aggregate for nothing. Probe is on the SOURCE
+    * frame (plan-time only) — probing the aggregate itself would
+    * materialize its query stages under AQE. */
+  private def respreadIfSmall(source: DataFrame, df: DataFrame)
+      : DataFrame = {
+    val parts = source.sparkSession.sessionState.conf.numShufflePartitions
+    if (scanParallelism(source) >= parts) df
+    else df.repartition(parts)
+  }
+
   /** Exact dedup via content fingerprint: one row per distinct normalized
     * text, keeping the smallest id as representative. Single shuffle. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -254,9 +285,11 @@ object Dedup {
       .where(size(col("ms")) > 1)
     // re-spread before the pair explosion: AQE coalesces the (small)
     // per-shingle aggregate into few partitions, which would serialize
-    // the (large) exploded pair stream through one task
-    val parts = sets.sparkSession.sessionState.conf.numShufflePartitions
-    val pairs = byShingle.repartition(parts)
+    // the (large) exploded pair stream through one task. SCALE-GATED
+    // since round 19 (the fan() probe): on a multi-split corpus the
+    // groupBy's own shuffle already spreads, and the repartition was a
+    // full re-shuffle of the shingle aggregate.
+    val pairs = respreadIfSmall(sets, byShingle)
       .select(explode(pairEmitUdf(idType, threshold)(col("ms"))).as("p"))
       .select(col("p.*"))
     val inter = pairs.groupBy("id_a", "id_b", "sz_a", "sz_b")
@@ -330,8 +363,9 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("id"), col("sz"))))
         .as("ms"))
       .where(size(col("ms")) > 1)
-    val parts = sets.sparkSession.sessionState.conf.numShufflePartitions
-    val cand = byShingle.repartition(parts)
+    // scale-gated re-spread — same rationale as jaccardPairsOverSets
+    // (round 19)
+    val cand = respreadIfSmall(sets, byShingle)
       .select(explode(pairEmitUdf(idType, threshold)(col("ms"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
@@ -1486,10 +1520,11 @@ object Dedup {
       .distinct()
   }
 
-  private val lastPortableLshRelease = ReleaseSlot()
-  private val lastFastLshRelease = ReleaseSlot()
   // pre-routing signature caches (the census rides these; released
-  // when the next invocation of the owning emitter swaps them out)
+  // when the next invocation of the owning emitter swaps them out).
+  // The former lastPortableLshRelease/lastFastLshRelease slots died
+  // with the internal signature persists the round-18 inline-verify
+  // rewrite removed (ADVICE r18).
   private val lastPortableLshSigRelease = ReleaseSlot()
   private val lastFastLshSigRelease = ReleaseSlot()
 

@@ -191,23 +191,32 @@ object EditDistanceJoin {
       .select(col("bkey"), col("id").as("id_l"), col("s").as("s_l"))
     val prb = entries.where(!col("is_index"))
       .select(col("bkey"), col("id").as("id_r"), col("s").as("s_r"))
-    val main = idx.join(prb, Seq("bkey"))
+    // INLINE verify BEFORE the dedup (round 19, guide §2.3 — the q23/
+    // q22 shape): both strings are already in the joined row, so the
+    // banded DP runs in the join stage and the dedup exchange ships
+    // only VERIFIED (id_a, id_b, dist) triples — the old
+    // dropDuplicates-first form shuffled BOTH full strings for EVERY
+    // candidate row (most of which fail the verify), paying string
+    // bytes x candidate volume through the exchange at corpus scale.
+    // The trade: a pair found via several block keys now pays the DP
+    // once per candidate row instead of once per pair — but the 3-arg
+    // levenshtein is the banded early-abandon DP (O(tau*n) on rows
+    // whose lengths already agree within tau), row-local CPU that
+    // whole-stage codegen fuses into the join, vs a corpus-scale
+    // exchange of string payloads. Every row of a (id_a, id_b) group
+    // verifies to the same distance (levenshtein is symmetric), so
+    // distinct over the verified triple = the old distinct over the
+    // pair; the partial HashAggregate below the exchange also dedups
+    // same-task duplicate candidates before they ship.
+    idx.join(prb, Seq("bkey"))
       .where(col("id_l") =!= col("id_r"))
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"),
-        col("s_l"), col("s_r"))
-    // dedup BEFORE the DP verify: a pair found via several block keys
-    // (or both discovery directions) would otherwise pay the
-    // Levenshtein once per candidate row. Which row survives is
-    // immaterial — levenshtein is symmetric, so every row of a
-    // (id_a, id_b) group verifies to the same distance.
-    main
-      .dropDuplicates("id_a", "id_b")
-      // 3-arg levenshtein = banded DP with early abandon at tau
-      // (O(tau*n) per pair instead of O(n^2)); -1 marks "past tau"
-      .select(col("id_a"), col("id_b"),
+        // 3-arg levenshtein = banded DP with early abandon at tau
+        // (O(tau*n) per pair instead of O(n^2)); -1 marks "past tau"
         levenshtein(col("s_l"), col("s_r"), tau).as("dist"))
       .where(col("dist") >= 0)
+      .distinct()
   }
 
   /** The PassJoin block-key enumeration for one string: its tau+1

@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   * (centroid-collect precedent), never corpus-scaled.
   *
   * Scale: features are packed ONCE into one cached row per document
-  * (label + parallel bucket/tf arrays — the only shuffle of training);
+  * (label + parallel bucket/tf arrays) by a row-local gram walk —
+  * since round 19 training is shuffle-free END TO END (the packing
+  * used to be relational: four exchanges of the gram stream);
   * each iteration is then a single shuffle-FREE job: weights broadcast
   * as a plain array, margins and per-bucket gradient contributions
   * computed in one pass per partition into a local (buckets+1) long
@@ -82,31 +84,49 @@ object QualityClassifier {
     val spark = labeled.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
-    // pack features to ONE row per doc: (y, bucket slots, tfs). The
-    // intercept pseudo-feature (b = -1) maps to slot `buckets`, so a
-    // single (buckets+1)-wide array carries weights AND bias through
-    // every iteration. struct-zipped collect_list keeps (b, tf) pairs
-    // aligned; the per-doc LIST ORDER is free to vary — every
-    // consumer below is a commutative long sum, so order cannot reach
-    // the result (the determinism argument, unchanged).
-    val packed = features(labeled, idCol, textCol, buckets)
-      .join(labeled.select(col(idCol).as("id"),
-        col(labelCol).cast("double").as("y")), "id")
-      .groupBy("id", "y")
-      .agg(collect_list(struct(col("b").as("_1"), col("tf").as("_2")))
-        .as("fs"))
-      .select(col("y").as("_1"), col("fs").as("_2"))
-      .as[(Double, Seq[(Long, Double)])]
+    // pack features to ONE row per doc: (y, bucket slots, tfs) — and
+    // do it ROW-LOCALLY (round 19, guide §2.4/§1.2): the per-doc tf
+    // vector is a pure function of the doc's own text, so the former
+    // relational packing (gram explode -> counts groupBy -> totals
+    // groupBy -> two joins -> collect_list groupBy: four exchanges of
+    // the gram stream on the TRAINING path) is replaced by one pass of
+    // the SAME row-local gram walk the scorer uses
+    // (ImportanceSampling.foreachGramBucket — the shared feature-space
+    // replay, spec-pinned against the relational form). Numerics are
+    // bitwise unchanged: identical md5 bucket ids, identical
+    // cnt.toDouble/tot.toDouble tf division, and the per-doc SLOT
+    // ORDER remains free to vary — every consumer below is a
+    // commutative fixed-point long sum, so order cannot reach the
+    // result (the determinism argument, unchanged from the
+    // collect_list form). The intercept pseudo-feature (b = -1) maps
+    // to slot `buckets`, so a single (buckets+1)-wide array carries
+    // weights AND bias through every iteration; tokenless docs pack
+    // as intercept-only, exactly the relational union's row.
+    val packed = labeled
+      .select(col(labelCol).cast("double").as("y"),
+        col(textCol).as("t"))
+      .as[(Double, String)]
       .rdd
-      .map { case (y, fs) =>
-        val bs = new Array[Int](fs.length)
-        val tfs = new Array[Double](fs.length)
+      .map { case (y, text) =>
+        val counts = new java.util.HashMap[Integer, Integer]()
+        val tot = ImportanceSampling.foreachGramBucket(text, buckets) {
+          b =>
+            val prev = counts.get(b)
+            counts.put(b, if (prev == null) 1 else prev + 1)
+        }
+        val m = counts.size()
+        val bs = new Array[Int](m + 1)
+        val tfs = new Array[Double](m + 1)
         var i = 0
-        fs.foreach { f =>
-          bs(i) = if (f._1 < 0) buckets else f._1.toInt
-          tfs(i) = f._2
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          bs(i) = e.getKey
+          tfs(i) = e.getValue.toDouble / tot.toDouble
           i += 1
         }
+        bs(m) = buckets // the intercept pseudo-feature, every doc
+        tfs(m) = 1.0
         (y, bs, tfs)
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -338,6 +338,47 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(scored === relational)
   }
 
+  test("quality classifier: tokenless docs train as intercept-only " +
+      "rows through the row-local packing (round-19 q87 rewrite)") {
+    // The round-19 train packs features by the row-local gram walk
+    // instead of the relational explode/groupBy/union pipeline. The
+    // union branch was what gave gram-less docs (empty, whitespace,
+    // null text) their intercept-only feature row; the walk must
+    // reproduce exactly that, and the packed path must stay bitwise
+    // deterministic across partitionings with such docs present.
+    val s = initSpark()
+    import s.implicits._
+    import graft.operators.QualityClassifier
+    val rows = Seq[(Long, String, Int)](
+      (1L, "careful empirical evaluation of outcomes", 1),
+      (2L, "click here buy cheap pills now", 0),
+      (3L, "", 1), // tokenless: intercept-only
+      (4L, "   \t  ", 0), // whitespace-only: intercept-only
+      (5L, null, 1), // null text: intercept-only
+      (6L, "thorough peer reviewed study", 1),
+      (7L, "free money winner prize claim", 0))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val model = QualityClassifier.train(docs, "doc_id", "text", "label",
+      buckets = 256, iters = 20)
+    val model2 = QualityClassifier.train(docs.repartition(5), "doc_id",
+      "text", "label", buckets = 256, iters = 20)
+    assert(model2.bias === model.bias)
+    assert(model2.weights.toSeq === model.weights.toSeq)
+    // tokenless docs must reach the model: with gram-less positives in
+    // the train set the bias moves (it is their only trainable term)
+    assert(model.bias !== 0.0)
+    // and the row-local scorer agrees with the relational reference on
+    // the same edge corpus (gram-less docs score sigmoid(bias))
+    val scored = QualityClassifier.score(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val relational = QualityClassifier
+      .scoreRelational(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored === relational)
+    assert(scored(3L) === scored(5L), "all tokenless docs score alike")
+    assert(scored(4L) === scored(5L), "all tokenless docs score alike")
+  }
+
   test("dsirScore favors docs that look like the target corpus") {
     val s = initSpark()
     import s.implicits._
