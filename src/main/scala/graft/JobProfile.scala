@@ -14,7 +14,8 @@ import scala.collection.mutable
   */
 object JobProfile {
   private case class JobRec(id: Int, desc: String, t0: Long,
-    var t1: Long = 0L, var stages: Int = 0, var tasks: Int = 0)
+    var t1: Long = 0L, var stages: Int = 0, var tasks: Int = 0,
+    var shufWrite: Long = 0L, var shufRead: Long = 0L)
 
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -54,6 +55,15 @@ object JobProfile {
         synchronized {
           stageToJob.get(e.stageInfo.stageId).flatMap(jobs.get).foreach { j =>
             j.stages += 1; j.tasks += e.stageInfo.numTasks
+            // per-stage exchange volume (round 19, the q22 band-payload
+            // question): accumulated task metrics are final by stage
+            // completion — write bytes attribute the map side, read
+            // bytes the reduce side, of each shuffle to its job
+            val m = e.stageInfo.taskMetrics
+            if (m != null) {
+              j.shufWrite += m.shuffleWriteMetrics.bytesWritten
+              j.shufRead += m.shuffleReadMetrics.totalBytesRead
+            }
           }
         }
     }
@@ -72,7 +82,9 @@ object JobProfile {
       val gap = if (prevEnd > 0) (j.t0 - prevEnd) / 1e3 else 0.0
       prevEnd = j.t1
       println(f"[profile] job ${j.id}%3d ${dur}%7.3f s gap=${gap}%6.3f s " +
-        f"stages=${j.stages}%2d tasks=${j.tasks}%4d ${j.desc.take(90)}")
+        f"stages=${j.stages}%2d tasks=${j.tasks}%4d " +
+        f"shufW=${j.shufWrite / 1024.0 / 1024.0}%8.2fMB " +
+        f"shufR=${j.shufRead / 1024.0 / 1024.0}%8.2fMB ${j.desc.take(90)}")
     }
     println(f"[profile] job-sum=${jobSum}%.3f s  driver-gaps=${wall - jobSum}%.3f s")
     spark.stop()

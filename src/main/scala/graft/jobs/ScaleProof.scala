@@ -1177,6 +1177,25 @@ object ScaleProof {
       return
     }
 
+    // SPARK_GRAFT_SCALE_DOCSONLY=1 (round 19, verdict item 6):
+    // materialize ONLY the mutated-replica documents table at `factor`
+    // under outDir and exit — the core-ratio probes need a text corpus
+    // large enough that the single-table text queries (q77/q84/q88/
+    // q103) hold every core busy for tens of seconds, and replicating
+    // the other seven tables at that factor would cost 10-20x the disk
+    // and time for queries that never read them. Mutated text (not
+    // byte-identical) so gram/shingle work per replica is real.
+    if (sys.env.get("SPARK_GRAFT_SCALE_DOCSONLY").contains("1")) {
+      System.err.println(s"[scaleproof] materializing ${factor}x " +
+        s"documents-only of $baseDir under $outDir")
+      val t0 = System.nanoTime()
+      scaleDocumentsMutated(spark, baseDir, outDir, factor)
+      System.err.println(f"[scaleproof] done in ${
+        (System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_SCALE_PROBE=q119,q125: FRESH-JVM warm probe over an
     // ALREADY-MATERIALIZED scaled dir (outDir) — round 17's JVM-debt
     // finding made mechanical: the in-sweep warm pass measures a JVM
